@@ -1,13 +1,487 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.generators.{Gen, OracleGen}
+import graft.transformers._
+import graft.pipeline._
+import graft.subset._
+import graft.llm._
+import graft.ops.Pipe
+
+/** Driver contract — one registered query (+ DuckDB oracle SQL where
+  * expressible) per implemented operator from SURVEY.md §2 and the
+  * LLM-pipeline brief. Column names are aliased identically on both sides
+  * (the driver sorts columns by name before hashing values); every query
+  * carries a deterministic ORDER BY so row order can never be the source
+  * of a mismatch.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def rd(s: SparkSession, dir: String, t: String): DataFrame =
+    s.read.parquet(s"$dir/$t.parquet")
+
+  private case class Q(fn: (SparkSession, String) => DataFrame, sql: Option[String])
+
+  /** Mechanical scalar-transformer query: SELECT id, t(input) AS out FROM
+    * table ORDER BY id — both renderings from the same transformer. */
+  private def scalar(table: String, id: String, input: Column, inputSql: String,
+                     t: ScalarTransformer, out: String = "masked",
+                     castOut: Option[String] = None): Q = Q(
+    (s, dir) => {
+      val v = t.applied(input)
+      val vc = castOut.fold(v)(v.cast)
+      rd(s, dir, table).select(col(id), vc.as(out)).orderBy(id)
+    },
+    Some {
+      val v = t.appliedSql(inputSql).get
+      val ddbType = castOut.map { case "string" => "VARCHAR"; case c => c.toUpperCase }
+      val vc = ddbType.fold(v)(c => s"(${v})::${c}")
+      s"SELECT ${id}, ${vc} AS ${out} FROM ${table} ORDER BY ${id}"
+    })
+
+  private val CK = col("c_custkey")
+
+  private def defs: Map[String, Q] = Map(
+
+    // ----- §2.5 aggregation sanity + flagship (TPC-H q1 shape) -----
+    "q_agg_pricing" -> Q(
+      (s, dir) => rd(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+              sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+              sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base,
+              count(*) AS n_rows
+              FROM lineitem GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus""")),
+
+    // ----- §2.6 generator transformers (hash engine, oracle-checked) -----
+    "q_random_int" -> scalar("customer", "c_custkey", CK, "c_custkey", RandomInt(0, 999999)),
+    "q_random_float" -> scalar("customer", "c_custkey", CK, "c_custkey", RandomFloat(0, 1000, 4)),
+    "q_random_numeric" -> scalar("customer", "c_custkey", CK, "c_custkey",
+      RandomNumeric(BigDecimal(0), BigDecimal(100000), 4), castOut = Some("string")),
+    "q_random_bool" -> scalar("customer", "c_custkey", CK, "c_custkey", RandomBool()),
+    "q_random_unix_ts" -> scalar("customer", "c_custkey", CK, "c_custkey",
+      RandomUnixTimestamp(0, 1893456000, "ms")),
+    "q_random_string" -> scalar("customer", "c_custkey", CK, "c_custkey", RandomString(4, 12)),
+    "q_random_uuid" -> scalar("customer", "c_custkey", CK, "c_custkey", RandomUuid()),
+    "q_random_choice" -> scalar("customer", "c_custkey", CK, "c_custkey",
+      RandomChoice(Seq("alpha", "beta", "gamma", "delta"))),
+    "q_random_ip" -> scalar("customer", "c_custkey", CK, "c_custkey", RandomIp("10.42.0.0/16")),
+    "q_random_mac" -> scalar("customer", "c_custkey", CK, "c_custkey", RandomMac(Seq("02", "42"))),
+    "q_random_email" -> scalar("customer", "c_custkey", col("c_name"), "c_name",
+      RandomEmail(keepOriginalDomain = false)),
+
+    // RandomDate: epoch-seconds projection (tz-neutral compare), truncated
+    "q_random_date" -> Q(
+      (s, dir) => {
+        val t = RandomDate(0, 1893456000, Some("month"))
+        rd(s, dir, "customer").select(CK, t.epochColumn(CK).as("masked")).orderBy("c_custkey")
+      },
+      Some {
+        val t = RandomDate(0, 1893456000, Some("month"))
+        s"SELECT c_custkey, ${t.oracle("c_custkey").get} AS masked FROM customer ORDER BY c_custkey"
+      }),
+
+    // ----- noise family (input canonicalized to decimal for stable hashing) -----
+    "q_noise_int" -> scalar("customer", "c_custkey", CK, "c_custkey",
+      NoiseInt(0.2, Some(0L), Some(2000000L))),
+    "q_noise_float" -> scalar("customer", "c_custkey",
+      col("c_acctbal").cast("decimal(12,2)"), "(c_acctbal)::DECIMAL(12,2)",
+      NoiseFloat(0.1, 2, Some(-1000.0), Some(20000.0))),
+    "q_noise_numeric" -> scalar("customer", "c_custkey",
+      col("c_acctbal").cast("decimal(12,2)"), "(c_acctbal)::DECIMAL(12,2)",
+      NoiseNumeric(0.1, 2), castOut = Some("string")),
+    "q_noise_date" -> Q(
+      (s, dir) => {
+        val t = NoiseDate(30, Some("day"))
+        rd(s, dir, "orders")
+          .select(col("o_orderkey"),
+            t.applied(col("o_orderdate").cast("timestamp").cast("long")).as("masked"))
+          .orderBy("o_orderkey")
+      },
+      Some {
+        val t = NoiseDate(30, Some("day"))
+        s"SELECT o_orderkey, ${t.appliedSql("epoch(o_orderdate)::BIGINT").get} AS masked " +
+          "FROM orders ORDER BY o_orderkey"
+      }),
+
+    // ----- redaction / remap family -----
+    "q_hash_sha256" -> scalar("customer", "c_custkey", col("c_name"), "c_name", HashText("sha256")),
+    "q_hash_md5_trunc" -> scalar("customer", "c_custkey", col("c_name"), "c_name",
+      HashText("md5", maxLength = 16)),
+    "q_masking_styles" -> Q(
+      (s, dir) => {
+        val styles = Seq("default", "name", "addr", "email", "mobile", "tel",
+          "id", "credit_card", "url", "postcode")
+        rd(s, dir, "customer").select(
+          CK +: styles.map(st => Masking(st).applied(col("c_name")).as(s"m_$st")): _*)
+          .orderBy("c_custkey")
+      },
+      Some {
+        val styles = Seq("default", "name", "addr", "email", "mobile", "tel",
+          "id", "credit_card", "url", "postcode")
+        val cols = styles.map(st => s"${Masking(st).appliedSql("c_name").get} AS m_$st")
+        s"SELECT c_custkey, ${cols.mkString(", ")} FROM customer ORDER BY c_custkey"
+      }),
+    "q_regexp_replace" -> scalar("customer", "c_custkey", col("c_name"), "c_name",
+      RegexpReplaceT("Customer#0*", "user-")),
+    "q_replace" -> scalar("customer", "c_custkey", col("c_mktsegment"), "c_mktsegment",
+      Replace("REDACTED")),
+    "q_set_null" -> scalar("customer", "c_custkey", col("c_mktsegment"), "c_mktsegment", SetNull()),
+    "q_dict" -> scalar("customer", "c_custkey", col("c_mktsegment"), "c_mktsegment",
+      Dict(Map("AUTOMOBILE" -> "CARS", "BUILDING" -> "CONSTRUCTION", "FURNITURE" -> "HOME"),
+        default = Some("OTHER"))),
+    "q_template" -> Q(
+      (s, dir) => rd(s, dir, "customer")
+        .select(CK, expr("concat(c_mktsegment, '-', cast(c_nationkey as string))").as("derived"))
+        .orderBy("c_custkey"),
+      Some("SELECT c_custkey, (c_mktsegment || '-' || c_nationkey::VARCHAR) AS derived " +
+        "FROM customer ORDER BY c_custkey")),
+
+    // ----- faker family: all 22 scalars in one query -----
+    "q_faker" -> Q(
+      (s, dir) => {
+        val cols = Faker.all.toSeq.sortBy(_._1).map { case (n, t) =>
+          t.applied(CK).as("f_" + n.toLowerCase)
+        }
+        rd(s, dir, "customer").select(CK +: cols: _*).orderBy("c_custkey")
+      },
+      Some {
+        val cols = Faker.all.toSeq.sortBy(_._1).map { case (n, t) =>
+          s"${t.appliedSql("c_custkey").get} AS f_${n.toLowerCase}"
+        }
+        s"SELECT c_custkey, ${cols.mkString(", ")} FROM customer ORDER BY c_custkey"
+      }),
+
+    // ----- multi-column transformers -----
+    "q_person" -> Q(
+      (s, dir) => rd(s, dir, "customer")
+        .select(CK +: MultiCol.person(CK).map { case (n, c) => c.as(n) }: _*)
+        .orderBy("c_custkey"),
+      Some {
+        val cols = MultiCol.personSql("c_custkey").map { case (n, sql) => s"${sql} AS ${n}" }
+        s"SELECT c_custkey, ${cols.mkString(", ")} FROM customer ORDER BY c_custkey"
+      }),
+    "q_company" -> Q(
+      (s, dir) => rd(s, dir, "supplier")
+        .select(col("s_suppkey") +: MultiCol.company(col("s_suppkey")).map { case (n, c) => c.as(n) }: _*)
+        .orderBy("s_suppkey"),
+      Some {
+        val cols = MultiCol.companySql("s_suppkey").map { case (n, sql) => s"${sql} AS ${n}" }
+        s"SELECT s_suppkey, ${cols.mkString(", ")} FROM supplier ORDER BY s_suppkey"
+      }),
+    "q_real_address" -> Q(
+      (s, dir) => rd(s, dir, "customer")
+        .select(CK +: MultiCol.address(CK).map { case (n, c) => c.as(n) }: _*)
+        .orderBy("c_custkey"),
+      Some {
+        val cols = MultiCol.addressSql("c_custkey").map { case (n, sql) => s"${sql} AS ${n}" }
+        s"SELECT c_custkey, ${cols.mkString(", ")} FROM customer ORDER BY c_custkey"
+      }),
+
+    // ----- §2.3 when-gating (keep-untransformed), dynamic params -----
+    "q_when_table" -> Q(
+      (s, dir) => Planner.plan(rd(s, dir, "customer"), TableConfig("customer",
+        when = Some("c_custkey % 3 = 0"),
+        transforms = Seq(
+          ColumnTransform("c_nationkey", RandomInt(0, 99)),
+          ColumnTransform("c_name", Masking("name"))))).orderBy("c_custkey"),
+      Some {
+        val nk = RandomInt(0, 99).appliedSql("c_nationkey").get
+        val nm = Masking("name").appliedSql("c_name").get
+        "SELECT c_custkey, " +
+          s"CASE WHEN c_custkey % 3 = 0 THEN ${nm} ELSE c_name END AS c_name, " +
+          s"CASE WHEN c_custkey % 3 = 0 THEN (${nk})::INTEGER ELSE c_nationkey END AS c_nationkey, " +
+          "c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey"
+      }),
+    "q_when_transformer" -> Q(
+      (s, dir) => Planner.plan(rd(s, dir, "customer"), TableConfig("customer",
+        transforms = Seq(
+          ColumnTransform("c_mktsegment", Replace("MASKED"), when = Some("c_acctbal < 0"))))).orderBy("c_custkey"),
+      Some("SELECT c_custkey, c_name, c_nationkey, c_acctbal, " +
+        "CASE WHEN c_acctbal < 0 THEN 'MASKED' ELSE c_mktsegment END AS c_mktsegment " +
+        "FROM customer ORDER BY c_custkey")),
+    "q_dynamic_params" -> scalar("customer", "c_custkey", CK, "c_custkey",
+      RandomIntDyn(col("c_nationkey") * 1000L, col("c_nationkey") * 1000L + 999L,
+        "(c_nationkey::BIGINT * 1000)", "(c_nationkey::BIGINT * 1000 + 999)")),
+
+    // ----- apply_for_references: FK-consistent masking survives the join -----
+    "q_apply_refs_join" -> Q(
+      (s, dir) => {
+        val t = RandomInt(0, 9999999, tweak = "refmask")
+        val c = rd(s, dir, "customer").select(t.applied(CK).as("ck"))
+        val o = rd(s, dir, "orders").select(t.applied(col("o_custkey")).as("ck"))
+        c.join(o, "ck").agg(count(lit(1)).as("n_joined"))
+      },
+      Some {
+        val t = RandomInt(0, 9999999, tweak = "refmask")
+        s"SELECT count(*) AS n_joined FROM " +
+          s"(SELECT ${t.appliedSql("c_custkey").get} AS ck FROM customer) c JOIN " +
+          s"(SELECT ${t.appliedSql("o_custkey").get} AS ck FROM orders) o USING (ck)"
+      }),
+
+    // ----- §2.4 subset engine -----
+    "q_subset_acyclic" -> Q(
+      (s, dir) => {
+        val dfs = Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+          .map(t => t -> rd(s, dir, t)).toMap
+        val pks = Catalog.tables.map(t => t.name -> t.primaryKey).toMap
+        val edges = Catalog.fkRefs.filterNot(_.childTable == "events")
+        val surviving = SubsetPlanner.plan(dfs, pks, edges,
+          Map("customer" -> Seq("c_acctbal > 0")))
+        surviving("lineitem").select("l_orderkey", "l_linenumber")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_custkey IN
+                (SELECT c_custkey FROM customer WHERE c_acctbal > 0))
+              AND l_partkey IN (SELECT p_partkey FROM part)
+              AND l_suppkey IN (SELECT s_suppkey FROM supplier)
+              ORDER BY l_orderkey, l_linenumber""")),
+    "q_subset_nullable" -> Q(
+      (s, dir) => {
+        val ordersNull = rd(s, dir, "orders").withColumn("o_custkey",
+          when(col("o_orderkey") % 97 === 0, lit(null)).otherwise(col("o_custkey")))
+        val dfs = Map("customer" -> rd(s, dir, "customer"), "orders" -> ordersNull)
+        val edges = Seq(FkRef("orders", Seq("o_custkey"), "customer", Seq("c_custkey"),
+          nullable = true))
+        val surviving = SubsetPlanner.plan(dfs,
+          Map("customer" -> Seq("c_custkey"), "orders" -> Seq("o_orderkey")),
+          edges, Map("customer" -> Seq("c_acctbal > 0")))
+        surviving("orders").select("o_orderkey").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey FROM orders
+              WHERE (o_orderkey % 97 = 0) OR o_custkey IN
+                (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+              ORDER BY o_orderkey""")),
+    "q_subset_cyclic" -> Q(
+      (s, dir) => {
+        val dfs = Map("nation" -> rd(s, dir, "nation"), "region" -> rd(s, dir, "region"))
+        val edges = Seq(
+          FkRef("nation", Seq("n_regionkey"), "region", Seq("r_regionkey")),
+          FkRef("region", Seq("r_regionkey"), "nation", Seq("n_regionkey"), virtual = true))
+        val surviving = SubsetPlanner.plan(dfs,
+          Map("nation" -> Seq("n_nationkey"), "region" -> Seq("r_regionkey")),
+          edges, Map("nation" -> Seq("n_nationkey < 10")))
+        surviving("nation").select("n_nationkey").orderBy("n_nationkey")
+      },
+      // closed form of the fix-point for this config
+      Some("""SELECT n_nationkey FROM nation
+              WHERE n_nationkey < 10 AND n_regionkey IN
+                (SELECT r_regionkey FROM region WHERE r_regionkey IN
+                  (SELECT n_regionkey FROM nation WHERE n_nationkey < 10))
+              ORDER BY n_nationkey""")),
+    "q_subset_polymorphic" -> Q(
+      (s, dir) => {
+        val dfs = Map("customer" -> rd(s, dir, "customer"), "events" -> rd(s, dir, "events"))
+        val edges = Seq(FkRef("events", Seq("user_id"), "customer", Seq("c_custkey"),
+          polymorphicCond = Some("event_type = 'click'"), virtual = true))
+        val surviving = SubsetPlanner.plan(dfs,
+          Map("customer" -> Seq("c_custkey"), "events" -> Seq("event_id")),
+          edges, Map("customer" -> Seq("c_acctbal > 0")))
+        surviving("events").select("event_id").orderBy("event_id")
+      },
+      Some("""SELECT event_id FROM events
+              WHERE NOT (event_type = 'click') OR user_id IN
+                (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+              ORDER BY event_id""")),
+
+    // ----- validation diff (validate --data analog) -----
+    "q_validate_diff" -> Q(
+      (s, dir) => {
+        val orig = rd(s, dir, "customer")
+        val masked = Planner.plan(orig, TableConfig("customer", transforms = Seq(
+          ColumnTransform("c_nationkey", RandomInt(0, 99)),
+          ColumnTransform("c_name", Masking("default")))))
+        Validator.diff(orig, masked, Seq("c_custkey"))
+      },
+      Some {
+        val nk = RandomInt(0, 99).appliedSql("c_nationkey").get
+        val nm = Masking("default").appliedSql("c_name").get
+        s"""SELECT
+            sum(CASE WHEN ${nm} IS DISTINCT FROM c_name THEN 1 ELSE 0 END)::BIGINT AS c_name_changed,
+            count(*) AS c_name_total,
+            sum(CASE WHEN (${nk})::INTEGER IS DISTINCT FROM c_nationkey THEN 1 ELSE 0 END)::BIGINT AS c_nationkey_changed,
+            count(*) AS c_nationkey_total,
+            0::BIGINT AS c_acctbal_changed, count(*) AS c_acctbal_total,
+            0::BIGINT AS c_mktsegment_changed, count(*) AS c_mktsegment_total
+            FROM customer"""
+      }),
+
+    // ----- scans / projections / limits -----
+    "q_query_scan" -> Q(
+      (s, dir) => {
+        rd(s, dir, "customer").createOrReplaceTempView("customer_v")
+        s.sql("SELECT c_custkey, c_acctbal FROM customer_v WHERE c_acctbal > 5000 ORDER BY c_custkey")
+      },
+      Some("SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000 ORDER BY c_custkey")),
+    "q_column_prune" -> Q(
+      (s, dir) => Planner.plan(rd(s, dir, "customer"), TableConfig("customer",
+        dropColumns = Seq("c_name", "c_acctbal", "c_nationkey"))).orderBy("c_custkey"),
+      Some("SELECT c_custkey, c_mktsegment FROM customer ORDER BY c_custkey")),
+    "q_row_limit" -> Q(
+      (s, dir) => rd(s, dir, "customer").orderBy("c_custkey")
+        .limit(100).select("c_custkey", "c_mktsegment"),
+      Some("SELECT c_custkey, c_mktsegment FROM customer ORDER BY c_custkey LIMIT 100")),
+    "q_seq_max" -> Q(
+      (s, dir) => rd(s, dir, "orders").agg(max("o_orderkey").as("seq_last")),
+      Some("SELECT max(o_orderkey) AS seq_last FROM orders")),
+
+    // ----- Cmd pipe operator (external process round-trip) -----
+    "q_pipe_csv" -> Q(
+      (s, dir) => {
+        val in = rd(s, dir, "customer")
+          .select(CK.cast("string").as("ck"), col("c_mktsegment").as("seg"))
+        Pipe.through(in, Seq("/bin/cat"), "csv")
+          .select(col("ck").cast("long").as("ck"), col("seg")).orderBy("ck")
+      },
+      Some("SELECT c_custkey AS ck, c_mktsegment AS seg FROM customer ORDER BY ck")),
+    "q_pipe_json" -> Q(
+      (s, dir) => {
+        val in = rd(s, dir, "supplier")
+          .select(col("s_suppkey").cast("string").as("sk"), col("s_name").as("nm"))
+        Pipe.through(in, Seq("/bin/cat"), "json")
+          .select(col("sk").cast("long").as("sk"), col("nm")).orderBy("sk")
+      },
+      Some("SELECT s_suppkey AS sk, s_name AS nm FROM supplier ORDER BY sk")),
+
+    // ----- Json transformer -----
+    "q_json_get" -> Q(
+      (s, dir) => rd(s, dir, "events")
+        .select(col("event_id"), get_json_object(col("props"), "$.k").as("k_val"))
+        .orderBy("event_id"),
+      Some("SELECT event_id, json_extract_string(props, '$.k') AS k_val FROM events ORDER BY event_id")),
+    "q_json_set" -> Q( // rows-only: map key-order of re-serialization is engine-specific
+      (s, dir) => rd(s, dir, "events")
+        .select(col("event_id"),
+          JsonTransform(Seq(JsonSet("k", lit("42")), JsonSet("masked", lit("true"))))
+            .applied(col("props")).as("props"))
+        .orderBy("event_id"),
+      None),
+
+    // ----- LLM ops: dedup -----
+    "q_dedup_exact" -> Q(
+      (s, dir) => Dedup.exact(rd(s, dir, "documents"), "doc_id", "text")
+        .orderBy("content_hash"),
+      Some("""SELECT sha256(text) AS content_hash, min(doc_id) AS rep_id,
+              count(*) AS n_dups
+              FROM documents GROUP BY sha256(text) ORDER BY content_hash""")),
+    "q_dedup_exact_rep" -> Q(
+      (s, dir) => Dedup.exactWithRep(rd(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "rep_id", "is_rep").orderBy("doc_id"),
+      Some("""SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS rep_id,
+              doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS is_rep
+              FROM documents ORDER BY doc_id""")),
+    "q_dedup_minhash" -> Q(
+      (s, dir) => Dedup.minhashLsh(rd(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some {
+        val sh = TextOps.shinglesSql("text", 3)
+        val bands = (0 until 4).map(b => TextOps.bandHashSql(sh, b * 2, 2))
+        s"""WITH b AS (
+              SELECT doc_id, unnest([${bands.mkString(", ")}]) AS band FROM documents
+            ), reps AS (
+              SELECT band, min(doc_id) AS band_rep FROM b GROUP BY band
+            )
+            SELECT b.doc_id, min(band_rep) AS near_dup_rep
+            FROM b JOIN reps USING (band)
+            GROUP BY b.doc_id ORDER BY b.doc_id"""
+      }),
+    "q_dedup_simhash" -> Q(
+      (s, dir) => Dedup.simhashBuckets(rd(s, dir, "documents"), "doc_id", "text")
+        .orderBy("simhash"),
+      Some {
+        val sh = TextOps.simhash16Sql("text")
+        s"""SELECT (${sh})::BIGINT AS simhash, min(doc_id) AS rep_id, count(*) AS bucket_size
+            FROM documents GROUP BY 1 ORDER BY simhash"""
+      }),
+    "q_dedup_jaccard" -> Q( // rows-only: bucket-bounded pair verify
+      (s, dir) => Dedup.jaccardPairs(rd(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.0).orderBy("id_a", "id_b"),
+      None),
+
+    // ----- LLM ops: similarity search -----
+    "q_knn_brute" -> Q(
+      (s, dir) => Similarity.bruteForceTopK(rd(s, dir, "embeddings"), "vec_id", "embedding",
+        Similarity.testQuery(64), 20).select("vec_id"),
+      None), // cosine float ulps are engine-specific; ranking checked in tests
+    "q_ann_lsh_buckets" -> Q(
+      (s, dir) => Similarity.withLshBuckets(rd(s, dir, "embeddings"), "vec_id", "embedding",
+        nPlanes = 8, dim = 64)
+        .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
+        .orderBy("bucket"),
+      None), // sign-of-float-dot buckets: same caveat
+    "q_embed_neardup" -> Q(
+      (s, dir) => Similarity.cosineNearDupPairs(rd(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.8, nPlanes = 8, dim = 64).select("id_a", "id_b").orderBy("id_a", "id_b"),
+      None),
+
+    // ----- LLM ops: text analysis -----
+    "q_text_stats" -> Q(
+      (s, dir) => rd(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars"),
+        TextOps.stopwordCount(col("text")).as("n_stop"),
+        TextOps.meanTokenLen(col("text")).as("mean_tok_len"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        TextOps.langId(col("text")).as("lang_guess"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        TextOps.bpeishCount(col("text")).as("n_bpeish")).orderBy("doc_id"),
+      Some {
+        s"""SELECT doc_id,
+            ${TextOps.tokenCountSql("text")} AS n_tokens,
+            length(text)::INT AS n_chars,
+            ${TextOps.stopwordCountSql("text")} AS n_stop,
+            ${TextOps.meanTokenLenSql("text")} AS mean_tok_len,
+            ${TextOps.qualityScoreSql("text")} AS quality,
+            ${TextOps.langIdSql("text")} AS lang_guess,
+            ${TextOps.fingerprintSql("text")} AS fp,
+            ${TextOps.bpeishCountSql("text")} AS n_bpeish
+            FROM documents ORDER BY doc_id"""
+      }),
+
+    // ----- LLM ops: multimodal plumbing (decode STUBbed, shape real) -----
+    "q_multimodal_features" -> Q(
+      (s, dir) => Multimodal.extractFeatures(
+        Multimodal.asMedia(rd(s, dir, "documents"), "doc_id", "text")).toDF()
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id,
+              CASE WHEN doc_id % 3 = 0 THEN 'image'
+                   WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+              octet_length(encode(text))::INT AS n_bytes,
+              ((octet_length(encode(text))::BIGINT * 7) % 1024 + 1)::INT AS width,
+              ((octet_length(encode(text))::BIGINT * 5) % 768 + 1)::INT AS height,
+              printf('%016x', octet_length(encode(text))::BIGINT) AS checksum
+              FROM documents ORDER BY media_id"""))
+  )
+
+  /** Flagship: the t1 end-to-end slice — config -> plan -> masked customer
+    * (sf0.001); driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    Planner.plan(df, TableConfig("customer",
+      when = Some("c_custkey >= 0"),
+      transforms = Seq(
+        ColumnTransform("c_name", Masking("name")),
+        ColumnTransform("c_nationkey", RandomInt(0, 24)),
+        ColumnTransform("c_acctbal", NoiseFloat(0.1, 2)),
+        ColumnTransform("c_mktsegment", Dict(
+          Map("AUTOMOBILE" -> "CARS"), default = Some("OTHER"))))))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.view.mapValues(_.fn).toMap
+
+  /** DuckDB-equivalent SQL for each oracle-expressible query. */
+  def oracleSql: Map[String, String] =
+    defs.collect { case (k, q) if q.sql.isDefined => k -> q.sql.get.linesIterator.map(_.trim).mkString(" ") }
 }

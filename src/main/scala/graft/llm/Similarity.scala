@@ -1,0 +1,105 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — a single scan + partial top-k per
+  * partition (TakeOrderedAndProject), no shuffle of the vectors.
+  * Scale path: random-hyperplane LSH buckets — candidate generation
+  * becomes a bucket equi-join, so a 100 TB corpus only compares vectors
+  * whose sign-sketches collide (IVF-style partition pruning falls out of
+  * partitioning by bucket).
+  *
+  * All vector math is `zip_with`/`aggregate` expressions — codegen, no
+  * UDFs (SURVEY brief: `functions.aggregate`/`zip_with` for the dot
+  * product).
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplanes (seeded — reproducible across
+    * runs and partitionings, same contract as the hash engine). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  def dot(v: Column, q: Seq[Double]): Column =
+    aggregate(
+      zip_with(v, array(q.map(lit): _*), (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosineTo(v: Column, q: Seq[Double]): Column = {
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    dot(v, q) / (norm(v) * lit(qn))
+  }
+
+  /** Brute-force cosine top-k to a query vector: the exact baseline.
+    * orderBy+limit compiles to TakeOrderedAndProject (per-partition heap,
+    * driver merge of k rows only — no full sort, no shuffle of vectors). */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     query: Seq[Double], k: Int): DataFrame =
+    df.select(col(idCol), cosineTo(col(vecCol), query).as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+
+  /** Sign-sketch LSH bucket id: bit b set iff dot(v, plane_b) >= 0. */
+  def lshBucket(v: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, b) =>
+      when(dot(v, p.toSeq) >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Bucketed ANN: assign every vector its LSH bucket (one scan, no
+    * shuffle); `probe` then only scans the query's bucket. */
+  def withLshBuckets(df: DataFrame, idCol: String, vecCol: String,
+                     nPlanes: Int = 8, dim: Int = 32): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    df.select(col(idCol), col(vecCol), lshBucket(col(vecCol), planes).as("bucket"))
+  }
+
+  /** ANN probe: exact cosine within the query's bucket only. Falls back to
+    * multi-probe (neighbor buckets) when recall matters more than cost. */
+  def annTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Double], k: Int, nPlanes: Int = 8): DataFrame = {
+    val dim = query.size
+    val planes = hyperplanes(nPlanes, dim)
+    val qBucket = planes.zipWithIndex.map { case (p, b) =>
+      if (p.zip(query).map { case (a, x) => a * x }.sum >= 0) 1L << b else 0L
+    }.sum
+    withLshBuckets(df, idCol, vecCol, nPlanes, dim)
+      .filter(col("bucket") === qBucket)
+      .select(col(idCol), cosineTo(col(vecCol), query).as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-dup: vectors sharing a bucket whose exact
+    * cosine exceeds the threshold — bucket-bounded pair join. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double = 0.95, nPlanes: Int = 8,
+                         dim: Int = 32): DataFrame = {
+    val bucketed = withLshBuckets(df, idCol, vecCol, nPlanes, dim)
+    val a = bucketed.as("a")
+    val b = bucketed.as("b")
+    val dotAb = aggregate(
+      zip_with(col("a." + vecCol), col("b." + vecCol), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    a.join(b, col("a.bucket") === col("b.bucket") &&
+        col("a." + idCol) < col("b." + idCol))
+      .select(col("a." + idCol).as("id_a"), col("b." + idCol).as("id_b"),
+        (dotAb / (norm(col("a." + vecCol)) * norm(col("b." + vecCol)))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Deterministic query vector for tests/benchmarks (unit-ish vector). */
+  def testQuery(dim: Int = 32): Seq[Double] = {
+    val rnd = new Random(7L)
+    Seq.fill(dim)(rnd.nextDouble() * 2 - 1)
+  }
+}

@@ -1,0 +1,154 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.generators.{Gen, OracleGen}
+
+/** Text-pipeline primitives shared by dedup / analysis operators. All are
+  * pure Catalyst expressions (split / transform / aggregate lambdas) with
+  * value-identical DuckDB renderings, so every operator is oracle-checkable
+  * and stays inside whole-stage codegen — no UDFs. Designed for 100 TB:
+  * per-row expressions only (no shuffle), dedup joins are bucketed
+  * (LSH band -> groupBy), never all-pairs.
+  */
+object TextOps {
+
+  def tokens(text: Column): Column = split(text, " ")
+  def tokensSql(text: String): String = s"string_split(${text}, ' ')"
+
+  /** Word n-gram shingles; empty array when the doc has fewer than n
+    * tokens (guards Spark's descending-sequence pitfall). */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) >= n,
+      transform(sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+  def shinglesSql(text: String, n: Int): String = {
+    val ts = tokensSql(text)
+    s"CASE WHEN len(${ts}) >= ${n} THEN " +
+      s"list_transform(generate_series(0, len(${ts}) - ${n}), " +
+      s"i -> array_to_string((${ts})[(i+1):(i+${n})], ' ')) " +
+      s"ELSE [] END"
+  }
+
+  /** MinHash signature component i: min over shingles of the deterministic
+    * u60 hash stream i (shingle -> minhash; `hash.go` family semantics
+    * reused as the hash functions). NULL when no shingles. */
+  def minhash(shingleArr: Column, i: Int): Column =
+    array_min(transform(shingleArr, s => Gen.u60(s, s"mh$i")))
+  def minhashSql(shingleArr: String, i: Int): String =
+    s"list_min(list_transform(${shingleArr}, s -> ${OracleGen.u60("s", s"mh$i")}))"
+
+  /** LSH band hash over `rows` consecutive minhash components starting at
+    * `from` — the band -> bucket key (band-join, never crossJoin). */
+  def bandHash(shingleArr: Column, from: Int, rows: Int): Column = {
+    val parts = (from until from + rows).map(i => minhash(shingleArr, i).cast("string"))
+    md5(concat_ws(",", parts: _*))
+  }
+  def bandHashSql(shingleArr: String, from: Int, rows: Int): String = {
+    // concat_ws (NOT ||): both engines skip NULL minhashes of shingle-less
+    // docs the same way
+    val parts = (from until from + rows).map(i => s"(${minhashSql(shingleArr, i)})::VARCHAR")
+    s"md5(concat_ws(',', ${parts.mkString(", ")}))"
+  }
+
+  /** 16-bit SimHash from one u60 per token: bit i set iff the sum of
+    * (+1/-1) votes of bit i across token hashes is positive. */
+  def simhash16(text: Column): Column = {
+    val hs = transform(tokens(text), t => Gen.u60(t, "sim"))
+    (0 until 16).map { i =>
+      val votes = aggregate(hs, lit(0L),
+        (acc, h) => acc + (shiftright(h, i).bitwiseAND(lit(1L)) * 2 - 1))
+      when(votes > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+  def simhash16Sql(text: String): String = {
+    val hs = s"list_transform(${tokensSql(text)}, t -> ${OracleGen.u60("t", "sim")})"
+    (0 until 16).map { i =>
+      val votes = s"list_sum(list_transform(${hs}, h -> ((h >> ${i}) & 1) * 2 - 1))"
+      s"CASE WHEN ${votes} > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+  }
+
+  val Stopwords = Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for", "on", "with")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+  def tokenCountSql(text: String): String = s"len(${tokensSql(text)})::INT"
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(Stopwords: _*)))
+  def stopwordCountSql(text: String): String = {
+    val list = Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    s"len(list_filter(${tokensSql(text)}, t -> list_contains(${list}, t)))::INT"
+  }
+
+  /** Mean token length (chars). */
+  def meanTokenLen(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(tokenCount(text).cast("double"), lit(1.0))
+  def meanTokenLenSql(text: String): String =
+    s"(list_sum(list_transform(${tokensSql(text)}, t -> length(t)))::DOUBLE / " +
+      s"greatest(${tokenCountSql(text)}::DOUBLE, 1.0))"
+
+  /** Quality score in [0,1]: capped length component + stopword-ratio
+    * component (reference-free heuristic; the *shape* a training-data
+    * pipeline needs, SURVEY brief). Pure integer->double arithmetic, so
+    * engine-portable. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val stopRatio = stopwordCount(text).cast("double") / greatest(nTok, lit(1.0))
+    least(nTok / lit(64.0), lit(1.0)) * lit(0.5) + least(stopRatio * 4, lit(1.0)) * lit(0.5)
+  }
+  def qualityScoreSql(text: String): String = {
+    val nTok = s"${tokenCountSql(text)}::DOUBLE"
+    val stopRatio = s"(${stopwordCountSql(text)}::DOUBLE / greatest(${nTok}, 1.0))"
+    s"(least(${nTok} / 64.0, 1.0) * 0.5 + least(${stopRatio} * 4, 1.0) * 0.5)"
+  }
+
+  /** Language-ID heuristic: argmax of per-language stopword hit counts
+    * (n-gram/stopword heuristic; 'und' when nothing matches). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  def langId(text: Column): Column = {
+    val ts = tokens(text)
+    val scores = LangMarkers.map { case (lang, ws) =>
+      lang -> size(filter(ts, t => t.isin(ws: _*)))
+    }
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    scores.foldLeft(when(best <= 0, lit("und"))) { case (acc, (lang, s)) =>
+      acc.when(s === best, lit(lang))
+    }.otherwise(lit("und"))
+  }
+  def langIdSql(text: String): String = {
+    val ts = tokensSql(text)
+    val scores = LangMarkers.map { case (lang, ws) =>
+      val list = ws.map(w => s"'$w'").mkString("[", ",", "]")
+      lang -> s"len(list_filter(${ts}, t -> list_contains(${list}, t)))"
+    }
+    val best = scores.map(_._2).reduceLeft((a, b) => s"greatest(${a}, ${b})")
+    val cases = scores.map { case (lang, s) => s"WHEN ${s} = __best THEN '${lang}'" }
+    // single-pass via a lateral alias is not portable; inline best everywhere
+    val inlined = scores.map { case (lang, s) => s"WHEN ${s} = ${best} THEN '${lang}'" }
+    s"CASE WHEN ${best} <= 0 THEN 'und' ${inlined.mkString(" ")} ELSE 'und' END"
+  }
+
+  /** Document fingerprint: digest of the sorted distinct token set
+    * (content-defined, order-insensitive — `rolling hash` family). */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+  def fingerprintSql(text: String): String =
+    s"md5(array_to_string(list_sort(list_distinct(${tokensSql(text)})), ' '))"
+
+  /** BPE-ish subword token count: letter-runs, digits, and punctuation
+    * each count as one token (regex is RE2-safe for the oracle). */
+  def bpeishCount(text: Column): Column =
+    regexp_count(text, lit("[a-z]+|[0-9]|[^a-z0-9 ]")).cast("int")
+  def bpeishCountSql(text: String): String =
+    s"len(regexp_extract_all(${text}, '[a-z]+|[0-9]|[^a-z0-9 ]'))::INT"
+}

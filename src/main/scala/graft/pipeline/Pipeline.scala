@@ -1,0 +1,205 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.transformers._
+
+/** Catalog metadata Spark doesn't model: PK/FK, the driver-side analog of
+  * `pkg/toolkit/table.go:28-44` + `pg_catalog` introspection
+  * (`internal/db/postgres/context/pg_catalog.go:37-160`). For parquet
+  * fixtures the schema comes from the files; keys are declared here. */
+case class FkRef(childTable: String, childCols: Seq[String],
+                 parentTable: String, parentCols: Seq[String],
+                 nullable: Boolean = false, polymorphicCond: Option[String] = None,
+                 virtual: Boolean = false)
+
+case class TableMeta(name: String, primaryKey: Seq[String])
+
+object Catalog {
+  /** The testdata star schema (TESTDATA.md). */
+  val tables: Seq[TableMeta] = Seq(
+    TableMeta("region", Seq("r_regionkey")),
+    TableMeta("nation", Seq("n_nationkey")),
+    TableMeta("customer", Seq("c_custkey")),
+    TableMeta("supplier", Seq("s_suppkey")),
+    TableMeta("part", Seq("p_partkey")),
+    TableMeta("orders", Seq("o_orderkey")),
+    TableMeta("lineitem", Seq("l_orderkey", "l_linenumber")),
+    TableMeta("events", Seq("event_id")),
+    TableMeta("documents", Seq("doc_id")),
+    TableMeta("embeddings", Seq("vec_id")))
+
+  val fkRefs: Seq[FkRef] = Seq(
+    FkRef("nation", Seq("n_regionkey"), "region", Seq("r_regionkey")),
+    FkRef("customer", Seq("c_nationkey"), "nation", Seq("n_nationkey")),
+    FkRef("supplier", Seq("s_nationkey"), "nation", Seq("n_nationkey")),
+    FkRef("orders", Seq("o_custkey"), "customer", Seq("c_custkey")),
+    FkRef("lineitem", Seq("l_orderkey"), "orders", Seq("o_orderkey")),
+    FkRef("lineitem", Seq("l_partkey"), "part", Seq("p_partkey")),
+    FkRef("lineitem", Seq("l_suppkey"), "supplier", Seq("s_suppkey")),
+    FkRef("events", Seq("user_id"), "customer", Seq("c_custkey"), virtual = true))
+
+  def load(spark: org.apache.spark.sql.SparkSession, sfDir: String, table: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$table.parquet")
+}
+
+/** One column's transform step: transformer + optional per-transformer
+  * `when` condition (ref `utils/definition.go:120-133`). */
+case class ColumnTransform(column: String, transformer: ScalarTransformer,
+                           when: Option[String] = None)
+
+/** Per-table plan config: analog of `entries/table.go:37-59` — optional
+  * user query, table-level `when` (rows failing it are KEPT UNTRANSFORMED,
+  * not dropped — `dumpers/transformation_pipeline.go:165-175`), subset
+  * conds, and the transformer chain. */
+case class TableConfig(table: String,
+                       when: Option[String] = None,
+                       transforms: Seq[ColumnTransform] = Nil,
+                       subsetConds: Seq[String] = Nil,
+                       query: Option[String] = None,
+                       dropColumns: Seq[String] = Nil,
+                       limit: Option[Int] = None)
+
+/** Plan-time validation warning (analog of toolkit.ValidationWarning). */
+case class ValidationWarning(severity: String, table: String, column: String, msg: String)
+
+object Planner {
+
+  /** Build the transformed DataFrame for one table config. Pure plan
+    * construction — a single `select`, so every transformer expression
+    * lands in one whole-stage-codegen projection. */
+  def plan(df: DataFrame, cfg: TableConfig): DataFrame = {
+    val base0 = cfg.query.fold(df)(q => df.sparkSession.sql(q))
+    val base1 = if (cfg.dropColumns.nonEmpty) base0.drop(cfg.dropColumns: _*) else base0
+    val base = cfg.subsetConds.foldLeft(base1)((d, c) => d.filter(expr(c)))
+    val byName = cfg.transforms.map(t => t.column -> t).toMap
+    val projected = base.schema.fields.map { f =>
+      byName.get(f.name) match {
+        case Some(t) =>
+          val transformed = t.transformer.applied(col(f.name)).cast(f.dataType)
+          val gated = (cfg.when.toSeq ++ t.when.toSeq).map(expr) match {
+            case Nil => transformed
+            case conds => when(conds.reduce(_ && _), transformed).otherwise(col(f.name))
+          }
+          gated.as(f.name)
+        case None => col(f.name)
+      }
+    }
+    val out = base.select(projected.toIndexedSeq: _*)
+    cfg.limit.fold(out)(out.limit)
+  }
+
+  /** Plan-time validation: unknown columns, constraint-affecting transforms
+    * (analog of `config_builder.go:526-629` warning machinery). */
+  def validate(df: DataFrame, cfg: TableConfig): Seq[ValidationWarning] = {
+    val cols = df.columns.toSet
+    val unknown = cfg.transforms.filterNot(t => cols(t.column)).map(t =>
+      ValidationWarning("error", cfg.table, t.column, "column does not exist"))
+    val pkCols = Catalog.tables.find(_.name == cfg.table).map(_.primaryKey.toSet).getOrElse(Set.empty)
+    val pkHit = cfg.transforms.filter(t => pkCols(t.column)).map(t =>
+      ValidationWarning("warning", cfg.table, t.column,
+        "transformer affects a primary-key column; ensure hash engine + apply_for_references"))
+    unknown ++ pkHit
+  }
+
+  /** apply_for_references (ref `config_builder.go:244-492`): propagate the
+    * same deterministic transformer to every FK column referencing the
+    * transformed PK, so joins still work after masking. Returns the
+    * per-table extra transforms to merge into each config. */
+  def applyForReferences(table: String, pkCol: String, t: ScalarTransformer,
+                         refs: Seq[FkRef] = Catalog.fkRefs): Map[String, ColumnTransform] = {
+    refs.filter(r => r.parentTable == table && r.parentCols == Seq(pkCol))
+      .map(r => r.childTable -> ColumnTransform(r.childCols.head, t)).toMap
+  }
+}
+
+/** Validation diff — original vs transformed comparison
+  * (`cmd/validate.go:238-298`, `validate_utils/json_document.go:59-215`):
+  * per-column changed/total counts via a PK join of the two plans. */
+object Validator {
+  def diff(original: DataFrame, transformed: DataFrame, pk: Seq[String]): DataFrame = {
+    val dataCols = original.columns.filterNot(pk.contains)
+    val o = original.as("o")
+    val t = transformed.as("t")
+    val joined = o.join(t, pk.map(k => col(s"o.$k") === col(s"t.$k")).reduce(_ && _))
+    val aggs = dataCols.flatMap { c =>
+      Seq(
+        sum(when(not(col(s"o.$c") <=> col(s"t.$c")), 1).otherwise(0)).as(s"${c}_changed"),
+        count(lit(1)).as(s"${c}_total"))
+    }
+    joined.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+  }
+
+  /** Schema diff (`pkg/toolkit/database_schema.go:33-115`): added/removed/
+    * retyped columns between two schemas. */
+  def schemaDiff(before: org.apache.spark.sql.types.StructType,
+                 after: org.apache.spark.sql.types.StructType): Seq[String] = {
+    val b = before.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val a = after.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val removed = (b.keySet -- a.keySet).toSeq.sorted.map(c => s"removed:$c")
+    val added = (a.keySet -- b.keySet).toSeq.sorted.map(c => s"added:$c")
+    val retyped = (b.keySet & a.keySet).toSeq.sorted.collect {
+      case c if b(c) != a(c) => s"retyped:$c:${b(c)}->${a(c)}"
+    }
+    removed ++ added ++ retyped
+  }
+}
+
+/** Name → transformer factory: the registry surface
+  * (`transformers/utils/registry.go:23-48`). Params are stringly-typed like
+  * the reference's ParamsValue. */
+object Registry {
+  type Factory = Map[String, String] => ScalarTransformer
+
+  private def p(m: Map[String, String], k: String, d: String) = m.getOrElse(k, d)
+
+  private def F(fn: Factory): Factory = fn
+
+  val factories: Map[String, Factory] = Map(
+    "RandomInt" -> F(m => RandomInt(p(m, "min", "0").toLong, p(m, "max", "100").toLong)),
+    "RandomFloat" -> F(m => RandomFloat(p(m, "min", "0").toDouble, p(m, "max", "1").toDouble,
+      p(m, "decimals", "4").toInt)),
+    "RandomNumeric" -> F(m => RandomNumeric(BigDecimal(p(m, "min", "0")),
+      BigDecimal(p(m, "max", "1000000")), p(m, "scale", "4").toInt)),
+    "RandomBool" -> F(_ => RandomBool()),
+    "RandomDate" -> F(m => RandomDate(p(m, "min_epoch", "0").toLong,
+      p(m, "max_epoch", "1893456000").toLong, m.get("truncate"))),
+    "RandomUnixTimestamp" -> F(m => RandomUnixTimestamp(p(m, "min_epoch", "0").toLong,
+      p(m, "max_epoch", "1893456000").toLong, p(m, "unit", "sec"))),
+    "RandomString" -> F(m => RandomString(p(m, "min_length", "4").toInt,
+      p(m, "max_length", "12").toInt, p(m, "symbols", "abcdefghijklmnopqrstuvwxyz"))),
+    "RandomUuid" -> F(_ => RandomUuid()),
+    "RandomChoice" -> F(m => RandomChoice(p(m, "values", "a,b,c").split(",").toSeq)),
+    "RandomIp" -> F(m => RandomIp(p(m, "subnet", "10.0.0.0/16"))),
+    "RandomMac" -> F(_ => RandomMac()),
+    "RandomEmail" -> F(m => RandomEmail(p(m, "keep_original_domain", "false").toBoolean)),
+    "NoiseInt" -> F(m => NoiseInt(p(m, "ratio", "0.1").toDouble,
+      m.get("min").map(_.toLong), m.get("max").map(_.toLong))),
+    "NoiseFloat" -> F(m => NoiseFloat(p(m, "ratio", "0.1").toDouble, p(m, "decimals", "4").toInt,
+      m.get("min").map(_.toDouble), m.get("max").map(_.toDouble))),
+    "NoiseNumeric" -> F(m => NoiseNumeric(p(m, "ratio", "0.1").toDouble, p(m, "scale", "2").toInt)),
+    "NoiseDate" -> F(m => NoiseDate(p(m, "max_shift_days", "30").toInt, m.get("truncate"))),
+    "Hash" -> F(m => HashText(p(m, "function", "sha256"), p(m, "max_length", "0").toInt)),
+    "Masking" -> F(m => Masking(p(m, "type", "default"))),
+    "RegexpReplace" -> F(m => RegexpReplaceT(p(m, "regexp", "."), p(m, "replace", "*"))),
+    "Replace" -> F(m => Replace(p(m, "value", ""))),
+    "SetNull" -> F(_ => SetNull()),
+    "Dict" -> F(m => Dict(
+      p(m, "values", "a=b").split(",").map { kv => val Array(k, v) = kv.split("="); k -> v }.toMap,
+      m.get("default"), p(m, "fail_not_matched", "false").toBoolean)),
+    "Template" -> F(m => TemplateExpr(p(m, "expression", "NULL"))),
+  ) ++ Faker.all.map { case (k, v) => k -> ((_: Map[String, String]) => v) }
+
+  def build(name: String, params: Map[String, String]): ScalarTransformer =
+    factories.getOrElse(name, throw new IllegalArgumentException(s"unknown transformer $name"))(params)
+}
+
+/** Template transformer, re-scoped from go-template to the Spark SQL
+  * expression dialect (SURVEY §2.7: function-coverage parity, not syntax
+  * parity). The expression may reference any column of the row; `__value__`
+  * refers to the input column. */
+case class TemplateExpr(expression: String) extends ScalarTransformer {
+  override def keepNull: Boolean = false
+  def column(in: Column) = expr(expression)
+  def oracle(in: String) = Some(expression) // caller supplies dialect-neutral SQL
+}

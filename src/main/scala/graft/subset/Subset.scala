@@ -1,0 +1,159 @@
+package graft.subset
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.pipeline.FkRef
+
+import scala.collection.mutable
+
+/** Subset/reachability planner — the Spark rebuild of
+  * `internal/db/postgres/subset/` (~2,000 LoC of generated SQL in the
+  * reference). Semantics: given per-table `subset_conds`, a row survives
+  * iff its own conds pass AND every FK it holds points at a surviving
+  * parent row (NULL FKs survive vacuously when the ref is nullable —
+  * `graph.go:556-571`).
+  *
+  * Where the reference synthesizes PostgreSQL join SQL / recursive CTEs
+  * (`graph.go:495-618`, `675-805`), we build DataFrame plans: acyclic
+  * components become left-semi / null-escape joins that Catalyst+AQE turn
+  * into broadcast or shuffled hash joins as sizes dictate; cyclic SCCs run
+  * a semi-naïve fix-point on PK projections with localCheckpoint per
+  * iteration (no recursive CTE in Catalyst; SURVEY §7.4 scale note: iterate
+  * on keys only, join back at the end).
+  */
+object SubsetGraph {
+
+  /** Tarjan SCC over the FK graph. Vertices = table names; a directed edge
+    * child -> parent per FK (reachability follows FK direction, matching
+    * `graph.go:251-297`). Returns components in REVERSE topological order
+    * of the condensed DAG (every component appears after the components it
+    * points to — i.e. parents first). */
+  def sccs(tables: Seq[String], edges: Seq[FkRef]): Seq[Seq[String]] = {
+    val adj = edges.groupBy(_.childTable).view.mapValues(_.map(_.parentTable)).toMap
+    val index = mutable.Map[String, Int]()
+    val low = mutable.Map[String, Int]()
+    val onStack = mutable.Set[String]()
+    val stack = mutable.Stack[String]()
+    var counter = 0
+    val out = mutable.ArrayBuffer[Seq[String]]()
+
+    def strongConnect(v: String): Unit = {
+      index(v) = counter; low(v) = counter; counter += 1
+      stack.push(v); onStack += v
+      for (w <- adj.getOrElse(v, Nil) if tables.contains(w)) {
+        if (!index.contains(w)) { strongConnect(w); low(v) = math.min(low(v), low(w)) }
+        else if (onStack(w)) low(v) = math.min(low(v), index(w))
+      }
+      if (low(v) == index(v)) {
+        val comp = mutable.ArrayBuffer[String]()
+        var w = ""
+        while ({ w = stack.pop(); onStack -= w; comp += w; w != v }) ()
+        out += comp.toSeq
+      }
+    }
+    tables.foreach(t => if (!index.contains(t)) strongConnect(t))
+    // Tarjan emits components in reverse topological order of the
+    // condensation (a component is emitted only after everything it can
+    // reach) — exactly the parents-first processing order we need.
+    out.toSeq
+  }
+
+  /** Topological order of tables for restore (children after parents) —
+    * `graph.go:622-653`. Cyclic groups stay grouped. */
+  def restoreOrder(tables: Seq[String], edges: Seq[FkRef]): Seq[Seq[String]] =
+    sccs(tables, edges)
+
+  /** Detect whether a component of size>=1 contains a cycle (self-FK or
+    * multi-table loop) — `component.go:95-153`. */
+  def hasCycle(component: Seq[String], edges: Seq[FkRef]): Boolean =
+    component.size > 1 ||
+      edges.exists(e => e.childTable == component.head && e.parentTable == component.head)
+}
+
+object SubsetPlanner {
+  import SubsetGraph._
+
+  /** Compute surviving-row DataFrames for every table.
+    *
+    * @param dfs         table name -> full DataFrame
+    * @param pks         table name -> PK columns
+    * @param edges       FK references (incl. virtual / polymorphic)
+    * @param conds       table name -> subset cond SQL fragments (ANDed)
+    * @param maxIter     fix-point safety bound for cyclic SCCs
+    */
+  def plan(dfs: Map[String, DataFrame], pks: Map[String, Seq[String]],
+           edges: Seq[FkRef], conds: Map[String, Seq[String]],
+           maxIter: Int = 50): Map[String, DataFrame] = {
+    val tables = dfs.keys.toSeq
+    val relevantEdges = edges.filter(e => dfs.contains(e.childTable) && dfs.contains(e.parentTable))
+    val surviving = mutable.Map[String, DataFrame]()
+
+    def baseFiltered(t: String): DataFrame =
+      conds.getOrElse(t, Nil).foldLeft(dfs(t))((d, c) => d.filter(expr(c)))
+
+    /** Filter `child` rows to those whose FK points into the surviving
+      * parent keys (semi-join), with NULL-escape for nullable FKs and the
+      * polymorphic guard ANDed in (`graph.go:581-615`). */
+    def applyEdge(child: DataFrame, e: FkRef, parentSurviving: DataFrame): DataFrame = {
+      val parentKeys = parentSurviving.select(e.parentCols.map(col): _*).distinct()
+      val guarded = e.polymorphicCond.fold(child)(c => child) // guard applied below
+      val joinCond = e.childCols.zip(e.parentCols)
+        .map { case (c, p) => guarded(c) === parentKeys(p) }.reduce(_ && _)
+      if (e.nullable || e.polymorphicCond.isDefined) {
+        // keep rows where FK is NULL, or the polymorphic guard doesn't
+        // match, or the parent survives: left_outer + escape filter
+        val marked = parentKeys.withColumn("__hit__", lit(1))
+        val joined = guarded.join(
+          marked, e.childCols.zip(e.parentCols).map { case (c, p) => guarded(c) === marked(p) }.reduce(_ && _),
+          "left_outer")
+        val nullEscape = e.childCols.map(c => guarded(c).isNull).reduce(_ || _)
+        val polyEscape = e.polymorphicCond.map(c => !expr(c)).getOrElse(lit(false))
+        joined.filter(col("__hit__").isNotNull || nullEscape || polyEscape)
+          .select(guarded.columns.map(guarded(_)).toIndexedSeq: _*)
+      } else {
+        guarded.join(parentKeys, joinCond, "left_semi")
+      }
+    }
+
+    // Process components parents-first (Tarjan order is already reverse
+    // topological = parents before children).
+    for (comp <- sccs(tables, relevantEdges)) {
+      if (!hasCycle(comp, relevantEdges)) {
+        val t = comp.head
+        val outgoing = relevantEdges.filter(_.childTable == t)
+        val filtered = outgoing.foldLeft(baseFiltered(t)) { (d, e) =>
+          applyEdge(d, e, surviving(e.parentTable))
+        }
+        surviving(t) = filtered
+      } else {
+        // Cyclic SCC: semi-naïve fix-point on PK projections
+        // (recursive-CTE semantics of graph.go:675-805).
+        val inComp = comp.toSet
+        val external = relevantEdges.filter(e => inComp(e.childTable) && !inComp(e.parentTable))
+        val internal = relevantEdges.filter(e => inComp(e.childTable) && inComp(e.parentTable))
+        // seed: own conds + external edges (already-final parents)
+        var current: Map[String, DataFrame] = comp.map { t =>
+          val seeded = external.filter(_.childTable == t)
+            .foldLeft(baseFiltered(t))((d, e) => applyEdge(d, e, surviving(e.parentTable)))
+          t -> seeded.localCheckpoint(true)
+        }.toMap
+        var counts = current.map { case (t, d) => t -> d.count() }
+        var stable = false
+        var iter = 0
+        while (!stable && iter < maxIter) {
+          val next = current.map { case (t, d) =>
+            val refiltered = internal.filter(_.childTable == t)
+              .foldLeft(d)((dd, e) => applyEdge(dd, e, current(e.parentTable)))
+            t -> refiltered.localCheckpoint(true)
+          }
+          val nextCounts = next.map { case (t, d) => t -> d.count() }
+          stable = nextCounts == counts
+          current = next; counts = nextCounts
+          iter += 1
+        }
+        current.foreach { case (t, d) => surviving(t) = d }
+      }
+    }
+    surviving.toMap
+  }
+}

@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Local approximation of the driver's correctness gate: runs each oracle
+SQL in DuckDB against the same parquet tables and compares with the
+Verify.scala parquet dumps (columns sorted by name, rows as-written)."""
+import json, sys, glob, os
+import duckdb
+import pyarrow.parquet as pq
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for f in glob.glob(f"{SF_DIR}/*.parquet"):
+    name = os.path.basename(f).replace(".parquet", "")
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+fails, passes, skipped = [], [], []
+for name in sorted(os.listdir(OUT)):
+    d = os.path.join(OUT, name)
+    if not os.path.isdir(d):
+        continue
+    if name not in oracle:
+        skipped.append(name)
+        continue
+    try:
+        spark_tbl = pq.read_table(d).to_pandas()
+        ddb = con.sql(oracle[name]).df()
+    except Exception as e:
+        fails.append((name, f"load/query error: {str(e)[:200]}"))
+        continue
+    sc = sorted(spark_tbl.columns)
+    dc = sorted(ddb.columns)
+    if sc != dc:
+        fails.append((name, f"columns differ: spark={sc} duckdb={dc}"))
+        continue
+    s = spark_tbl[sc].reset_index(drop=True)
+    t = ddb[dc].reset_index(drop=True)
+    if len(s) != len(t):
+        fails.append((name, f"row counts differ: spark={len(s)} duckdb={len(t)}"))
+        continue
+    bad = None
+    for c in sc:
+        sv, tv = s[c], t[c]
+        try:
+            eq = (sv.astype(object).where(sv.notna(), None) ==
+                  tv.astype(object).where(tv.notna(), None)) | (sv.isna() & tv.isna())
+        except Exception as e:
+            bad = (c, f"compare error {e}")
+            break
+        if not eq.all():
+            i = int((~eq).idxmax())
+            bad = (c, f"row {i}: spark={sv.iloc[i]!r} duckdb={tv.iloc[i]!r} "
+                      f"({int((~eq).sum())}/{len(s)} rows differ)")
+            break
+    if bad:
+        fails.append((name, f"col {bad[0]}: {bad[1]}"))
+    else:
+        passes.append(name)
+
+print(f"PASS ({len(passes)}):", " ".join(passes))
+print(f"ROWS-ONLY ({len(skipped)}):", " ".join(skipped))
+print(f"FAIL ({len(fails)}):")
+for n, msg in fails:
+    print(f"  {n}: {msg}")
+sys.exit(1 if fails else 0)
