@@ -387,12 +387,17 @@ object SparkEntry {
         val bands = (0 until 4).map(b => TextOps.bandHashSql(sh, b * 2, 2))
         s"""WITH b AS (
               SELECT doc_id, unnest([${bands.mkString(", ")}]) AS band FROM documents
+            ), nb AS (
+              SELECT doc_id, band FROM b WHERE band IS NOT NULL
             ), reps AS (
-              SELECT band, min(doc_id) AS band_rep FROM b GROUP BY band
+              SELECT band, min(doc_id) AS band_rep FROM nb GROUP BY band
+            ), agg AS (
+              SELECT nb.doc_id, min(band_rep) AS rep0
+              FROM nb JOIN reps USING (band) GROUP BY nb.doc_id
             )
-            SELECT b.doc_id, min(band_rep) AS near_dup_rep
-            FROM b JOIN reps USING (band)
-            GROUP BY b.doc_id ORDER BY b.doc_id"""
+            SELECT d.doc_id, coalesce(agg.rep0, d.doc_id) AS near_dup_rep
+            FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+            ORDER BY d.doc_id"""
       }),
     "q_dedup_simhash" -> Q(
       (s, dir) => Dedup.simhashBuckets(rd(s, dir, "documents"), "doc_id", "text")

@@ -42,10 +42,14 @@ object Dedup {
     val bandCols = (0 until bands).map(b => TextOps.bandHash(sh, b * rowsPerBand, rowsPerBand))
     val withBands = df.select(col(idCol), array(bandCols: _*).as("bands"))
     val exploded = withBands.select(col(idCol), explode(col("bands")).as("band"))
+      .filter(col("band").isNotNull) // shingle-less docs don't bucket
     val reps = exploded.groupBy("band").agg(min(idCol).as("band_rep"))
-    exploded.join(reps, "band")
+    val grouped = exploded.join(reps, "band")
       .groupBy(idCol)
-      .agg(min("band_rep").as("near_dup_rep"))
+      .agg(min("band_rep").as("rep0"))
+    // docs with no bands are their own representative
+    df.select(col(idCol)).join(grouped, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("rep0"), col(idCol)).as("near_dup_rep"))
   }
 
   /** SimHash near-dup bucket: docs with identical 16-bit simhash are
@@ -67,6 +71,7 @@ object Dedup {
     val base = df.select(col(idCol).as("id"),
       array_distinct(sh).as("shingles"), array(bandCols: _*).as("bands"))
     val exploded = base.select(col("id"), col("shingles"), explode(col("bands")).as("band"))
+      .filter(col("band").isNotNull)
     val a = exploded.as("a")
     val b = exploded.as("b")
     val pairs = a.join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))
@@ -75,7 +80,8 @@ object Dedup {
       .distinct()
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
-    pairs.select(col("id_a"), col("id_b"), (inter / union).as("jaccard"))
+    pairs.select(col("id_a"), col("id_b"),
+        when(union > 0, inter / union).otherwise(lit(0.0)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

@@ -42,16 +42,17 @@ object TextOps {
     s"list_min(list_transform(${shingleArr}, s -> ${OracleGen.u60("s", s"mh$i")}))"
 
   /** LSH band hash over `rows` consecutive minhash components starting at
-    * `from` — the band -> bucket key (band-join, never crossJoin). */
+    * `from` — the band -> bucket key (band-join, never crossJoin).
+    * NULL-propagating on purpose: a shingle-less doc gets NULL bands and
+    * is excluded from bucketing — otherwise every short doc would collide
+    * into one md5("") bucket (a correctness bug AND a skew bomb at scale). */
   def bandHash(shingleArr: Column, from: Int, rows: Int): Column = {
     val parts = (from until from + rows).map(i => minhash(shingleArr, i).cast("string"))
-    md5(concat_ws(",", parts: _*))
+    md5(concat(parts.flatMap(p => Seq(p, lit(","))).dropRight(1): _*))
   }
   def bandHashSql(shingleArr: String, from: Int, rows: Int): String = {
-    // concat_ws (NOT ||): both engines skip NULL minhashes of shingle-less
-    // docs the same way
     val parts = (from until from + rows).map(i => s"(${minhashSql(shingleArr, i)})::VARCHAR")
-    s"md5(concat_ws(',', ${parts.mkString(", ")}))"
+    s"md5(${parts.mkString(" || ',' || ")})"
   }
 
   /** 16-bit SimHash from one u60 per token: bit i set iff the sum of

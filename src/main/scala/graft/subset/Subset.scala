@@ -93,25 +93,28 @@ object SubsetPlanner {
 
     /** Filter `child` rows to those whose FK points into the surviving
       * parent keys (semi-join), with NULL-escape for nullable FKs and the
-      * polymorphic guard ANDed in (`graph.go:581-615`). */
+      * polymorphic guard ANDed in (`graph.go:581-615`). Parent key columns
+      * are re-aliased to fresh names so self-referencing FKs (same table on
+      * both sides) never hit Spark's ambiguous-self-join detection. */
     def applyEdge(child: DataFrame, e: FkRef, parentSurviving: DataFrame): DataFrame = {
-      val parentKeys = parentSurviving.select(e.parentCols.map(col): _*).distinct()
-      val guarded = e.polymorphicCond.fold(child)(c => child) // guard applied below
-      val joinCond = e.childCols.zip(e.parentCols)
-        .map { case (c, p) => guarded(c) === parentKeys(p) }.reduce(_ && _)
+      val fresh = e.parentCols.map(c => s"__graft_p_$c")
+      val parentKeys = parentSurviving.select(e.parentCols.map(col): _*)
+        .distinct().toDF(fresh: _*)
+      val joinCond = e.childCols.zip(fresh)
+        .map { case (c, p) => child(c) === parentKeys(p) }.reduce(_ && _)
       if (e.nullable || e.polymorphicCond.isDefined) {
         // keep rows where FK is NULL, or the polymorphic guard doesn't
         // match, or the parent survives: left_outer + escape filter
         val marked = parentKeys.withColumn("__hit__", lit(1))
-        val joined = guarded.join(
-          marked, e.childCols.zip(e.parentCols).map { case (c, p) => guarded(c) === marked(p) }.reduce(_ && _),
+        val joined = child.join(
+          marked, e.childCols.zip(fresh).map { case (c, p) => child(c) === marked(p) }.reduce(_ && _),
           "left_outer")
-        val nullEscape = e.childCols.map(c => guarded(c).isNull).reduce(_ || _)
+        val nullEscape = e.childCols.map(c => child(c).isNull).reduce(_ || _)
         val polyEscape = e.polymorphicCond.map(c => !expr(c)).getOrElse(lit(false))
         joined.filter(col("__hit__").isNotNull || nullEscape || polyEscape)
-          .select(guarded.columns.map(guarded(_)).toIndexedSeq: _*)
+          .select(child.columns.map(child(_)).toIndexedSeq: _*)
       } else {
-        guarded.join(parentKeys, joinCond, "left_semi")
+        child.join(parentKeys, joinCond, "left_semi")
       }
     }
 

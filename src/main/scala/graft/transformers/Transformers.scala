@@ -284,8 +284,10 @@ case class RegexpReplaceT(pattern: String, replacement: String) extends ScalarTr
   }
 }
 
-/** Replace — constant value (ref `replace.go:25`). */
-case class Replace(value: String) extends ScalarTransformer {
+/** Replace — constant value; `keepNull` mirrors the reference's keep_null
+  * param (default true: NULL stays NULL; ref `replace.go:25`). */
+case class Replace(value: String, override val keepNull: Boolean = true)
+  extends ScalarTransformer {
   def column(in: Column) = lit(value)
   def oracle(in: String) = Some(s"'${value.replace("'", "''")}'")
 }

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.generators.Gen
+
+/** Limiter math properties — mirrors the reference's engine unit tests
+  * (`internal/generators/transformers` per-limiter Go tests): bounds, determinism
+  * across reruns AND across partition counts, misconfiguration rejection.
+  * Property-style cases use a seeded generator loop (no external
+  * scalatestplus bridge needed in the offline build). */
+class GenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def inputs(n: Int = 500) = (1 to n).map(_.toLong).toDF("x")
+
+  test("u60 is non-negative, below 2^60, deterministic across reruns") {
+    val vals = inputs().select(Gen.u60(col("x"), "t").as("h")).as[Long].collect()
+    assert(vals.forall(v => v >= 0 && v < Gen.U60Max))
+    val again = inputs().select(Gen.u60(col("x"), "t").as("h")).as[Long].collect()
+    assert(vals.sameElements(again))
+  }
+
+  test("u60 is partition-count invariant") {
+    val df1 = inputs().repartition(1).select(col("x"), Gen.u60(col("x"), "t").as("h"))
+    val df8 = inputs().repartition(8).select(col("x"), Gen.u60(col("x"), "t").as("h"))
+    assert(df1.orderBy("x").as[(Long, Long)].collect()
+      .sameElements(df8.orderBy("x").as[(Long, Long)].collect()))
+  }
+
+  test("u60 streams with different tweaks are independent") {
+    val pairs = inputs().select(Gen.u60(col("x"), "a"), Gen.u60(col("x"), "b"))
+      .as[(Long, Long)].collect()
+    assert(pairs.forall { case (a, b) => a != b })
+  }
+
+  test("longBetween stays inclusive-in-range for random bounds") {
+    val rnd = new scala.util.Random(1234)
+    (1 to 20).foreach { _ =>
+      val min = rnd.between(-1000000L, 1000000L)
+      val max = min + rnd.between(0L, 5000000L)
+      val vals = inputs(100).select(Gen.longBetween(Gen.u60(col("x"), "lb"), min, max).as("v"))
+        .as[Long].collect()
+      assert(vals.forall(v => v >= min && v <= max), s"out of [$min,$max]")
+    }
+  }
+
+  test("longBetween covers the full range on a small domain") {
+    val vals = inputs(2000).select(Gen.longBetween(Gen.u60(col("x"), "cov"), 0, 9).as("v"))
+      .as[Long].collect()
+    assert(vals.toSet == (0L to 9L).toSet)
+  }
+
+  test("longBetween rejects min > max at plan-build time") {
+    intercept[IllegalArgumentException](Gen.longBetween(lit(1L), 10L, 0L))
+  }
+
+  test("doubleBetween bounds and resolution") {
+    val vals = inputs().select(Gen.doubleBetween(Gen.u60(col("x"), "db"), -5.0, 5.0, 2).as("v"))
+      .as[Double].collect()
+    assert(vals.forall(v => v >= -5.0 && v <= 5.0))
+    assert(vals.forall(v => (math.round(v * 100) / 100.0 - v).abs < 1e-9))
+  }
+
+  test("noiseRatio symmetric range") {
+    val vals = inputs().select(Gen.noiseRatio(Gen.u60(col("x"), "nr"), 0.3).as("v"))
+      .as[Double].collect()
+    assert(vals.forall(v => v >= -0.3 && v <= 0.3))
+    intercept[IllegalArgumentException](Gen.noiseRatio(lit(1L), -0.1))
+  }
+
+  test("stringBetween length bounds and charset membership") {
+    val vals = inputs().select(Gen.stringBetween(col("x"), "sb", "abc", 2, 6).as("v"))
+      .as[String].collect()
+    assert(vals.forall(v => v.length >= 2 && v.length <= 6))
+    assert(vals.forall(_.forall("abc".contains(_))))
+  }
+
+  test("ipv4InCidr stays inside subnet, avoids network/broadcast") {
+    val vals = inputs(2000).select(Gen.ipv4InCidr(Gen.u60(col("x"), "ip"), "192.168.0.0/24").as("v"))
+      .as[String].collect()
+    assert(vals.forall(_.startsWith("192.168.0.")))
+    val hosts = vals.map(_.split("\\.")(3).toInt)
+    assert(hosts.forall(h => h >= 1 && h <= 254))
+  }
+
+  test("macFrom keeps vendor prefix, hex body") {
+    val vals = inputs().select(Gen.macFrom(col("x"), "mac", Seq("02", "ab")).as("v"))
+      .as[String].collect()
+    assert(vals.forall(_.matches("02:ab:[0-9a-f]{2}:[0-9a-f]{2}:[0-9a-f]{2}:[0-9a-f]{2}")))
+  }
+
+  test("uuidFrom shape is v4-like") {
+    val vals = inputs(100).select(Gen.uuidFrom(col("x"), "u").as("v")).as[String].collect()
+    assert(vals.forall(_.matches("[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-8[0-9a-f]{3}-[0-9a-f]{12}")))
+  }
+
+  test("decimalBetween bounds at scale") {
+    val vals = inputs().select(Gen.decimalBetween(Gen.u60(col("x"), "dec"),
+      BigDecimal("-10.5"), BigDecimal("10.5"), 4).cast("string").as("v")).as[String].collect()
+    assert(vals.forall { v =>
+      val d = BigDecimal(v); d >= BigDecimal("-10.5") && d <= BigDecimal("10.5")
+    })
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Similarity, TextOps, Multimodal}
+
+/** LLM-pipeline operators: dedup correctness + the no-crossJoin plan
+  * guarantee, similarity ranking, text analysis, multimodal plumbing. */
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
+    (4L, "completely different content about spark engines and joins"),
+    (5L, "tiny"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical content under min-id representative") {
+    val reps = Dedup.exactWithRep(docs, "doc_id", "text")
+      .select("doc_id", "rep_id").as[(Long, Long)].collect().toMap
+    assert(reps(1L) == 1L && reps(2L) == 1L)
+    assert(reps(3L) == 3L && reps(4L) == 4L)
+  }
+
+  test("minhash LSH: exact dups share a representative, distinct docs don't") {
+    val reps = Dedup.minhashLsh(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(reps(1L) == reps(2L))
+    assert(reps(4L) != reps(1L))
+  }
+
+  test("minhash LSH and jaccard plans contain no CartesianProduct") {
+    for (df <- Seq(
+      Dedup.minhashLsh(docs, "doc_id", "text"),
+      Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.1))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan)
+    }
+  }
+
+  test("jaccard verify finds the near-dup pair with high score") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
+  }
+
+  test("simhash: identical docs identical hash, near docs close hamming") {
+    val hs = Dedup.simhashBuckets(docs, "doc_id", "text")
+    val byDoc = docs.select(col("doc_id"), TextOps.simhash16(col("text")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(byDoc(1L) == byDoc(2L))
+    val hamming = java.lang.Long.bitCount(byDoc(1L) ^ byDoc(3L))
+    assert(hamming <= 6, s"near-dup hamming too far: $hamming")
+  }
+
+  test("shingles: short docs yield empty array, no descending-sequence bug") {
+    val sh = docs.filter(col("doc_id") === 5L)
+      .select(TextOps.shingles(col("text"), 3).as("s")).as[Seq[String]].head()
+    assert(sh.isEmpty)
+  }
+
+  test("brute-force top-k ranks the query's own vector first") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, Seq(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      Seq(1.0, 0.0, 0.0), 2).as[(Long, Double)].collect()
+    assert(top.head._1 == 1L && math.abs(top.head._2 - 1.0) < 1e-9)
+    assert(top(1)._1 == 2L)
+  }
+
+  test("LSH bucketing is deterministic and bucket join finds identical vectors") {
+    val vecs = Seq(
+      (1L, Seq.fill(8)(0.5f)), (2L, Seq.fill(8)(0.5f)), (3L, Seq.fill(8)(-0.5f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.99, nPlanes = 4, dim = 8).as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("text analysis stats are sane") {
+    val row = docs.filter(col("doc_id") === 1L).select(
+      TextOps.tokenCount(col("text")).as("n"),
+      TextOps.stopwordCount(col("text")).as("stop"),
+      TextOps.langId(col("text")).as("lang"),
+      TextOps.fingerprint(col("text")).as("fp"),
+      TextOps.bpeishCount(col("text")).as("bpe"))
+      .as[(Int, Int, String, String, Int)].head()
+    assert(row._1 == 9)
+    assert(row._2 == 2) // 'the' twice
+    assert(row._3 == "en")
+    assert(row._4.matches("[0-9a-f]{32}"))
+    assert(row._5 >= 8)
+    // fingerprint is order-insensitive
+    val fp2 = Seq("dog lazy the over jumps fox brown quick the").toDF("text")
+      .select(TextOps.fingerprint(col("text"))).as[String].head()
+    assert(row._4 == fp2)
+  }
+
+  test("multimodal: features deterministic, frame sampling bounded") {
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 5)
+    assert(feats.forall(f => f.width >= 1 && f.width <= 1024))
+    assert(feats.map(_.kind).toSet.subsetOf(Set("image", "audio", "video")))
+    val frames = Multimodal.frameSample(media, stride = 4).collect()
+    assert(frames.forall(_.getInt(1) < 8)) // take(8) bound
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.FkRef
+import graft.subset.{SubsetGraph, SubsetPlanner}
+
+/** Subset engine: SCC condensation (ports the shapes of the reference's
+  * `subset/component_test.go`), acyclic closure, nullable escapes, and the
+  * cyclic fix-point — plus the no-dangling-FK property the whole engine
+  * exists to guarantee. */
+class SubsetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edge(c: String, p: String, cc: String, pc: String,
+                   nullable: Boolean = false): FkRef =
+    FkRef(c, Seq(cc), p, Seq(pc), nullable = nullable)
+
+  test("SCC: acyclic chain condenses to singletons, parents first") {
+    val comps = SubsetGraph.sccs(Seq("a", "b", "c"),
+      Seq(edge("b", "a", "x", "x"), edge("c", "b", "x", "x")))
+    assert(comps.map(_.toSet) == Seq(Set("a"), Set("b"), Set("c")))
+  }
+
+  test("SCC: two-node cycle condenses to one component") {
+    val comps = SubsetGraph.sccs(Seq("a", "b", "c"),
+      Seq(edge("a", "b", "x", "x"), edge("b", "a", "x", "x"), edge("c", "a", "x", "x")))
+    assert(comps.map(_.toSet) == Seq(Set("a", "b"), Set("c")))
+    assert(SubsetGraph.hasCycle(comps.head, Seq(edge("a", "b", "x", "x"), edge("b", "a", "x", "x"))))
+    assert(!SubsetGraph.hasCycle(comps(1), Nil))
+  }
+
+  test("SCC: self-referencing table is cyclic") {
+    val e = Seq(edge("emp", "emp", "manager_id", "id"))
+    val comps = SubsetGraph.sccs(Seq("emp"), e)
+    assert(comps == Seq(Seq("emp")) && SubsetGraph.hasCycle(comps.head, e))
+  }
+
+  test("acyclic subset closure leaves no dangling FK") {
+    val parent = Seq((1, "keep"), (2, "drop"), (3, "keep")).toDF("id", "tag")
+    val child = Seq((10, 1), (11, 2), (12, 3), (13, 1)).toDF("cid", "pid")
+    val out = SubsetPlanner.plan(
+      Map("p" -> parent, "c" -> child),
+      Map("p" -> Seq("id"), "c" -> Seq("cid")),
+      Seq(edge("c", "p", "pid", "id")),
+      Map("p" -> Seq("tag = 'keep'")))
+    val pIds = out("p").select("id").as[Int].collect().toSet
+    val cRows = out("c").select("cid", "pid").as[(Int, Int)].collect().toSet
+    assert(pIds == Set(1, 3))
+    assert(cRows == Set((10, 1), (12, 3), (13, 1)))
+    assert(cRows.map(_._2).subsetOf(pIds)) // the invariant itself
+  }
+
+  test("nullable FK escapes the filter") {
+    val parent = Seq(1, 3).toDF("id")
+    val child = Seq((10, Some(1)), (11, Some(2)), (12, None)).toDF("cid", "pid")
+    val out = SubsetPlanner.plan(
+      Map("p" -> parent, "c" -> child),
+      Map("p" -> Seq("id"), "c" -> Seq("cid")),
+      Seq(edge("c", "p", "pid", "id", nullable = true)),
+      Map.empty)
+    assert(out("c").select("cid").as[Int].collect().toSet == Set(10, 12))
+  }
+
+  test("cyclic fix-point: mutual references prune to the stable core") {
+    // a <-> b cycle: a-row survives iff its b-partner survives and vice
+    // versa; seed kills b=2, which must cascade to a=2 and back.
+    val a = Seq((1, 1), (2, 2), (3, 3)).toDF("aid", "bref")
+    val b = Seq((1, 1, "keep"), (2, 2, "drop"), (3, 3, "keep")).toDF("bid", "aref", "tag")
+    val out = SubsetPlanner.plan(
+      Map("a" -> a, "b" -> b),
+      Map("a" -> Seq("aid"), "b" -> Seq("bid")),
+      Seq(edge("a", "b", "bref", "bid"), edge("b", "a", "aref", "aid")),
+      Map("b" -> Seq("tag = 'keep'")))
+    assert(out("a").select("aid").as[Int].collect().toSet == Set(1, 3))
+    assert(out("b").select("bid").as[Int].collect().toSet == Set(1, 3))
+  }
+
+  test("cyclic fix-point: cascade needs multiple iterations") {
+    // chain inside one SCC: x1 -> x2 -> x3 -> x1 (ring). Killing one node
+    // unwinds the whole ring only via repeated iterations.
+    val x = Seq((1, 2), (2, 3), (3, 1), (7, 7)).toDF("id", "next")
+    val out = SubsetPlanner.plan(
+      Map("x" -> x),
+      Map("x" -> Seq("id")),
+      Seq(edge("x", "x", "next", "id")),
+      Map("x" -> Seq("id != 2")))
+    // 2 is killed by cond; 1 references 2 => dies; 3 references 1 => dies;
+    // 7 self-references and survives.
+    assert(out("x").select("id").as[Int].collect().toSet == Set(7))
+  }
+
+  test("restore order groups cycles and puts parents before children") {
+    val order = SubsetGraph.restoreOrder(Seq("child", "parent", "grand"),
+      Seq(edge("child", "parent", "x", "x"), edge("parent", "grand", "x", "x")))
+    assert(order.flatten == Seq("grand", "parent", "child"))
+  }
+}
