@@ -26,6 +26,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JIT the scan/codegen/noop-write paths once so the
+    // first timed query measures the query, not JVM cold start
+    try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()

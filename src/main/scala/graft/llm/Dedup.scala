@@ -38,10 +38,20 @@ object Dedup {
     * corpus makes one bucket huge). */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
-    val sh = TextOps.shingles(col(textCol), shingleN)
-    val bandCols = (0 until bands).map(b => TextOps.bandHash(sh, b * rowsPerBand, rowsPerBand))
-    val withBands = df.select(col(idCol), array(bandCols: _*).as("bands"))
-    val exploded = withBands.select(col(idCol), explode(col("bands")).as("band"))
+    val nStreams = bands * rowsPerBand
+    val nDigests = (nStreams + 1) / 2
+    // three explicit projection stages so the expensive pieces (shingle
+    // construction, md5 digests) are computed once, not once per band
+    val withSh = df.select(col(idCol), TextOps.shingles(col(textCol), shingleN).as("__sh"))
+    val withDig = withSh.select(col(idCol) +:
+      (0 until nDigests).map(j => TextOps.shingleDigests(col("__sh"), j).as(s"__d$j")): _*)
+    val mh = (0 until nStreams).map(i => TextOps.minhashFrom(col(s"__d${i / 2}"), i % 2))
+    val bandCols = (0 until bands).map(b => TextOps.bandHashFrom(mh, b * rowsPerBand, rowsPerBand))
+    val withBands = withDig.select(col(idCol), array(bandCols: _*).as("bands"))
+    // explode_outer, NOT explode: plain explode makes Catalyst infer a
+    // size(bands)>0 filter below the projections, duplicating the whole
+    // minhash expression tree into a pre-filter (2x the md5 work)
+    val exploded = withBands.select(col(idCol), explode_outer(col("bands")).as("band"))
       .filter(col("band").isNotNull) // shingle-less docs don't bucket
     val reps = exploded.groupBy("band").agg(min(idCol).as("band_rep"))
     val grouped = exploded.join(reps, "band")
@@ -66,11 +76,16 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
                    threshold: Double = 0.5): DataFrame = {
-    val sh = TextOps.shingles(col(textCol), shingleN)
-    val bandCols = (0 until bands).map(b => TextOps.bandHash(sh, b * rowsPerBand, rowsPerBand))
-    val base = df.select(col(idCol).as("id"),
-      array_distinct(sh).as("shingles"), array(bandCols: _*).as("bands"))
-    val exploded = base.select(col("id"), col("shingles"), explode(col("bands")).as("band"))
+    val nStreams = bands * rowsPerBand
+    val withSh = df.select(col(idCol).as("id"),
+      TextOps.shingles(col(textCol), shingleN).as("__sh"))
+    val withDig = withSh.select(col("id") +: col("__sh") +:
+      (0 until (nStreams + 1) / 2).map(j => TextOps.shingleDigests(col("__sh"), j).as(s"__d$j")): _*)
+    val mh = (0 until nStreams).map(i => TextOps.minhashFrom(col(s"__d${i / 2}"), i % 2))
+    val bandCols = (0 until bands).map(b => TextOps.bandHashFrom(mh, b * rowsPerBand, rowsPerBand))
+    val base = withDig.select(col("id"),
+      array_distinct(col("__sh")).as("shingles"), array(bandCols: _*).as("bands"))
+    val exploded = base.select(col("id"), col("shingles"), explode_outer(col("bands")).as("band"))
       .filter(col("band").isNotNull)
     val a = exploded.as("a")
     val b = exploded.as("b")

@@ -33,23 +33,40 @@ object TextOps {
       s"ELSE [] END"
   }
 
-  /** MinHash signature component i: min over shingles of the deterministic
-    * u60 hash stream i (shingle -> minhash; `hash.go` family semantics
-    * reused as the hash functions). NULL when no shingles. */
+  /** MinHash machinery. One md5 digest per shingle serves TWO independent
+    * 60-bit streams (hex chars 1-15 and 16-30), so an 8-stream signature
+    * costs 4 digests per shingle, not 8 — and the digest arrays are
+    * materialized once per doc (see Dedup.minhashLsh) instead of being
+    * recomputed inside every band expression. NULL when no shingles. */
+  def shingleDigests(shingleArr: Column, j: Int, salt: String = Gen.Salt): Column =
+    transform(shingleArr, s => md5(concat(lit(s"$salt/mh$j|"), s)))
+  def shingleDigestsSql(shingleArr: String, j: Int, salt: String = Gen.Salt): String =
+    s"list_transform(${shingleArr}, s -> md5('${salt}/mh${j}|' || s))"
+
+  /** Min over the slot-th 60-bit slice of a digest array (slot 0 or 1). */
+  def minhashFrom(digests: Column, slot: Int): Column =
+    array_min(transform(digests, h =>
+      conv(substring(h, 1 + slot * 15, 15), 16, 10).cast("long")))
+  def minhashFromSql(digestsSql: String, slot: Int): String =
+    s"list_min(list_transform(${digestsSql}, h -> ('0x' || substr(h, ${1 + slot * 15}, 15))::BIGINT))"
+
+  /** Stream i = slot i%2 of digest i/2 — the canonical stream layout. */
   def minhash(shingleArr: Column, i: Int): Column =
-    array_min(transform(shingleArr, s => Gen.u60(s, s"mh$i")))
+    minhashFrom(shingleDigests(shingleArr, i / 2), i % 2)
   def minhashSql(shingleArr: String, i: Int): String =
-    s"list_min(list_transform(${shingleArr}, s -> ${OracleGen.u60("s", s"mh$i")}))"
+    minhashFromSql(shingleDigestsSql(shingleArr, i / 2), i % 2)
 
   /** LSH band hash over `rows` consecutive minhash components starting at
     * `from` — the band -> bucket key (band-join, never crossJoin).
     * NULL-propagating on purpose: a shingle-less doc gets NULL bands and
     * is excluded from bucketing — otherwise every short doc would collide
     * into one md5("") bucket (a correctness bug AND a skew bomb at scale). */
-  def bandHash(shingleArr: Column, from: Int, rows: Int): Column = {
-    val parts = (from until from + rows).map(i => minhash(shingleArr, i).cast("string"))
+  def bandHashFrom(minhashes: Seq[Column], from: Int, rows: Int): Column = {
+    val parts = minhashes.slice(from, from + rows).map(_.cast("string"))
     md5(concat(parts.flatMap(p => Seq(p, lit(","))).dropRight(1): _*))
   }
+  def bandHash(shingleArr: Column, from: Int, rows: Int): Column =
+    bandHashFrom((from until from + rows).map(i => minhash(shingleArr, i)), 0, rows)
   def bandHashSql(shingleArr: String, from: Int, rows: Int): String = {
     val parts = (from until from + rows).map(i => s"(${minhashSql(shingleArr, i)})::VARCHAR")
     s"md5(${parts.mkString(" || ',' || ")})"
