@@ -58,7 +58,9 @@ case class TableConfig(table: String,
                        subsetConds: Seq[String] = Nil,
                        query: Option[String] = None,
                        dropColumns: Seq[String] = Nil,
-                       limit: Option[Int] = None)
+                       limit: Option[Int] = None,
+                       typeOverrides: Map[String, String] = Map.empty,
+                       applyForInherited: Boolean = false)
 
 /** Plan-time validation warning (analog of toolkit.ValidationWarning). */
 case class ValidationWarning(severity: String, table: String, column: String, msg: String)
@@ -71,7 +73,13 @@ object Planner {
   def plan(df: DataFrame, cfg: TableConfig): DataFrame = {
     val base0 = cfg.query.fold(df)(q => df.sparkSession.sql(q))
     val base1 = if (cfg.dropColumns.nonEmpty) base0.drop(cfg.dropColumns: _*) else base0
-    val base = cfg.subsetConds.foldLeft(base1)((d, c) => d.filter(expr(c)))
+    // column type override (ref `column.go:58-63`, wired at
+    // `config_builder.go:582-598`): treat the column as another type for
+    // the whole transform chain
+    val base2 = cfg.typeOverrides.foldLeft(base1) { case (d, (c, t)) =>
+      d.withColumn(c, col(c).cast(t))
+    }
+    val base = cfg.subsetConds.foldLeft(base2)((d, c) => d.filter(expr(c)))
     val byName = cfg.transforms.map(t => t.column -> t).toMap
     val projected = base.schema.fields.map { f =>
       byName.get(f.name) match {
@@ -100,6 +108,21 @@ object Planner {
       ValidationWarning("warning", cfg.table, t.column,
         "transformer affects a primary-key column; ensure hash engine + apply_for_references"))
     unknown ++ pkHit
+  }
+
+  /** apply_for_inherited (ref `config_builder.go:723-766`,
+    * `domains/config.go:169`): auto-propagate a partitioned root table's
+    * config to its partition tables. `partitions` maps partition table ->
+    * root table (the catalog's partition parent/children metadata,
+    * `table.go:28-44`). */
+  def applyForInherited(configs: Seq[TableConfig],
+                        partitions: Map[String, String]): Seq[TableConfig] = {
+    val roots = configs.filter(_.applyForInherited).map(c => c.table -> c).toMap
+    val inherited = partitions.toSeq.collect {
+      case (part, root) if roots.contains(root) && !configs.exists(_.table == part) =>
+        roots(root).copy(table = part, applyForInherited = false)
+    }
+    configs ++ inherited
   }
 
   /** apply_for_references (ref `config_builder.go:244-492`): propagate the

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.generators.RandomEngine
+import graft.pipeline._
+import graft.ops.CustomCmd
+import graft.transformers.{Replace, RandomInt}
+
+import java.nio.file.Files
+
+/** Lifecycle pieces: manifest/TOC analog, storage sink, cost ordering,
+  * restore-list filtering, random engine, custom-cmd bootstrap, type
+  * overrides, partition inheritance. */
+class LifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+
+  test("random engine: bounds hold, values vary across rows") {
+    val vals = spark.range(500).select(RandomEngine.longBetween(10, 20).as("v"))
+      .as[Long].collect()
+    assert(vals.forall(v => v >= 10 && v <= 20))
+    assert(vals.distinct.length > 1) // non-constant
+    val picks = spark.range(200).select(RandomEngine.choice(Seq("x", "y", "z")).as("v"))
+      .as[String].collect()
+    assert(picks.toSet.subsetOf(Set("x", "y", "z")) && picks.toSet.size > 1)
+  }
+
+  test("random engine with pinned seed is reproducible for a fixed partitioning") {
+    def run() = spark.range(100).repartition(4, col("id"))
+      .select(RandomEngine.longBetween(0, 1000000, seed = Some(7L)).as("v"))
+      .as[Long].collect().sorted.toSeq
+    assert(run() == run())
+  }
+
+  test("manifest build/write/read round-trip with FK dependencies") {
+    val c = Seq((1L, 10)).toDF("c_custkey", "x")
+    val o = Seq((5L, 1L)).toDF("o_orderkey", "o_custkey")
+    val m = Manifest.build(Seq(
+      ("customer", c, "/dump/customer"), ("orders", o, "/dump/orders")))
+    assert(m.entries.map(_.table) == Seq("customer", "orders"))
+    assert(m.entries(1).dependsOn == Seq(1)) // orders depends on customer
+    val tmp = Files.createTempFile("manifest", ".json").toString
+    Manifest.write(m, tmp)
+    val back = Manifest.read(spark, tmp)
+    assert(back == Seq((1, "customer", "/dump/customer"), (2, "orders", "/dump/orders")))
+  }
+
+  test("restore-list filter keeps transitive dependencies") {
+    val m = Manifest(Seq(
+      ManifestEntry(1, "grand", "p1", "{}", 1, Nil),
+      ManifestEntry(2, "parent", "p2", "{}", 1, Seq(1)),
+      ManifestEntry(3, "child", "p3", "{}", 1, Seq(2)),
+      ManifestEntry(4, "unrelated", "p4", "{}", 1, Nil)))
+    val f = m.filtered(Set("child"))
+    assert(f.entries.map(_.table).toSet == Set("grand", "parent", "child"))
+    assert(f.restoreBatches.flatten.map(_.table) == Seq("grand", "parent", "child"))
+  }
+
+  test("cost scoring orders big + transformer-heavy tables first") {
+    val order = Manifest.dumpOrder(Seq(
+      ("small", 100L, 0), ("big", 10000L, 0), ("bigMasked", 10000L, 10)))
+    assert(order == Seq("bigMasked", "big", "small"))
+    assert(Manifest.costScore(1000, 10) == 1000 + 1000 * 0.3)
+  }
+
+  test("storage writer: parquet + csv with compression round-trip") {
+    val dir = Files.createTempDirectory("sw").toString
+    StorageWriter.write(df, s"$dir/p", "parquet", "zstd")
+    assert(spark.read.parquet(s"$dir/p").count() == 3)
+    StorageWriter.write(df, s"$dir/c", "csv", "gzip")
+    assert(spark.read.schema(df.schema).csv(s"$dir/c").count() == 3)
+    StorageWriter.write(df, s"$dir/part", "parquet", "snappy", partitionBy = Seq("v"))
+    assert(spark.read.parquet(s"$dir/part").select("id").count() == 3)
+  }
+
+  test("custom cmd definition parse + bootstrap + apply") {
+    val d = CustomCmd.parseDefinition(
+      """{"name": "upper", "description": "uppercases", "codec": "csv"}""")
+    assert(d == graft.ops.CmdDefinition("upper", "uppercases", "csv"))
+    // real bootstrap through a script answering --print-definition
+    val script = Files.createTempFile("graft-custom", ".sh")
+    Files.writeString(script,
+      """#!/bin/sh
+        |if [ "$1" = "--print-definition" ]; then
+        |  echo '{"name": "upper", "codec": "csv"}'
+        |else
+        |  tr 'a-z' 'A-Z'
+        |fi
+        |""".stripMargin)
+    script.toFile.setExecutable(true)
+    val reg = new CustomCmd.Registry
+    val defn = reg.bootstrap(Seq(script.toString))
+    assert(defn.name == "upper" && reg.names == Set("upper"))
+    val out = reg("upper", df.select(col("v"))).as[String].collect().toSet
+    assert(out == Set("A", "B", "C"))
+  }
+
+  test("type override casts the column for the transform chain") {
+    val out = Planner.plan(df, TableConfig("t",
+      typeOverrides = Map("id" -> "string"),
+      transforms = Seq(ColumnTransform("id", Replace("masked", keepNull = false)))))
+    assert(out.schema("id").dataType.typeName == "string")
+    assert(out.select("id").as[String].collect().forall(_ == "masked"))
+  }
+
+  test("apply_for_inherited propagates root config to partitions") {
+    val configs = Seq(TableConfig("events_root", applyForInherited = true,
+      transforms = Seq(ColumnTransform("v", RandomInt(0, 9)))))
+    val expanded = Planner.applyForInherited(configs,
+      Map("events_p0" -> "events_root", "events_p1" -> "events_root", "other_p" -> "other"))
+    assert(expanded.map(_.table).toSet == Set("events_root", "events_p0", "events_p1"))
+    assert(expanded.filter(_.table == "events_p0").head.transforms.head.column == "v")
+  }
+}
