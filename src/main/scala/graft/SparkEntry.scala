@@ -407,26 +407,75 @@ object SparkEntry {
         s"""SELECT (${sh})::BIGINT AS simhash, min(doc_id) AS rep_id, count(*) AS bucket_size
             FROM documents GROUP BY 1 ORDER BY simhash"""
       }),
-    "q_dedup_jaccard" -> Q( // rows-only: bucket-bounded pair verify
+    "q_dedup_jaccard" -> Q(
       (s, dir) => Dedup.jaccardPairs(rd(s, dir, "documents"), "doc_id", "text",
         threshold = 0.0).orderBy("id_a", "id_b"),
+      Some {
+        val sh = TextOps.shinglesSql("text", 3)
+        val bands = (0 until 4).map(b => TextOps.bandHashSql(sh, b * 2, 2))
+        // integer-count ratio => exact double parity
+        s"""WITH base AS (
+              SELECT doc_id AS id, list_distinct(${sh}) AS sh,
+                     [${bands.mkString(", ")}] AS bands FROM documents
+            ), e AS (
+              SELECT id, sh, band FROM (
+                SELECT id, sh, unnest(bands) AS band FROM base)
+              WHERE band IS NOT NULL
+            ), pairs AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+              FROM e a JOIN e b ON a.band = b.band AND a.id < b.id
+            )
+            SELECT id_a, id_b,
+              CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) > 0
+                   THEN len(list_intersect(sh_a, sh_b))::DOUBLE
+                        / len(list_distinct(list_concat(sh_a, sh_b)))::DOUBLE
+                   ELSE 0.0 END AS jaccard
+            FROM pairs ORDER BY id_a, id_b"""
+      }),
+    "q_random_engine" -> Q( // rows-only by nature: non-deterministic PRNG
+      (s, dir) => rd(s, dir, "customer").select(CK,
+        graft.generators.RandomEngine.longBetween(0, 999999).as("masked"),
+        graft.generators.RandomEngine.choice(Seq("alpha", "beta")).as("picked"))
+        .orderBy("c_custkey"),
       None),
 
     // ----- LLM ops: similarity search -----
+    // Raw cosines differ from DuckDB in the last float ulp, so the oracle
+    // compares only ulp-robust projections: top-k membership, bucket
+    // signs, threshold sets (raw-value checks live in LlmOpsSpec).
     "q_knn_brute" -> Q(
       (s, dir) => Similarity.bruteForceTopK(rd(s, dir, "embeddings"), "vec_id", "embedding",
-        Similarity.testQuery(64), 20).select("vec_id"),
-      None), // cosine float ulps are engine-specific; ranking checked in tests
+        Similarity.testQuery(64), 20).select("vec_id").orderBy("vec_id"),
+      Some {
+        val cos = Similarity.cosineToSql("embedding", Similarity.testQuery(64))
+        s"""SELECT vec_id FROM (
+              SELECT vec_id, ${cos} AS c FROM embeddings
+              ORDER BY c DESC, vec_id LIMIT 20)
+            ORDER BY vec_id"""
+      }),
     "q_ann_lsh_buckets" -> Q(
       (s, dir) => Similarity.withLshBuckets(rd(s, dir, "embeddings"), "vec_id", "embedding",
         nPlanes = 8, dim = 64)
         .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
         .orderBy("bucket"),
-      None), // sign-of-float-dot buckets: same caveat
+      Some {
+        val bucket = Similarity.lshBucketSql("embedding", Similarity.hyperplanes(8, 64))
+        s"""SELECT bucket, count(*) AS n_vecs FROM
+              (SELECT ${bucket} AS bucket FROM embeddings)
+            GROUP BY bucket ORDER BY bucket"""
+      }),
     "q_embed_neardup" -> Q(
       (s, dir) => Similarity.cosineNearDupPairs(rd(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.8, nPlanes = 8, dim = 64).select("id_a", "id_b").orderBy("id_a", "id_b"),
-      None),
+      Some {
+        val bucket = Similarity.lshBucketSql("embedding", Similarity.hyperplanes(8, 64))
+        val cos = Similarity.pairCosineSql("a.embedding", "b.embedding", 64)
+        s"""WITH bk AS (SELECT vec_id, embedding, ${bucket} AS bucket FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE ${cos} >= 0.8
+            ORDER BY id_a, id_b"""
+      }),
 
     // ----- LLM ops: text analysis -----
     "q_text_stats" -> Q(

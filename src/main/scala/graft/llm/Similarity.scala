@@ -102,4 +102,32 @@ object Similarity {
     val rnd = new Random(7L)
     Seq.fill(dim)(rnd.nextDouble() * 2 - 1)
   }
+
+  // ---------------------------------------------------------------------
+  // DuckDB renderings. Float sums differ from Spark in the last ulp, so
+  // oracle queries never compare raw cosines — only ulp-robust projections:
+  // top-k MEMBERSHIP (ordered by id), bucket SIGNS, threshold sets.
+  // ---------------------------------------------------------------------
+
+  private def listLit(q: Seq[Double]): String = q.mkString("[", ",", "]")
+
+  def dotSql(vec: String, q: Seq[Double], dim: Int): String =
+    s"list_sum(list_transform(generate_series(1,$dim), i -> (${vec})[i]::DOUBLE * (${listLit(q)})[i]))"
+
+  def normSql(vec: String): String =
+    s"sqrt(list_sum(list_transform(${vec}, x -> x::DOUBLE * x::DOUBLE)))"
+
+  def cosineToSql(vec: String, q: Seq[Double]): String = {
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    s"(${dotSql(vec, q, q.size)} / (${normSql(vec)} * ${qn}))"
+  }
+
+  def lshBucketSql(vec: String, planes: Seq[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, b) =>
+      s"CASE WHEN ${dotSql(vec, p.toSeq, p.length)} >= 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  def pairCosineSql(vecA: String, vecB: String, dim: Int): String =
+    s"(list_sum(list_transform(generate_series(1,$dim), i -> (${vecA})[i]::DOUBLE * (${vecB})[i]::DOUBLE)) " +
+      s"/ (${normSql(vecA)} * ${normSql(vecB)}))"
 }
