@@ -144,6 +144,15 @@ object SparkEntry {
         .orderBy("c_custkey"),
       Some("SELECT c_custkey, (c_mktsegment || '-' || c_nationkey::VARCHAR) AS derived " +
         "FROM customer ORDER BY c_custkey")),
+    // TemplateRecord: whole-record template — several columns rewritten by
+    // expressions over the row (ref `template_record.go:28-100`)
+    "q_template_record" -> Q(
+      (s, dir) => Planner.plan(rd(s, dir, "customer"), TableConfig("customer",
+        transforms = Seq(
+          ColumnTransform("c_name", TemplateExpr("concat('User-', cast(c_custkey as string))")),
+          ColumnTransform("c_acctbal", TemplateExpr("round(c_acctbal, 0)"))))).orderBy("c_custkey"),
+      Some("SELECT c_custkey, ('User-' || c_custkey::VARCHAR) AS c_name, c_nationkey, " +
+        "round(c_acctbal, 0) AS c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey")),
 
     // ----- faker family: all 22 scalars in one query -----
     "q_faker" -> Q(

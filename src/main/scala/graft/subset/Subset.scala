@@ -85,7 +85,24 @@ object SubsetPlanner {
            edges: Seq[FkRef], conds: Map[String, Seq[String]],
            maxIter: Int = 50): Map[String, DataFrame] = {
     val tables = dfs.keys.toSeq
-    val relevantEdges = edges.filter(e => dfs.contains(e.childTable) && dfs.contains(e.parentTable))
+    val allEdges = edges.filter(e => dfs.contains(e.childTable) && dfs.contains(e.parentTable))
+    // Affected-set pruning (mirrors the reference, which only generates
+    // subset queries along paths that reach a cond — unconditioned parents
+    // keep all rows, so semi-joining against them is a no-op): a table is
+    // affected iff it has conds or any FK parent is affected.
+    val affected = {
+      val set = mutable.Set[String]()
+      conds.collect { case (t, cs) if cs.nonEmpty && dfs.contains(t) => set += t }
+      var grew = true
+      while (grew) {
+        grew = false
+        allEdges.foreach { e =>
+          if (set(e.parentTable) && !set(e.childTable)) { set += e.childTable; grew = true }
+        }
+      }
+      set.toSet
+    }
+    val relevantEdges = allEdges.filter(e => affected(e.parentTable))
     val surviving = mutable.Map[String, DataFrame]()
 
     def baseFiltered(t: String): DataFrame =

@@ -223,6 +223,29 @@ object MultiCol {
       "title" -> when(isMale, lit("Mr.")).otherwise(lit("Ms.")))
   }
 
+  /** RandomPerson with gender read dynamically FROM A COLUMN of the row
+    * (the reference's dynamic gender param + mapping,
+    * `random_person.go:25-87`): `mapping` normalizes source values to
+    * M/F; unmapped values fall back to the hashed gender. */
+  def personWithGenderCol(seed: Column, genderCol: Column,
+                          mapping: Map[String, String] = Map("M" -> "M", "F" -> "F"),
+                          tweak: String = "person"): Seq[(String, Column)] = {
+    val normalized = mapping.foldLeft(when(lit(false), lit(null))) {
+      case (acc, (from, to)) => acc.when(genderCol === lit(from), lit(to))
+    }.otherwise(when(Gen.u60(seed, tweak + "g") % 2 === 0, lit("M")).otherwise(lit("F")))
+    val isMale = normalized === "M"
+    val first = when(isMale,
+      element_at(array(MaleFirst.map(lit): _*), Gen.pick(Gen.u60(seed, tweak + "f"), MaleFirst.size)))
+      .otherwise(
+        element_at(array(FemaleFirst.map(lit): _*), Gen.pick(Gen.u60(seed, tweak + "f"), FemaleFirst.size)))
+    val last = element_at(array(LastNames.map(lit): _*), Gen.pick(Gen.u60(seed, tweak + "l"), LastNames.size))
+    Seq(
+      "gender" -> normalized,
+      "first_name" -> first,
+      "last_name" -> last,
+      "title" -> when(isMale, lit("Mr.")).otherwise(lit("Ms.")))
+  }
+
   def personSql(seed: String, tweak: String = "person"): Seq[(String, String)] = {
     def list(vs: Seq[String]) = vs.map(v => s"'$v'").mkString("[", ",", "]")
     val isMale = s"((${OracleGen.u60(seed, tweak + "g")}) % 2 = 0)"

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.Pipe
+import graft.ops.{Pipe, PipeOptions}
 
 /** External-process pipe operator: round-trips, a genuinely transforming
   * command, NULL framing, json codec, and failure propagation. */
@@ -45,5 +45,34 @@ class PipeSpec extends SparkSpec {
 
   test("unknown codec rejected at plan time") {
     intercept[IllegalArgumentException](Pipe.through(df, Seq("/bin/cat"), "xml"))
+  }
+
+  test("skip_on_null=any bypasses the process for null rows, in order") {
+    val out = Pipe.through(df, Seq("/usr/bin/tr", "a-z", "A-Z"), "csv",
+      PipeOptions(skipOnNull = Some("any")))
+      .orderBy("id").as[(String, Option[String])].collect()
+    // row 3 has a null val => passed through untouched; others uppercased
+    assert(out.toSeq == Seq(("1", Some("ALPHA")), ("2", Some("BETA")), ("3", None)))
+  }
+
+  test("timeout kills a hung process and reports the exit") {
+    val e = intercept[Exception] {
+      Pipe.through(df, Seq("/bin/sh", "-c", "sleep 30"), "csv",
+        PipeOptions(timeoutSec = 2)).collect()
+    }
+    assert(e.getMessage.contains("timeout=2s") || e.getCause != null)
+  }
+
+  test("expected exit code accepted, mismatch rejected") {
+    val ok = Pipe.through(df.limit(1), Seq("/bin/sh", "-c", "cat; exit 3"), "csv",
+      PipeOptions(expectedExitCode = 3)).collect()
+    assert(ok.length == 1)
+    intercept[Exception] {
+      Pipe.through(df.limit(1), Seq("/bin/sh", "-c", "cat; exit 3"), "csv").collect()
+    }
+  }
+
+  test("bad skipOnNull mode rejected") {
+    intercept[IllegalArgumentException](PipeOptions(skipOnNull = Some("some")))
   }
 }

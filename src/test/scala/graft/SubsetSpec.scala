@@ -51,14 +51,25 @@ class SubsetSpec extends SparkSpec {
   }
 
   test("nullable FK escapes the filter") {
-    val parent = Seq(1, 3).toDF("id")
+    val parent = Seq(1, 2, 3).toDF("id")
     val child = Seq((10, Some(1)), (11, Some(2)), (12, None)).toDF("cid", "pid")
     val out = SubsetPlanner.plan(
       Map("p" -> parent, "c" -> child),
       Map("p" -> Seq("id"), "c" -> Seq("cid")),
       Seq(edge("c", "p", "pid", "id", nullable = true)),
-      Map.empty)
+      Map("p" -> Seq("id != 2"))) // kills parent 2 => child 11 dangles
     assert(out("c").select("cid").as[Int].collect().toSet == Set(10, 12))
+  }
+
+  test("tables outside any cond path are left untouched (no-op joins pruned)") {
+    val parent = Seq(1, 2).toDF("id")
+    val child = Seq((10, 1), (11, 99)).toDF("cid", "pid") // 11 dangles
+    val out = SubsetPlanner.plan(
+      Map("p" -> parent, "c" -> child),
+      Map("p" -> Seq("id"), "c" -> Seq("cid")),
+      Seq(edge("c", "p", "pid", "id")),
+      Map.empty) // no conds anywhere => full dump, dangling rows kept
+    assert(out("c").count() == 2)
   }
 
   test("cyclic fix-point: mutual references prune to the stable core") {

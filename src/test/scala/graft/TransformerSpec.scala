@@ -109,4 +109,39 @@ class TransformerSpec extends SparkSpec {
 
   private def get(k: String, doc: String): String =
     Seq(doc).toDF("d").select(get_json_object(col("d"), "$." + k)).as[Option[String]].head().orNull
+
+  test("personWithGenderCol follows the mapped column, falls back to hash") {
+    val df = Seq((1L, "male"), (2L, "female"), (3L, "unknown")).toDF("id", "g")
+    val cols = MultiCol.personWithGenderCol(col("id"), col("g"),
+      Map("male" -> "M", "female" -> "F"))
+    val out = df.select(col("id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("gender") == "M")
+    assert(out(1).getAs[String]("gender") == "F")
+    assert(Set("M", "F").contains(out(2).getAs[String]("gender"))) // hashed fallback
+    assert(FakerData.MaleFirst.contains(out(0).getAs[String]("first_name")))
+    assert(FakerData.FemaleFirst.contains(out(1).getAs[String]("first_name")))
+  }
+
+  test("template-function surface: spot checks across families") {
+    import graft.transformers.{TemplateFunctions => TF}
+    val df = Seq(("7", """{"k": "v"}""", "2020-03-15 10:30:00")).toDF("n", "doc", "ts")
+    val row = df.select(
+      TF.sqlCoalesce(lit(null), col("n")).as("coal"),
+      TF.jsonGet(col("doc"), "k").as("jg"),
+      TF.isInt(col("n")).as("isint"),
+      TF.isInt(col("doc")).as("notint"),
+      TF.masking("name", lit("Smith")).as("mask"),
+      TF.truncateDate("month", col("ts").cast("timestamp")).cast("string").as("trunc"),
+      TF.roundFloat(lit(1.2345), 2).as("rf"),
+      TF.faker("RandomMonthName", col("n")).as("mn")).collect().head
+    assert(row.getAs[String]("coal") == "7")
+    assert(row.getAs[String]("jg") == "v")
+    assert(row.getAs[Boolean]("isint") && !row.getAs[Boolean]("notint"))
+    assert(row.getAs[String]("mask") == "S**")
+    assert(row.getAs[String]("trunc") == "2020-03-01 00:00:00")
+    assert(row.getAs[Double]("rf") == 1.23)
+    assert(FakerData.MonthNames.contains(row.getAs[String]("mn")))
+    assert(TemplateFunctions.sprigEquivalents.size >= 35)
+  }
 }
