@@ -1,0 +1,109 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** PostgreSQL COPY text-format codec — the Spark edition of the
+  * reference's zero-copy row codec (`internal/db/postgres/pgcopy/`:
+  * delimiters `common.go:17-20` — `\t` field sep, `\N` null, `\.`
+  * terminator; escape tables `encoder.go:24`, octal/hex decode
+  * `decoder.go:54`).
+  *
+  * In the reference this format IS the wire protocol; here it is an
+  * interchange format so greenmask-produced `.dat` payloads (gunzipped)
+  * round-trip through the Spark engine. Values travel as strings (the
+  * reference is text-first too, SURVEY §1.2); callers cast to typed
+  * columns after reading.
+  */
+object CopyText {
+
+  /** Escape one field per `encoder.go` rules. */
+  def encodeField(v: String): String =
+    if (v == null) "\\N"
+    else {
+      val sb = new StringBuilder(v.length + 8)
+      v.foreach {
+        case '\\' => sb.append("\\\\")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case 0x0B => sb.append("\\v")
+        case c => sb.append(c)
+      }
+      sb.toString
+    }
+
+  /** Decode one field: named escapes + octal (`\123`) + hex (`\x4E`)
+    * (`decoder.go:54`). `\N` null is handled at line level. */
+  def decodeField(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'v' => sb.append(0x0B.toChar); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case 'x' if i + 2 < s.length && isHex(s.charAt(i + 2)) =>
+            val len = if (i + 3 < s.length && isHex(s.charAt(i + 3))) 2 else 1
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 2 + len), 16).toChar)
+            i += 2 + len
+          case d if d >= '0' && d <= '7' =>
+            var len = 1
+            while (len < 3 && i + 1 + len < s.length &&
+              s.charAt(i + 1 + len) >= '0' && s.charAt(i + 1 + len) <= '7') len += 1
+            sb.append(Integer.parseInt(s.substring(i + 1, i + 1 + len), 8).toChar)
+            i += 1 + len
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  /** Encode a DataFrame (stringified columns) as COPY text lines. One
+    * output line per row; distributed text write (optionally gzip via
+    * codec option, matching the reference's `.dat.gz`). */
+  def write(df: DataFrame, path: String, compression: Option[String] = None): Unit = {
+    val cols = df.columns
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lines = df.mapPartitions { rows =>
+      rows.map { r =>
+        (0 until cols.length).map { i =>
+          if (r.isNullAt(i)) "\\N" else encodeField(String.valueOf(r.get(i)))
+        }.mkString("\t")
+      }
+    }(Encoders.STRING)
+    val w = compression.foldLeft(lines.write)((w, c) => w.option("compression", c))
+    w.mode("overwrite").text(path)
+  }
+
+  /** Read COPY text lines back into a string-typed DataFrame. */
+  def read(spark: SparkSession, path: String, columns: Seq[String]): DataFrame = {
+    val schema = StructType(columns.map(c => StructField(c, StringType, nullable = true)))
+    val enc = Encoders.row(schema)
+    import spark.implicits._
+    spark.read.textFile(path)
+      .filter((l: String) => l != "\\.") // trailing terminator line, if present
+      .mapPartitions { lines =>
+        lines.map { l =>
+          val fields = l.split("\t", -1).map {
+            case "\\N" => null
+            case f => decodeField(f)
+          }
+          Row.fromSeq(fields.padTo(columns.size, null).take(columns.size).toIndexedSeq)
+        }
+      }(enc)
+  }
+}
