@@ -104,6 +104,52 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
+  // IVF-style ANN — the coarse-quantizer scale path: k centroid lists,
+  // assignment is one scan with k dot products per row, probes touch only
+  // nProbe lists. At cluster scale the assignment column doubles as the
+  // partition key (partition pruning on probe).
+  // ---------------------------------------------------------------------
+
+  /** Deterministic centroid pick: every (n/k)-th row by id order — cheap,
+    * reproducible; swap for k-means refinement when recall matters. */
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int): Seq[Array[Double]] = {
+    require(k > 0, "ivfCentroids: k must be positive")
+    val n = df.count()
+    val step = math.max(n / k, 1L)
+    df.select(col(idCol), col(vecCol))
+      .orderBy(idCol).limit((k * step).toInt)
+      .where(pmod(col(idCol), lit(step)) === 0)
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray).toSeq
+  }
+
+  /** Nearest-centroid assignment (argmax cosine over the k centroids). */
+  def ivfAssign(df: DataFrame, vecCol: String, centroids: Seq[Array[Double]]): DataFrame = {
+    val sims = array(centroids.map(c => cosineTo(col(vecCol), c.toSeq)): _*)
+    df.withColumn("__sims", sims)
+      .withColumn("cluster", expr("array_position(__sims, array_max(__sims))").cast("int") - 1)
+      .drop("__sims")
+  }
+
+  /** Probe the nProbe nearest centroid lists with the exact metric. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, query: Seq[Double],
+              k: Int, centroids: Seq[Array[Double]], nProbe: Int): DataFrame = {
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val ranked = centroids.zipWithIndex.map { case (c, i) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      val cos = if (cn == 0 || qn == 0) 0.0
+        else c.zip(query).map { case (a, b) => a * b }.sum / (cn * qn)
+      (i, cos)
+    }.sortBy(-_._2).take(nProbe).map(_._1)
+    ivfAssign(df, vecCol, centroids)
+      .filter(col("cluster").isin(ranked: _*))
+      .select(col(idCol), cosineTo(col(vecCol), query).as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+  }
+
+  // ---------------------------------------------------------------------
   // DuckDB renderings. Float sums differ from Spark in the last ulp, so
   // oracle queries never compare raw cosines — only ulp-robust projections:
   // top-k MEMBERSHIP (ordered by id), bucket SIGNS, threshold sets.

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Skew
+import graft.llm.Similarity
+
+/** Scale tooling: salted aggregation/join equivalence, bucketed
+  * zero-shuffle joins, IVF probe behavior. */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val skewed = (Seq.fill(500)("hot") ++ Seq("a", "b", "c")).zipWithIndex
+    .map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+
+  test("salted count equals plain count") {
+    val plain = skewed.groupBy("k").count().as[(String, Long)].collect().toMap
+    val salted = Skew.saltedCount(skewed, "k").as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
+  test("salted sum equals plain sum") {
+    val plain = skewed.groupBy("k").agg(sum("v")).as[(String, Long)].collect().toMap
+    val salted = Skew.saltedSum(skewed, "k", "v").as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
+  test("salted join equals plain join") {
+    val dim = Seq(("hot", "H"), ("a", "A"), ("zzz", "Z")).toDF("k", "label")
+    val plain = skewed.join(dim, "k").groupBy("label").count()
+      .as[(String, Long)].collect().toMap
+    val salted = Skew.saltedJoin(skewed, dim, "k").groupBy("label").count()
+      .as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val left = (1 to 1000).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
+    val right = (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("k", "rv")
+    for (t <- Seq("bkt_left", "bkt_right")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    Skew.writeBucketed(left, "bkt_left", "k", 8)
+    Skew.writeBucketed(right, "bkt_right", "k", 8)
+    // disable broadcast so the join exercises the bucketed (co-located
+    // sort-merge) path — the 100 TB shape where neither side broadcasts
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should be shuffle-free:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan should use buckets:\n$plan")
+      assert(joined.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("IVF: full probe equals brute force; partial probe is a valid subset") {
+    val vecs = (0 until 200).map { i =>
+      val base = if (i % 4 == 0) 1.0f else if (i % 4 == 1) -1.0f else 0.5f
+      (i.toLong, Seq(base, (i % 7).toFloat / 7f, ((i % 3) - 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = Seq(1.0, 0.1, 0.0)
+    val centroids = Similarity.ivfCentroids(vecs, "vec_id", "embedding", 8)
+    assert(centroids.size == 8 && centroids.head.length == 3)
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val full = Similarity.ivfTopK(vecs, "vec_id", "embedding", q, 10, centroids, nProbe = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(full == brute) // probing every list == exact search
+    val partial = Similarity.ivfTopK(vecs, "vec_id", "embedding", q, 10, centroids, nProbe = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(partial.size == 10)
+    val recall = partial.count(brute.contains).toDouble / 10
+    assert(recall >= 0.3, s"suspiciously low recall: $recall") // sanity floor
+  }
+}
