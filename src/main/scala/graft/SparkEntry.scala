@@ -74,6 +74,8 @@ object SparkEntry {
     "q_random_choice" -> scalar("customer", "c_custkey", CK, "c_custkey",
       RandomChoice(Seq("alpha", "beta", "gamma", "delta"))),
     "q_random_ip" -> scalar("customer", "c_custkey", CK, "c_custkey", RandomIp("10.42.0.0/16")),
+    "q_random_ipv6" -> scalar("customer", "c_custkey", CK, "c_custkey",
+      RandomIpV6("2001:db8:abcd::/48")),
     "q_random_mac" -> scalar("customer", "c_custkey", CK, "c_custkey", RandomMac(Seq("02", "42"))),
     "q_random_email" -> scalar("customer", "c_custkey", col("c_name"), "c_name",
       RandomEmail(keepOriginalDomain = false)),
@@ -193,6 +195,26 @@ object SparkEntry {
       Some {
         val cols = MultiCol.addressSql("c_custkey").map { case (n, sql) => s"${sql} AS ${n}" }
         s"SELECT c_custkey, ${cols.mkString(", ")} FROM customer ORDER BY c_custkey"
+      }),
+
+    // t1 minimum end-to-end slice (SURVEY §7.3 step 4): config -> plan ->
+    // masked customer with when-gating, all through the Planner
+    "q_t1_slice" -> Q(
+      (s, dir) => Planner.plan(rd(s, dir, "customer"), TableConfig("customer",
+        when = Some("c_custkey >= 0"),
+        transforms = Seq(
+          ColumnTransform("c_name", Masking("name")),
+          ColumnTransform("c_nationkey", RandomInt(0, 24)),
+          ColumnTransform("c_mktsegment", SetNull())))).orderBy("c_custkey"),
+      Some {
+        val nk = RandomInt(0, 24).appliedSql("c_nationkey").get
+        val nm = Masking("name").appliedSql("c_name").get
+        "SELECT c_custkey, " +
+          s"CASE WHEN c_custkey >= 0 THEN ${nm} ELSE c_name END AS c_name, " +
+          s"CASE WHEN c_custkey >= 0 THEN (${nk})::INTEGER ELSE c_nationkey END AS c_nationkey, " +
+          "c_acctbal, " +
+          "CASE WHEN c_custkey >= 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment " +
+          "FROM customer ORDER BY c_custkey"
       }),
 
     // ----- §2.3 when-gating (keep-untransformed), dynamic params -----

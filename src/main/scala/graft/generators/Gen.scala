@@ -168,6 +168,36 @@ object Gen {
       addr.bitwiseAND(lit(255L)))
   }
 
+  /** IPv6 inside a CIDR subnet with a 16-bit-aligned prefix: kept prefix
+    * groups rendered from the network address, remaining groups hashed
+    * (RandomIp v6 support, `random_ip.go`). Host part never all-zero
+    * (subnet-router anycast avoided) because group hashes come from
+    * independent non-degenerate streams. */
+  def ipv6InCidr(input: Column, tweak: String, cidr: String, salt: String = Salt): Column = {
+    val Array(net, preStr) = cidr.split("/")
+    val prefix = preStr.toInt
+    require(prefix % 16 == 0 && prefix >= 16 && prefix <= 112,
+      s"ipv6InCidr: prefix $prefix must be a multiple of 16 in [16,112]")
+    val keptGroups = prefix / 16
+    // expand '::' shorthand to 8 groups
+    val parts = net.split("::", -1) match {
+      case Array(a) => a.split(":")
+      case Array(a, b) =>
+        val l = if (a.isEmpty) Array.empty[String] else a.split(":")
+        val r = if (b.isEmpty) Array.empty[String] else b.split(":")
+        l ++ Array.fill(8 - l.length - r.length)("0") ++ r
+    }
+    require(parts.length == 8, s"ipv6InCidr: bad address $net")
+    val kept = parts.take(keptGroups).map(g => lit(f"${Integer.parseInt(g, 16)}%x"): Column)
+    val h = seeded(input, tweak, salt)
+    val hashed = (keptGroups until 8).map { g =>
+      val idx = 1 + ((g - keptGroups) * 4) % 28
+      // strip leading zeros like canonical ipv6 text form
+      regexp_replace(substring(h, idx, 4), "^0{1,3}", "")
+    }
+    concat_ws(":", (kept ++ hashed): _*)
+  }
+
   /** MAC address from hashed bytes. `keepPrefix` octets of a vendor prefix
     * are preserved (RandomMac management-type options, `random_mac.go:44`);
     * default prefix 02 = locally-administered unicast. */

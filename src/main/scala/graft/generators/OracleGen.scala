@@ -87,6 +87,26 @@ object OracleGen {
       s"'.' || ((${addr} >> 8) & 255)::VARCHAR || '.' || (${addr} & 255)::VARCHAR)"
   }
 
+  def ipv6InCidr(input: String, tweak: String, cidr: String, salt: String = Gen.Salt): String = {
+    val Array(net, preStr) = cidr.split("/")
+    val prefix = preStr.toInt
+    val keptGroups = prefix / 16
+    val parts = net.split("::", -1) match {
+      case Array(a) => a.split(":")
+      case Array(a, b) =>
+        val l = if (a.isEmpty) Array.empty[String] else a.split(":")
+        val r = if (b.isEmpty) Array.empty[String] else b.split(":")
+        l ++ Array.fill(8 - l.length - r.length)("0") ++ r
+    }
+    val kept = parts.take(keptGroups).map(g => s"'${Integer.parseInt(g, 16).toHexString}'")
+    val h = seeded(input, tweak, salt)
+    val hashed = (keptGroups until 8).map { g =>
+      val idx = 1 + ((g - keptGroups) * 4) % 28
+      s"regexp_replace(substr(${h}, ${idx}, 4), '^0{1,3}', '')"
+    }
+    (kept ++ hashed).mkString("concat_ws(':', ", ", ", ")")
+  }
+
   def macFrom(input: String, tweak: String, prefix: Seq[String] = Seq("02"),
               salt: String = Gen.Salt): String = {
     val h = seeded(input, tweak, salt)

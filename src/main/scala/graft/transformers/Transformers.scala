@@ -128,6 +128,13 @@ case class RandomIp(cidr: String, tweak: String = "ip") extends ScalarTransforme
   def oracle(in: String) = Some(OracleGen.ipv4InCidr(OracleGen.u60(in, tweak), cidr))
 }
 
+/** RandomIp for IPv6 CIDRs (16-bit-aligned prefixes; ref `random_ip.go`
+  * v6 path). */
+case class RandomIpV6(cidr: String, tweak: String = "ip6") extends ScalarTransformer {
+  def column(in: Column) = Gen.ipv6InCidr(in, tweak, cidr)
+  def oracle(in: String) = Some(OracleGen.ipv6InCidr(in, tweak, cidr))
+}
+
 /** RandomMac with kept vendor prefix (ref `random_mac.go:44`). */
 case class RandomMac(prefix: Seq[String] = Seq("02"), tweak: String = "mac") extends ScalarTransformer {
   def column(in: Column) = Gen.macFrom(in, tweak, prefix)

@@ -83,6 +83,15 @@ class GenSpec extends SparkSpec {
     assert(hosts.forall(h => h >= 1 && h <= 254))
   }
 
+  test("ipv6InCidr keeps the network prefix, hex groups, no empty groups") {
+    val vals = inputs(200).select(Gen.ipv6InCidr(col("x"), "ip6", "2001:db8:abcd::/48").as("v"))
+      .as[String].collect()
+    assert(vals.forall(_.startsWith("2001:db8:abcd:")))
+    assert(vals.forall(_.split(":").length == 8))
+    assert(vals.forall(_.split(":").forall(g => g.nonEmpty && g.matches("[0-9a-f]{1,4}"))))
+    intercept[IllegalArgumentException](Gen.ipv6InCidr(col("x"), "t", "2001:db8::/47"))
+  }
+
   test("macFrom keeps vendor prefix, hex body") {
     val vals = inputs().select(Gen.macFrom(col("x"), "mac", Seq("02", "ab")).as("v"))
       .as[String].collect()
