@@ -43,8 +43,19 @@ object Gen {
     * canonical string of `input` plus `salt` and a per-transformer `tweak`
     * (so two transformers on the same column don't correlate).
     * NULL input propagates to NULL output (keep-null contract is applied
-    * by the transformer layer, see `Transformers.keepNull`). */
+    * by the transformer layer, see `Transformers.keepNull`).
+    *
+    * Backed by the native [[graft.expressions.U60Hash]] codegen expression
+    * (one digest + nibble fold per row); [[u60Composed]] is the
+    * value-identical built-in composition kept as the equivalence witness. */
   def u60(input: Column, tweak: String, salt: String = Salt): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.U60Hash(
+        org.apache.spark.sql.GraftBridge.expression(input.cast("string")),
+        salt + "/" + tweak + "|"))
+
+  /** The built-ins-only u60 rendering (md5 -> hex slice -> conv). */
+  def u60Composed(input: Column, tweak: String, salt: String = Salt): Column =
     conv(substring(seeded(input, tweak, salt), 1, 15), 16, 10).cast("long")
 
   /** Second independent stream (different tweak suffix). */

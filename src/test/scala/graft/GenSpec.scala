@@ -27,6 +27,17 @@ class GenSpec extends SparkSpec {
       .sameElements(df8.orderBy("x").as[(Long, Long)].collect()))
   }
 
+  test("native U60Hash expression is value-identical to the built-in composition") {
+    val strs = (1 to 300).map(i => s"value-$i-${"x" * (i % 17)}").toDF("x")
+    val pairs = strs.select(Gen.u60(col("x"), "eq").as("native"),
+      Gen.u60Composed(col("x"), "eq").as("composed")).as[(Long, Long)].collect()
+    assert(pairs.forall { case (a, b) => a == b })
+    // NULL propagates identically
+    val n = Seq[Option[String]](None).toDF("x")
+      .select(Gen.u60(col("x"), "eq").as("v")).as[Option[Long]].head()
+    assert(n.isEmpty)
+  }
+
   test("u60 streams with different tweaks are independent") {
     val pairs = inputs().select(Gen.u60(col("x"), "a"), Gen.u60(col("x"), "b"))
       .as[(Long, Long)].collect()
