@@ -40,14 +40,14 @@ object Dedup {
                  shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val nStreams = bands * rowsPerBand
     val nDigests = (nStreams + 1) / 2
-    // three explicit projection stages so the expensive pieces (shingle
-    // construction, md5 digests) are computed once, not once per band
+    // staged projections: shingles once, then ONE native pass computing
+    // the whole signature (MinHash60), then cheap band hashing
     val withSh = df.select(col(idCol), TextOps.shingles(col(textCol), shingleN).as("__sh"))
-    val withDig = withSh.select(col(idCol) +:
-      (0 until nDigests).map(j => TextOps.shingleDigests(col("__sh"), j).as(s"__d$j")): _*)
-    val mh = (0 until nStreams).map(i => TextOps.minhashFrom(col(s"__d${i / 2}"), i % 2))
+    val withMh = withSh.select(col(idCol),
+      TextOps.minhashSignature(col("__sh"), nDigests).as("__mh"))
+    val mh = (0 until nStreams).map(i => element_at(col("__mh"), i + 1))
     val bandCols = (0 until bands).map(b => TextOps.bandHashFrom(mh, b * rowsPerBand, rowsPerBand))
-    val withBands = withDig.select(col(idCol), array(bandCols: _*).as("bands"))
+    val withBands = withMh.select(col(idCol), array(bandCols: _*).as("bands"))
     // explode_outer, NOT explode: plain explode makes Catalyst infer a
     // size(bands)>0 filter below the projections, duplicating the whole
     // minhash expression tree into a pre-filter (2x the md5 work)
@@ -79,11 +79,11 @@ object Dedup {
     val nStreams = bands * rowsPerBand
     val withSh = df.select(col(idCol).as("id"),
       TextOps.shingles(col(textCol), shingleN).as("__sh"))
-    val withDig = withSh.select(col("id") +: col("__sh") +:
-      (0 until (nStreams + 1) / 2).map(j => TextOps.shingleDigests(col("__sh"), j).as(s"__d$j")): _*)
-    val mh = (0 until nStreams).map(i => TextOps.minhashFrom(col(s"__d${i / 2}"), i % 2))
+    val withMh = withSh.select(col("id"), col("__sh"),
+      TextOps.minhashSignature(col("__sh"), (nStreams + 1) / 2).as("__mh"))
+    val mh = (0 until nStreams).map(i => element_at(col("__mh"), i + 1))
     val bandCols = (0 until bands).map(b => TextOps.bandHashFrom(mh, b * rowsPerBand, rowsPerBand))
-    val base = withDig.select(col("id"),
+    val base = withMh.select(col("id"),
       array_distinct(col("__sh")).as("shingles"), array(bandCols: _*).as("bands"))
     val exploded = base.select(col("id"), col("shingles"), explode_outer(col("bands")).as("band"))
       .filter(col("band").isNotNull)

@@ -56,6 +56,14 @@ object TextOps {
   def minhashSql(shingleArr: String, i: Int): String =
     minhashFromSql(shingleDigestsSql(shingleArr, i / 2), i % 2)
 
+  /** Native one-pass signature: array<long> of 2*nDigests minhash streams
+    * (graft.expressions.MinHash60) — value-identical to the composed
+    * form, one digest loop per shingle, no hex intermediates. */
+  def minhashSignature(shingleArr: Column, nDigests: Int, salt: String = Gen.Salt): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.MinHash60(
+        org.apache.spark.sql.GraftBridge.expression(shingleArr), salt, nDigests))
+
   /** LSH band hash over `rows` consecutive minhash components starting at
     * `from` — the band -> bucket key (band-join, never crossJoin).
     * NULL-propagating on purpose: a shingle-less doc gets NULL bands and
