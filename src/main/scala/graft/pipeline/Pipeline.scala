@@ -101,13 +101,30 @@ object Planner {
     * (analog of `config_builder.go:526-629` warning machinery). */
   def validate(df: DataFrame, cfg: TableConfig): Seq[ValidationWarning] = {
     val cols = df.columns.toSet
+    val types = df.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
     val unknown = cfg.transforms.filterNot(t => cols(t.column)).map(t =>
       ValidationWarning("error", cfg.table, t.column, "column does not exist"))
     val pkCols = Catalog.tables.find(_.name == cfg.table).map(_.primaryKey.toSet).getOrElse(Set.empty)
     val pkHit = cfg.transforms.filter(t => pkCols(t.column)).map(t =>
       ValidationWarning("warning", cfg.table, t.column,
         "transformer affects a primary-key column; ensure hash engine + apply_for_references"))
-    unknown ++ pkHit
+    // constraint IsAffected analog (`pkg/toolkit/constraints.go:63-78`):
+    // FK child columns under transformation break referential joins unless
+    // the same deterministic transformer runs on the parent side
+    val fkCols = Catalog.fkRefs.filter(_.childTable == cfg.table).flatMap(_.childCols).toSet
+    val fkHit = cfg.transforms.filter(t => fkCols(t.column)).map(t =>
+      ValidationWarning("warning", cfg.table, t.column,
+        "transformer affects a foreign-key column; use hash engine + apply_for_references on the parent"))
+    // allowed-type check (SetAllowedColumnTypes analog)
+    val typeHit = cfg.transforms.flatMap { t =>
+      for {
+        actual <- types.get(t.column)
+        allowed <- t.transformer.allowedInputTypes
+        if !allowed(actual) && !cfg.typeOverrides.contains(t.column)
+      } yield ValidationWarning("error", cfg.table, t.column,
+        s"type $actual not in allowed types ${allowed.toSeq.sorted.mkString(",")}")
+    }
+    unknown ++ pkHit ++ fkHit ++ typeHit
   }
 
   /** apply_for_inherited (ref `config_builder.go:723-766`,

@@ -20,6 +20,10 @@ trait ScalarTransformer {
   /** keep_null contract (reference transformers' `keep_null` param):
     * true => NULL input stays NULL. */
   def keepNull: Boolean = true
+  /** Allowed input type names (Spark `DataType.typeName`); None = any.
+    * Mirrors the reference's SetAllowedColumnTypes column property
+    * (`masking.go:60-63` etc.) — Planner.validate warns on mismatch. */
+  def allowedInputTypes: Option[Set[String]] = None
 
   final def applied(input: Column): Column =
     if (keepNull) when(input.isNull, lit(null)).otherwise(column(input))
@@ -145,6 +149,7 @@ case class RandomMac(prefix: Seq[String] = Seq("02"), tweak: String = "mac") ext
   * (ref `noise_int.go:29`, math `noise_int64.go:19-37`). */
 case class NoiseInt(maxRatio: Double, minV: Option[Long] = None, maxV: Option[Long] = None,
                     tweak: String = "noisei") extends ScalarTransformer {
+  override def allowedInputTypes: Option[Set[String]] = Some(Set("byte", "short", "integer", "long"))
   def column(in: Column) = {
     val noised = round(in.cast("double") * (lit(1.0) + Gen.noiseRatio(Gen.u60(in, tweak), maxRatio)))
       .cast("long")
@@ -244,6 +249,7 @@ case class HashText(algo: String = "sha256", maxLength: Int = 0, salt: String = 
   * so the oracle renders in DuckDB). */
 case class Masking(style: String = "default") extends ScalarTransformer {
   override def keepNull: Boolean = true
+  override def allowedInputTypes: Option[Set[String]] = Some(Set("string"))
   def column(in: Column) = style match {
     // '*' per char via RE2-safe regexp (identical rendering in DuckDB;
     // avoids repeat()-with-column-length portability concerns)
@@ -284,6 +290,7 @@ case class Masking(style: String = "default") extends ScalarTransformer {
   * the oracle rendering; Spark accepts the superset. */
 case class RegexpReplaceT(pattern: String, replacement: String) extends ScalarTransformer {
   override def keepNull: Boolean = false
+  override def allowedInputTypes: Option[Set[String]] = Some(Set("string"))
   def column(in: Column) = regexp_replace(in, pattern, replacement)
   def oracle(in: String) = {
     val ddbRepl = replacement.replaceAll("\\$(\\d)", "\\\\$1").replace("'", "''")

@@ -52,6 +52,25 @@ class PipelineSpec extends SparkSpec {
     assert(warns.exists(w => w.severity == "warning" && w.column == "c_custkey"))
   }
 
+  test("validation flags type mismatches and FK-affecting transforms") {
+    val warns = Planner.validate(df, TableConfig("t", transforms = Seq(
+      ColumnTransform("score", Masking("default")), // int into string-only masker
+      ColumnTransform("name", Masking("default")))))
+    assert(warns.exists(w => w.severity == "error" && w.column == "score" &&
+      w.msg.contains("not in allowed types")))
+    assert(!warns.exists(w => w.column == "name"))
+    // type override silences the mismatch
+    val overridden = Planner.validate(df, TableConfig("t",
+      typeOverrides = Map("score" -> "string"),
+      transforms = Seq(ColumnTransform("score", Masking("default")))))
+    assert(!overridden.exists(_.severity == "error"))
+    // FK child column warning (orders.o_custkey references customer)
+    val ordersDf = Seq((1L, 2L)).toDF("o_orderkey", "o_custkey")
+    val fkWarns = Planner.validate(ordersDf, TableConfig("orders",
+      transforms = Seq(ColumnTransform("o_custkey", RandomInt(0, 9)))))
+    assert(fkWarns.exists(w => w.msg.contains("foreign-key")))
+  }
+
   test("applyForReferences propagates to referencing FK columns") {
     val t = RandomInt(0, 99, tweak = "ref")
     val extra = Planner.applyForReferences("customer", "c_custkey", t)
