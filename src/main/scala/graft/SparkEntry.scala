@@ -364,6 +364,18 @@ object SparkEntry {
     "q_seq_max" -> Q(
       (s, dir) => rd(s, dir, "orders").agg(max("o_orderkey").as("seq_last")),
       Some("SELECT max(o_orderkey) AS seq_last FROM orders")),
+    // window function over event time (engine breadth; ts is epoch-nanos
+    // long on the Spark side via nanosAsLong, ordering is equivalent)
+    "q_events_window" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        rd(s, dir, "events").select(col("user_id"), col("event_id"),
+          row_number().over(w).as("rn")).orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events ORDER BY user_id, event_id""")),
 
     // ----- Cmd pipe operator (external process round-trip) -----
     "q_pipe_csv" -> Q(
