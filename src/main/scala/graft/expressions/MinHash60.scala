@@ -35,6 +35,29 @@ case class MinHash60(child: Expression, salt: String, nDigests: Int)
     copy(child = newChild)
 }
 
+/** MinHash60 over word n-gram shingles built inline from the token array:
+  * `tokens -> shingles (concat_ws ' ') -> signature` in one traversal —
+  * value-identical to `MinHash60(TextOps.shingles(...))` but without
+  * materializing the shingle strings as an array column. */
+case class MinHashShingle60(child: Expression, n: Int, salt: String, nDigests: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "minhash_shingle60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHash60.evalTokens(salt, nDigests, n, input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val saltRef = ctx.addReferenceObj("salt", salt, "java.lang.String")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.MinHash60.evalTokens($saltRef, $nDigests, $n, $c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashShingle60 =
+    copy(child = newChild)
+}
+
 object MinHash60 {
   private val digests = ThreadLocal.withInitial[java.security.MessageDigest](() =>
     java.security.MessageDigest.getInstance("MD5"))
@@ -82,6 +105,48 @@ object MinHash60 {
       e += 1
     }
     if (!contributed) return new GenericArrayData(out) // all NULL
+    var i = 0
+    while (i < out.length) { out(i) = mins(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Tokens -> n-gram shingles (space-joined, matching
+    * concat_ws(' ', slice(tokens, i+1, n))) -> signature, one pass. */
+  def evalTokens(salt: String, nDigests: Int, n: Int, tokens: ArrayData): ArrayData = {
+    val nTok = tokens.numElements()
+    val out = new Array[Any](2 * nDigests)
+    if (nTok < n) return new GenericArrayData(out) // no shingles -> all NULL
+    val md = digests.get()
+    val prefixes = Array.tabulate(nDigests)(j =>
+      (salt + "/mh" + j + "|").getBytes(StandardCharsets.UTF_8))
+    val mins = Array.fill(2 * nDigests)(Long.MaxValue)
+    val toks = Array.tabulate(nTok)(i =>
+      if (tokens.isNullAt(i)) "" else tokens.getUTF8String(i).toString)
+    val sb = new java.lang.StringBuilder()
+    var s = 0
+    while (s <= nTok - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(s + k))
+        k += 1
+      }
+      val bytes = sb.toString.getBytes(StandardCharsets.UTF_8)
+      var j = 0
+      while (j < nDigests) {
+        md.reset()
+        md.update(prefixes(j))
+        md.update(bytes)
+        val d = md.digest()
+        val a = slice(d, 0)
+        val b = slice(d, 15)
+        if (a < mins(2 * j)) mins(2 * j) = a
+        if (b < mins(2 * j + 1)) mins(2 * j + 1) = b
+        j += 1
+      }
+      s += 1
+    }
     var i = 0
     while (i < out.length) { out(i) = mins(i); i += 1 }
     new GenericArrayData(out)

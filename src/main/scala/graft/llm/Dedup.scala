@@ -40,11 +40,10 @@ object Dedup {
                  shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val nStreams = bands * rowsPerBand
     val nDigests = (nStreams + 1) / 2
-    // staged projections: shingles once, then ONE native pass computing
-    // the whole signature (MinHash60), then cheap band hashing
-    val withSh = df.select(col(idCol), TextOps.shingles(col(textCol), shingleN).as("__sh"))
-    val withMh = withSh.select(col(idCol),
-      TextOps.minhashSignature(col("__sh"), nDigests).as("__mh"))
+    // ONE native pass from text to the whole signature (MinHashShingle60),
+    // then cheap band hashing
+    val withMh = df.select(col(idCol),
+      TextOps.minhashSignatureFromText(col(textCol), shingleN, nDigests).as("__mh"))
     val mh = (0 until nStreams).map(i => element_at(col("__mh"), i + 1))
     val bandCols = (0 until bands).map(b => TextOps.bandHashFrom(mh, b * rowsPerBand, rowsPerBand))
     val withBands = withMh.select(col(idCol), array(bandCols: _*).as("bands"))

@@ -64,6 +64,14 @@ object TextOps {
       graft.expressions.MinHash60(
         org.apache.spark.sql.GraftBridge.expression(shingleArr), salt, nDigests))
 
+  /** Fused text -> tokens -> shingles -> signature (no shingle array
+    * materialization; graft.expressions.MinHashShingle60). */
+  def minhashSignatureFromText(text: Column, shingleN: Int, nDigests: Int,
+                               salt: String = Gen.Salt): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.MinHashShingle60(
+        org.apache.spark.sql.GraftBridge.expression(tokens(text)), shingleN, salt, nDigests))
+
   /** LSH band hash over `rows` consecutive minhash components starting at
     * `from` — the band -> bucket key (band-join, never crossJoin).
     * NULL-propagating on purpose: a shingle-less doc gets NULL bands and
