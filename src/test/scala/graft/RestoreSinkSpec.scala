@@ -1,0 +1,49 @@
+package graft
+
+import graft.pipeline.RestoreSink
+
+import java.sql.DriverManager
+import java.util.Properties
+
+/** Restore sinks against embedded Derby (the JDBC driver Spark ships
+  * with): bulk COPY-mode write, INSERT-mode with duplicate-key exclusion. */
+class RestoreSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+
+  test("bulk JDBC restore writes and reads back") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    df.write.mode("overwrite").jdbc(url, "bulk_t", new Properties())
+    val back = spark.read.jdbc(url, "bulk_t", new Properties())
+    assert(back.count() == 3)
+    RestoreSink.bulk(df.filter($"id" > 2), url, "bulk_t", batchSize = 2)
+    assert(spark.read.jdbc(url, "bulk_t", new Properties()).count() == 4)
+  }
+
+  test("insert-mode restore excludes duplicate-key errors instead of failing") {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE ins_t") catch { case _: Throwable => () }
+      st.execute("CREATE TABLE ins_t (id BIGINT PRIMARY KEY, v VARCHAR(20))")
+      st.execute("INSERT INTO ins_t VALUES (2, 'existing')")
+      st.close()
+    } finally conn.close()
+
+    val df = Seq((1L, "one"), (2L, "dup"), (3L, "three")).toDF("id", "v").coalesce(1)
+    // Derby duplicate key SQLSTATE 23505 — excluded like the reference's
+    // error-exclusion config; batchSize=1 so only the dup row is dropped
+    RestoreSink.insertRows(df, url, "ins_t", ignoreSqlStates = Set("23505"), batchSize = 1)
+    val back = spark.read.jdbc(url, "ins_t", new Properties())
+      .as[(Long, String)].collect().toMap
+    assert(back.keySet == Set(1L, 2L, 3L))
+    assert(back(2L) == "existing") // original row kept, dup skipped
+  }
+
+  test("insert-mode without exclusions propagates the failure") {
+    intercept[Exception] {
+      RestoreSink.insertRows(Seq((2L, "dup")).toDF("id", "v"), url, "ins_t")
+    }
+  }
+}
