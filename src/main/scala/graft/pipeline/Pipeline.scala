@@ -41,6 +41,41 @@ object Catalog {
 
   def load(spark: org.apache.spark.sql.SparkSession, sfDir: String, table: String): DataFrame =
     spark.read.parquet(s"$sfDir/$table.parquet")
+
+  /** Live catalog introspection over JDBC metadata — the `pg_catalog`
+    * queries of `context/pg_catalog.go:37-160` re-expressed through
+    * `DatabaseMetaData` (portable across PG/Derby/etc.): tables, primary
+    * keys, and imported foreign keys become TableMeta/FkRef. */
+  def introspectJdbc(url: String, schema: String = null): (Seq[TableMeta], Seq[FkRef]) = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val md = conn.getMetaData
+      val tables = scala.collection.mutable.ArrayBuffer[String]()
+      val rs = md.getTables(null, schema, "%", Array("TABLE"))
+      while (rs.next()) tables += rs.getString("TABLE_NAME")
+      rs.close()
+      val metas = tables.map { t =>
+        val pks = scala.collection.mutable.ArrayBuffer[(Short, String)]()
+        val prs = md.getPrimaryKeys(null, schema, t)
+        while (prs.next()) pks += ((prs.getShort("KEY_SEQ"), prs.getString("COLUMN_NAME")))
+        prs.close()
+        TableMeta(t.toLowerCase, pks.sortBy(_._1).map(_._2.toLowerCase).toSeq)
+      }.toSeq
+      val refs = tables.flatMap { t =>
+        val frs = md.getImportedKeys(null, schema, t)
+        val rows = scala.collection.mutable.ArrayBuffer[(String, String, String, Short)]()
+        while (frs.next()) rows += ((frs.getString("PKTABLE_NAME"), frs.getString("PKCOLUMN_NAME"),
+          frs.getString("FKCOLUMN_NAME"), frs.getShort("KEY_SEQ")))
+        frs.close()
+        rows.groupBy(_._1).map { case (parent, cols) =>
+          val sorted = cols.sortBy(_._4)
+          FkRef(t.toLowerCase, sorted.map(_._3.toLowerCase).toSeq,
+            parent.toLowerCase, sorted.map(_._2.toLowerCase).toSeq)
+        }
+      }.toSeq
+      (metas, refs)
+    } finally conn.close()
+  }
 }
 
 /** One column's transform step: transformer + optional per-transformer

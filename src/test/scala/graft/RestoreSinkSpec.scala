@@ -46,4 +46,25 @@ class RestoreSinkSpec extends SparkSpec {
       RestoreSink.insertRows(Seq((2L, "dup")).toDF("id", "v"), url, "ins_t")
     }
   }
+
+  test("JDBC catalog introspection discovers PKs and FKs") {
+    val url = "jdbc:derby:memory:graftcat;create=true" // isolated db
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      for (t <- Seq("intro_child", "intro_parent"))
+        try st.execute(s"DROP TABLE $t") catch { case _: Throwable => () }
+      st.execute("CREATE TABLE intro_parent (pid BIGINT PRIMARY KEY, name VARCHAR(10))")
+      st.execute("CREATE TABLE intro_child (cid BIGINT PRIMARY KEY, " +
+        "pref BIGINT REFERENCES intro_parent(pid))")
+      st.close()
+    } finally conn.close()
+    val (tables, refs) = graft.pipeline.Catalog.introspectJdbc(url, "APP")
+    val byName = tables.map(t => t.name -> t).toMap
+    assert(byName("intro_parent").primaryKey == Seq("pid"))
+    assert(byName("intro_child").primaryKey == Seq("cid"))
+    val fk = refs.find(_.childTable == "intro_child").get
+    assert(fk.parentTable == "intro_parent" &&
+      fk.childCols == Seq("pref") && fk.parentCols == Seq("pid"))
+  }
 }
