@@ -20,6 +20,16 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
                            width: Int, height: Int, checksum: String)
 
+  /** Large-object / media-file scan (the reference's lo_open/loread
+    * streaming, `dumpers/large_object.go:35,51-160`, as a datasource):
+    * Spark's binaryFile source reads each blob with path/length/mtime
+    * metadata; `pathGlobFilter` scopes media types. */
+  def readBinaryFiles(spark: SparkSession, path: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .select(col("path"), col("length"), col("content"))
+
   /** Attach a binary payload + media metadata to a text table (stand-in
     * for reading real media blobs; schema shape is what matters). */
   def asMedia(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {

@@ -9,4 +9,30 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register graft's native expressions as SQL functions on a session
+    * (the FunctionRegistry injection a SparkSessionExtensions would do;
+    * exposed directly so `spark.sql("... u60_hash(col, 'prefix') ...")`
+    * works without a restart). */
+  def registerFunctions(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types.StringType
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("u60_hash", exprs => {
+      require(exprs.size == 2, "u60_hash(input, prefix_literal)")
+      val prefix = exprs(1) match {
+        case Literal(v, StringType) => v.toString
+        case other => throw new IllegalArgumentException(s"u60_hash: prefix must be a string literal, got $other")
+      }
+      graft.expressions.U60Hash(Cast(exprs(0), StringType), prefix)
+    }, "built-in")
+    registry.createOrReplaceTempFunction("minhash60", exprs => {
+      require(exprs.size == 3, "minhash60(shingle_array, salt_literal, n_digests)")
+      (exprs(1), exprs(2)) match {
+        case (Literal(s, StringType), Literal(n, _)) =>
+          graft.expressions.MinHash60(exprs(0), s.toString, n.toString.toInt)
+        case other => throw new IllegalArgumentException(s"minhash60: literal args required, got $other")
+      }
+    }, "built-in")
+  }
 }

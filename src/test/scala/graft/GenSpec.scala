@@ -114,6 +114,30 @@ class GenSpec extends SparkSpec {
     assert(vals.forall(_.matches("[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-8[0-9a-f]{3}-[0-9a-f]{12}")))
   }
 
+  test("longBetween is roughly uniform across buckets") {
+    val n = 5000
+    val buckets = 10
+    val counts = inputs(n).select((Gen.longBetween(Gen.u60(col("x"), "unif"), 0, buckets - 1)).as("v"))
+      .groupBy("v").count().as[(Long, Long)].collect().toMap
+    val expected = n.toDouble / buckets
+    assert(counts.size == buckets)
+    counts.foreach { case (b, c) =>
+      assert(math.abs(c - expected) < expected * 0.25, s"bucket $b count $c vs expected $expected")
+    }
+  }
+
+  test("u60_hash and minhash60 are callable from SQL after registration") {
+    org.apache.spark.sql.GraftBridge.registerFunctions(spark)
+    inputs(10).createOrReplaceTempView("u60_in")
+    val viaSql = spark.sql(
+      s"SELECT u60_hash(x, '${Gen.Salt}/t|') AS h FROM u60_in ORDER BY x").as[Long].collect()
+    val viaApi = inputs(10).select(Gen.u60(col("x"), "t").as("h")).orderBy("x").as[Long].collect()
+    assert(viaSql.sameElements(viaApi))
+    val mh = spark.sql(
+      s"SELECT minhash60(array('a b c','b c d'), '${Gen.Salt}', 2) AS m").collect().head
+    assert(mh.getSeq[Long](0).size == 4)
+  }
+
   test("decimalBetween bounds at scale") {
     val vals = inputs().select(Gen.decimalBetween(Gen.u60(col("x"), "dec"),
       BigDecimal("-10.5"), BigDecimal("10.5"), 4).cast("string").as("v")).as[String].collect()

@@ -101,6 +101,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(row._4 == fp2)
   }
 
+  test("binary-file scan reads blobs with metadata") {
+    val dir = java.nio.file.Files.createTempDirectory("blobs")
+    java.nio.file.Files.write(dir.resolve("a.bin"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(dir.resolve("b.jpg"), Array[Byte](4, 5))
+    val all = Multimodal.readBinaryFiles(spark, dir.toString).collect()
+    assert(all.length == 2 && all.map(_.getAs[Long]("length")).sorted.toSeq == Seq(2L, 3L))
+    val jpgs = Multimodal.readBinaryFiles(spark, dir.toString, "*.jpg").collect()
+    assert(jpgs.length == 1 && jpgs.head.getAs[Array[Byte]]("content").toSeq == Seq[Byte](4, 5))
+  }
+
   test("multimodal: features deterministic, frame sampling bounded") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     val feats = Multimodal.extractFeatures(media).collect()
