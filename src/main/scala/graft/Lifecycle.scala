@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.pipeline._
+import graft.subset.SubsetPlanner
+
+import java.nio.file.{Files, Paths}
+
+/** Lifecycle mains — the Spark rebuild of the reference's top-3 entry
+  * points (SURVEY §3: `greenmask dump` / `validate` / `restore`,
+  * `internal/db/postgres/cmd/{dump,validate,restore}.go`).
+  *
+  * Steps 1-5 of the reference dump (bootstrap, snapshot, catalog, config
+  * build, subset planning) are driver-side planning here; the worker pool
+  * is Spark's scheduler; the TOC is the JSON manifest.
+  */
+object Lifecycle {
+
+  def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** dump: config -> validate -> subset -> transform -> write + manifest. */
+  def dump(spark: SparkSession, configJson: String, sfDir: String, outDir: String): Manifest = {
+    val configs = ConfigLoader.fromJson(configJson)
+    // 1. validation gate (validate.go semantics: fatal on errors)
+    val warnings = configs.flatMap(c => Planner.validate(Catalog.load(spark, sfDir, c.table), c))
+    warnings.foreach(w => System.err.println(s"[${w.severity}] ${w.table}.${w.column}: ${w.msg}"))
+    require(!warnings.exists(_.severity == "error"), "dump: validation errors — aborting")
+    // 2. subset closure over the configured conds
+    val dfs = configs.map(c => c.table -> Catalog.load(spark, sfDir, c.table)).toMap
+    val conds = configs.map(c => c.table -> c.subsetConds).toMap
+    val pks = Catalog.tables.map(t => t.name -> t.primaryKey).toMap
+    val surviving = SubsetPlanner.plan(dfs, pks, Catalog.fkRefs, conds)
+    // 3. transform + write, big tables first (cost scoring)
+    val order = Manifest.dumpOrder(configs.map(c =>
+      (c.table, dfs(c.table).inputFiles.length.toLong.max(1), c.transforms.size)))
+    val dumped = order.map { t =>
+      val cfg = configs.find(_.table == t).get
+      val planned = Planner.plan(surviving(t), cfg.copy(subsetConds = Nil))
+      val path = s"$outDir/$t"
+      StorageWriter.write(planned, path)
+      (t, planned, path)
+    }
+    val manifest = Manifest.build(dumped)
+    Files.createDirectories(Paths.get(outDir))
+    Manifest.write(manifest, s"$outDir/manifest.json")
+    manifest
+  }
+
+  /** validate --data: warnings + original-vs-transformed diff counts. */
+  def validate(spark: SparkSession, configJson: String, sfDir: String,
+               rowsLimit: Int = 1000): Seq[String] = {
+    val configs = ConfigLoader.fromJson(configJson)
+    configs.flatMap { cfg =>
+      val df = Catalog.load(spark, sfDir, cfg.table)
+      val rawWarnings = Planner.validate(df, cfg)
+      val warnings = rawWarnings.map(w =>
+        s"""{"severity":"${w.severity}","table":"${w.table}","column":"${w.column}","msg":"${w.msg}"}""")
+      val pk = Catalog.tables.find(_.name == cfg.table).map(_.primaryKey).getOrElse(Seq.empty)
+      val diffLine =
+        // fatal plan errors => warnings only, no data pass (validate.go
+        // exits non-zero before the data stage)
+        if (pk.nonEmpty && cfg.transforms.nonEmpty && !rawWarnings.exists(_.severity == "error")) {
+          val sample = df.orderBy(pk.map(org.apache.spark.sql.functions.col): _*).limit(rowsLimit)
+          val diff = Validator.diff(sample, Planner.plan(sample, cfg), pk).collect().head
+          val fields = diff.schema.fieldNames.zip(diff.toSeq)
+            .map { case (n, v) => s""""$n":$v""" }.mkString(",")
+          Seq(s"""{"table":"${cfg.table}","diff":{$fields}}""")
+        } else Nil
+      warnings ++ diffLine
+    }
+  }
+
+  /** restore: manifest -> topo-ordered batches -> parquet/JDBC target. */
+  def restore(spark: SparkSession, manifestPath: String, target: String,
+              tables: Option[Set[String]] = None): Seq[String] = {
+    val all = Manifest(Manifest.readEntries(manifestPath))
+    val keep = tables.fold(all)(ts => all.filtered(ts))
+    keep.restoreBatches.flatten.map { e =>
+      val df = spark.read.parquet(e.path)
+      if (target.startsWith("jdbc:"))
+        RestoreSink.bulk(df, target, e.table, mode = org.apache.spark.sql.SaveMode.Overwrite)
+      else df.write.mode("overwrite").parquet(s"$target/${e.table}")
+      e.table
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = session()
+    args.toList match {
+      case "dump" :: cfgPath :: sfDir :: outDir :: Nil =>
+        dump(spark, Files.readString(Paths.get(cfgPath)), sfDir, outDir)
+      case "validate" :: cfgPath :: sfDir :: Nil =>
+        validate(spark, Files.readString(Paths.get(cfgPath)), sfDir).foreach(println)
+      case "restore" :: manifestPath :: target :: rest =>
+        restore(spark, manifestPath, target,
+          rest.headOption.map(_.split(",").toSet)).foreach(t => println(s"restored $t"))
+      case other =>
+        System.err.println(
+          "usage: dump <config.json> <sfDir> <outDir> | validate <config.json> <sfDir> | " +
+            "restore <manifest.json> <targetDirOrJdbcUrl> [tables,csv]")
+        sys.exit(2)
+    }
+    spark.stop()
+  }
+}

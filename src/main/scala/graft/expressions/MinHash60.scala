@@ -23,12 +23,12 @@ case class MinHash60(child: Expression, salt: String, nDigests: Int)
   override def prettyName: String = "minhash60"
 
   override protected def nullSafeEval(input: Any): Any =
-    MinHash60.eval(salt, nDigests, input.asInstanceOf[ArrayData])
+    MinHashImpl.signature(salt, nDigests, input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val saltRef = ctx.addReferenceObj("salt", salt, "java.lang.String")
     defineCodeGen(ctx, ev, c =>
-      s"graft.expressions.MinHash60.eval($saltRef, $nDigests, $c)")
+      s"graft.expressions.MinHashImpl.signature($saltRef, $nDigests, $c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHash60 =
@@ -46,19 +46,21 @@ case class MinHashShingle60(child: Expression, n: Int, salt: String, nDigests: I
   override def prettyName: String = "minhash_shingle60"
 
   override protected def nullSafeEval(input: Any): Any =
-    MinHash60.evalTokens(salt, nDigests, n, input.asInstanceOf[ArrayData])
+    MinHashImpl.signatureFromTokens(salt, nDigests, n, input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val saltRef = ctx.addReferenceObj("salt", salt, "java.lang.String")
     defineCodeGen(ctx, ev, c =>
-      s"graft.expressions.MinHash60.evalTokens($saltRef, $nDigests, $n, $c)")
+      s"graft.expressions.MinHashImpl.signatureFromTokens($saltRef, $nDigests, $n, $c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashShingle60 =
     copy(child = newChild)
 }
 
-object MinHash60 {
+/** Static helpers for generated code (separate from the expression
+  * companions — see GenImpl note on static forwarders). */
+object MinHashImpl {
   private val digests = ThreadLocal.withInitial[java.security.MessageDigest](() =>
     java.security.MessageDigest.getInstance("MD5"))
 
@@ -75,7 +77,7 @@ object MinHash60 {
     v
   }
 
-  def eval(salt: String, nDigests: Int, arr: ArrayData): ArrayData = {
+  def signature(salt: String, nDigests: Int, arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val out = new Array[Any](2 * nDigests)
     if (n == 0) return new GenericArrayData(out) // all NULL
@@ -112,7 +114,7 @@ object MinHash60 {
 
   /** Tokens -> n-gram shingles (space-joined, matching
     * concat_ws(' ', slice(tokens, i+1, n))) -> signature, one pass. */
-  def evalTokens(salt: String, nDigests: Int, n: Int, tokens: ArrayData): ArrayData = {
+  def signatureFromTokens(salt: String, nDigests: Int, n: Int, tokens: ArrayData): ArrayData = {
     val nTok = tokens.numElements()
     val out = new Array[Any](2 * nDigests)
     if (nTok < n) return new GenericArrayData(out) // no shingles -> all NULL

@@ -24,23 +24,28 @@ case class U60Hash(child: Expression, prefix: String)
   override def prettyName: String = "u60_hash"
 
   override protected def nullSafeEval(input: Any): Any =
-    U60Hash.eval(prefix, input.asInstanceOf[UTF8String])
+    GenImpl.u60(prefix, input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val prefixRef = ctx.addReferenceObj("prefix", prefix, "java.lang.String")
-    defineCodeGen(ctx, ev, c => s"graft.expressions.U60Hash.eval($prefixRef, $c)")
+    defineCodeGen(ctx, ev, c => s"graft.expressions.GenImpl.u60($prefixRef, $c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): U60Hash =
     copy(child = newChild)
 }
 
-object U60Hash {
+/** Static helpers for generated code. NOTE: deliberately NOT companion
+  * objects of the expressions — a companion method named `eval` gets no
+  * static forwarder (clash with Expression.eval), which makes Janino
+  * reject the generated call and silently falls back to interpreted
+  * execution. */
+object GenImpl {
   private val digests = ThreadLocal.withInitial[java.security.MessageDigest](() =>
     java.security.MessageDigest.getInstance("MD5"))
 
   /** Static entry shared by interpreted and generated code paths. */
-  def eval(prefix: String, s: UTF8String): Long = {
+  def u60(prefix: String, s: UTF8String): Long = {
     val md = digests.get()
     md.reset()
     md.update(prefix.getBytes(StandardCharsets.UTF_8))

@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Config-file surface — the YAML config of the reference
+  * (`internal/domains/config.go`) as JSON (json4s ships with Spark).
+  *
+  * ```json
+  * { "salt_env": "GRAFT_GLOBAL_SALT",
+  *   "tables": [
+  *     { "table": "customer",
+  *       "when": "c_custkey % 2 = 0",
+  *       "subset_conds": ["c_acctbal > 0"],
+  *       "drop_columns": ["c_comment"],
+  *       "type_overrides": {"c_acctbal": "decimal(12,2)"},
+  *       "apply_for_inherited": true,
+  *       "transforms": [
+  *         {"column": "c_name", "name": "Masking", "params": {"type": "name"},
+  *          "when": "c_nationkey > 5"}
+  *       ] } ] }
+  * ```
+  * Transformer names/params resolve through [[Registry]] — the same
+  * name->definition surface as `transformers/utils/registry.go:23-48`.
+  */
+object ConfigLoader {
+
+  def fromJson(json: String): Seq[TableConfig] = {
+    implicit val fmt: Formats = DefaultFormats
+    val root = JsonMethods.parse(json)
+    (root \ "tables") match {
+      case JArray(tables) => tables.map(parseTable)
+      case JNothing => throw new IllegalArgumentException("config: missing 'tables' array")
+      case other => throw new IllegalArgumentException(s"config: 'tables' must be an array, got $other")
+    }
+  }
+
+  private def parseTable(t: JValue): TableConfig = {
+    implicit val fmt: Formats = DefaultFormats
+    val name = (t \ "table").extractOpt[String].getOrElse(
+      throw new IllegalArgumentException("config: table entry missing 'table'"))
+    val transforms = (t \ "transforms") match {
+      case JArray(ts) => ts.map { tr =>
+        val col = (tr \ "column").extractOpt[String].getOrElse(
+          throw new IllegalArgumentException(s"config[$name]: transform missing 'column'"))
+        val tname = (tr \ "name").extractOpt[String].getOrElse(
+          throw new IllegalArgumentException(s"config[$name]: transform missing 'name'"))
+        val params = (tr \ "params").extractOpt[Map[String, String]].getOrElse(Map.empty)
+        ColumnTransform(col, Registry.build(tname, params), (tr \ "when").extractOpt[String])
+      }
+      case _ => Nil
+    }
+    TableConfig(
+      table = name,
+      when = (t \ "when").extractOpt[String],
+      transforms = transforms,
+      subsetConds = (t \ "subset_conds").extractOpt[Seq[String]].getOrElse(Nil),
+      query = (t \ "query").extractOpt[String],
+      dropColumns = (t \ "drop_columns").extractOpt[Seq[String]].getOrElse(Nil),
+      limit = (t \ "limit").extractOpt[Int],
+      typeOverrides = (t \ "type_overrides").extractOpt[Map[String, String]].getOrElse(Map.empty),
+      applyForInherited = (t \ "apply_for_inherited").extractOpt[Boolean].getOrElse(false))
+  }
+}

@@ -77,11 +77,17 @@ object Manifest {
   def write(m: Manifest, path: String): Unit =
     Files.writeString(Paths.get(path), m.toJson)
 
-  def read(spark: SparkSession, path: String): Seq[(Int, String, String)] = {
-    // minimal reader for round-trip checks: (dumpId, table, path)
-    val re = """\{"dumpId":(\d+),"table":"([^"]*)","path":"([^"]*)"""".r
-    re.findAllMatchIn(Files.readString(Paths.get(path)))
-      .map(m => (m.group(1).toInt, m.group(2), m.group(3))).toSeq
+  def read(spark: SparkSession, path: String): Seq[(Int, String, String)] =
+    readEntries(path).map(e => (e.dumpId, e.table, e.path))
+
+  /** Full manifest reader (dependencies included, for restore ordering). */
+  def readEntries(path: String): Seq[ManifestEntry] = {
+    val re = ("""\{"dumpId":(\d+),"table":"([^"]*)","path":"([^"]*)",""" +
+      """"schema":".*?","rows":(\d+),"dependsOn":\[([0-9,]*)\]\}""").r
+    re.findAllMatchIn(Files.readString(Paths.get(path))).map { m =>
+      val deps = m.group(5).split(",").filter(_.nonEmpty).map(_.toInt).toSeq
+      ManifestEntry(m.group(1).toInt, m.group(2), m.group(3), "{}", m.group(4).toLong, deps)
+    }.toSeq
   }
 }
 
