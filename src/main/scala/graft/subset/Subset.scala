@@ -112,11 +112,16 @@ object SubsetPlanner {
       * parent keys (semi-join), with NULL-escape for nullable FKs and the
       * polymorphic guard ANDed in (`graph.go:581-615`). Parent key columns
       * are re-aliased to fresh names so self-referencing FKs (same table on
-      * both sides) never hit Spark's ambiguous-self-join detection. */
+      * both sides) never hit Spark's ambiguous-self-join detection.
+      * When the referenced columns ARE the parent's primary key they are
+      * unique by catalog metadata — the distinct() (an extra shuffle+agg
+      * per edge) is skipped; left_semi joins tolerate build-side dups
+      * anyway, so distinct only matters for the left_outer escape path. */
     def applyEdge(child: DataFrame, e: FkRef, parentSurviving: DataFrame): DataFrame = {
       val fresh = e.parentCols.map(c => s"__graft_p_$c")
-      val parentKeys = parentSurviving.select(e.parentCols.map(col): _*)
-        .distinct().toDF(fresh: _*)
+      val isPk = pks.get(e.parentTable).contains(e.parentCols)
+      val rawKeys = parentSurviving.select(e.parentCols.map(col): _*)
+      val parentKeys = (if (isPk) rawKeys else rawKeys.distinct()).toDF(fresh: _*)
       val joinCond = e.childCols.zip(fresh)
         .map { case (c, p) => child(c) === parentKeys(p) }.reduce(_ && _)
       if (e.nullable || e.polymorphicCond.isDefined) {
