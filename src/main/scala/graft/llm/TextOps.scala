@@ -166,7 +166,6 @@ object TextOps {
       lang -> s"len(list_filter(${ts}, t -> list_contains(${list}, t)))"
     }
     val best = scores.map(_._2).reduceLeft((a, b) => s"greatest(${a}, ${b})")
-    val cases = scores.map { case (lang, s) => s"WHEN ${s} = __best THEN '${lang}'" }
     // single-pass via a lateral alias is not portable; inline best everywhere
     val inlined = scores.map { case (lang, s) => s"WHEN ${s} = ${best} THEN '${lang}'" }
     s"CASE WHEN ${best} <= 0 THEN 'und' ${inlined.mkString(" ")} ELSE 'und' END"

@@ -54,6 +54,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(hamming <= 6, s"near-dup hamming too far: $hamming")
   }
 
+  test("native minhash signature is value-identical to the composed form") {
+    val sh = TextOps.shingles(col("text"), 3)
+    val composed = docs.select(col("doc_id"),
+      array((0 until 8).map(i => TextOps.minhash(sh, i)): _*).as("m"))
+      .orderBy("doc_id").as[(Long, Seq[Option[Long]])].collect()
+    val native = docs.select(col("doc_id"),
+      TextOps.minhashSignature(sh, 4).as("m"))
+      .orderBy("doc_id").as[(Long, Seq[Option[Long]])].collect()
+    val fused = docs.select(col("doc_id"),
+      TextOps.minhashSignatureFromText(col("text"), 3, 4).as("m"))
+      .orderBy("doc_id").as[(Long, Seq[Option[Long]])].collect()
+    assert(native.toSeq == composed.toSeq)
+    assert(fused.toSeq == composed.toSeq)
+  }
+
   test("shingles: short docs yield empty array, no descending-sequence bug") {
     val sh = docs.filter(col("doc_id") === 5L)
       .select(TextOps.shingles(col("text"), 3).as("s")).as[Seq[String]].head()
