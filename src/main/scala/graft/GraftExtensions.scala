@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.StringType
+
+/** SparkSessionExtensions entry point — activates graft's native
+  * expressions on any session via
+  * `--conf spark.sql.extensions=graft.GraftExtensions`
+  * (the (c)-tier extension wiring from the builder brief; equivalent to
+  * `GraftBridge.registerFunctions` for already-running sessions). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("u60_hash"),
+      new ExpressionInfo(classOf[graft.expressions.U60Hash].getName, "u60_hash"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2, "u60_hash(input, prefix_literal)")
+        val prefix = exprs(1) match {
+          case Literal(v, StringType) => v.toString
+          case other => throw new IllegalArgumentException(
+            s"u60_hash: prefix must be a string literal, got $other")
+        }
+        graft.expressions.U60Hash(Cast(exprs(0), StringType), prefix)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash60"),
+      new ExpressionInfo(classOf[graft.expressions.MinHash60].getName, "minhash60"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 3, "minhash60(shingle_array, salt_literal, n_digests)")
+        (exprs(1), exprs(2)) match {
+          case (Literal(s, StringType), Literal(n, _)) =>
+            graft.expressions.MinHash60(exprs(0), s.toString, n.toString.toInt)
+          case other => throw new IllegalArgumentException(
+            s"minhash60: literal args required, got $other")
+        }
+      }))
+  }
+}

