@@ -545,6 +545,13 @@ object SparkEntry {
             FROM documents ORDER BY doc_id"""
       }),
 
+    "q_rolling_fp" -> Q(
+      (s, dir) => rd(s, dir, "documents")
+        .select(col("doc_id"), TextOps.rollingFingerprint(col("text")).as("roll_fp"))
+        .orderBy("doc_id"),
+      Some(s"SELECT doc_id, ${TextOps.rollingFingerprintSql("text")} AS roll_fp " +
+        "FROM documents ORDER BY doc_id")),
+
     // ----- LLM ops: multimodal plumbing (decode STUBbed, shape real) -----
     "q_multimodal_features" -> Q(
       (s, dir) => Multimodal.extractFeatures(

@@ -66,6 +66,20 @@ object Multimodal {
     }
   }
 
+  /** Resize stub: scale the fake decoded dimensions to fit a bounding box
+    * (a real implementation would resample pixels here — `???` boundary;
+    * the aspect-preserving math and the typed Dataset pipeline shape are
+    * the real part). */
+  def resize(features: Dataset[MediaFeatures], maxW: Int, maxH: Int): Dataset[MediaFeatures] = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    features.map { f =>
+      val scale = math.min(1.0, math.min(maxW.toDouble / f.width, maxH.toDouble / f.height))
+      f.copy(width = math.max(1, (f.width * scale).toInt),
+        height = math.max(1, (f.height * scale).toInt))
+    }
+  }
+
   /** Frame-sample stub: pick every `stride`-th byte as a fake "frame"
     * (shape of video frame-sampling: explode bounded samples per row). */
   def frameSample(media: Dataset[MediaRow], stride: Int = 64): DataFrame = {

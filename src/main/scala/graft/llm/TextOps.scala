@@ -178,6 +178,22 @@ object TextOps {
   def fingerprintSql(text: String): String =
     s"md5(array_to_string(list_sort(list_distinct(${tokensSql(text)})), ' '))"
 
+  /** Rolling-window fingerprint: min over the u60 hashes of every w-char
+    * window of the text (Rabin/winnowing-style content fingerprint — a
+    * near-identical doc shares the minimum window with high probability).
+    * NULL for texts shorter than the window. */
+  def rollingFingerprint(text: Column, w: Int = 16): Column =
+    when(length(text) >= w,
+      array_min(transform(sequence(lit(1), length(text) - (w - 1)),
+        i => Gen.u60(text.substr(i, lit(w)), "roll"))))
+      .otherwise(lit(null))
+  def rollingFingerprintSql(text: String, w: Int = 16): String = {
+    val h = OracleGen.u60(s"substr(${text}, i, ${w})", "roll")
+    s"CASE WHEN length(${text}) >= ${w} THEN " +
+      s"list_min(list_transform(generate_series(1, length(${text}) - ${w - 1}), i -> ${h})) " +
+      "ELSE NULL END"
+  }
+
   /** BPE-ish subword token count: letter-runs, digits, and punctuation
     * each count as one token (regex is RE2-safe for the oracle). */
   def bpeishCount(text: Column): Column =

@@ -126,13 +126,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(jpgs.length == 1 && jpgs.head.getAs[Array[Byte]]("content").toSeq == Seq[Byte](4, 5))
   }
 
-  test("multimodal: features deterministic, frame sampling bounded") {
+  test("multimodal: features deterministic, frame sampling bounded, resize fits") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
-    val feats = Multimodal.extractFeatures(media).collect()
-    assert(feats.length == 5)
-    assert(feats.forall(f => f.width >= 1 && f.width <= 1024))
-    assert(feats.map(_.kind).toSet.subsetOf(Set("image", "audio", "video")))
+    val feats = Multimodal.extractFeatures(media)
+    val collected = feats.collect()
+    assert(collected.length == 5)
+    assert(collected.forall(f => f.width >= 1 && f.width <= 1024))
+    assert(collected.map(_.kind).toSet.subsetOf(Set("image", "audio", "video")))
     val frames = Multimodal.frameSample(media, stride = 4).collect()
     assert(frames.forall(_.getInt(1) < 8)) // take(8) bound
+    val resized = Multimodal.resize(feats, 100, 100).collect()
+    assert(resized.forall(f => f.width <= 100 && f.height <= 100 && f.width >= 1))
+  }
+
+  test("rolling fingerprint: shared for identical docs, null for short docs") {
+    val fps = docs.select(col("doc_id"), TextOps.rollingFingerprint(col("text")).as("fp"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(fps(1L).isDefined && fps(1L) == fps(2L)) // identical docs
+    assert(fps(5L).isEmpty) // "tiny" shorter than window
   }
 }
