@@ -179,19 +179,39 @@ case class NoiseFloat(maxRatio: Double, decimals: Int = 4,
   }
 }
 
-/** NoiseNumeric on DecimalType (ref `noise_numeric.go:31`). */
+/** NoiseNumeric on DecimalType (ref `noise_numeric.go:31`).
+  *
+  * Computed entirely in exact integer arithmetic — value at `scale` as
+  * integer units times the exact ratio numerator (10000 + k), rounded
+  * half-away-from-zero by explicit +5000/div — because engine decimal
+  * casts disagree on rounding ties (Spark HALF_UP vs DuckDB), which a
+  * float path hits ~1/10^4 rows at scale. Exact while
+  * |v|·10^scale·2·10^4 < 2^53 (plenty for money-like columns). */
 case class NoiseNumeric(maxRatio: Double, scale: Int = 2,
                         minV: Option[BigDecimal] = None, maxV: Option[BigDecimal] = None,
                         tweak: String = "noisen") extends ScalarTransformer {
+  require(maxRatio > 0 && maxRatio <= 1, "NoiseNumeric: maxRatio in (0,1]")
   private val t = s"decimal(38,$scale)"
+  private val steps = math.round(maxRatio * 10000).toInt
+  private val unit = BigDecimal(1L, scale) // 10^-scale exactly
   def column(in: Column) = {
-    val noised = (in.cast(t) * (lit(1.0) + Gen.noiseRatio(Gen.u60(in, tweak), maxRatio))).cast(t)
+    val k = Gen.u60(in, tweak) % (2 * steps + 1) - steps
+    val vUnits = (in.cast(s"decimal(20,$scale)") * math.pow(10, scale).toLong).cast("long")
+    val prod = vUnits * (lit(10000L) + k)
+    val sgn = when(prod < 0, lit(-1L)).otherwise(lit(1L))
+    val rounded = sgn * floor((abs(prod).cast("double") + 5000.0) / 10000.0).cast("long")
+    val noised = (rounded.cast("decimal(19,0)") *
+      lit(unit.underlying).cast(s"decimal(${scale + 1},$scale)")).cast(t)
     val lo = minV.fold(noised)(m => greatest(noised, lit(m.underlying).cast(t)))
     maxV.fold(lo)(m => least(lo, lit(m.underlying).cast(t)))
   }
   def oracle(in: String) = Some {
     val st = s"DECIMAL(38,$scale)"
-    val noised = s"((${in})::${st} * (1.0 + ${OracleGen.noiseRatio(OracleGen.u60(in, tweak), maxRatio)}))::${st}"
+    val k = s"((${OracleGen.u60(in, tweak)}) % ${2 * steps + 1} - ${steps})"
+    val vUnits = s"((${in})::DECIMAL(20,$scale) * ${math.pow(10, scale).toLong})::BIGINT"
+    val prod = s"(${vUnits} * (10000 + ${k}))"
+    val rounded = s"((CASE WHEN ${prod} < 0 THEN -1 ELSE 1 END) * ((abs(${prod}) + 5000) // 10000))"
+    val noised = s"((${rounded})::DECIMAL(19,0) * (${unit})::DECIMAL(${scale + 1},$scale))::${st}"
     val lo = minV.fold(noised)(m => s"greatest(${noised}, (${m})::${st})")
     maxV.fold(lo)(m => s"least(${lo}, (${m})::${st})")
   }
