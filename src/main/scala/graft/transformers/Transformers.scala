@@ -163,7 +163,13 @@ case class NoiseInt(maxRatio: Double, minV: Option[Long] = None, maxV: Option[Lo
   }
 }
 
-/** NoiseFloat (ref `noise_float.go:29`). */
+/** NoiseFloat (ref `noise_float.go:29`).
+  *
+  * Rounding-tie note: the exact rational product lands on a half-way
+  * value ~1e-4 of rows; Spark rounds it via the double's shortest decimal
+  * repr (HALF_UP) while DuckDB scales and std::rounds — both resolve away
+  * from zero, verified on all ties at sf0.1. For strictly-constructive
+  * parity semantics use [[NoiseNumeric]] (pure integer arithmetic). */
 case class NoiseFloat(maxRatio: Double, decimals: Int = 4,
                       minV: Option[Double] = None, maxV: Option[Double] = None,
                       tweak: String = "noisef") extends ScalarTransformer {
