@@ -41,14 +41,22 @@ object Lifecycle {
     val conds = configs.map(c => c.table -> c.subsetConds).toMap
     val pks = Catalog.tables.map(t => t.name -> t.primaryKey).toMap
     val surviving = SubsetPlanner.plan(dfs, pks, Catalog.fkRefs, conds)
-    // 3. transform + write, big tables first (cost scoring)
+    // 3. transform + write: jobs submitted concurrently, big tables first
+    // (cost scoring orders submission; Spark's scheduler is the worker
+    // pool — the analog of dump.go:415-433's N-job pool)
     val order = Manifest.dumpOrder(configs.map(c =>
       (c.table, dfs(c.table).inputFiles.length.toLong.max(1), c.transforms.size)))
-    val dumped = order.map { t =>
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val jobs = order.map { t =>
       val cfg = configs.find(_.table == t).get
       val planned = Planner.plan(surviving(t), cfg.copy(subsetConds = Nil))
       val path = s"$outDir/$t"
-      StorageWriter.write(planned, path)
+      (t, planned, path, Future(StorageWriter.write(planned, path)))
+    }
+    val dumped = jobs.map { case (t, planned, path, job) =>
+      Await.result(job, Duration.Inf)
       (t, planned, path)
     }
     val manifest = Manifest.build(dumped)

@@ -65,6 +65,12 @@ class LifecycleE2ESpec extends SparkSpec {
     val target2 = Files.createTempDirectory("graftrestore2").toString
     val only = Lifecycle.restore(spark, s"$outDir/manifest.json", target2, Some(Set("orders")))
     assert(only == Seq("customer", "orders")) // customer pulled in as dep
+
+    // JDBC restore target (COPY-mode bulk path end-to-end)
+    val jdbcUrl = "jdbc:derby:memory:graftrestore;create=true"
+    Lifecycle.restore(spark, s"$outDir/manifest.json", jdbcUrl, Some(Set("customer")))
+    val restored = spark.read.jdbc(jdbcUrl, "customer", new java.util.Properties())
+    assert(restored.count() == c.count())
   }
 
   test("validate reports warnings and diff counts as JSON lines") {
