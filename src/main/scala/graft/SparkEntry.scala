@@ -422,6 +422,21 @@ object SparkEntry {
       Some("""SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS rep_id,
               doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS is_rep
               FROM documents ORDER BY doc_id""")),
+    "q_text_normalize" -> Q(
+      (s, dir) => rd(s, dir, "documents")
+        .select(col("doc_id"), TextOps.normalize(col("text")).as("norm"))
+        .orderBy("doc_id"),
+      Some(s"SELECT doc_id, ${TextOps.normalizeSql("text")} AS norm FROM documents ORDER BY doc_id")),
+    "q_dedup_quality_rep" -> Q(
+      (s, dir) => Dedup.exactQualityRep(rd(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some {
+        val norm = TextOps.normalizeSql("text")
+        s"""SELECT doc_id, sha256(${norm}) AS norm_hash,
+            row_number() OVER (PARTITION BY sha256(${norm})
+              ORDER BY length(text) DESC, doc_id) = 1 AS keep
+            FROM documents ORDER BY doc_id"""
+      }),
     "q_dedup_minhash" -> Q(
       (s, dir) => Dedup.minhashLsh(rd(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id"),

@@ -27,6 +27,21 @@ object Dedup {
       .select(col(idCol), col("rep_id"), (col(idCol) === col("rep_id")).as("is_rep"))
   }
 
+  /** Quality-aware exact dedup: within each normalized-content group keep
+    * the LONGEST raw doc (training pipelines prefer the least-truncated
+    * variant), tie-broken by id for determinism. Window row_number (not
+    * max_by) so representative selection is fully specified. */
+  def exactQualityRep(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("norm_hash")
+      .orderBy(col("n_chars").desc, col(idCol))
+    df.select(col(idCol), col(textCol),
+        sha2(TextOps.normalize(col(textCol)), 256).as("norm_hash"),
+        length(col(textCol)).as("n_chars"))
+      .withColumn("rank", row_number().over(w))
+      .select(col(idCol), col("norm_hash"), (col("rank") === 1).as("keep"))
+  }
+
   /** MinHash-LSH near-dup: shingle -> minhash signature -> band buckets ->
     * per-bucket representative -> per-doc representative (min over its
     * bands). Docs sharing any band bucket collapse to one representative —

@@ -16,6 +16,14 @@ object TextOps {
   def tokens(text: Column): Column = split(text, " ")
   def tokensSql(text: String): String = s"string_split(${text}, ' ')"
 
+  /** Canonical text normalization for dedup/training pipelines: lowercase,
+    * strip non-alphanumerics to spaces, collapse runs, trim. RE2-safe so
+    * the oracle renders identically. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+  def normalizeSql(text: String): String =
+    s"trim(regexp_replace(regexp_replace(lower(${text}), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
   /** Word n-gram shingles; empty array when the doc has fewer than n
     * tokens (guards Spark's descending-sequence pitfall). */
   def shingles(text: Column, n: Int): Column = {

@@ -23,6 +23,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(reps(3L) == 3L && reps(4L) == 4L)
   }
 
+  test("quality-aware dedup keeps the longest variant, deterministic tie-break") {
+    val variants = Seq(
+      (1L, "The  quick, brown fox!"),        // normalizes same as 2
+      (2L, "the quick brown fox"),
+      (3L, "the quick brown fox JUMPED far"), // distinct content
+      (4L, "the quick brown fox jumped far")) // same normalized as 3, same len
+    val df = variants.toDF("doc_id", "text")
+    val out = Dedup.exactQualityRep(df, "doc_id", "text")
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out(1L) && !out(2L)) // 1 is longer than 2 after same normalization
+    assert(out(3L) && !out(4L)) // equal length => lower id wins
+  }
+
+  test("normalize collapses case, punctuation, and whitespace runs") {
+    val n = Seq("  The,, QUICK--brown   fox!  ").toDF("t")
+      .select(TextOps.normalize(col("t"))).as[String].head()
+    assert(n == "the quick brown fox")
+  }
+
   test("minhash LSH: exact dups share a representative, distinct docs don't") {
     val reps = Dedup.minhashLsh(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
