@@ -132,6 +132,32 @@ object Similarity {
       .drop("__sims")
   }
 
+  /** Lloyd's refinement of the IVF coarse quantizer: assign -> per-cluster
+    * elementwise mean -> repeat. The mean is computed distributed
+    * (posexplode + groupBy(cluster, dim)); only k*dim doubles come back to
+    * the driver per iteration. Empty clusters keep their old centroid. */
+  def kmeansRefine(df: DataFrame, vecCol: String, centroids: Seq[Array[Double]],
+                   iters: Int = 3): Seq[Array[Double]] = {
+    var cs = centroids
+    for (_ <- 0 until iters) {
+      val assigned = ivfAssign(df, vecCol, cs)
+      val means = assigned
+        .select(col("cluster"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos")
+        .agg(avg(col("v").cast("double")).as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getInt(0))
+      cs = cs.zipWithIndex.map { case (old, i) =>
+        byCluster.get(i).map { rows =>
+          val arr = old.clone()
+          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          arr
+        }.getOrElse(old)
+      }
+    }
+    cs
+  }
+
   /** Probe the nProbe nearest centroid lists with the exact metric. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, query: Seq[Double],
               k: Int, centroids: Seq[Array[Double]], nProbe: Int): DataFrame = {

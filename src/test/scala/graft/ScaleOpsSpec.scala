@@ -63,6 +63,29 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("k-means refinement improves (or keeps) partial-probe recall") {
+    // two tight clusters around +e1 and -e1
+    val vecs = (0 until 200).map { i =>
+      val sign = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Seq(sign, (i % 5).toFloat / 50f, ((i % 3) - 1).toFloat / 50f))
+    }.toDF("vec_id", "embedding")
+    val q = Seq(1.0, 0.0, 0.0)
+    val initial = Similarity.ivfCentroids(vecs, "vec_id", "embedding", 4)
+    val refined = Similarity.kmeansRefine(vecs, "embedding", initial, iters = 3)
+    assert(refined.size == initial.size)
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    def recall(cs: Seq[Array[Double]]) =
+      Similarity.ivfTopK(vecs, "vec_id", "embedding", q, 10, cs, nProbe = 1)
+        .select("vec_id").as[Long].collect().count(brute) / 10.0
+    assert(recall(refined) >= recall(initial))
+    assert(recall(refined) >= 0.9) // refined 1-probe finds the +e1 cluster
+    // full probe with refined centroids is still exact
+    val full = Similarity.ivfTopK(vecs, "vec_id", "embedding", q, 10, refined, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(full == brute)
+  }
+
   test("IVF: full probe equals brute force; partial probe is a valid subset") {
     val vecs = (0 until 200).map { i =>
       val base = if (i % 4 == 0) 1.0f else if (i % 4 == 1) -1.0f else 0.5f
