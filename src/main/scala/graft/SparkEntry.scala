@@ -422,6 +422,16 @@ object SparkEntry {
       Some("""SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS rep_id,
               doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS is_rep
               FROM documents ORDER BY doc_id""")),
+    "q_sample_hash" -> Q(
+      (s, dir) => Sampling.hashSample(rd(s, dir, "documents"), "doc_id", 10)
+        .select("doc_id", "lang").orderBy("doc_id"),
+      Some(s"SELECT doc_id, lang FROM documents WHERE ${Sampling.hashSampleSql("doc_id", 10)} " +
+        "ORDER BY doc_id")),
+    "q_sample_stratified" -> Q(
+      (s, dir) => Sampling.stratifiedQuota(rd(s, dir, "documents"), "lang", "doc_id", 5)
+        .select("doc_id", "lang").orderBy("doc_id"),
+      Some(Sampling.stratifiedQuotaSql("documents", "lang", "doc_id", 5,
+        "doc_id, lang") + " ORDER BY doc_id")),
     "q_text_normalize" -> Q(
       (s, dir) => rd(s, dir, "documents")
         .select(col("doc_id"), TextOps.normalize(col("text")).as("norm"))

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Similarity, TextOps, Multimodal}
+import graft.llm.{Dedup, Sampling, Similarity, TextOps, Multimodal}
 
 /** LLM-pipeline operators: dedup correctness + the no-crossJoin plan
   * guarantee, similarity ranking, text analysis, multimodal plumbing. */
@@ -114,6 +114,18 @@ class LlmOpsSpec extends SparkSpec {
       threshold = 0.99, nPlanes = 4, dim = 8).as[(Long, Long, Double)].collect()
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L))
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("deterministic sampling: stable across runs, quota respected") {
+    val big = (1L to 1000L).map(i => (i, s"lang${i % 3}")).toDF("doc_id", "lang")
+    val s1 = Sampling.hashSample(big, "doc_id", 10).as[(Long, String)].collect().toSet
+    val s2 = Sampling.hashSample(big.repartition(7), "doc_id", 10).as[(Long, String)].collect().toSet
+    assert(s1 == s2) // partition-invariant
+    assert(s1.size > 50 && s1.size < 200) // ~10%
+    val strat = Sampling.stratifiedQuota(big, "lang", "doc_id", 7)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(strat.values.forall(_ == 7))
+    intercept[IllegalArgumentException](Sampling.hashSample(big, "doc_id", 1))
   }
 
   test("text analysis stats are sane") {
