@@ -38,6 +38,20 @@ class GenSpec extends SparkSpec {
     assert(n.isEmpty)
   }
 
+  test("salt is injectable everywhere (no fixed-salt re-derivation)") {
+    val df = inputs(50)
+    def vals(c: org.apache.spark.sql.Column) = df.select(c.as("v")).as[String].collect().toSeq
+    assert(df.select(Gen.u60(col("x"), "t", "saltA")).as[Long].collect().toSeq !=
+      df.select(Gen.u60(col("x"), "t", "saltB")).as[Long].collect().toSeq)
+    assert(vals(Gen.hexString(col("x"), "t", lit(8), "saltA")) !=
+      vals(Gen.hexString(col("x"), "t", lit(8), "saltB")))
+    assert(vals(Gen.uuidFrom(col("x"), "t", "saltA")) != vals(Gen.uuidFrom(col("x"), "t", "saltB")))
+    assert(vals(Gen.macFrom(col("x"), "t", Seq("02"), "saltA")) !=
+      vals(Gen.macFrom(col("x"), "t", Seq("02"), "saltB")))
+    assert(vals(Gen.ipv6InCidr(col("x"), "t", "2001:db8::/32", "saltA")) !=
+      vals(Gen.ipv6InCidr(col("x"), "t", "2001:db8::/32", "saltB")))
+  }
+
   test("u60 streams with different tweaks are independent") {
     val pairs = inputs().select(Gen.u60(col("x"), "a"), Gen.u60(col("x"), "b"))
       .as[(Long, Long)].collect()
