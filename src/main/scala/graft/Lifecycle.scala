@@ -89,19 +89,79 @@ object Lifecycle {
     }
   }
 
-  /** restore: manifest -> topo-ordered batches -> parquet/JDBC target. */
+  /** restore: manifest -> topo-ordered batches -> parquet/JDBC target.
+    * Before writing each table, the stored schema snapshot is diffed
+    * against the data actually on disk (`database_schema.go:33-115`
+    * analog) — drift (added/removed/retyped columns since dump time) is
+    * reported to stderr rather than silently restored. */
   def restore(spark: SparkSession, manifestPath: String, target: String,
               tables: Option[Set[String]] = None): Seq[String] = {
     val all = Manifest(Manifest.readEntries(manifestPath))
     val keep = tables.fold(all)(ts => all.filtered(ts))
     keep.restoreBatches.flatten.map { e =>
       val df = spark.read.parquet(e.path)
+      Manifest.schemaOf(e).foreach { stored =>
+        val drift = Validator.schemaDiff(stored, df.schema)
+        drift.foreach(d => System.err.println(s"[schema-diff] ${e.table}: $d"))
+      }
       if (target.startsWith("jdbc:"))
         RestoreSink.bulk(df, target, e.table, mode = org.apache.spark.sql.SaveMode.Overwrite)
       else df.write.mode("overwrite").parquet(s"$target/${e.table}")
       e.table
     }
   }
+
+  // ---------------------------------------------------------------------
+  // Utility command surface (`cmd/greenmask/cmd/*`): list-dumps /
+  // show-dump / delete over the manifest directory layout, plus
+  // list-transformers / show-transformer over the registry.
+  // ---------------------------------------------------------------------
+
+  /** One line per dump directory (a subdir of `root` holding
+    * manifest.json): name, table count, total rows — `list-dumps`. */
+  def listDumps(root: String): Seq[String] = {
+    val dir = Paths.get(root)
+    if (!Files.isDirectory(dir)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(dir).iterator().asScala.toSeq.sorted
+        .filter(p => Files.exists(p.resolve("manifest.json")))
+        .map { p =>
+          val entries = Manifest.readEntries(p.resolve("manifest.json").toString)
+          s"${p.getFileName} tables=${entries.size} rows=${entries.map(_.rows).sum}"
+        }
+    }
+  }
+
+  /** Per-entry detail of one dump — `show-dump`. */
+  def showDump(manifestPath: String): Seq[String] =
+    Manifest.readEntries(manifestPath).map(e =>
+      s"${e.dumpId} ${e.table} rows=${e.rows} path=${e.path} " +
+        s"dependsOn=[${e.dependsOn.mkString(",")}]")
+
+  /** Delete one dump directory (recursively) — `delete`. */
+  def deleteDump(root: String, name: String): Boolean = {
+    val dir = Paths.get(root, name)
+    if (!Files.isDirectory(dir) || !Files.exists(dir.resolve("manifest.json"))) false
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+      true
+    }
+  }
+
+  /** Registry names — `list-transformers`. */
+  def listTransformers(): Seq[String] = Registry.factories.keys.toSeq.sorted
+
+  /** One transformer's definition — `show-transformer` (the reference
+    * prints the parameter definitions; ours are stringly-typed factory
+    * params, shown by building the default instance). */
+  def showTransformer(name: String): String =
+    Registry.factories.get(name) match {
+      case Some(f) => s"$name: ${f(Map.empty).toString}"
+      case None => s"$name: unknown transformer"
+    }
 
   def main(args: Array[String]): Unit = {
     val spark = session()
@@ -113,10 +173,19 @@ object Lifecycle {
       case "restore" :: manifestPath :: target :: rest =>
         restore(spark, manifestPath, target,
           rest.headOption.map(_.split(",").toSet)).foreach(t => println(s"restored $t"))
+      case "list-dumps" :: root :: Nil => listDumps(root).foreach(println)
+      case "show-dump" :: manifestPath :: Nil => showDump(manifestPath).foreach(println)
+      case "delete" :: root :: name :: Nil =>
+        if (deleteDump(root, name)) println(s"deleted $name")
+        else { System.err.println(s"no dump named $name under $root"); sys.exit(1) }
+      case "list-transformers" :: Nil => listTransformers().foreach(println)
+      case "show-transformer" :: name :: Nil => println(showTransformer(name))
       case other =>
         System.err.println(
           "usage: dump <config.json> <sfDir> <outDir> | validate <config.json> <sfDir> | " +
-            "restore <manifest.json> <targetDirOrJdbcUrl> [tables,csv]")
+            "restore <manifest.json> <targetDirOrJdbcUrl> [tables,csv] | " +
+            "list-dumps <root> | show-dump <manifest.json> | delete <root> <name> | " +
+            "list-transformers | show-transformer <name>")
         sys.exit(2)
     }
     spark.stop()

@@ -118,6 +118,13 @@ object SparkEntry {
     "q_hash_sha256" -> scalar("customer", "c_custkey", col("c_name"), "c_name", HashText("sha256")),
     "q_hash_md5_trunc" -> scalar("customer", "c_custkey", col("c_name"), "c_name",
       HashText("md5", maxLength = 16)),
+    // rows-only: DuckDB 1.0 has no sha3 — NIST vectors + cross-partition
+    // determinism are pinned in TransformerSpec instead
+    "q_hash_sha3_256" -> Q(
+      (s, dir) => rd(s, dir, "customer")
+        .select(CK, HashText("sha3-256").applied(col("c_name")).as("masked"))
+        .orderBy("c_custkey"),
+      None),
     "q_masking_styles" -> Q(
       (s, dir) => {
         val styles = Seq("default", "name", "addr", "email", "mobile", "tel",
@@ -394,6 +401,18 @@ object SparkEntry {
           .select(col("sk").cast("long").as("sk"), col("nm")).orderBy("sk")
       },
       Some("SELECT s_suppkey AS sk, s_name AS nm FROM supplier ORDER BY sk")),
+    // affected_columns scoping: only `seg` is sent to (and replaced by)
+    // the process — `ck` never crosses the process boundary
+    // (ref `cmd.go:50-140` affected/not_affected column merge)
+    "q_pipe_affected" -> Q(
+      (s, dir) => {
+        val in = rd(s, dir, "customer")
+          .select(CK.cast("string").as("ck"), col("c_mktsegment").as("seg"))
+        Pipe.through(in, Seq("/usr/bin/tr", "[:upper:]", "[:lower:]"), "csv",
+            graft.ops.PipeOptions(affectedColumns = Seq("seg")))
+          .select(col("ck").cast("long").as("ck"), col("seg")).orderBy("ck")
+      },
+      Some("SELECT c_custkey AS ck, lower(c_mktsegment) AS seg FROM customer ORDER BY ck")),
 
     // ----- Json transformer -----
     "q_json_get" -> Q(
@@ -401,13 +420,30 @@ object SparkEntry {
         .select(col("event_id"), get_json_object(col("props"), "$.k").as("k_val"))
         .orderBy("event_id"),
       Some("SELECT event_id, json_extract_string(props, '$.k') AS k_val FROM events ORDER BY event_id")),
-    "q_json_set" -> Q( // rows-only: map key-order of re-serialization is engine-specific
-      (s, dir) => rd(s, dir, "events")
-        .select(col("event_id"),
-          JsonTransform(Seq(JsonSet("k", lit("42")), JsonSet("masked", lit("true"))))
-            .applied(col("props")).as("props"))
-        .orderBy("event_id"),
-      None),
+    // Nested gjson-path set/delete with CANONICAL (key-sorted, compact)
+    // rendering — full-string oracle compare (props is {"k": <int>}, so
+    // the expected canonical doc is constructible in DuckDB from $.k).
+    "q_json_set" -> Q(
+      (s, dir) => {
+        import graft.expressions.JsonEditOp
+        // doc1: nested set creates intermediate object + array; k untouched
+        val doc1 = JsonNested(Seq(
+          JsonEditOp("set", "meta.src", "\"masked\""),
+          JsonEditOp("set", "meta.arr.1", "7"),
+          JsonEditOp("delete", "not_there"))).applied(col("props"))
+        // doc2: delete an existing key, then set a nested path
+        val doc2 = JsonNested(Seq(
+          JsonEditOp("delete", "k"),
+          JsonEditOp("set", "a.b", "\"x\""))).applied(col("props"))
+        rd(s, dir, "events")
+          .select(col("event_id"), doc1.as("doc1"), doc2.as("doc2"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+              ('{"k":' || CAST(json_extract(props, '$.k') AS VARCHAR) ||
+               ',"meta":{"arr":[null,7],"src":"masked"}}') AS doc1,
+              '{"a":{"b":"x"}}' AS doc2
+              FROM events ORDER BY event_id""")),
 
     // ----- LLM ops: dedup -----
     "q_dedup_exact" -> Q(
@@ -532,6 +568,17 @@ object SparkEntry {
               (SELECT ${bucket} AS bucket FROM embeddings)
             GROUP BY bucket ORDER BY bucket"""
       }),
+    // IVF coarse quantizer end-to-end: hash-rank seed (TakeOrderedAndProject,
+    // no global sort/count) -> assign -> 2-probe -> exact top-k; membership
+    // projection like q_knn_brute
+    "q_ivf_topk" -> Q(
+      (s, dir) => {
+        val df = rd(s, dir, "embeddings")
+        val cents = Similarity.ivfCentroids(df, "vec_id", "embedding", 8)
+        Similarity.ivfTopK(df, "vec_id", "embedding", Similarity.testQuery(64), 20,
+          cents, nProbe = 2).select("vec_id").orderBy("vec_id")
+      },
+      Some(Similarity.ivfMembershipSql(Similarity.testQuery(64), 20, 8, 2, 64))),
     "q_embed_neardup" -> Q(
       (s, dir) => Similarity.cosineNearDupPairs(rd(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.8, nPlanes = 8, dim = 64).select("id_a", "id_b").orderBy("id_a", "id_b"),

@@ -97,16 +97,23 @@ object Dedup {
       TextOps.minhashSignature(col("__sh"), (nStreams + 1) / 2).as("__mh"))
     val mh = (0 until nStreams).map(i => element_at(col("__mh"), i + 1))
     val bandCols = (0 until bands).map(b => TextOps.bandHashFrom(mh, b * rowsPerBand, rowsPerBand))
-    val base = withMh.select(col("id"),
-      array_distinct(col("__sh")).as("shingles"), array(bandCols: _*).as("bands"))
-    val exploded = base.select(col("id"), col("shingles"), explode_outer(col("bands")).as("band"))
+    // The band explode / pair join / pair-dedup pipeline carries (id, band)
+    // and (id_a, id_b) ONLY — the shingle arrays never enter these
+    // exchanges (round-2 verdict: distinct() over rows holding both
+    // arrays shuffled every shingle set twice). Arrays are joined back by
+    // id once, after the pair set is deduped.
+    val bandsDf = withMh.select(col("id"), array(bandCols: _*).as("bands"))
+      .select(col("id"), explode_outer(col("bands")).as("band"))
       .filter(col("band").isNotNull)
-    val a = exploded.as("a")
-    val b = exploded.as("b")
-    val pairs = a.join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+    val a = bandsDf.as("a")
+    val b = bandsDf.as("b")
+    val pairIds = a.join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    val shing = withSh.select(col("id"), array_distinct(col("__sh")).as("sh"))
+    val pairs = pairIds
+      .join(shing.toDF("id_a", "sh_a"), "id_a")
+      .join(shing.toDF("id_b", "sh_b"), "id_b")
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
     pairs.select(col("id_a"), col("id_b"),

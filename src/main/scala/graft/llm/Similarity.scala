@@ -110,15 +110,18 @@ object Similarity {
   // partition key (partition pruning on probe).
   // ---------------------------------------------------------------------
 
-  /** Deterministic centroid pick: every (n/k)-th row by id order — cheap,
-    * reproducible; swap for k-means refinement when recall matters. */
+  /** Deterministic centroid seeding by hash rank: the k rows with the
+    * smallest `u60(id, "ivf")` (id tie-break). `orderBy(...).limit(k)`
+    * compiles to TakeOrderedAndProject — per-partition heap, exactly k
+    * rows to the driver — so seeding costs one scan regardless of corpus
+    * size (the round-2 single-partition GlobalLimit over ~the whole table
+    * is gone, and so is the extra `count()` job). Hash rank is a uniform
+    * pseudo-random draw that is reproducible across runs and
+    * partitionings, same contract as the hash engine. */
   def ivfCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int): Seq[Array[Double]] = {
     require(k > 0, "ivfCentroids: k must be positive")
-    val n = df.count()
-    val step = math.max(n / k, 1L)
     df.select(col(idCol), col(vecCol))
-      .orderBy(idCol).limit((k * step).toInt)
-      .where(pmod(col(idCol), lit(step)) === 0)
+      .orderBy(graft.generators.Gen.u60(col(idCol), "ivf"), col(idCol))
       .limit(k)
       .collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray).toSeq
@@ -202,4 +205,38 @@ object Similarity {
   def pairCosineSql(vecA: String, vecB: String, dim: Int): String =
     s"(list_sum(list_transform(generate_series(1,$dim), i -> (${vecA})[i]::DOUBLE * (${vecB})[i]::DOUBLE)) " +
       s"/ (${normSql(vecA)} * ${normSql(vecB)}))"
+
+  /** DuckDB rendering of the whole IVF path (seed -> assign -> probe ->
+    * exact top-k), membership projection only (ulp-robust, like
+    * `q_knn_brute`). Mirrors [[ivfCentroids]] (hash-rank seed, same u60),
+    * [[ivfAssign]] (argmax with first-index tie-break == row_number by
+    * sim DESC, ci) and [[ivfTopK]] (nProbe nearest centroid lists). */
+  def ivfMembershipSql(query: Seq[Double], k: Int, nCent: Int, nProbe: Int, dim: Int): String = {
+    val u60 = graft.generators.OracleGen.u60("vec_id", "ivf")
+    val sim = pairCosineSql("e.embedding", "c.cvec", dim)
+    val centToQ = cosineToSql("cvec", query)
+    val candCos = cosineToSql("a.embedding", query)
+    s"""WITH csel AS (
+          SELECT vec_id, embedding FROM embeddings ORDER BY ${u60}, vec_id LIMIT ${nCent}
+        ), cent AS (
+          SELECT row_number() OVER (ORDER BY ${u60}, vec_id) - 1 AS ci, embedding AS cvec
+          FROM csel
+        ), sims AS (
+          SELECT e.vec_id, e.embedding, c.ci, ${sim} AS sim FROM embeddings e, cent c
+        ), assigned AS (
+          SELECT vec_id, embedding, ci,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, ci) AS rn
+          FROM sims
+        ), probes AS (
+          SELECT ci FROM (
+            SELECT ci, row_number() OVER (ORDER BY ${centToQ} DESC, ci) AS pr FROM cent)
+          WHERE pr <= ${nProbe}
+        )
+        SELECT vec_id FROM (
+          SELECT a.vec_id, ${candCos} AS cq
+          FROM assigned a JOIN probes p ON a.ci = p.ci
+          WHERE a.rn = 1
+          ORDER BY cq DESC, a.vec_id LIMIT ${k}
+        ) ORDER BY vec_id"""
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.types.{StructType, StringType, StructField}
 
 import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
-import scala.collection.mutable.ArrayBuffer
+import java.util.concurrent.{ArrayBlockingQueue, TimeUnit}
 
 /** External-process row transformer — the Spark rebuild of the reference's
   * `Cmd` transformer (`transformers/cmd.go:50-140`, framing protocol
@@ -17,21 +17,44 @@ import scala.collection.mutable.ArrayBuffer
   * that is one process per task — the same worker-pool shape the reference
   * builds by hand with goroutines (`transformation_window.go`), inherited
   * from Spark's scheduler for free.
+  *
+  * Streaming, not materializing: rows flow feeder -> process -> output
+  * iterator through a BOUNDED queue (the reference streams with 1 MiB
+  * buffers, `restorers/table.go:37`); memory is O(queueCapacity), never
+  * O(partition) — a wide-row partition holding GBs of strings streams
+  * through in constant space.
   */
 /** Cmd execution options (ref `transformers/cmd.go:50-140`): per-process
   * timeout (default 2s in the reference, 0 = unlimited here), expected
-  * exit code, and null-input skip behavior (`skip_on_null_input` with
-  * any/all semantics — skipped rows bypass the process and pass through
-  * unchanged). */
+  * exit code, null-input skip behavior (`skip_on_null_input` with any/all
+  * semantics — skipped rows bypass the process and pass through
+  * unchanged), and column scoping:
+  *
+  *  - `affectedColumns` (ref `affected_columns` + `not_affected` merge,
+  *    `cmd_transformer_base.go:39-360`): only these columns are sent to
+  *    the process and replaced from its output; all other columns pass
+  *    through untouched. Empty = every column is affected.
+  *  - `skipOriginalData` (ref `skip_original_data`): the process receives
+  *    an empty record per row (a row-sync marker, no original values) and
+  *    its output still replaces the affected columns — for generator-style
+  *    commands that don't need the input.
+  */
 case class PipeOptions(timeoutSec: Int = 0, expectedExitCode: Int = 0,
-                       skipOnNull: Option[String] = None) {
+                       skipOnNull: Option[String] = None,
+                       affectedColumns: Seq[String] = Nil,
+                       skipOriginalData: Boolean = false,
+                       queueCapacity: Int = 1024) {
   require(skipOnNull.forall(Set("any", "all")), "skipOnNull: 'any' or 'all'")
+  require(queueCapacity > 0, "queueCapacity must be positive")
 }
 
 object Pipe {
 
-  /** Pipe selected string-encoded columns through `cmd`. The command must
-    * echo one output line per input line (same contract as the reference's
+  private case object End
+  private final case class Entry(fields: Array[String], skipped: Boolean)
+
+  /** Pipe string-encoded columns through `cmd`. The command must echo one
+    * output line per input line (same contract as the reference's
     * line-oriented csv/json drivers). Output schema = input columns, all
     * StringType (callers re-cast as needed, mirroring the reference's
     * text-format round-trip).
@@ -49,80 +72,120 @@ object Pipe {
       case "csv" => false
       case other => throw new IllegalArgumentException(s"Pipe: unknown codec $other")
     }
+    val affected: Seq[String] = if (opts.affectedColumns.isEmpty) cols else opts.affectedColumns
+    affected.foreach(c => require(cols.contains(c), s"Pipe: affected column $c not in input"))
+    val affectedIdx: Array[Int] = affected.map(cols.indexOf).toArray
 
     df.toDF(cols: _*).mapPartitions { rows =>
       if (!rows.hasNext) Iterator.empty
       else {
-        // Materialize the partition's string form once: needed to merge
-        // skipped (null-input) rows back in positional order. Partition
-        // size is bounded by the scan split size, so memory stays bounded.
-        val strRows: Seq[Seq[String]] = rows.map { r =>
-          (0 until r.length).map(i =>
-            if (r.isNullAt(i)) null else String.valueOf(r.get(i))): Seq[String]
-        }.toSeq
-        def skipped(fields: Seq[String]): Boolean = opts.skipOnNull match {
-          case Some("any") => fields.exists(_ == null)
-          case Some("all") => fields.nonEmpty && fields.forall(_ == null)
-          case _ => false
-        }
-
         val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
         val stdin = new BufferedWriter(new OutputStreamWriter(proc.getOutputStream, "UTF-8"))
         val stdout = new BufferedReader(new InputStreamReader(proc.getInputStream, "UTF-8"))
 
         // Watchdog: kill the process past the timeout (`cmd.go:98-100`).
-        val watchdog = if (opts.timeoutSec > 0) {
+        if (opts.timeoutSec > 0) {
           val t = new Thread(() => {
-            if (!proc.waitFor(opts.timeoutSec.toLong, java.util.concurrent.TimeUnit.SECONDS))
+            if (!proc.waitFor(opts.timeoutSec.toLong, TimeUnit.SECONDS))
               proc.destroyForcibly()
           }, "graft-pipe-watchdog")
-          t.setDaemon(true); t.start(); Some(t)
-        } else None
+          t.setDaemon(true); t.start()
+        }
 
-        // Feeder thread: encode + stream non-skipped rows, then close
-        // stdin so the process terminates (decoupled scan/transform, the
-        // analog of dumpers/table.go:101-119's goroutine pipeline).
+        def skippedRow(fields: Array[String]): Boolean = opts.skipOnNull match {
+          case Some("any") => affectedIdx.exists(i => fields(i) == null)
+          case Some("all") => affectedIdx.nonEmpty && affectedIdx.forall(i => fields(i) == null)
+          case _ => false
+        }
+
+        def encode(fields: Array[String]): String =
+          if (opts.skipOriginalData) { if (isJson) "{}" else "" }
+          else if (isJson)
+            affectedIdx.zip(affected).map { case (i, c) =>
+              val v = fields(i)
+              val vv = if (v == null) "null"
+                else "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+              "\"" + c + "\":" + vv
+            }.mkString("{", ",", "}")
+          else affectedIdx.map(i => if (fields(i) == null) "\\N" else fields(i)).mkString("\t")
+
+        // Bounded hand-off between feeder and output iterator: puts block
+        // when the consumer lags (backpressure), and a blocked put flushes
+        // stdin first so lines the consumer is about to await are never
+        // stuck in the writer buffer (no feeder<->consumer deadlock).
+        val pending = new ArrayBlockingQueue[AnyRef](opts.queueCapacity)
+        @volatile var feederError: Throwable = null
+        def put(e: AnyRef): Unit =
+          while (!pending.offer(e, 50, TimeUnit.MILLISECONDS)) stdin.flush()
+
         val feeder = new Thread(() => {
           try {
-            strRows.foreach { fields =>
-              if (!skipped(fields)) {
-                val line =
-                  if (isJson)
-                    fields.zip(cols).map { case (v, c) =>
-                      val vv = if (v == null) "null" else "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-                      "\"" + c + "\":" + vv
-                    }.mkString("{", ",", "}")
-                  else fields.map(v => if (v == null) "\\N" else v).mkString("\t")
-                stdin.write(line); stdin.newLine()
-              }
+            rows.foreach { r =>
+              val fields = Array.tabulate(r.length)(i =>
+                if (r.isNullAt(i)) null else String.valueOf(r.get(i)))
+              val skip = skippedRow(fields)
+              if (!skip) { stdin.write(encode(fields)); stdin.newLine() }
+              put(Entry(fields, skip))
             }
-          } finally stdin.close()
+          } catch {
+            case t: Throwable => feederError = t
+          } finally {
+            try stdin.close() catch { case _: Throwable => () }
+            put(End)
+          }
         }, "graft-pipe-feeder")
         feeder.setDaemon(true)
         feeder.start()
 
-        val transformed = new ArrayBuffer[Seq[Any]]()
-        var line = stdout.readLine()
-        while (line != null) {
-          val values: Seq[Any] =
-            if (isJson) parseFlatJson(line, cols)
-            else line.split("\t", -1).toSeq.map(v => if (v == "\\N") null else v)
-          transformed += values.padTo(cols.size, null).take(cols.size)
-          line = stdout.readLine()
+        def parseLine(line: String): Array[String] = {
+          val vals: Array[String] =
+            if (isJson) {
+              val m = parseFlatJson(line, affected)
+              m.map(_.asInstanceOf[String]).toArray
+            } else line.split("\t", -1).map(v => if (v == "\\N") null else v)
+          vals.padTo(affected.size, null).take(affected.size)
         }
-        val exit = proc.waitFor()
-        if (exit != opts.expectedExitCode)
-          throw new RuntimeException(
-            s"Pipe: ${cmd.head} exited with $exit (expected ${opts.expectedExitCode}; timeout=${opts.timeoutSec}s)")
 
-        // merge: skipped rows pass through unchanged, in position
-        val it = transformed.iterator
-        strRows.iterator.map { fields =>
-          if (skipped(fields)) Row.fromSeq(fields)
-          else {
-            if (!it.hasNext) throw new RuntimeException(
-              s"Pipe: ${cmd.head} produced fewer lines than fed")
-            Row.fromSeq(it.next())
+        new Iterator[Row] {
+          private var nextRow: Row = null
+          private var done = false
+
+          private def advance(): Unit = {
+            while (nextRow == null && !done) {
+              if (feederError != null) throw feederError
+              pending.take() match {
+                case End =>
+                  if (feederError != null) throw feederError
+                  val exit = proc.waitFor()
+                  if (exit != opts.expectedExitCode)
+                    throw new RuntimeException(s"Pipe: ${cmd.head} exited with $exit " +
+                      s"(expected ${opts.expectedExitCode}; timeout=${opts.timeoutSec}s)")
+                  done = true
+                case Entry(fields, skip) =>
+                  if (skip) nextRow = Row.fromSeq(fields.toIndexedSeq)
+                  else {
+                    val line = stdout.readLine()
+                    if (line == null) {
+                      // process died early — surface exit code if bad
+                      val exit = proc.waitFor()
+                      throw new RuntimeException(s"Pipe: ${cmd.head} produced fewer lines " +
+                        s"than fed (exit=$exit)")
+                    }
+                    val out = parseLine(line)
+                    val merged = fields.clone()
+                    var i = 0
+                    while (i < affectedIdx.length) { merged(affectedIdx(i)) = out(i); i += 1 }
+                    nextRow = Row.fromSeq(merged.toIndexedSeq)
+                  }
+              }
+            }
+          }
+
+          override def hasNext: Boolean = { advance(); nextRow != null }
+          override def next(): Row = {
+            advance()
+            if (nextRow == null) throw new NoSuchElementException("Pipe: empty")
+            val r = nextRow; nextRow = null; r
           }
         }
       }

@@ -25,9 +25,25 @@ import org.json4s.jackson.JsonMethods
   */
 object ConfigLoader {
 
-  def fromJson(json: String): Seq[TableConfig] = {
+  /** `${VAR}` env interpolation — the reference interpolates environment
+    * variables into configs (`tests/integration/greenmask/
+    * env_interpolation_test.go`). Unknown variables fail fast (a silently
+    * empty substitution would mask typos in salts/paths). `$${` escapes a
+    * literal `${`. */
+  def interpolate(text: String, env: Map[String, String] = sys.env): String = {
+    val re = """\$\$\{|\$\{([A-Za-z_][A-Za-z0-9_]*)\}""".r
+    re.replaceAllIn(text, m =>
+      if (m.matched == "$${") java.util.regex.Matcher.quoteReplacement("${")
+      else env.get(m.group(1)) match {
+        case Some(v) => java.util.regex.Matcher.quoteReplacement(v)
+        case None => throw new IllegalArgumentException(
+          s"config: undefined environment variable $${${m.group(1)}}")
+      })
+  }
+
+  def fromJson(json: String, env: Map[String, String] = sys.env): Seq[TableConfig] = {
     implicit val fmt: Formats = DefaultFormats
-    val root = JsonMethods.parse(json)
+    val root = JsonMethods.parse(interpolate(json, env))
     (root \ "tables") match {
       case JArray(tables) => tables.map(parseTable)
       case JNothing => throw new IllegalArgumentException("config: missing 'tables' array")

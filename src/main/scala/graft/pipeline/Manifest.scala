@@ -31,13 +31,20 @@ case class Manifest(entries: Seq[ManifestEntry]) {
   }
 
   /** Restore-list filter (`cmd/restore.go:329-343,890-1006`): keep only
-    * listed tables (with their transitive dependencies). */
+    * listed tables (with their transitive dependencies). Transitive
+    * closure is iterative with a visited set — self-referencing or cyclic
+    * dependsOn (possible via `introspectJdbc` on a self-FK table) must
+    * not recurse forever. */
   def filtered(keep: Set[String]): Manifest = {
     val byId = entries.map(e => e.dumpId -> e).toMap
-    def deps(e: ManifestEntry): Set[Int] =
-      e.dependsOn.toSet ++ e.dependsOn.flatMap(d => byId.get(d).map(deps).getOrElse(Set.empty))
-    val direct = entries.filter(e => keep(e.table))
-    val needed = direct.map(_.dumpId).toSet ++ direct.flatMap(deps)
+    val needed = scala.collection.mutable.Set[Int]()
+    val queue = scala.collection.mutable.Queue[Int]()
+    entries.filter(e => keep(e.table)).foreach(e => queue.enqueue(e.dumpId))
+    while (queue.nonEmpty) {
+      val id = queue.dequeue()
+      if (needed.add(id))
+        byId.get(id).foreach(_.dependsOn.foreach(queue.enqueue))
+    }
     Manifest(entries.filter(e => needed(e.dumpId)))
   }
 
@@ -63,12 +70,16 @@ object Manifest {
     tables.sortBy { case (_, size, nT) => -costScore(size, nT) }.map(_._1)
 
   /** Build a manifest for a set of dumped tables, wiring dependencies from
-    * the FK graph (dependencies recorded at dump time — `dump.go:383-413`). */
+    * the FK graph (dependencies recorded at dump time — `dump.go:383-413`).
+    * Self-FKs (childTable == parentTable) are NOT recorded as dependsOn —
+    * a table trivially depends on itself and a self-dep would only feed
+    * cycles into the restore-order sort. */
   def build(dumped: Seq[(String, DataFrame, String)],
             refs: Seq[FkRef] = Catalog.fkRefs): Manifest = {
     val ids = dumped.zipWithIndex.map { case ((t, _, _), i) => t -> (i + 1) }.toMap
     Manifest(dumped.zipWithIndex.map { case ((table, df, path), i) =>
-      val deps = refs.filter(r => r.childTable == table && ids.contains(r.parentTable))
+      val deps = refs.filter(r => r.childTable == table && r.parentTable != table &&
+          ids.contains(r.parentTable))
         .map(r => ids(r.parentTable)).distinct.sorted
       ManifestEntry(i + 1, table, path, df.schema.json, df.count(), deps)
     })
@@ -80,15 +91,36 @@ object Manifest {
   def read(spark: SparkSession, path: String): Seq[(Int, String, String)] =
     readEntries(path).map(e => (e.dumpId, e.table, e.path))
 
-  /** Full manifest reader (dependencies included, for restore ordering). */
+  /** Full manifest reader — a real JSON parse (json4s, already a Spark
+    * dependency) that PRESERVES the stored schema snapshot, so a
+    * restore-side schema diff (`database_schema.go:33-115` analog) works
+    * from a manifest round-trip. (Round 2 regex-parsed and dropped the
+    * schema.) */
   def readEntries(path: String): Seq[ManifestEntry] = {
-    val re = ("""\{"dumpId":(\d+),"table":"([^"]*)","path":"([^"]*)",""" +
-      """"schema":".*?","rows":(\d+),"dependsOn":\[([0-9,]*)\]\}""").r
-    re.findAllMatchIn(Files.readString(Paths.get(path))).map { m =>
-      val deps = m.group(5).split(",").filter(_.nonEmpty).map(_.toInt).toSeq
-      ManifestEntry(m.group(1).toInt, m.group(2), m.group(3), "{}", m.group(4).toLong, deps)
-    }.toSeq
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmt: Formats = DefaultFormats
+    JsonMethods.parse(Files.readString(Paths.get(path))) match {
+      case JArray(items) => items.map { it =>
+        ManifestEntry(
+          dumpId = (it \ "dumpId").extract[Int],
+          table = (it \ "table").extract[String],
+          path = (it \ "path").extract[String],
+          schemaJson = (it \ "schema").extractOpt[String].getOrElse("{}"),
+          rows = (it \ "rows").extract[Long],
+          dependsOn = (it \ "dependsOn").extractOpt[Seq[Int]].getOrElse(Nil))
+      }
+      case other => throw new IllegalArgumentException(s"manifest: expected JSON array, got $other")
+    }
   }
+
+  /** Parse a stored schema snapshot back to a StructType (None when the
+    * entry predates schema persistence or was built without one). */
+  def schemaOf(e: ManifestEntry): Option[org.apache.spark.sql.types.StructType] =
+    try org.apache.spark.sql.types.DataType.fromJson(e.schemaJson) match {
+      case s: org.apache.spark.sql.types.StructType if s.fields.nonEmpty => Some(s)
+      case _ => None
+    } catch { case _: Throwable => None }
 }
 
 /** Storage sink — format/compression/partitioning over Spark's writers

@@ -15,6 +15,38 @@ case class FkRef(childTable: String, childCols: Seq[String],
 
 case class TableMeta(name: String, primaryKey: Seq[String])
 
+/** Table constraints beyond PK/FK — the `pkg/toolkit/constraints.go`
+  * surface (`Check:51`, `Unique:215`, `Exclusion:82`,
+  * `TriggerConstraint:246`). Each implements the reference's
+  * `IsAffected(column)` contract: transforming a covered column yields a
+  * warning (the engine can't prove the transformer preserves the
+  * invariant), with the constraint expression carried into the message
+  * for Check/Exclusion (`constraints.go:63-78,180-211`). */
+sealed trait TableConstraint {
+  def name: String
+  def columns: Seq[String]
+  def kind: String
+  /** Extra context appended to the warning (e.g. the check expression). */
+  def detail: Option[String] = None
+  def isAffected(column: String): Boolean = columns.contains(column)
+}
+case class CheckConstraint(name: String, columns: Seq[String], expression: String)
+  extends TableConstraint {
+  def kind = "check"
+  override def detail: Option[String] = Some(expression)
+}
+case class UniqueConstraint(name: String, columns: Seq[String]) extends TableConstraint {
+  def kind = "unique"
+}
+case class ExclusionConstraint(name: String, columns: Seq[String], expression: String)
+  extends TableConstraint {
+  def kind = "exclusion"
+  override def detail: Option[String] = Some(expression)
+}
+case class TriggerConstraint(name: String, columns: Seq[String]) extends TableConstraint {
+  def kind = "trigger"
+}
+
 object Catalog {
   /** The testdata star schema (TESTDATA.md). */
   val tables: Seq[TableMeta] = Seq(
@@ -133,8 +165,12 @@ object Planner {
   }
 
   /** Plan-time validation: unknown columns, constraint-affecting transforms
-    * (analog of `config_builder.go:526-629` warning machinery). */
-  def validate(df: DataFrame, cfg: TableConfig): Seq[ValidationWarning] = {
+    * (analog of `config_builder.go:526-629` warning machinery).
+    * `constraints` carries the table's Check/Unique/Exclusion/Trigger
+    * constraints (catalog metadata; empty for the parquet fixtures unless
+    * declared). */
+  def validate(df: DataFrame, cfg: TableConfig,
+               constraints: Seq[TableConstraint] = Nil): Seq[ValidationWarning] = {
     val cols = df.columns.toSet
     val types = df.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
     val unknown = cfg.transforms.filterNot(t => cols(t.column)).map(t =>
@@ -159,7 +195,18 @@ object Planner {
       } yield ValidationWarning("error", cfg.table, t.column,
         s"type $actual not in allowed types ${allowed.toSeq.sorted.mkString(",")}")
     }
-    unknown ++ pkHit ++ fkHit ++ typeHit
+    // Check/Unique/Exclusion/Trigger IsAffected warnings
+    // (`constraints.go:63-78,180-211`): a transformer on any covered
+    // column may violate the invariant — warn with the expression when
+    // the constraint has one.
+    val constraintHit = for {
+      t <- cfg.transforms
+      c <- constraints
+      if c.isAffected(t.column)
+    } yield ValidationWarning("warning", cfg.table, t.column,
+      s"transformer affects ${c.kind} constraint ${c.name}" +
+        c.detail.fold("")(d => s" ($d)"))
+    unknown ++ pkHit ++ fkHit ++ typeHit ++ constraintHit
   }
 
   /** apply_for_inherited (ref `config_builder.go:723-766`,

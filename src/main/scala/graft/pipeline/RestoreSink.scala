@@ -42,7 +42,6 @@ object RestoreSink {
         try {
           conn.setAutoCommit(false)
           val st = conn.prepareStatement(sql)
-          var inBatch = 0
           def states(e: SQLException): Set[String] = {
             // batch failures chain the real error (e.g. Derby wraps 23505
             // under a generic batch SQLSTATE) — collect the whole chain
@@ -54,28 +53,81 @@ object RestoreSink {
             }
             out
           }
-          def flush(): Unit = if (inBatch > 0) {
+          def bind(vals: Array[AnyRef]): Unit = {
+            var i = 0
+            while (i < vals.length) { st.setObject(i + 1, vals(i)); i += 1 }
+          }
+          // Buffer the current batch's values so an ignorable batch
+          // failure can be replayed row-by-row, skipping ONLY offending
+          // rows — the reference inserts row-wise and skips per row
+          // (`table_insert_format.go:139-145`); a whole-batch rollback
+          // would silently drop up to batchSize-1 valid rows.
+          val buffer = new scala.collection.mutable.ArrayBuffer[Array[AnyRef]](batchSize)
+          def flush(): Unit = if (buffer.nonEmpty) {
             try { st.executeBatch(); conn.commit() }
             catch {
               case e: SQLException if states(e).exists(ignoreSqlStates) =>
-                conn.rollback() // whole batch excluded, mirroring error-exclusion lists
+                conn.rollback()
+                st.clearBatch()
+                buffer.foreach { vals =>
+                  bind(vals)
+                  try { st.executeUpdate(); conn.commit() }
+                  catch {
+                    case e2: SQLException if states(e2).exists(ignoreSqlStates) =>
+                      conn.rollback() // skip just this row
+                  }
+                }
             }
-            inBatch = 0
+            buffer.clear()
           }
           rows.foreach { r =>
-            var i = 0
-            while (i < cols.length) {
-              st.setObject(i + 1, if (r.isNullAt(i)) null else r.get(i))
-              i += 1
-            }
+            val vals = Array.tabulate[AnyRef](cols.length)(i =>
+              if (r.isNullAt(i)) null else r.get(i).asInstanceOf[AnyRef])
+            bind(vals)
             st.addBatch()
-            inBatch += 1
-            if (inBatch >= batchSize) flush()
+            buffer += vals
+            if (buffer.size >= batchSize) flush()
           }
           flush()
           st.close()
-        } finally conn.close()
+        } finally {
+          // roll back any in-flight transaction before close: a
+          // propagating failure must not leak an open transaction (Derby
+          // refuses to close, and the orphaned locks block later DDL)
+          try if (!conn.getAutoCommit) conn.rollback() catch { case _: Throwable => () }
+          conn.close()
+        }
       }
     }
   }
+
+  /** Sequence restore — the `setval` analog (`restorers/sequence.go:41`):
+    * after a data restore, re-seed the table's id generator to
+    * max(column)+1 so future inserts don't collide. The DDL differs per
+    * target; `restartStmt` builds it from the computed restart value
+    * (Derby identity: `ALTER TABLE t ALTER COLUMN c RESTART WITH n`;
+    * PostgreSQL: `SELECT setval('seq', n-1)`). Returns the restart value. */
+  def reseedSequence(df: DataFrame, column: String, url: String,
+                     restartStmt: Long => String): Long = {
+    val maxRow = df.agg(org.apache.spark.sql.functions.max(
+      org.apache.spark.sql.functions.col(column))).collect().head
+    val restart = (if (maxRow.isNullAt(0)) 0L
+      else maxRow.get(0).asInstanceOf[Number].longValue) + 1L
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute(restartStmt(restart))
+      st.close()
+    } finally conn.close()
+    restart
+  }
+
+  /** Derby identity-column restart DDL (test dialect). */
+  def derbyRestart(table: String, column: String)(restart: Long): String =
+    s"ALTER TABLE $table ALTER COLUMN $column RESTART WITH $restart"
+
+  /** PostgreSQL sequence restart (production dialect; `setval` with
+    * is_called=true semantics like the reference's sequence restorer). */
+  def pgRestart(sequence: String)(restart: Long): String =
+    s"SELECT setval('$sequence', ${math.max(restart - 1, 1)})"
 }

@@ -36,36 +36,47 @@ object CopyText {
     }
 
   /** Decode one field: named escapes + octal (`\123`) + hex (`\x4E`)
-    * (`decoder.go:54`). `\N` null is handled at line level. */
+    * (`decoder.go:54`). `\N` null is handled at line level.
+    *
+    * Escapes produce raw BYTES, not UTF-16 chars: octal values are masked
+    * to a byte (decoder.go masks with 0377) and consecutive escaped bytes
+    * decode together as UTF-8 — so `\xC3\xA9` yields "é", exactly like
+    * the reference's byte-oriented decoder. */
   def decodeField(s: String): String = {
-    val sb = new StringBuilder(s.length)
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val out = new java.io.ByteArrayOutputStream(s.length)
     var i = 0
     while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '\\' && i + 1 < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
         s.charAt(i + 1) match {
-          case 'b' => sb.append('\b'); i += 2
-          case 'f' => sb.append('\f'); i += 2
-          case 'n' => sb.append('\n'); i += 2
-          case 'r' => sb.append('\r'); i += 2
-          case 't' => sb.append('\t'); i += 2
-          case 'v' => sb.append(0x0B.toChar); i += 2
-          case '\\' => sb.append('\\'); i += 2
+          case 'b' => out.write('\b'); i += 2
+          case 'f' => out.write('\f'); i += 2
+          case 'n' => out.write('\n'); i += 2
+          case 'r' => out.write('\r'); i += 2
+          case 't' => out.write('\t'); i += 2
+          case 'v' => out.write(0x0B); i += 2
+          case '\\' => out.write('\\'); i += 2
           case 'x' if i + 2 < s.length && isHex(s.charAt(i + 2)) =>
             val len = if (i + 3 < s.length && isHex(s.charAt(i + 3))) 2 else 1
-            sb.append(Integer.parseInt(s.substring(i + 2, i + 2 + len), 16).toChar)
+            out.write(Integer.parseInt(s.substring(i + 2, i + 2 + len), 16) & 0xFF)
             i += 2 + len
           case d if d >= '0' && d <= '7' =>
             var len = 1
             while (len < 3 && i + 1 + len < s.length &&
               s.charAt(i + 1 + len) >= '0' && s.charAt(i + 1 + len) <= '7') len += 1
-            sb.append(Integer.parseInt(s.substring(i + 1, i + 1 + len), 8).toChar)
+            // & 0xFF: octal escapes above \377 wrap to a byte (decoder.go)
+            out.write(Integer.parseInt(s.substring(i + 1, i + 1 + len), 8) & 0xFF)
             i += 1 + len
-          case other => sb.append(other); i += 2
+          case other => out.write(other.toString.getBytes(utf8)); i += 2
         }
-      } else { sb.append(c); i += 1 }
+      } else {
+        var j = i
+        while (j < s.length && s.charAt(j) != '\\') j += 1
+        out.write(s.substring(i, j).getBytes(utf8))
+        i = j
+      }
     }
-    sb.toString
+    new String(out.toByteArray, utf8)
   }
 
   private def isHex(c: Char): Boolean =

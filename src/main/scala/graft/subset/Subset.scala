@@ -176,6 +176,12 @@ object SubsetPlanner {
           current = next; counts = nextCounts
           iter += 1
         }
+        // The reference's recursive CTE is exact; returning an
+        // unconverged result silently would keep child rows whose parents
+        // were excluded (FK-violating restore). Fail loudly instead.
+        if (!stable) throw new IllegalStateException(
+          s"subset: cyclic fix-point did not converge after $maxIter iterations " +
+            s"for component ${comp.mkString(",")} — raise maxIter")
         current.foreach { case (t, d) => surviving(t) = d }
       }
     }

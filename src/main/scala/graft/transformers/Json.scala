@@ -34,6 +34,20 @@ case class JsonTransform(ops: Seq[JsonOp]) extends ScalarTransformer {
   def oracle(in: String) = None
 }
 
+/** Nested Json transformer — ordered set/delete at gjson-style dotted
+  * paths (`a.b.2.c`; ref `json.go:40-140` full path dialect, unlike the
+  * flat-map [[JsonTransform]]). `sortKeys = true` emits the canonical
+  * (key-sorted, compact) rendering so results are engine-comparable. */
+case class JsonNested(ops: Seq[graft.expressions.JsonEditOp], sortKeys: Boolean = true)
+  extends ScalarTransformer {
+  def column(in: Column) =
+    org.apache.spark.sql.GraftBridge.column(graft.expressions.JsonEditExpr(
+      org.apache.spark.sql.GraftBridge.expression(in.cast("string")), ops, sortKeys))
+  // callers compose their own per-query oracle (canonical rendering makes
+  // full-string compare possible; see q_json_set)
+  def oracle(in: String) = None
+}
+
 /** jsonGet template-func analog: extract by dotted path (Spark builtin). */
 object JsonFuncs {
   def jsonGet(doc: Column, path: String): Column = get_json_object(doc, "$." + path)

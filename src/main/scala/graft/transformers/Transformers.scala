@@ -205,7 +205,11 @@ case class NoiseNumeric(maxRatio: Double, scale: Int = 2,
     val vUnits = (in.cast(s"decimal(20,$scale)") * math.pow(10, scale).toLong).cast("long")
     val prod = vUnits * (lit(10000L) + k)
     val sgn = when(prod < 0, lit(-1L)).otherwise(lit(1L))
-    val rounded = sgn * floor((abs(prod).cast("double") + 5000.0) / 10000.0).cast("long")
+    // integer half-away-from-zero rounding, matching the oracle's exact
+    // `//`: the quotient (abs+5000)/10000 has <= 4 fractional digits, so
+    // the decimal division (result scale 6) is exact — no double rounding
+    // that could cross an integer boundary near the 2^53 envelope
+    val rounded = sgn * floor((abs(prod).cast("decimal(38,0)") + lit(5000L)) / lit(10000L)).cast("long")
     val noised = (rounded.cast("decimal(19,0)") *
       lit(unit.underlying).cast(s"decimal(${scale + 1},$scale)")).cast(t)
     val lo = minV.fold(noised)(m => greatest(noised, lit(m.underlying).cast(t)))
@@ -242,8 +246,10 @@ case class NoiseDate(maxShiftDays: Int, truncate: Option[String] = None,
 }
 
 /** Hash — salted digest, optional truncation (ref `hash.go:35-80`).
-  * Algorithms: md5, sha1, sha256, sha512 (sha3 family: not in Spark's
-  * built-in surface; documented unsupported). */
+  * Algorithms: md5, sha1, sha256, sha512 via Spark built-ins;
+  * sha3-224/256/384/512 via the native [[graft.expressions.DigestHex]]
+  * codegen expression over JDK 17's SHA3 `MessageDigest` (full parity
+  * with the reference's algorithm list). */
 case class HashText(algo: String = "sha256", maxLength: Int = 0, salt: String = Gen.Salt)
   extends ScalarTransformer {
   override def keepNull: Boolean = false
@@ -254,6 +260,10 @@ case class HashText(algo: String = "sha256", maxLength: Int = 0, salt: String = 
       case "sha1" => sha1(salted)
       case "sha256" => sha2(salted, 256)
       case "sha512" => sha2(salted, 512)
+      case "sha3-224" | "sha3-256" | "sha3-384" | "sha3-512" =>
+        org.apache.spark.sql.GraftBridge.column(graft.expressions.DigestHex(
+          org.apache.spark.sql.GraftBridge.expression(salted),
+          "SHA3-" + algo.stripPrefix("sha3-")))
       case other => throw new IllegalArgumentException(s"Hash: unsupported algo $other")
     }
     if (maxLength > 0) substring(digest, 1, maxLength) else digest
@@ -263,7 +273,7 @@ case class HashText(algo: String = "sha256", maxLength: Int = 0, salt: String = 
     val d = algo match {
       case "md5" => Some(s"md5(${salted})")
       case "sha256" => Some(s"sha256(${salted})")
-      case _ => None // sha1/sha512 not built into DuckDB 1.0 core
+      case _ => None // sha1/sha512/sha3-* not built into DuckDB 1.0 core
     }
     d.map(x => if (maxLength > 0) s"substr(${x},1,${maxLength})" else x)
   }

@@ -1,0 +1,364 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.expressions.JsonEditOp
+import graft.transformers.{HashText, JsonNested}
+import graft.ops.{Pipe, PipeOptions}
+import graft.pipeline._
+
+import java.nio.file.Files
+import java.sql.DriverManager
+import java.util.Properties
+
+/** sha3 family (ref `hash.go:35-80`): NIST known-answer vectors, salt
+  * participation, truncation, cross-partitioning determinism. */
+class Sha3Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def hashOf(algo: String, input: String, salt: String = ""): String =
+    Seq(input).toDF("v")
+      .select(HashText(algo, salt = salt).applied(col("v")).as("h"))
+      .as[String].collect().head
+
+  test("sha3 NIST known-answer vectors (empty salt)") {
+    assert(hashOf("sha3-256", "abc") ==
+      "3a985da74fe225b2045c172d6bd390bd855f086e3e9d525b46bfe24511431532")
+    assert(hashOf("sha3-224", "abc") ==
+      "e642824c3f8cf24ad09234ee7d3c766fc9a3a5168d0c94ad73b46fdf")
+    assert(hashOf("sha3-384", "abc") ==
+      "ec01498288516fc926459f58e2c6ad8df9b473cb0fc08c2596da7cf0e49be4b2" +
+        "98d88cea927ac7f539f1edf228376d25")
+    assert(hashOf("sha3-512", "abc") ==
+      "b751850b1a57168a5693cd924b6b096e08f621827444f70d884f5d0240d2712e" +
+        "10e116e9192af3c91a7ec57647e3934057340b4cf408d5a56592f8274eec53f0")
+    assert(hashOf("sha3-256", "") ==
+      "a7ffc6f8bf1ed76651c14756a061d662f580ff4de43b49fa82d80a4b80f8434a")
+  }
+
+  test("salt participates and truncation applies") {
+    val salted = hashOf("sha3-256", "abc", salt = "s1")
+    assert(salted != hashOf("sha3-256", "abc"))
+    assert(salted == hashOf("sha3-256", "s1abc")) // digest(salt || value)
+    val trunc = Seq("x").toDF("v")
+      .select(HashText("sha3-256", maxLength = 8).applied(col("v")).as("h"))
+      .as[String].collect().head
+    assert(trunc.length == 8)
+  }
+
+  test("identical output across partition counts (hash-engine contract)") {
+    val in = (1 to 500).map(_.toString)
+    def run(parts: Int) = in.toDF("v").repartition(parts)
+      .select(col("v"), HashText("sha3-512").applied(col("v")).as("h"))
+      .as[(String, String)].collect().toMap
+    assert(run(2) == run(16))
+  }
+
+  test("registry builds sha3 and rejects unknown algos") {
+    assert(Registry.build("Hash", Map("function" -> "sha3-384"))
+      .isInstanceOf[HashText])
+    intercept[IllegalArgumentException] {
+      Seq("x").toDF("v").select(HashText("crc32").applied(col("v"))).collect()
+    }
+  }
+}
+
+/** Nested gjson-path JSON edits (ref `json.go:40-140`). */
+class JsonEditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edit(doc: String, ops: Seq[JsonEditOp], sortKeys: Boolean = true): String =
+    Seq(doc).toDF("d")
+      .select(JsonNested(ops, sortKeys).applied(col("d")).as("out"))
+      .as[String].collect().head
+
+  test("nested set creates intermediate objects (gjson semantics)") {
+    assert(edit("""{"k":1}""", Seq(JsonEditOp("set", "a.b.c", "\"x\""))) ==
+      """{"a":{"b":{"c":"x"}},"k":1}""")
+  }
+
+  test("numeric segments index arrays, padding with nulls") {
+    assert(edit("""{"a":[1,2,3]}""", Seq(JsonEditOp("set", "a.1", "9"))) ==
+      """{"a":[1,9,3]}""")
+    assert(edit("""{"a":[1]}""", Seq(JsonEditOp("set", "a.3", "9"))) ==
+      """{"a":[1,null,null,9]}""")
+    assert(edit("""{}""", Seq(JsonEditOp("set", "a.0.b", "true"))) ==
+      """{"a":[{"b":true}]}""")
+  }
+
+  test("delete removes keys and array elements; missing paths are no-ops") {
+    assert(edit("""{"k":1,"j":2}""", Seq(JsonEditOp("delete", "k"))) == """{"j":2}""")
+    assert(edit("""{"a":[1,2,3]}""", Seq(JsonEditOp("delete", "a.1"))) == """{"a":[1,3]}""")
+    assert(edit("""{"k":1}""", Seq(JsonEditOp("delete", "x.y"))) == """{"k":1}""")
+  }
+
+  test("ops apply in order and values may be any JSON") {
+    assert(edit("""{}""", Seq(
+      JsonEditOp("set", "o", """{"z":1,"a":2}"""),
+      JsonEditOp("set", "o.a", "3"),
+      JsonEditOp("delete", "o.z"))) == """{"o":{"a":3}}""")
+  }
+
+  test("sortKeys yields canonical rendering; NULL doc stays NULL") {
+    assert(edit("""{"b":1,"a":2}""", Nil) == """{"a":2,"b":1}""")
+    val out = Seq[String](null).toDF("d")
+      .select(JsonNested(Nil).applied(col("d")).as("out"))
+      .as[Option[String]].collect().head
+    assert(out.isEmpty)
+  }
+}
+
+/** Pipe column scoping + streaming (ref `cmd.go:50-140`,
+  * `cmd_transformer_base.go:39-360`). */
+class PipeScopingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(("1", "alpha", "keep1"), ("2", "beta", "keep2"), ("3", null, "keep3"))
+    .toDF("id", "val", "extra")
+
+  test("affected_columns: only scoped columns cross the process boundary") {
+    // tr uppercases EVERYTHING it receives — untouched `id`/`extra` prove
+    // they were never sent; the \N null marker survives tr and decodes
+    // back to NULL
+    val out = Pipe.through(df, Seq("/usr/bin/tr", "a-z", "A-Z"), "csv",
+        PipeOptions(affectedColumns = Seq("val")))
+      .orderBy("id").as[(String, Option[String], String)].collect()
+    assert(out.toSeq == Seq(("1", Some("ALPHA"), "keep1"), ("2", Some("BETA"), "keep2"),
+      ("3", None, "keep3")))
+  }
+
+  test("affected_columns with skip_on_null bypasses the process for null rows") {
+    val out = Pipe.through(df, Seq("/usr/bin/tr", "a-z", "A-Z"), "csv",
+        PipeOptions(affectedColumns = Seq("val"), skipOnNull = Some("any")))
+      .orderBy("id").as[(String, Option[String], String)].collect()
+    assert(out.toSeq == Seq(("1", Some("ALPHA"), "keep1"), ("2", Some("BETA"), "keep2"),
+      ("3", None, "keep3")))
+  }
+
+  test("json codec respects affected column scoping") {
+    val out = Pipe.through(df.filter(col("val").isNotNull),
+        Seq("/bin/cat"), "json", PipeOptions(affectedColumns = Seq("val")))
+      .orderBy("id").as[(String, String, String)].collect()
+    assert(out.toSeq == Seq(("1", "alpha", "keep1"), ("2", "beta", "keep2")))
+  }
+
+  test("skip_original_data: process sees sync markers, output still merges") {
+    // the command emits a constant per input line; original values are
+    // never sent (awk would print them if they were)
+    val out = Pipe.through(df.filter(col("val").isNotNull).coalesce(1),
+        Seq("/usr/bin/awk", "{print \"GEN\" NR}"), "csv",
+        PipeOptions(affectedColumns = Seq("val"), skipOriginalData = true))
+      .orderBy("id").as[(String, String, String)].collect()
+    assert(out.map(_._2).toSeq == Seq("GEN1", "GEN2"))
+    assert(out.map(_._3).toSeq == Seq("keep1", "keep2"))
+  }
+
+  test("streams a wide partition in bounded memory (no full materialization)") {
+    // 200k rows through one process on one partition with a small queue:
+    // completes correctly under backpressure
+    val big = (1 to 200000).map(i => (i.toString, "v" + i)).toDF("id", "v").coalesce(1)
+    val out = Pipe.through(big, Seq("/bin/cat"), "csv", PipeOptions(queueCapacity = 64))
+    assert(out.count() == 200000)
+    val sample = out.filter(col("id") === "123456").as[(String, String)].collect()
+    assert(sample.toSeq == Seq(("123456", "v123456")))
+  }
+}
+
+/** Manifest schema persistence, cycle-safe deps, env interpolation, and
+  * the utility command surface. */
+class ManifestRound3Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("manifest round-trip preserves the schema snapshot; diff reports a retype") {
+    val df = Seq((1L, "a", 1.5)).toDF("id", "name", "score")
+    val dir = Files.createTempDirectory("graft_m3").toString
+    df.write.mode("overwrite").parquet(s"$dir/t")
+    val m = Manifest.build(Seq(("t", df, s"$dir/t")), refs = Nil)
+    Manifest.write(m, s"$dir/manifest.json")
+    val back = Manifest.readEntries(s"$dir/manifest.json")
+    val stored = Manifest.schemaOf(back.head)
+    assert(stored.contains(df.schema)) // schema survives (round-2 reader dropped it)
+    // a retyped column is reported by the restore-side diff
+    val retyped = org.apache.spark.sql.types.StructType(df.schema.fields.map(f =>
+      if (f.name == "score") f.copy(dataType = org.apache.spark.sql.types.StringType) else f))
+    val drift = Validator.schemaDiff(stored.get, retyped)
+    assert(drift == Seq("retyped:score:double->string"))
+  }
+
+  test("filtered terminates on cyclic and self-referencing dependsOn") {
+    val entries = Seq(
+      ManifestEntry(1, "a", "p1", "{}", 1, Seq(2)),
+      ManifestEntry(2, "b", "p2", "{}", 1, Seq(1)),     // cycle a<->b
+      ManifestEntry(3, "c", "p3", "{}", 1, Seq(3)),     // self-dep
+      ManifestEntry(4, "d", "p4", "{}", 1, Nil))
+    val kept = Manifest(entries).filtered(Set("a")).entries.map(_.table)
+    assert(kept.toSet == Set("a", "b"))
+    assert(Manifest(entries).filtered(Set("c")).entries.map(_.table) == Seq("c"))
+  }
+
+  test("build never records a self-dependency for self-FK tables") {
+    val df = Seq((1L, 2L)).toDF("id", "parent_id")
+    val selfRef = Seq(FkRef("emp", Seq("parent_id"), "emp", Seq("id")))
+    val m = Manifest.build(Seq(("emp", df, "/tmp/emp")), refs = selfRef)
+    assert(m.entries.head.dependsOn.isEmpty)
+  }
+
+  test("config env interpolation substitutes, escapes, and fails fast") {
+    val env = Map("SEG" -> "AUTOMOBILE")
+    val cfg = ConfigLoader.fromJson(
+      """{"tables":[{"table":"customer","when":"c_mktsegment = '${SEG}'"}]}""", env)
+    assert(cfg.head.when.contains("c_mktsegment = 'AUTOMOBILE'"))
+    assert(ConfigLoader.interpolate("a $${literal} b", env) == "a ${literal} b")
+    intercept[IllegalArgumentException](ConfigLoader.interpolate("${MISSING_VAR_42}", env))
+  }
+
+  test("list-dumps / show-dump / delete over a manifest directory") {
+    val root = Files.createTempDirectory("graft_dumps").toString
+    val df = Seq((1L, "x")).toDF("id", "v")
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/d1"))
+    df.write.mode("overwrite").parquet(s"$root/d1/t")
+    Manifest.write(Manifest.build(Seq(("t", df, s"$root/d1/t")), refs = Nil),
+      s"$root/d1/manifest.json")
+    val listed = Lifecycle.listDumps(root)
+    assert(listed.size == 1 && listed.head.startsWith("d1 tables=1 rows=1"))
+    val shown = Lifecycle.showDump(s"$root/d1/manifest.json")
+    assert(shown.size == 1 && shown.head.contains("t rows=1"))
+    assert(Lifecycle.deleteDump(root, "d1"))
+    assert(Lifecycle.listDumps(root).isEmpty)
+    assert(!Lifecycle.deleteDump(root, "d1"))
+  }
+
+  test("list-transformers / show-transformer expose the registry") {
+    val names = Lifecycle.listTransformers()
+    assert(names.contains("Hash") && names.contains("RandomInt") && names == names.sorted)
+    assert(Lifecycle.showTransformer("Masking").startsWith("Masking:"))
+    assert(Lifecycle.showTransformer("Nope").contains("unknown"))
+  }
+}
+
+/** Constraint IsAffected warnings (ref `constraints.go:63-78,180-211`). */
+class ConstraintSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq((1L, "a@x.com", 10.0)).toDF("id", "email", "balance")
+  private val constraints = Seq(
+    UniqueConstraint("uq_email", Seq("email")),
+    CheckConstraint("ck_balance", Seq("balance"), "balance >= 0"),
+    ExclusionConstraint("ex_range", Seq("id", "balance"), "id WITH =, balance WITH &&"),
+    TriggerConstraint("trg_audit", Seq("email")))
+
+  test("transformer on a unique column warns") {
+    val warns = Planner.validate(df, TableConfig("t", transforms = Seq(
+      ColumnTransform("email", graft.transformers.Masking("email")))), constraints)
+    assert(warns.exists(w => w.msg.contains("unique constraint uq_email")))
+    assert(warns.exists(w => w.msg.contains("trigger constraint trg_audit")))
+  }
+
+  test("transformer on a check-constrained column warns with the expression") {
+    val warns = Planner.validate(df, TableConfig("t", transforms = Seq(
+      ColumnTransform("balance", graft.transformers.NoiseFloat(0.5)))), constraints)
+    assert(warns.exists(w =>
+      w.msg.contains("check constraint ck_balance") && w.msg.contains("balance >= 0")))
+    assert(warns.exists(w => w.msg.contains("exclusion constraint ex_range")))
+  }
+
+  test("untouched columns produce no constraint warnings") {
+    val warns = Planner.validate(df, TableConfig("t", transforms = Seq(
+      ColumnTransform("id", graft.transformers.RandomInt(0, 9)))), constraints)
+    assert(!warns.exists(_.msg.contains("uq_email")))
+    assert(!warns.exists(_.msg.contains("ck_balance")))
+    assert(warns.exists(_.msg.contains("ex_range"))) // id IS covered by the exclusion
+  }
+}
+
+/** Row-wise fallback on ignorable batch failures + sequence restore. */
+class RestoreFallbackSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:graftr3;create=true"
+
+  test("ignorable batch failure keeps every valid row (row-wise replay)") {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE fb_t") catch { case _: Throwable => () }
+      st.execute("CREATE TABLE fb_t (id BIGINT PRIMARY KEY, v VARCHAR(20))")
+      st.execute("INSERT INTO fb_t VALUES (3, 'existing')")
+      st.close()
+    } finally conn.close()
+    // one batch of 5 rows containing one dup: the reference's row-wise
+    // semantics (`table_insert_format.go:139-145`) keep the 4 valid rows
+    val df = Seq((1L, "one"), (2L, "two"), (3L, "dup"), (4L, "four"), (5L, "five"))
+      .toDF("id", "v").coalesce(1)
+    RestoreSink.insertRows(df, url, "fb_t", ignoreSqlStates = Set("23505"), batchSize = 100)
+    val back = spark.read.jdbc(url, "fb_t", new Properties())
+      .as[(Long, String)].collect().toMap
+    assert(back.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(back(3L) == "existing")
+  }
+
+  test("non-ignorable batch failure still propagates") {
+    intercept[Exception] {
+      RestoreSink.insertRows(Seq((3L, "dup")).toDF("id", "v"), url, "fb_t",
+        ignoreSqlStates = Set.empty, batchSize = 10)
+    }
+  }
+
+  test("sequence restore re-seeds a Derby identity column from max(pk)") {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE seq_t") catch { case _: Throwable => () }
+      st.execute("CREATE TABLE seq_t (id BIGINT GENERATED BY DEFAULT AS IDENTITY " +
+        "PRIMARY KEY, v VARCHAR(10))")
+      st.execute("INSERT INTO seq_t (id, v) VALUES (41, 'a'), (7, 'b')")
+      st.close()
+    } finally conn.close()
+    val restored = spark.read.jdbc(url, "seq_t", new Properties())
+    val restart = RestoreSink.reseedSequence(restored, "id", url,
+      RestoreSink.derbyRestart("seq_t", "id"))
+    assert(restart == 42L)
+    // next identity insert takes the re-seeded value, no collision
+    val conn2 = DriverManager.getConnection(url)
+    try {
+      val st = conn2.createStatement()
+      st.execute("INSERT INTO seq_t (v) VALUES ('c')")
+      val rs = st.executeQuery("SELECT max(id) FROM seq_t")
+      rs.next()
+      assert(rs.getLong(1) == 42L)
+      st.close()
+    } finally conn2.close()
+    assert(RestoreSink.pgRestart("s")(42L) == "SELECT setval('s', 41)")
+  }
+}
+
+/** Fix-point convergence guard + UTF-8 byte-escape decoding. */
+class Round3SmallFixSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cyclic subset with maxIter too low fails loudly, not silently") {
+    val nation = Seq((1L, 1L), (2L, 1L)).toDF("n_nationkey", "n_regionkey")
+    val region = Seq(Tuple1(1L)).toDF("r_regionkey")
+    val edges = Seq(
+      FkRef("nation", Seq("n_regionkey"), "region", Seq("r_regionkey")),
+      FkRef("region", Seq("r_regionkey"), "nation", Seq("n_regionkey"), virtual = true))
+    intercept[IllegalStateException] {
+      graft.subset.SubsetPlanner.plan(
+        Map("nation" -> nation, "region" -> region),
+        Map("nation" -> Seq("n_nationkey"), "region" -> Seq("r_regionkey")),
+        edges, Map("nation" -> Seq("n_nationkey < 2")), maxIter = 0)
+    }
+  }
+
+  test("COPY escapes of multi-byte UTF-8 decode as bytes, like the reference") {
+    import graft.sources.CopyText
+    // é = C3 A9 in UTF-8: consecutive escaped bytes form one char
+    assert(CopyText.decodeField("\\xC3\\xA9") == "é")
+    assert(CopyText.decodeField("\\303\\251") == "é") // same in octal
+    // octal > 255 masks to a byte (decoder.go & 0377)
+    assert(CopyText.decodeField("\\501") ==
+      new String(Array((0x141 & 0xFF).toByte), java.nio.charset.StandardCharsets.UTF_8))
+    // encode/decode round-trip for non-ASCII text
+    val s = "héllo wörld – ünïcode"
+    assert(CopyText.decodeField(CopyText.encodeField(s)) == s)
+  }
+}

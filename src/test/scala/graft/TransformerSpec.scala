@@ -54,7 +54,9 @@ class TransformerSpec extends SparkSpec {
       "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
     assert(applyT(HashText("md5", maxLength = 8, salt = ""), "abc") == "90015098")
     assert(applyT(HashText("md5", salt = "s1"), "abc") != applyT(HashText("md5", salt = "s2"), "abc"))
-    intercept[IllegalArgumentException](HashText("sha3-224").column(lit("x")))
+    assert(applyT(HashText("sha3-224", salt = ""), "abc") ==
+      "e642824c3f8cf24ad09234ee7d3c766fc9a3a5168d0c94ad73b46fdf")
+    intercept[IllegalArgumentException](HashText("crc32").column(lit("x")))
   }
 
   test("RandomChoice picks only from the list, deterministically") {
