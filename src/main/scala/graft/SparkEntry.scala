@@ -617,6 +617,53 @@ object SparkEntry {
             FROM documents ORDER BY doc_id"""
       }),
 
+    // PII scrubbing: synthetic PII is appended from doc_id (the corpus has
+    // none), then scrubbed — the oracle applies the same construction, so
+    // the compare exercises every pattern on every row
+    "q_pii_scrub" -> Q(
+      (s, dir) => {
+        val augmented = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+          lit(" ip 10.0.0."), (col("doc_id") % 200).cast("string"),
+          lit(" call +1 555 010 1234"))
+        rd(s, dir, "documents")
+          .select(col("doc_id"), TextOps.piiScrub(augmented).as("scrubbed"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val augmented = "(text || ' contact user' || doc_id::VARCHAR || '@example.com' || " +
+          "' ip 10.0.0.' || (doc_id % 200)::VARCHAR || ' call +1 555 010 1234')"
+        s"SELECT doc_id, ${TextOps.piiScrubSql(augmented)} AS scrubbed " +
+          "FROM documents ORDER BY doc_id"
+      }),
+
+    // Gopher-style quality filter flags (Rae et al. 2021 heuristics)
+    "q_quality_gopher" -> Q(
+      (s, dir) => rd(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.alphaFrac(col("text")).as("alpha_frac"),
+        TextOps.gopherKeep(col("text")).as("keep")).orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              ${TextOps.tokenCountSql("text")} AS n_tokens,
+              ${TextOps.alphaFracSql("text")} AS alpha_frac,
+              ${TextOps.gopherKeepSql("text")} AS keep
+              FROM documents ORDER BY doc_id""")),
+
+    // Corpus vocabulary top-k: map-side-combinable groupBy + TakeOrdered
+    "q_token_topk" -> Q(
+      (s, dir) => Corpus.tokenTopK(rd(s, dir, "documents"), "text", 50)
+        .orderBy(desc("n"), col("token")),
+      Some(Corpus.tokenTopKSql("documents", "text", 50))),
+
+    // Benchmark-contamination: docs sharing a word trigram with the probe
+    // set (broadcast semi-join on exploded shingles)
+    "q_contamination" -> Q(
+      (s, dir) => Corpus.contaminatedIds(rd(s, dir, "documents"), "doc_id", "text",
+        Corpus.probeShingles("key agg row scan slow fast")).orderBy("doc_id"),
+      Some(Corpus.contaminatedIdsSql("documents", "doc_id", "text",
+        Corpus.probeShingles("key agg row scan slow fast")) + " ORDER BY doc_id")),
+
     "q_rolling_fp" -> Q(
       (s, dir) => rd(s, dir, "documents")
         .select(col("doc_id"), TextOps.rollingFingerprint(col("text")).as("roll_fp"))

@@ -1,0 +1,61 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level aggregation operators for training-data pipelines —
+  * the multi-row complements of the per-row [[TextOps]] expressions.
+  * Both are single-shuffle plans that survive a 100 TB corpus:
+  * vocabulary top-k is a map-side-combinable groupBy + TakeOrdered, and
+  * contamination is a broadcast semi-join on exploded shingles (the probe
+  * set — a benchmark's n-grams — is small by construction).
+  */
+object Corpus {
+
+  /** Corpus vocabulary top-k: token -> frequency, k most frequent.
+    * Plan shape: explode -> partial HashAggregate (map-side combine below
+    * the exchange, so only distinct-token partials shuffle, never raw
+    * tokens) -> final agg -> TakeOrderedAndProject. Deterministic
+    * tie-break by token. */
+  def tokenTopK(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("token"))
+      .limit(k)
+
+  def tokenTopKSql(table: String, textCol: String, k: Int): String =
+    s"""SELECT token, n FROM (
+          SELECT token, count(*) AS n FROM (
+            SELECT unnest(${TextOps.tokensSql(textCol)}) AS token FROM ${table})
+          WHERE length(token) > 0 GROUP BY token)
+        ORDER BY n DESC, token LIMIT ${k}"""
+
+  /** Word n-gram shingles of a probe text, driver-side — the same
+    * shingling as [[TextOps.shingles]] so probe and corpus agree. */
+  def probeShingles(probeText: String, n: Int = 3): Seq[String] =
+    probeText.split(" ").toSeq.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+
+  /** Benchmark-contamination check: ids of documents sharing at least one
+    * word n-gram with the probe set (the standard n-gram-overlap
+    * decontamination test for training corpora vs eval benchmarks).
+    * The corpus side explodes to (id, shingle) and semi-joins the
+    * broadcast probe set — no shingle arrays shuffle, no all-pairs. */
+  def contaminatedIds(df: DataFrame, idCol: String, textCol: String,
+                      probe: Seq[String], shingleN: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val probeDf = probe.toDF("sh")
+    df.select(col(idCol), explode_outer(TextOps.shingles(col(textCol), shingleN)).as("sh"))
+      .join(broadcast(probeDf), Seq("sh"), "left_semi")
+      .select(idCol).distinct()
+  }
+
+  def contaminatedIdsSql(table: String, idCol: String, textCol: String,
+                         probe: Seq[String], shingleN: Int = 3): String = {
+    val list = probe.map(p => s"'${p.replace("'", "''")}'").mkString("[", ",", "]")
+    s"""SELECT DISTINCT ${idCol} FROM ${table}
+        WHERE list_has_any(${TextOps.shinglesSql(textCol, shingleN)}, ${list})"""
+  }
+}

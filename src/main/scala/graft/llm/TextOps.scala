@@ -208,4 +208,59 @@ object TextOps {
     regexp_count(text, lit("[a-z]+|[0-9]|[^a-z0-9 ]")).cast("int")
   def bpeishCountSql(text: String): String =
     s"len(regexp_extract_all(${text}, '[a-z]+|[0-9]|[^a-z0-9 ]'))::INT"
+
+  // ---------------------------------------------------------------------
+  // PII scrubbing + Gopher-style quality flags — per-row expressions
+  // (no shuffle), the redaction/filter stages of a training-data pipeline.
+  // ---------------------------------------------------------------------
+
+  /** PII patterns (RE2-safe so Spark and the DuckDB oracle agree): emails,
+    * IPv4 addresses, then phone-like digit runs — applied in that order so
+    * a scrubbed token can't re-match a later pattern. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>",
+    "\\+?[0-9][0-9() -]{6,}[0-9]" -> "<PHONE>")
+
+  def piiScrub(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+  def piiScrubSql(text: String): String =
+    PiiPatterns.foldLeft(text) { case (c, (p, r)) =>
+      // DuckDB single-quoted strings are escape-free: the regex goes in
+      // verbatim (only quotes doubled)
+      s"regexp_replace(${c}, '${p.replace("'", "''")}', '${r}', 'g')"
+    }
+
+  /** Fraction of tokens containing a letter (Gopher-style "alpha words"
+    * signal). */
+  def alphaFrac(text: Column): Column =
+    size(filter(tokens(text), t => t.rlike("[a-z]"))).cast("double") /
+      greatest(tokenCount(text).cast("double"), lit(1.0))
+  def alphaFracSql(text: String): String =
+    s"(len(list_filter(${tokensSql(text)}, t -> regexp_matches(t, '[a-z]')))::DOUBLE / " +
+      s"greatest(${tokenCountSql(text)}::DOUBLE, 1.0))"
+
+  /** Gopher-style document keep flag: token count, mean token length,
+    * stopword fraction, and alpha fraction all inside their envelopes
+    * (Rae et al. 2021 §A1.1 heuristics, re-expressed over this corpus's
+    * whitespace tokens; thresholds are parameters, not constants). */
+  def gopherKeep(text: Column, minTok: Int = 5, maxTok: Int = 100000,
+                 minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
+                 minStopFrac: Double = 0.02, minAlphaFrac: Double = 0.6): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val stopFrac = stopwordCount(text).cast("double") / greatest(nTok, lit(1.0))
+    (nTok >= minTok) && (nTok <= maxTok) &&
+      (meanTokenLen(text) >= minMeanLen) && (meanTokenLen(text) <= maxMeanLen) &&
+      (stopFrac >= minStopFrac) && (alphaFrac(text) >= minAlphaFrac)
+  }
+  def gopherKeepSql(text: String, minTok: Int = 5, maxTok: Int = 100000,
+                    minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
+                    minStopFrac: Double = 0.02, minAlphaFrac: Double = 0.6): String = {
+    val nTok = s"${tokenCountSql(text)}::DOUBLE"
+    val stopFrac = s"(${stopwordCountSql(text)}::DOUBLE / greatest(${nTok}, 1.0))"
+    s"((${nTok} >= ${minTok}) AND (${nTok} <= ${maxTok}) AND " +
+      s"(${meanTokenLenSql(text)} >= ${minMeanLen}) AND " +
+      s"(${meanTokenLenSql(text)} <= ${maxMeanLen}) AND " +
+      s"(${stopFrac} >= ${minStopFrac}) AND (${alphaFracSql(text)} >= ${minAlphaFrac}))"
+  }
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Corpus, TextOps}
+
+/** Corpus-level ops (vocabulary top-k, contamination) + the new per-row
+  * text stages (PII scrub, Gopher-style quality flags). */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the dog sat on the log"),
+    (3L, "cat cat cat"),
+    (4L, "")).toDF("doc_id", "text")
+
+  test("tokenTopK counts across the corpus with deterministic tie-break") {
+    val top = Corpus.tokenTopK(docs, "text", 3).as[(String, Long)].collect()
+    // the:4 cat:4 sat:2 on:2 ... — contract is (n desc, token asc)
+    assert(top.toSeq == Seq(("cat", 4L), ("the", 4L), ("on", 2L)))
+  }
+
+  test("tokenTopK plan has map-side partial aggregation and TakeOrdered") {
+    val plan = Corpus.tokenTopK(docs, "text", 3).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // partial HashAggregate below the exchange = map-side combine
+    assert(plan.indexOf("HashAggregate") < plan.lastIndexOf("HashAggregate"), plan)
+  }
+
+  test("contaminatedIds finds trigram overlap, misses non-overlap") {
+    val probe = Corpus.probeShingles("the cat sat on the mat")
+    assert(probe == Seq("the cat sat", "cat sat on", "sat on the", "on the mat"))
+    val hit = Corpus.contaminatedIds(docs, "doc_id", "text", probe)
+      .as[Long].collect().toSet
+    // doc 1 is the probe itself; doc 2 shares the trigram "sat on the";
+    // doc 3 ("cat cat cat") and the empty doc share none
+    assert(hit == Set(1L, 2L))
+  }
+
+  test("contaminatedIds is a broadcast semi-join on exploded shingles") {
+    val probe = Corpus.probeShingles("the cat sat on the mat")
+    val plan = Corpus.contaminatedIds(docs, "doc_id", "text", probe)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+  }
+
+  test("piiScrub redacts emails, IPs, and phone numbers, in order") {
+    val out = Seq("mail a.user+x@corp.example.org from 192.168.0.1 or +44 20 7946 0958 now")
+      .toDF("t").select(TextOps.piiScrub(col("t"))).as[String].collect().head
+    assert(out == "mail <EMAIL> from <IP> or <PHONE> now")
+    val clean = Seq("no pii here").toDF("t")
+      .select(TextOps.piiScrub(col("t"))).as[String].collect().head
+    assert(clean == "no pii here")
+  }
+
+  test("gopherKeep flags short and letterless docs") {
+    val flags = Seq(
+      (1L, "the cat sat on the mat and it is a fine day for all of us"),
+      (2L, "x y"),                        // too short
+      (3L, "1 2 3 4 5 6 7 8 9 0 1 2"))    // no alpha tokens
+      .toDF("id", "text")
+      .select(col("id"), TextOps.gopherKeep(col("text")).as("keep"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(flags(1L))
+    assert(!flags(2L))
+    assert(!flags(3L))
+  }
+}
