@@ -58,8 +58,6 @@ object Bench {
     def js(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
-    val single = run(sfDir)
-
     val staged = if (sys.env.getOrElse("SPARK_GRAFT_STAGE", "1") != "0") {
       // untimed staging: same rows, 32-file layout -> parallel scan tasks
       val stageDir = s"/tmp/graft_bench_staged_${new java.io.File(sfDir).getName}"
@@ -69,15 +67,43 @@ object Bench {
           spark.read.parquet(src).repartition(cpus.toInt)
             .write.mode("overwrite").parquet(s"$stageDir/$t.parquet")
       }
-      Some(run(stageDir))
+      Some(stageDir)
     } else None
 
-    val primary = staged.getOrElse(single)
-    val total = primary.map(_._2).sum
-    val singleTotal = single.map(_._2).sum
-    val extras = staged.map(_ => s""","staged":true,"total_singlefile":$singleTotal,""" +
-      s""""queries_singlefile":${js(single)}""").getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(primary)}""" +
+    // sf0.1 tables are sub-MB: the default 4 MiB file-open cost would
+    // bin-pack the 32 staged files straight back into one scan partition
+    // (serializing the compute again AND paying 32 opens). One task per
+    // file is the cluster shape being modeled, so staged runs use small
+    // split sizes — on real 100 TB inputs the default coalescing is
+    // correct and these knobs stay untouched. Single-file runs keep the
+    // defaults (continuity with earlier rounds).
+    def smallSplits(): Unit = {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+      spark.conf.set("spark.sql.files.openCostInBytes", "4m")
+    }
+    def defaultSplits(): Unit = {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024)
+      spark.conf.set("spark.sql.files.openCostInBytes", 4 * 1024 * 1024)
+    }
+
+    // Warm BOTH layouts untimed before timing either: the first pass
+    // through each query JITs ~seconds of codegen'd expression code, so a
+    // cold-vs-warm ordering would bias whichever layout runs second.
+    run(sfDir)
+    staged.foreach { d => smallSplits(); run(d); defaultSplits() }
+
+    val single = run(sfDir)
+    val stagedTimes = staged.map { d => smallSplits(); val r = run(d); defaultSplits(); r }
+
+    // Primary metric: the driver's own fixtures (single-file), warm-timed.
+    // The staged (32-file) pass is a layout diagnostic: at sf0.1 the
+    // tables are sub-MB, so per-task overhead outweighs parallel-scan
+    // gains for most queries — the parallel layout pays off exactly where
+    // real data volume exists (lineitem) and everywhere at cluster scale.
+    val total = single.map(_._2).sum
+    val extras = stagedTimes.map(st => s""","total_staged_32file":${st.map(_._2).sum},""" +
+      s""""queries_staged_32file":${js(st)}""").getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(single)}""" +
       s""","sf":"$sfDir"$extras}""")
     spark.stop()
   }
