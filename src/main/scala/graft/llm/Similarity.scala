@@ -79,8 +79,23 @@ object Similarity {
       .limit(k)
   }
 
+  /** Sizing rule for the sign-sketch LSH bucket count: within-bucket pair
+    * work is quadratic in bucket size, so pick
+    * `nPlanes = ceil(log2(corpus / targetBucket))` to hold the expected
+    * bucket near `targetBucket` rows — e.g. 10^9 vectors at a 1k-row
+    * target needs ~20 planes (2^20 buckets), NOT the demo default of 8.
+    * Recall drops as planes grow; compensate with multi-probe or a
+    * verify pass over neighbors. */
+  def planesFor(corpusSize: Long, targetBucketSize: Long = 1024L): Int = {
+    require(corpusSize > 0 && targetBucketSize > 0, "planesFor: positive sizes")
+    math.max(1, math.ceil(
+      math.log(corpusSize.toDouble / targetBucketSize.toDouble) / math.log(2.0)).toInt)
+  }
+
   /** Embedding-cosine near-dup: vectors sharing a bucket whose exact
-    * cosine exceeds the threshold — bucket-bounded pair join. */
+    * cosine exceeds the threshold — bucket-bounded pair join. `nPlanes`
+    * must scale with the corpus (see [[planesFor]]); the default suits
+    * the sf fixtures only. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double = 0.95, nPlanes: Int = 8,
                          dim: Int = 32): DataFrame = {
