@@ -384,6 +384,27 @@ object SparkEntry {
               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
               FROM events ORDER BY user_id, event_id""")),
 
+    // Salted two-phase aggregation (hot-key skew tooling): result equals
+    // the plain groupBy count regardless of the salt spread
+    "q_skew_salted_agg" -> Q(
+      (s, dir) => graft.ops.Skew.saltedCount(rd(s, dir, "lineitem"), "l_returnflag")
+        .withColumnRenamed("l_returnflag", "key").orderBy("key"),
+      Some("SELECT l_returnflag AS key, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY key")),
+
+    // COPY text-format codec round-trip: write pgcopy-style lines, read
+    // them back (escapes, \N nulls), values survive exactly
+    "q_copy_roundtrip" -> Q(
+      (s, dir) => {
+        val path = s"/tmp/graft_copy_rt_${new java.io.File(dir).getName}"
+        val src = rd(s, dir, "customer")
+          .select(CK.cast("string").as("ck"), col("c_name").as("nm"), col("c_mktsegment").as("seg"))
+        graft.sources.CopyText.write(src, path)
+        graft.sources.CopyText.read(s, path, Seq("ck", "nm", "seg"))
+          .select(col("ck").cast("long").as("ck"), col("nm"), col("seg")).orderBy("ck")
+      },
+      Some("SELECT c_custkey AS ck, c_name AS nm, c_mktsegment AS seg " +
+        "FROM customer ORDER BY ck")),
+
     // ----- Cmd pipe operator (external process round-trip) -----
     "q_pipe_csv" -> Q(
       (s, dir) => {
