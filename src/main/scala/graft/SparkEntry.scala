@@ -316,6 +316,37 @@ object SparkEntry {
                 (SELECT r_regionkey FROM region WHERE r_regionkey IN
                   (SELECT n_regionkey FROM nation WHERE n_nationkey < 10))
               ORDER BY n_nationkey""")),
+    // Self-referencing FK (employee-manager shape, derived from customer:
+    // parent(id) = id/2, root 1): a row survives iff its own cond holds
+    // AND its whole ancestor chain survives. The Spark side runs the
+    // cyclic fix-point on the self-edge; the oracle is DuckDB's EXACT
+    // recursive CTE — the strongest witness the fix-point semantics match
+    // the reference's WITH RECURSIVE codegen (graph.go:675-805).
+    "q_subset_selffk" -> Q(
+      (s, dir) => {
+        // custkey is 0-based: 0 is the root (a 0/2=0 self-loop would be
+        // kept by the fix-point but underivable by the CTE — the
+        // least-vs-greatest fixed-point edge on cyclic rows)
+        val t = rd(s, dir, "customer").select(
+          col("c_custkey").as("id"),
+          when(col("c_custkey") === 0, lit(null))
+            .otherwise((col("c_custkey") / 2).cast("long")).as("parent_id"))
+        val edges = Seq(FkRef("t", Seq("parent_id"), "t", Seq("id"), nullable = true))
+        val surviving = SubsetPlanner.plan(Map("t" -> t), Map("t" -> Seq("id")),
+          edges, Map("t" -> Seq("id % 10 <> 3")))
+        surviving("t").select("id").orderBy("id")
+      },
+      Some("""WITH RECURSIVE t AS (
+                SELECT c_custkey AS id,
+                       CASE WHEN c_custkey = 0 THEN NULL ELSE c_custkey // 2 END AS parent_id
+                FROM customer
+              ), surv AS (
+                SELECT id, parent_id FROM t WHERE id % 10 <> 3 AND parent_id IS NULL
+                UNION ALL
+                SELECT c.id, c.parent_id FROM t c JOIN surv p ON c.parent_id = p.id
+                WHERE c.id % 10 <> 3
+              )
+              SELECT id FROM surv ORDER BY id""")),
     "q_subset_polymorphic" -> Q(
       (s, dir) => {
         val dfs = Map("customer" -> rd(s, dir, "customer"), "events" -> rd(s, dir, "events"))
@@ -664,10 +695,12 @@ object SparkEntry {
         col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
         TextOps.alphaFrac(col("text")).as("alpha_frac"),
+        TextOps.repetitionFrac(col("text")).as("rep_frac"),
         TextOps.gopherKeep(col("text")).as("keep")).orderBy("doc_id"),
       Some(s"""SELECT doc_id,
               ${TextOps.tokenCountSql("text")} AS n_tokens,
               ${TextOps.alphaFracSql("text")} AS alpha_frac,
+              ${TextOps.repetitionFracSql("text")} AS rep_frac,
               ${TextOps.gopherKeepSql("text")} AS keep
               FROM documents ORDER BY doc_id""")),
 

@@ -240,6 +240,22 @@ object TextOps {
     s"(len(list_filter(${tokensSql(text)}, t -> regexp_matches(t, '[a-z]')))::DOUBLE / " +
       s"greatest(${tokenCountSql(text)}::DOUBLE, 1.0))"
 
+  /** Within-document repetition: fraction of word n-gram positions whose
+    * n-gram already occurred earlier in the doc (1 - distinct/total).
+    * High values flag boilerplate/looped generations (the Gopher
+    * "duplicate n-gram fraction" family). 0.0 for docs shorter than n. */
+  def repetitionFrac(text: Column, n: Int = 3): Column = {
+    val sh = shingles(text, n)
+    when(size(sh) > 0,
+      lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
+      .otherwise(lit(0.0))
+  }
+  def repetitionFracSql(text: String, n: Int = 3): String = {
+    val sh = shinglesSql(text, n)
+    s"CASE WHEN len(${sh}) > 0 THEN " +
+      s"1.0 - len(list_distinct(${sh}))::DOUBLE / len(${sh})::DOUBLE ELSE 0.0 END"
+  }
+
   /** Gopher-style document keep flag: token count, mean token length,
     * stopword fraction, and alpha fraction all inside their envelopes
     * (Rae et al. 2021 §A1.1 heuristics, re-expressed over this corpus's

@@ -53,6 +53,19 @@ class CorpusSpec extends SparkSpec {
     assert(clean == "no pii here")
   }
 
+  test("repetitionFrac measures duplicate trigram positions") {
+    val out = Seq(
+      (1L, "a b c a b c a b c"),  // 7 trigram positions, 3 distinct -> 4/7
+      (2L, "all words unique here now"),
+      (3L, "x y"))                 // shorter than n -> 0.0
+      .toDF("id", "text")
+      .select(col("id"), TextOps.repetitionFrac(col("text")).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(out(1L) - (1.0 - 3.0 / 7.0)) < 1e-12)
+    assert(out(2L) == 0.0)
+    assert(out(3L) == 0.0)
+  }
+
   test("gopherKeep flags short and letterless docs") {
     val flags = Seq(
       (1L, "the cat sat on the mat and it is a fine day for all of us"),
