@@ -555,6 +555,32 @@ object SparkEntry {
             FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
             ORDER BY d.doc_id"""
       }),
+    // Transitive LSH clustering (label propagation to convergence) vs
+    // DuckDB's exact recursive reachability over the same band graph
+    "q_dedup_cluster" -> Q(
+      (s, dir) => Dedup.minhashLshClusters(rd(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some {
+        val sh = TextOps.shinglesSql("text", 3)
+        val bands = (0 until 4).map(b => TextOps.bandHashSql(sh, b * 2, 2))
+        s"""WITH RECURSIVE bnd AS (
+              SELECT doc_id, band FROM (
+                SELECT doc_id, unnest([${bands.mkString(", ")}]) AS band FROM documents)
+              WHERE band IS NOT NULL
+            ), reach AS (
+              SELECT doc_id AS id, doc_id AS r FROM (SELECT DISTINCT doc_id FROM bnd)
+              UNION
+              SELECT b2.doc_id AS id, reach.r
+              FROM reach
+              JOIN bnd b1 ON reach.id = b1.doc_id
+              JOIN bnd b2 ON b1.band = b2.band
+            ), lab AS (
+              SELECT id, min(r) AS cluster_rep FROM reach GROUP BY id
+            )
+            SELECT d.doc_id, coalesce(lab.cluster_rep, d.doc_id) AS cluster_rep
+            FROM documents d LEFT JOIN lab ON d.doc_id = lab.id
+            ORDER BY d.doc_id"""
+      }),
     "q_dedup_simhash" -> Q(
       (s, dir) => Dedup.simhashBuckets(rd(s, dir, "documents"), "doc_id", "text")
         .orderBy("simhash"),

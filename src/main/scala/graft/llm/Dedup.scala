@@ -76,6 +76,49 @@ object Dedup {
       .select(col(idCol), coalesce(col("rep0"), col(idCol)).as("near_dup_rep"))
   }
 
+  /** Transitive LSH clustering: [[minhashLsh]] collapses docs sharing a
+    * band in ONE hop; here label propagation iterates min-representative
+    * exchange over the doc↔band bipartite graph until stable, so chains
+    * (A~B~C without A sharing a band with C) collapse to one cluster —
+    * union-find semantics, executed as Spark joins. Per iteration: two
+    * groupBy/join rounds on (band, rep) pairs, localCheckpoint to cut
+    * lineage; converges in O(cluster diameter) iterations (small for LSH
+    * graphs). Only (id, band, rep) longs shuffle — never text or
+    * signatures. */
+  def minhashLshClusters(df: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+                         maxIter: Int = 20): DataFrame = {
+    val nStreams = bands * rowsPerBand
+    val nDigests = (nStreams + 1) / 2
+    val withMh = df.select(col(idCol).as("id"),
+      TextOps.minhashSignatureFromText(col(textCol), shingleN, nDigests).as("__mh"))
+    val mh = (0 until nStreams).map(i => element_at(col("__mh"), i + 1))
+    val bandCols = (0 until bands).map(b => TextOps.bandHashFrom(mh, b * rowsPerBand, rowsPerBand))
+    val edges = withMh.select(col("id"), explode_outer(array(bandCols: _*)).as("band"))
+      .filter(col("band").isNotNull)
+      .localCheckpoint(true)
+    var labels = edges.select("id").distinct()
+      .select(col("id"), col("id").as("rep")).localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val bandMin = edges.join(labels, "id")
+        .groupBy("band").agg(min("rep").as("band_rep"))
+      val next = edges.join(bandMin, "band")
+        .groupBy("id").agg(min("band_rep").as("rep"))
+        .localCheckpoint(true)
+      val changed = labels.as("a").join(next.as("b"), col("a.id") === col("b.id"))
+        .filter(col("a.rep") =!= col("b.rep")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    // banded docs get their converged cluster rep; shingle-less docs are
+    // their own singleton cluster
+    df.select(col(idCol).as("id")).join(labels, Seq("id"), "left_outer")
+      .select(col("id").as(idCol), coalesce(col("rep"), col("id")).as("cluster_rep"))
+  }
+
   /** SimHash near-dup bucket: docs with identical 16-bit simhash are
     * near-dup candidates (hamming-0 bucket; widen by banding bits for
     * hamming-k). */

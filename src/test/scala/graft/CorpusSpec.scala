@@ -44,6 +44,46 @@ class CorpusSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
   }
 
+  test("minhashLshClusters matches brute-force union-find over band edges") {
+    import graft.llm.{Dedup, TextOps}
+    // word soup with planted chains: docs 10/11 share text, 11/12 share
+    // text, 10 and 12 do not — transitive closure must still merge them
+    val rnd = new scala.util.Random(7L)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    def soup(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0L until 10L).map(i => (i, soup(12)))
+    // near-dup chain: 20 shared tokens, single-token edits at opposite
+    // ends -> J(10,11)=J(11,12)=0.8 (banding collides), J(10,12)~0.64
+    val core = (1 to 19).map(i => s"w$i").mkString(" ")
+    val chain = Seq(
+      (10L, s"$core endx"),
+      (11L, s"$core endy"),
+      (12L, s"starty ${core.split(" ").drop(1).mkString(" ")} endy"))
+    val docs = (base ++ chain).toDF("doc_id", "text")
+
+    val got = Dedup.minhashLshClusters(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+
+    // brute-force union-find over the same band keys, computed via Spark
+    // expressions for identical hashing
+    val bandsOf = docs.select(col("doc_id"),
+        TextOps.minhashSignatureFromText(col("text"), 3, 4).as("mh"))
+      .select(col("doc_id"), array((0 until 4).map(b =>
+        TextOps.bandHashFrom((0 until 8).map(i => element_at(col("mh"), i + 1)), b * 2, 2)): _*).as("bands"))
+      .as[(Long, Seq[String])].collect()
+    val parent = scala.collection.mutable.Map((base ++ chain).map(_._1).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    def union(a: Long, b: Long): Unit = { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val byBand = bandsOf.flatMap { case (id, bs) => bs.filter(_ != null).map(_ -> id) }
+      .groupBy(_._1).values
+    byBand.foreach { grp => grp.map(_._2).reduceOption((a, b) => { union(a, b); math.min(a, b) }) }
+    val expected = (base ++ chain).map(_._1).map(i => i -> find(i)).toMap
+
+    assert(got == expected)
+    // the planted chain actually merged transitively
+    assert(got(10L) == got(12L))
+  }
+
   test("piiScrub redacts emails, IPs, and phone numbers, in order") {
     val out = Seq("mail a.user+x@corp.example.org from 192.168.0.1 or +44 20 7946 0958 now")
       .toDF("t").select(TextOps.piiScrub(col("t"))).as[String].collect().head
