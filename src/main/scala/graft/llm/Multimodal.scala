@@ -9,10 +9,14 @@ import org.apache.spark.sql.functions._
   * `mapInPandas` batch shape: one iterator per partition, bounded memory,
   * schema declared up front).
   *
-  * The decode step is a STUB — no image/audio codecs exist in this
-  * container — but it is a *deterministic* fake (features derived from the
-  * payload bytes), so the pipeline shape (schema, partitioning, batch
-  * iteration, feature fan-out) is real and oracle-testable end-to-end.
+  * Decode is REAL for images (JDK `javax.imageio`: PNG/JPEG/BMP/GIF) and
+  * audio (JDK `javax.sound.sampled`: WAV/PCM) — see [[decodeImages]],
+  * [[resizeImages]], [[decodeWav]]. Only video decode remains a
+  * deterministic STUB ([[extractFeatures]]/[[frameSample]] keep the fake
+  * byte-derived features): the JDK ships no video codec and the fixture
+  * tables carry no real media, so the fake path is what the oracle gate
+  * exercises while the real codecs are pinned by MultimodalSpec on
+  * in-memory generated PNG/WAV payloads.
   */
 object Multimodal {
 
@@ -91,5 +95,121 @@ object Multimodal {
           (r.media_id, i, chunk.length)
         }
       }.toDF("media_id", "frame_no", "frame_bytes")
+  }
+
+  // ---------------------------------------------------------------------
+  // REAL codecs (JDK-native, no external deps). One decoder per partition,
+  // streaming iterator in/out — the exact execution shape a JNI-backed
+  // libjpeg/ffmpeg implementation would use, but with javax.imageio /
+  // javax.sound doing the work. Undecodable payloads are dropped (flatMap),
+  // mirroring a training pipeline's corrupt-sample policy.
+  // ---------------------------------------------------------------------
+
+  case class ImageFeatures(media_id: Long, width: Int, height: Int,
+                           channels: Int, mean_luma: Double)
+  case class AudioFeatures(media_id: Long, sample_rate: Int, channels: Int,
+                           frames: Long, duration_sec: Double, rms: Double)
+
+  /** Real image decode + per-image stats via JDK ImageIO (PNG/JPEG/BMP/GIF).
+    * mean_luma = average of (r+g+b)/3 over all pixels in [0,255]. */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      System.setProperty("java.awt.headless", "true")
+      rows.flatMap { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        if (img == null) None
+        else {
+          var sum = 0.0
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3.0
+              x += 1
+            }
+            y += 1
+          }
+          Some(ImageFeatures(r.media_id, img.getWidth, img.getHeight,
+            img.getRaster.getNumBands, sum / (img.getWidth.toLong * img.getHeight)))
+        }
+      }
+    }
+  }
+
+  /** Real aspect-preserving resample (bilinear Graphics2D) into a bounding
+    * box, re-encoded as PNG — payload out is a decodable image again. */
+  def resizeImages(media: Dataset[MediaRow], maxW: Int, maxH: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      System.setProperty("java.awt.headless", "true")
+      rows.flatMap { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        if (img == null) None
+        else {
+          val scale = math.min(1.0,
+            math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
+          val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
+            math.max(1, (img.getHeight * scale).toInt))
+          val out = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Some(r.copy(payload = bos.toByteArray))
+        }
+      }
+    }
+  }
+
+  /** Real WAV/PCM decode via javax.sound: stream frames in 64 KiB chunks
+    * (bounded memory per row) computing RMS over 16-bit signed samples
+    * normalized to [-1, 1]. */
+  def decodeWav(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val fmt = ais.getFormat
+          val frames = ais.getFrameLength
+          val bytesPerSample = fmt.getSampleSizeInBits / 8
+          val buf = new Array[Byte](64 * 1024 - (64 * 1024) % math.max(1, fmt.getFrameSize))
+          var sumSq = 0.0
+          var n = 0L
+          var read = ais.read(buf)
+          while (read > 0) {
+            var i = 0
+            while (i + bytesPerSample <= read) {
+              val s =
+                if (bytesPerSample == 2) {
+                  val lo = buf(i) & 0xFF; val hi = buf(i + 1)
+                  (if (fmt.isBigEndian) ((buf(i) << 8) | (buf(i + 1) & 0xFF))
+                   else ((hi << 8) | lo)).toShort / 32768.0
+                } else (buf(i) & 0xFF) / 255.0 * 2 - 1 // 8-bit unsigned PCM
+              sumSq += s * s
+              n += 1
+              i += bytesPerSample
+            }
+            read = ais.read(buf)
+          }
+          ais.close()
+          Some(AudioFeatures(r.media_id, fmt.getSampleRate.toInt, fmt.getChannels,
+            frames, frames / fmt.getSampleRate.toDouble,
+            if (n == 0) 0.0 else math.sqrt(sumSq / n)))
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        }
+      }
+    }
   }
 }

@@ -1,0 +1,73 @@
+package graft
+
+import graft.llm.Multimodal
+import graft.llm.Multimodal.MediaRow
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+
+/** Real multimodal codecs (JDK ImageIO + javax.sound) driven through the
+  * Spark Dataset pipeline on in-memory generated payloads. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def wavBytes(sampleRate: Float, nFrames: Int, amplitude: Double): Array[Byte] = {
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val raw = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val s = (math.sin(2 * math.Pi * 440 * i / sampleRate) * amplitude * 32767).toInt
+      raw(2 * i) = (s & 0xFF).toByte
+      raw(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val ais = new AudioInputStream(new ByteArrayInputStream(raw), fmt, nFrames.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodeImages reads real PNGs: dimensions, channels, mean luma") {
+    val media = Seq(
+      MediaRow(1L, "image", pngBytes(64, 48, 0xFFFFFF)),   // white
+      MediaRow(2L, "image", pngBytes(10, 10, 0x000000)),   // black
+      MediaRow(3L, "image", "not an image".getBytes)).toDS()
+    val feats = Multimodal.decodeImages(media).collect().map(f => f.media_id -> f).toMap
+    assert(feats.keySet == Set(1L, 2L)) // corrupt payload dropped
+    assert(feats(1L).width == 64 && feats(1L).height == 48 && feats(1L).channels == 3)
+    assert(math.abs(feats(1L).mean_luma - 255.0) < 1e-9)
+    assert(math.abs(feats(2L).mean_luma - 0.0) < 1e-9)
+  }
+
+  test("resizeImages resamples into the bounding box and stays decodable") {
+    val media = Seq(MediaRow(1L, "image", pngBytes(64, 48, 0x808080))).toDS()
+    val resized = Multimodal.resizeImages(media, 32, 32)
+    val feats = Multimodal.decodeImages(resized).collect().head
+    assert(feats.width == 32 && feats.height == 24) // aspect preserved
+    // small images never upscale
+    val same = Multimodal.decodeImages(Multimodal.resizeImages(media, 1000, 1000))
+      .collect().head
+    assert(same.width == 64 && same.height == 48)
+  }
+
+  test("decodeWav reads real WAV: rate, frames, duration, sine RMS") {
+    val media = Seq(
+      MediaRow(1L, "audio", wavBytes(8000f, 8000, 0.5)),
+      MediaRow(2L, "audio", "not audio".getBytes)).toDS()
+    val feats = Multimodal.decodeWav(media).collect()
+    assert(feats.map(_.media_id).toSet == Set(1L))
+    val f = feats.head
+    assert(f.sample_rate == 8000 && f.channels == 1 && f.frames == 8000L)
+    assert(math.abs(f.duration_sec - 1.0) < 1e-9)
+    // RMS of a 0.5-amplitude sine = 0.5/sqrt(2) ~ 0.3536
+    assert(math.abs(f.rms - 0.5 / math.sqrt(2)) < 0.01)
+  }
+}
