@@ -83,6 +83,15 @@ object Pipe {
         val stdin = new BufferedWriter(new OutputStreamWriter(proc.getOutputStream, "UTF-8"))
         val stdout = new BufferedReader(new InputStreamReader(proc.getInputStream, "UTF-8"))
 
+        // Executor JVMs are long-lived: if the task dies mid-stream
+        // (downstream failure, kill), the child process and the feeder
+        // thread must not leak. Task completion fires on success AND
+        // failure; destroying the process unblocks any stdin/stdout wait
+        // and the interrupt breaks the feeder's backpressure loop.
+        Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+          if (proc.isAlive) proc.destroyForcibly()
+        })
+
         // Watchdog: kill the process past the timeout (`cmd.go:98-100`).
         if (opts.timeoutSec > 0) {
           val t = new Thread(() => {
@@ -115,8 +124,16 @@ object Pipe {
         // stuck in the writer buffer (no feeder<->consumer deadlock).
         val pending = new ArrayBlockingQueue[AnyRef](opts.queueCapacity)
         @volatile var feederError: Throwable = null
-        def put(e: AnyRef): Unit =
-          while (!pending.offer(e, 50, TimeUnit.MILLISECONDS)) stdin.flush()
+        def put(e: AnyRef): Unit = {
+          var done = false
+          while (!done) {
+            done = pending.offer(e, 50, TimeUnit.MILLISECONDS) // throws if interrupted
+            // a blocked put flushes so lines the consumer awaits are never
+            // stuck in the writer buffer; flush failure (process died) is
+            // surfaced by the next write, not here
+            if (!done) try stdin.flush() catch { case _: java.io.IOException => () }
+          }
+        }
 
         val feeder = new Thread(() => {
           try {
@@ -127,15 +144,21 @@ object Pipe {
               if (!skip) { stdin.write(encode(fields)); stdin.newLine() }
               put(Entry(fields, skip))
             }
-          } catch {
-            case t: Throwable => feederError = t
-          } finally {
             try stdin.close() catch { case _: Throwable => () }
             put(End)
+          } catch {
+            case _: InterruptedException => () // task ended; just exit
+            case t: Throwable =>
+              feederError = t
+              try stdin.close() catch { case _: Throwable => () }
+              try put(End) catch { case _: InterruptedException => () }
           }
         }, "graft-pipe-feeder")
         feeder.setDaemon(true)
         feeder.start()
+        Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+          feeder.interrupt()
+        })
 
         def parseLine(line: String): Array[String] = {
           val vals: Array[String] =
