@@ -252,6 +252,18 @@ object Validator {
     joined.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
   }
 
+  /** Implicit-change detection (`validate_utils/json_document.go:59-215`):
+    * columns the diff shows as changed that NO transformer declared as
+    * affected — e.g. an external Cmd rewriting more than its declared
+    * columns. Feed it one [[diff]] output row + the declared set. */
+  def implicitChanges(diffRow: org.apache.spark.sql.Row,
+                      declaredAffected: Set[String]): Seq[String] =
+    diffRow.schema.fieldNames.toSeq.filter(_.endsWith("_changed")).flatMap { f =>
+      val column = f.stripSuffix("_changed")
+      val changed = diffRow.getAs[Long](diffRow.fieldIndex(f))
+      if (changed > 0 && !declaredAffected(column)) Some(column) else None
+    }
+
   /** Schema diff (`pkg/toolkit/database_schema.go:33-115`): added/removed/
     * retyped columns between two schemas. */
   def schemaDiff(before: org.apache.spark.sql.types.StructType,

@@ -349,6 +349,17 @@ class Round3SmallFixSpec extends SparkSpec {
     }
   }
 
+  test("implicit-change detection flags undeclared column rewrites") {
+    import org.apache.spark.sql.functions._
+    val orig = Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "name", "seg")
+    // a rogue transform: declared to touch only `name`, but also rewrites `seg`
+    val transformed = orig.select(col("id"), upper(col("name")).as("name"),
+      lit("REWRITTEN").as("seg"))
+    val diffRow = Validator.diff(orig, transformed, Seq("id")).collect().head
+    assert(Validator.implicitChanges(diffRow, declaredAffected = Set("name")) == Seq("seg"))
+    assert(Validator.implicitChanges(diffRow, declaredAffected = Set("name", "seg")).isEmpty)
+  }
+
   test("COPY escapes of multi-byte UTF-8 decode as bytes, like the reference") {
     import graft.sources.CopyText
     // é = C3 A9 in UTF-8: consecutive escaped bytes form one char
