@@ -384,6 +384,26 @@ object SparkEntry {
             FROM customer"""
       }),
 
+    // Per-row diff documents (validate --data shape): original +
+    // transformed + changed per column
+    "q_validate_rows" -> Q(
+      (s, dir) => {
+        val orig = rd(s, dir, "customer")
+        val masked = Planner.plan(orig, TableConfig("customer", transforms = Seq(
+          ColumnTransform("c_name", Masking("name")))))
+        Validator.diffRows(orig, masked, Seq("c_custkey"))
+          .select("c_custkey", "c_name_original", "c_name_transformed", "c_name_changed",
+            "c_mktsegment_changed")
+          .orderBy("c_custkey")
+      },
+      Some {
+        val nm = Masking("name").appliedSql("c_name").get
+        s"""SELECT c_custkey, c_name AS c_name_original, ${nm} AS c_name_transformed,
+            (${nm} IS DISTINCT FROM c_name) AS c_name_changed,
+            false AS c_mktsegment_changed
+            FROM customer ORDER BY c_custkey"""
+      }),
+
     // ----- scans / projections / limits -----
     "q_query_scan" -> Q(
       (s, dir) => {

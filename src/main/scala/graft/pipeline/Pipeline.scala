@@ -252,6 +252,23 @@ object Validator {
     joined.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
   }
 
+  /** Per-row diff documents — the reference's validate --data output shape
+    * (`json_document.go:59-215`: original + transformed + changed per
+    * column per row), as a DataFrame: PK columns, then
+    * `<col>_original/_transformed/_changed` triples for every data column. */
+  def diffRows(original: DataFrame, transformed: DataFrame, pk: Seq[String]): DataFrame = {
+    val dataCols = original.columns.filterNot(pk.contains)
+    val o = original.as("o")
+    val t = transformed.as("t")
+    val joined = o.join(t, pk.map(k => col(s"o.$k") === col(s"t.$k")).reduce(_ && _))
+    val cols = pk.map(k => col(s"o.$k").as(k)) ++ dataCols.flatMap { c =>
+      Seq(col(s"o.$c").as(s"${c}_original"),
+        col(s"t.$c").as(s"${c}_transformed"),
+        not(col(s"o.$c") <=> col(s"t.$c")).as(s"${c}_changed"))
+    }
+    joined.select(cols.toIndexedSeq: _*)
+  }
+
   /** Implicit-change detection (`validate_utils/json_document.go:59-215`):
     * columns the diff shows as changed that NO transformer declared as
     * affected — e.g. an external Cmd rewriting more than its declared

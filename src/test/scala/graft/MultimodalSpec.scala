@@ -58,6 +58,27 @@ class MultimodalSpec extends SparkSpec {
     assert(same.width == 64 && same.height == 48)
   }
 
+  test("binaryFile source -> decode pipeline (large-object scan analog)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/img7.png"),
+      pngBytes(20, 10, 0xFF0000))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/img8.png"),
+      pngBytes(5, 5, 0x00FF00))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/skip.txt"),
+      "not media".getBytes)
+    val bin = Multimodal.readBinaryFiles(spark, dir, "*.png")
+    assert(bin.count() == 2) // glob filter excluded the txt
+    val media = bin.select(
+      org.apache.spark.sql.functions.regexp_extract(
+        org.apache.spark.sql.functions.col("path"), "img(\\d+)\\.png", 1)
+        .cast("long").as("media_id"),
+      org.apache.spark.sql.functions.lit("image").as("kind"),
+      org.apache.spark.sql.functions.col("content").as("payload")).as[MediaRow]
+    val feats = Multimodal.decodeImages(media).collect().map(f => f.media_id -> f).toMap
+    assert(feats(7L).width == 20 && feats(7L).height == 10)
+    assert(feats(8L).width == 5 && feats(8L).height == 5)
+  }
+
   test("decodeWav reads real WAV: rate, frames, duration, sine RMS") {
     val media = Seq(
       MediaRow(1L, "audio", wavBytes(8000f, 8000, 0.5)),

@@ -50,6 +50,21 @@ class SubsetSpec extends SparkSpec {
     assert(cRows.map(_._2).subsetOf(pIds)) // the invariant itself
   }
 
+  test("composite (multi-column) FK joins on every key column") {
+    val parent = Seq((1, 10, "keep"), (1, 20, "drop"), (2, 10, "keep"))
+      .toDF("k1", "k2", "tag")
+    // (1,20) is dropped; a child matching k1=1 but k2=20 must NOT survive
+    // via the (1,10) parent — both columns participate in the join
+    val child = Seq((100, 1, 10), (101, 1, 20), (102, 2, 10))
+      .toDF("cid", "fk1", "fk2")
+    val out = SubsetPlanner.plan(
+      Map("p" -> parent, "c" -> child),
+      Map("p" -> Seq("k1", "k2"), "c" -> Seq("cid")),
+      Seq(graft.pipeline.FkRef("c", Seq("fk1", "fk2"), "p", Seq("k1", "k2"))),
+      Map("p" -> Seq("tag = 'keep'")))
+    assert(out("c").select("cid").as[Int].collect().toSet == Set(100, 102))
+  }
+
   test("nullable FK escapes the filter") {
     val parent = Seq(1, 2, 3).toDF("id")
     val child = Seq((10, Some(1)), (11, Some(2)), (12, None)).toDF("cid", "pid")
