@@ -95,7 +95,9 @@ object Lifecycle {
     * analog) — drift (added/removed/retyped columns since dump time) is
     * reported to stderr rather than silently restored. */
   def restore(spark: SparkSession, manifestPath: String, target: String,
-              tables: Option[Set[String]] = None): Seq[String] = {
+              tables: Option[Set[String]] = None,
+              insertMode: Boolean = false,
+              ignoreSqlStates: Set[String] = Set.empty): Seq[String] = {
     val all = Manifest(Manifest.readEntries(manifestPath))
     val keep = tables.fold(all)(ts => all.filtered(ts))
     keep.restoreBatches.flatten.map { e =>
@@ -104,9 +106,13 @@ object Lifecycle {
         val drift = Validator.schemaDiff(stored, df.schema)
         drift.foreach(d => System.err.println(s"[schema-diff] ${e.table}: $d"))
       }
-      if (target.startsWith("jdbc:"))
-        RestoreSink.bulk(df, target, e.table, mode = org.apache.spark.sql.SaveMode.Overwrite)
-      else df.write.mode("overwrite").parquet(s"$target/${e.table}")
+      if (target.startsWith("jdbc:")) {
+        // insert mode = the reference's --inserts path (row INSERTs with
+        // per-error exclusion into an EXISTING table); copy mode = bulk
+        // batched JDBC overwrite
+        if (insertMode) RestoreSink.insertRows(df, target, e.table, ignoreSqlStates)
+        else RestoreSink.bulk(df, target, e.table, mode = org.apache.spark.sql.SaveMode.Overwrite)
+      } else df.write.mode("overwrite").parquet(s"$target/${e.table}")
       e.table
     }
   }
@@ -171,8 +177,11 @@ object Lifecycle {
       case "validate" :: cfgPath :: sfDir :: Nil =>
         validate(spark, Files.readString(Paths.get(cfgPath)), sfDir).foreach(println)
       case "restore" :: manifestPath :: target :: rest =>
-        restore(spark, manifestPath, target,
-          rest.headOption.map(_.split(",").toSet)).foreach(t => println(s"restored $t"))
+        val inserts = rest.contains("--inserts")
+        val tbls = rest.filterNot(_.startsWith("--")).headOption.map(_.split(",").toSet)
+        restore(spark, manifestPath, target, tbls, insertMode = inserts,
+          ignoreSqlStates = if (inserts) Set("23505") else Set.empty)
+          .foreach(t => println(s"restored $t"))
       case "list-dumps" :: root :: Nil => listDumps(root).foreach(println)
       case "show-dump" :: manifestPath :: Nil => showDump(manifestPath).foreach(println)
       case "delete" :: root :: name :: Nil =>

@@ -339,6 +339,8 @@ object Registry {
       p(m, "values", "a=b").split(",").map { kv => val Array(k, v) = kv.split("="); k -> v }.toMap,
       m.get("default"), p(m, "fail_not_matched", "false").toBoolean)),
     "Template" -> F(m => TemplateExpr(p(m, "expression", "NULL"))),
+    "PiiScrub" -> F(_ => PiiScrub()),
+    "TextNormalize" -> F(_ => TextNormalize()),
     // ops spec: ';'-separated "set:<path>=<jsonValue>" / "delete:<path>"
     // (paths are gjson-style dotted; values are JSON text)
     "Json" -> F(m => JsonNested(

@@ -375,6 +375,23 @@ case class Dict(mapping: Map[String, String], default: Option[String],
   }
 }
 
+/** PiiScrub — regex redaction of emails/IPs/phone runs (the training-data
+  * scrub stage as a config-registrable column transformer; patterns in
+  * [[graft.llm.TextOps.PiiPatterns]]). */
+case class PiiScrub() extends ScalarTransformer {
+  override def allowedInputTypes: Option[Set[String]] = Some(Set("string"))
+  def column(in: Column) = graft.llm.TextOps.piiScrub(in)
+  def oracle(in: String) = Some(graft.llm.TextOps.piiScrubSql(in))
+}
+
+/** TextNormalize — canonical lowercase/strip/collapse normalization as a
+  * column transformer ([[graft.llm.TextOps.normalize]]). */
+case class TextNormalize() extends ScalarTransformer {
+  override def allowedInputTypes: Option[Set[String]] = Some(Set("string"))
+  def column(in: Column) = graft.llm.TextOps.normalize(in)
+  def oracle(in: String) = Some(graft.llm.TextOps.normalizeSql(in))
+}
+
 /** RandomEmail — hashed local part, kept or generated domain
   * (ref `email.go:25-77`). */
 case class RandomEmail(keepOriginalDomain: Boolean = false,

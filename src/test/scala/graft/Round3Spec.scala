@@ -303,6 +303,39 @@ class RestoreFallbackSpec extends SparkSpec {
     }
   }
 
+  test("insert-mode restore drives the manifest path into an existing table") {
+    val dir = Files.createTempDirectory("graft_insrestore").toString
+    val df = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("id", "v")
+    df.write.mode("overwrite").parquet(s"$dir/ins_restore_t")
+    Manifest.write(Manifest.build(Seq(("ins_restore_t", df, s"$dir/ins_restore_t")),
+      refs = Nil), s"$dir/manifest.json")
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE ins_restore_t") catch { case _: Throwable => () }
+      st.execute("CREATE TABLE ins_restore_t (id BIGINT PRIMARY KEY, v VARCHAR(20))")
+      st.execute("INSERT INTO ins_restore_t VALUES (2, 'existing')")
+      st.close()
+    } finally conn.close()
+    val restored = Lifecycle.restore(spark, s"$dir/manifest.json", url,
+      insertMode = true, ignoreSqlStates = Set("23505"))
+    assert(restored == Seq("ins_restore_t"))
+    val back = spark.read.jdbc(url, "ins_restore_t", new Properties())
+      .as[(Long, String)].collect().toMap
+    assert(back == Map(1L -> "one", 2L -> "existing", 3L -> "three"))
+  }
+
+  test("PiiScrub and TextNormalize are config-registrable transformers") {
+    val scrub = Registry.build("PiiScrub", Map.empty)
+    val out = Seq("mail me@x.org now").toDF("v")
+      .select(scrub.applied(col("v")).as("o")).as[String].collect().head
+    assert(out == "mail <EMAIL> now")
+    val norm = Registry.build("TextNormalize", Map.empty)
+    val n = Seq("  Hello,   WORLD!! ").toDF("v")
+      .select(norm.applied(col("v")).as("o")).as[String].collect().head
+    assert(n == "hello world")
+  }
+
   test("sequence restore re-seeds a Derby identity column from max(pk)") {
     val conn = DriverManager.getConnection(url)
     try {
