@@ -37,5 +37,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"minhash60: literal args required, got $other")
         }
       }))
+    ext.injectFunction((
+      FunctionIdentifier("digest_hex"),
+      new ExpressionInfo(classOf[graft.expressions.DigestHex].getName, "digest_hex"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2, "digest_hex(input, algo_literal)")
+        exprs(1) match {
+          case Literal(a, StringType) =>
+            graft.expressions.DigestHex(Cast(exprs(0), StringType), a.toString)
+          case other => throw new IllegalArgumentException(
+            s"digest_hex: algo must be a string literal, got $other")
+        }
+      }))
   }
 }

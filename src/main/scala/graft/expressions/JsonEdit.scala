@@ -14,6 +14,22 @@ case class JsonEditOp(kind: String, path: String, value: String = "null") {
   require(path.nonEmpty, "JsonEditOp: empty path")
 }
 
+object JsonEditOp {
+  /** Parse the compact op spec used by configs and the SQL function:
+    * `;`-separated `set:<path>=<jsonValue>` / `delete:<path>`. */
+  def parseSpec(spec: String): Seq[JsonEditOp] =
+    spec.split(";").toSeq.filter(_.nonEmpty).map { op =>
+      op.split(":", 2) match {
+        case Array("set", rest) => rest.split("=", 2) match {
+          case Array(path, v) => JsonEditOp("set", path, v)
+          case _ => throw new IllegalArgumentException(s"Json op needs path=value: $op")
+        }
+        case Array("delete", path) => JsonEditOp("delete", path)
+        case _ => throw new IllegalArgumentException(s"Json op must be set:|delete:, got $op")
+      }
+    }
+}
+
 /** Ordered set/delete edits on a JSON document column at nested gjson-ish
   * paths — the full-nesting upgrade of the flat map-based JsonTransform.
   * `sortKeys` renders objects with lexicographically sorted keys, giving a

@@ -344,16 +344,8 @@ object Registry {
     // ops spec: ';'-separated "set:<path>=<jsonValue>" / "delete:<path>"
     // (paths are gjson-style dotted; values are JSON text)
     "Json" -> F(m => JsonNested(
-      p(m, "ops", "").split(";").toSeq.filter(_.nonEmpty).map { op =>
-        op.split(":", 2) match {
-          case Array("set", rest) => rest.split("=", 2) match {
-            case Array(path, v) => graft.expressions.JsonEditOp("set", path, v)
-            case _ => throw new IllegalArgumentException(s"Json op needs path=value: $op")
-          }
-          case Array("delete", path) => graft.expressions.JsonEditOp("delete", path)
-          case _ => throw new IllegalArgumentException(s"Json op must be set:|delete:, got $op")
-        }
-      }, p(m, "sort_keys", "true").toBoolean)),
+      graft.expressions.JsonEditOp.parseSpec(p(m, "ops", "")),
+      p(m, "sort_keys", "true").toBoolean)),
   ) ++ Faker.all.map { case (k, v) => k -> ((_: Map[String, String]) => v) }
 
   def build(name: String, params: Map[String, String]): ScalarTransformer =

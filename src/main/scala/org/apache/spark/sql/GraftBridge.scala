@@ -34,5 +34,27 @@ object GraftBridge {
         case other => throw new IllegalArgumentException(s"minhash60: literal args required, got $other")
       }
     }, "built-in")
+    registry.createOrReplaceTempFunction("digest_hex", exprs => {
+      require(exprs.size == 2, "digest_hex(input, algo_literal)")
+      exprs(1) match {
+        case Literal(a, StringType) =>
+          graft.expressions.DigestHex(Cast(exprs(0), StringType), a.toString)
+        case other => throw new IllegalArgumentException(s"digest_hex: algo must be a string literal, got $other")
+      }
+    }, "built-in")
+    registry.createOrReplaceTempFunction("json_edit", exprs => {
+      // json_edit(doc, 'set:a.b=1;delete:k' [, sort_keys]) — same compact
+      // op spec as the Json registry factory
+      require(exprs.size == 2 || exprs.size == 3, "json_edit(doc, ops_literal[, sort_keys])")
+      val ops = exprs(1) match {
+        case Literal(s, StringType) => graft.expressions.JsonEditOp.parseSpec(s.toString)
+        case other => throw new IllegalArgumentException(s"json_edit: ops must be a string literal, got $other")
+      }
+      val sortKeys = if (exprs.size == 3) exprs(2) match {
+        case Literal(b, _) => b.toString.toBoolean
+        case _ => true
+      } else true
+      graft.expressions.JsonEditExpr(Cast(exprs(0), StringType), ops, sortKeys)
+    }, "built-in")
   }
 }

@@ -150,6 +150,11 @@ class GenSpec extends SparkSpec {
     val mh = spark.sql(
       s"SELECT minhash60(array('a b c','b c d'), '${Gen.Salt}', 2) AS m").collect().head
     assert(mh.getSeq[Long](0).size == 4)
+    val sha3 = spark.sql("SELECT digest_hex('abc', 'SHA3-256') AS d").collect().head.getString(0)
+    assert(sha3 == "3a985da74fe225b2045c172d6bd390bd855f086e3e9d525b46bfe24511431532")
+    val je = spark.sql(
+      """SELECT json_edit('{"k":1}', 'set:a.b=2;delete:k') AS j""").collect().head.getString(0)
+    assert(je == """{"a":{"b":2}}""")
   }
 
   test("decimalBetween bounds at scale") {
