@@ -540,6 +540,15 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id"),
       Some(Sampling.stratifiedQuotaSql("documents", "lang", "doc_id", 5,
         "doc_id, lang") + " ORDER BY doc_id")),
+    // Quality-weighted deterministic sampling: keep-probability equals the
+    // doc's quality score (the data-mixing primitive; no rand())
+    "q_sample_weighted" -> Q(
+      (s, dir) => Sampling.weighted(rd(s, dir, "documents"), "doc_id",
+          TextOps.qualityScore(col("text")))
+        .select("doc_id", "lang").orderBy("doc_id"),
+      Some(s"SELECT doc_id, lang FROM documents WHERE " +
+        s"${Sampling.weightedSql("doc_id", TextOps.qualityScoreSql("text"))} ORDER BY doc_id")),
+
     "q_text_normalize" -> Q(
       (s, dir) => rd(s, dir, "documents")
         .select(col("doc_id"), TextOps.normalize(col("text")).as("norm"))

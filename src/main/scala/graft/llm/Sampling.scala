@@ -39,4 +39,19 @@ object Sampling {
             ORDER BY ${OracleGen.u60(keyCol, tweak)}, ${keyCol}) AS rnk
           FROM ${table})
         WHERE rnk <= ${quota}"""
+
+  /** Weighted deterministic sampling: keep a row with probability equal to
+    * its weight expression (clamped to [0,1]) — quality-proportional
+    * data mixing without rand(). Decision = u60(key)/2^60 < weight, so it
+    * is stable across runs/partitionings and re-weighting only flips the
+    * rows whose weight crossed their fixed hash draw (incremental-safe).
+    * u60→double rounds identically on both engines (IEEE nearest). */
+  def weighted(df: DataFrame, keyCol: String, weight: Column,
+               tweak: String = "wsample"): DataFrame = {
+    val draw = Gen.u60(col(keyCol), tweak).cast("double") / lit(Gen.U60Max.toDouble)
+    df.filter(draw < least(greatest(weight, lit(0.0)), lit(1.0)))
+  }
+  def weightedSql(keyCol: String, weightSql: String, tweak: String = "wsample"): String =
+    s"((${OracleGen.u60(keyCol, tweak)})::DOUBLE / ${Gen.U60Max.toDouble} < " +
+      s"least(greatest(${weightSql}, 0.0), 1.0))"
 }

@@ -106,6 +106,19 @@ class CorpusSpec extends SparkSpec {
     assert(out(3L) == 0.0)
   }
 
+  test("weighted sampling: edge weights, monotonicity, determinism") {
+    import graft.llm.Sampling
+    val df = (1L to 2000L).toDF("id")
+    assert(Sampling.weighted(df, "id", lit(0.0)).count() == 0)
+    assert(Sampling.weighted(df, "id", lit(1.0)).count() == 2000)
+    val low = Sampling.weighted(df, "id", lit(0.3)).as[Long].collect().toSet
+    val high = Sampling.weighted(df, "id", lit(0.6)).as[Long].collect().toSet
+    assert(low.subsetOf(high)) // same hash draw, higher bar keeps supersets
+    assert(math.abs(low.size / 2000.0 - 0.3) < 0.05) // ~rate
+    assert(Sampling.weighted(df.repartition(7), "id", lit(0.3))
+      .as[Long].collect().toSet == low) // partition-invariant
+  }
+
   test("gopherKeep flags short and letterless docs") {
     val flags = Seq(
       (1L, "the cat sat on the mat and it is a fine day for all of us"),
