@@ -549,6 +549,16 @@ object SparkEntry {
       Some(s"SELECT doc_id, lang FROM documents WHERE " +
         s"${Sampling.weightedSql("doc_id", TextOps.qualityScoreSql("text"))} ORDER BY doc_id")),
 
+    // Sequence packing (rows-only: greedy packing is a sequential
+    // per-partition fold — no SQL closed form; invariants pinned in
+    // CorpusSpec, output deterministic via hash routing)
+    "q_pack_sequences" -> Q(
+      (s, dir) => Sampling.packSequences(
+        rd(s, dir, "documents").select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tok")),
+        "doc_id", "n_tok", budget = 2048).orderBy("doc_id"),
+      None),
+
     "q_text_normalize" -> Q(
       (s, dir) => rd(s, dir, "documents")
         .select(col("doc_id"), TextOps.normalize(col("text")).as("norm"))

@@ -54,4 +54,37 @@ object Sampling {
   def weightedSql(keyCol: String, weightSql: String, tweak: String = "wsample"): String =
     s"((${OracleGen.u60(keyCol, tweak)})::DOUBLE / ${Gen.U60Max.toDouble} < " +
       s"least(greatest(${weightSql}, 0.0), 1.0))"
+
+  /** Sequence packing: greedily group documents into token-budget-bounded
+    * packs (the batching step before tokenized training sequences). Fully
+    * deterministic at a fixed `numPartitions`: rows are routed by key hash
+    * (hash repartition is a pure function of the key), sorted by key
+    * within each partition, then packed greedily in that order —
+    * `pack_id = partition * 2^32 + local index`. A doc larger than the
+    * budget gets its own pack. Per-partition sequential scan is the right
+    * scale shape: packing is order-dependent, so the only global
+    * alternative is a single-node sort — instead each of N partitions
+    * packs its own key range independently. */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+                    budget: Long, numPartitions: Int = 32): DataFrame = {
+    require(budget > 0, "packSequences: budget must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(tokenCol).cast("long").as("n_tokens"))
+      .repartition(numPartitions, Gen.u60(col("id"), "pack"))
+      .sortWithinPartitions("id")
+      .mapPartitions { rows =>
+        val part = org.apache.spark.TaskContext.getPartitionId().toLong
+        var packLocal = 0L
+        var used = 0L
+        var first = true
+        rows.map { r =>
+          val (id, n) = (r.getLong(0), r.getLong(1))
+          if (!first && used + n > budget) { packLocal += 1; used = 0 }
+          first = false
+          used += n
+          (part * (1L << 32) + packLocal, id, n)
+        }
+      }.toDF("pack_id", "doc_id", "n_tokens")
+  }
 }

@@ -119,6 +119,26 @@ class CorpusSpec extends SparkSpec {
       .as[Long].collect().toSet == low) // partition-invariant
   }
 
+  test("sequence packing respects the budget, covers every doc, is deterministic") {
+    import graft.llm.Sampling
+    val rnd = new scala.util.Random(99L)
+    val docs2 = (1L to 500L).map(i => (i, 1L + rnd.nextInt(300))).toDF("doc_id", "n_tok")
+    val packed = Sampling.packSequences(docs2, "doc_id", "n_tok", budget = 512)
+      .as[(Long, Long, Long)].collect()
+    // every doc exactly once
+    assert(packed.map(_._2).sorted.toSeq == (1L to 500L))
+    // no multi-doc pack exceeds the budget; oversized singletons allowed
+    packed.groupBy(_._1).foreach { case (_, grp) =>
+      if (grp.length > 1) assert(grp.map(_._3).sum <= 512)
+    }
+    // deterministic across partitioning of the INPUT (hash routing fixes it)
+    val packed2 = Sampling.packSequences(docs2.repartition(3), "doc_id", "n_tok", 512)
+      .as[(Long, Long, Long)].collect()
+    assert(packed2.toSet == packed.toSet)
+    // packs are reasonably full (greedy, not one-per-doc)
+    assert(packed.map(_._1).distinct.length < 220)
+  }
+
   test("gopherKeep flags short and letterless docs") {
     val flags = Seq(
       (1L, "the cat sat on the mat and it is a fine day for all of us"),
