@@ -13,9 +13,12 @@ import scala.util.Random
 class SubsetPropertySpec extends SparkSpec {
   import spark.implicits._
 
-  private case class Tbl(name: String, rows: Seq[(Int, Option[Int])], ref: Option[String])
+  private case class Tbl(name: String, rows: Seq[(Int, Option[Int])], ref: Option[String],
+                         nullableRef: Boolean = true)
 
-  /** Brute-force reference implementation over plain collections. */
+  /** Brute-force reference implementation over plain collections.
+    * Nullable edge: a NULL FK survives vacuously. Non-nullable edge: a
+    * NULL FK (or a dangling one) kills the row. */
   private def bruteForce(tables: Seq[Tbl], killed: Map[String, Set[Int]]): Map[String, Set[Int]] = {
     var surviving: Map[String, Set[Int]] = tables.map(t =>
       t.name -> t.rows.map(_._1).filterNot(killed.getOrElse(t.name, Set.empty)).toSet).toMap
@@ -25,7 +28,8 @@ class SubsetPropertySpec extends SparkSpec {
       for (t <- tables; parent <- t.ref) {
         val keep = t.rows.collect {
           case (id, fk) if surviving(t.name)(id) &&
-            fk.forall(surviving(parent)) => id
+            (if (t.nullableRef) fk.forall(surviving(parent))
+             else fk.exists(surviving(parent))) => id
         }.toSet
         if (keep != surviving(t.name)) { surviving += t.name -> keep; changed = true }
       }
@@ -34,8 +38,17 @@ class SubsetPropertySpec extends SparkSpec {
   }
 
   test("planner matches brute-force fix-point on 12 random graphs") {
-    val rnd = new Random(20260812L)
-    for (trial <- 1 to 12) {
+    runTrials(seed = 20260812L, trials = 12, mixedNullability = false)
+  }
+
+  test("planner matches brute-force fix-point with mixed FK nullability") {
+    // non-nullable edges: NULL/dangling FKs kill rows instead of escaping
+    runTrials(seed = 31415926L, trials = 12, mixedNullability = true)
+  }
+
+  private def runTrials(seed: Long, trials: Int, mixedNullability: Boolean): Unit = {
+    val rnd = new Random(seed)
+    for (trial <- 1 to trials) {
       val nTables = 2 + rnd.nextInt(3)
       val names = (0 until nTables).map(i => s"t$i")
       val tables = names.zipWithIndex.map { case (n, i) =>
@@ -45,7 +58,8 @@ class SubsetPropertySpec extends SparkSpec {
           val fk = if (ref.isDefined && rnd.nextDouble() > 0.15) Some(rnd.nextInt(14)) else None
           (id, fk)
         }
-        Tbl(n, rows, ref.filter(_ != n || rnd.nextBoolean())) // self-refs sometimes
+        Tbl(n, rows, ref.filter(_ != n || rnd.nextBoolean()), // self-refs sometimes
+          nullableRef = if (mixedNullability) rnd.nextBoolean() else true)
       }
       val killed = tables.map(t =>
         t.name -> t.rows.map(_._1).filter(_ => rnd.nextDouble() < 0.25).toSet).toMap
@@ -54,7 +68,7 @@ class SubsetPropertySpec extends SparkSpec {
 
       val dfs = tables.map(t => t.name -> t.rows.toDF("id", "fk")).toMap
       val edges = tables.flatMap(t => t.ref.map(p =>
-        FkRef(t.name, Seq("fk"), p, Seq("id"), nullable = true)))
+        FkRef(t.name, Seq("fk"), p, Seq("id"), nullable = t.nullableRef)))
       val conds = killed.collect { case (t, ks) if ks.nonEmpty =>
         t -> Seq(s"id NOT IN (${ks.mkString(",")})")
       }
