@@ -628,6 +628,27 @@ object SparkEntry {
         s"""SELECT (${sh})::BIGINT AS simhash, min(doc_id) AS rep_id, count(*) AS bucket_size
             FROM documents GROUP BY 1 ORDER BY simhash"""
       }),
+    // Hamming-k simhash pairs: 4x4-bit pigeonhole banding + exact popcount
+    "q_simhash_hamming" -> Q(
+      (s, dir) => Dedup.simhashHammingPairs(rd(s, dir, "documents"), "doc_id", "text", 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy("id_a", "id_b"),
+      Some {
+        val sh = TextOps.simhash16Sql("text")
+        s"""WITH s AS (
+              SELECT doc_id AS id, (${sh})::BIGINT AS sh FROM documents
+            ), banded AS (
+              SELECT id, sh, b.band_no, (sh >> (b.band_no * 4)) & 15 AS band_val
+              FROM s CROSS JOIN (SELECT unnest([0,1,2,3]) AS band_no) b
+            ), pairs AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+              FROM banded a JOIN banded b
+                ON a.band_no = b.band_no AND a.band_val = b.band_val AND a.id < b.id
+            )
+            SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::INT AS hamming
+            FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3
+            ORDER BY id_a, id_b"""
+      }),
     "q_dedup_jaccard" -> Q(
       (s, dir) => Dedup.jaccardPairs(rd(s, dir, "documents"), "doc_id", "text",
         threshold = 0.0).orderBy("id_a", "id_b"),
@@ -685,6 +706,24 @@ object SparkEntry {
               (SELECT ${bucket} AS bucket FROM embeddings)
             GROUP BY bucket ORDER BY bucket"""
       }),
+    // Multi-probe ANN: query bucket + hamming-1 flips of the
+    // smallest-margin planes
+    "q_ann_multiprobe" -> Q(
+      (s, dir) => Similarity.annTopKMultiProbe(rd(s, dir, "embeddings"), "vec_id",
+        "embedding", Similarity.testQuery(64), 20, nPlanes = 8, probes = 3)
+        .select("vec_id").orderBy("vec_id"),
+      Some {
+        val buckets = Similarity.multiProbeBuckets(Similarity.testQuery(64), 8, 3)
+        val bucket = Similarity.lshBucketSql("embedding", Similarity.hyperplanes(8, 64))
+        val cos = Similarity.cosineToSql("embedding", Similarity.testQuery(64))
+        s"""SELECT vec_id FROM (
+              SELECT vec_id, c FROM (
+                SELECT vec_id, ${bucket} AS bucket, ${cos} AS c FROM embeddings)
+              WHERE bucket IN (${buckets.mkString(",")})
+              ORDER BY c DESC, vec_id LIMIT 20)
+            ORDER BY vec_id"""
+      }),
+
     // IVF coarse quantizer end-to-end: hash-rank seed (TakeOrderedAndProject,
     // no global sort/count) -> assign -> 2-probe -> exact top-k; membership
     // projection like q_knn_brute

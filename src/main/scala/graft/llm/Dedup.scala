@@ -127,6 +127,35 @@ object Dedup {
       .groupBy("simhash")
       .agg(min(idCol).as("rep_id"), count(lit(1)).as("bucket_size"))
 
+  /** Hamming-k SimHash candidate pairs: split the 16-bit simhash into 4
+    * bands of 4 bits; by pigeonhole, any pair within hamming distance 3
+    * shares at least one identical band — so candidate generation is a
+    * band-bucket join (never all-pairs) and the exact popcount filter
+    * verifies the distance. The banding trick that makes hamming-ball
+    * near-dup linear at corpus scale. */
+  def simhashHammingPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3, "simhashHammingPairs: 4 bands cover hamming <= 3")
+    val sims = df.select(col(idCol).as("id"), TextOps.simhash16(col(textCol)).as("sh"))
+    val banded = sims.select(col("id"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_no"),
+          shiftright(col("sh"), b * 4).bitwiseAND(lit(15L)).as("band_val"))): _*)).as("band"))
+      .select(col("id"), col("sh"), col("band.band_no"), col("band.band_val"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val pairs = a.join(b,
+        col("a.band_no") === col("b.band_no") && col("a.band_val") === col("b.band_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .distinct()
+    pairs
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** N-gram Jaccard verification over LSH candidate pairs: the
     * within-bucket verify step (`band join -> pair -> exact jaccard`).
     * Self-join ONLY on the band key — bucket-bounded, not all-pairs. */

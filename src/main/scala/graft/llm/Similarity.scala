@@ -92,6 +92,42 @@ object Similarity {
       math.log(corpusSize.toDouble / targetBucketSize.toDouble) / math.log(2.0)).toInt)
   }
 
+  /** Multi-probe ANN: probe the query's bucket PLUS the hamming-1
+    * neighbors obtained by flipping the planes with the smallest |margin|
+    * (the hyperplanes the query sits closest to — the likeliest
+    * misassignments). Standard multi-probe LSH: recall recovers without
+    * growing the table, cost = probes × bucket scan. */
+  def annTopKMultiProbe(df: DataFrame, idCol: String, vecCol: String,
+                        query: Seq[Double], k: Int, nPlanes: Int = 8,
+                        probes: Int = 3): DataFrame = {
+    require(probes >= 1 && probes <= nPlanes + 1, "annTopKMultiProbe: 1 <= probes <= nPlanes+1")
+    val dim = query.size
+    val planes = hyperplanes(nPlanes, dim)
+    val margins = planes.zipWithIndex.map { case (p, b) =>
+      (b, p.zip(query).map { case (a, x) => a * x }.sum)
+    }
+    val qBucket = margins.map { case (b, m) => if (m >= 0) 1L << b else 0L }.sum
+    // flip the (probes-1) closest planes, one at a time
+    val flips = margins.sortBy { case (_, m) => math.abs(m) }.take(probes - 1).map(_._1)
+    val buckets = qBucket +: flips.map(b => qBucket ^ (1L << b))
+    withLshBuckets(df, idCol, vecCol, nPlanes, dim)
+      .filter(col("bucket").isin(buckets: _*))
+      .select(col(idCol), cosineTo(col(vecCol), query).as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+  }
+
+  /** The probe bucket list of [[annTopKMultiProbe]] (for oracle SQL). */
+  def multiProbeBuckets(query: Seq[Double], nPlanes: Int, probes: Int): Seq[Long] = {
+    val planes = hyperplanes(nPlanes, query.size)
+    val margins = planes.zipWithIndex.map { case (p, b) =>
+      (b, p.zip(query).map { case (a, x) => a * x }.sum)
+    }
+    val qBucket = margins.map { case (b, m) => if (m >= 0) 1L << b else 0L }.sum
+    qBucket +: margins.sortBy { case (_, m) => math.abs(m) }.take(probes - 1)
+      .map { case (b, _) => qBucket ^ (1L << b) }
+  }
+
   /** Embedding-cosine near-dup: vectors sharing a bucket whose exact
     * cosine exceeds the threshold — bucket-bounded pair join. `nPlanes`
     * must scale with the corpus (see [[planesFor]]); the default suits
