@@ -52,10 +52,23 @@ class LlmOpsSpec extends SparkSpec {
   test("minhash LSH and jaccard plans contain no CartesianProduct") {
     for (df <- Seq(
       Dedup.minhashLsh(docs, "doc_id", "text"),
-      Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.1))) {
+      Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.1),
+      Dedup.simhashHammingPairs(docs, "doc_id", "text"),
+      graft.llm.Similarity.cosineNearDupPairs(
+        docs.select($"doc_id".as("vec_id"),
+          org.apache.spark.sql.functions.array_repeat($"doc_id".cast("float"), 4)
+            .as("embedding")), "vec_id", "embedding", nPlanes = 4, dim = 4))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), plan)
     }
+  }
+
+  test("simhash hamming pairs: identical docs at distance 0, banding finds them") {
+    val pairs = Dedup.simhashHammingPairs(docs, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    // docs 1 and 2 are exact dups in this fixture -> hamming 0
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    pairs.foreach(p => assert(p._3 <= 3))
   }
 
   test("jaccard verify finds the near-dup pair with high score") {
