@@ -456,6 +456,17 @@ object SparkEntry {
       Some("SELECT c_custkey AS ck, c_name AS nm, c_mktsegment AS seg " +
         "FROM customer ORDER BY ck")),
 
+    // Sessionization: idle-gap session ids per user (lag + running-sum
+    // windows; ts is epoch-nanos long on the Spark side)
+    "q_sessionize" -> Q(
+      (s, dir) => graft.ops.Sessionize.sessions(rd(s, dir, "events"),
+          "user_id", expr("ts div 1000000000"), "event_id", gapSec = 3600)
+        .select("user_id", "event_id", "session_id")
+        .orderBy("user_id", "event_id"),
+      Some(graft.ops.Sessionize.sessionsSql("events", "user_id",
+        "epoch(ts)::BIGINT", "event_id", 3600,
+        "user_id, event_id, session_id") + " ORDER BY user_id, event_id")),
+
     // ----- Cmd pipe operator (external process round-trip) -----
     "q_pipe_csv" -> Q(
       (s, dir) => {

@@ -45,4 +45,42 @@ object StreamingMask {
       .withColumn("content_hash", sha2(col(textCol), 256))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  case class SessionState(count: Long, lastMs: Long)
+  case class SessionUpdate(user_id: Long, n_events: Long, closed: Boolean)
+
+  /** Custom streaming state via flatMapGroupsWithState (the
+    * KeyValueGroupedDataset path from the brief): per-user session event
+    * counters with an EVENT-TIME idle timeout — when the watermark passes
+    * last-event + gap, the session closes, emits its final count, and the
+    * state is freed (bounded state at stream scale, deterministic in
+    * event time — no wall-clock batches). Input: (user_id, ts) columns. */
+  def sessionCounts(stream: DataFrame, gapMs: Long = 30 * 60 * 1000L,
+                    watermark: String = "10 minutes")
+                   : org.apache.spark.sql.Dataset[SessionUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, events, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionUpdate(user, s.count, closed = true))
+          } else {
+            val evs = events.toSeq
+            val prev = state.getOption.getOrElse(SessionState(0L, 0L))
+            val next = SessionState(prev.count + evs.size,
+              math.max(prev.lastMs, evs.map(_._2.getTime).max))
+            state.update(next)
+            state.setTimeoutTimestamp(next.lastMs + gapMs)
+            Iterator(SessionUpdate(user, next.count, closed = false))
+          }
+      }
+  }
 }

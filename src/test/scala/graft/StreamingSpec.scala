@@ -62,4 +62,27 @@ class StreamingSpec extends SparkSpec {
       assert(texts.sorted == Seq("other doc", "same doc"))
     } finally q.stop()
   }
+
+  test("flatMapGroupsWithState: event-time sessions count, close, and free state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val stream = input.toDF().toDF("user_id", "ts")
+    val updates = StreamingMask.sessionCounts(stream,
+      gapMs = 60 * 1000L, watermark = "0 seconds")
+    val q = updates.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      input.addData((7L, ts(100)), (7L, ts(130)), (9L, ts(100)))
+      q.processAllAvailable()
+      // watermark jumps far past both sessions' last-event + gap:
+      // the timed-out states emit closed sessions and are removed
+      input.addData((8L, ts(100000)))
+      q.processAllAvailable()
+      val out = spark.table("sess_out").as[(Long, Long, Boolean)].collect().toSeq
+      assert(out.contains((7L, 2L, false))) // running count within the session
+      assert(out.contains((9L, 1L, false)))
+      assert(out.contains((7L, 2L, true)))  // closed on timeout with final count
+      assert(out.contains((9L, 1L, true)))
+    } finally q.stop()
+  }
 }
