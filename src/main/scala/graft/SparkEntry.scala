@@ -825,6 +825,12 @@ object SparkEntry {
         .orderBy(desc("n"), col("token")),
       Some(Corpus.tokenTopKSql("documents", "text", 50))),
 
+    // KMV distinct sketch: deterministic under the shared hash, so the
+    // ESTIMATE itself is oracle-comparable (HLL never is)
+    "q_sketch_kmv" -> Q(
+      (s, dir) => Corpus.kmvDistinct(rd(s, dir, "lineitem"), "l_partkey", 256),
+      Some(Corpus.kmvDistinctSql("lineitem", "l_partkey", 256))),
+
     // Benchmark-contamination: docs sharing a word trigram with the probe
     // set (broadcast semi-join on exploded shingles)
     "q_contamination" -> Q(

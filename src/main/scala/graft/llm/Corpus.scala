@@ -58,4 +58,34 @@ object Corpus {
     s"""SELECT DISTINCT ${idCol} FROM ${table}
         WHERE list_has_any(${TextOps.shinglesSql(textCol, shingleN)}, ${list})"""
   }
+
+  /** KMV (k-minimum-values) distinct-count sketch over the u60 hash:
+    * estimate = (k-1) · 2^60 / kth-smallest-hash. Unlike HLL the sketch is
+    * DETERMINISTIC given the shared hash, so the estimate itself is
+    * engine-comparable — and the k-minimum set is mergeable (union then
+    * re-take k), the property that makes it a one-pass distributed sketch
+    * at corpus scale. Exact count returned below k. Output: (kth, est). */
+  def kmvDistinct(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, "kmvDistinct: k must be >= 2")
+    import graft.generators.Gen
+    df.select(Gen.u60(col(valueCol), "kmv").as("h"))
+      .where(col("h").isNotNull).distinct()
+      .orderBy("h").limit(k)
+      .agg(max("h").as("kth"), count(lit(1)).as("n"))
+      .select(col("kth"),
+        when(col("n") < k, col("n").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(Gen.U60Max.toDouble) /
+            col("kth").cast("double")).as("est"))
+  }
+
+  def kmvDistinctSql(table: String, valueCol: String, k: Int): String = {
+    import graft.generators.{Gen, OracleGen}
+    val h = OracleGen.u60(valueCol, "kmv")
+    s"""SELECT kth, CASE WHEN n < ${k} THEN n::DOUBLE
+          ELSE ${(k - 1).toDouble} * ${Gen.U60Max.toDouble} / kth::DOUBLE END AS est
+        FROM (
+          SELECT max(h) AS kth, count(*) AS n FROM (
+            SELECT DISTINCT ${h} AS h FROM ${table} WHERE (${valueCol}) IS NOT NULL
+            ORDER BY h LIMIT ${k}))"""
+  }
 }

@@ -84,6 +84,22 @@ class CorpusSpec extends SparkSpec {
     assert(got(10L) == got(12L))
   }
 
+  test("KMV sketch estimates distinct counts within tolerance; exact below k") {
+    import graft.llm.Corpus
+    // 10k distinct values, k=256 -> relative error ~ 1/sqrt(k-2) ~ 6%
+    val big = (1L to 30000L).map(i => i % 10000).toDF("v")
+    val est = Corpus.kmvDistinct(big, "v", 256).select("est").as[Double].collect().head
+    assert(math.abs(est - 10000) / 10000.0 < 0.2, s"estimate $est too far from 10000")
+    // below k the count is exact
+    val small = (1L to 50L).toDF("v")
+    val exact = Corpus.kmvDistinct(small, "v", 256).select("est").as[Double].collect().head
+    assert(exact == 50.0)
+    // deterministic across partitionings (mergeable min-set)
+    val a = Corpus.kmvDistinct(big.repartition(3), "v", 256).collect().head
+    val b = Corpus.kmvDistinct(big.repartition(17), "v", 256).collect().head
+    assert(a == b)
+  }
+
   test("piiScrub redacts emails, IPs, and phone numbers, in order") {
     val out = Seq("mail a.user+x@corp.example.org from 192.168.0.1 or +44 20 7946 0958 now")
       .toDF("t").select(TextOps.piiScrub(col("t"))).as[String].collect().head
