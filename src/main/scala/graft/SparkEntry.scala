@@ -463,8 +463,11 @@ object SparkEntry {
           "user_id", expr("ts div 1000000000"), "event_id", gapSec = 3600)
         .select("user_id", "event_id", "session_id")
         .orderBy("user_id", "event_id"),
+      // epoch_ns // 1e9 floors like Spark's `div` on the nanos long;
+      // epoch(ts)::BIGINT would ROUND fractional seconds and flip
+      // sessions whose gap straddles the boundary
       Some(graft.ops.Sessionize.sessionsSql("events", "user_id",
-        "epoch(ts)::BIGINT", "event_id", 3600,
+        "(epoch_ns(ts) // 1000000000)", "event_id", 3600,
         "user_id, event_id, session_id") + " ORDER BY user_id, event_id")),
 
     // ----- Cmd pipe operator (external process round-trip) -----
