@@ -101,6 +101,29 @@ class ScaleOpsSpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("multi-probe ANN recall dominates single-bucket recall") {
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, Seq((if (i % 2 == 0) 1.0f else -1.0f),
+        (i % 11).toFloat / 11f, ((i % 5) - 2).toFloat / 5f))
+    }.toDF("vec_id", "embedding")
+    val q = Seq(1.0, 0.05, 0.0)
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, 15)
+      .select("vec_id").as[Long].collect().toSet
+    def recall(probes: Int) =
+      Similarity.annTopKMultiProbe(vecs, "vec_id", "embedding", q, 15,
+          nPlanes = 6, probes = probes)
+        .select("vec_id").as[Long].collect().count(brute)
+    // superset of candidate buckets + same exact metric => monotone recall
+    assert(recall(2) >= recall(1))
+    assert(recall(4) >= recall(2))
+    // probes=1 equals the plain single-bucket annTopK
+    val single = Similarity.annTopK(vecs, "vec_id", "embedding", q, 15, nPlanes = 6)
+      .select("vec_id").as[Long].collect().toSet
+    val mp1 = Similarity.annTopKMultiProbe(vecs, "vec_id", "embedding", q, 15,
+      nPlanes = 6, probes = 1).select("vec_id").as[Long].collect().toSet
+    assert(mp1 == single)
+  }
+
   test("IVF: full probe equals brute force; partial probe is a valid subset") {
     val vecs = (0 until 200).map { i =>
       val base = if (i % 4 == 0) 1.0f else if (i % 4 == 1) -1.0f else 0.5f
