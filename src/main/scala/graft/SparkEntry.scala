@@ -404,6 +404,33 @@ object SparkEntry {
             FROM customer ORDER BY c_custkey"""
       }),
 
+    // Privacy audit of a masked release: k-anonymity + l-diversity over
+    // the generalized quasi-identifiers
+    "q_k_anonymity" -> Q(
+      (s, dir) => {
+        val masked = Planner.plan(rd(s, dir, "customer"), TableConfig("customer",
+          transforms = Seq(
+            ColumnTransform("c_acctbal", TemplateExpr("cast(round(c_acctbal, -3) as double)")),
+            ColumnTransform("c_name", SetNull()))))
+        val ka = Validator.kAnonymity(masked, Seq("c_nationkey", "c_acctbal"), 5)
+        val ld = Validator.lDiversity(masked, Seq("c_nationkey"), "c_mktsegment", 3)
+        ka.crossJoin(ld) // two 1-row audits combined into the report row
+      },
+      Some("""WITH m AS (
+                SELECT c_nationkey, round(c_acctbal, -3)::DOUBLE AS c_acctbal, c_mktsegment
+                FROM customer
+              ), ka AS (
+                SELECT min(class_size) AS min_class_size,
+                       sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END)::BIGINT AS classes_below_k
+                FROM (SELECT count(*) AS class_size FROM m GROUP BY c_nationkey, c_acctbal)
+              ), ld AS (
+                SELECT min(n_sensitive) AS min_diversity,
+                       sum(CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END)::BIGINT AS classes_below_l
+                FROM (SELECT count(DISTINCT c_mktsegment) AS n_sensitive
+                      FROM m GROUP BY c_nationkey)
+              )
+              SELECT * FROM ka, ld""")),
+
     // ----- scans / projections / limits -----
     "q_query_scan" -> Q(
       (s, dir) => {

@@ -281,6 +281,33 @@ object Validator {
       if (changed > 0 && !declaredAffected(column)) Some(column) else None
     }
 
+  /** Privacy audit of a masked output: k-anonymity over quasi-identifier
+    * columns — every row must share its QI combination with at least k-1
+    * others. Returns one row: the minimum equivalence-class size and how
+    * many classes fall below k (0 = the release is k-anonymous). One
+    * map-side-combinable groupBy; runs on the MASKED data, which is the
+    * check a masking engine owes its users. */
+  def kAnonymity(masked: DataFrame, quasiIdentifiers: Seq[String], k: Long): DataFrame = {
+    require(quasiIdentifiers.nonEmpty, "kAnonymity: need at least one QI column")
+    masked.groupBy(quasiIdentifiers.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .agg(min("class_size").as("min_class_size"),
+        sum(when(col("class_size") < k, 1L).otherwise(0L)).as("classes_below_k"))
+  }
+
+  /** l-diversity: within each QI equivalence class, the sensitive column
+    * must take at least l distinct values (k-anonymity alone leaks when a
+    * class is value-homogeneous). Returns min distinct-sensitive per class
+    * and the number of classes below l. */
+  def lDiversity(masked: DataFrame, quasiIdentifiers: Seq[String],
+                 sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiIdentifiers.nonEmpty, "lDiversity: need at least one QI column")
+    masked.groupBy(quasiIdentifiers.map(col): _*)
+      .agg(countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .agg(min("n_sensitive").as("min_diversity"),
+        sum(when(col("n_sensitive") < l, 1L).otherwise(0L)).as("classes_below_l"))
+  }
+
   /** Schema diff (`pkg/toolkit/database_schema.go:33-115`): added/removed/
     * retyped columns between two schemas. */
   def schemaDiff(before: org.apache.spark.sql.types.StructType,

@@ -382,6 +382,23 @@ class Round3SmallFixSpec extends SparkSpec {
     }
   }
 
+  test("k-anonymity and l-diversity audits find planted violations") {
+    import org.apache.spark.sql.functions._
+    // QI class (age=30, zip=1) has 3 rows; (40, 2) has 1 row -> k=2 violated once
+    val masked = Seq(
+      (30, 1, "flu"), (30, 1, "flu"), (30, 1, "cold"), (40, 2, "flu"))
+      .toDF("age", "zip", "diagnosis")
+    val ka = Validator.kAnonymity(masked, Seq("age", "zip"), k = 2)
+      .as[(Long, Long)].collect().head
+    assert(ka == ((1L, 1L))) // min class 1, one class below k
+    val ld = Validator.lDiversity(masked, Seq("age", "zip"), "diagnosis", l = 2)
+      .as[(Long, Long)].collect().head
+    assert(ld == ((1L, 1L))) // the (40,2) class has 1 sensitive value
+    val ok = Validator.kAnonymity(masked.filter(col("age") === 30), Seq("age", "zip"), 2)
+      .as[(Long, Long)].collect().head
+    assert(ok == ((3L, 0L)))
+  }
+
   test("implicit-change detection flags undeclared column rewrites") {
     import org.apache.spark.sql.functions._
     val orig = Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "name", "seg")
