@@ -46,11 +46,11 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB decode/feature-extract: a real decoder would parse the payload
-    * here (`???` boundary); the fake derives deterministic pseudo-features
-    * from the bytes so downstream plumbing is exercised. Batch shape: one
-    * process per partition, streaming iterator in/out — identical to how a
-    * JNI/codec-backed implementation would run. */
+  /** FAKE-payload feature extraction for the codec-less fixture tables
+    * (documents carry text, not media): deterministic pseudo-features
+    * derived from the bytes, so the oracle can check the pipeline shape.
+    * For REAL payloads use [[decodeImages]] / [[decodeWav]] below — same
+    * decoder-per-partition batch shape, actual JDK codecs. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -70,10 +70,9 @@ object Multimodal {
     }
   }
 
-  /** Resize stub: scale the fake decoded dimensions to fit a bounding box
-    * (a real implementation would resample pixels here — `???` boundary;
-    * the aspect-preserving math and the typed Dataset pipeline shape are
-    * the real part). */
+  /** Resize of the FAKE decoded dimensions (fixture path) — the real
+    * pixel resample for actual images is [[resizeImages]]; this variant
+    * keeps the aspect-preserving math oracle-checkable on fake media. */
   def resize(features: Dataset[MediaFeatures], maxW: Int, maxH: Int): Dataset[MediaFeatures] = {
     val spark = features.sparkSession
     import spark.implicits._

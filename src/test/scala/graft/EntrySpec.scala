@@ -13,7 +13,7 @@ class EntrySpec extends SparkSpec {
 
   test("every query builds a plan at sf0.001 and oracle keys are a subset") {
     val qs = SparkEntry.queries
-    assert(qs.size >= 60)
+    assert(qs.size >= 80)
     qs.foreach { case (name, fn) =>
       val df = fn(spark, "/root/testdata/sf0.001")
       assert(df.schema.fields.nonEmpty, s"$name has empty schema")
