@@ -855,6 +855,13 @@ object SparkEntry {
         .orderBy(desc("n"), col("token")),
       Some(Corpus.tokenTopKSql("documents", "text", 50))),
 
+    // Per-doc characteristic terms (integer tf/df projection of TF-IDF)
+    "q_tfidf_topterms" -> Q(
+      (s, dir) => Corpus.topTermsPerDoc(rd(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy("doc_id", "rank"),
+      Some(Corpus.topTermsPerDocSql("documents", "doc_id", "text", 3) +
+        " ORDER BY doc_id, rank")),
+
     // KMV distinct sketch: deterministic under the shared hash, so the
     // ESTIMATE itself is oracle-comparable (HLL never is)
     "q_sketch_kmv" -> Q(

@@ -59,6 +59,39 @@ object Corpus {
         WHERE list_has_any(${TextOps.shinglesSql(textCol, shingleN)}, ${list})"""
   }
 
+  /** Top-k characteristic terms per document, TF-IDF-style but projected
+    * onto integers so it is exactly engine-comparable (a float ln() would
+    * differ in the last ulp across libm implementations): rank within each
+    * doc by term frequency desc, then CORPUS document-frequency asc (for
+    * equal tf the rarer term carries more information — the idf ordering),
+    * then term. Plan: one tf aggregation, one df aggregation derived from
+    * it (map-side combinable), a broadcast-or-shuffle join back, one
+    * window per doc. */
+  def topTermsPerDoc(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = df.select(col(idCol).as("doc"), explode(TextOps.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df")) // tf rows are unique per (doc, term)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy(col("tf").desc, col("df").asc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc").as(idCol), col("term"), col("tf"), col("df"), col("rank"))
+  }
+
+  def topTermsPerDocSql(table: String, idCol: String, textCol: String, k: Int): String =
+    s"""SELECT doc AS ${idCol}, term, tf, df, rank FROM (
+          SELECT doc, term, tf, df,
+                 row_number() OVER (PARTITION BY doc ORDER BY tf DESC, df ASC, term) AS rank
+          FROM (
+            SELECT doc, term, tf, count(*) OVER (PARTITION BY term) AS df FROM (
+              SELECT doc, term, count(*) AS tf FROM (
+                SELECT ${idCol} AS doc, unnest(${TextOps.tokensSql(textCol)}) AS term
+                FROM ${table})
+              WHERE length(term) > 0 GROUP BY doc, term)))
+        WHERE rank <= ${k}"""
+
   /** KMV (k-minimum-values) distinct-count sketch over the u60 hash:
     * estimate = (k-1) · 2^60 / kth-smallest-hash. Unlike HLL the sketch is
     * DETERMINISTIC given the shared hash, so the estimate itself is

@@ -84,6 +84,23 @@ class CorpusSpec extends SparkSpec {
     assert(got(10L) == got(12L))
   }
 
+  test("topTermsPerDoc ranks by tf desc then corpus rarity") {
+    import graft.llm.Corpus
+    val d = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "banana banana cherry"),
+      (3L, "cherry date")).toDF("doc_id", "text")
+    val top = Corpus.topTermsPerDoc(d, "doc_id", "text", 2)
+      .as[(Long, String, Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._5).map(t => (t._2, t._3, t._4)).toSeq).toMap
+    // doc 1: apple tf=2 first; then banana/cherry tf=1 — banana df=2 <
+    // cherry df=3, so the rarer banana ranks second
+    assert(top(1L) == Seq(("apple", 2L, 1L), ("banana", 1L, 2L)))
+    assert(top(2L).head == ("banana", 2L, 2L))
+    // doc 3: date (df=1) beats cherry (df=3) at equal tf
+    assert(top(3L) == Seq(("date", 1L, 1L), ("cherry", 1L, 3L)))
+  }
+
   test("KMV sketch estimates distinct counts within tolerance; exact below k") {
     import graft.llm.Corpus
     // 10k distinct values, k=256 -> relative error ~ 1/sqrt(k-2) ~ 6%
