@@ -9,14 +9,15 @@ import org.apache.spark.sql.functions._
   * `mapInPandas` batch shape: one iterator per partition, bounded memory,
   * schema declared up front).
   *
-  * Decode is REAL for images (JDK `javax.imageio`: PNG/JPEG/BMP/GIF) and
-  * audio (JDK `javax.sound.sampled`: WAV/PCM) — see [[decodeImages]],
-  * [[resizeImages]], [[decodeWav]]. Only video decode remains a
-  * deterministic STUB ([[extractFeatures]]/[[frameSample]] keep the fake
-  * byte-derived features): the JDK ships no video codec and the fixture
-  * tables carry no real media, so the fake path is what the oracle gate
-  * exercises while the real codecs are pinned by MultimodalSpec on
-  * in-memory generated PNG/WAV payloads.
+  * Decode is REAL for images (JDK `javax.imageio`: PNG/JPEG/BMP/GIF),
+  * audio (JDK `javax.sound.sampled`: WAV/PCM), and multi-frame animated
+  * GIF frame sampling — see [[decodeImages]], [[resizeImages]],
+  * [[decodeWav]], [[sampleFrames]]. Only opaque video codecs (MP4/AV1
+  * etc.) remain a deterministic STUB ([[extractFeatures]]/[[frameSample]]
+  * keep the fake byte-derived features): the JDK ships no such codec and
+  * the fixture tables carry no real media, so the fake path is what the
+  * oracle gate exercises while the real codecs are pinned by
+  * MultimodalSpec on in-memory generated PNG/WAV/GIF payloads.
   */
 object Multimodal {
 
@@ -163,6 +164,52 @@ object Multimodal {
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(out, "png", bos)
           Some(r.copy(payload = bos.toByteArray))
+        }
+      }
+    }
+  }
+
+  case class FrameFeatures(media_id: Long, frame_no: Int, width: Int, height: Int,
+                           mean_luma: Double)
+
+  /** Real frame sampling for multi-frame images (animated GIF — the one
+    * moving-picture format the JDK can decode): every `stride`-th frame,
+    * up to `maxFrames`, with per-frame stats. Same decoder-per-partition
+    * shape as [[decodeImages]]; single-frame formats yield frame 0 only. */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int = 2,
+                   maxFrames: Int = 8): Dataset[FrameFeatures] = {
+    require(stride >= 1 && maxFrames >= 1, "sampleFrames: positive stride/maxFrames")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      System.setProperty("java.awt.headless", "true")
+      rows.flatMap { r =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); Nil }
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            (0 until n by stride).take(maxFrames).map { i =>
+              val img = reader.read(i)
+              var sum = 0.0
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = img.getRGB(x, y)
+                  sum += (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3.0
+                  x += 1
+                }
+                y += 1
+              }
+              FrameFeatures(r.media_id, i, img.getWidth, img.getHeight,
+                sum / (img.getWidth.toLong * img.getHeight))
+            }
+          } finally { reader.dispose(); iis.close() }
         }
       }
     }

@@ -79,6 +79,37 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(8L).width == 5 && feats(8L).height == 5)
   }
 
+  test("sampleFrames reads every k-th frame of an animated GIF") {
+    // build a 6-frame animated GIF in memory: frame i is a solid gray
+    // level i*40 (distinguishable mean luma per frame)
+    val bos = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (i <- 0 until 6) {
+      val level = i * 40
+      val img = new BufferedImage(8, 6, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 6; x <- 0 until 8)
+        img.setRGB(x, y, (level << 16) | (level << 8) | level)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+
+    val media = Seq(MediaRow(1L, "video", bos.toByteArray)).toDS()
+    val frames = Multimodal.sampleFrames(media, stride = 2, maxFrames = 8).collect()
+      .sortBy(_.frame_no)
+    assert(frames.map(_.frame_no).toSeq == Seq(0, 2, 4)) // every 2nd of 6
+    assert(frames.forall(f => f.width == 8 && f.height == 6))
+    // GIF is palettized: quantization shifts levels slightly, but ordering
+    // and separation of the sampled frames' luma must survive
+    assert(frames(0).mean_luma < frames(1).mean_luma)
+    assert(frames(1).mean_luma < frames(2).mean_luma)
+    assert(frames(2).mean_luma - frames(0).mean_luma > 100)
+  }
+
   test("decodeWav reads real WAV: rate, frames, duration, sine RMS") {
     val media = Seq(
       MediaRow(1L, "audio", wavBytes(8000f, 8000, 0.5)),
