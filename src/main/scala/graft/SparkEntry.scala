@@ -526,6 +526,33 @@ object SparkEntry {
           .select(col("ck").cast("long").as("ck"), col("seg")).orderBy("ck")
       },
       Some("SELECT c_custkey AS ck, lower(c_mktsegment) AS seg FROM customer ORDER BY ck")),
+    // Framing-escape round-trip: values carrying literal tabs, newlines,
+    // CRs and backslashes cross the process boundary escaped (COPY text
+    // tables, `pgcopy/encoder.go:24`) and decode back verbatim — the
+    // one-line-per-row protocol survives control characters in data
+    "q_pipe_csv_escapes" -> Q(
+      (s, dir) => {
+        val in = rd(s, dir, "customer")
+          .select(CK.cast("string").as("ck"),
+            concat(col("c_name"), lit("\t"), col("c_mktsegment"), lit("\n"),
+              lit("\\tail\r")).as("tricky"))
+        Pipe.through(in, Seq("/bin/cat"), "csv")
+          .select(col("ck").cast("long").as("ck"), col("tricky")).orderBy("ck")
+      },
+      Some("SELECT c_custkey AS ck, c_name || chr(9) || c_mktsegment || chr(10) " +
+        "|| '\\tail' || chr(13) AS tricky FROM customer ORDER BY ck")),
+    // Same hazard through the json codec (RFC 8259 control-char escapes,
+    // ref frames via `encoding/json`, `json_api.go:35`)
+    "q_pipe_json_escapes" -> Q(
+      (s, dir) => {
+        val in = rd(s, dir, "supplier")
+          .select(col("s_suppkey").cast("string").as("sk"),
+            concat(lit("\"q\"\t"), col("s_name"), lit("\nx\u0001")).as("tricky"))
+        Pipe.through(in, Seq("/bin/cat"), "json")
+          .select(col("sk").cast("long").as("sk"), col("tricky")).orderBy("sk")
+      },
+      Some("SELECT s_suppkey AS sk, '\"q\"' || chr(9) || s_name || chr(10) " +
+        "|| 'x' || chr(1) AS tricky FROM supplier ORDER BY sk")),
 
     // ----- Json transformer -----
     "q_json_get" -> Q(

@@ -5,6 +5,9 @@ import org.apache.spark.sql.types.{StructType, StringType, StructField}
 
 import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
 import java.util.concurrent.{ArrayBlockingQueue, TimeUnit}
+import java.util.concurrent.atomic.AtomicLong
+
+import graft.sources.CopyText
 
 /** External-process row transformer — the Spark rebuild of the reference's
   * `Cmd` transformer (`transformers/cmd.go:50-140`, framing protocol
@@ -92,11 +95,24 @@ object Pipe {
           if (proc.isAlive) proc.destroyForcibly()
         })
 
-        // Watchdog: kill the process past the timeout (`cmd.go:98-100`).
+        // Watchdog: per-INTERACTION timeout, matching `cmd.go:98-100` —
+        // the reference arms a fresh 2s (default) timer around each
+        // send/receive, not around total process lifetime. Here every
+        // stdin write and stdout read stamps `lastActivity`; the watchdog
+        // kills the child only after `timeoutSec` of continuous silence,
+        // so a slow-per-row-but-alive command streams a whole partition
+        // safely while a hung one dies at the timeout.
+        val lastActivity = new AtomicLong(System.nanoTime())
         if (opts.timeoutSec > 0) {
+          val timeoutNanos = opts.timeoutSec.toLong * 1000000000L
           val t = new Thread(() => {
-            if (!proc.waitFor(opts.timeoutSec.toLong, TimeUnit.SECONDS))
-              proc.destroyForcibly()
+            var watching = true
+            while (watching && proc.isAlive) {
+              val idle = System.nanoTime() - lastActivity.get()
+              if (idle >= timeoutNanos) { proc.destroyForcibly(); watching = false }
+              else watching = !proc.waitFor(
+                math.max(50L, (timeoutNanos - idle) / 1000000L), TimeUnit.MILLISECONDS)
+            }
           }, "graft-pipe-watchdog")
           t.setDaemon(true); t.start()
         }
@@ -107,16 +123,21 @@ object Pipe {
           case _ => false
         }
 
+        // Framing safety: values containing literal tabs/newlines/control
+        // bytes must not break the one-line-per-row protocol. The csv
+        // codec reuses the COPY text escape tables (CopyText.encodeField,
+        // ref `pgcopy/encoder.go:24`); the json codec escapes every
+        // control character per RFC 8259 (ref frames via `encoding/json`
+        // which does the same, `json_api.go:35`).
         def encode(fields: Array[String]): String =
           if (opts.skipOriginalData) { if (isJson) "{}" else "" }
           else if (isJson)
             affectedIdx.zip(affected).map { case (i, c) =>
               val v = fields(i)
-              val vv = if (v == null) "null"
-                else "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-              "\"" + c + "\":" + vv
+              val vv = if (v == null) "null" else "\"" + jsonEscape(v) + "\""
+              "\"" + jsonEscape(c) + "\":" + vv
             }.mkString("{", ",", "}")
-          else affectedIdx.map(i => if (fields(i) == null) "\\N" else fields(i)).mkString("\t")
+          else affectedIdx.map(i => CopyText.encodeField(fields(i))).mkString("\t")
 
         // Bounded hand-off between feeder and output iterator: puts block
         // when the consumer lags (backpressure), and a blocked put flushes
@@ -141,7 +162,10 @@ object Pipe {
               val fields = Array.tabulate(r.length)(i =>
                 if (r.isNullAt(i)) null else String.valueOf(r.get(i)))
               val skip = skippedRow(fields)
-              if (!skip) { stdin.write(encode(fields)); stdin.newLine() }
+              if (!skip) {
+                stdin.write(encode(fields)); stdin.newLine()
+                lastActivity.set(System.nanoTime())
+              }
               put(Entry(fields, skip))
             }
             try stdin.close() catch { case _: Throwable => () }
@@ -165,7 +189,8 @@ object Pipe {
             if (isJson) {
               val m = parseFlatJson(line, affected)
               m.map(_.asInstanceOf[String]).toArray
-            } else line.split("\t", -1).map(v => if (v == "\\N") null else v)
+            } else line.split("\t", -1).map(v =>
+              if (v == "\\N") null else CopyText.decodeField(v))
           vals.padTo(affected.size, null).take(affected.size)
         }
 
@@ -188,6 +213,7 @@ object Pipe {
                   if (skip) nextRow = Row.fromSeq(fields.toIndexedSeq)
                   else {
                     val line = stdout.readLine()
+                    lastActivity.set(System.nanoTime())
                     if (line == null) {
                       // process died early — surface exit code if bad
                       val exit = proc.waitFor()
@@ -228,6 +254,46 @@ object Pipe {
     cols.map(c => m.getOrElse(c, null))
   }
 
-  private def unescape(s: String): String =
-    s.replace("\\\"", "\"").replace("\\\\", "\\")
+  /** RFC 8259 string escape: quotes, backslash, and every control
+    * character (so embedded newlines/tabs can never break the
+    * one-object-per-line framing). */
+  private[ops] def jsonEscape(v: String): String = {
+    val sb = new StringBuilder(v.length + 8)
+    v.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\t' => sb.append("\\t")
+      case '\r' => sb.append("\\r")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => sb.append('"'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case '/' => sb.append('/'); i += 2
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case 'u' if i + 6 <= s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 }
