@@ -584,6 +584,30 @@ object SparkEntry {
                ',"meta":{"arr":[null,7],"src":"masked"}}') AS doc1,
               '{"a":{"b":"x"}}' AS doc2
               FROM events ORDER BY event_id""")),
+    // value_template analog (`json.go:64,80`): set values are Spark SQL
+    // expressions over the row (raw-JSON semantics, SetRawBytesOptions) —
+    // "u" is built from another column, "k2" from the original doc itself
+    // (the GetValue-style access), and a skip_not_exist set at an absent
+    // path is a per-row no-op
+    "q_json_set_dynamic" -> Q(
+      (s, dir) => {
+        import graft.expressions.JsonEditOp
+        val t = JsonNested(Seq(
+          JsonEditOp("set", "u", "concat('\"u-', cast(user_id as string), '\"')",
+            dynamic = true),
+          JsonEditOp("set", "k2",
+            "cast(cast(get_json_object(props, '$.k') as bigint) * 2 as string)",
+            dynamic = true),
+          JsonEditOp("set", "absent.path", "\"never\"", skipNotExist = true)))
+        rd(s, dir, "events")
+          .select(col("event_id"), t.applied(col("props")).as("doc"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+              ('{"k":' || json_extract_string(props, '$.k') ||
+               ',"k2":' || CAST(json_extract_string(props, '$.k')::BIGINT * 2 AS VARCHAR) ||
+               ',"u":"u-' || CAST(user_id AS VARCHAR) || '"}') AS doc
+              FROM events ORDER BY event_id""")),
 
     // ----- LLM ops: dedup -----
     "q_dedup_exact" -> Q(

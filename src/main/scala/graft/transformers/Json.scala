@@ -37,12 +37,21 @@ case class JsonTransform(ops: Seq[JsonOp]) extends ScalarTransformer {
 /** Nested Json transformer — ordered set/delete at gjson-style dotted
   * paths (`a.b.2.c`; ref `json.go:40-140` full path dialect, unlike the
   * flat-map [[JsonTransform]]). `sortKeys = true` emits the canonical
-  * (key-sorted, compact) rendering so results are engine-comparable. */
+  * (key-sorted, compact) rendering so results are engine-comparable.
+  *
+  * Ops with `dynamic = true` carry a Spark SQL expression (the
+  * `value_template` analog, `json.go:64,80`) evaluated against the row;
+  * its string result is inserted as raw JSON. */
 case class JsonNested(ops: Seq[graft.expressions.JsonEditOp], sortKeys: Boolean = true)
   extends ScalarTransformer {
+  import org.apache.spark.sql.GraftBridge.{column => toCol, expression => toExpr}
   def column(in: Column) =
-    org.apache.spark.sql.GraftBridge.column(graft.expressions.JsonEditExpr(
-      org.apache.spark.sql.GraftBridge.expression(in.cast("string")), ops, sortKeys))
+    if (ops.exists(_.dynamic))
+      toCol(graft.expressions.JsonEditDynExpr(
+        toExpr(in.cast("string")), ops,
+        ops.filter(_.dynamic).map(o => toExpr(expr(o.value).cast("string"))), sortKeys))
+    else
+      toCol(graft.expressions.JsonEditExpr(toExpr(in.cast("string")), ops, sortKeys))
   // callers compose their own per-query oracle (canonical rendering makes
   // full-string compare possible; see q_json_set)
   def oracle(in: String) = None
