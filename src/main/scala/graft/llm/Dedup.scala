@@ -109,14 +109,30 @@ object Dedup {
         .localCheckpoint(true)
       val changed = labels.as("a").join(next.as("b"), col("a.id") === col("b.id"))
         .filter(col("a.rep") =!= col("b.rep")).limit(1).count()
+      // `next` is materialized (eager checkpoint) and `changed` has been
+      // computed from the old labels — the superseded checkpoint's blocks
+      // can go, keeping storage bounded across iterations
+      graft.plans.Checkpoints.unpersistCheckpoint(labels)
       labels = next
       converged = changed == 0
       iter += 1
     }
-    // banded docs get their converged cluster rep; shingle-less docs are
-    // their own singleton cluster
-    df.select(col(idCol).as("id")).join(labels, Seq("id"), "left_outer")
+    // Unconverged labels are WRONG labels (a band-graph chain deeper than
+    // maxIter hops would disagree with exact reachability) — fail loudly,
+    // mirroring the cyclic-subset fix-point.
+    if (!converged) {
+      graft.plans.Checkpoints.unpersistCheckpoint(labels)
+      graft.plans.Checkpoints.unpersistCheckpoint(edges)
+      throw new IllegalStateException(
+        s"minhashLshClusters: label propagation did not converge after $maxIter " +
+          "iterations — raise maxIter")
+    }
+    val out = df.select(col(idCol).as("id")).join(labels, Seq("id"), "left_outer")
       .select(col("id").as(idCol), coalesce(col("rep"), col("id")).as("cluster_rep"))
+    // band edges are not part of the returned plan (labels are
+    // checkpointed) — release them now
+    graft.plans.Checkpoints.unpersistCheckpoint(edges)
+    out
   }
 
   /** SimHash near-dup bucket: docs with identical 16-bit simhash are

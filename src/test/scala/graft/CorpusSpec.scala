@@ -84,6 +84,29 @@ class CorpusSpec extends SparkSpec {
     assert(got(10L) == got(12L))
   }
 
+  test("minhashLshClusters bounds storage and fails loudly on non-convergence") {
+    import graft.llm.Dedup
+    val core = (1 to 19).map(i => s"w$i").mkString(" ")
+    val chain = Seq(
+      (10L, s"$core endx"),
+      (11L, s"$core endy"),
+      (12L, s"starty ${core.split(" ").drop(1).mkString(" ")} endy"))
+    val docs = chain.toDF("doc_id", "text")
+    // the 10-11-12 chain needs >1 label-propagation hop: maxIter=1 must
+    // throw rather than return wrong (unconverged) cluster labels
+    intercept[IllegalStateException] {
+      Dedup.minhashLshClusters(docs, "doc_id", "text", maxIter = 1).collect()
+    }
+    // a converging run unpersists superseded label checkpoints + band
+    // edges: storage growth is bounded by the final labels checkpoint
+    val before = spark.sparkContext.getRDDStorageInfo.length
+    val out = Dedup.minhashLshClusters(docs, "doc_id", "text")
+    assert(out.as[(Long, Long)].collect().toMap.values.toSet.size == 1)
+    val after = spark.sparkContext.getRDDStorageInfo.length
+    assert(after - before <= 2,
+      s"leaked checkpoint blocks: $before -> $after RDDs in storage")
+  }
+
   test("topTermsPerDoc ranks by tf desc then corpus rarity") {
     import graft.llm.Corpus
     val d = Seq(
