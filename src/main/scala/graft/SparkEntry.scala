@@ -144,8 +144,12 @@ object SparkEntry {
     "q_replace" -> scalar("customer", "c_custkey", col("c_mktsegment"), "c_mktsegment",
       Replace("REDACTED")),
     "q_set_null" -> scalar("customer", "c_custkey", col("c_mktsegment"), "c_mktsegment", SetNull()),
-    "q_dict" -> scalar("customer", "c_custkey", col("c_mktsegment"), "c_mktsegment",
-      Dict(Map("AUTOMOBILE" -> "CARS", "BUILDING" -> "CONSTRUCTION", "FURNITURE" -> "HOME"),
+    // Dict incl. the \N NULL sentinel: MACHINERY is nulled on input (then
+    // matched by the \N key), FURNITURE maps TO NULL, the rest default
+    "q_dict" -> scalar("customer", "c_custkey",
+      expr("nullif(c_mktsegment, 'MACHINERY')"), "nullif(c_mktsegment, 'MACHINERY')",
+      Dict(Map("AUTOMOBILE" -> "CARS", "BUILDING" -> "CONSTRUCTION",
+          "FURNITURE" -> "\\N", "\\N" -> "WAS_NULL"),
         default = Some("OTHER"))),
     "q_template" -> Q(
       (s, dir) => rd(s, dir, "customer")

@@ -22,24 +22,93 @@ import java.util.Properties
   * §7.4); at cluster scale partitions write concurrently exactly like the
   * reference's restore worker pool (`restore.go:847-888`).
   */
+/** Restore integrity controls — the Spark port of the reference's
+  * transaction setup/teardown (`restorers/base.go:41-57,68-105,134-148`):
+  * `SET session_replication_role = 'replica'` suppresses FK checks and
+  * user triggers for the session, `ALTER TABLE … DISABLE TRIGGER ALL`
+  * hard-disables triggers, both optionally wrapped in `SET ROLE
+  * <superuser>` / `RESET ROLE`. **PostgreSQL-only statements** — against
+  * other targets leave the flags off (the FK-topological restore order
+  * remains the integrity strategy, as before).
+  *
+  * `extraSetup`/`extraReset` let callers append target-specific
+  * statements (and give tests a dialect-neutral execution path). */
+case class IntegrityOptions(
+    sessionReplicationRoleReplica: Boolean = false,
+    disableTriggers: Boolean = false,
+    superUser: Option[String] = None,
+    extraSetup: Seq[String] = Nil,
+    extraReset: Seq[String] = Nil) {
+
+  private def asSuper(stmts: Seq[String]): Seq[String] =
+    if (stmts.isEmpty) Nil
+    else superUser.fold(stmts)(su => (s"SET ROLE $su" +: stmts) :+ "RESET ROLE")
+
+  /** Statements to run on a connection before restoring `table`
+    * (`setupTx`, base.go:134-141). */
+  def setupStatements(table: String): Seq[String] =
+    asSuper(
+      (if (sessionReplicationRoleReplica) Seq("SET session_replication_role = 'replica'") else Nil) ++
+      (if (disableTriggers) Seq(s"ALTER TABLE $table DISABLE TRIGGER ALL") else Nil)
+    ) ++ extraSetup
+
+  /** Statements to run after the restore (`resetTx`, base.go:144-148) —
+    * triggers first, then the session role, mirroring the reference. */
+  def resetStatements(table: String): Seq[String] =
+    asSuper(
+      (if (disableTriggers) Seq(s"ALTER TABLE $table ENABLE TRIGGER ALL") else Nil) ++
+      (if (sessionReplicationRoleReplica) Seq("RESET session_replication_role") else Nil)
+    ) ++ extraReset
+
+  def isNoop: Boolean =
+    !sessionReplicationRoleReplica && !disableTriggers &&
+      extraSetup.isEmpty && extraReset.isEmpty
+}
+
 object RestoreSink {
 
+  private def execAll(conn: Connection, stmts: Seq[String]): Unit =
+    if (stmts.nonEmpty) {
+      val st = conn.createStatement()
+      try stmts.foreach(st.execute) finally st.close()
+    }
+
+  /** COPY-mode restore. `ALTER TABLE … DISABLE TRIGGER ALL` is a CATALOG
+    * change, so for the batched Spark JDBC writer (whose per-partition
+    * connections expose no init hook) trigger disabling runs on a control
+    * connection around the whole write; `session_replication_role` is
+    * per-session and therefore only effective in [[insertRows]], which
+    * owns its connections. */
   def bulk(df: DataFrame, url: String, table: String,
            batchSize: Int = 10000, mode: SaveMode = SaveMode.Append,
-           props: Properties = new Properties()): Unit =
-    df.write.mode(mode)
-      .option("batchsize", batchSize)
-      .jdbc(url, table, props)
+           props: Properties = new Properties(),
+           integrity: IntegrityOptions = IntegrityOptions()): Unit = {
+    val ctl: Option[Connection] =
+      if (integrity.isNoop) None else Some(DriverManager.getConnection(url))
+    try {
+      ctl.foreach(execAll(_, integrity.setupStatements(table)))
+      df.write.mode(mode)
+        .option("batchsize", batchSize)
+        .jdbc(url, table, props)
+    } finally ctl.foreach { c =>
+      try execAll(c, integrity.resetStatements(table))
+      finally c.close()
+    }
+  }
 
   def insertRows(df: DataFrame, url: String, table: String,
                  ignoreSqlStates: Set[String] = Set.empty,
-                 batchSize: Int = 500): Unit = {
+                 batchSize: Int = 500,
+                 integrity: IntegrityOptions = IntegrityOptions()): Unit = {
     val cols = df.columns
     val sql = s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.nonEmpty) {
         val conn: Connection = DriverManager.getConnection(url)
         try {
+          // per-connection setup (setupTx): runs in autocommit, before
+          // the restore transaction starts
+          execAll(conn, integrity.setupStatements(table))
           conn.setAutoCommit(false)
           val st = conn.prepareStatement(sql)
           def states(e: SQLException): Set[String] = {
@@ -90,6 +159,11 @@ object RestoreSink {
           }
           flush()
           st.close()
+          // per-connection reset (resetTx) on the success path; on
+          // failure the connection dies with the task, taking its
+          // session state with it (same as the reference's aborted tx)
+          conn.setAutoCommit(true)
+          execAll(conn, integrity.resetStatements(table))
         } finally {
           // roll back any in-flight transaction before close: a
           // propagating failure must not leak an open transaction (Derby

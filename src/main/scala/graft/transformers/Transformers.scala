@@ -350,29 +350,51 @@ case class SetNull() extends ScalarTransformer {
 }
 
 /** Dict — exact-match remap with default / fail-on-miss
-  * (ref `dict.go:27-66`). Implemented as a chained CASE (a literal map
-  * lookup that stays in codegen; for big dictionaries use a broadcast join
-  * via Planner.dictJoin instead). */
+  * (ref `dict.go:27-66`). The reference's `\N` sentinel carries NULL
+  * through the dictionary (`defaultNullSeq`, `dict.go:24`): a `\N` KEY
+  * matches NULL input, and a `\N` VALUE (or default) produces NULL — so
+  * NULL participates in matching like any other value rather than being
+  * short-circuited by keep_null. Implemented as a chained CASE (a literal
+  * map lookup that stays in codegen; for big dictionaries use a broadcast
+  * join via Planner.dictJoin instead). */
 case class Dict(mapping: Map[String, String], default: Option[String],
                 failNotMatched: Boolean = false) extends ScalarTransformer {
   require(mapping.nonEmpty, "Dict: empty mapping")
+  import Dict.NullSeq
+  // NULL routes through the dictionary itself (matched by a \N key, or
+  // falling to default / fail-not-matched), per the reference
+  override def keepNull: Boolean = false
   private val pairs = mapping.toSeq.sortBy(_._1) // determinism of the expr tree
+  private def out(v: String): Column =
+    if (v == NullSeq) lit(null).cast("string") else lit(v)
   def column(in: Column) = {
-    val matched = pairs.foldLeft(when(lit(false), lit(null))) { case (acc, (k, v)) =>
-      acc.when(in === lit(k), lit(v))
+    val matched = pairs.foldLeft(when(lit(false), lit(null).cast("string"))) {
+      case (acc, (k, v)) =>
+        if (k == NullSeq) acc.when(in.isNull, out(v))
+        else acc.when(in === lit(k), out(v))
     }
     default match {
-      case Some(d) => matched.otherwise(lit(d))
-      case None if failNotMatched => matched.otherwise(raise_error(concat(lit("Dict: unmatched "), in)))
+      case Some(d) => matched.otherwise(out(d))
+      case None if failNotMatched => matched.otherwise(
+        raise_error(concat(lit("Dict: unmatched "), coalesce(in, lit(NullSeq)))))
       case None => matched.otherwise(in)
     }
   }
   def oracle(in: String) = Some {
     def q(s: String) = s"'${s.replace("'", "''")}'"
-    val cases = pairs.map { case (k, v) => s"WHEN (${in}) = ${q(k)} THEN ${q(v)}" }.mkString(" ")
-    val els = default.map(q).getOrElse(in)
+    def vout(v: String) = if (v == NullSeq) "NULL" else q(v)
+    val cases = pairs.map { case (k, v) =>
+      if (k == NullSeq) s"WHEN (${in}) IS NULL THEN ${vout(v)}"
+      else s"WHEN (${in}) = ${q(k)} THEN ${vout(v)}"
+    }.mkString(" ")
+    val els = default.map(vout).getOrElse(in)
     s"CASE ${cases} ELSE ${els} END"
   }
+}
+
+object Dict {
+  /** The reference's NULL sentinel in keys/values/default (`dict.go:24`). */
+  val NullSeq = "\\N"
 }
 
 /** PiiScrub — regex redaction of emails/IPs/phone runs (the training-data

@@ -47,6 +47,53 @@ class RestoreSinkSpec extends SparkSpec {
     }
   }
 
+  test("integrity statement plan mirrors the reference setupTx/resetTx (PG dialect)") {
+    import graft.pipeline.IntegrityOptions
+    val o = IntegrityOptions(sessionReplicationRoleReplica = true,
+      disableTriggers = true, superUser = Some("postgres"))
+    assert(o.setupStatements("public.t") == Seq(
+      "SET ROLE postgres",
+      "SET session_replication_role = 'replica'",
+      "ALTER TABLE public.t DISABLE TRIGGER ALL",
+      "RESET ROLE"))
+    // reset order mirrors base.go:144-148: triggers re-enabled first
+    assert(o.resetStatements("public.t") == Seq(
+      "SET ROLE postgres",
+      "ALTER TABLE public.t ENABLE TRIGGER ALL",
+      "RESET session_replication_role",
+      "RESET ROLE"))
+    assert(IntegrityOptions().isNoop && !o.isNoop)
+  }
+
+  test("integrity setup/reset statements execute on the restore connections") {
+    import graft.pipeline.IntegrityOptions
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE integ_t") catch { case _: Throwable => () }
+      try st.execute("DROP TABLE integ_log") catch { case _: Throwable => () }
+      st.execute("CREATE TABLE integ_t (id BIGINT PRIMARY KEY, v VARCHAR(20))")
+      st.execute("CREATE TABLE integ_log (phase VARCHAR(10))")
+      st.close()
+    } finally conn.close()
+    // Derby-neutral stand-in statements prove the execution path (the PG
+    // statements themselves are target-specific, covered above)
+    val integ = IntegrityOptions(
+      extraSetup = Seq("INSERT INTO integ_log VALUES ('setup')"),
+      extraReset = Seq("INSERT INTO integ_log VALUES ('reset')"))
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+    RestoreSink.insertRows(df, url, "integ_t", integrity = integ)
+    val log = spark.read.jdbc(url, "integ_log", new Properties())
+      .as[String].collect().sorted.toSeq
+    assert(log == Seq("reset", "setup"))
+    assert(spark.read.jdbc(url, "integ_t", new Properties()).count() == 2)
+    // a failing setup statement fails the restore, not silently skipped
+    intercept[Exception] {
+      RestoreSink.insertRows(df, url, "integ_t",
+        integrity = IntegrityOptions(extraSetup = Seq("INSERT INTO no_such_t VALUES (1)")))
+    }
+  }
+
   test("JDBC catalog introspection discovers PKs and FKs") {
     val url = "jdbc:derby:memory:graftcat;create=true" // isolated db
     val conn = DriverManager.getConnection(url)

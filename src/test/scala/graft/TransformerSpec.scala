@@ -48,6 +48,24 @@ class TransformerSpec extends SparkSpec {
     intercept[Exception](applyT(strict, "Z"))
   }
 
+  test("Dict \\N sentinel: NULL keys match NULL input, \\N values produce NULL") {
+    // \N key: NULL input routes through the dictionary (dict.go:24-66)
+    val nk = Dict(Map("A" -> "1", "\\N" -> "was-null"), default = Some("other"))
+    assert(applyT(nk, null) == "was-null")
+    assert(applyT(nk, "A") == "1")
+    // \N value: a matched key can PRODUCE NULL
+    val nv = Dict(Map("A" -> "\\N"), default = Some("other"))
+    assert(applyT(nv, "A") == null)
+    assert(applyT(nv, "B") == "other")
+    // \N default: unmatched (incl. NULL without a \N key) becomes NULL
+    val nd = Dict(Map("A" -> "1"), default = Some("\\N"))
+    assert(applyT(nd, "Z") == null)
+    assert(applyT(nd, null) == null)
+    // no \N key, no default, strict: NULL is an unmatched value => fails
+    val strict = Dict(Map("A" -> "1"), default = None, failNotMatched = true)
+    intercept[Exception](applyT(strict, null))
+  }
+
   test("HashText algorithms and truncation") {
     assert(applyT(HashText("md5", salt = ""), "abc") == "900150983cd24fb0d6963f7d28e17f72")
     assert(applyT(HashText("sha256", salt = ""), "abc") ==
