@@ -118,22 +118,29 @@ object Multimodal {
     media.mapPartitions { rows =>
       System.setProperty("java.awt.headless", "true")
       rows.flatMap { r =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-        if (img == null) None
-        else {
-          var sum = 0.0
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val rgb = img.getRGB(x, y)
-              sum += (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3.0
-              x += 1
+        // ImageIO returns null for unrecognized formats but THROWS on
+        // truncated/corrupt streams of a recognized format — both are
+        // "corrupt sample, drop the row", never "fail the task".
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          if (img == null) None
+          else {
+            var sum = 0.0
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                sum += (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3.0
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            Some(ImageFeatures(r.media_id, img.getWidth, img.getHeight,
+              img.getRaster.getNumBands, sum / (img.getWidth.toLong * img.getHeight)))
           }
-          Some(ImageFeatures(r.media_id, img.getWidth, img.getHeight,
-            img.getRaster.getNumBands, sum / (img.getWidth.toLong * img.getHeight)))
+        } catch {
+          case _: java.io.IOException | _: RuntimeException => None
         }
       }
     }
@@ -147,23 +154,27 @@ object Multimodal {
     media.mapPartitions { rows =>
       System.setProperty("java.awt.headless", "true")
       rows.flatMap { r =>
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-        if (img == null) None
-        else {
-          val scale = math.min(1.0,
-            math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
-          val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
-            math.max(1, (img.getHeight * scale).toInt))
-          val out = new java.awt.image.BufferedImage(w, h,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val g = out.createGraphics()
-          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-          g.drawImage(img, 0, 0, w, h, null)
-          g.dispose()
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(out, "png", bos)
-          Some(r.copy(payload = bos.toByteArray))
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          if (img == null) None
+          else {
+            val scale = math.min(1.0,
+              math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
+            val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
+              math.max(1, (img.getHeight * scale).toInt))
+            val out = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            Some(r.copy(payload = bos.toByteArray))
+          }
+        } catch {
+          case _: java.io.IOException | _: RuntimeException => None
         }
       }
     }
@@ -184,32 +195,36 @@ object Multimodal {
     media.mapPartitions { rows =>
       System.setProperty("java.awt.headless", "true")
       rows.flatMap { r =>
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(r.payload))
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) { iis.close(); Nil }
-        else {
-          val reader = readers.next()
-          try {
-            reader.setInput(iis)
-            val n = reader.getNumImages(true)
-            (0 until n by stride).take(maxFrames).map { i =>
-              val img = reader.read(i)
-              var sum = 0.0
-              var y = 0
-              while (y < img.getHeight) {
-                var x = 0
-                while (x < img.getWidth) {
-                  val rgb = img.getRGB(x, y)
-                  sum += (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3.0
-                  x += 1
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) { iis.close(); Nil }
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val n = reader.getNumImages(true)
+              (0 until n by stride).take(maxFrames).map { i =>
+                val img = reader.read(i) // throws IIOException on a corrupt frame
+                var sum = 0.0
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    val rgb = img.getRGB(x, y)
+                    sum += (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3.0
+                    x += 1
+                  }
+                  y += 1
                 }
-                y += 1
+                FrameFeatures(r.media_id, i, img.getWidth, img.getHeight,
+                  sum / (img.getWidth.toLong * img.getHeight))
               }
-              FrameFeatures(r.media_id, i, img.getWidth, img.getHeight,
-                sum / (img.getWidth.toLong * img.getHeight))
-            }
-          } finally { reader.dispose(); iis.close() }
+            } finally { reader.dispose(); iis.close() }
+          }
+        } catch {
+          case _: java.io.IOException | _: RuntimeException => Nil
         }
       }
     }
@@ -227,6 +242,13 @@ object Multimodal {
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(r.payload))
           val fmt = ais.getFormat
+          // Only 8-bit unsigned / 16-bit signed PCM are decoded below;
+          // 24/32-bit (or float) WAVs would produce garbage RMS if stepped
+          // through with the wrong sample math — reject them instead.
+          if (fmt.getSampleSizeInBits != 8 && fmt.getSampleSizeInBits != 16) {
+            ais.close(); throw new javax.sound.sampled.UnsupportedAudioFileException(
+              s"unsupported PCM sample size ${fmt.getSampleSizeInBits}")
+          }
           val frames = ais.getFrameLength
           val bytesPerSample = fmt.getSampleSizeInBits / 8
           val buf = new Array[Byte](64 * 1024 - (64 * 1024) % math.max(1, fmt.getFrameSize))
@@ -249,11 +271,18 @@ object Multimodal {
             read = ais.read(buf)
           }
           ais.close()
-          Some(AudioFeatures(r.media_id, fmt.getSampleRate.toInt, fmt.getChannels,
+          // A truncated WAV reads short without throwing (the header's
+          // frame count outruns the actual bytes) — that is a corrupt
+          // sample, same policy as an undecodable one.
+          if (frames >= 0 && n < frames * fmt.getChannels) None
+          else Some(AudioFeatures(r.media_id, fmt.getSampleRate.toInt, fmt.getChannels,
             frames, frames / fmt.getSampleRate.toDouble,
             if (n == 0) 0.0 else math.sqrt(sumSq / n)))
         } catch {
+          // Unrecognized container, unsupported bit depth, or a stream
+          // that is recognized but corrupt mid-read — all drop the row.
           case _: javax.sound.sampled.UnsupportedAudioFileException => None
+          case _: java.io.IOException => None
         }
       }
     }

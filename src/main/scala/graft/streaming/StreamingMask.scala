@@ -78,7 +78,12 @@ object StreamingMask {
             val next = SessionState(prev.count + evs.size,
               math.max(prev.lastMs, evs.map(_._2.getTime).max))
             state.update(next)
-            state.setTimeoutTimestamp(next.lastMs + gapMs)
+            // A late event (within allowed lateness) can put lastMs+gap
+            // BEHIND the current watermark, which Spark rejects — clamp
+            // to just past the watermark so the session times out on the
+            // next trigger instead of crashing the query.
+            state.setTimeoutTimestamp(
+              math.max(next.lastMs + gapMs, state.getCurrentWatermarkMs + 1))
             Iterator(SessionUpdate(user, next.count, closed = false))
           }
       }

@@ -110,6 +110,57 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(2).mean_luma - frames(0).mean_luma > 100)
   }
 
+  test("corrupt-but-recognized payloads drop the row, not the task") {
+    // A valid PNG header followed by garbage: ImageIO *recognizes* the
+    // format, then throws mid-decode. The contract is drop-the-row.
+    // The truncated fixture must be noisy enough that its IDAT spans the
+    // cut point — a tiny flat image can survive 50% truncation intact.
+    val noisyPng = {
+      val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64)
+        img.setRGB(x, y, ((x * 2654435761L) ^ (y * 40503L)).toInt & 0xFFFFFF)
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val goodPng = pngBytes(8, 8, 0x112233)
+    val truncPng = noisyPng.take(noisyPng.length / 2)
+    val headerOnly = goodPng.take(12) ++ Array.fill[Byte](30)(0x5A)
+    val media = Seq(
+      MediaRow(1L, "image", goodPng),
+      MediaRow(2L, "image", truncPng),
+      MediaRow(3L, "image", headerOnly)).toDS()
+    assert(Multimodal.decodeImages(media).collect().map(_.media_id).toSet == Set(1L))
+    assert(Multimodal.resizeImages(media, 4, 4).collect().map(_.media_id).toSet == Set(1L))
+    // same story for a truncated WAV: header recognized, body missing
+    val goodWav = wavBytes(8000f, 1000, 0.5)
+    val truncWav = goodWav.take(50)
+    val wavs = Seq(MediaRow(1L, "audio", goodWav), MediaRow(2L, "audio", truncWav)).toDS()
+    assert(Multimodal.decodeWav(wavs).collect().map(_.media_id).toSet == Set(1L))
+    // and a truncated GIF through the multi-frame reader
+    val gif = {
+      val bos = new ByteArrayOutputStream()
+      val img = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+      ImageIO.write(img, "gif", bos)
+      bos.toByteArray
+    }
+    val gifs = Seq(
+      MediaRow(1L, "video", gif),
+      MediaRow(2L, "video", gif.take(16))).toDS()
+    assert(Multimodal.sampleFrames(gifs).collect().map(_.media_id).toSet == Set(1L))
+  }
+
+  test("24-bit WAV is rejected (unsupported depth), not mis-decoded") {
+    val fmt = new AudioFormat(8000f, 24, 1, true, false)
+    val raw = new Array[Byte](300 * 3) // 300 frames of max-ish amplitude
+    for (i <- raw.indices) raw(i) = 0x7F.toByte
+    val ais = new AudioInputStream(new ByteArrayInputStream(raw), fmt, 300L)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val media = Seq(MediaRow(1L, "audio", bos.toByteArray)).toDS()
+    assert(Multimodal.decodeWav(media).collect().isEmpty)
+  }
+
   test("decodeWav reads real WAV: rate, frames, duration, sine RMS") {
     val media = Seq(
       MediaRow(1L, "audio", wavBytes(8000f, 8000, 0.5)),

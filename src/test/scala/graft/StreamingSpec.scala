@@ -85,4 +85,31 @@ class StreamingSpec extends SparkSpec {
       assert(out.contains((9L, 1L, true)))
     } finally q.stop()
   }
+
+  test("very-late events are filtered; sessions survive watermark jumps") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val stream = input.toDF().toDF("user_id", "ts")
+    val updates = StreamingMask.sessionCounts(stream,
+      gapMs = 60 * 1000L, watermark = "0 seconds")
+    val q = updates.writeStream.format("memory").queryName("sess_late_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(100000)))
+      q.processAllAvailable() // watermark advances to ts(100000)
+      // Spark filters rows behind the event-time watermark before they
+      // reach the state function (FlatMapGroupsWithStateExec late-data
+      // filter), so this event never creates a session. The timeout clamp
+      // in sessionCounts is defense-in-depth for the residual paths where
+      // lastMs + gap can still trail the watermark.
+      input.addData((2L, ts(100)))
+      q.processAllAvailable()
+      input.addData((3L, ts(200000)))
+      q.processAllAvailable()
+      val out = spark.table("sess_late_out").as[(Long, Long, Boolean)].collect().toSeq
+      assert(!out.exists(_._1 == 2L))      // late row dropped, query alive
+      assert(out.contains((1L, 1L, true))) // earlier session still closed cleanly
+      assert(out.contains((3L, 1L, false)))
+    } finally q.stop()
+  }
 }
