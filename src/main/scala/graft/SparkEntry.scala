@@ -207,6 +207,43 @@ object SparkEntry {
         val cols = MultiCol.addressSql("c_custkey").map { case (n, sql) => s"${sql} AS ${n}" }
         s"SELECT c_custkey, ${cols.mkString(", ")} FROM customer ORDER BY c_custkey"
       }),
+    // per-column templates over one attribute draw (random_person.go's
+    // columns param): full_name composes three attributes; badge mixes an
+    // attribute with a real row column — both over the SAME person draw
+    "q_person_template" -> Q(
+      (s, dir) => {
+        val tpls = Seq(
+          "full_name" -> "concat(title, ' ', first_name, ' ', last_name)",
+          "badge" -> "concat(upper(first_name), '-', cast(c_custkey as string))")
+        rd(s, dir, "customer")
+          .select(CK +: MultiCol.templated(MultiCol.person(CK), tpls)
+            .map { case (n, c) => c.as(n) }: _*)
+          .orderBy("c_custkey")
+      },
+      Some {
+        val tpls = Seq(
+          "full_name" -> "concat(title, ' ', first_name, ' ', last_name)",
+          "badge" -> "concat(upper(first_name), '-', cast(c_custkey as string))")
+        val cols = MultiCol.templatedSql(MultiCol.personSql("c_custkey"), tpls)
+          .map { case (n, sql) => s"${sql} AS ${n}" }
+        s"SELECT c_custkey, ${cols.mkString(", ")} FROM customer ORDER BY c_custkey"
+      }),
+    // RealAddress's required single-line template, through the Registry
+    // factory (the config path a reference user would hit)
+    "q_address_template" -> Q(
+      (s, dir) => {
+        val t = graft.pipeline.Registry.build("RealAddress",
+          Map("template" -> "concat(address1, ', ', city, ', ', state, ' ', postal_code)"))
+        rd(s, dir, "customer")
+          .select(CK, t.applied(CK).as("addr_line"))
+          .orderBy("c_custkey")
+      },
+      Some {
+        val t = graft.pipeline.Registry.build("RealAddress",
+          Map("template" -> "concat(address1, ', ', city, ', ', state, ' ', postal_code)"))
+        s"SELECT c_custkey, ${t.appliedSql("c_custkey").get} AS addr_line " +
+          "FROM customer ORDER BY c_custkey"
+      }),
 
     // t1 minimum end-to-end slice (SURVEY §7.3 step 4): config -> plan ->
     // masked customer with when-gating, all through the Planner

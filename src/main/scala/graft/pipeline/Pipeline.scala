@@ -366,6 +366,15 @@ object Registry {
       p(m, "values", "a=b").split(",").map { kv => val Array(k, v) = kv.split("="); k -> v }.toMap,
       m.get("default"), p(m, "fail_not_matched", "false").toBoolean)),
     "Template" -> F(m => TemplateExpr(p(m, "expression", "NULL"))),
+    // per-column templates over generated attributes (ref random_person.go
+    // columns param / real_address.go required template); RealAddress has
+    // no default — the reference rejects an empty template there
+    "RandomPerson" -> F(m => PersonTemplate(
+      p(m, "template", "concat(first_name, ' ', last_name)"))),
+    "RealAddress" -> F(m => AddressTemplate(m.getOrElse("template",
+      throw new IllegalArgumentException("RealAddress: 'template' param is required")))),
+    "RandomCompany" -> F(m => CompanyTemplate(
+      p(m, "template", "concat(company_name, ' ', company_suffix)"))),
     "PiiScrub" -> F(_ => PiiScrub()),
     "TextNormalize" -> F(_ => TextNormalize()),
     // ops spec: ';'-separated "set:<path>=<jsonValue>" / "delete:<path>"

@@ -296,4 +296,78 @@ object MultiCol {
       "lat" -> OracleGen.doubleBetween(OracleGen.u60(seed, tweak + "lat"), 24.0, 49.0, 5),
       "lng" -> OracleGen.doubleBetween(OracleGen.u60(seed, tweak + "lng"), -125.0, -66.0, 5))
   }
+
+  /** Per-column templates over the generated attributes (ref
+    * `random_person.go:64-67,249,313-316`, `real_address.go:46,96-113` —
+    * each configured output column carries a template evaluated against
+    * the per-row attribute draw). The go-template dialect is re-scoped to
+    * Spark SQL, the same trade as TemplateExpr (SURVEY §2.7): a bare
+    * identifier naming an attribute resolves to that attribute's
+    * expression; everything else resolves against the row as usual, so a
+    * template can mix attributes with real row columns. */
+  def templated(attrs: Seq[(String, Column)],
+                templates: Seq[(String, String)]): Seq[(String, Column)] = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    // expr() defers SQL parsing to analysis time (SqlExpression node), so
+    // parse eagerly to get a real tree to substitute into
+    val parser = new org.apache.spark.sql.catalyst.parser.CatalystSqlParser()
+    val attrExprs = attrs.map { case (n, c) => n.toLowerCase -> GraftBridge.expression(c) }.toMap
+    templates.map { case (out, tpl) =>
+      val substituted = parser.parseExpression(tpl).transformUp {
+        case a: UnresolvedAttribute if a.nameParts.size == 1 &&
+          attrExprs.contains(a.name.toLowerCase) => attrExprs(a.name.toLowerCase)
+      }
+      out -> GraftBridge.column(substituted)
+    }
+  }
+
+  /** Oracle analog of [[templated]]: single-pass word-boundary textual
+    * substitution of attribute names with their SQL expansions (one pass
+    * so an expansion never gets re-substituted). Templates must stay in
+    * the dialect-neutral SQL subset for DuckDB parity. */
+  def templatedSql(attrsSql: Seq[(String, String)],
+                   templates: Seq[(String, String)]): Seq[(String, String)] = {
+    val bySql = attrsSql.map { case (n, s) => n.toLowerCase -> s }.toMap
+    val re = ("(?i)\\b(" + attrsSql.map(n => java.util.regex.Pattern.quote(n._1))
+      .mkString("|") + ")\\b").r
+    templates.map { case (out, tpl) =>
+      out -> re.replaceAllIn(tpl, m =>
+        java.util.regex.Matcher.quoteReplacement("(" + bySql(m.group(1).toLowerCase) + ")"))
+    }
+  }
+}
+
+/** RandomPerson as a single-column transformer: the per-row person draw
+  * (seeded by the input column) rendered through a column template —
+  * the scalar face of the reference's `columns: [{name, template}]`
+  * param (`random_person.go:62-67`). */
+case class PersonTemplate(template: String, tweak: String = "person")
+  extends ScalarTransformer {
+  def column(in: Column) =
+    MultiCol.templated(MultiCol.person(in, tweak), Seq("v" -> template)).head._2
+  def oracle(in: String) = Some(
+    MultiCol.templatedSql(MultiCol.personSql(in, tweak), Seq("v" -> template)).head._2)
+}
+
+/** RealAddress with the reference's required per-column template
+  * (`real_address.go:46,96-113`): attributes address1/city/state/
+  * postal_code/lat/lng. lat/lng are numeric — a template using them must
+  * cast for string concat, exactly like the reference's FormatFloat. */
+case class AddressTemplate(template: String, tweak: String = "addr")
+  extends ScalarTransformer {
+  def column(in: Column) =
+    MultiCol.templated(MultiCol.address(in, tweak), Seq("v" -> template)).head._2
+  def oracle(in: String) = Some(
+    MultiCol.templatedSql(MultiCol.addressSql(in, tweak), Seq("v" -> template)).head._2)
+}
+
+/** RandomCompany through a column template (attributes company_name /
+  * company_suffix). */
+case class CompanyTemplate(template: String, tweak: String = "co")
+  extends ScalarTransformer {
+  def column(in: Column) =
+    MultiCol.templated(MultiCol.company(in, tweak), Seq("v" -> template)).head._2
+  def oracle(in: String) = Some(
+    MultiCol.templatedSql(MultiCol.companySql(in, tweak), Seq("v" -> template)).head._2)
 }

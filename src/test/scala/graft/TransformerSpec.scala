@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.pipeline.Registry
 import graft.transformers._
 
 /** Per-transformer semantics: NULL contract, style shapes, dictionary
@@ -163,5 +164,43 @@ class TransformerSpec extends SparkSpec {
     assert(row.getAs[Double]("rf") == 1.23)
     assert(FakerData.MonthNames.contains(row.getAs[String]("mn")))
     assert(TemplateFunctions.sprigEquivalents.size >= 35)
+  }
+
+  test("per-column templates compose attributes from ONE person draw") {
+    val df = Seq(1L, 2L, 3L).toDF("id")
+    val attrs = MultiCol.person(col("id"))
+    val out = df.select(col("id") +:
+      (MultiCol.templated(attrs, Seq(
+        "full" -> "concat(title, ' ', first_name, ' ', last_name)",
+        "shout" -> "upper(FIRST_NAME)", // attribute match is case-insensitive
+        "mix" -> "concat(last_name, '#', cast(id as string))")) ++
+        attrs.filter(a => a._1 == "first_name" || a._1 == "last_name" || a._1 == "title"))
+        .map { case (n, c) => c.as(n) }: _*).collect()
+    for (r <- out) {
+      val (first, last, title) = (r.getAs[String]("first_name"),
+        r.getAs[String]("last_name"), r.getAs[String]("title"))
+      assert(r.getAs[String]("full") == s"$title $first $last")
+      assert(r.getAs[String]("shout") == first.toUpperCase)
+      assert(r.getAs[String]("mix") == s"$last#${r.getAs[Long]("id")}")
+    }
+  }
+
+  test("Registry template factories: person default, address required") {
+    val person = Registry.build("RandomPerson", Map.empty)
+    val company = Registry.build("RandomCompany", Map.empty)
+    val addr = Registry.build("RealAddress",
+      Map("template" -> "concat(city, ', ', state)"))
+    intercept[IllegalArgumentException](Registry.build("RealAddress", Map.empty))
+    val row = Seq(42L).toDF("id").select(
+      person.applied(col("id")).as("p"),
+      company.applied(col("id")).as("co"),
+      addr.applied(col("id")).as("a")).collect().head
+    assert(row.getAs[String]("p").split(" ").length == 2) // "First Last"
+    assert(row.getAs[String]("a").matches(".+, [A-Z]{2}"))
+    assert(row.getAs[String]("co").nonEmpty)
+    // NULL seed stays NULL (keep_null default)
+    val n = Seq[Option[Long]](None).toDF("id")
+      .select(person.applied(col("id")).as("p")).collect().head
+    assert(n.isNullAt(0))
   }
 }
