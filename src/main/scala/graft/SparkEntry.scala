@@ -503,6 +503,66 @@ object SparkEntry {
               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
               FROM events ORDER BY user_id, event_id""")),
 
+    // ----- as-of / range joins (engine additions: operators Spark lacks,
+    // single-shuffle window formulation / bucketed equi-join — see
+    // ops/AsOfJoin.scala, ops/RangeJoin.scala) -----
+    // Times run in MICROseconds on both sides: the parquet is
+    // timestamp[ns] (a long in Spark via nanosAsLong) but DuckDB's
+    // TIMESTAMP truncates nanos to micros on read, so nanos can never
+    // hash-match — `ts div 1000` here ≡ epoch_us(ts) there.
+    "q_asof_join" -> Q(
+      (s, dir) => {
+        val ev = rd(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+        graft.ops.AsOfJoin.backward(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "view"),
+          "user_id", "ts", leftCols = Seq("event_id", "value"),
+          rightCols = Seq("event_id", "value"), tieBreak = "event_id")
+          .orderBy("user_id", "ts", "event_id")
+      },
+      Some(graft.ops.AsOfJoin.backwardSql(
+        "(SELECT user_id, epoch_us(ts) AS ts, event_id, value FROM events WHERE event_type = 'purchase')",
+        "(SELECT user_id, epoch_us(ts) AS ts, event_id, value FROM events WHERE event_type = 'view')",
+        "user_id", "ts", leftCols = Seq("event_id", "value"),
+        rightCols = Seq("event_id", "value"), tieBreak = "event_id") +
+        " ORDER BY user_id, ts, event_id")),
+    "q_asof_tolerance" -> Q(
+      (s, dir) => {
+        val ev = rd(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+        graft.ops.AsOfJoin.backward(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "view"),
+          "user_id", "ts", leftCols = Seq("event_id"), rightCols = Seq("event_id"),
+          tieBreak = "event_id", tolerance = Some(6L * 3600 * 1000000L))
+          .orderBy("user_id", "ts", "event_id")
+      },
+      Some(graft.ops.AsOfJoin.backwardSql(
+        "(SELECT user_id, epoch_us(ts) AS ts, event_id FROM events WHERE event_type = 'purchase')",
+        "(SELECT user_id, epoch_us(ts) AS ts, event_id FROM events WHERE event_type = 'view')",
+        "user_id", "ts", leftCols = Seq("event_id"), rightCols = Seq("event_id"),
+        tieBreak = "event_id", tolerance = Some(6L * 3600 * 1000000L)) +
+        " ORDER BY user_id, ts, event_id")),
+    "q_range_join" -> Q(
+      (s, dir) => {
+        val ev = rd(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+        val day = 24L * 3600 * 1000000L
+        val points = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val intervals = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("t_start"),
+            (col("ts") + lit(day)).as("t_end"), col("event_id").as("click_id"))
+        graft.ops.RangeJoin.pointInInterval(points, intervals, "user_id", "ts",
+          "t_start", "t_end", pointCols = Seq("event_id"),
+          intervalCols = Seq("click_id"), bucketWidth = day)
+          .orderBy("user_id", "ts", "event_id", "click_id")
+      },
+      Some(graft.ops.RangeJoin.pointInIntervalSql(
+        "(SELECT user_id, epoch_us(ts) AS ts, event_id FROM events WHERE event_type = 'view')",
+        ("(SELECT user_id, epoch_us(ts) AS t_start, epoch_us(ts) + 86400000000 AS t_end, " +
+          "event_id AS click_id FROM events WHERE event_type = 'click')"),
+        "user_id", "ts", "t_start", "t_end", Seq("event_id"), Seq("click_id")) +
+        " ORDER BY user_id, ts, event_id, click_id")),
+
     // Salted two-phase aggregation (hot-key skew tooling): result equals
     // the plain groupBy count regardless of the salt spread
     "q_skew_salted_agg" -> Q(
