@@ -19,11 +19,16 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Headline set: one per operator family (expressions, joins, subset,
-    * dedup, similarity, text stats). */
+    * dedup, similarity, text stats), plus the heaviest plans (transitive
+    * LSH clustering, hamming-ball pairs, recursive self-FK subset, IVF
+    * probe, as-of and range joins) so regressions there are visible
+    * round over round. */
   val headline: Seq[String] = Seq(
     "q_agg_pricing", "q_faker", "q_masking_styles", "q_noise_float",
     "q_apply_refs_join", "q_subset_acyclic", "q_dedup_exact",
-    "q_dedup_minhash", "q_text_stats", "q_knn_brute")
+    "q_dedup_minhash", "q_text_stats", "q_knn_brute",
+    "q_simhash_hamming", "q_dedup_cluster", "q_subset_selffk",
+    "q_ivf_topk", "q_asof_join", "q_range_join")
 
   private val tables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

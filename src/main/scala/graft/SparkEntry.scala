@@ -654,6 +654,34 @@ object SparkEntry {
       },
       Some("SELECT s_suppkey AS sk, '\"q\"' || chr(9) || s_name || chr(10) " +
         "|| 'x' || chr(1) AS tricky FROM supplier ORDER BY sk")),
+    // Reference Cmd wire protocol (`json_api.go`, `values.go:17-44`) at
+    // its DEFAULT driver profile (indexes + bytes, `definition.go:27-32`):
+    // keys are tuple column indexes, values are {"d":<base64>,"n":<bool>}
+    // raw-value objects — a custom transformer script written for the
+    // reference runs against this codec unchanged. NULLs (nullif) cross
+    // the boundary as n:true and come back as real NULLs.
+    "q_pipe_jsonrecord" -> Q(
+      (s, dir) => {
+        val in = rd(s, dir, "customer")
+          .select(CK.cast("string").as("ck"),
+            nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+        Pipe.through(in, Seq("/bin/cat"), "jsonrecord",
+            graft.ops.PipeOptions(jsonAttributes = "indexes", jsonData = "bytes"))
+          .select(col("ck").cast("long").as("ck"), col("seg")).orderBy("ck")
+      },
+      Some("SELECT c_custkey AS ck, nullif(c_mktsegment, 'BUILDING') AS seg " +
+        "FROM customer ORDER BY ck")),
+    // Reference text driver (`text_api.go`): one affected column as raw
+    // lines, \N for NULL; unaffected columns never cross the boundary
+    "q_pipe_text" -> Q(
+      (s, dir) => {
+        val in = rd(s, dir, "customer")
+          .select(CK.cast("string").as("ck"), col("c_mktsegment").as("seg"))
+        Pipe.through(in, Seq("/usr/bin/tr", "[:upper:]", "[:lower:]"), "text",
+            graft.ops.PipeOptions(affectedColumns = Seq("seg")))
+          .select(col("ck").cast("long").as("ck"), col("seg")).orderBy("ck")
+      },
+      Some("SELECT c_custkey AS ck, lower(c_mktsegment) AS seg FROM customer ORDER BY ck")),
 
     // ----- Json transformer -----
     "q_json_get" -> Q(
@@ -1047,7 +1075,29 @@ object SparkEntry {
               ((octet_length(encode(text))::BIGINT * 7) % 1024 + 1)::INT AS width,
               ((octet_length(encode(text))::BIGINT * 5) % 768 + 1)::INT AS height,
               printf('%016x', octet_length(encode(text))::BIGINT) AS checksum
-              FROM documents ORDER BY media_id"""))
+              FROM documents ORDER BY media_id""")),
+    // Opt-in external video decode: payloads stream base64-encoded through
+    // a user-supplied decoder process (ffmpeg/ffprobe wrapper; here a
+    // python stand-in that reports decoded byte count as width, proving
+    // the payload crosses the boundary intact) — the Cmd-pipe-as-codec
+    // path that closes the no-JDK-video-codec gap
+    "q_video_external" -> Q(
+      (s, dir) => {
+        val script =
+          """import sys, base64
+            |for l in sys.stdin:
+            |    b = base64.b64decode(l.strip())
+            |    print(len(b), 240, 12, 0.5)
+            |    sys.stdout.flush()
+            |""".stripMargin
+        Multimodal.decodeVideoExternal(
+            Multimodal.asMedia(rd(s, dir, "documents"), "doc_id", "text"),
+            Seq("python3", "-c", script)).toDF()
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id, octet_length(encode(text))::INT AS width,
+              240 AS height, 12::BIGINT AS n_frames, 0.5 AS duration_sec
+              FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id"""))
   )
 
   /** Flagship: the t1 end-to-end slice — config -> plan -> masked customer

@@ -12,12 +12,13 @@ import org.apache.spark.sql.functions._
   * Decode is REAL for images (JDK `javax.imageio`: PNG/JPEG/BMP/GIF),
   * audio (JDK `javax.sound.sampled`: WAV/PCM), and multi-frame animated
   * GIF frame sampling — see [[decodeImages]], [[resizeImages]],
-  * [[decodeWav]], [[sampleFrames]]. Only opaque video codecs (MP4/AV1
-  * etc.) remain a deterministic STUB ([[extractFeatures]]/[[frameSample]]
-  * keep the fake byte-derived features): the JDK ships no such codec and
-  * the fixture tables carry no real media, so the fake path is what the
-  * oracle gate exercises while the real codecs are pinned by
-  * MultimodalSpec on in-memory generated PNG/WAV/GIF payloads.
+  * [[decodeWav]], [[sampleFrames]]. Opaque video codecs (MP4/AV1 etc.)
+  * have no JDK decoder, so video is covered two ways: the deterministic
+  * fake-feature STUB ([[extractFeatures]]/[[frameSample]]) that the
+  * oracle gate exercises on the codec-less fixtures, and the opt-in
+  * [[decodeVideoExternal]] path that pipes payloads through any
+  * user-supplied ffmpeg/ffprobe-like decoder via the Cmd pipe operator —
+  * real decode without bundling a codec.
   */
 object Multimodal {
 
@@ -228,6 +229,49 @@ object Multimodal {
         }
       }
     }
+  }
+
+  case class VideoFeatures(media_id: Long, width: Int, height: Int,
+                           n_frames: Long, duration_sec: Double)
+
+  /** Opt-in REAL video decode through a user-supplied external decoder
+    * (any ffmpeg/ffprobe-like binary or wrapper script) — closes the
+    * no-JDK-video-codec gap by reusing the Cmd pipe operator
+    * ([[graft.ops.Pipe]]) instead of bundling a codec, the same way the
+    * reference delegates arbitrary per-row work to an external command
+    * (`transformers/cmd.go:50-140`).
+    *
+    * Decoder contract (text driver, one process per PARTITION): each
+    * stdin line is one base64-encoded video payload; the decoder writes
+    * ONE line `width height n_frames duration_sec` (whitespace-separated)
+    * per input line. Output that is missing fields or non-numeric drops
+    * the row — the corrupt-sample policy of the JDK decoders above. A
+    * wrapper for real ffprobe is a 3-line shell script; specs pin the
+    * plumbing with a stand-in decoder so no codec ships in this repo. */
+  def decodeVideoExternal(media: Dataset[MediaRow], decoder: Seq[String],
+                          timeoutSec: Int = 0): Dataset[VideoFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val in = media.toDF().filter(col("kind") === "video")
+      .select(col("media_id").cast("string").as("media_id"),
+        // Spark's base64 is MIME-chunked (CRLF every 76 chars) — strip
+        // the breaks or the one-line-per-payload framing truncates at
+        // the first chunk
+        translate(base64(col("payload")), "\r\n", "").as("b64"))
+    graft.ops.Pipe.through(in, decoder, "text",
+        graft.ops.PipeOptions(affectedColumns = Seq("b64"), timeoutSec = timeoutSec))
+      .select(col("media_id").cast("long").as("media_id"),
+        split(trim(col("b64")), "\\s+").as("f"))
+      // try_* variants: malformed decoder output (short line, non-numeric
+      // field) must DROP the row, not fail the task under ANSI casts
+      .select(col("media_id"),
+        expr("try_cast(try_element_at(f, 1) AS INT)").as("width"),
+        expr("try_cast(try_element_at(f, 2) AS INT)").as("height"),
+        expr("try_cast(try_element_at(f, 3) AS BIGINT)").as("n_frames"),
+        expr("try_cast(try_element_at(f, 4) AS DOUBLE)").as("duration_sec"))
+      .filter(col("width").isNotNull && col("height").isNotNull &&
+        col("n_frames").isNotNull && col("duration_sec").isNotNull)
+      .as[VideoFeatures]
   }
 
   /** Real WAV/PCM decode via javax.sound: stream frames in 64 KiB chunks

@@ -46,9 +46,26 @@ case class PipeOptions(timeoutSec: Int = 0, expectedExitCode: Int = 0,
                        skipOnNull: Option[String] = None,
                        affectedColumns: Seq[String] = Nil,
                        skipOriginalData: Boolean = false,
-                       queueCapacity: Int = 1024) {
+                       queueCapacity: Int = 1024,
+                       jsonAttributes: String = "indexes",
+                       jsonData: String = "text",
+                       csvAttributes: String = "config") {
   require(skipOnNull.forall(Set("any", "all")), "skipOnNull: 'any' or 'all'")
   require(queueCapacity > 0, "queueCapacity must be positive")
+  // `jsonrecord` codec knobs, mirroring the reference driver params
+  // (`definition.go:34-39` json_attributes_format / json_data_format;
+  // reference defaults are indexes+bytes, `definition.go:27-32` — ours
+  // default to indexes+text because Spark rows carry strings, not raw
+  // wire bytes; set jsonData="bytes" for byte-exact reference parity)
+  require(Set("indexes", "names")(jsonAttributes), "jsonAttributes: 'indexes' or 'names'")
+  require(Set("text", "bytes")(jsonData), "jsonData: 'text' or 'bytes'")
+  // csv field layout (`definition.go:38` csv_attributes_format, reference
+  // default "direct", `csv_api.go:41-57`): "config" sends ONLY the
+  // affected columns in their configured order (this library's historical
+  // behavior — unaffected values never cross the process boundary);
+  // "direct" sends the FULL tuple so a script addresses fields by
+  // absolute column position, with only affected positions merged back
+  require(Set("config", "direct")(csvAttributes), "csvAttributes: 'config' or 'direct'")
 }
 
 object Pipe {
@@ -62,22 +79,42 @@ object Pipe {
     * StringType (callers re-cast as needed, mirroring the reference's
     * text-format round-trip).
     *
-    * @param codec "csv" (tab-separated, \\N for NULL — pgcopy-style) or
-    *              "json" (one object per line keyed by column name)
+    * @param codec "csv" (tab-separated, \\N for NULL — pgcopy-style),
+    *              "json" (one flat object per line keyed by column name —
+    *              this library's simplified format),
+    *              "jsonrecord" (the reference Cmd wire protocol: one
+    *              object per line whose keys are column indexes or names
+    *              per `opts.jsonAttributes` and whose values are raw-value
+    *              objects `{"d":<data>,"n":<is_null>}` with `d` a plain
+    *              string or base64 bytes per `opts.jsonData` — ref
+    *              `json_api.go:26-31`, `values.go:17-44`; a script written
+    *              against the reference's json driver runs unchanged), or
+    *              "text" (single affected column, raw line per row, \\N
+    *              for NULL — ref `text_api.go`, `raw_record_text.go:17`;
+    *              NOTE: raw means a value containing a newline breaks the
+    *              framing, exactly as in the reference — use csv/json
+    *              codecs for arbitrary text)
     */
   def through(df: DataFrame, cmd: Seq[String], codec: String = "csv",
               opts: PipeOptions = PipeOptions()): DataFrame = {
     val cols = df.columns.toSeq
     val outSchema = StructType(cols.map(c => StructField(c, StringType, nullable = true)))
     val enc = Encoders.row(outSchema)
-    val isJson = codec match {
-      case "json" => true
-      case "csv" => false
-      case other => throw new IllegalArgumentException(s"Pipe: unknown codec $other")
-    }
+    if (!Set("csv", "json", "jsonrecord", "text")(codec))
+      throw new IllegalArgumentException(s"Pipe: unknown codec $codec")
+    val isJson = codec == "json"
     val affected: Seq[String] = if (opts.affectedColumns.isEmpty) cols else opts.affectedColumns
     affected.foreach(c => require(cols.contains(c), s"Pipe: affected column $c not in input"))
+    if (codec == "text") require(affected.size == 1,
+      s"Pipe: text codec carries exactly 1 affected column, got ${affected.size} " +
+        "(use json or csv — same rule as the reference, interaction_api.go:59-65)")
     val affectedIdx: Array[Int] = affected.map(cols.indexOf).toArray
+    // jsonrecord keys: the reference keys by the column's index in the
+    // full tuple (Column.Idx), not its position in the affected subset
+    val recordKeys: Array[String] =
+      if (opts.jsonAttributes == "indexes") affectedIdx.map(_.toString)
+      else affected.toArray
+    val bytesFmt = opts.jsonData == "bytes"
 
     df.toDF(cols: _*).mapPartitions { rows =>
       if (!rows.hasNext) Iterator.empty
@@ -129,15 +166,39 @@ object Pipe {
         // ref `pgcopy/encoder.go:24`); the json codec escapes every
         // control character per RFC 8259 (ref frames via `encoding/json`
         // which does the same, `json_api.go:35`).
-        def encode(fields: Array[String]): String =
-          if (opts.skipOriginalData) { if (isJson) "{}" else "" }
-          else if (isJson)
+        def encode(fields: Array[String]): String = codec match {
+          case _ if opts.skipOriginalData =>
+            // row-sync marker with no payload: `{}` for the json drivers
+            // (ref emptyJson, json_api.go:33), empty line for csv/text
+            if (isJson || codec == "jsonrecord") "{}" else ""
+          case "json" =>
             affectedIdx.zip(affected).map { case (i, c) =>
               val v = fields(i)
               val vv = if (v == null) "null" else "\"" + jsonEscape(v) + "\""
               "\"" + jsonEscape(c) + "\":" + vv
             }.mkString("{", ",", "}")
-          else affectedIdx.map(i => CopyText.encodeField(fields(i))).mkString("\t")
+          case "jsonrecord" =>
+            // {"<key>":{"d":<data>,"n":<is_null>},...} — d is null when n,
+            // else the string (text) or base64 of its UTF-8 bytes (bytes),
+            // matching Go json.Marshal of RawValue/RawValueStr
+            recordKeys.indices.map { p =>
+              val v = fields(affectedIdx(p))
+              val dv =
+                if (v == null) "null"
+                else if (bytesFmt) "\"" + java.util.Base64.getEncoder
+                  .encodeToString(v.getBytes("UTF-8")) + "\""
+                else "\"" + jsonEscape(v) + "\""
+              "\"" + jsonEscape(recordKeys(p)) + "\":{\"d\":" + dv +
+                ",\"n\":" + (v == null) + "}"
+            }.mkString("{", ",", "}")
+          case "text" =>
+            val v = fields(affectedIdx(0))
+            if (v == null) "\\N" else v
+          case _ if opts.csvAttributes == "direct" =>
+            fields.indices.map(i => CopyText.encodeField(fields(i))).mkString("\t")
+          case _ =>
+            affectedIdx.map(i => CopyText.encodeField(fields(i))).mkString("\t")
+        }
 
         // Bounded hand-off between feeder and output iterator: puts block
         // when the consumer lags (backpressure), and a blocked put flushes
@@ -185,12 +246,21 @@ object Pipe {
         })
 
         def parseLine(line: String): Array[String] = {
-          val vals: Array[String] =
-            if (isJson) {
-              val m = parseFlatJson(line, affected)
-              m.map(_.asInstanceOf[String]).toArray
-            } else line.split("\t", -1).map(v =>
+          val vals: Array[String] = codec match {
+            case "json" =>
+              parseFlatJson(line, affected).map(_.asInstanceOf[String]).toArray
+            case "jsonrecord" =>
+              parseRecordJson(line, recordKeys, bytesFmt)
+            case "text" =>
+              Array(if (line == "\\N") null else line)
+            case _ if opts.csvAttributes == "direct" =>
+              // full-tuple line: pick the affected absolute positions
+              val full = line.split("\t", -1).map(v =>
+                if (v == "\\N") null else CopyText.decodeField(v))
+              affectedIdx.map(i => if (i < full.length) full(i) else null)
+            case _ => line.split("\t", -1).map(v =>
               if (v == "\\N") null else CopyText.decodeField(v))
+          }
           vals.padTo(affected.size, null).take(affected.size)
         }
 
@@ -239,6 +309,32 @@ object Pipe {
         }
       }
     }(enc)
+  }
+
+  /** Reference-wire record line parser: `{"<key>":{"d":…,"n":…},…}` per
+    * `json_api.go` / `values.go:17-44`. A real JSON parse (json4s ships
+    * with Spark) because `d` values are nested objects the flat regex
+    * parser can't frame. Missing keys decode to NULL (same lenient
+    * stance as the flat codec); `n:true` wins over any `d` payload,
+    * matching the Go struct semantics. */
+  private[ops] def parseRecordJson(line: String, keys: Array[String],
+                                   bytesFmt: Boolean): Array[String] = {
+    import org.json4s._
+    val jv = org.json4s.jackson.JsonMethods.parse(line)
+    keys.map { k =>
+      jv \ k match {
+        case JObject(flds) =>
+          val m = flds.toMap
+          if (m.get("n").contains(JBool(true))) null
+          else m.get("d") match {
+            case Some(JString(s)) =>
+              if (bytesFmt) new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+              else s
+            case _ => null
+          }
+        case _ => null
+      }
+    }
   }
 
   /** Minimal flat-JSON-object line parser (string/null values) for the

@@ -173,4 +173,28 @@ class MultimodalSpec extends SparkSpec {
     // RMS of a 0.5-amplitude sine = 0.5/sqrt(2) ~ 0.3536
     assert(math.abs(f.rms - 0.5 / math.sqrt(2)) < 0.01)
   }
+
+  test("decodeVideoExternal pipes payloads through a stand-in decoder") {
+    // Stand-in for an ffprobe wrapper: reads base64 lines, reports the
+    // DECODED byte count as width — proves the payload truly crosses the
+    // process boundary intact (a >76-byte payload also catches any MIME
+    // line-wrapping in the base64 leg). Corrupt-output row (media 3)
+    // must be dropped, audio row (media 2) never reaches the decoder.
+    val script =
+      """import sys, base64
+        |for l in sys.stdin:
+        |    b = base64.b64decode(l.strip())
+        |    if len(b) == 13: print("garbage")
+        |    else: print(len(b), 240, 12, 0.5)
+        |    sys.stdout.flush()
+        |""".stripMargin
+    val media = Seq(
+      MediaRow(1L, "video", Array.fill[Byte](200)(7)),
+      MediaRow(2L, "audio", Array.fill[Byte](50)(1)),
+      MediaRow(3L, "video", Array.fill[Byte](13)(2))).toDS()
+    val feats = Multimodal.decodeVideoExternal(media,
+      Seq("python3", "-c", script)).collect()
+    assert(feats.toSeq == Seq(
+      Multimodal.VideoFeatures(1L, 200, 240, 12L, 0.5)))
+  }
 }

@@ -128,4 +128,67 @@ class PipeSpec extends SparkSpec {
       .orderBy("id").as[(String, String)].collect()
     assert(out.length == 4 && out.map(_._2).toSeq == Seq("v1", "v2", "v3", "v4"))
   }
+
+  // --- reference wire protocol: jsonrecord codec (`json_api.go`,
+  //     `values.go:17-44`) and text codec (`text_api.go`) ---
+
+  test("jsonrecord names+text round-trips through cat, NULLs and control chars") {
+    val out = Pipe.through(trickyDf.unionAll(Seq(("99", null: String)).toDF("id", "val")),
+      Seq("/bin/cat"), "jsonrecord",
+      PipeOptions(jsonAttributes = "names", jsonData = "text"))
+      .orderBy(col("id").cast("int")).select("val").as[Option[String]].collect()
+    assert(out.toSeq == trickyVals.map(Some(_)) :+ None)
+  }
+
+  test("jsonrecord indexes+bytes (reference default profile) round-trips") {
+    val out = Pipe.through(trickyDf, Seq("/bin/cat"), "jsonrecord",
+      PipeOptions(jsonAttributes = "indexes", jsonData = "bytes"))
+      .orderBy(col("id").cast("int")).select("val").as[String].collect()
+    assert(out.toSeq == trickyVals)
+  }
+
+  test("jsonrecord keys are full-tuple column indexes under scoping") {
+    // affected column `b` sits at tuple index 1 — a jq consumer written
+    // against the reference protocol addresses it as ."1" and rewrites
+    // its raw-value `d`; column `c` never crosses the process boundary
+    val df3 = Seq(("1", "x", "keep"), ("2", "y", "keep")).toDF("a", "b", "c")
+    val out = Pipe.through(df3,
+      Seq("/usr/bin/jq", "-cM", """."1".d |= ("X-" + .)"""), "jsonrecord",
+      PipeOptions(affectedColumns = Seq("b")))
+      .orderBy("a").as[(String, String, String)].collect()
+    assert(out.toSeq == Seq(("1", "X-x", "keep"), ("2", "X-y", "keep")))
+  }
+
+  test("jsonrecord n:true wins over a d payload (Go struct semantics)") {
+    val one = Seq(Tuple1("x")).toDF("v")
+    val out = Pipe.through(one,
+      Seq("/bin/sh", "-c",
+        """while IFS= read -r l; do printf '{"0":{"d":"zombie","n":true}}\n'; done"""),
+      "jsonrecord").select("v").as[Option[String]].collect()
+    assert(out.toSeq == Seq(None))
+  }
+
+  test("text codec round-trips one column raw, \\N for NULL") {
+    val out = Pipe.through(df, Seq("/usr/bin/tr", "a-z", "A-Z"), "text",
+      PipeOptions(affectedColumns = Seq("val")))
+      .orderBy("id").as[(String, Option[String])].collect()
+    assert(out.toSeq == Seq(("1", Some("ALPHA")), ("2", Some("BETA")), ("3", None)))
+  }
+
+  test("text codec rejects more than one affected column") {
+    intercept[IllegalArgumentException](
+      Pipe.through(df, Seq("/bin/cat"), "text"))
+  }
+
+  test("csv direct numerating sends the full tuple, merges affected only") {
+    // reference default layout (`csv_api.go:41-43`): the script sees ALL
+    // columns by absolute position — awk rewrites $2 in place; column 3
+    // crosses the boundary but its output is DISCARDED (not affected)
+    val df3 = Seq(("1", "x", "orig"), ("2", "y", "orig")).toDF("a", "b", "c")
+    val out = Pipe.through(df3,
+      Seq("/usr/bin/awk", "-F\t", "{OFS=\"\t\"; $2=\"D-\"$2; $3=\"clobber\"; print}"),
+      "csv", PipeOptions(affectedColumns = Seq("b"), csvAttributes = "direct"))
+      .orderBy("a").as[(String, String, String)].collect()
+    assert(out.toSeq == Seq(("1", "D-x", "orig"), ("2", "D-y", "orig")))
+  }
 }
