@@ -57,16 +57,22 @@ object Dedup {
     val nDigests = (nStreams + 1) / 2
     // ONE native pass from text to the whole signature (MinHashShingle60),
     // then cheap band hashing
-    val withMh = df.select(col(idCol),
-      TextOps.minhashSignatureFromText(col(textCol), shingleN, nDigests).as("__mh"))
+    val withMh = graft.plans.Parallelism.widen(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        TextOps.minhashSignatureFromText(col(textCol), shingleN, nDigests).as("__mh"))
     val mh = (0 until nStreams).map(i => element_at(col("__mh"), i + 1))
     val bandCols = (0 until bands).map(b => TextOps.bandHashFrom(mh, b * rowsPerBand, rowsPerBand))
     val withBands = withMh.select(col(idCol), array(bandCols: _*).as("bands"))
     // explode_outer, NOT explode: plain explode makes Catalyst infer a
     // size(bands)>0 filter below the projections, duplicating the whole
-    // minhash expression tree into a pre-filter (2x the md5 work)
+    // minhash expression tree into a pre-filter (2x the md5 work).
+    // Checkpoint the exploded (id, band) pairs — two longs per band —
+    // because BOTH the bucket-rep aggregate and the join back read this
+    // subtree: without materialization each consumer re-runs the minhash
+    // pass over the corpus (same reuse pattern as the cluster op's edges).
     val exploded = withBands.select(col(idCol), explode_outer(col("bands")).as("band"))
       .filter(col("band").isNotNull) // shingle-less docs don't bucket
+      .localCheckpoint(true)
     val reps = exploded.groupBy("band").agg(min(idCol).as("band_rep"))
     val grouped = exploded.join(reps, "band")
       .groupBy(idCol)
@@ -90,15 +96,24 @@ object Dedup {
                          maxIter: Int = 20): DataFrame = {
     val nStreams = bands * rowsPerBand
     val nDigests = (nStreams + 1) / 2
-    val withMh = df.select(col(idCol).as("id"),
-      TextOps.minhashSignatureFromText(col(textCol), shingleN, nDigests).as("__mh"))
+    val withMh = graft.plans.Parallelism
+      .widen(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"),
+        TextOps.minhashSignatureFromText(col("__text"), shingleN, nDigests).as("__mh"))
     val mh = (0 until nStreams).map(i => element_at(col("__mh"), i + 1))
     val bandCols = (0 until bands).map(b => TextOps.bandHashFrom(mh, b * rowsPerBand, rowsPerBand))
     val edges = withMh.select(col("id"), explode_outer(array(bandCols: _*)).as("band"))
       .filter(col("band").isNotNull)
       .localCheckpoint(true)
-    var labels = edges.select("id").distinct()
-      .select(col("id"), col("id").as("rep")).localCheckpoint(true)
+    // labelsCkpt is the LogicalRDD leaf (unpersist target); labels is the
+    // (id, rep) view over it. The iteration result CARRIES the previous
+    // rep (`__old`) through the aggregation join so the convergence check
+    // is a filter over the just-materialized checkpoint — one shuffle-free
+    // job — instead of a fresh labels×next join job per iteration.
+    var labelsCkpt = edges.select("id").distinct()
+      .select(col("id"), col("id").as("rep"), col("id").as("__old"))
+      .localCheckpoint(true)
+    var labels = labelsCkpt.select("id", "rep")
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -106,14 +121,15 @@ object Dedup {
         .groupBy("band").agg(min("rep").as("band_rep"))
       val next = edges.join(bandMin, "band")
         .groupBy("id").agg(min("band_rep").as("rep"))
+        .join(labels.select(col("id"), col("rep").as("__old")), "id")
         .localCheckpoint(true)
-      val changed = labels.as("a").join(next.as("b"), col("a.id") === col("b.id"))
-        .filter(col("a.rep") =!= col("b.rep")).limit(1).count()
-      // `next` is materialized (eager checkpoint) and `changed` has been
-      // computed from the old labels — the superseded checkpoint's blocks
-      // can go, keeping storage bounded across iterations
-      graft.plans.Checkpoints.unpersistCheckpoint(labels)
-      labels = next
+      val changed = next.filter(col("rep") =!= col("__old")).limit(1).count()
+      // `next` is materialized (eager checkpoint) and `changed` read from
+      // it — the superseded checkpoint's blocks can go, keeping storage
+      // bounded across iterations
+      graft.plans.Checkpoints.unpersistCheckpoint(labelsCkpt)
+      labelsCkpt = next
+      labels = next.select("id", "rep")
       converged = changed == 0
       iter += 1
     }
@@ -121,7 +137,7 @@ object Dedup {
     // maxIter hops would disagree with exact reachability) — fail loudly,
     // mirroring the cyclic-subset fix-point.
     if (!converged) {
-      graft.plans.Checkpoints.unpersistCheckpoint(labels)
+      graft.plans.Checkpoints.unpersistCheckpoint(labelsCkpt)
       graft.plans.Checkpoints.unpersistCheckpoint(edges)
       throw new IllegalStateException(
         s"minhashLshClusters: label propagation did not converge after $maxIter " +
@@ -139,7 +155,8 @@ object Dedup {
     * near-dup candidates (hamming-0 bucket; widen by banding bits for
     * hamming-k). */
   def simhashBuckets(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), TextOps.simhash16(col(textCol)).as("simhash"))
+    graft.plans.Parallelism.widen(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextOps.simhash16(col(textCol)).as("simhash"))
       .groupBy("simhash")
       .agg(min(idCol).as("rep_id"), count(lit(1)).as("bucket_size"))
 
@@ -152,7 +169,15 @@ object Dedup {
   def simhashHammingPairs(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3, "simhashHammingPairs: 4 bands cover hamming <= 3")
-    val sims = df.select(col(idCol).as("id"), TextOps.simhash16(col(textCol)).as("sh"))
+    // Widen a narrow scan, then materialize the signature ONCE as
+    // (id, sh) — two longs per doc. Without the checkpoint the self-join
+    // below re-derives each side from the raw text, running the 16-pass
+    // simhash aggregate over the whole corpus TWICE (broadcast side +
+    // stream side both recompute the scan subtree).
+    val sims = graft.plans.Parallelism
+      .widen(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), TextOps.simhash16(col("__text")).as("sh"))
+      .localCheckpoint(true)
     val banded = sims.select(col("id"), col("sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band_no"),
@@ -179,8 +204,9 @@ object Dedup {
                    shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
                    threshold: Double = 0.5): DataFrame = {
     val nStreams = bands * rowsPerBand
-    val withSh = df.select(col(idCol).as("id"),
-      TextOps.shingles(col(textCol), shingleN).as("__sh"))
+    val withSh = graft.plans.Parallelism
+      .widen(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), TextOps.shingles(col("__text"), shingleN).as("__sh"))
     val withMh = withSh.select(col("id"), col("__sh"),
       TextOps.minhashSignature(col("__sh"), (nStreams + 1) / 2).as("__mh"))
     val mh = (0 until nStreams).map(i => element_at(col("__mh"), i + 1))
@@ -190,9 +216,13 @@ object Dedup {
     // exchanges (round-2 verdict: distinct() over rows holding both
     // arrays shuffled every shingle set twice). Arrays are joined back by
     // id once, after the pair set is deduped.
+    // (id, band) is two longs per band — checkpoint it so the a/b
+    // self-join sides read the materialized pairs instead of each
+    // re-running the shingle+minhash pass over the corpus
     val bandsDf = withMh.select(col("id"), array(bandCols: _*).as("bands"))
       .select(col("id"), explode_outer(col("bands")).as("band"))
       .filter(col("band").isNotNull)
+      .localCheckpoint(true)
     val a = bandsDf.as("a")
     val b = bandsDf.as("b")
     val pairIds = a.join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))
