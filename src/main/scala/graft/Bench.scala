@@ -44,6 +44,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.Checkpoints.quietUnpersistWarnings()
 
     // untimed warmup: JIT the scan/codegen/noop-write paths once so the
     // first timed query measures the query, not JVM cold start
@@ -56,7 +57,11 @@ object Bench {
         val t0 = System.nanoTime()
         try fn(spark, dir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // untimed: materializing a shared subtree is part of the query,
+        // releasing its blocks afterwards is session hygiene
+        graft.plans.Checkpoints.releaseAll()
+        name -> dt
       }
     }
 

@@ -526,6 +526,28 @@ object SparkEntry {
         "user_id", "ts", leftCols = Seq("event_id", "value"),
         rightCols = Seq("event_id", "value"), tieBreak = "event_id") +
         " ORDER BY user_id, ts, event_id")),
+    // NULL-bearing carried column: the matched right row's NULL must
+    // survive (atomic struct carry), not be back-filled from an older row
+    "q_asof_nulls" -> Q(
+      (s, dir) => {
+        val ev = rd(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+        val right = ev.filter(col("event_type") === "view")
+          .withColumn("value",
+            when(col("event_id") % 3 === 0, lit(null)).otherwise(col("value")))
+        graft.ops.AsOfJoin.backward(
+          ev.filter(col("event_type") === "purchase"), right,
+          "user_id", "ts", leftCols = Seq("event_id"),
+          rightCols = Seq("event_id", "value"), tieBreak = "event_id")
+          .orderBy("user_id", "ts", "event_id")
+      },
+      Some(graft.ops.AsOfJoin.backwardSql(
+        "(SELECT user_id, epoch_us(ts) AS ts, event_id FROM events WHERE event_type = 'purchase')",
+        "(SELECT user_id, epoch_us(ts) AS ts, event_id, " +
+          "CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS value " +
+          "FROM events WHERE event_type = 'view')",
+        "user_id", "ts", leftCols = Seq("event_id"),
+        rightCols = Seq("event_id", "value"), tieBreak = "event_id") +
+        " ORDER BY user_id, ts, event_id")),
     "q_asof_tolerance" -> Q(
       (s, dir) => {
         val ev = rd(s, dir, "events").withColumn("ts", expr("ts div 1000"))

@@ -17,6 +17,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.Checkpoints.quietUnpersistWarnings()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -25,6 +26,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getClass.getName}: ${e.getMessage}")
         e.getStackTrace.take(3).foreach(f => System.err.println(s"[verify]   at $f"))
       }
+      // each result is fully on disk — release any shared-subtree
+      // checkpoints the query materialized
+      graft.plans.Checkpoints.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -70,9 +70,9 @@ object Dedup {
     // because BOTH the bucket-rep aggregate and the join back read this
     // subtree: without materialization each consumer re-runs the minhash
     // pass over the corpus (same reuse pattern as the cluster op's edges).
-    val exploded = withBands.select(col(idCol), explode_outer(col("bands")).as("band"))
-      .filter(col("band").isNotNull) // shingle-less docs don't bucket
-      .localCheckpoint(true)
+    val exploded = graft.plans.Checkpoints.materialize(
+      withBands.select(col(idCol), explode_outer(col("bands")).as("band"))
+        .filter(col("band").isNotNull)) // shingle-less docs don't bucket
     val reps = exploded.groupBy("band").agg(min(idCol).as("band_rep"))
     val grouped = exploded.join(reps, "band")
       .groupBy(idCol)
@@ -174,10 +174,10 @@ object Dedup {
     // below re-derives each side from the raw text, running the 16-pass
     // simhash aggregate over the whole corpus TWICE (broadcast side +
     // stream side both recompute the scan subtree).
-    val sims = graft.plans.Parallelism
-      .widen(df.select(col(idCol).as("id"), col(textCol).as("__text")))
-      .select(col("id"), TextOps.simhash16(col("__text")).as("sh"))
-      .localCheckpoint(true)
+    val sims = graft.plans.Checkpoints.materialize(
+      graft.plans.Parallelism
+        .widen(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+        .select(col("id"), TextOps.simhash16(col("__text")).as("sh")))
     val banded = sims.select(col("id"), col("sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band_no"),
@@ -185,16 +185,17 @@ object Dedup {
       .select(col("id"), col("sh"), col("band.band_no"), col("band.band_val"))
     val a = banded.as("a")
     val b = banded.as("b")
-    val pairs = a.join(b,
+    // popcount BEFORE the pair-dedup: a pair failing the hamming bound is
+    // dropped in the join's output projection, so the distinct() shuffle
+    // carries only surviving (id_a, id_b, hamming) triples — at sf0.1
+    // that's ~25x fewer rows than deduping the raw candidate set first
+    a.join(b,
         col("a.band_no") === col("b.band_no") && col("a.band_val") === col("b.band_val") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
-      .distinct()
-    pairs
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .distinct()
   }
 
   /** N-gram Jaccard verification over LSH candidate pairs: the
@@ -219,10 +220,10 @@ object Dedup {
     // (id, band) is two longs per band — checkpoint it so the a/b
     // self-join sides read the materialized pairs instead of each
     // re-running the shingle+minhash pass over the corpus
-    val bandsDf = withMh.select(col("id"), array(bandCols: _*).as("bands"))
-      .select(col("id"), explode_outer(col("bands")).as("band"))
-      .filter(col("band").isNotNull)
-      .localCheckpoint(true)
+    val bandsDf = graft.plans.Checkpoints.materialize(
+      withMh.select(col("id"), array(bandCols: _*).as("bands"))
+        .select(col("id"), explode_outer(col("bands")).as("band"))
+        .filter(col("band").isNotNull))
     val a = bandsDf.as("a")
     val b = bandsDf.as("b")
     val pairIds = a.join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** As-of (backward) join — for each left row, the latest right row with the
   * same key and right.time <= left.time, optionally within a tolerance.
@@ -17,10 +18,17 @@ import org.apache.spark.sql.functions._
   * key, so a hot key degrades to sorted streaming, not OOM. At 100 TB the
   * only cost is the one exchange+sort both inputs need anyway.
   *
+  * The right side's payload (its time plus every carried column) is packed
+  * into ONE struct and carried by a single `last(_, ignoreNulls)`: the
+  * matched values are atomic — they all come from the SAME right row. (An
+  * independent `last` per carried column would back-fill a NULL field from
+  * an OLDER right row, silently mixing fields across rows and validating
+  * the tolerance against the wrong right_time.)
+  *
   * Right rows order BEFORE left rows at equal timestamps (side 0 < side 1),
   * giving inclusive <= semantics; ties among right rows at the same instant
-  * resolve to the greatest `tieBreak` value (last in frame), keeping the
-  * result deterministic and oracle-comparable.
+  * resolve to the greatest `tieBreak` value (raw column order, last in
+  * frame), keeping the result deterministic and oracle-comparable.
   */
 object AsOfJoin {
 
@@ -33,25 +41,34 @@ object AsOfJoin {
                leftCols: Seq[String], rightCols: Seq[String],
                tieBreak: String, tolerance: Option[Long] = None): DataFrame = {
     val nullL = (c: String) => lit(null).cast(left.schema(c).dataType).as(c)
-    val nullR = (c: String) => lit(null).cast(right.schema(c).dataType).as("right_" + c)
-    val rightTie = col(tieBreak).cast("long")
+    val carried = ("right_" + time) +: rightCols.map("right_" + _)
+    // one atomic payload per right row; NULL (typed) on the left side
+    val packType = StructType(
+      StructField("right_" + time, right.schema(time).dataType) +:
+        rightCols.map(c => StructField("right_" + c, right.schema(c).dataType)))
+    val pack = struct(col(time).as("right_" + time) +:
+      rightCols.map(c => col(c).as("right_" + c)): _*)
 
     val taggedRight = right.select(
-      col(key) +: col(time) +: lit(0).as("__side") +: rightTie.as("__tie") +:
-        (leftCols.map(nullL) ++ rightCols.map(c => col(c).as("right_" + c)) :+
-          col(time).as("right_" + time)): _*)
+      col(key) +: col(time) +: lit(0).as("__side") +: col(tieBreak).as("__tie") +:
+        (leftCols.map(nullL) :+ pack.as("__rpack")): _*)
     val taggedLeft = left.select(
-      col(key) +: col(time) +: lit(1).as("__side") +: lit(Long.MaxValue).as("__tie") +:
-        (leftCols.map(col) ++ rightCols.map(nullR) :+
-          lit(null).cast(right.schema(time).dataType).as("right_" + time)): _*)
+      col(key) +: col(time) +: lit(1).as("__side") +:
+        lit(null).cast(right.schema(tieBreak).dataType).as("__tie") +:
+        (leftCols.map(col) :+ lit(null).cast(packType).as("__rpack")): _*)
 
-    val w = Window.partitionBy(key).orderBy(col(time), col("__side"), col("__tie"))
+    // __tie is only ordered within (time, side=0) groups — left rows carry
+    // NULL and sort last, which is inert because __side already separates
+    // the sides. Raw column order, no lossy cast (any orderable type works).
+    val w = Window.partitionBy(key)
+      .orderBy(col(time), col("__side"), col("__tie").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = ("right_" + time) +: rightCols.map("right_" + _)
     val withMatch = taggedRight.unionByName(taggedLeft)
-      .select(col(key) +: col(time) +: col("__side") +:
-        (leftCols.map(col) ++ carried.map(c => last(col(c), ignoreNulls = true).over(w).as(c))): _*)
-      .filter(col("__side") === 1).drop("__side")
+      .select(col(key) +: col(time) +: col("__side") +: (leftCols.map(col) :+
+        last(col("__rpack"), ignoreNulls = true).over(w).as("__rpack")): _*)
+      .filter(col("__side") === 1)
+      .select(col(key) +: col(time) +: leftCols.map(col) ++:
+        carried.map(c => col("__rpack").getField(c).as(c)): _*)
 
     tolerance match {
       case Some(tol) =>
@@ -65,34 +82,38 @@ object AsOfJoin {
   }
 
   /** DuckDB rendering of the same plan for the oracle (shared shape so the
-    * query and its oracle cannot drift): `IGNORE NULLS` carries the right
-    * values, identical ordering and tolerance rules. Caller supplies
-    * relation SQL (e.g. "(SELECT ... FROM events WHERE ...)"). */
+    * query and its oracle cannot drift): one `struct_pack` per right row
+    * carried by a single `last_value(IGNORE NULLS)`, identical ordering and
+    * tolerance rules. Caller supplies relation SQL (e.g.
+    * "(SELECT ... FROM events WHERE ...)"). */
   def backwardSql(leftRel: String, rightRel: String, key: String, time: String,
                   leftCols: Seq[String], rightCols: Seq[String],
                   tieBreak: String, tolerance: Option[Long] = None): String = {
     val rCarried = ("right_" + time) +: rightCols.map("right_" + _)
-    val rSel = (leftCols.map(c => s"NULL AS $c") ++
-      rightCols.map(c => s"$c AS right_$c") :+ s"$time AS right_$time").mkString(", ")
-    val lSel = (leftCols ++ rightCols.map(c => s"NULL AS right_$c") :+
-      s"NULL AS right_$time").mkString(", ")
-    val win = s"OVER (PARTITION BY $key ORDER BY $time, __side, __tie " +
+    val packR = (s"right_$time := $time" +: rightCols.map(c => s"right_$c := $c"))
+      .mkString("struct_pack(", ", ", ")")
+    val rSel = (leftCols.map(c => s"NULL AS $c") :+ s"$packR AS __rpack").mkString(", ")
+    val lSel = (leftCols :+ "NULL AS __rpack").mkString(", ")
+    val win = s"OVER (PARTITION BY $key ORDER BY $time, __side, __tie NULLS LAST " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-    val carried = rCarried.map(c => s"last_value($c IGNORE NULLS) $win AS $c").mkString(", ")
     val base =
-      s"""SELECT $key, $time, __side, ${leftCols.mkString(", ")}, $carried
+      s"""SELECT $key, $time, __side, ${(leftCols :+
+           s"last_value(__rpack IGNORE NULLS) $win AS __rpack").mkString(", ")}
          |FROM (
-         |  SELECT $key, $time, 0 AS __side, ($tieBreak)::BIGINT AS __tie, $rSel FROM $rightRel
+         |  SELECT $key, $time, 0 AS __side, $tieBreak AS __tie, $rSel FROM $rightRel
          |  UNION ALL BY NAME
-         |  SELECT $key, $time, 1 AS __side, 9223372036854775807 AS __tie, $lSel FROM $leftRel
+         |  SELECT $key, $time, 1 AS __side, NULL AS __tie, $lSel FROM $leftRel
          |)""".stripMargin
-    val outer = tolerance match {
+    val expanded = rCarried.map(c => s"struct_extract(__rpack, '$c') AS $c")
+    val mid = s"SELECT $key, $time, ${(leftCols ++ expanded).mkString(", ")} " +
+      s"FROM ($base) WHERE __side = 1"
+    tolerance match {
       case Some(tol) =>
         val inTol = s"(right_$time IS NOT NULL AND ($time - right_$time) <= $tol)"
-        (leftCols.map(identity) ++
+        val outer = (leftCols ++
           rCarried.map(c => s"CASE WHEN $inTol THEN $c ELSE NULL END AS $c")).mkString(", ")
-      case None => (leftCols ++ rCarried).mkString(", ")
+        s"SELECT $key, $time, $outer FROM ($mid)"
+      case None => mid
     }
-    s"SELECT $key, $time, $outer FROM ($base) WHERE __side = 1"
   }
 }

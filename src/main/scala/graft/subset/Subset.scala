@@ -156,6 +156,17 @@ object SubsetPlanner {
         val inComp = comp.toSet
         val external = relevantEdges.filter(e => inComp(e.childTable) && !inComp(e.parentTable))
         val internal = relevantEdges.filter(e => inComp(e.childTable) && inComp(e.parentTable))
+        // Pure self-FK component (employee→manager): path-doubling beats
+        // the one-hop-per-iteration loop — O(log depth) shuffle rounds
+        // instead of O(depth), the difference between 10 and 1000 rounds
+        // on a deep hierarchy at scale.
+        val selfFk = (comp, internal) match {
+          case (Seq(t), Seq(e)) if e.childCols.size == 1 && e.parentCols.size == 1 &&
+            pks.get(t).contains(e.parentCols) && e.polymorphicCond.isEmpty =>
+            Some((t, e))
+          case _ => None
+        }
+        def runFixPoint(): Unit = {
         // seed: own conds + external edges (already-final parents)
         var current: Map[String, DataFrame] = comp.map { t =>
           val seeded = external.filter(_.childTable == t)
@@ -188,8 +199,69 @@ object SubsetPlanner {
           s"subset: cyclic fix-point did not converge after $maxIter iterations " +
             s"for component ${comp.mkString(",")} — raise maxIter")
         current.foreach { case (t, d) => surviving(t) = d }
+        }
+
+        selfFk match {
+          case Some((t, e)) =>
+            val seeded = external.filter(_.childTable == t)
+              .foldLeft(baseFiltered(t))((d, x) => applyEdge(d, x, surviving(x.parentTable)))
+            surviving(t) = selfFkClosure(dfs(t), seeded, e)
+          case None => runFixPoint()
+        }
       }
     }
     surviving.toMap
+  }
+
+  /** Path-doubling survival closure for a single self-referencing FK
+    * (`fk` → own `pk`). A row survives iff every row on its ancestor chain
+    * is in `seeded` (its own conds + external edges) and the chain
+    * terminates legally (NULL fk when the edge is nullable) or closes into
+    * an all-surviving cycle — the same greatest fixed point the generic
+    * loop computes, reached in O(log depth) rounds instead of O(depth).
+    *
+    * State per row: `(__id, __anc, __bad)` where `__anc` is the 2^k-th
+    * ancestor after k rounds and `__bad` accumulates "some ancestor within
+    * the covered window fails". Each round doubles the window with ONE
+    * equi-join of the state against itself; the cap ceil(log2(n))+1
+    * guarantees the window spans any chain or cycle, so an all-good cycle
+    * (never "live"-exhausted) still terminates with complete coverage. */
+  private def selfFkClosure(base: DataFrame, seeded: DataFrame, e: FkRef): DataFrame = {
+    import graft.plans.Checkpoints
+    val pk = e.parentCols.head
+    val fk = e.childCols.head
+    val ancType = base.schema(fk).dataType
+    // every base row stays in the state — excluded rows carry __bad=true so
+    // descendants chaining through them see the failure
+    val okMark = seeded.select(col(pk).as("__p"), lit(1).as("__ok"))
+    val bad0 = col("__ok").isNull ||
+      (if (e.nullable) lit(false) else col("__anc").isNull)
+    var state = base.select(col(pk).as("__id"), col(fk).as("__anc"))
+      .join(okMark, col("__id") === col("__p"), "left_outer")
+      .select(col("__id"), col("__anc"), bad0.as("__bad"))
+      .localCheckpoint(true)
+    val n = state.count()
+    val cap = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n)).toInt + 1
+    var iter = 0
+    def live() = state.filter(col("__anc").isNotNull && !col("__bad")).limit(1).count() > 0
+    while (iter < cap && live()) {
+      val anc = state.select(col("__id").as("__aid"), col("__anc").as("__anc2"),
+        col("__bad").as("__abad"))
+      val next = state.join(anc, col("__anc") === col("__aid"), "left_outer")
+        .select(col("__id"),
+          when(col("__anc").isNull || col("__aid").isNull, lit(null).cast(ancType))
+            .otherwise(col("__anc2")).as("__anc"),
+          (col("__bad") ||
+            when(col("__anc").isNull, lit(false))
+              // non-NULL fk with no matching pk row: dangling ref, dead end
+              .when(col("__aid").isNull, lit(true))
+              .otherwise(col("__abad"))).as("__bad"))
+        .localCheckpoint(true)
+      Checkpoints.unpersistCheckpoint(state)
+      state = next
+      iter += 1
+    }
+    val good = state.filter(!col("__bad")).select(col("__id").as("__gid"))
+    base.join(good, col(pk) === col("__gid"), "left_semi")
   }
 }

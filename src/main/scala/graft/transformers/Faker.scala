@@ -324,16 +324,29 @@ object MultiCol {
 
   /** Oracle analog of [[templated]]: single-pass word-boundary textual
     * substitution of attribute names with their SQL expansions (one pass
-    * so an expansion never gets re-substituted). Templates must stay in
-    * the dialect-neutral SQL subset for DuckDB parity. */
+    * so an expansion never gets re-substituted). SQL string literals
+    * ('...', with '' escaping) are opaque spans — an attribute name inside
+    * one is data, not a reference; the parser-based Spark path never
+    * substitutes there, so neither may the oracle (round-4 advice).
+    * Templates must stay in the dialect-neutral SQL subset for DuckDB
+    * parity. */
   def templatedSql(attrsSql: Seq[(String, String)],
                    templates: Seq[(String, String)]): Seq[(String, String)] = {
     val bySql = attrsSql.map { case (n, s) => n.toLowerCase -> s }.toMap
     val re = ("(?i)\\b(" + attrsSql.map(n => java.util.regex.Pattern.quote(n._1))
       .mkString("|") + ")\\b").r
+    val strLit = "'(?:[^']|'')*'".r
+    def subst(seg: String): String = re.replaceAllIn(seg, m =>
+      java.util.regex.Matcher.quoteReplacement("(" + bySql(m.group(1).toLowerCase) + ")"))
     templates.map { case (out, tpl) =>
-      out -> re.replaceAllIn(tpl, m =>
-        java.util.regex.Matcher.quoteReplacement("(" + bySql(m.group(1).toLowerCase) + ")"))
+      val sb = new StringBuilder
+      var pos = 0
+      strLit.findAllMatchIn(tpl).foreach { m =>
+        sb.append(subst(tpl.substring(pos, m.start))).append(m.matched)
+        pos = m.end
+      }
+      sb.append(subst(tpl.substring(pos)))
+      out -> sb.toString
     }
   }
 }

@@ -38,6 +38,44 @@ class JoinOpsSpec extends SparkSpec {
     }
   }
 
+  test("asof carried columns are atomic: NULL field in the matched right row stays NULL") {
+    // latest matching right row (t=95) has v = NULL; an older row (t=90)
+    // has v = 7.0. Per-column carry would back-fill v from t=90 — the
+    // round-4 advice defect. The struct carry must keep (id=21, v=NULL).
+    val left = Seq((1L, 100L, 10L)).toDF("k", "t", "id")
+    val right = Seq((1L, 90L, 20L, Some(7.0)), (1L, 95L, 21L, None))
+      .toDF("k", "t", "id", "v")
+    val r = AsOfJoin.backward(left, right, "k", "t",
+      leftCols = Seq("id"), rightCols = Seq("id", "v"), tieBreak = "id")
+      .select("right_t", "right_id", "right_v").collect().head
+    assert(r.getLong(0) == 95L && r.getLong(1) == 21L && r.isNullAt(2),
+      s"expected atomic (95, 21, NULL), got $r")
+  }
+
+  test("asof tolerance validates against the matched row's own right_t") {
+    // match at t=95 carries v=NULL; tolerance=4 excludes it. A per-column
+    // carry that back-filled v from t=90 would also mis-check tolerance
+    // against the older row's time.
+    val left = Seq((1L, 100L, 10L)).toDF("k", "t", "id")
+    val right = Seq((1L, 90L, 20L, Some(7.0)), (1L, 95L, 21L, None))
+      .toDF("k", "t", "id", "v")
+    val r = AsOfJoin.backward(left, right, "k", "t",
+      leftCols = Seq("id"), rightCols = Seq("id", "v"), tieBreak = "id",
+      tolerance = Some(4L))
+      .select("right_t", "right_id", "right_v").collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2),
+      s"match at distance 5 must null out entirely under tolerance 4, got $r")
+  }
+
+  test("asof tie-break orders by the raw column (non-numeric tieBreak works)") {
+    val left = Seq((1L, 100L, 10L)).toDF("k", "t", "id")
+    val right = Seq((1L, 95L, "aa"), (1L, 95L, "ab")).toDF("k", "t", "name")
+    val r = AsOfJoin.backward(left, right, "k", "t",
+      leftCols = Seq("id"), rightCols = Seq("name"), tieBreak = "name")
+      .select("right_name").collect().head
+    assert(r.getString(0) == "ab") // greatest raw value, not NULL-from-cast
+  }
+
   test("asof tolerance nulls matches farther back than the bound") {
     val left = Seq((1L, 100L, 10L), (1L, 500L, 11L)).toDF("k", "t", "id")
     val right = Seq((1L, 90L, 20L), (1L, 95L, 21L)).toDF("k", "t", "id")

@@ -46,6 +46,26 @@ class SubsetPropertySpec extends SparkSpec {
     runTrials(seed = 31415926L, trials = 12, mixedNullability = true)
   }
 
+  test("self-FK path doubling resolves a 4096-deep chain (one-hop loop could not)") {
+    // linear chain id -> id-1, root id=0 fails the cond: every row's
+    // ancestor chain hits the failure, so NOTHING survives. Depth 4096
+    // needs 4096 one-hop iterations (>> maxIter=50) but only ~13 doubling
+    // rounds — this passing at default maxIter proves the O(log depth)
+    // path is taken and correct.
+    val n = 4096
+    val rows = (0 until n).map(id => (id, if (id == 0) None else Some(id - 1)))
+    val dfs = Map("t" -> rows.toDF("id", "fk"))
+    val edges = Seq(FkRef("t", Seq("fk"), "t", Seq("id"), nullable = true))
+    val out = SubsetPlanner.plan(dfs, Map("t" -> Seq("id")), edges,
+      Map("t" -> Seq("id <> 0")))
+    assert(out("t").count() == 0)
+
+    // and the complement: kill a mid-chain row, everything above survives
+    val out2 = SubsetPlanner.plan(dfs, Map("t" -> Seq("id")), edges,
+      Map("t" -> Seq(s"id <> ${n / 2}")))
+    assert(out2("t").select("id").as[Int].collect().toSet == (0 until n / 2).toSet)
+  }
+
   private def runTrials(seed: Long, trials: Int, mixedNullability: Boolean): Unit = {
     val rnd = new Random(seed)
     for (trial <- 1 to trials) {

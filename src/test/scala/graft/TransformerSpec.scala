@@ -185,6 +185,40 @@ class TransformerSpec extends SparkSpec {
     }
   }
 
+  test("templatedSql: attribute names inside string literals stay literal") {
+    val attrs = Seq("city" -> "upper(x)", "state" -> "lower(y)")
+    val out = MultiCol.templatedSql(attrs, Seq(
+      "a" -> "concat('city: ', city)",       // 'city: ' is data, city is a ref
+      "b" -> "concat(state, ' in state ')",  // trailing literal mentions state
+      "c" -> "'it''s a city'"))              // escaped-quote literal, no refs
+    assert(out(0)._2 == "concat('city: ', (upper(x)))")
+    assert(out(1)._2 == "concat((lower(y)), ' in state ')")
+    assert(out(2)._2 == "'it''s a city'")
+  }
+
+  test("shared-subtree checkpoints release through Checkpoints.releaseAll") {
+    import graft.llm.Dedup
+    import graft.plans.Checkpoints
+    val docs = Seq((1L, "aa bb cc dd ee"), (2L, "aa bb cc dd ee"), (3L, "zz yy xx"))
+      .toDF("doc_id", "text")
+    Checkpoints.releaseAll() // clean slate
+    val before = spark.sparkContext.getRDDStorageInfo.length
+    // three ops that each materialize a shared signature subtree
+    Dedup.minhashLsh(docs, "doc_id", "text").collect()
+    Dedup.simhashHammingPairs(docs, "doc_id", "text").collect()
+    Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.0).collect()
+    assert(Checkpoints.trackedCount == 3)
+    Checkpoints.releaseAll()
+    assert(Checkpoints.trackedCount == 0)
+    // unpersist is async; poll briefly for the blocks to drop
+    val deadline = System.nanoTime() + 10e9.toLong
+    var after = spark.sparkContext.getRDDStorageInfo.length
+    while (after > before && System.nanoTime() < deadline) {
+      Thread.sleep(100); after = spark.sparkContext.getRDDStorageInfo.length
+    }
+    assert(after <= before, s"checkpoint blocks not released: $before -> $after")
+  }
+
   test("Registry template factories: person default, address required") {
     val person = Registry.build("RandomPerson", Map.empty)
     val company = Registry.build("RandomCompany", Map.empty)
