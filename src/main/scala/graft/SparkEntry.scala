@@ -173,7 +173,10 @@ object SparkEntry {
         val cols = Faker.all.toSeq.sortBy(_._1).map { case (n, t) =>
           t.applied(CK).as("f_" + n.toLowerCase)
         }
-        rd(s, dir, "customer").select(CK +: cols: _*).orderBy("c_custkey")
+        // 22 generator expressions per row: widen a narrow scan first so a
+        // single-file input doesn't serialize the whole faker pass
+        graft.plans.Parallelism.widen(rd(s, dir, "customer"))
+          .select(CK +: cols: _*).orderBy("c_custkey")
       },
       Some {
         val cols = Faker.all.toSeq.sortBy(_._1).map { case (n, t) =>
@@ -993,7 +996,7 @@ object SparkEntry {
 
     // ----- LLM ops: text analysis -----
     "q_text_stats" -> Q(
-      (s, dir) => rd(s, dir, "documents").select(
+      (s, dir) => graft.plans.Parallelism.widen(rd(s, dir, "documents")).select(
         col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
         length(col("text")).as("n_chars"),

@@ -105,15 +105,18 @@ object Dedup {
     val edges = withMh.select(col("id"), explode_outer(array(bandCols: _*)).as("band"))
       .filter(col("band").isNotNull)
       .localCheckpoint(true)
-    // labelsCkpt is the LogicalRDD leaf (unpersist target); labels is the
-    // (id, rep) view over it. The iteration result CARRIES the previous
-    // rep (`__old`) through the aggregation join so the convergence check
-    // is a filter over the just-materialized checkpoint — one shuffle-free
-    // job — instead of a fresh labels×next join job per iteration.
-    var labelsCkpt = edges.select("id").distinct()
-      .select(col("id"), col("id").as("rep"), col("id").as("__old"))
+    // Convergence check WITHOUT a labels×next join: min-propagation is
+    // monotone — an id's own rep feeds its bands' minima, so reps only
+    // ever decrease — hence the labels changed iff sum(rep) decreased.
+    // One exact decimal aggregate over the just-materialized checkpoint
+    // replaces the old-vs-new equi-join per iteration (decimal(38), not
+    // long: a corpus-scale sum of 64-bit ids overflows long).
+    def repSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0)
+    var labels = edges.select("id").distinct()
+      .select(col("id"), col("id").as("rep"))
       .localCheckpoint(true)
-    var labels = labelsCkpt.select("id", "rep")
+    var prevSum = repSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -121,23 +124,22 @@ object Dedup {
         .groupBy("band").agg(min("rep").as("band_rep"))
       val next = edges.join(bandMin, "band")
         .groupBy("id").agg(min("band_rep").as("rep"))
-        .join(labels.select(col("id"), col("rep").as("__old")), "id")
         .localCheckpoint(true)
-      val changed = next.filter(col("rep") =!= col("__old")).limit(1).count()
-      // `next` is materialized (eager checkpoint) and `changed` read from
-      // it — the superseded checkpoint's blocks can go, keeping storage
-      // bounded across iterations
-      graft.plans.Checkpoints.unpersistCheckpoint(labelsCkpt)
-      labelsCkpt = next
-      labels = next.select("id", "rep")
-      converged = changed == 0
+      val newSum = repSum(next)
+      // `next` is materialized (eager checkpoint) — the superseded
+      // checkpoint's blocks can go, keeping storage bounded across
+      // iterations
+      graft.plans.Checkpoints.unpersistCheckpoint(labels)
+      labels = next
+      converged = java.util.Objects.equals(newSum, prevSum)
+      prevSum = newSum
       iter += 1
     }
     // Unconverged labels are WRONG labels (a band-graph chain deeper than
     // maxIter hops would disagree with exact reachability) — fail loudly,
     // mirroring the cyclic-subset fix-point.
     if (!converged) {
-      graft.plans.Checkpoints.unpersistCheckpoint(labelsCkpt)
+      graft.plans.Checkpoints.unpersistCheckpoint(labels)
       graft.plans.Checkpoints.unpersistCheckpoint(edges)
       throw new IllegalStateException(
         s"minhashLshClusters: label propagation did not converge after $maxIter " +
