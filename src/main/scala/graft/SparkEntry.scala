@@ -920,6 +920,78 @@ object SparkEntry {
                    ELSE 0.0 END AS jaccard
             FROM pairs ORDER BY id_a, id_b"""
       }),
+    // ----- LLM ops: cross-corpus decontamination + similarity estimate +
+    // deterministic corpus shuffle -----
+    // holdout = every 5th doc: exact decontamination removes exactly the
+    // holdout members (fixtures have no exact dups); the NEAR variant also
+    // removes train docs sharing any LSH band with a holdout doc
+    "q_decontaminate_exact" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        Dedup.crossCorpusExact(docs, docs.filter(col("doc_id") % 5 === 0), "text")
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""SELECT doc_id FROM documents
+              WHERE sha256(text) NOT IN
+                (SELECT sha256(text) FROM documents WHERE doc_id % 5 = 0)
+              ORDER BY doc_id""")),
+    "q_decontaminate_near" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        Dedup.crossCorpusNear(docs, docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text").select("doc_id").orderBy("doc_id")
+      },
+      Some {
+        val sh = TextOps.shinglesSql("text", 3)
+        val bands = (0 until 4).map(b => TextOps.bandHashSql(sh, b * 2, 2))
+        s"""WITH tb AS (
+              SELECT doc_id, band FROM (
+                SELECT doc_id, unnest([${bands.mkString(", ")}]) AS band FROM documents)
+              WHERE band IS NOT NULL
+            ), hb AS (
+              SELECT DISTINCT band FROM (
+                SELECT unnest([${bands.mkString(", ")}]) AS band FROM documents
+                WHERE doc_id % 5 = 0)
+              WHERE band IS NOT NULL
+            ), bad AS (
+              SELECT DISTINCT doc_id FROM tb JOIN hb USING (band)
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+            ORDER BY doc_id"""
+      }),
+    // fraction of equal minhash streams = the classic unbiased Jaccard
+    // estimator; integer-count / 8 => exact double parity with DuckDB
+    "q_minhash_simest" -> Q(
+      (s, dir) => Dedup.minhashSimilarityPairs(rd(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b"),
+      Some {
+        val sh = TextOps.shinglesSql("text", 3)
+        val bands = (0 until 4).map(b => TextOps.bandHashSql(sh, b * 2, 2))
+        val streams = (0 until 8).map(i => s"(${TextOps.minhashSql(sh, i)}) AS m$i")
+        val eq = (0 until 8).map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+        s"""WITH nb AS (
+              SELECT doc_id, band FROM (
+                SELECT doc_id, unnest([${bands.mkString(", ")}]) AS band FROM documents)
+              WHERE band IS NOT NULL
+            ), pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM nb a JOIN nb b ON a.band = b.band AND a.doc_id < b.doc_id
+            ), s AS (
+              SELECT doc_id, ${streams.mkString(", ")} FROM documents
+            )
+            SELECT id_a, id_b, ((${eq.mkString(" + ")})::DOUBLE / 8) AS sim_est
+            FROM pairs
+            JOIN s sa ON pairs.id_a = sa.doc_id
+            JOIN s sb ON pairs.id_b = sb.doc_id
+            ORDER BY id_a, id_b"""
+      }),
+    "q_shuffle_det" -> Q(
+      (s, dir) => Sampling.shuffleDeterministic(rd(s, dir, "documents"), "doc_id")
+        .select("doc_id", "shuffle_key"),
+      Some(s"""SELECT doc_id, ${Sampling.shuffleDeterministicSql("doc_id")}
+               FROM documents ORDER BY shuffle_key, doc_id""")),
+
     "q_random_engine" -> Q( // rows-only by nature: non-deterministic PRNG
       (s, dir) => rd(s, dir, "customer").select(CK,
         graft.generators.RandomEngine.longBetween(0, 999999).as("masked"),

@@ -200,6 +200,83 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-corpus exact decontamination: drop every `train` row whose
+    * content (sha256) also appears in `holdout` — dedupe a training corpus
+    * against a benchmark/eval set. The holdout digest set is tiny next to
+    * the corpus, so AQE broadcasts the anti-join build side; train rows
+    * never leave their partitions and text never shuffles (digests only). */
+  def crossCorpusExact(train: DataFrame, holdout: DataFrame, textCol: String): DataFrame = {
+    val h = holdout.select(sha2(col(textCol), 256).as("__h")).distinct()
+    train.withColumn("__h", sha2(col(textCol), 256))
+      .join(h, Seq("__h"), "left_anti")
+      .drop("__h")
+  }
+
+  /** Cross-corpus NEAR decontamination: drop every train doc sharing any
+    * MinHash-LSH band with a holdout doc — the scale path for "remove
+    * anything that even resembles the benchmark". Candidate test is a
+    * semi-join on band keys (holdout bands distinct + broadcastable);
+    * only (id, band) longs shuffle. */
+  def crossCorpusNear(train: DataFrame, holdout: DataFrame, idCol: String,
+                      textCol: String, shingleN: Int = 3, bands: Int = 4,
+                      rowsPerBand: Int = 2): DataFrame = {
+    val nStreams = bands * rowsPerBand
+    val nDigests = (nStreams + 1) / 2
+    def bandRows(df: DataFrame, idSel: Seq[String]): DataFrame = {
+      val sel = idSel.map(col) :+ col(textCol)
+      val withMh = graft.plans.Parallelism.widen(df.select(sel: _*))
+        .select(idSel.map(col) :+
+          TextOps.minhashSignatureFromText(col(textCol), shingleN, nDigests).as("__mh"): _*)
+      val mh = (0 until nStreams).map(i => element_at(col("__mh"), i + 1))
+      val bandCols = (0 until bands).map(b => TextOps.bandHashFrom(mh, b * rowsPerBand, rowsPerBand))
+      withMh.select(idSel.map(col) :+ explode_outer(array(bandCols: _*)).as("band"): _*)
+        .filter(col("band").isNotNull)
+    }
+    val holdBands = bandRows(holdout, Nil).select("band").distinct()
+    val bad = bandRows(train, Seq(idCol))
+      .join(holdBands, Seq("band"), "left_semi")
+      .select(idCol).distinct()
+    train.join(bad, Seq(idCol), "left_anti")
+  }
+
+  /** MinHash similarity estimate over LSH candidate pairs: the fraction of
+    * equal signature streams — the classic unbiased Jaccard estimator,
+    * E[est] = J(a,b) — at a fraction of [[jaccardPairs]]'s cost (no
+    * shingle-set intersection; signatures are nStreams longs). Pair
+    * exchange carries ids only; signatures join back by id after the pair
+    * dedup, exactly like jaccardPairs. */
+  def minhashSimilarityPairs(df: DataFrame, idCol: String, textCol: String,
+                             shingleN: Int = 3, bands: Int = 4,
+                             rowsPerBand: Int = 2): DataFrame = {
+    val nStreams = bands * rowsPerBand
+    val nDigests = (nStreams + 1) / 2
+    // one materialized signature pass feeds band explode AND the per-side
+    // signature join-back
+    val withSig = graft.plans.Checkpoints.materialize(
+      graft.plans.Parallelism
+        .widen(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+        .select(col("id"),
+          TextOps.minhashSignatureFromText(col("__text"), shingleN, nDigests).as("__mh")))
+    val mh = (0 until nStreams).map(i => element_at(col("__mh"), i + 1))
+    val bandCols = (0 until bands).map(b => TextOps.bandHashFrom(mh, b * rowsPerBand, rowsPerBand))
+    val bandsDf = withSig.select(col("id"), explode_outer(array(bandCols: _*)).as("band"))
+      .filter(col("band").isNotNull)
+    val a = bandsDf.as("a")
+    val b = bandsDf.as("b")
+    val pairIds = a.join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sig = withSig.select(col("id"), col("__mh"))
+    val matches = (0 until nStreams).map(i =>
+      when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1), 1)
+        .otherwise(0)).reduce(_ + _)
+    pairIds
+      .join(sig.toDF("id_a", "sig_a"), "id_a")
+      .join(sig.toDF("id_b", "sig_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (matches.cast("double") / nStreams).as("sim_est"))
+  }
+
   /** N-gram Jaccard verification over LSH candidate pairs: the
     * within-bucket verify step (`band join -> pair -> exact jaccard`).
     * Self-join ONLY on the band key — bucket-bounded, not all-pairs. */

@@ -55,6 +55,20 @@ object Sampling {
     s"((${OracleGen.u60(keyCol, tweak)})::DOUBLE / ${Gen.U60Max.toDouble} < " +
       s"least(greatest(${weightSql}, 0.0), 1.0))"
 
+  /** Deterministic global corpus shuffle: order by the key's salted u60
+    * hash — the "shuffle the corpus before training" step, reproducible
+    * across runs/engines and re-derivable for any subset (a doc's position
+    * key never changes). At scale this is one range-partitioned sort —
+    * exactly what a random shuffle costs, without the irreproducibility.
+    * The hash is emitted as `shuffle_key` so downstream (and the oracle)
+    * can verify the order from the values alone. */
+  def shuffleDeterministic(df: DataFrame, keyCol: String,
+                           tweak: String = "shuffle"): DataFrame =
+    df.withColumn("shuffle_key", Gen.u60(col(keyCol), tweak))
+      .orderBy(col("shuffle_key"), col(keyCol))
+  def shuffleDeterministicSql(keyCol: String, tweak: String = "shuffle"): String =
+    s"(${OracleGen.u60(keyCol, tweak)}) AS shuffle_key"
+
   /** Sequence packing: greedily group documents into token-budget-bounded
     * packs (the batching step before tokenized training sequences). Fully
     * deterministic at a fixed `numPartitions`: rows are routed by key hash

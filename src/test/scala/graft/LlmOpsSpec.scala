@@ -71,6 +71,49 @@ class LlmOpsSpec extends SparkSpec {
     pairs.foreach(p => assert(p._3 <= 3))
   }
 
+  test("cross-corpus exact decontamination removes only content present in holdout") {
+    val train = docs
+    val holdout = Seq((100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "unrelated holdout text")).toDF("doc_id", "text")
+    val kept = Dedup.crossCorpusExact(train, holdout, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L, 5L)) // 1,2 match holdout text exactly
+  }
+
+  test("cross-corpus near decontamination removes band-sharing neighbors too") {
+    val holdout = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.crossCorpusNear(docs, holdout, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    // 1,2 are exact matches; 3 is a near dup sharing LSH bands; 4 unrelated
+    assert(!kept(1L) && !kept(2L))
+    assert(kept(4L))
+    // near-variant must remove at least everything the exact variant does
+    val keptExact = Dedup.crossCorpusExact(docs, holdout, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.subsetOf(keptExact))
+  }
+
+  test("minhash similarity estimate: 1.0 for identical docs, bounded, candidate-set = jaccard's") {
+    val est = Dedup.minhashSimilarityPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(est.exists { case (a, b, e) => a == 1L && b == 2L && e == 1.0 })
+    est.foreach { case (_, _, e) => assert(e >= 0.0 && e <= 1.0) }
+    val jacIds = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(est.map(p => (p._1, p._2)).toSet == jacIds) // same LSH candidates
+  }
+
+  test("deterministic shuffle: same order at any partitioning, key = u60(doc_id)") {
+    val a = Sampling.shuffleDeterministic(docs, "doc_id")
+      .select("doc_id").as[Long].collect().toSeq
+    val b = Sampling.shuffleDeterministic(docs.repartition(7), "doc_id")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(a == b)
+    assert(a != Seq(1L, 2L, 3L, 4L, 5L)) // actually permuted for this fixture
+    assert(a.toSet == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("jaccard verify finds the near-dup pair with high score") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.3)
       .as[(Long, Long, Double)].collect()
