@@ -15,6 +15,12 @@ run / fork := true
 // JSON line on stdout and a logger prefix ("[info] ...") would break any
 // line-oriented parser reading it
 run / outputStrategy := Some(StdoutOutput)
+// ... and the trailing "[success] Total time" banner would land AFTER that
+// JSON line, so a parser reading the last line would still miss it
+Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not a task — exclude it
+// from the unused-key lint so runs stay warning-free
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -61,6 +61,11 @@ object Bench {
         // untimed: materializing a shared subtree is part of the query,
         // releasing its blocks afterwards is session hygiene
         graft.plans.Checkpoints.releaseAll()
+        // untimed: shuffle files / broadcast blocks from prior queries are
+        // only reclaimed when driver GC fires the ContextCleaner's weak
+        // refs — without this, late-running queries measure ~2x slower
+        // from accumulated session state, not from their own plans
+        System.gc()
         name -> dt
       }
     }
