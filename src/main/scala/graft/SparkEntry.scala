@@ -1139,6 +1139,52 @@ object SparkEntry {
       Some(Corpus.topTermsPerDocSql("documents", "doc_id", "text", 3) +
         " ORDER BY doc_id, rank")),
 
+    // CCNet-style boilerplate-line removal: the fixture docs are
+    // single-line, so the query builds a line-structured doc from fixture
+    // columns IDENTICALLY in both engines — a per-source header and a
+    // global footer (boilerplate by construction, shared across >= minDocs
+    // docs) around two body lines cut from the doc's own text
+    "q_boilerplate_lines" -> Q(
+      (s, dir) => {
+        val synthetic = rd(s, dir, "documents").select(col("doc_id"),
+          concat_ws("\n", concat(lit("source: "), col("source")),
+            substring(col("text"), 1, 40), substring(col("text"), 41, 40),
+            lit("subscribe to our newsletter")).as("text"))
+        Corpus.removeBoilerplateLines(synthetic, "doc_id", "text", minDocs = 10)
+          .orderBy("doc_id")
+      },
+      Some(Corpus.removeBoilerplateLinesSql(
+        """SELECT doc_id, 'source: ' || source || chr(10) ||
+           substr(text, 1, 40) || chr(10) || substr(text, 41, 40) || chr(10) ||
+           'subscribe to our newsletter' AS text FROM documents""",
+        "doc_id", minDocs = 10) + " ORDER BY doc_id")),
+
+    // Within-doc repeated-line removal (keep first occurrence, preserve
+    // order): synthetic doc repeats two of its own lines
+    "q_dedup_lines_within" -> Q(
+      (s, dir) => {
+        val synthetic = concat_ws("\n", substring(col("text"), 1, 30),
+          lit("repeated nav block"), substring(col("text"), 31, 30),
+          lit("repeated nav block"), substring(col("text"), 1, 30))
+        rd(s, dir, "documents")
+          .select(col("doc_id"), TextOps.dedupLines(synthetic).as("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val synthetic = "substr(text, 1, 30) || chr(10) || 'repeated nav block' || " +
+          "chr(10) || substr(text, 31, 30) || chr(10) || 'repeated nav block' || " +
+          "chr(10) || substr(text, 1, 30)"
+        s"SELECT doc_id, ${TextOps.dedupLinesSql(synthetic)} AS clean_text " +
+          "FROM documents ORDER BY doc_id"
+      }),
+
+    // Per-doc unigram corpus-frequency stats (integer projection of a
+    // unigram-LM fluency score — exact, so fully oracle-comparable)
+    "q_unigram_stats" -> Q(
+      (s, dir) => Corpus.unigramStats(rd(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(Corpus.unigramStatsSql("documents", "doc_id", "text") + " ORDER BY doc_id")),
+
     // KMV distinct sketch: deterministic under the shared hash, so the
     // ESTIMATE itself is oracle-comparable (HLL never is)
     "q_sketch_kmv" -> Q(

@@ -121,4 +121,107 @@ object Corpus {
             SELECT DISTINCT ${h} AS h FROM ${table} WHERE (${valueCol}) IS NOT NULL
             ORDER BY h LIMIT ${k}))"""
   }
+
+  /** CCNet-style boilerplate removal: drop every line that appears in at
+    * least `minDocs` DISTINCT documents (nav bars, cookie banners, footers
+    * — the lines whose very repetition marks them as template, not
+    * content), preserving each survivor's original line order.
+    *
+    * Scale shape: the corpus-wide line frequency shuffles
+    * `(sha256(line), id)` pairs — a fixed 32-byte digest per occurrence,
+    * never the line text (boilerplate lines are often KB-sized) — and the
+    * common-line set is small BY CONSTRUCTION (only lines repeated across
+    * `minDocs`+ docs qualify), so the removal join broadcasts it. The only
+    * shuffle that carries text is the final per-doc reassembly, which is
+    * the output itself. Empty/whitespace lines are never counted as
+    * boilerplate (they'd always cross the threshold) and pass through.
+    *
+    * Output: (idCol, clean_text) — one row per input doc; a doc whose
+    * every line was boilerplate comes back as ''. */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                             minDocs: Int): DataFrame = {
+    require(minDocs >= 2, "removeBoilerplateLines: minDocs must be >= 2")
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+    val common = lines.filter(length(trim(col("line"))) > 0)
+      .select(sha2(col("line"), 256).as("lh"), col(idCol)).distinct()
+      .groupBy("lh").agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocs)
+      .select("lh")
+    val kept = lines.join(broadcast(common),
+      sha2(col("line"), 256) === common("lh"), "left_anti")
+    val rebuilt = kept.groupBy(idCol)
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line"))).as("clean_text"))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** DuckDB rendering of [[removeBoilerplateLines]] over a (id, text)
+    * producing subquery. Raw line equality replaces the digest grouping —
+    * same result barring a sha256 collision. */
+  def removeBoilerplateLinesSql(docsSql: String, idCol: String,
+                                minDocs: Int): String =
+    s"""WITH __docs AS (${docsSql}),
+        __lines AS (
+          SELECT ${idCol}, pos, ls[pos] AS line FROM (
+            SELECT ${idCol}, unnest(generate_series(1, len(ls))) AS pos, ls
+            FROM (SELECT ${idCol}, string_split(text, chr(10)) AS ls FROM __docs))),
+        __common AS (
+          SELECT line FROM (
+            SELECT line, count(DISTINCT ${idCol}) AS doc_freq FROM __lines
+            WHERE trim(line) <> '' GROUP BY line)
+          WHERE doc_freq >= ${minDocs}),
+        __agg AS (
+          SELECT ${idCol}, string_agg(line, chr(10) ORDER BY pos) AS ct
+          FROM __lines WHERE line NOT IN (SELECT line FROM __common)
+          GROUP BY ${idCol})
+        SELECT d.${idCol}, coalesce(a.ct, '') AS clean_text
+        FROM __docs d LEFT JOIN __agg a USING (${idCol})"""
+
+  /** Per-document unigram corpus-frequency stats — the fluency signal a
+    * unigram language model gives, projected onto INTEGERS so it is
+    * exactly engine-comparable (a float log-prob would differ in the last
+    * ulp across libm implementations): `sum_freq`/`n_tokens` is the doc's
+    * mean token corpus frequency (high = common fluent words, low =
+    * gibberish/OOV-heavy), `min_freq` its rarest token (1 = contains a
+    * corpus hapax). Callers derive the real log-prob downstream:
+    * ln(freq/corpus_total) per token.
+    *
+    * Plan: the token explode feeds one map-side-combinable vocab
+    * aggregate; the join back is vocab-sized (distinct tokens — Zipf-small
+    * next to the corpus, AQE broadcasts it) and the per-doc aggregate
+    * combines map-side. Raw tokens shuffle only as (doc, token) pairs for
+    * the final aggregate; the corpus-sized intermediate is never cached.
+    *
+    * Output: (idCol, n_tokens, sum_freq, min_freq); token-less docs keep
+    * n_tokens = 0 with NULL freqs. */
+  def unigramStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("corpus_freq"))
+    val agg = toks.join(vocab, "token")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("corpus_freq").as("sum_freq"),
+        min("corpus_freq").as("min_freq"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("sum_freq"), col("min_freq"))
+  }
+
+  def unigramStatsSql(table: String, idCol: String, textCol: String): String =
+    s"""WITH __toks AS (
+          SELECT ${idCol}, token FROM (
+            SELECT ${idCol}, unnest(${TextOps.tokensSql(textCol)}) AS token
+            FROM ${table})
+          WHERE length(token) > 0),
+        __vocab AS (SELECT token, count(*) AS corpus_freq FROM __toks GROUP BY token),
+        __agg AS (
+          SELECT ${idCol}, count(*) AS n_tokens,
+                 sum(corpus_freq)::BIGINT AS sum_freq, min(corpus_freq) AS min_freq
+          FROM __toks JOIN __vocab USING (token) GROUP BY ${idCol})
+        SELECT d.${idCol}, coalesce(a.n_tokens, 0) AS n_tokens, a.sum_freq, a.min_freq
+        FROM ${table} d LEFT JOIN __agg a USING (${idCol})"""
 }

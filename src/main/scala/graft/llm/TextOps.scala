@@ -149,6 +149,23 @@ object TextOps {
     s"(least(${nTok} / 64.0, 1.0) * 0.5 + least(${stopRatio} * 4, 1.0) * 0.5)"
   }
 
+  /** Within-doc repeated-line removal: keep the FIRST occurrence of every
+    * line, preserving order — the per-row complement of
+    * [[Corpus.removeBoilerplateLines]] (crawled pages repeat their own nav
+    * blocks; dedup-within comes before corpus-level dedup in a CCNet-style
+    * pipeline). Pure per-row higher-order-function expression — no
+    * shuffle, no UDF, stays in codegen; O(lines²) per doc, bounded by doc
+    * size. Mirrors exactly: Spark's `array_position` and DuckDB's
+    * `list_position` both return 0 on miss. */
+  def dedupLines(text: Column): Column = {
+    val ls = split(text, "\n", -1)
+    concat_ws("\n", filter(ls, (x, i) => array_position(slice(ls, lit(1), i), x) === 0))
+  }
+  def dedupLinesSql(text: String): String = {
+    val ls = s"string_split(${text}, chr(10))"
+    s"array_to_string(list_filter(${ls}, (x, i) -> list_position((${ls})[1:i-1], x) = 0), chr(10))"
+  }
+
   /** Language-ID heuristic: argmax of per-language stopword hit counts
     * (n-gram/stopword heuristic; 'und' when nothing matches). */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(

@@ -37,6 +37,57 @@ class CorpusSpec extends SparkSpec {
     assert(hit == Set(1L, 2L))
   }
 
+  test("removeBoilerplateLines drops corpus-frequent lines, keeps order and empties") {
+    // footer shared by 3 docs (>= minDocs 3); body lines unique per doc;
+    // doc 4 is ALL boilerplate; empty lines are never counted, and pass
+    // through; within-line order must be preserved
+    val d = Seq(
+      (1L, "intro one\nfooter line\nbody one"),
+      (2L, "body two\n\nfooter line"),
+      (3L, "footer line\nbody three\nbody three b"),
+      (4L, "footer line"),
+      (5L, "solo doc\nno footer")).toDF("doc_id", "text")
+    val out = Corpus.removeBoilerplateLines(d, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out == Seq(
+      1L -> "intro one\nbody one",
+      2L -> "body two\n",
+      3L -> "body three\nbody three b",
+      4L -> "",
+      5L -> "solo doc\nno footer"))
+  }
+
+  test("removeBoilerplateLines counts DISTINCT docs (within-doc repeats don't qualify)") {
+    val d = Seq(
+      (1L, "x\nx\nx\nx"), // 4 repeats, but one doc
+      (2L, "y"), (3L, "y"), (4L, "y\nkeep me")).toDF("doc_id", "text")
+    val out = Corpus.removeBoilerplateLines(d, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out == Seq(1L -> "x\nx\nx\nx", 2L -> "", 3L -> "", 4L -> "keep me"))
+  }
+
+  test("dedupLines keeps first occurrence of each line, including empties") {
+    val d = Seq(
+      "a\nb\na\nb\nc",
+      "a\n\nb\n\na",
+      "single",
+      "").toDF("text")
+    val out = d.select(TextOps.dedupLines(col("text"))).as[String].collect().toSeq
+    assert(out == Seq("a\nb\nc", "a\n\nb", "single", ""))
+  }
+
+  test("unigramStats: integer corpus-frequency projection per doc") {
+    val d = Seq(
+      (1L, "the cat"), (2L, "the the dog"), (3L, "")).toDF("doc_id", "text")
+    // corpus freqs: the=3, cat=1, dog=1
+    val out = Corpus.unigramStats(d, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Option[Long], Option[Long])].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, Some(4L), Some(1L)),   // the(3) + cat(1)
+      (2L, 3L, Some(7L), Some(1L)),   // the(3)*2 + dog(1)
+      (3L, 0L, None, None)))           // token-less doc
+  }
+
   test("contaminatedIds is a broadcast semi-join on exploded shingles") {
     val probe = Corpus.probeShingles("the cat sat on the mat")
     val plan = Corpus.contaminatedIds(docs, "doc_id", "text", probe)
