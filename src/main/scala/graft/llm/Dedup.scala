@@ -73,11 +73,18 @@ object Dedup {
     val exploded = graft.plans.Checkpoints.materialize(
       withBands.select(col(idCol), explode_outer(col("bands")).as("band"))
         .filter(col("band").isNotNull)) // shingle-less docs don't bucket
-    val reps = exploded.groupBy("band").agg(min(idCol).as("band_rep"))
+    // Singleton buckets (one edge row) can only hand a doc its own id —
+    // keeping them out of the join-back shrinks its input to the
+    // duplicate structure; docs that lose all their bands fall through to
+    // the left join's coalesce below with the same result.
+    val reps = exploded.groupBy("band")
+      .agg(min(idCol).as("band_rep"), count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+      .select("band", "band_rep")
     val grouped = exploded.join(reps, "band")
       .groupBy(idCol)
       .agg(min("band_rep").as("rep0"))
-    // docs with no bands are their own representative
+    // docs with no (surviving) bands are their own representative
     df.select(col(idCol)).join(grouped, Seq(idCol), "left_outer")
       .select(col(idCol), coalesce(col("rep0"), col(idCol)).as("near_dup_rep"))
   }
@@ -102,9 +109,23 @@ object Dedup {
         TextOps.minhashSignatureFromText(col("__text"), shingleN, nDigests).as("__mh"))
     val mh = (0 until nStreams).map(i => element_at(col("__mh"), i + 1))
     val bandCols = (0 until bands).map(b => TextOps.bandHashFrom(mh, b * rowsPerBand, rowsPerBand))
-    val edges = withMh.select(col("id"), explode_outer(array(bandCols: _*)).as("band"))
+    val allEdges = withMh.select(col("id"), explode_outer(array(bandCols: _*)).as("band"))
       .filter(col("band").isNotNull)
       .localCheckpoint(true)
+    // Prune to the ACTIVE subgraph before iterating: a singleton band
+    // (one doc) propagates the doc's own rep back to it — a no-op — so
+    // only bands shared by >= 2 docs can ever move a label. On a real
+    // corpus near-dups are the exception, so this cuts every iteration's
+    // join input from |corpus|×bands to the duplicate structure itself.
+    // Docs outside the active subgraph keep rep = own id via the final
+    // left join's coalesce. count(*) >= 2 drops only bands with exactly
+    // ONE edge row — which cannot link anything — so the pruning is safe
+    // whether or not the two rows of a surviving band are distinct docs.
+    val activeBands = allEdges.groupBy("band").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select("band")
+    val edges = allEdges.join(activeBands, Seq("band"), "left_semi")
+      .localCheckpoint(true)
+    graft.plans.Checkpoints.unpersistCheckpoint(allEdges)
     // Convergence check WITHOUT a labels×next join: min-propagation is
     // monotone — an id's own rep feeds its bands' minima, so reps only
     // ever decrease — hence the labels changed iff sum(rep) decreased.
@@ -187,17 +208,25 @@ object Dedup {
       .select(col("id"), col("sh"), col("band.band_no"), col("band.band_val"))
     val a = banded.as("a")
     val b = banded.as("b")
-    // popcount BEFORE the pair-dedup: a pair failing the hamming bound is
-    // dropped in the join's output projection, so the distinct() shuffle
-    // carries only surviving (id_a, id_b, hamming) triples — at sf0.1
-    // that's ~25x fewer rows than deduping the raw candidate set first
+    // A pair can collide in up to 4 bands; instead of a distinct() shuffle
+    // over the duplicated candidates, emit each pair ONLY in its FIRST
+    // matching band — both sides' full simhash rides the join, so "some
+    // earlier band also matches" is a pure projection-time filter. The
+    // pair set is then unique by construction: candidate generation runs
+    // with NO pair exchange at all (the band self-join is the only
+    // shuffle). The popcount bound filters in the same projection.
+    def bandMatch(k: Int): Column =
+      shiftright(col("a.sh"), k * 4).bitwiseAND(lit(15L)) ===
+        shiftright(col("b.sh"), k * 4).bitwiseAND(lit(15L))
+    val earlierBandMatches = (0 until 4).map(k =>
+      col("a.band_no") > k && bandMatch(k)).reduce(_ || _)
     a.join(b,
         col("a.band_no") === col("b.band_no") && col("a.band_val") === col("b.band_val") &&
           col("a.id") < col("b.id"))
+      .filter(!earlierBandMatches)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** Cross-corpus exact decontamination: drop every `train` row whose

@@ -69,6 +69,28 @@ class LlmOpsSpec extends SparkSpec {
     // docs 1 and 2 are exact dups in this fixture -> hamming 0
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
     pairs.foreach(p => assert(p._3 <= 3))
+    // first-matching-band emission makes pairs unique BY CONSTRUCTION —
+    // no distinct(), so the plan must carry no aggregate at all and the
+    // output no duplicate pair (docs 1/2 collide in all 4 bands)
+    assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length)
+    val plan = Dedup.simhashHammingPairs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate"), plan)
+  }
+
+  test("LSH cluster loop prunes singleton bands without changing labels") {
+    // all-unique corpus: the active subgraph is empty, every doc is its
+    // own rep, and the loop converges immediately
+    val words = Seq("apple banana cherry date elderberry",
+      "quantum flux capacitor drive unit", "river mountain valley forest lake",
+      "crimson azure emerald golden silver", "violin trumpet cello piano drum",
+      "gravel cement asphalt timber steel", "sparrow falcon heron crane owl",
+      "noodle dumpling risotto taco bagel")
+    val unique = words.zipWithIndex.map { case (w, i) => ((i + 1).toLong, w) }
+      .toDF("doc_id", "text")
+    val reps = Dedup.minhashLshClusters(unique, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(reps == (1L to 8L).map(i => i -> i).toMap)
   }
 
   test("cross-corpus exact decontamination removes only content present in holdout") {
