@@ -1003,6 +1003,14 @@ object SparkEntry {
     // Raw cosines differ from DuckDB in the last float ulp, so the oracle
     // compares only ulp-robust projections: top-k membership, bucket
     // signs, threshold sets (raw-value checks live in LlmOpsSpec).
+    // Symmetric int8 embedding quantization: integer-exact output, so the
+    // full quantized codes oracle-compare (not just membership)
+    "q_quantize_int8" -> Q(
+      (s, dir) => Similarity.quantizeInt8(rd(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id"),
+      Some(Similarity.quantizeInt8Sql("embeddings", "vec_id", "embedding") +
+        " ORDER BY vec_id")),
+
     "q_knn_brute" -> Q(
       (s, dir) => Similarity.bruteForceTopK(rd(s, dir, "embeddings"), "vec_id", "embedding",
         Similarity.testQuery(64), 20).select("vec_id").orderBy("vec_id"),

@@ -233,6 +233,54 @@ object Similarity {
   // DuckDB renderings. Float sums differ from Spark in the last ulp, so
   // oracle queries never compare raw cosines — only ulp-robust projections:
   // top-k MEMBERSHIP (ordered by id), bucket SIGNS, threshold sets.
+  /** Unit-normalize a vector (zero vectors pass through untouched —
+    * dividing by a zero norm would NaN the whole array). For feeding the
+    * cosine ops: normalized inputs turn cosine into a plain dot product. */
+  def l2Normalize(v: Column): Column = {
+    val n = norm(v)
+    when(n === 0 || n.isNull, v)
+      .otherwise(transform(v, x => (x.cast("double") / n).cast("float")))
+  }
+
+  /** Symmetric int8 quantization — the storage/ANN-memory shape for
+    * embedding columns at corpus scale (4x smaller than float32, exact
+    * sign symmetry). Per vector: scale = max |x|, q = floor(x·127/scale
+    * + 0.5) ∈ [-127, 127]; dequantize as q·scale/127. Zero/empty vectors
+    * quantize to zeros with scale 0.
+    *
+    * Pure per-row expression (no shuffle, stays in codegen) and — unlike
+    * the float similarity projections — the OUTPUT is integer-exact: the
+    * double ops (`x·127/scale`, left-to-right) are bit-identical IEEE in
+    * any engine, so `floor` lands identically and the quantized codes
+    * oracle-compare exactly. Codes emit as a comma-joined string (stable
+    * across parquet/pandas array handling).
+    *
+    * Output: (idCol, scale, q8). */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val mab = array_max(transform(v, x => abs(x.cast("double"))))
+    val codes = transform(v, x =>
+      floor(x.cast("double") * lit(127.0) / col("__mab") + lit(0.5)).cast("int"))
+    val zeros = transform(v, _ => lit(0))
+    df.select(col(idCol), v, mab.as("__mab"))
+      .select(col(idCol),
+        coalesce(col("__mab"), lit(0.0)).as("scale"),
+        array_join(transform(
+          when(col("__mab") === 0 || col("__mab").isNull, zeros).otherwise(codes),
+          _.cast("string")), ",").as("q8"))
+  }
+
+  def quantizeInt8Sql(table: String, idCol: String, vecCol: String): String =
+    s"""SELECT ${idCol}, coalesce(__mab, 0.0) AS scale,
+          array_to_string(list_transform(
+            CASE WHEN __mab = 0 OR __mab IS NULL
+                 THEN list_transform(${vecCol}, x -> 0)
+                 ELSE list_transform(${vecCol}, x -> floor(x::DOUBLE * 127.0 / __mab + 0.5)::INTEGER)
+            END, c -> c::VARCHAR), ',') AS q8
+        FROM (SELECT ${idCol}, ${vecCol},
+                list_max(list_transform(${vecCol}, x -> abs(x::DOUBLE))) AS __mab
+              FROM ${table})"""
+
   // ---------------------------------------------------------------------
 
   private def listLit(q: Seq[Double]): String = q.mkString("[", ",", "]")

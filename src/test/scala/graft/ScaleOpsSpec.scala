@@ -63,6 +63,40 @@ class ScaleOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("int8 quantization: bounds, sign symmetry, zero vectors, reconstruction") {
+    import graft.llm.Similarity
+    val vecs = Seq(
+      (1L, Array(1.0f, -1.0f, 0.5f, -0.5f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),       // zero vector
+      (3L, Array(0.003f, -0.001f, 0.002f, 0.0f)) // small magnitudes
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .orderBy("vec_id").as[(Long, Double, String)].collect()
+    val codes = out.map(r => (r._1, r._2, r._3.split(",").map(_.toInt)))
+    // extremes hit exactly +-127; zero vector -> zeros with scale 0
+    assert(codes(0)._3.toSeq == Seq(127, -127, 64, -63))
+    assert(codes(1)._2 == 0.0 && codes(1)._3.forall(_ == 0))
+    // every code in [-127, 127]; dequantization error <= scale/254 + eps
+    for ((id, scale, qs) <- codes; if scale > 0) {
+      val orig = vecs.filter($"vec_id" === id).as[(Long, Array[Float])].head()._2
+      qs.zip(orig).foreach { case (q, x) =>
+        assert(q >= -127 && q <= 127)
+        assert(math.abs(q * scale / 127.0 - x) <= scale / 254.0 + 1e-9)
+      }
+    }
+  }
+
+  test("l2Normalize yields unit vectors, passes zero vectors through") {
+    import graft.llm.Similarity
+    val vecs = Seq(
+      (1L, Array(3.0f, 4.0f)), (2L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val norms = vecs.select($"vec_id",
+        Similarity.norm(Similarity.l2Normalize($"embedding")).as("n"))
+      .orderBy("vec_id").as[(Long, Double)].collect().toMap
+    assert(math.abs(norms(1L) - 1.0) < 1e-6)
+    assert(norms(2L) == 0.0)
+  }
+
   test("k-means refinement improves (or keeps) partial-probe recall") {
     // two tight clusters around +e1 and -e1
     val vecs = (0 until 200).map { i =>
