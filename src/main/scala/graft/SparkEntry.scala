@@ -567,6 +567,38 @@ object SparkEntry {
         "user_id", "ts", leftCols = Seq("event_id"), rightCols = Seq("event_id"),
         tieBreak = "event_id", tolerance = Some(6L * 3600 * 1000000L)) +
         " ORDER BY user_id, ts, event_id")),
+    // Interval-overlap join (interval x interval): view windows x click
+    // windows per user; bucketed equi-join, pair-unique via the
+    // first-common-bucket filter (no pair-dedup shuffle)
+    "q_interval_overlap" -> Q(
+      (s, dir) => {
+        val ev = rd(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+        val halfDay = 12L * 3600 * 1000000L
+        val day = 24L * 3600 * 1000000L
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("v_start"),
+            (col("ts") + lit(halfDay)).as("v_end"), col("event_id").as("view_id"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("c_start"),
+            (col("ts") + lit(day)).as("c_end"), col("event_id").as("click_id"))
+        graft.ops.RangeJoin.intervalOverlap(views, clicks, "user_id",
+          "v_start", "v_end", "c_start", "c_end",
+          leftCols = Seq("view_id"), rightCols = Seq("click_id"), bucketWidth = day)
+          .orderBy("user_id", "v_start", "view_id", "click_id")
+      },
+      Some {
+        val views = s"(SELECT user_id, epoch_us(ts) AS v_start, " +
+          s"epoch_us(ts) + ${12L * 3600 * 1000000L} AS v_end, " +
+          "event_id AS view_id FROM events WHERE event_type = 'view')"
+        val clicks = s"(SELECT user_id, epoch_us(ts) AS c_start, " +
+          s"epoch_us(ts) + ${24L * 3600 * 1000000L} AS c_end, " +
+          "event_id AS click_id FROM events WHERE event_type = 'click')"
+        graft.ops.RangeJoin.intervalOverlapSql(views, clicks, "user_id",
+          "v_start", "v_end", "c_start", "c_end",
+          leftCols = Seq("view_id"), rightCols = Seq("click_id")) +
+          " ORDER BY user_id, v_start, view_id, click_id"
+      }),
+
     "q_range_join" -> Q(
       (s, dir) => {
         val ev = rd(s, dir, "events").withColumn("ts", expr("ts div 1000"))

@@ -123,6 +123,36 @@ class JoinOpsSpec extends SparkSpec {
       s"range join fell back to nested loop:\n$plan")
   }
 
+  test("interval overlap join matches brute force, pair-unique, no nested loop") {
+    val left = rows(120, 5, 5).toDF("k", "t", "id", "v")
+      .select(col("k"), col("t").as("ls"), (col("t") + lit(150L)).as("le"),
+        col("id").as("lid"))
+    val right = rows(90, 5, 6).toDF("k", "t", "id", "v")
+      .select(col("k"), col("t").as("rs"), (col("t") + lit(220L)).as("re"),
+        col("id").as("rid"))
+    val joined = RangeJoin.intervalOverlap(left, right, "k", "ls", "le",
+      "rs", "re", Seq("lid"), Seq("rid"), bucketWidth = 100L)
+    val got = joined.select("k", "lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // unique by construction — no pair twice even across shared buckets
+    assert(got.toSet.size == got.length)
+
+    val lL = left.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val rL = right.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = (for {
+      a <- lL; b <- rL
+      if a._1 == b._1 && a._2 <= b._3 && b._2 <= a._3
+    } yield (a._1, a._4, b._4)).toSet
+    assert(got.toSet == expected)
+    assert(expected.nonEmpty)
+
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval overlap fell back to nested loop:\n$plan")
+    // pair-dedup shuffle absent: no aggregate anywhere in the plan
+    assert(!plan.contains("HashAggregate"), plan)
+  }
+
   test("range join: duplicate-free across bucket boundaries, inverted intervals dropped") {
     // interval spans 3 buckets; the point matches exactly once
     val points = Seq((1L, 250L, 1L)).toDF("k", "t", "id")
