@@ -529,6 +529,43 @@ object SparkEntry {
         "user_id", "ts", leftCols = Seq("event_id", "value"),
         rightCols = Seq("event_id", "value"), tieBreak = "event_id") +
         " ORDER BY user_id, ts, event_id")),
+    // As-of FORWARD: earliest view at-or-after each purchase
+    "q_asof_forward" -> Q(
+      (s, dir) => {
+        val ev = rd(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+        graft.ops.AsOfJoin.forward(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "view"),
+          "user_id", "ts", leftCols = Seq("event_id", "value"),
+          rightCols = Seq("event_id", "value"), tieBreak = "event_id")
+          .orderBy("user_id", "ts", "event_id")
+      },
+      Some(graft.ops.AsOfJoin.forwardSql(
+        "(SELECT user_id, epoch_us(ts) AS ts, event_id, value FROM events WHERE event_type = 'purchase')",
+        "(SELECT user_id, epoch_us(ts) AS ts, event_id, value FROM events WHERE event_type = 'view')",
+        "user_id", "ts", leftCols = Seq("event_id", "value"),
+        rightCols = Seq("event_id", "value"), tieBreak = "event_id") +
+        " ORDER BY user_id, ts, event_id")),
+    // As-of NEAREST with tolerance: closer of the two directions, ties
+    // resolving backward; out-of-tolerance matches null out
+    "q_asof_nearest" -> Q(
+      (s, dir) => {
+        val ev = rd(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+        graft.ops.AsOfJoin.nearest(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "view"),
+          "user_id", "ts", leftCols = Seq("event_id", "value"),
+          rightCols = Seq("event_id", "value"), tieBreak = "event_id",
+          tolerance = Some(6L * 3600 * 1000000L))
+          .orderBy("user_id", "ts", "event_id")
+      },
+      Some(graft.ops.AsOfJoin.nearestSql(
+        "(SELECT user_id, epoch_us(ts) AS ts, event_id, value FROM events WHERE event_type = 'purchase')",
+        "(SELECT user_id, epoch_us(ts) AS ts, event_id, value FROM events WHERE event_type = 'view')",
+        "user_id", "ts", leftCols = Seq("event_id", "value"),
+        rightCols = Seq("event_id", "value"), tieBreak = "event_id",
+        tolerance = Some(6L * 3600 * 1000000L)) +
+        " ORDER BY user_id, ts, event_id")),
     // NULL-bearing carried column: the matched right row's NULL must
     // survive (atomic struct carry), not be back-filled from an older row
     "q_asof_nulls" -> Q(

@@ -38,6 +38,57 @@ class JoinOpsSpec extends SparkSpec {
     }
   }
 
+  test("asof forward matches per-row brute force; inclusive at equal time") {
+    val left = rows(200, 7, 3).toDF("k", "t", "id", "v")
+    val right = rows(300, 7, 4).toDF("k", "t", "id", "v")
+    val out = AsOfJoin.forward(left, right, "k", "t",
+      leftCols = Seq("id"), rightCols = Seq("id", "v"), tieBreak = "id")
+      .select("k", "t", "id", "right_t", "right_id", "right_v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toMap
+    val rightLocal = right.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    for (l <- left.collect()) {
+      val (k, t, id) = (l.getLong(0), l.getLong(1), l.getLong(2))
+      val cand = rightLocal.filter(r => r._1 == k && r._2 >= t)
+      val expected =
+        if (cand.isEmpty) (None, None, None)
+        else {
+          // earliest time; among ties the max id (backward convention)
+          val best = cand.minBy(r => (r._2, -r._3))
+          (Some(best._2), Some(best._3), Some(best._4))
+        }
+      assert(out((k, t, id)) == expected, s"key=$k t=$t id=$id")
+    }
+  }
+
+  test("asof nearest picks the closer side, resolves ties backward, honors tolerance") {
+    val left = rows(200, 7, 5).toDF("k", "t", "id", "v")
+    val right = rows(300, 7, 6).toDF("k", "t", "id", "v")
+    val tol = 80L
+    val out = AsOfJoin.nearest(left, right, "k", "t",
+      leftCols = Seq("id"), rightCols = Seq("id", "v"), tieBreak = "id",
+      tolerance = Some(tol))
+      .select("k", "t", "id", "right_t", "right_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (Option(r.get(3)), Option(r.get(4)))).toMap
+    val rightLocal = right.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (l <- left.collect()) {
+      val (k, t, id) = (l.getLong(0), l.getLong(1), l.getLong(2))
+      val back = rightLocal.filter(r => r._1 == k && r._2 <= t && (t - r._2) <= tol)
+        .sortBy(r => (r._2, r._3)).lastOption
+      val fwd = rightLocal.filter(r => r._1 == k && r._2 >= t && (r._2 - t) <= tol)
+        .sortBy(r => (r._2, -r._3)).headOption
+      val expected = (back, fwd) match {
+        case (Some(b), Some(f)) =>
+          if ((t - b._2) <= (f._2 - t)) (Some(b._2), Some(b._3)) else (Some(f._2), Some(f._3))
+        case (Some(b), None) => (Some(b._2), Some(b._3))
+        case (None, Some(f)) => (Some(f._2), Some(f._3))
+        case _ => (None, None)
+      }
+      assert(out((k, t, id)) == expected, s"key=$k t=$t id=$id")
+    }
+  }
+
   test("asof carried columns are atomic: NULL field in the matched right row stays NULL") {
     // latest matching right row (t=95) has v = NULL; an older row (t=90)
     // has v = 7.0. Per-column carry would back-fill v from t=90 — the
