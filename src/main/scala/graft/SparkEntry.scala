@@ -1255,6 +1255,14 @@ object SparkEntry {
           "FROM documents ORDER BY doc_id"
       }),
 
+    // Rank-based per-language length outliers: integer rank cutoffs, no
+    // float percentile — exact in both engines
+    "q_length_outliers" -> Q(
+      (s, dir) => Corpus.lengthOutliers(rd(s, dir, "documents"), "doc_id", "lang",
+        "n_chars", loPct = 5, hiPct = 95).orderBy("doc_id"),
+      Some(Corpus.lengthOutliersSql("documents", "doc_id", "lang", "n_chars",
+        loPct = 5, hiPct = 95) + " ORDER BY doc_id")),
+
     // Per-doc unigram corpus-frequency stats (integer projection of a
     // unigram-LM fluency score — exact, so fully oracle-comparable)
     "q_unigram_stats" -> Q(

@@ -211,6 +211,40 @@ object Corpus {
         col("sum_freq"), col("min_freq"))
   }
 
+  /** Per-group length-outlier flags — "drop the shortest 5% and longest
+    * 5% per language" without a float percentile: the cutoffs are RANKS
+    * (`n·loPct/100` and `n·hiPct/100`, integer division), so the output is
+    * exact in any engine and deterministic (rank orders by (len, id)).
+    * One window shuffle on the group key; a giant group streams through
+    * its window sorted, nothing materializes per group.
+    *
+    * Output: (idCol, groupCol, lenCol, rank, n, is_outlier). */
+  def lengthOutliers(df: DataFrame, idCol: String, groupCol: String,
+                     lenCol: String, loPct: Int, hiPct: Int): DataFrame = {
+    require(0 <= loPct && loPct < hiPct && hiPct <= 100,
+      "lengthOutliers: need 0 <= loPct < hiPct <= 100")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col(lenCol), col(idCol))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    df.select(col(idCol), col(groupCol), col(lenCol))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("is_outlier",
+        col("rank") <= expr(s"n * $loPct div 100") ||
+          col("rank") > expr(s"n * $hiPct div 100"))
+  }
+
+  def lengthOutliersSql(table: String, idCol: String, groupCol: String,
+                        lenCol: String, loPct: Int, hiPct: Int): String =
+    s"""SELECT ${idCol}, ${groupCol}, ${lenCol}, rank, n,
+          (rank <= n * ${loPct} // 100 OR rank > n * ${hiPct} // 100) AS is_outlier
+        FROM (
+          SELECT ${idCol}, ${groupCol}, ${lenCol},
+                 row_number() OVER (PARTITION BY ${groupCol}
+                   ORDER BY ${lenCol}, ${idCol}) AS rank,
+                 count(*) OVER (PARTITION BY ${groupCol}) AS n
+          FROM ${table})"""
+
   def unigramStatsSql(table: String, idCol: String, textCol: String): String =
     s"""WITH __toks AS (
           SELECT ${idCol}, token FROM (

@@ -88,6 +88,18 @@ class CorpusSpec extends SparkSpec {
       (3L, 0L, None, None)))           // token-less doc
   }
 
+  test("lengthOutliers: rank cutoffs per group, deterministic tie order") {
+    // group a: 10 docs lengths 1..10 -> lo cut = 10*20//100 = 2 (ranks 1,2),
+    // hi cut = 10*80//100 = 8 (ranks 9,10); group b: 1 doc, cuts 0 and 0 ->
+    // rank 1 > 0 = outlier high
+    val d = ((1L to 10L).map(i => (i, "a", i * 10)) :+ ((99L, "b", 5L)))
+      .map { case (id, g, len) => (id.toLong, g, len.toLong) }.toDF("id", "grp", "len")
+    val out = Corpus.lengthOutliers(d, "id", "grp", "len", loPct = 20, hiPct = 80)
+      .select("id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert((1L to 10L).filter(out) == Seq(1L, 2L, 9L, 10L))
+    assert(out(99L)) // single-doc group: rank 1 > 1*80//100 = 0
+  }
+
   test("contaminatedIds is a broadcast semi-join on exploded shingles") {
     val probe = Corpus.probeShingles("the cat sat on the mat")
     val plan = Corpus.contaminatedIds(docs, "doc_id", "text", probe)
