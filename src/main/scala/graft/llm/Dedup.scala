@@ -134,12 +134,17 @@ object Dedup {
     // long: a corpus-scale sum of 64-bit ids overflows long).
     def repSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0)
-    var labels = edges.select("id").distinct()
-      .select(col("id"), col("id").as("rep"))
+    // Seed DIRECTLY with iteration 0's result: under identity labels the
+    // band minimum is just min(id), so the first propagation needs no
+    // edges⋈labels join — and the identity seed's corpus-wide distinct,
+    // checkpoint, and sum all disappear with it.
+    var labels = edges
+      .join(edges.groupBy("band").agg(min("id").as("band_rep")), "band")
+      .groupBy("id").agg(min("band_rep").as("rep"))
       .localCheckpoint(true)
     var prevSum = repSum(labels)
     var converged = false
-    var iter = 0
+    var iter = 1
     while (!converged && iter < maxIter) {
       val bandMin = edges.join(labels, "id")
         .groupBy("band").agg(min("rep").as("band_rep"))
