@@ -130,11 +130,14 @@ object Corpus {
     * Scale shape: the corpus-wide line frequency shuffles
     * `(sha256(line), id)` pairs — a fixed 32-byte digest per occurrence,
     * never the line text (boilerplate lines are often KB-sized) — and the
-    * common-line set is small BY CONSTRUCTION (only lines repeated across
-    * `minDocs`+ docs qualify), so the removal join broadcasts it. The only
-    * shuffle that carries text is the final per-doc reassembly, which is
-    * the output itself. Empty/whitespace lines are never counted as
-    * boilerplate (they'd always cross the threshold) and pass through.
+    * common-line set is usually tiny (only lines repeated across
+    * `minDocs`+ docs qualify), so AQE broadcasts the anti-join build side;
+    * no explicit hint, so a pathological corpus (minDocs=2 over mass
+    * duplicates) degrades to a shuffled anti-join on the digest instead of
+    * an OOM. The only shuffle that carries text is the final per-doc
+    * reassembly, which is the output itself. Empty/whitespace lines are
+    * never counted as boilerplate (they'd always cross the threshold) and
+    * pass through.
     *
     * Output: (idCol, clean_text) — one row per input doc; a doc whose
     * every line was boilerplate comes back as ''. */
@@ -148,7 +151,7 @@ object Corpus {
       .groupBy("lh").agg(count(lit(1)).as("doc_freq"))
       .filter(col("doc_freq") >= minDocs)
       .select("lh")
-    val kept = lines.join(broadcast(common),
+    val kept = lines.join(common,
       sha2(col("line"), 256) === common("lh"), "left_anti")
     val rebuilt = kept.groupBy(idCol)
       .agg(concat_ws("\n",
