@@ -86,6 +86,78 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming asof: matches emit on watermark, floor GC keeps old rights usable") {
+    import graft.streaming.StreamingAsOf
+    implicit val sqlCtx = spark.sqlContext
+    val leftIn = MemoryStream[(Long, Timestamp, Long)]
+    val rightIn = MemoryStream[(Long, Timestamp, Long, Double)]
+    val joined = StreamingAsOf.backward(
+      leftIn.toDF().toDF("key", "ts", "left_id"),
+      rightIn.toDF().toDF("key", "ts", "right_id", "right_value"),
+      watermark = "0 seconds")
+    val q = joined.writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    try {
+      // rights at t=100 (two rows, tie -> max id) and t=200; lefts at 150, 250
+      rightIn.addData((1L, ts(100), 10L, 1.0), (1L, ts(100), 11L, 2.0), (1L, ts(200), 12L, 3.0))
+      leftIn.addData((1L, ts(150), 500L), (1L, ts(250), 501L))
+      q.processAllAvailable()
+      // nothing final until the watermark passes the lefts
+      rightIn.addData((1L, ts(1000), 13L, 4.0))
+      q.processAllAvailable()
+      q.processAllAvailable() // extra trigger lets the event-time timeout fire
+      val out1 = spark.table("asof_out")
+        .as[(Long, Long, Long, Option[Long], Option[Long], Option[Double])]
+        .collect().map(r => r._3 -> ((r._4, r._5, r._6))).toMap
+      // left 500 (t=150): latest right <= 150 is t=100, tie -> id 11
+      assert(out1(500L) == ((Some(100000L), Some(11L), Some(2.0))))
+      // left 501 (t=250): right t=200
+      assert(out1(501L) == ((Some(200000L), Some(12L), Some(3.0))))
+
+      // floor GC: rights at 100/200 are far behind the watermark now, yet
+      // a new left at t=1500 must still match the latest finalized right
+      // (t=1000 folded into the floor)
+      leftIn.addData((1L, ts(1500), 502L))
+      q.processAllAvailable()
+      leftIn.addData((1L, ts(5000), 503L)) // advances watermark past 1500
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val out2 = spark.table("asof_out")
+        .as[(Long, Long, Long, Option[Long], Option[Long], Option[Double])]
+        .collect().map(r => r._3 -> ((r._4, r._5, r._6))).toMap
+      assert(out2(502L) == ((Some(1000000L), Some(13L), Some(4.0))))
+    } finally q.stop()
+  }
+
+  test("streaming asof: no-match and out-of-tolerance lefts still emit (left-join shape)") {
+    import graft.streaming.StreamingAsOf
+    implicit val sqlCtx = spark.sqlContext
+    val leftIn = MemoryStream[(Long, Timestamp, Long)]
+    val rightIn = MemoryStream[(Long, Timestamp, Long, Double)]
+    val joined = StreamingAsOf.backward(
+      leftIn.toDF().toDF("key", "ts", "left_id"),
+      rightIn.toDF().toDF("key", "ts", "right_id", "right_value"),
+      watermark = "0 seconds", toleranceMs = Some(30 * 1000L))
+    val q = joined.writeStream.format("memory").queryName("asof_tol_out")
+      .outputMode("append").start()
+    try {
+      rightIn.addData((2L, ts(100), 20L, 9.0))
+      // left at 120 is within 30s of the right; left at 300 is not; key 3
+      // has no right at all
+      leftIn.addData((2L, ts(120), 600L), (2L, ts(300), 601L), (3L, ts(120), 602L))
+      q.processAllAvailable()
+      rightIn.addData((2L, ts(10000), 21L, 1.0), (3L, ts(10000), 22L, 1.0))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val out = spark.table("asof_tol_out")
+        .as[(Long, Long, Long, Option[Long], Option[Long], Option[Double])]
+        .collect().map(r => r._3 -> ((r._4, r._5))).toMap
+      assert(out(600L) == ((Some(100000L), Some(20L))))
+      assert(out(601L) == ((None, None))) // match exists but out of tolerance
+      assert(out(602L) == ((None, None))) // no right for the key
+    } finally q.stop()
+  }
+
   test("very-late events are filtered; sessions survive watermark jumps") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
