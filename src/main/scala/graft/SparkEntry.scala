@@ -855,6 +855,27 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id"),
       Some(Sampling.stratifiedQuotaSql("documents", "lang", "doc_id", 5,
         "doc_id, lang") + " ORDER BY doc_id")),
+    // Deterministic source mixing: per-source keep probabilities, each
+    // row's fixed hash draw against its group's proportion
+    "q_mix_by_source" -> Q(
+      (s, dir) => Sampling.mixByGroup(rd(s, dir, "documents"), "doc_id", "source",
+          Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.1), default = 0.05)
+        .select("doc_id", "source").orderBy("doc_id"),
+      Some(s"SELECT doc_id, source FROM documents WHERE " +
+        Sampling.mixByGroupSql("doc_id", "source",
+          Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.1), default = 0.05) +
+        " ORDER BY doc_id")),
+
+    // Token-budget cap per source: hash-ordered cumulative sum, keep until
+    // the budget row (exact integer cumsums; overshoot < one doc)
+    "q_token_budget" -> Q(
+      (s, dir) => Sampling.tokenBudgetPerGroup(rd(s, dir, "documents"), "doc_id",
+          "source", "n_chars", budget = 3000L)
+        .select("doc_id", "source", "n_chars").orderBy("doc_id"),
+      Some(Sampling.tokenBudgetPerGroupSql("documents", "doc_id", "source",
+        "n_chars", budget = 3000L, selectCols = "doc_id, source, n_chars") +
+        " ORDER BY doc_id")),
+
     // Quality-weighted deterministic sampling: keep-probability equals the
     // doc's quality score (the data-mixing primitive; no rand())
     "q_sample_weighted" -> Q(

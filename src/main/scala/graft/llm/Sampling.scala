@@ -69,6 +69,61 @@ object Sampling {
   def shuffleDeterministicSql(keyCol: String, tweak: String = "shuffle"): String =
     s"(${OracleGen.u60(keyCol, tweak)}) AS shuffle_key"
 
+  /** Deterministic data mixing: per-group keep probabilities (the
+    * Pile/LLaMA-style source-mix primitive). Each row's decision is its
+    * fixed hash draw against ITS group's proportion — so re-weighting one
+    * source never disturbs another's sample, and the mix is reproducible
+    * across runs, partitionings, and engines. Groups absent from the map
+    * fall back to `default`. Pure per-row filter: no shuffle at all. */
+  def mixByGroup(df: DataFrame, keyCol: String, groupCol: String,
+                 proportions: Map[String, Double], default: Double = 0.0,
+                 tweak: String = "mix"): DataFrame = {
+    val draw = Gen.u60(col(keyCol), tweak).cast("double") / lit(Gen.U60Max.toDouble)
+    val prop = proportions.foldLeft(lit(default)) { case (acc, (g, p)) =>
+      when(col(groupCol) === g, lit(p)).otherwise(acc)
+    }
+    df.filter(draw < prop)
+  }
+  def mixByGroupSql(keyCol: String, groupCol: String,
+                    proportions: Map[String, Double], default: Double = 0.0,
+                    tweak: String = "mix"): String = {
+    val cases = proportions.map { case (g, p) =>
+      s"WHEN ${groupCol} = '${g.replace("'", "''")}' THEN ${p}"
+    }.mkString(" ")
+    s"((${OracleGen.u60(keyCol, tweak)})::DOUBLE / ${Gen.U60Max.toDouble} < " +
+      s"(CASE $cases ELSE ${default} END))"
+  }
+
+  /** Token-budget cap per group: keep documents, in deterministic
+    * hash-shuffled order, until each group's cumulative token count
+    * reaches `budget` ("sample ~10B tokens per domain"). The row that
+    * crosses the budget is the last one kept, so every non-empty group
+    * ships at least one doc and the overshoot is < one doc. One window
+    * shuffle on the group key; a giant group streams through its sorted
+    * window. Integer cumulative sums — exact in any engine. */
+  def tokenBudgetPerGroup(df: DataFrame, keyCol: String, groupCol: String,
+                          tokenCol: String, budget: Long,
+                          tweak: String = "budget"): DataFrame = {
+    require(budget > 0, "tokenBudgetPerGroup: budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(Gen.u60(col(keyCol), tweak), col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__cum", sum(col(tokenCol).cast("long")).over(w))
+      .filter(col("__cum") - col(tokenCol).cast("long") < budget)
+      .drop("__cum")
+  }
+  def tokenBudgetPerGroupSql(table: String, keyCol: String, groupCol: String,
+                             tokenCol: String, budget: Long, selectCols: String,
+                             tweak: String = "budget"): String =
+    s"""SELECT ${selectCols} FROM (
+          SELECT *, sum(${tokenCol}) OVER (PARTITION BY ${groupCol}
+            ORDER BY ${OracleGen.u60(keyCol, tweak)}, ${keyCol}
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM ${table})
+        WHERE cum - ${tokenCol} < ${budget}"""
+
   /** Sequence packing: greedily group documents into token-budget-bounded
     * packs (the batching step before tokenized training sequences). Fully
     * deterministic at a fixed `numPartitions`: rows are routed by key hash

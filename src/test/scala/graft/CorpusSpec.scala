@@ -100,6 +100,47 @@ class CorpusSpec extends SparkSpec {
     assert(out(99L)) // single-doc group: rank 1 > 1*80//100 = 0
   }
 
+  test("mixByGroup: per-group rates, isolation across groups, determinism") {
+    import graft.llm.Sampling
+    val d = (1L to 400L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "grp")
+    def keptWith(pA: Double) = Sampling.mixByGroup(d, "id", "grp",
+      Map("a" -> pA, "b" -> 0.5)).select("id").as[Long].collect().toSet
+    val k1 = keptWith(0.3)
+    val k2 = keptWith(0.3)
+    assert(k1 == k2) // deterministic
+    // rates roughly honored per group (hash-uniform; wide tolerance)
+    val aKept = k1.count(_ % 2 == 0); val bKept = k1.count(_ % 2 == 1)
+    assert(aKept > 20 && aKept < 100, s"a kept $aKept of 200 at p=0.3")
+    assert(bKept > 60 && bKept < 140, s"b kept $bKept of 200 at p=0.5")
+    // re-weighting group a never disturbs group b's sample
+    val k3 = keptWith(0.9)
+    assert(k1.filter(_ % 2 == 1) == k3.filter(_ % 2 == 1))
+    // monotone: raising a group's rate only ADDS rows
+    assert(k1.filter(_ % 2 == 0).subsetOf(k3.filter(_ % 2 == 0)))
+    // zero default drops unlisted groups
+    val none = Sampling.mixByGroup(d.withColumn("grp", lit("zz")), "id", "grp",
+      Map("a" -> 1.0)).count()
+    assert(none == 0)
+  }
+
+  test("tokenBudgetPerGroup: budget binds per group, crossing row kept, deterministic") {
+    import graft.llm.Sampling
+    val d = (1L to 50L).map(i => (i, if (i <= 25) "a" else "b", 10L)).toDF("id", "grp", "toks")
+    val out = Sampling.tokenBudgetPerGroup(d, "id", "grp", "toks", budget = 95L)
+      .select("id", "grp").as[(Long, String)].collect()
+    val byGrp = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // 10 tokens each, budget 95 -> 10 docs per group (10th row crosses)
+    assert(byGrp == Map("a" -> 10, "b" -> 10))
+    // oversized first doc still ships (crossing row kept)
+    val big = Seq((1L, "a", 1000L), (2L, "a", 1000L)).toDF("id", "grp", "toks")
+    val kept = Sampling.tokenBudgetPerGroup(big, "id", "grp", "toks", budget = 5L).count()
+    assert(kept == 1)
+    // deterministic across runs
+    val again = Sampling.tokenBudgetPerGroup(d, "id", "grp", "toks", budget = 95L)
+      .select("id", "grp").as[(Long, String)].collect()
+    assert(out.toSet == again.toSet)
+  }
+
   test("contaminatedIds is a broadcast semi-join on exploded shingles") {
     val probe = Corpus.probeShingles("the cat sat on the mat")
     val plan = Corpus.contaminatedIds(docs, "doc_id", "text", probe)
