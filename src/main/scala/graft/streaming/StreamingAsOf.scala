@@ -30,6 +30,29 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingAsOf {
 
+  /** Stream-stream TIME-BOUNDED join — the native Structured Streaming
+    * interval join: right events within `[left.ts - lowerMs, left.ts +
+    * upperMs]` of a left event with the same key. Unlike the as-of join
+    * below this needs no custom state: the time-range condition plus both
+    * watermarks is exactly what Spark's stream-stream join requires to
+    * bound its state buffers, so late rows drop and state is GC'd by the
+    * engine itself. Input columns pinned like [[backward]]:
+    * left (key, ts, left_id), right (key, ts, right_id, right_value). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   lowerMs: Long, upperMs: Long,
+                   watermark: String = "10 minutes"): DataFrame = {
+    require(lowerMs >= 0 && upperMs >= 0, "intervalJoin: bounds must be >= 0")
+    val l = left.select(col("key").cast("long"), col("ts").as("left_ts"),
+      col("left_id").cast("long")).withWatermark("left_ts", watermark)
+    val r = right.select(col("key").cast("long").as("r_key"), col("ts").as("right_ts"),
+      col("right_id").cast("long"), col("right_value").cast("double"))
+      .withWatermark("right_ts", watermark)
+    l.join(r, col("key") === col("r_key") &&
+        col("right_ts") >= col("left_ts") - expr(s"INTERVAL ${lowerMs} MILLISECOND") &&
+        col("right_ts") <= col("left_ts") + expr(s"INTERVAL ${upperMs} MILLISECOND"))
+      .select("key", "left_ts", "left_id", "right_ts", "right_id", "right_value")
+  }
+
   case class AsOfState(
       pending: List[(Long, Long)],             // (tsMs, leftId) awaiting finality
       rights: List[(Long, Long, Double)],      // (tsMs, rightId, value) in watermark

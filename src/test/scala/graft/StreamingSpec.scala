@@ -129,6 +129,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: time-bounded matches only, engine-managed state") {
+    import graft.streaming.StreamingAsOf
+    implicit val sqlCtx = spark.sqlContext
+    val leftIn = MemoryStream[(Long, Timestamp, Long)]
+    val rightIn = MemoryStream[(Long, Timestamp, Long, Double)]
+    val joined = StreamingAsOf.intervalJoin(
+      leftIn.toDF().toDF("key", "ts", "left_id"),
+      rightIn.toDF().toDF("key", "ts", "right_id", "right_value"),
+      lowerMs = 60 * 1000L, upperMs = 30 * 1000L, watermark = "1 minute")
+    val q = joined.writeStream.format("memory").queryName("sij_out")
+      .outputMode("append").start()
+    try {
+      // left at t=100: window is [40, 130]s. rights at 50 (in), 120 (in),
+      // 200 (out); other key never matches
+      leftIn.addData((1L, ts(100), 700L))
+      rightIn.addData((1L, ts(50), 30L, 1.0), (1L, ts(120), 31L, 2.0),
+        (1L, ts(200), 32L, 3.0), (2L, ts(100), 33L, 4.0))
+      q.processAllAvailable()
+      val out = spark.table("sij_out")
+        .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+      assert(out == Set((700L, 30L), (700L, 31L)))
+    } finally q.stop()
+  }
+
   test("streaming asof: no-match and out-of-tolerance lefts still emit (left-join shape)") {
     import graft.streaming.StreamingAsOf
     implicit val sqlCtx = spark.sqlContext
