@@ -22,6 +22,19 @@ class EntrySpec extends SparkSpec {
     assert(orphan.isEmpty, s"oracle SQL without query: $orphan")
   }
 
+  test("no bench headline query plans a cartesian or nested-loop join") {
+    // standing guard for the scale contract: candidate generation and the
+    // subset/join operators must stay bucketed/broadcast/window-shaped —
+    // a regression to BroadcastNestedLoopJoin or CartesianProduct on any
+    // headline plan is a 100 TB outage, not a perf nit
+    Bench.headline.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val plan = fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
+    }
+  }
+
   test("oracle SQL strings are single-line friendly (no raw control chars)") {
     SparkEntry.oracleSql.values.foreach { sql =>
       assert(!sql.exists(c => c == '\n' || c == '\r' || c == '\t'), sql.take(80))
