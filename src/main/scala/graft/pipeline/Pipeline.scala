@@ -74,6 +74,38 @@ object Catalog {
   def load(spark: org.apache.spark.sql.SparkSession, sfDir: String, table: String): DataFrame =
     spark.read.parquet(s"$sfDir/$table.parquet")
 
+  /** Partitioned JDBC scan — the Spark analog of the reference's N-worker
+    * parallel dump (`dump.go:592-686`: one COPY stream per worker pinned
+    * to a shared snapshot). Here each of `numPartitions` executors reads
+    * its own stride of `partitionColumn` concurrently; bounds are fetched
+    * with one min/max query so callers don't guess. Snapshot consistency
+    * must come from the source (read replica / snapshot export — SURVEY
+    * §7.4), exactly as the reference requires its exported snapshot. */
+  def loadJdbcPartitioned(spark: org.apache.spark.sql.SparkSession, url: String,
+                          table: String, partitionColumn: String,
+                          numPartitions: Int): DataFrame = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    val (lo, hi) =
+      try {
+        // quoting mirrors Spark's JDBC layer: column identifiers are
+        // dialect-quoted (case-preserved), the table reference is passed
+        // raw into FROM — so the bounds query resolves against exactly
+        // the objects Spark's own partition predicates will hit
+        val rs = conn.createStatement().executeQuery(
+          s"""SELECT min("$partitionColumn"), max("$partitionColumn") FROM $table""")
+        rs.next()
+        (rs.getLong(1), rs.getLong(2))
+      } finally conn.close()
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lo)
+      .option("upperBound", math.max(hi, lo + 1))
+      .option("numPartitions", numPartitions)
+      .load()
+  }
+
   /** Live catalog introspection over JDBC metadata — the `pg_catalog`
     * queries of `context/pg_catalog.go:37-160` re-expressed through
     * `DatabaseMetaData` (portable across PG/Derby/etc.): tables, primary

@@ -21,6 +21,17 @@ class RestoreSinkSpec extends SparkSpec {
     assert(spark.read.jdbc(url, "bulk_t", new Properties()).count() == 4)
   }
 
+  test("partitioned JDBC scan reads every row across concurrent stride partitions") {
+    val purl = "jdbc:derby:memory:graftpart;create=true"
+    val src = (1L to 100L).map(i => (i, s"row$i")).toDF("id", "v")
+    src.write.mode("overwrite").jdbc(purl, "part_t", new Properties())
+    val back = graft.pipeline.Catalog.loadJdbcPartitioned(spark, purl, "part_t",
+      "id", numPartitions = 4)
+    assert(back.rdd.getNumPartitions == 4) // one stride per worker
+    assert(back.count() == 100)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0) == 5050L)
+  }
+
   test("insert-mode restore excludes duplicate-key errors instead of failing") {
     val conn = DriverManager.getConnection(url)
     try {
