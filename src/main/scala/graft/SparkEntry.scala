@@ -1276,6 +1276,13 @@ object SparkEntry {
           "FROM documents ORDER BY doc_id"
       }),
 
+    // Per-doc bigram novelty vs the corpus (exact integer projection)
+    "q_bigram_novelty" -> Q(
+      (s, dir) => Corpus.bigramNovelty(rd(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(Corpus.bigramNoveltySql("documents", "doc_id", "text") +
+        " ORDER BY doc_id")),
+
     // Rank-based per-language length outliers: integer rank cutoffs, no
     // float percentile — exact in both engines
     "q_length_outliers" -> Q(

@@ -214,6 +214,42 @@ object Corpus {
         col("sum_freq"), col("min_freq"))
   }
 
+  /** Per-document n-gram novelty: of a doc's DISTINCT word bigrams, how
+    * many appear in no other document — the curation signal that
+    * separates template/echoed text (low novelty) from original content,
+    * as exact integers (`n_novel / n_bigrams` is the novelty fraction).
+    * Same plan shape as [[unigramStats]]: one map-side-combinable
+    * doc-frequency aggregate over (id, bigram) pairs, Zipf-small join
+    * back, per-doc count. */
+  def bigramNovelty(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bgs = df.select(col(idCol),
+        explode_outer(TextOps.shingles(col(textCol), 2)).as("bg"))
+      .filter(col("bg").isNotNull)
+      .distinct()
+    val dfreq = bgs.groupBy("bg").agg(count(lit(1)).as("doc_freq"))
+    val agg = bgs.join(dfreq, "bg")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("doc_freq") === 1, 1L).otherwise(0L)).as("n_novel"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+  }
+
+  def bigramNoveltySql(table: String, idCol: String, textCol: String): String =
+    s"""WITH __bgs AS (
+          SELECT DISTINCT ${idCol}, bg FROM (
+            SELECT ${idCol}, unnest(${TextOps.shinglesSql(textCol, 2)}) AS bg
+            FROM ${table})),
+        __dfreq AS (SELECT bg, count(*) AS doc_freq FROM __bgs GROUP BY bg),
+        __agg AS (
+          SELECT ${idCol}, count(*) AS n_bigrams,
+                 sum(CASE WHEN doc_freq = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel
+          FROM __bgs JOIN __dfreq USING (bg) GROUP BY ${idCol})
+        SELECT d.${idCol}, coalesce(a.n_bigrams, 0) AS n_bigrams,
+               coalesce(a.n_novel, 0) AS n_novel
+        FROM ${table} d LEFT JOIN __agg a USING (${idCol})"""
+
   /** Per-group length-outlier flags — "drop the shortest 5% and longest
     * 5% per language" without a float percentile: the cutoffs are RANKS
     * (`n·loPct/100` and `n·hiPct/100`, integer division), so the output is

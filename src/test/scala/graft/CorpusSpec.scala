@@ -88,6 +88,16 @@ class CorpusSpec extends SparkSpec {
       (3L, 0L, None, None)))           // token-less doc
   }
 
+  test("bigramNovelty: distinct bigrams, novel iff in no other doc") {
+    val d = Seq(
+      (1L, "the cat sat here"),   // bigrams: "the cat", "cat sat", "sat here"
+      (2L, "the cat ran off"),    // shares "the cat" with doc 1
+      (3L, "x")).toDF("doc_id", "text") // < 2 tokens -> no bigrams
+    val out = Corpus.bigramNovelty(d, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L, 2L), (2L, 3L, 2L), (3L, 0L, 0L)))
+  }
+
   test("lengthOutliers: rank cutoffs per group, deterministic tie order") {
     // group a: 10 docs lengths 1..10 -> lo cut = 10*20//100 = 2 (ranks 1,2),
     // hi cut = 10*80//100 = 8 (ranks 9,10); group b: 1 doc, cuts 0 and 0 ->
