@@ -53,26 +53,49 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    def run(dir: String): Seq[(String, Double)] = headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try fn(spark, dir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // untimed: materializing a shared subtree is part of the query,
-        // releasing its blocks afterwards is session hygiene
-        graft.plans.Checkpoints.releaseAll()
-        // untimed: shuffle files / broadcast blocks from prior queries are
-        // only reclaimed when driver GC fires the ContextCleaner's weak
-        // refs — without this, late-running queries measure ~2x slower
-        // from accumulated session state, not from their own plans
-        System.gc()
-        name -> dt
-      }
+    def runOnce(dir: String, name: String): Double = {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try fn(spark, dir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // untimed: materializing a shared subtree is part of the query,
+      // releasing its blocks afterwards is session hygiene
+      graft.plans.Checkpoints.releaseAll()
+      // untimed: shuffle files / broadcast blocks from prior queries are
+      // only reclaimed when driver GC fires the ContextCleaner's weak
+      // refs — without this, late-running queries measure ~2x slower
+      // from accumulated session state, not from their own plans
+      System.gc()
+      dt
     }
+
+    def run(dir: String): Seq[(String, Double)] =
+      headline.filter(SparkEntry.queries.contains).map(n => n -> runOnce(dir, n))
+
+    /** Three consecutive warm samples per query. Single-sample rounds
+      * proved unauditable on a shared host (BENCH_r05 overstated the total
+      * by 37% vs a controlled rerun); the median is robust to one co-tenant
+      * spike and min/max expose how noisy the host was. */
+    def runMedianOf3(dir: String): Seq[(String, (Double, Double, Double))] =
+      headline.filter(SparkEntry.queries.contains).map { name =>
+        val samples = Seq.fill(3)(runOnce(dir, name)).sorted
+        name -> ((samples.head, samples(1), samples.last))
+      }
 
     def js(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+    def jsStats(rs: Seq[(String, (Double, Double, Double))]) =
+      rs.map { case (k, (mn, md, mx)) =>
+        "\"" + k + "\":{\"min\":" + mn + ",\"median\":" + md + ",\"max\":" + mx + "}"
+      }.mkString("{", ",", "}")
+
+    def loadAvg(): String =
+      try {
+        val parts = scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")
+        s"[${parts(0)},${parts(1)},${parts(2)}]"
+      } catch { case _: Throwable => "null" }
 
     val staged = if (sys.env.getOrElse("SPARK_GRAFT_STAGE", "1") != "0") {
       // untimed staging: same rows, 32-file layout -> parallel scan tasks
@@ -108,18 +131,24 @@ object Bench {
     run(sfDir)
     staged.foreach { d => smallSplits(); run(d); defaultSplits() }
 
-    val single = run(sfDir)
+    val loadBefore = loadAvg()
+    val single = runMedianOf3(sfDir)
     val stagedTimes = staged.map { d => smallSplits(); val r = run(d); defaultSplits(); r }
+    val loadAfter = loadAvg()
 
-    // Primary metric: the driver's own fixtures (single-file), warm-timed.
+    // Primary metric: the driver's own fixtures (single-file), warm-timed,
+    // median of 3 consecutive samples per query (sum of medians as total).
     // The staged (32-file) pass is a layout diagnostic: at sf0.1 the
     // tables are sub-MB, so per-task overhead outweighs parallel-scan
     // gains for most queries — the parallel layout pays off exactly where
     // real data volume exists (lineitem) and everywhere at cluster scale.
-    val total = single.map(_._2).sum
+    val medians = single.map { case (k, (_, md, _)) => k -> md }
+    val total = medians.map(_._2).sum
     val extras = stagedTimes.map(st => s""","total_staged_32file":${st.map(_._2).sum},""" +
       s""""queries_staged_32file":${js(st)}""").getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(single)}""" +
+    println(s"""{"metric":"total","value":$total,"unit":"sec","samples":3,""" +
+      s""""queries":${js(medians)},"query_stats":${jsStats(single)}""" +
+      s""","loadavg_before":$loadBefore,"loadavg_after":$loadAfter""" +
       s""","sf":"$sfDir"$extras}""")
     spark.stop()
   }

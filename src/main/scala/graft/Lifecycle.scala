@@ -29,6 +29,17 @@ object Lifecycle {
     s
   }
 
+  /** Total on-disk bytes behind a DataFrame's input files (any Hadoop FS
+    * scheme). Files that vanish between plan and stat contribute 0. */
+  def inputBytes(spark: SparkSession, df: org.apache.spark.sql.DataFrame): Long = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      try p.getFileSystem(hconf).getFileStatus(p).getLen
+      catch { case _: java.io.IOException => 0L }
+    }.sum
+  }
+
   /** dump: config -> validate -> subset -> transform -> write + manifest. */
   def dump(spark: SparkSession, configJson: String, sfDir: String, outDir: String): Manifest = {
     val configs = ConfigLoader.fromJson(configJson)
@@ -43,9 +54,12 @@ object Lifecycle {
     val surviving = SubsetPlanner.plan(dfs, pks, Catalog.fkRefs, conds)
     // 3. transform + write: jobs submitted concurrently, big tables first
     // (cost scoring orders submission; Spark's scheduler is the worker
-    // pool — the analog of dump.go:415-433's N-job pool)
+    // pool — the analog of dump.go:415-433's N-job pool). Cost is REAL
+    // bytes on disk — the reference scores by table size
+    // (context/context.go:167-183), and a file-count proxy mis-orders any
+    // mix of many-small-files and few-big-files tables.
     val order = Manifest.dumpOrder(configs.map(c =>
-      (c.table, dfs(c.table).inputFiles.length.toLong.max(1), c.transforms.size)))
+      (c.table, inputBytes(spark, dfs(c.table)).max(1L), c.transforms.size)))
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global

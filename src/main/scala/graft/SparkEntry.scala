@@ -118,13 +118,29 @@ object SparkEntry {
     "q_hash_sha256" -> scalar("customer", "c_custkey", col("c_name"), "c_name", HashText("sha256")),
     "q_hash_md5_trunc" -> scalar("customer", "c_custkey", col("c_name"), "c_name",
       HashText("md5", maxLength = 16)),
-    // rows-only: DuckDB 1.0 has no sha3 — NIST vectors + cross-partition
-    // determinism are pinned in TransformerSpec instead
+    // DuckDB 1.0 has no sha3, so the oracle is a PINNED digest table:
+    // the Spark side runs the native DigestHex expression distributed over
+    // corpus keys (deterministic 'cust#<key>' inputs, keys 1..100 exist at
+    // every sf), and the oracle VALUES are computed at registry-build time
+    // by JDK MessageDigest — same JVM, same env salt, independent of the
+    // Catalyst codegen/null/hex plumbing under test. NIST vectors in
+    // TransformerSpec stay as the algorithm-level witness.
     "q_hash_sha3_256" -> Q(
       (s, dir) => rd(s, dir, "customer")
-        .select(CK, HashText("sha3-256").applied(col("c_name")).as("masked"))
+        .filter(col("c_custkey").between(1, 100))
+        .select(CK, HashText("sha3-256")
+          .applied(concat(lit("cust#"), col("c_custkey").cast("string"))).as("masked"))
         .orderBy("c_custkey"),
-      None),
+      Some {
+        val md = java.security.MessageDigest.getInstance("SHA3-256")
+        val rows = (1 to 100).map { k =>
+          val hex = md.digest((graft.generators.Gen.Salt + s"cust#$k").getBytes("UTF-8"))
+            .map(b => f"${b & 0xff}%02x").mkString
+          s"($k, '$hex')"
+        }
+        "SELECT CAST(k AS BIGINT) AS c_custkey, h AS masked FROM (VALUES " +
+          rows.mkString(", ") + ") AS t(k, h) ORDER BY c_custkey"
+      }),
     "q_masking_styles" -> Q(
       (s, dir) => {
         val styles = Seq("default", "name", "addr", "email", "mobile", "tel",

@@ -161,16 +161,18 @@ object Corpus {
       .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
-  /** DuckDB rendering of [[removeBoilerplateLines]] over a (id, text)
+  /** DuckDB rendering of [[removeBoilerplateLines]] over an (id, text)
     * producing subquery. Raw line equality replaces the digest grouping —
-    * same result barring a sha256 collision. */
+    * same result barring a sha256 collision. `textCol` mirrors the Scala
+    * operator's parameter so a differently-named text column can't drift
+    * between query and oracle. */
   def removeBoilerplateLinesSql(docsSql: String, idCol: String,
-                                minDocs: Int): String =
+                                minDocs: Int, textCol: String = "text"): String =
     s"""WITH __docs AS (${docsSql}),
         __lines AS (
           SELECT ${idCol}, pos, ls[pos] AS line FROM (
             SELECT ${idCol}, unnest(generate_series(1, len(ls))) AS pos, ls
-            FROM (SELECT ${idCol}, string_split(text, chr(10)) AS ls FROM __docs))),
+            FROM (SELECT ${idCol}, string_split(${textCol}, chr(10)) AS ls FROM __docs))),
         __common AS (
           SELECT line FROM (
             SELECT line, count(DISTINCT ${idCol}) AS doc_freq FROM __lines

@@ -112,20 +112,28 @@ object Dedup {
     val allEdges = withMh.select(col("id"), explode_outer(array(bandCols: _*)).as("band"))
       .filter(col("band").isNotNull)
       .localCheckpoint(true)
-    // Prune to the ACTIVE subgraph before iterating: a singleton band
-    // (one doc) propagates the doc's own rep back to it — a no-op — so
-    // only bands shared by >= 2 docs can ever move a label. On a real
-    // corpus near-dups are the exception, so this cuts every iteration's
-    // join input from |corpus|×bands to the duplicate structure itself.
-    // Docs outside the active subgraph keep rep = own id via the final
-    // left join's coalesce. count(*) >= 2 drops only bands with exactly
-    // ONE edge row — which cannot link anything — so the pruning is safe
-    // whether or not the two rows of a surviving band are distinct docs.
-    val activeBands = allEdges.groupBy("band").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= 2).select("band")
-    val edges = allEdges.join(activeBands, Seq("band"), "left_semi")
-      .localCheckpoint(true)
+    // Prune to the ACTIVE subgraph and seed iteration 0 in ONE aggregate:
+    // a singleton band (one edge row) propagates the doc's own rep back to
+    // it — a no-op — so only bands with >= 2 edge rows can move a label;
+    // and under identity labels the band minimum is just min(id). One
+    // groupBy(band) emits both (band_rep, n), so the prune filter and the
+    // iteration-0 band minima come from the SAME pass over allEdges
+    // (round 5 ran them as two passes — on corpora with little duplicate
+    // structure the prep cost more than the iterations). Docs outside the
+    // active subgraph keep rep = own id via the final left join's
+    // coalesce; n >= 2 drops only bands that cannot link anything, so the
+    // pruning is safe whether or not a surviving band's rows are distinct
+    // docs. The inner join both prunes allEdges AND attaches the seed rep,
+    // so the loop's edge set and iteration 0's labels share one
+    // checkpointed (band, id, band_rep) relation — three longs per edge.
+    val bandAgg = allEdges.groupBy("band")
+      .agg(min("id").as("band_rep"), count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+      .select("band", "band_rep")
+    val pruned = allEdges.join(bandAgg, "band").localCheckpoint(true)
     graft.plans.Checkpoints.unpersistCheckpoint(allEdges)
+    // projection over the checkpoint — no recompute, no extra pass
+    val edges = pruned.select("id", "band")
     // Convergence check WITHOUT a labels×next join: min-propagation is
     // monotone — an id's own rep feeds its bands' minima, so reps only
     // ever decrease — hence the labels changed iff sum(rep) decreased.
@@ -134,13 +142,7 @@ object Dedup {
     // long: a corpus-scale sum of 64-bit ids overflows long).
     def repSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0)
-    // Seed DIRECTLY with iteration 0's result: under identity labels the
-    // band minimum is just min(id), so the first propagation needs no
-    // edges⋈labels join — and the identity seed's corpus-wide distinct,
-    // checkpoint, and sum all disappear with it.
-    var labels = edges
-      .join(edges.groupBy("band").agg(min("id").as("band_rep")), "band")
-      .groupBy("id").agg(min("band_rep").as("rep"))
+    var labels = pruned.groupBy("id").agg(min("band_rep").as("rep"))
       .localCheckpoint(true)
     var prevSum = repSum(labels)
     var converged = false
@@ -166,7 +168,7 @@ object Dedup {
     // mirroring the cyclic-subset fix-point.
     if (!converged) {
       graft.plans.Checkpoints.unpersistCheckpoint(labels)
-      graft.plans.Checkpoints.unpersistCheckpoint(edges)
+      graft.plans.Checkpoints.unpersistCheckpoint(pruned)
       throw new IllegalStateException(
         s"minhashLshClusters: label propagation did not converge after $maxIter " +
           "iterations — raise maxIter")
@@ -175,7 +177,7 @@ object Dedup {
       .select(col("id").as(idCol), coalesce(col("rep"), col("id")).as("cluster_rep"))
     // band edges are not part of the returned plan (labels are
     // checkpointed) — release them now
-    graft.plans.Checkpoints.unpersistCheckpoint(edges)
+    graft.plans.Checkpoints.unpersistCheckpoint(pruned)
     out
   }
 

@@ -126,33 +126,40 @@ object Sampling {
 
   /** Sequence packing: greedily group documents into token-budget-bounded
     * packs (the batching step before tokenized training sequences). Fully
-    * deterministic at a fixed `numPartitions`: rows are routed by key hash
-    * (hash repartition is a pure function of the key), sorted by key
-    * within each partition, then packed greedily in that order —
-    * `pack_id = partition * 2^32 + local index`. A doc larger than the
-    * budget gets its own pack. Per-partition sequential scan is the right
-    * scale shape: packing is order-dependent, so the only global
-    * alternative is a single-node sort — instead each of N partitions
-    * packs its own key range independently. */
+    * deterministic ANYWHERE: docs route to `buckets` logical buckets by
+    * key hash — a pure function of the data, independent of cluster size
+    * or partition count — each bucket is folded greedily in key order, and
+    * `pack_id = bucket * 2^32 + index within bucket`. (Round 5 derived the
+    * fold unit from the physical partition id, so the same corpus packed
+    * differently at different parallelism — the one operator that broke
+    * the engine-wide local[2]==local[16] determinism property.) A doc
+    * larger than the budget gets its own pack. Per-bucket sequential scan
+    * is the right scale shape: packing is order-dependent, so the only
+    * global alternative is a single-node sort — instead each of `buckets`
+    * independent folds packs its own key range; the shuffle places whole
+    * buckets, never splits one. */
   def packSequences(df: DataFrame, idCol: String, tokenCol: String,
-                    budget: Long, numPartitions: Int = 32): DataFrame = {
+                    budget: Long, buckets: Int = 32): DataFrame = {
     require(budget > 0, "packSequences: budget must be positive")
+    require(buckets >= 1 && buckets <= (1 << 20), "packSequences: buckets must be in [1, 2^20]")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("id"), col(tokenCol).cast("long").as("n_tokens"))
-      .repartition(numPartitions, Gen.u60(col("id"), "pack"))
-      .sortWithinPartitions("id")
+    df.select(col(idCol).cast("long").as("id"), col(tokenCol).cast("long").as("n_tokens"),
+        pmod(Gen.u60(col(idCol), "pack"), lit(buckets.toLong)).as("bucket"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "id")
       .mapPartitions { rows =>
-        val part = org.apache.spark.TaskContext.getPartitionId().toLong
+        // a physical partition holds >= 1 whole buckets, contiguous after
+        // the sort — reset the fold at each bucket boundary
+        var curBucket = -1L
         var packLocal = 0L
         var used = 0L
-        var first = true
         rows.map { r =>
-          val (id, n) = (r.getLong(0), r.getLong(1))
-          if (!first && used + n > budget) { packLocal += 1; used = 0 }
-          first = false
+          val (id, n, b) = (r.getLong(0), r.getLong(1), r.getLong(2))
+          if (b != curBucket) { curBucket = b; packLocal = 0L; used = 0L }
+          else if (used + n > budget) { packLocal += 1; used = 0L }
           used += n
-          (part * (1L << 32) + packLocal, id, n)
+          (b * (1L << 32) + packLocal, id, n)
         }
       }.toDF("pack_id", "doc_id", "n_tokens")
   }

@@ -83,9 +83,14 @@ object Catalog {
     * §7.4), exactly as the reference requires its exported snapshot. */
   def loadJdbcPartitioned(spark: org.apache.spark.sql.SparkSession, url: String,
                           table: String, partitionColumn: String,
-                          numPartitions: Int): DataFrame = {
-    val conn = java.sql.DriverManager.getConnection(url)
-    val (lo, hi) =
+                          numPartitions: Int,
+                          connOptions: Map[String, String] = Map.empty): DataFrame = {
+    // credential-bearing sources pass user/password/etc. here — the same
+    // options reach BOTH the bounds connection and Spark's JDBC reader
+    val props = new java.util.Properties()
+    connOptions.foreach { case (k, v) => props.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    val bounds =
       try {
         // quoting mirrors Spark's JDBC layer: column identifiers are
         // dialect-quoted (case-preserved), the table reference is passed
@@ -94,16 +99,27 @@ object Catalog {
         val rs = conn.createStatement().executeQuery(
           s"""SELECT min("$partitionColumn"), max("$partitionColumn") FROM $table""")
         rs.next()
-        (rs.getLong(1), rs.getLong(2))
+        val lo = rs.getLong(1)
+        if (rs.wasNull()) None // empty table: min/max are SQL NULL, not 0
+        else Some((lo, rs.getLong(2)))
       } finally conn.close()
-    spark.read.format("jdbc")
+    val reader = spark.read.format("jdbc")
       .option("url", url)
       .option("dbtable", table)
-      .option("partitionColumn", partitionColumn)
-      .option("lowerBound", lo)
-      .option("upperBound", math.max(hi, lo + 1))
-      .option("numPartitions", numPartitions)
-      .load()
+    val withOpts = connOptions.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+    bounds match {
+      case None =>
+        // no rows -> no strides to plan; a single-partition read preserves
+        // the (empty) schema without fabricating (0,0) bounds
+        withOpts.load()
+      case Some((lo, hi)) =>
+        withOpts
+          .option("partitionColumn", partitionColumn)
+          .option("lowerBound", lo)
+          .option("upperBound", math.max(hi, lo + 1))
+          .option("numPartitions", numPartitions)
+          .load()
+    }
   }
 
   /** Live catalog introspection over JDBC metadata — the `pg_catalog`

@@ -305,6 +305,21 @@ class CorpusSpec extends SparkSpec {
     val packed2 = Sampling.packSequences(docs2.repartition(3), "doc_id", "n_tok", 512)
       .as[(Long, Long, Long)].collect()
     assert(packed2.toSet == packed.toSet)
+    // deterministic across PHYSICAL parallelism: pack ids derive from the
+    // data-routed bucket, not the partition id, so the same corpus packs
+    // identically whether the bucket shuffle lands on 2 or 16 partitions
+    // (the local[2]-vs-local[16] property every other operator has)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val at2 = Sampling.packSequences(docs2, "doc_id", "n_tok", 512)
+        .as[(Long, Long, Long)].collect().toSet
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      val at16 = Sampling.packSequences(docs2, "doc_id", "n_tok", 512)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(at2 == packed.toSet)
+      assert(at16 == packed.toSet)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     // packs are reasonably full (greedy, not one-per-doc)
     assert(packed.map(_._1).distinct.length < 220)
   }

@@ -26,12 +26,25 @@ class EntrySpec extends SparkSpec {
     // standing guard for the scale contract: candidate generation and the
     // subset/join operators must stay bucketed/broadcast/window-shaped —
     // a regression to BroadcastNestedLoopJoin or CartesianProduct on any
-    // headline plan is a 100 TB outage, not a perf nit
+    // headline plan is a 100 TB outage, not a perf nit.
+    // Checked TWICE per query: on the initial physical plan, and again on
+    // the FINAL adaptive plan after execution — under AQE the pre-execution
+    // plan is only the starting point, and a join that degrades to BNLJ
+    // during adaptive re-planning would slip past a static-only check
+    // (round-5 ADVICE).
     Bench.headline.foreach { name =>
       val fn = SparkEntry.queries(name)
-      val plan = fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
-      assert(!plan.contains("CartesianProduct"), s"$name plans a CartesianProduct")
-      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
+      val df = fn(spark, "/root/testdata/sf0.001")
+      val initial = df.queryExecution.executedPlan.toString
+      assert(!initial.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+      assert(!initial.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
+      df.write.format("noop").mode("overwrite").save()
+      val finalPlan = df.queryExecution.executedPlan.toString
+      assert(!finalPlan.contains("CartesianProduct"),
+        s"$name re-planned to a CartesianProduct under AQE")
+      assert(!finalPlan.contains("BroadcastNestedLoopJoin"),
+        s"$name re-planned to a BNLJ under AQE")
+      graft.plans.Checkpoints.releaseAll()
     }
   }
 

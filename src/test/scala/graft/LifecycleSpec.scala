@@ -64,6 +64,25 @@ class LifecycleSpec extends SparkSpec {
     assert(Manifest.costScore(1000, 10) == 1000 + 1000 * 0.3)
   }
 
+  test("dump cost uses real bytes: big-by-bytes beats big-by-file-count") {
+    // a fixture where file count and bytes DISAGREE: `many` is 8 tiny
+    // files, `fat` is 1 file holding ~100x the data — byte-accurate
+    // costing must dump `fat` first (a file-count proxy would invert it)
+    val dir = Files.createTempDirectory("bytes").toString
+    spark.range(40).selectExpr("id", "'x' AS pad")
+      .repartition(8).write.parquet(s"$dir/many")
+    spark.range(200000).selectExpr("id", "repeat(uuid(), 4) AS pad")
+      .coalesce(1).write.parquet(s"$dir/fat")
+    val many = spark.read.parquet(s"$dir/many")
+    val fat = spark.read.parquet(s"$dir/fat")
+    assert(many.inputFiles.length > fat.inputFiles.length) // count proxy inverts
+    val manyB = Lifecycle.inputBytes(spark, many)
+    val fatB = Lifecycle.inputBytes(spark, fat)
+    assert(fatB > manyB)
+    val order = Manifest.dumpOrder(Seq(("many", manyB, 0), ("fat", fatB, 0)))
+    assert(order == Seq("fat", "many"))
+  }
+
   test("storage writer: parquet + csv with compression round-trip") {
     val dir = Files.createTempDirectory("sw").toString
     StorageWriter.write(df, s"$dir/p", "parquet", "zstd")
