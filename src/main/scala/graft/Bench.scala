@@ -7,14 +7,14 @@ import org.apache.spark.sql.SparkSession
   * collect, no disk, no count()-style column pruning that would skip the
   * transform expressions being measured).
   *
-  * The driver fixtures are single-row-group parquet files, so scan stages
-  * run on ONE task locally and the numbers carry that serialization
-  * artifact (round-2 caveat). To measure what the plans actually do on a
-  * real multi-file layout, the bench first STAGES each table as 32-file
-  * parquet under /tmp (untimed), then times the headline set against BOTH
-  * layouts. The primary metric is the staged (parallel-scan) run; the
-  * single-file numbers are reported alongside for continuity with
-  * BENCH_r02. Set SPARK_GRAFT_STAGE=0 to skip staging.
+  * The PRIMARY metric (the emitted "value") is the single-file run on the
+  * driver's own fixtures, warm-timed, median of 3 consecutive samples per
+  * query, sum of medians as total. The driver fixtures are single-row-group
+  * parquet files, so scan stages run on ONE task locally (round-2 caveat);
+  * as a layout DIAGNOSTIC the bench also stages each table as 32-file
+  * parquet under /tmp (untimed) and times the headline set against that
+  * parallel-scan layout, reported as total_staged_32file / queries_staged_
+  * 32file. Set SPARK_GRAFT_STAGE=0 to skip staging.
   */
 object Bench {
 
@@ -128,11 +128,16 @@ object Bench {
     // Warm BOTH layouts untimed before timing either: the first pass
     // through each query JITs ~seconds of codegen'd expression code, so a
     // cold-vs-warm ordering would bias whichever layout runs second.
+    val loadWarm = loadAvg()
     run(sfDir)
     staged.foreach { d => smallSplits(); run(d); defaultSplits() }
 
     val loadBefore = loadAvg()
     val single = runMedianOf3(sfDir)
+    // loadavg sampled at every phase boundary: a co-tenant spike during the
+    // staged diagnostic pass is visible, not just one bracketing the median
+    // pass (round-6 verdict nit #2)
+    val loadMid = loadAvg()
     val stagedTimes = staged.map { d => smallSplits(); val r = run(d); defaultSplits(); r }
     val loadAfter = loadAvg()
 
@@ -145,10 +150,12 @@ object Bench {
     val medians = single.map { case (k, (_, md, _)) => k -> md }
     val total = medians.map(_._2).sum
     val extras = stagedTimes.map(st => s""","total_staged_32file":${st.map(_._2).sum},""" +
-      s""""queries_staged_32file":${js(st)}""").getOrElse("")
+      s""""queries_staged_32file":${js(st)}""" +
+      s""","loadavg_staged_before":$loadMid,"loadavg_staged_after":$loadAfter""").getOrElse("")
     println(s"""{"metric":"total","value":$total,"unit":"sec","samples":3,""" +
       s""""queries":${js(medians)},"query_stats":${jsStats(single)}""" +
-      s""","loadavg_before":$loadBefore,"loadavg_after":$loadAfter""" +
+      s""","loadavg_warmup_before":$loadWarm""" +
+      s""","loadavg_before":$loadBefore,"loadavg_after":$loadMid""" +
       s""","sf":"$sfDir"$extras}""")
     spark.stop()
   }

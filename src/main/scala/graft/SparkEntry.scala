@@ -43,6 +43,17 @@ object SparkEntry {
 
   private val CK = col("c_custkey")
 
+  // 50-digit bounds for the unbounded-numeric queries: min = first 50
+  // digits of pi (units at scale 4), inclusive width exactly 73 * 10^48
+  // units (the m*10^k shape Gen.bigGeom requires). Values span ~[3.1e45,
+  // 1.05e46] — far beyond DecimalType(38).
+  private val BigPi50 = BigInt("31415926535897932384626433832795028841971693993751")
+  private val BigMin = BigDecimal(BigPi50, 4)
+  private val BigMax = BigDecimal(BigPi50 + BigInt(73) * BigInt(10).pow(48) - 1, 4)
+  // clamp bounds inside the noised envelope so both sides of the clamp bite
+  private val BigNoiseLo = BigDecimal(BigInt(33) * BigInt(10).pow(48), 4)  // 3.3e45
+  private val BigNoiseHi = BigDecimal(BigInt(104) * BigInt(10).pow(48), 4) // 1.04e46
+
   private def defs: Map[String, Q] = Map(
 
     // ----- §2.5 aggregation sanity + flagship (TPC-H q1 shape) -----
@@ -66,6 +77,42 @@ object SparkEntry {
     "q_random_float" -> scalar("customer", "c_custkey", CK, "c_custkey", RandomFloat(0, 1000, 4)),
     "q_random_numeric" -> scalar("customer", "c_custkey", CK, "c_custkey",
       RandomNumeric(BigDecimal(0), BigDecimal(100000), 4), castOut = Some("string")),
+    // ----- unbounded numeric (>38 digits, TEXT-backed VARCHAR math) -----
+    // 50-digit bounds: uniform over [BigMin, BigMax] on the 1e-4 grid —
+    // well past DecimalType(38); the oracle recomputes the limb arithmetic
+    // in DuckDB (layered subqueries, BIGINT limbs), no pinned values.
+    // Queries use the STAGED renderings (each limb level is a named
+    // column): the fused single-expression form overruns the 64KB JVM
+    // codegen method limit and silently drops to interpreted execution.
+    "q_random_numeric_big" -> Q(
+      (s, dir) => Gen.bigDecimalBetweenStaged(rd(s, dir, "customer"), CK, "numbig",
+          BigMin, BigMax, 4, "masked")
+        .select(CK, col("masked")).orderBy("c_custkey"),
+      Some(OracleGen.bigDecimalBetweenSelect("customer", "c_custkey", "c_custkey",
+        BigMin, BigMax, 4, "numbig", "masked"))),
+    // size-mode limiter (±"9"x45 at scale 3 — ref GetMinAndMaxNumericValueBySetting)
+    "q_random_numeric_bigsize" -> Q(
+      (s, dir) => Gen.bigDecimalSignedStaged(rd(s, dir, "customer"), CK, "numbigsz",
+          45, 3, "masked")
+        .select(CK, col("masked")).orderBy("c_custkey"),
+      Some(OracleGen.bigDecimalSignedSelect("customer", "c_custkey", "c_custkey",
+        45, 3, "numbigsz", "masked"))),
+    // multiplicative noise + clamp over a 50-digit value generated in the
+    // same query (both engines chain the identical construction)
+    "q_noise_numeric_big" -> Q(
+      (s, dir) => Gen.bigNoiseStaged(
+          Gen.bigDecimalBetweenStaged(rd(s, dir, "customer"), CK, "numbig",
+            BigMin, BigMax, 4, "__g"),
+          col("__g"), "noisenb", 0.07, 4, "masked", maxIntDigits = 55,
+          minV = Some(BigNoiseLo), maxV = Some(BigNoiseHi))
+        .select(CK, col("masked")).orderBy("c_custkey"),
+      Some {
+        val (genLevels, genFmt) = OracleGen.bigBetweenLevels("c_custkey", BigMin, BigMax, 4, "numbig")
+        val (nzLevels, nzFin) = OracleGen.bigNoiseLevels("__gval", 0.07, 4, 55,
+          Some(BigNoiseLo), Some(BigNoiseHi), "noisenb")
+        OracleGen.layeredSelect("customer", "c_custkey",
+          genLevels ++ Vector(Seq("__gval" -> genFmt)) ++ nzLevels, nzFin, "masked")
+      }),
     "q_random_bool" -> scalar("customer", "c_custkey", CK, "c_custkey", RandomBool()),
     "q_random_unix_ts" -> scalar("customer", "c_custkey", CK, "c_custkey",
       RandomUnixTimestamp(0, 1893456000, "ms")),
@@ -125,18 +172,26 @@ object SparkEntry {
     // by JDK MessageDigest — same JVM, same env salt, independent of the
     // Catalyst codegen/null/hex plumbing under test. NIST vectors in
     // TransformerSpec stay as the algorithm-level witness.
+    // Key 1's input is forced NULL so the expression's null path (NULL in
+    // -> NULL out, keep_null=false notwithstanding: concat propagates the
+    // NULL before the digest) is oracle-checked, not just unit-checked
+    // (round-6 advice #7).
     "q_hash_sha3_256" -> Q(
       (s, dir) => rd(s, dir, "customer")
         .filter(col("c_custkey").between(1, 100))
         .select(CK, HashText("sha3-256")
-          .applied(concat(lit("cust#"), col("c_custkey").cast("string"))).as("masked"))
+          .applied(when(col("c_custkey") === 1, lit(null).cast("string"))
+            .otherwise(concat(lit("cust#"), col("c_custkey").cast("string")))).as("masked"))
         .orderBy("c_custkey"),
       Some {
         val md = java.security.MessageDigest.getInstance("SHA3-256")
         val rows = (1 to 100).map { k =>
-          val hex = md.digest((graft.generators.Gen.Salt + s"cust#$k").getBytes("UTF-8"))
-            .map(b => f"${b & 0xff}%02x").mkString
-          s"($k, '$hex')"
+          if (k == 1) s"($k, CAST(NULL AS VARCHAR))"
+          else {
+            val hex = md.digest((graft.generators.Gen.Salt + s"cust#$k").getBytes("UTF-8"))
+              .map(b => f"${b & 0xff}%02x").mkString
+            s"($k, '$hex')"
+          }
         }
         "SELECT CAST(k AS BIGINT) AS c_custkey, h AS masked FROM (VALUES " +
           rows.mkString(", ") + ") AS t(k, h) ORDER BY c_custkey"

@@ -1,6 +1,6 @@
 package graft.generators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic generator kernel — the Spark-native analog of the
@@ -110,6 +110,311 @@ object Gen {
     (lit(min.underlying).cast(t) +
       (h % lit(steps + 1L)).cast("decimal(19,0)") *
         lit(step.underlying).cast(s"decimal(${scale + 1},$scale)")).cast(t)
+  }
+
+  // ---------------------------------------------------------------------
+  // Arbitrary-precision decimal ("big numeric", PG numeric beyond
+  // DecimalType(38)) — VARCHAR math on BIGINT limbs. Values are carried as
+  // FIXED-WIDTH zero-padded digit strings; every arithmetic step is
+  // schoolbook limb arithmetic in plain Long columns, so the whole path is
+  // Spark built-ins (md5 / substr / lpad / concat / % / CASE), stays in
+  // whole-stage codegen, and has a mechanical value-identical DuckDB
+  // rendering in [[OracleGen]]. Matches the reference's unbounded-numeric
+  // semantics (`random_numeric.go:19`: limiter = min + v mod distance over
+  // shopspring arbitrary-precision decimals; size mode
+  // `GetMinAndMaxNumericValueBySetting`: ±"9"×digits).
+  // ---------------------------------------------------------------------
+
+  /** 10^15 — limb base. a + b + carry < 2*10^15 fits a Long (and 2^53,
+    * so even a double round-trip could not corrupt it); carry is therefore
+    * always 0 or 1 and computed by COMPARISON, never division. */
+  val LimbBase: Long = 1000000000000000L
+
+  private[generators] def nd(x: BigInt): Int = x.abs.toString.length
+
+  /** Geometry shared between the Spark build and the oracle rendering —
+    * computed once from the bounds so the two sides can never disagree on
+    * a width or chunk count. */
+  private[generators] case class BigGeom(minU: BigInt, maxU: BigInt, m: Long, k: Int,
+                                         n: Int, wm: Int, wSum: Int, scale: Int) {
+    val limbs: Int = wSum / 15
+  }
+
+  /** Validates bounds and derives all widths. Limiter-design constraints
+    * (each the big-number analog of longBetween's 2^60 width cap):
+    *  - min >= 0 (sign is composed separately — [[bigDecimalSigned]]);
+    *  - inclusive range width (in scale units) must factor as m * 10^k
+    *    with m < 10^8, so every schoolbook mod step fits signed 64-bit
+    *    in BOTH engines. */
+  private[generators] def bigGeom(min: BigDecimal, max: BigDecimal, scale: Int): BigGeom = {
+    require(scale >= 0 && scale <= 15, "bigDecimalBetween: scale in [0,15]")
+    def units(v: BigDecimal, what: String): BigInt =
+      try v.setScale(scale).underlying.unscaledValue()
+      catch { case _: ArithmeticException =>
+        throw new IllegalArgumentException(s"bigDecimalBetween: $what not exact at scale $scale")
+      }
+    val minU = units(min, "min"); val maxU = units(max, "max")
+    require(minU >= 0, "bigDecimalBetween: min must be >= 0 (compose sign via bigDecimalSigned)")
+    require(maxU > minU, "bigDecimalBetween: min must be < max")
+    var rest = maxU - minU + 1; var k = 0
+    while (rest % 10 == 0) { rest /= 10; k += 1 }
+    require(rest < 100000000L,
+      s"bigDecimalBetween: range width must factor as m*10^k with m < 10^8 (residual $rest)")
+    val m = rest.toLong
+    // V gets one full slack chunk beyond the width's digits: mod bias
+    // <= width/10^15, the same envelope the 60-bit limiters accept
+    val n = nd(maxU - minU + 1) + 15
+    val wm = math.max(nd(BigInt(m) - 1), 1)
+    val wSum = ((math.max(nd(maxU), wm + k) + 14) / 15) * 15
+    BigGeom(minU, maxU, m, k, n, wm, wSum, scale)
+  }
+
+  /** `n` uniform decimal digits: each u60 draw contributes 15 digits
+    * (u60 % 10^15; top-of-range bias ~2^-10, inside the accepted limiter
+    * envelope), independent streams per chunk. Fixed width n. */
+  def digitStream(input: Column, tweak: String, n: Int, salt: String = Salt): Column = {
+    val chunks = (0 until (n + 14) / 15).map { j =>
+      lpad((u60(input, tweak + "n" + j, salt) % lit(LimbBase)).cast("string"), 15, "0")
+    }
+    substring(concat(chunks: _*), 1, n)
+  }
+
+  /** (fixed-width digit string) mod m, m < 10^8 — schoolbook fold over
+    * 10-digit chunks: r*10^10 + c < 1.1e18 always fits a Long. */
+  private def bigModSmall(a: Column, widthA: Int, m: Long): Column = {
+    val L = (widthA + 9) / 10
+    val padded = if (L * 10 == widthA) a else lpad(a, L * 10, "0")
+    (0 until L).foldLeft(lit(0L): Column) { (r, i) =>
+      (r * lit(10000000000L) + substring(padded, i * 10 + 1, 10).cast("long")) % lit(m)
+    }
+  }
+
+  /** Fixed-width sum of a digit string and a constant: 15-digit limbs.
+    * Carries are computed FLAT, not as a chain — the addend is constant,
+    * so carry into limb i is exactly [low-15i-digit suffix of the value
+    * >= 10^(15i) - (c mod 10^(15i))], an equal-width string comparison
+    * against a constant threshold. A chained carry would nest each limb's
+    * expression inside the next and blow the Catalyst tree up
+    * combinatorially. Caller guarantees the sum fits `width15` digits
+    * (a multiple of 15). Output width = width15. */
+  /** Low limb `i` (i = 0 lowest) of `padded + c`, where `padded` is
+    * already width15 wide. Shared by the fused and staged renderings. */
+  private def addLimbLow(padded: Column, width15: Int, c: BigInt, i: Int): Column = {
+    val cStr = ("0" * (width15 - nd(c))) + c.toString
+    val carryInto: Column = {
+      val mod = c.mod(BigInt(10).pow(15 * i))
+      if (i == 0 || mod == 0) lit(0L)
+      else {
+        val thr = BigInt(10).pow(15 * i) - mod
+        val thrStr = ("0" * (15 * i - nd(thr))) + thr.toString
+        when(substring(padded, width15 - 15 * i + 1, 15 * i) >= thrStr, lit(1L)).otherwise(lit(0L))
+      }
+    }
+    val aL = cStr.substring(width15 - 15 * (i + 1), width15 - 15 * i).toLong
+    val s = (lit(aL) + substring(padded, width15 - 15 * (i + 1) + 1, 15).cast("long") +
+      carryInto) % lit(LimbBase)
+    lpad(s.cast("string"), 15, "0")
+  }
+
+  private def bigAddConst(units: Column, width15: Int, c: BigInt): Column = {
+    require(width15 % 15 == 0 && c >= 0 && nd(c) <= width15)
+    val padded = lpad(units, width15, "0")
+    concat((0 until width15 / 15).reverse.map(i => addLimbLow(padded, width15, c, i)): _*)
+  }
+
+  /** Canonical decimal text of a fixed-width units string: leading zeros
+    * stripped from the integer part (empty -> "0"), '.' inserted at
+    * `scale` digits from the right. */
+  private def bigFormat(units: Column, width: Int, scale: Int): Column = {
+    val trimmed = ltrim(substring(units, 1, width - scale), "0")
+    val intStr = when(trimmed === "", lit("0")).otherwise(trimmed)
+    if (scale == 0) intStr
+    else concat(intStr, lit("."), substring(units, width - scale + 1, scale))
+  }
+
+  /** Uniform decimal in [min, max] (inclusive, scale-unit grid) as
+    * canonical decimal TEXT — arbitrary precision (50-digit bounds and
+    * beyond). result = min + V mod width, exactly the reference's
+    * RandomNumericLimiter.Limit shape. See [[bigGeom]] for the accepted
+    * bound shapes. */
+  def bigDecimalBetween(input: Column, tweak: String, min: BigDecimal, max: BigDecimal,
+                        scale: Int, salt: String = Salt): Column = {
+    val g = bigGeom(min, max, scale)
+    val v = digitStream(input, tweak, g.n, salt)
+    val amod =
+      if (g.m == 1) lit("0")
+      else lpad(bigModSmall(substring(v, 1, g.n - g.k), g.n - g.k, g.m).cast("string"), g.wm, "0")
+    val r = if (g.k > 0) concat(amod, substring(v, g.n - g.k + 1, g.k)) else amod
+    bigFormat(bigAddConst(r, g.wSum, g.minU), g.wSum, scale)
+  }
+
+  /** Size-mode big numeric (ref `GetMinAndMaxNumericValueBySetting`):
+    * uniform sign × uniform magnitude in [0, 10^digits) at `scale` —
+    * i.e. the reference's ±999…9 limiter for `digits` integer digits.
+    * "-0.00" is canonicalized to "0.00". */
+  def bigDecimalSigned(input: Column, tweak: String, digits: Int, scale: Int,
+                       salt: String = Salt): Column = {
+    require(digits >= 1 && digits <= 120, "bigDecimalSigned: digits in [1,120]")
+    val mag = bigDecimalBetween(input, tweak + "mag", BigDecimal(0),
+      BigDecimal(BigInt(10).pow(digits + scale) - 1, scale), scale, salt)
+    val zero = if (scale == 0) "0" else "0." + ("0" * scale)
+    when(u60(input, tweak + "sign", salt) % 2 === 1 && mag =!= zero,
+      concat(lit("-"), mag)).otherwise(mag)
+  }
+
+  /** Geometry for [[bigNoise]]: input units width (fixed), 11-digit limb
+    * count for the multiply (limb*factor + carry < 2.2e15 fits Long), raw
+    * product width, and the 15-aligned post-rounding width. */
+  private[generators] case class NoiseGeom(w0: Int, lm: Int, wp: Int, wp2: Int)
+  private[generators] def bigNoiseGeom(maxIntDigits: Int, scale: Int): NoiseGeom = {
+    require(maxIntDigits >= 1 && maxIntDigits <= 90, "bigNoise: maxIntDigits in [1,90]")
+    require(scale >= 0 && scale <= 15, "bigNoise: scale in [0,15]")
+    val w0 = maxIntDigits + scale
+    val lm = (w0 + 10) / 11
+    val wp = 5 + lm * 11 // final multiply carry < 2.1e4 -> 5 digits
+    NoiseGeom(w0, lm, wp, ((wp + 14) / 15) * 15)
+  }
+
+  /** Multiplicative noise on an arbitrary-precision NON-NEGATIVE decimal
+    * TEXT value at fixed `scale`: v' = round_half_up(v * (10^4 + k) / 10^4)
+    * with k uniform in [-steps, +steps] (steps = maxRatio*10^4), optionally
+    * clamped to [minV, maxV] — NoiseNumeric beyond DecimalType(38)
+    * (ref `noise_numeric.go:38-49` over shopspring decimals). The multiply
+    * is schoolbook 11-digit limbs × small factor; rounding is +5000 then
+    * drop-4-digits, half-away-from-zero == half-up on the non-negative
+    * domain. Values with more than `maxIntDigits` integer digits (or a
+    * sign) surface as NULL rather than silently truncating. */
+  def bigNoise(input: Column, tweak: String, maxRatio: Double, scale: Int,
+               maxIntDigits: Int = 60, minV: Option[BigDecimal] = None,
+               maxV: Option[BigDecimal] = None, salt: String = Salt): Column = {
+    require(maxRatio > 0 && maxRatio <= 1, "bigNoise: maxRatio in (0,1]")
+    val g = bigNoiseGeom(maxIntDigits, scale)
+    val steps = math.round(maxRatio * 10000).toInt
+    val f = lit(10000L) + u60(input, tweak, salt) % lit(2L * steps + 1L) - lit(steps.toLong)
+    val raw = regexp_replace(input, "\\.", "")
+    // pad to a full limb multiple — padding only to w0 would make the top
+    // limb's substring start negative (which counts from the string END)
+    val w11 = g.lm * 11
+    val padded = lpad(raw, w11, "0")
+    // carry chain references each product ONCE (floor-div, exact: p and the
+    // quotient are < 2^53 and the fraction granularity 1e-11 dwarfs double
+    // error ~4e-12) — a (p - p%L)/L form would reference p twice per limb
+    // and grow the expression tree exponentially in limb count
+    var carry: Column = lit(0L)
+    val lows = (0 until g.lm).map { i => // i = 0 is the LOWEST limb
+      val p = substring(padded, w11 - 11 * (i + 1) + 1, 11).cast("long") * f + carry
+      carry = floor(p / lit(100000000000L)).cast("long")
+      lpad((p % lit(100000000000L)).cast("string"), 11, "0")
+    }
+    val product = concat((lpad(carry.cast("string"), 5, "0") +: lows.reverse): _*)
+    // +5000 then drop the 4 ratio digits = round half-up at scale
+    val noised = substring(bigAddConst(product, g.wp2, BigInt(5000)), 1, g.wp2 - 4)
+    def unitsStr(v: BigDecimal): String = noiseClampUnits(v, g, scale)
+    // equal-width zero-padded non-negative digit strings compare correctly
+    // as plain strings, so the clamp is lexicographic least/greatest
+    val lo = minV.fold(noised)(v => greatest(noised, lit(unitsStr(v))))
+    val clamped = maxV.fold(lo)(v => least(lo, lit(unitsStr(v))))
+    when(input.isNull, lit(null).cast("string"))
+      .when(substring(input, 1, 1) === "-" || length(raw) > g.w0, lit(null).cast("string"))
+      .otherwise(bigFormat(clamped, g.wp2 - 4, scale))
+  }
+
+  /** Clamp bound rendered as a (wp2-4)-wide units string for the
+    * lexicographic clamp compare. */
+  private def noiseClampUnits(v: BigDecimal, g: NoiseGeom, scale: Int): String = {
+    val u = BigInt(v.setScale(scale).underlying.unscaledValue())
+    require(u.signum >= 0 && nd(u) <= g.wp2 - 4, "bigNoise: clamp bound out of range")
+    ("0" * (g.wp2 - 4 - nd(u))) + u.toString
+  }
+
+  // ---------------------------------------------------------------------
+  // Staged (multi-projection) renderings. A single fused big-numeric
+  // expression compiles to ONE whole-stage-codegen method that overruns
+  // the JVM's 64KB method limit and silently falls back to interpreted
+  // execution; staging each dependency level into a named column keeps
+  // the pipeline fused while codegen emits one small method per Project.
+  // Values are identical to the fused renderings (same sub-expressions,
+  // same geometry). Temp columns are dropped; only `out` is added.
+  // ---------------------------------------------------------------------
+
+  /** Staged [[bigDecimalBetween]]. */
+  def bigDecimalBetweenStaged(df: DataFrame, input: Column, tweak: String,
+      min: BigDecimal, max: BigDecimal, scale: Int, out: String,
+      salt: String = Salt): DataFrame = {
+    val g = bigGeom(min, max, scale)
+    val p = s"__${out}_"
+    def rOf(v: Column): Column = {
+      val amod =
+        if (g.m == 1) lit("0")
+        else lpad(bigModSmall(substring(v, 1, g.n - g.k), g.n - g.k, g.m).cast("string"), g.wm, "0")
+      if (g.k > 0) concat(amod, substring(v, g.n - g.k + 1, g.k)) else amod
+    }
+    val staged = df
+      .withColumn(p + "v", digitStream(input, tweak, g.n, salt))
+      .withColumn(p + "r", lpad(rOf(col(p + "v")), g.wSum, "0"))
+    val lows = (0 until g.limbs).map(i =>
+      addLimbLow(col(p + "r"), g.wSum, g.minU, i).as(s"${p}low$i"))
+    staged.select(staged.columns.map(col) ++ lows: _*)
+      .withColumn(p + "u", concat((0 until g.limbs).reverse.map(i => col(s"${p}low$i")): _*))
+      .withColumn(out, bigFormat(col(p + "u"), g.wSum, scale))
+      .drop(Seq(p + "v", p + "r", p + "u") ++ (0 until g.limbs).map(i => s"${p}low$i"): _*)
+  }
+
+  /** Staged [[bigDecimalSigned]]. */
+  def bigDecimalSignedStaged(df: DataFrame, input: Column, tweak: String,
+      digits: Int, scale: Int, out: String, salt: String = Salt): DataFrame = {
+    require(digits >= 1 && digits <= 120, "bigDecimalSigned: digits in [1,120]")
+    val magC = s"__${out}_mag"
+    val zero = if (scale == 0) "0" else "0." + ("0" * scale)
+    bigDecimalBetweenStaged(df, input, tweak + "mag", BigDecimal(0),
+        BigDecimal(BigInt(10).pow(digits + scale) - 1, scale), scale, magC, salt)
+      .withColumn(out, when(u60(input, tweak + "sign", salt) % 2 === 1 && col(magC) =!= zero,
+        concat(lit("-"), col(magC))).otherwise(col(magC)))
+      .drop(magC)
+  }
+
+  /** Staged [[bigNoise]]. */
+  def bigNoiseStaged(df: DataFrame, input: Column, tweak: String, maxRatio: Double,
+      scale: Int, out: String, maxIntDigits: Int = 60,
+      minV: Option[BigDecimal] = None, maxV: Option[BigDecimal] = None,
+      salt: String = Salt): DataFrame = {
+    require(maxRatio > 0 && maxRatio <= 1, "bigNoise: maxRatio in (0,1]")
+    val g = bigNoiseGeom(maxIntDigits, scale)
+    val steps = math.round(maxRatio * 10000).toInt
+    val p = s"__${out}_"
+    val w11 = g.lm * 11
+    var staged = df
+      .withColumn(p + "f",
+        lit(10000L) + u60(input, tweak, salt) % lit(2L * steps + 1L) - lit(steps.toLong))
+      .withColumn(p + "raw", regexp_replace(input, "\\.", ""))
+      .withColumn(p + "pad", lpad(col(p + "raw"), w11, "0"))
+    for (i <- 0 until g.lm) { // sequential carry chain, one column per limb
+      val carryIn =
+        if (i == 0) lit(0L)
+        else floor(col(s"${p}mp${i - 1}") / lit(100000000000L)).cast("long")
+      staged = staged.withColumn(s"${p}mp$i",
+        substring(col(p + "pad"), w11 - 11 * (i + 1) + 1, 11).cast("long") * col(p + "f") + carryIn)
+    }
+    val prodParts =
+      lpad(floor(col(s"${p}mp${g.lm - 1}") / lit(100000000000L)).cast("long").cast("string"), 5, "0") +:
+        (0 until g.lm).reverse.map(i => lpad((col(s"${p}mp$i") % lit(100000000000L)).cast("string"), 11, "0"))
+    staged = staged
+      .withColumn(p + "prod", concat(prodParts: _*))
+      .withColumn(p + "ap", lpad(col(p + "prod"), g.wp2, "0"))
+    val lows = (0 until g.wp2 / 15).map(i =>
+      addLimbLow(col(p + "ap"), g.wp2, BigInt(5000), i).as(s"${p}alow$i"))
+    staged = staged.select(staged.columns.map(col) ++ lows: _*)
+      .withColumn(p + "n",
+        substring(concat((0 until g.wp2 / 15).reverse.map(i => col(s"${p}alow$i")): _*), 1, g.wp2 - 4))
+    val lo = minV.fold(col(p + "n"))(v => greatest(col(p + "n"), lit(noiseClampUnits(v, g, scale))))
+    val clamped = maxV.fold(lo)(v => least(lo, lit(noiseClampUnits(v, g, scale))))
+    staged
+      .withColumn(out,
+        when(input.isNull, lit(null).cast("string"))
+          .when(substring(input, 1, 1) === "-" || length(col(p + "raw")) > g.w0, lit(null).cast("string"))
+          .otherwise(bigFormat(clamped, g.wp2 - 4, scale)))
+      .drop(Seq(p + "f", p + "raw", p + "pad", p + "prod", p + "ap", p + "n") ++
+        (0 until g.lm).map(i => s"${p}mp$i") ++ (0 until g.wp2 / 15).map(i => s"${p}alow$i"): _*)
   }
 
   /** Multiplicative noise ratio in [-maxRatio, +maxRatio] with 4 decimal

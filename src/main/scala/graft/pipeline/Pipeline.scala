@@ -387,6 +387,14 @@ object Registry {
       p(m, "decimals", "4").toInt)),
     "RandomNumeric" -> F(m => RandomNumeric(BigDecimal(p(m, "min", "0")),
       BigDecimal(p(m, "max", "1000000")), p(m, "scale", "4").toInt)),
+    // unbounded-precision numeric family (>38 digits, TEXT-backed)
+    "RandomNumericBig" -> F(m => RandomNumericBig(BigDecimal(p(m, "min", "0")),
+      BigDecimal(p(m, "max", "1" + "0" * 50)), p(m, "scale", "0").toInt)),
+    "RandomNumericBigSize" -> F(m => RandomNumericBigSize(p(m, "digits", "50").toInt,
+      p(m, "scale", "0").toInt)),
+    "NoiseNumericBig" -> F(m => NoiseNumericBig(p(m, "ratio", "0.1").toDouble,
+      p(m, "scale", "0").toInt, p(m, "max_int_digits", "60").toInt,
+      m.get("min").map(BigDecimal(_)), m.get("max").map(BigDecimal(_)))),
     "RandomBool" -> F(_ => RandomBool()),
     "RandomDate" -> F(m => RandomDate(p(m, "min_epoch", "0").toLong,
       p(m, "max_epoch", "1893456000").toLong, m.get("truncate"))),

@@ -62,6 +62,38 @@ case class RandomNumeric(min: BigDecimal, max: BigDecimal, scale: Int = 4,
   def oracle(in: String) = Some(OracleGen.decimalBetween(OracleGen.u60(in, tweak), min, max, scale))
 }
 
+/** RandomNumeric beyond DecimalType(38) — arbitrary-precision uniform
+  * decimal in [min, max] emitted as canonical decimal TEXT (PG `numeric`
+  * is unbounded; ref `random_numeric.go:19` over shopspring decimals —
+  * closes SURVEY §7.4's 38-digit pin). The oracle rendering needs a
+  * layered SELECT ([[graft.generators.OracleGen.bigDecimalBetweenSelect]]),
+  * so the registered query builds it directly instead of via scalar(). */
+case class RandomNumericBig(min: BigDecimal, max: BigDecimal, scale: Int = 0,
+                            tweak: String = "numbig") extends ScalarTransformer {
+  def column(in: Column) = Gen.bigDecimalBetween(in, tweak, min, max, scale)
+  def oracle(in: String) = None
+}
+
+/** Size-mode big numeric: ±(up to `digits` integer digits), the
+  * reference's `GetMinAndMaxNumericValueBySetting` limiter
+  * (`random_numeric.go:34-46`). */
+case class RandomNumericBigSize(digits: Int, scale: Int = 0, tweak: String = "numbigsz")
+  extends ScalarTransformer {
+  def column(in: Column) = Gen.bigDecimalSigned(in, tweak, digits, scale)
+  def oracle(in: String) = None
+}
+
+/** NoiseNumeric beyond DecimalType(38): multiplicative ratio noise with
+  * optional clamp over arbitrary-precision non-negative decimal TEXT
+  * (ref `noise_numeric.go:38-49`). */
+case class NoiseNumericBig(maxRatio: Double, scale: Int, maxIntDigits: Int = 60,
+                           minV: Option[BigDecimal] = None, maxV: Option[BigDecimal] = None,
+                           tweak: String = "noisenb") extends ScalarTransformer {
+  override def allowedInputTypes: Option[Set[String]] = Some(Set("string"))
+  def column(in: Column) = Gen.bigNoise(in, tweak, maxRatio, scale, maxIntDigits, minV, maxV)
+  def oracle(in: String) = None
+}
+
 /** RandomBool (ref `random_bool.go:30`). */
 case class RandomBool(tweak: String = "bool") extends ScalarTransformer {
   def column(in: Column) = Gen.u60(in, tweak) % 2 === 0

@@ -32,20 +32,32 @@ class EntrySpec extends SparkSpec {
     // plan is only the starting point, and a join that degrades to BNLJ
     // during adaptive re-planning would slip past a static-only check
     // (round-5 ADVICE).
+    var adaptiveSeen = 0
     Bench.headline.foreach { name =>
       val fn = SparkEntry.queries(name)
       val df = fn(spark, "/root/testdata/sf0.001")
       val initial = df.queryExecution.executedPlan.toString
       assert(!initial.contains("CartesianProduct"), s"$name plans a CartesianProduct")
       assert(!initial.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
-      df.write.format("noop").mode("overwrite").save()
+      // Execute THIS Dataset's own QueryExecution (a write command would
+      // spawn a separate one, leaving df.queryExecution untouched at
+      // isFinalPlan=false — round-6 ADVICE). collect() is cheap at sf0.001.
+      df.collect()
       val finalPlan = df.queryExecution.executedPlan.toString
+      // Fail loudly if we ever inspect an unexecuted adaptive plan again.
+      if (finalPlan.contains("AdaptiveSparkPlan")) {
+        adaptiveSeen += 1
+        assert(finalPlan.contains("isFinalPlan=true"),
+          s"$name: inspected adaptive plan was never finalized — the AQE guard is vacuous")
+      }
       assert(!finalPlan.contains("CartesianProduct"),
         s"$name re-planned to a CartesianProduct under AQE")
       assert(!finalPlan.contains("BroadcastNestedLoopJoin"),
         s"$name re-planned to a BNLJ under AQE")
       graft.plans.Checkpoints.releaseAll()
     }
+    // the guard is only meaningful if AQE actually re-planned something
+    assert(adaptiveSeen > 0, "no headline query produced an adaptive plan — AQE guard inspected nothing")
   }
 
   test("oracle SQL strings are single-line friendly (no raw control chars)") {
