@@ -956,15 +956,34 @@ object SparkEntry {
       Some(s"SELECT doc_id, lang FROM documents WHERE " +
         s"${Sampling.weightedSql("doc_id", TextOps.qualityScoreSql("text"))} ORDER BY doc_id")),
 
-    // Sequence packing (rows-only: greedy packing is a sequential
-    // per-partition fold — no SQL closed form; invariants pinned in
-    // CorpusSpec, output deterministic via hash routing)
+    // Sequence packing. Since round 6 the fold is partition-invariant
+    // (hash-bucket routing), so the greedy per-bucket fold has a DuckDB
+    // rendering after all: a recursive CTE stepping each bucket's
+    // row_number sequence reproduces the budget rollover exactly —
+    // flipping this row from rows-only to fully oracle-checked
+    // (round-6 advice #4).
     "q_pack_sequences" -> Q(
       (s, dir) => Sampling.packSequences(
         rd(s, dir, "documents").select(col("doc_id"),
           TextOps.tokenCount(col("text")).as("n_tok")),
         "doc_id", "n_tok", budget = 2048).orderBy("doc_id"),
-      None),
+      Some {
+        val bucket = s"((${OracleGen.u60("doc_id", "pack")}) % 32)"
+        val n = s"${TextOps.tokenCountSql("text")}::BIGINT"
+        "WITH RECURSIVE docs AS (" +
+          "SELECT doc_id, n, bucket, " +
+          "row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn " +
+          s"FROM (SELECT doc_id, $n AS n, $bucket AS bucket FROM documents)), " +
+          "fold AS (" +
+          "SELECT bucket, rn, doc_id, n, 0::BIGINT AS pack, n AS used FROM docs WHERE rn = 1 " +
+          "UNION ALL " +
+          "SELECT d.bucket, d.rn, d.doc_id, d.n, " +
+          "CASE WHEN f.used + d.n > 2048 THEN f.pack + 1 ELSE f.pack END, " +
+          "CASE WHEN f.used + d.n > 2048 THEN d.n ELSE f.used + d.n END " +
+          "FROM fold f JOIN docs d ON d.bucket = f.bucket AND d.rn = f.rn + 1) " +
+          "SELECT (bucket * 4294967296 + pack)::BIGINT AS pack_id, doc_id, " +
+          "n AS n_tokens FROM fold ORDER BY doc_id"
+      }),
 
     "q_text_normalize" -> Q(
       (s, dir) => rd(s, dir, "documents")

@@ -120,4 +120,170 @@ object StreamingAsOf {
           emits.iterator
       }
   }
+
+  case class FwdState(
+      pending: List[(Long, Long)],            // (tsMs, leftId) awaiting finality
+      rights: List[(Long, Long, Double)])     // (tsMs, rightId, value) in watermark
+
+  /** Streaming as-of FORWARD join — for every left event, the EARLIEST
+    * right event with right.ts >= left.ts (ties at one instant to the max
+    * id), optionally within `toleranceMs` of (rightTs - leftTs): direction
+    * parity with `ops/AsOfJoin.forward`.
+    *
+    * Finality is candidate-driven, the mirror image of [[backward]]'s
+    * left-driven rule: a left's earliest candidate is final once the
+    * watermark passes the CANDIDATE's time (no admissible right can arrive
+    * at or before it anymore); a candidate-less left finalizes as a null
+    * match once the watermark passes left.ts + tolerance. Without a
+    * tolerance a candidate-less left waits for the key's next right — the
+    * unavoidable cost of "next event" semantics on an open stream (state
+    * stays bounded by key activity, and every buffered right is still
+    * inside the watermark window). No floor row is needed: rights behind
+    * the watermark can only match lefts that are themselves already final,
+    * so they drop entirely rather than fold. */
+  def forward(left: DataFrame, right: DataFrame, watermark: String = "10 minutes",
+              toleranceMs: Option[Long] = None): Dataset[AsOfMatch] = {
+    val spark = left.sparkSession
+    import spark.implicits._
+
+    val taggedLeft = left.select(col("key").cast("long"), col("ts"),
+      lit(1).as("side"), col("left_id").cast("long").as("id"),
+      lit(0.0).as("value"))
+    val taggedRight = right.select(col("key").cast("long"), col("ts"),
+      lit(0).as("side"), col("right_id").cast("long").as("id"),
+      col("right_value").cast("double").as("value"))
+
+    taggedRight.unionByName(taggedLeft)
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp, Int, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FwdState, AsOfMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, events, state: GroupState[FwdState]) =>
+          val prev = state.getOption.getOrElse(FwdState(Nil, Nil))
+          val evs = if (state.hasTimedOut) Seq.empty else events.toSeq
+          val pending = prev.pending ++ evs.filter(_._3 == 1).map(e => (e._2.getTime, e._4))
+          val rights = prev.rights ++ evs.filter(_._3 == 0).map(e => (e._2.getTime, e._4, e._5))
+          val w = state.getCurrentWatermarkMs
+          def bestFor(t: Long): Option[(Long, Long, Double)] =
+            rights.filter(r => r._1 >= t && toleranceMs.forall(tol => r._1 - t <= tol))
+              .sortBy(r => (r._1, -r._2)).headOption // earliest ts, max id on tie
+          val (ready, stillPending) = pending.partition { case (t, _) =>
+            val best = bestFor(t)
+            // candidate settled (nothing can arrive at or before its ts),
+            // or provably no candidate can ever arrive inside the tolerance
+            best.exists(_._1 < w) || (best.isEmpty && toleranceMs.exists(tol => t + tol < w))
+          }
+          val emits = ready.sorted.map { case (t, lid) =>
+            val best = bestFor(t)
+            AsOfMatch(key, t, lid, best.map(_._1), best.map(_._2), best.map(_._3))
+          }
+          // GC: rights behind the watermark can only serve lefts with
+          // t <= ts_r < w — all of which just finalized above
+          val keep = rights.filter(_._1 >= w)
+          if (stillPending.isEmpty && keep.isEmpty) {
+            state.remove()
+          } else {
+            state.update(FwdState(stillPending, keep))
+            val wake = (stillPending.flatMap { case (t, _) =>
+              bestFor(t).map(_._1).orElse(toleranceMs.map(t + _))
+            } ++ keep.map(_._1)).reduceOption(_ min _).getOrElse(Long.MaxValue - 1)
+            state.setTimeoutTimestamp(math.max(wake + 1, w + 1))
+          }
+          emits.iterator
+      }
+  }
+
+  case class NearPending(ts: Long, leftId: Long, bFinal: Boolean,
+                         b: Option[(Long, Long, Double)])
+  case class NearState(
+      pending: List[NearPending],
+      rights: List[(Long, Long, Double)],
+      floor: Option[(Long, Long, Double)])
+
+  /** Streaming as-of NEAREST join — the closer of the backward and forward
+    * matches, equal distances resolving backward: direction parity with
+    * `ops/AsOfJoin.nearest` (tolerance bounds BOTH distances).
+    *
+    * Two-phase finality: (1) once the watermark passes left.ts the
+    * backward candidate is settled — it is resolved THEN and pinned on the
+    * pending row, before older rights collapse into the floor (resolving
+    * later against the floor could see a right NEWER than the left);
+    * (2) the row emits once the forward side is also decided — its
+    * candidate's time passed by the watermark, out of tolerance reach, or
+    * provably unable to beat the pinned backward match (any future right
+    * is at least watermark-far away, and backward wins distance ties). */
+  def nearest(left: DataFrame, right: DataFrame, watermark: String = "10 minutes",
+              toleranceMs: Option[Long] = None): Dataset[AsOfMatch] = {
+    val spark = left.sparkSession
+    import spark.implicits._
+
+    val taggedLeft = left.select(col("key").cast("long"), col("ts"),
+      lit(1).as("side"), col("left_id").cast("long").as("id"),
+      lit(0.0).as("value"))
+    val taggedRight = right.select(col("key").cast("long"), col("ts"),
+      lit(0).as("side"), col("right_id").cast("long").as("id"),
+      col("right_value").cast("double").as("value"))
+
+    taggedRight.unionByName(taggedLeft)
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp, Int, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[NearState, AsOfMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, events, state: GroupState[NearState]) =>
+          val prev = state.getOption.getOrElse(NearState(Nil, Nil, None))
+          val evs = if (state.hasTimedOut) Seq.empty else events.toSeq
+          val rights = prev.rights ++ evs.filter(_._3 == 0).map(e => (e._2.getTime, e._4, e._5))
+          val pending0 = prev.pending ++
+            evs.filter(_._3 == 1).map(e => NearPending(e._2.getTime, e._4, bFinal = false, None))
+          val w = state.getCurrentWatermarkMs
+          // phase 1: pin the backward candidate the moment it is settled
+          val pending = pending0.map { p =>
+            if (!p.bFinal && p.ts < w) {
+              val cand = prev.floor.toList ++ rights.filter(_._1 <= p.ts)
+              val b = cand.sortBy(r => (r._1, r._2)).lastOption
+                .filter(r => toleranceMs.forall(tol => p.ts - r._1 <= tol))
+              p.copy(bFinal = true, b = b)
+            } else p
+          }
+          def fBestFor(t: Long): Option[(Long, Long, Double)] =
+            rights.filter(r => r._1 >= t && toleranceMs.forall(tol => r._1 - t <= tol))
+              .sortBy(r => (r._1, -r._2)).headOption
+          // phase 2: emit once the forward side can no longer change
+          val (ready, stillPending) = pending.partition { p =>
+            p.bFinal && {
+              val f = fBestFor(p.ts)
+              f.exists(_._1 < w) ||
+                toleranceMs.exists(tol => p.ts + tol < w) ||
+                p.b.exists(b => w - p.ts >= p.ts - b._1)
+            }
+          }
+          val emits = ready.sortBy(p => (p.ts, p.leftId)).map { p =>
+            val f = fBestFor(p.ts)
+            val chosen = (p.b, f) match {
+              case (Some(b), Some(fc)) =>
+                if (p.ts - b._1 <= fc._1 - p.ts) Some(b) else Some(fc)
+              case (b, fc) => b.orElse(fc)
+            }
+            AsOfMatch(key, p.ts, p.leftId, chosen.map(_._1), chosen.map(_._2), chosen.map(_._3))
+          }
+          // GC: old rights fold into the floor for future lefts' backward
+          // side (pending lefts already pinned theirs in phase 1)
+          val (old, keep) = rights.partition(_._1 < w)
+          val floor = (prev.floor.toList ++ old).sortBy(r => (r._1, r._2)).lastOption
+          if (stillPending.isEmpty && keep.isEmpty && floor.isEmpty) {
+            state.remove()
+          } else {
+            state.update(NearState(stillPending, keep, floor))
+            val wake = (stillPending.flatMap { p =>
+              val needs = List(p.ts) ++ fBestFor(p.ts).map(_._1).toList ++
+                toleranceMs.map(p.ts + _).toList
+              needs
+            } ++ keep.map(_._1)).reduceOption(_ min _).getOrElse(Long.MaxValue - 1)
+            state.setTimeoutTimestamp(math.max(wake + 1, w + 1))
+          }
+          emits.iterator
+      }
+  }
 }

@@ -129,6 +129,101 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming asof forward: earliest right >= left, tie to max id, tolerance nulls out") {
+    import graft.streaming.StreamingAsOf
+    implicit val sqlCtx = spark.sqlContext
+    val leftIn = MemoryStream[(Long, Timestamp, Long)]
+    val rightIn = MemoryStream[(Long, Timestamp, Long, Double)]
+    val joined = StreamingAsOf.forward(
+      leftIn.toDF().toDF("key", "ts", "left_id"),
+      rightIn.toDF().toDF("key", "ts", "right_id", "right_value"),
+      watermark = "0 seconds", toleranceMs = Some(300 * 1000L))
+    val q = joined.writeStream.format("memory").queryName("asof_fwd_out")
+      .outputMode("append").start()
+    try {
+      // rights: t=100 (tie pair -> max id), t=200; lefts: 90 (-> 100),
+      // 150 (-> 200), 100 (inclusive -> 100), 900 (no right within 300s -> null)
+      rightIn.addData((1L, ts(100), 10L, 1.0), (1L, ts(100), 11L, 2.0), (1L, ts(200), 12L, 3.0))
+      leftIn.addData((1L, ts(90), 500L), (1L, ts(150), 501L), (1L, ts(100), 502L),
+        (1L, ts(900), 503L))
+      q.processAllAvailable()
+      // advance the watermark far past every candidate and 900+tolerance
+      rightIn.addData((1L, ts(10000), 99L, 9.9))
+      q.processAllAvailable()
+      q.processAllAvailable() // extra trigger lets the event-time timeout fire
+      val out = spark.table("asof_fwd_out")
+        .as[(Long, Long, Long, Option[Long], Option[Long], Option[Double])]
+        .collect().map(r => r._3 -> ((r._4, r._5, r._6))).toMap
+      assert(out(500L) == ((Some(100000L), Some(11L), Some(2.0)))) // tie -> max id
+      assert(out(501L) == ((Some(200000L), Some(12L), Some(3.0))))
+      assert(out(502L) == ((Some(100000L), Some(11L), Some(2.0)))) // inclusive >=
+      assert(out(503L) == ((None, None, None))) // next right 9100s away, out of tolerance
+    } finally q.stop()
+  }
+
+  test("streaming asof nearest: closer side wins, equal distance resolves backward") {
+    import graft.streaming.StreamingAsOf
+    implicit val sqlCtx = spark.sqlContext
+    val leftIn = MemoryStream[(Long, Timestamp, Long)]
+    val rightIn = MemoryStream[(Long, Timestamp, Long, Double)]
+    val joined = StreamingAsOf.nearest(
+      leftIn.toDF().toDF("key", "ts", "left_id"),
+      rightIn.toDF().toDF("key", "ts", "right_id", "right_value"),
+      watermark = "0 seconds")
+    val q = joined.writeStream.format("memory").queryName("asof_near_out")
+      .outputMode("append").start()
+    try {
+      // rights at 100 and 200; lefts: 120 (back 20 < fwd 80 -> 100),
+      // 180 (fwd 20 < back 80 -> 200), 150 (tie 50/50 -> backward 100),
+      // 50 (no backward, fwd -> 100)
+      rightIn.addData((1L, ts(100), 10L, 1.0), (1L, ts(200), 12L, 3.0))
+      leftIn.addData((1L, ts(120), 600L), (1L, ts(180), 601L), (1L, ts(150), 602L),
+        (1L, ts(50), 603L))
+      q.processAllAvailable()
+      rightIn.addData((1L, ts(10000), 99L, 9.9))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val out = spark.table("asof_near_out")
+        .as[(Long, Long, Long, Option[Long], Option[Long], Option[Double])]
+        .collect().map(r => r._3 -> ((r._4, r._5, r._6))).toMap
+      assert(out(600L) == ((Some(100000L), Some(10L), Some(1.0))))
+      assert(out(601L) == ((Some(200000L), Some(12L), Some(3.0))))
+      assert(out(602L) == ((Some(100000L), Some(10L), Some(1.0)))) // tie -> backward
+      assert(out(603L) == ((Some(100000L), Some(10L), Some(1.0)))) // forward only
+    } finally q.stop()
+  }
+
+  test("streaming asof nearest: backward candidate pinned before floor GC") {
+    import graft.streaming.StreamingAsOf
+    implicit val sqlCtx = spark.sqlContext
+    val leftIn = MemoryStream[(Long, Timestamp, Long)]
+    val rightIn = MemoryStream[(Long, Timestamp, Long, Double)]
+    val joined = StreamingAsOf.nearest(
+      leftIn.toDF().toDF("key", "ts", "left_id"),
+      rightIn.toDF().toDF("key", "ts", "right_id", "right_value"),
+      watermark = "0 seconds", toleranceMs = Some(40 * 1000L))
+    val q = joined.writeStream.format("memory").queryName("asof_pin_out")
+      .outputMode("append").start()
+    try {
+      // left 130: backward candidate is 100 (dist 30, in tolerance); a right
+      // at 500 later advances the watermark past 130 (pinning backward) and
+      // past 130+40 (no forward within tolerance) -> must emit right@100,
+      // NOT the floor right@500 (which is newer than the left)
+      rightIn.addData((1L, ts(100), 10L, 1.0))
+      leftIn.addData((1L, ts(130), 700L))
+      q.processAllAvailable()
+      rightIn.addData((1L, ts(500), 50L, 5.0))
+      q.processAllAvailable()
+      rightIn.addData((1L, ts(10000), 99L, 9.9))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val out = spark.table("asof_pin_out")
+        .as[(Long, Long, Long, Option[Long], Option[Long], Option[Double])]
+        .collect().map(r => r._3 -> ((r._4, r._5, r._6))).toMap
+      assert(out(700L) == ((Some(100000L), Some(10L), Some(1.0))))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: time-bounded matches only, engine-managed state") {
     import graft.streaming.StreamingAsOf
     implicit val sqlCtx = spark.sqlContext
