@@ -30,13 +30,21 @@ object Lifecycle {
   }
 
   /** Total on-disk bytes behind a DataFrame's input files (any Hadoop FS
-    * scheme). Files that vanish between plan and stat contribute 0. */
+    * scheme). One `listStatus` RPC per parent DIRECTORY rather than one
+    * `getFileStatus` per file — a many-small-files table (the exact case
+    * byte-accurate costing exists for) would otherwise serialize O(files)
+    * driver round-trips into dump startup (round-6 advice). Files that
+    * vanish between plan and stat contribute 0. */
   def inputBytes(spark: SparkSession, df: org.apache.spark.sql.DataFrame): Long = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    df.inputFiles.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      try p.getFileSystem(hconf).getFileStatus(p).getLen
-      catch { case _: java.io.IOException => 0L }
+    df.inputFiles.groupBy(f => new org.apache.hadoop.fs.Path(f).getParent).map {
+      case (dir, files) =>
+        val wanted = files.map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+        try dir.getFileSystem(hconf)
+          .listStatus(dir).iterator
+          .filter(st => wanted.contains(st.getPath.getName))
+          .map(_.getLen).sum
+        catch { case _: java.io.IOException => 0L }
     }.sum
   }
 

@@ -173,6 +173,7 @@ object Dedup {
         s"minhashLshClusters: label propagation did not converge after $maxIter " +
           "iterations — raise maxIter")
     }
+    graft.plans.FixpointStats.record("minhashLshClusters", iter)
     val out = df.select(col(idCol).as("id")).join(labels, Seq("id"), "left_outer")
       .select(col("id").as(idCol), coalesce(col("rep"), col("id")).as("cluster_rep"))
     // band edges are not part of the returned plan (labels are

@@ -261,6 +261,7 @@ object SubsetPlanner {
       state = next
       iter += 1
     }
+    graft.plans.FixpointStats.record("selfFkClosure", iter)
     val good = state.filter(!col("__bad")).select(col("__id").as("__gid"))
     base.join(good, col(pk) === col("__gid"), "left_semi")
   }
