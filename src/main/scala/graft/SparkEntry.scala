@@ -910,6 +910,12 @@ object SparkEntry {
       Some("""SELECT sha256(text) AS content_hash, min(doc_id) AS rep_id,
               count(*) AS n_dups
               FROM documents GROUP BY sha256(text) ORDER BY content_hash""")),
+    // ExactSubstr-style duplicated-span removal (one copy survives at the
+    // globally-first occurrence) — Lee et al. 2022 shape
+    "q_dedup_spans" -> Q(
+      (s, dir) => Dedup.dedupSpansAcross(rd(s, dir, "documents"), "doc_id", "text", k = 6)
+        .orderBy("doc_id"),
+      Some(Dedup.dedupSpansAcrossSql("documents", "doc_id", "text", 6))),
     "q_dedup_exact_rep" -> Q(
       (s, dir) => Dedup.exactWithRep(rd(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "rep_id", "is_rep").orderBy("doc_id"),

@@ -42,6 +42,80 @@ object Dedup {
       .select(col(idCol), col("norm_hash"), (col("rank") === 1).as("keep"))
   }
 
+  /** Cross-document duplicated-SPAN removal — the ExactSubstr-style dedup
+    * of "Deduplicating Training Data Makes Language Models Better" (Lee
+    * et al. 2022), approximated with k-token shingle hashes instead of a
+    * suffix array: every k-token span whose shingle digest occurs more
+    * than once in the corpus (within- OR cross-document) is removed
+    * except at its globally-FIRST occurrence (min (doc, position) — one
+    * copy survives, deterministically), and each document is rewritten
+    * from its surviving tokens.
+    *
+    * Scale shape: the explode exchange carries (digest, id, position)
+    * only — never token text; the frequency pass is one map-side-
+    * combinable count+min over digests; coverage resolution is per-row
+    * HOFs over the doc's own duplicated-start list (no second pass over
+    * the corpus). Output text is canonical-token (single-space joined)
+    * for changed AND unchanged docs, so the rewrite is whitespace-stable
+    * and oracle-comparable.
+    *
+    * Positions pack as id * 2^20 + pos, so docs must stay under 2^20
+    * tokens (a 4 MB+ doc should be split upstream anyway). Docs shorter
+    * than k tokens pass through untouched. */
+  def dedupSpansAcross(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 6): DataFrame = {
+    require(k >= 2 && k <= 64, "dedupSpansAcross: k in [2,64]")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      TextOps.tokens(col(textCol)).as("__toks"))
+    val shingles = when(size(col("__toks")) >= k,
+      transform(sequence(lit(1), size(col("__toks")) - (k - 1)),
+        j => md5(concat_ws(" ", slice(col("__toks"), j, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+    val pos = base.select(col("id"), posexplode(shingles).as(Seq("__p0", "__h")))
+      .select(col("__h"), col("id"), (col("__p0") + 1).as("__j"),
+        (col("id") * (1L << 20) + col("__p0") + 1).as("__pk"))
+    val freq = pos.groupBy("__h")
+      .agg(count(lit(1)).as("__c"), min("__pk").as("__mk"))
+      .filter(col("__c") >= 2)
+      .select("__h", "__mk")
+    val dup = pos.join(freq, "__h").filter(col("__pk") =!= col("__mk"))
+      .groupBy("id").agg(sort_array(collect_list(col("__j"))).as("__djs"))
+    base.join(dup, Seq("id"), "left_outer")
+      .select(col("id").as(idCol),
+        // NULL text stays NULL (concat_ws would silently yield "")
+        when(col("__toks").isNull, lit(null).cast("string"))
+          .when(col("__djs").isNull, concat_ws(" ", col("__toks")))
+          .otherwise(concat_ws(" ",
+            filter(col("__toks"), (_, i) =>
+              !exists(col("__djs"), j => j <= i + 1 && i + 1 < j + lit(k)))))
+          .as("text_dedup"))
+  }
+
+  /** DuckDB rendering of [[dedupSpansAcross]] — same shingle digests,
+    * same first-occurrence keep rule, same canonical-token rewrite. */
+  def dedupSpansAcrossSql(table: String, idCol: String, textCol: String,
+                          k: Int = 6): String = {
+    val toks = TextOps.tokensSql(textCol)
+    s"WITH d0 AS (SELECT $idCol AS id, $toks AS toks FROM $table), " +
+      s"sh0 AS (SELECT id, CASE WHEN len(toks) >= $k THEN " +
+      s"list_transform(generate_series(1, len(toks) - ${k - 1}), " +
+      s"j -> md5(array_to_string(toks[j:j+${k - 1}], ' '))) " +
+      "ELSE CAST([] AS VARCHAR[]) END AS sh FROM d0), " +
+      "pos AS (SELECT id, unnest(sh) AS h, generate_subscripts(sh, 1) AS j FROM sh0), " +
+      "freq AS (SELECT h, min(id * 1048576 + j) AS mk FROM pos GROUP BY h HAVING count(*) >= 2), " +
+      "dup AS (SELECT p.id, p.j FROM pos p JOIN freq f USING (h) WHERE p.id * 1048576 + p.j <> f.mk), " +
+      "perdoc AS (SELECT id, list_sort(list(j)) AS djs FROM dup GROUP BY id) " +
+      // COALESCE: a fully-deduplicated doc has an EMPTY kept-token list,
+      // and DuckDB's array_to_string([]) is NULL where Spark's concat_ws
+      // of an empty array is '' (the djs-NULL branch needs no coalesce —
+      // there a NULL only arises from NULL input text, which IS null)
+      s"SELECT d0.id AS $idCol, CASE WHEN p.djs IS NULL THEN array_to_string(d0.toks, ' ') ELSE " +
+      "COALESCE(array_to_string(list_transform(list_filter(generate_series(1, len(d0.toks)), " +
+      s"pos2 -> len(list_filter(p.djs, j -> j <= pos2 AND pos2 < j + $k)) = 0), " +
+      "pos2 -> d0.toks[pos2]), ' '), '') END AS text_dedup " +
+      s"FROM d0 LEFT JOIN perdoc p USING (id) ORDER BY $idCol"
+  }
+
   /** MinHash-LSH near-dup: shingle -> minhash signature -> band buckets ->
     * per-bucket representative -> per-doc representative (min over its
     * bands). Docs sharing any band bucket collapse to one representative —

@@ -16,6 +16,42 @@ class LlmOpsSpec extends SparkSpec {
     (5L, "tiny"))
     .toDF("doc_id", "text")
 
+  test("span dedup: duplicated k-token spans survive only at the globally-first occurrence") {
+    val spanDocs = Seq(
+      // doc 1 and doc 2 share the 6-token prefix; doc 1 (min id, min pos)
+      // keeps it, doc 2 loses those tokens but keeps its unique tail
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "alpha beta gamma delta epsilon zeta THETA"),
+      // within-doc repeat: the second copy of the 6-token span drops
+      (3L, "p q r s t u p q r s t u"),
+      // shorter than k: untouched (canonical-token join)
+      (4L, "just five tokens right here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSpansAcross(spanDocs, "doc_id", "text", k = 6)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "alpha beta gamma delta epsilon zeta eta")
+    // doc 2: positions 1..6 covered (span at pos 1 duplicates doc 1's);
+    // note pos-2 shingle "beta..THETA" is unique so only 1..6 drop
+    assert(out(2L) == "THETA")
+    // doc 3: spans starting at 1 and 7 hash-match; 7 is the later copy ->
+    // tokens 7..12 drop (the overlapping unique shingles at 2..6 don't
+    // repeat, so they cover nothing)
+    assert(out(3L) == "p q r s t u")
+    assert(out(4L) == "just five tokens right here")
+  }
+
+  test("span dedup is partition-count invariant") {
+    val spanDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (2L, "alpha beta gamma delta epsilon zeta THETA"),
+      (3L, "p q r s t u p q r s t u"))
+      .toDF("doc_id", "text")
+    def run(parts: Int) = Dedup.dedupSpansAcross(spanDocs.repartition(parts),
+      "doc_id", "text", k = 6).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(run(1) == run(7))
+  }
+
   test("exact dedup groups identical content under min-id representative") {
     val reps = Dedup.exactWithRep(docs, "doc_id", "text")
       .select("doc_id", "rep_id").as[(Long, Long)].collect().toMap
