@@ -65,8 +65,11 @@ object Dedup {
   def dedupSpansAcross(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 6): DataFrame = {
     require(k >= 2 && k <= 64, "dedupSpansAcross: k in [2,64]")
-    val base = df.select(col(idCol).cast("long").as("id"),
-      TextOps.tokens(col(textCol)).as("__toks"))
+    // widen a narrow scan before the shingling explode (same hygiene as
+    // the signature passes — no-op on real multi-split inputs)
+    val base = graft.plans.Parallelism.widen(
+      df.select(col(idCol).cast("long").as("id"),
+        TextOps.tokens(col(textCol)).as("__toks")))
     val shingles = when(size(col("__toks")) >= k,
       transform(sequence(lit(1), size(col("__toks")) - (k - 1)),
         j => md5(concat_ws(" ", slice(col("__toks"), j, lit(k))))))

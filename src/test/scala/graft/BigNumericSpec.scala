@@ -151,6 +151,15 @@ class BigNumericSpec extends SparkSpec {
     assert(staged == fused)
   }
 
+  test("salt is injectable (no fixed-salt re-derivation)") {
+    val df = keys(50)
+    def vals(c: org.apache.spark.sql.Column) = df.select(c.as("v")).as[String].collect().toSeq
+    assert(vals(Gen.bigDecimalBetween(col("x"), "t", BigMin, BigMax, 4, salt = "saltA")) !=
+      vals(Gen.bigDecimalBetween(col("x"), "t", BigMin, BigMax, 4, salt = "saltB")))
+    assert(vals(Gen.bigDecimalSigned(col("x"), "t", 45, 3, salt = "saltA")) !=
+      vals(Gen.bigDecimalSigned(col("x"), "t", 45, 3, salt = "saltB")))
+  }
+
   test("bigGeom rejects malformed bounds fast") {
     intercept[IllegalArgumentException] { // negative min
       Gen.bigDecimalBetween(col("x"), "t", BigDecimal(-1), BigDecimal(10).pow(45), 0)

@@ -40,6 +40,39 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(4L) == "just five tokens right here")
   }
 
+  test("span dedup matches a brute-force witness on random corpora") {
+    // independent reimplementation: enumerate every k-window, count shingle
+    // occurrences globally, drop covered tokens except at the global first
+    // occurrence — plain Scala collections, no limb/packing tricks
+    def brute(docsIn: Seq[(Long, String)], k: Int): Map[Long, String] = {
+      val toks = docsIn.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+      val occ = for {
+        (id, ts) <- toks.toSeq; j <- 1 to ts.length - k + 1
+      } yield (ts.slice(j - 1, j - 1 + k).mkString(" "), id, j)
+      val byShingle = occ.groupBy(_._1).filter(_._2.size >= 2)
+      val firsts = byShingle.map { case (s, os) => s -> os.map(o => (o._2, o._3)).min }
+      val dupStarts = occ.filter { case (s, id, j) =>
+        byShingle.contains(s) && firsts(s) != ((id, j))
+      }.groupBy(_._2).view.mapValues(_.map(_._3).toSet).toMap
+      toks.map { case (id, ts) =>
+        val djs = dupStarts.getOrElse(id, Set.empty)
+        id -> ts.zipWithIndex.collect {
+          case (t, i) if !djs.exists(j => j <= i + 1 && i + 1 < j + k) => t
+        }.mkString(" ")
+      }
+    }
+    val rnd = new scala.util.Random(77)
+    val vocab = Seq("a", "b", "c", "d", "e")
+    for (trial <- 1 to 5) {
+      val k = 2 + rnd.nextInt(3)
+      val corpus = (1L to 12L).map(id =>
+        id -> Seq.fill(3 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val got = Dedup.dedupSpansAcross(corpus.toDF("doc_id", "text"), "doc_id", "text", k)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == brute(corpus, k), s"trial $trial (k=$k) diverged from brute force")
+    }
+  }
+
   test("span dedup is partition-count invariant") {
     val spanDocs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta"),
