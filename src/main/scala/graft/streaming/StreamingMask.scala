@@ -46,6 +46,20 @@ object StreamingMask {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming decontamination: drop every stream row whose content
+    * digest appears in a (static, batch) holdout/benchmark corpus — the
+    * streaming complement of `Dedup.crossCorpusExact`, as a stateless
+    * stream-static LEFT ANTI join. The holdout digest set is distinct'd
+    * and tiny next to the stream, so it broadcasts; stream rows never
+    * leave their micro-batch partitions and text never shuffles. */
+  def streamingDecontaminate(stream: DataFrame, holdout: DataFrame,
+                             textCol: String): DataFrame = {
+    val h = holdout.select(sha2(col(textCol), 256).as("__h")).distinct()
+    stream.withColumn("__h", sha2(col(textCol), 256))
+      .join(h, Seq("__h"), "left_anti")
+      .drop("__h")
+  }
+
   case class SessionState(count: Long, lastMs: Long)
   case class SessionUpdate(user_id: Long, n_events: Long, closed: Boolean)
 

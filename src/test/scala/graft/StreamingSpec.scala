@@ -224,6 +224,78 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination drops holdout-matching rows statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    val holdout = Seq("benchmark question one", "benchmark question two").toDF("text")
+    val input = MemoryStream[(Long, String)]
+    val cleaned = StreamingMask.streamingDecontaminate(
+      input.toDF().toDF("doc_id", "text"), holdout, "text")
+    val q = cleaned.writeStream.format("memory").queryName("decon_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "benchmark question one"), (2L, "ordinary training text"),
+        (3L, "benchmark question two"), (4L, "more ordinary text"))
+      q.processAllAvailable()
+      val kept = spark.table("decon_out").select("doc_id").as[Long].collect().sorted.toSeq
+      assert(kept == Seq(2L, 4L))
+    } finally q.stop()
+  }
+
+  test("streaming asof forward/nearest: randomized parity with the batch operator") {
+    import graft.streaming.StreamingAsOf
+    import graft.ops.AsOfJoin
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(4242)
+    val tolMs = 50000L
+    // two arrival slices with disjoint ascending time windows: interleaved
+    // left/right arrival stresses mid-stream state, while slice-2 times
+    // staying above slice-1's max keeps the 0s watermark from dropping
+    // anything (a dropped late row would diverge from batch BY DESIGN)
+    def slice(n0: Int, nL: Int, nR: Int, lo: Int) = (
+      (1 to nL).map(i => (1L + rnd.nextInt(3), ts(lo + rnd.nextInt(29) * 10), 500L + n0 + i)),
+      (1 to nR).map(i => (1L + rnd.nextInt(3), ts(lo + rnd.nextInt(29) * 10), 10L + n0 + i,
+        rnd.nextInt(100) / 10.0)))
+    val (l1, r1) = slice(0, 9, 6, 0)
+    val (l2, r2) = slice(100, 9, 6, 300)
+    val sentinel = (99L, ts(100000), 999L, 0.0)
+
+    for (dir <- Seq("forward", "nearest")) {
+      val leftIn = MemoryStream[(Long, Timestamp, Long)]
+      val rightIn = MemoryStream[(Long, Timestamp, Long, Double)]
+      val ldf = leftIn.toDF().toDF("key", "ts", "left_id")
+      val rdf = rightIn.toDF().toDF("key", "ts", "right_id", "right_value")
+      val joined =
+        if (dir == "forward") StreamingAsOf.forward(ldf, rdf, "0 seconds", Some(tolMs))
+        else StreamingAsOf.nearest(ldf, rdf, "0 seconds", Some(tolMs))
+      val q = joined.writeStream.format("memory").queryName(s"asof_rand_$dir")
+        .outputMode("append").start()
+      try {
+        leftIn.addData(l1); rightIn.addData(r1)
+        q.processAllAvailable()
+        leftIn.addData(l2); rightIn.addData(r2)
+        q.processAllAvailable()
+        rightIn.addData(sentinel) // advances watermark past everything
+        q.processAllAvailable()
+        q.processAllAvailable() // extra trigger lets event-time timeouts fire
+        val got = spark.table(s"asof_rand_$dir")
+          .as[(Long, Long, Long, Option[Long], Option[Long], Option[Double])]
+          .collect().toSet
+        // batch ground truth over the SAME rows (epoch-ms longs)
+        val bl = (l1 ++ l2).map(e => (e._1, e._2.getTime, e._3)).toDF("key", "ts", "left_id")
+        val br = (r1 ++ r2 :+ sentinel).map(e => (e._1, e._2.getTime, e._3, e._4))
+          .toDF("key", "ts", "right_id", "right_value")
+        val batch = (if (dir == "forward")
+            AsOfJoin.forward(bl, br, "key", "ts", Seq("left_id"),
+              Seq("right_id", "right_value"), "right_id", Some(tolMs))
+          else AsOfJoin.nearest(bl, br, "key", "ts", Seq("left_id"),
+            Seq("right_id", "right_value"), "right_id", Some(tolMs)))
+          .as[(Long, Long, Long, Option[Long], Option[Long], Option[Double])]
+          .collect().toSet
+        assert(got == batch, s"direction $dir diverged from batch")
+      } finally q.stop()
+    }
+  }
+
   test("stream-stream interval join: time-bounded matches only, engine-managed state") {
     import graft.streaming.StreamingAsOf
     implicit val sqlCtx = spark.sqlContext
