@@ -21,7 +21,9 @@ class LifecycleE2ESpec extends SparkSpec {
       |    ] },
       |  { "table": "orders",
       |    "transforms": [
-      |      {"column": "o_orderpriority", "name": "Replace", "params": {"value": "X"}}
+      |      {"column": "o_orderpriority", "name": "Replace", "params": {"value": "X"}},
+      |      {"column": "o_orderstatus", "name": "RandomNumericBigSize",
+      |       "params": {"digits": "45", "scale": "2"}}
       |    ] }
       |] }""".stripMargin
 
@@ -54,6 +56,11 @@ class LifecycleE2ESpec extends SparkSpec {
     val ck = c.select("c_custkey").as[Long].collect().toSet
     assert(o.select("o_custkey").as[Long].collect().forall(ck))
     assert(o.select("o_orderpriority").distinct().as[String].collect().toSeq == Seq("X"))
+    // unbounded-numeric transformer through the config path: ±45-digit
+    // decimal TEXT, deterministic on the input (hash engine)
+    val bigVals = o.select("o_orderstatus").as[String].collect()
+    assert(bigVals.forall(v => BigDecimal(v).abs < BigDecimal(BigInt(10).pow(45))))
+    assert(bigVals.exists(v => BigDecimal(v).abs >= BigDecimal(BigInt(10).pow(39))))
 
     // restore in topo order (customer before orders)
     val target = Files.createTempDirectory("graftrestore").toString

@@ -113,4 +113,24 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException](Registry.build("NoSuch", Map.empty))
     assert(Registry.factories.size >= 45) // scalar + faker families registered
   }
+
+  test("Registry builds the unbounded-numeric family from stringly params") {
+    // 45-digit bounds with a m*10^k width — far past DecimalType(38)
+    val min = "1" + "0" * 44
+    val max = BigInt(min).+(BigInt(25) * BigInt(10).pow(43)).-(1).toString
+    val t = Registry.build("RandomNumericBig", Map("min" -> min, "max" -> max))
+    val vals = (1 to 30).map(_.toString).toDF("x")
+      .select(t.applied(col("x")).as("v")).as[String].collect()
+    assert(vals.forall(v => BigDecimal(v) >= BigDecimal(min) && BigDecimal(v) <= BigDecimal(max)))
+    assert(vals.forall(_.length == 45))
+    val sz = Registry.build("RandomNumericBigSize", Map("digits" -> "42", "scale" -> "2"))
+    val sv = (1 to 30).map(_.toString).toDF("x")
+      .select(sz.applied(col("x")).as("v")).as[String].collect()
+    assert(sv.forall(v => BigDecimal(v).abs < BigDecimal(BigInt(10).pow(42))))
+    val nz = Registry.build("NoiseNumericBig", Map("ratio" -> "0.05", "scale" -> "0",
+      "max" -> ("2" + "0" * 44)))
+    val nv = (1 to 30).map(i => vals(i % vals.length)).toDF("x")
+      .select(nz.applied(col("x")).as("v")).as[String].collect()
+    assert(nv.forall(v => BigDecimal(v) <= BigDecimal("2" + "0" * 44)))
+  }
 }
