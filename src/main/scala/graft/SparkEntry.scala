@@ -962,6 +962,13 @@ object SparkEntry {
       Some(s"SELECT doc_id, lang FROM documents WHERE " +
         s"${Sampling.weightedSql("doc_id", TextOps.qualityScoreSql("text"))} ORDER BY doc_id")),
 
+    // Fixed-token chunking with overlap (the packing complement)
+    "q_chunk_docs" -> Q(
+      (s, dir) => Sampling.chunkDocuments(rd(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 64, overlap = 16).orderBy("doc_id", "chunk_id"),
+      Some(Sampling.chunkDocumentsSql("documents", "doc_id", "text", 64, 16) +
+        " ORDER BY doc_id, chunk_id")),
+
     // Sequence packing. Since round 6 the fold is partition-invariant
     // (hash-bucket routing), so the greedy per-bucket fold has a DuckDB
     // rendering after all: a recursive CTE stepping each bucket's

@@ -11,6 +11,46 @@ import graft.generators.{Gen, OracleGen}
   * key hashes in; old decisions never flip). */
 object Sampling {
 
+  /** Fixed-size token chunking with overlap — the complement of
+    * [[packSequences]]: long documents split into `chunkTokens`-token
+    * windows advancing by `chunkTokens - overlap`, the standard
+    * pre-training / retrieval prep for documents longer than the model
+    * context. A window starts at position s iff s == 1 or
+    * s <= n - overlap; since step + overlap = chunkTokens, the first
+    * start that rule skips is already covered by its predecessor, so
+    * every token lands in >= 1 chunk and no chunk is a strict suffix of
+    * the previous one. Pure per-row HOFs (sequence/filter/slice) — zero
+    * shuffles, trivially codegen'd; NULL text yields zero chunks on both
+    * engines. Output: (id, chunk_id 0-based, chunk_text, n_chunk_tokens). */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens >= 1 && overlap >= 0 && overlap < chunkTokens,
+      "chunkDocuments: need chunkTokens >= 1 and 0 <= overlap < chunkTokens")
+    val step = chunkTokens - overlap
+    val n = size(col("__toks"))
+    val starts = filter(sequence(lit(1), n, lit(step)),
+      s => s === 1 || s <= n - overlap)
+    df.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"), posexplode(starts).as(Seq("chunk_id", "__s")))
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(" ", slice(col("__toks"), col("__s"), lit(chunkTokens))).as("chunk_text"),
+        least(lit(chunkTokens), size(col("__toks")) - col("__s") + 1).as("n_chunk_tokens"))
+  }
+
+  /** DuckDB rendering of [[chunkDocuments]]. */
+  def chunkDocumentsSql(table: String, idCol: String, textCol: String,
+                        chunkTokens: Int, overlap: Int = 0): String = {
+    val step = chunkTokens - overlap
+    val toks = TextOps.tokensSql(textCol)
+    s"WITH d0 AS (SELECT $idCol AS id, $toks AS toks FROM $table), " +
+      s"st AS (SELECT id, toks, list_filter(generate_series(1, len(toks), $step), " +
+      s"s -> s = 1 OR s <= len(toks) - $overlap) AS starts FROM d0) " +
+      s"SELECT id AS $idCol, (generate_subscripts(starts, 1) - 1)::INT AS chunk_id, " +
+      s"array_to_string(toks[unnest(starts):unnest(starts)+${chunkTokens - 1}], ' ') AS chunk_text, " +
+      s"least($chunkTokens, len(toks) - unnest(starts) + 1)::INT AS n_chunk_tokens " +
+      "FROM st"
+  }
+
   /** Keep ~1/`rate` of rows, decided by the key's u60 hash. */
   def hashSample(df: DataFrame, keyCol: String, rate: Int,
                  tweak: String = "sample"): DataFrame = {

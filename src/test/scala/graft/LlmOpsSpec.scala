@@ -16,6 +16,29 @@ class LlmOpsSpec extends SparkSpec {
     (5L, "tiny"))
     .toDF("doc_id", "text")
 
+  test("chunking: coverage, overlap stepping, tail-suffix rule, null docs") {
+    val docsC = Seq(
+      (1L, (1 to 150).map("t" + _).mkString(" ")), // starts 1,49,97; 145 skipped (suffix rule)
+      (2L, (1 to 64).map("u" + _).mkString(" ")),  // exactly one chunk
+      (3L, "a b c"),                               // shorter than a chunk
+      (4L, null.asInstanceOf[String]))             // null -> zero chunks
+      .toDF("doc_id", "text")
+    val out = Sampling.chunkDocuments(docsC, "doc_id", "text", chunkTokens = 64, overlap = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(!out.exists(_._1 == 4L))
+    val toks1 = (1 to 150).map("t" + _)
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._2).toSeq == Seq(0, 1, 2)) // start 145 > 150-16 dropped
+    assert(d1(0)._3 == toks1.slice(0, 64).mkString(" "))
+    assert(d1(1)._3 == toks1.slice(48, 112).mkString(" ")) // 48-token step = 16 overlap
+    assert(d1(2)._3 == toks1.slice(96, 150).mkString(" ")) // tail clamps
+    assert(d1(2)._4 == 54) // 150 - 97 + 1
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._4 == 64)
+    val d3 = out.filter(_._1 == 3L)
+    assert(d3.length == 1 && d3.head._3 == "a b c" && d3.head._4 == 3)
+  }
+
   test("span dedup: duplicated k-token spans survive only at the globally-first occurrence") {
     val spanDocs = Seq(
       // doc 1 and doc 2 share the 6-token prefix; doc 1 (min id, min pos)
