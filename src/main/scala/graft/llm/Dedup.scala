@@ -61,7 +61,13 @@ object Dedup {
     *
     * Positions pack as id * 2^20 + pos, so docs must stay under 2^20
     * tokens (a 4 MB+ doc should be split upstream anyway). Docs shorter
-    * than k tokens pass through untouched. */
+    * than k tokens pass through untouched.
+    *
+    * Digest width: full 128-bit md5 (not a folded 64-bit key). A shingle
+    * collision here DELETES a span, and at 10^12 corpus shingles a 64-bit
+    * key would take ~birthday-bound false deletions; 128 bits puts the
+    * expected count at ~0. The 32-byte exchange key is the price of
+    * correctness at scale, mirroring the boilerplate-line pass. */
   def dedupSpansAcross(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 6): DataFrame = {
     require(k >= 2 && k <= 64, "dedupSpansAcross: k in [2,64]")

@@ -198,6 +198,7 @@ object SubsetPlanner {
         if (!stable) throw new IllegalStateException(
           s"subset: cyclic fix-point did not converge after $maxIter iterations " +
             s"for component ${comp.mkString(",")} — raise maxIter")
+        graft.plans.FixpointStats.record("cyclicSubset", iter)
         current.foreach { case (t, d) => surviving(t) = d }
         }
 

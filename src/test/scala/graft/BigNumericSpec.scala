@@ -120,6 +120,21 @@ class BigNumericSpec extends SparkSpec {
     assert(vals.exists(v => v > lo && v < hi))
   }
 
+  test("bigNoise carry edges: all-9s, zero, and single-unit inputs match the witness") {
+    // all-9s maximizes every multiply limb and forces the +5000 rounding
+    // carry to cascade through the full limb chain; zero and 1-unit pin
+    // the low-end formatting paths
+    val edges = Seq("9" * 51 + "." + "9999", "0.0000", "0.0001", "1" * 55 + ".0000",
+      ("9" * 55) + ".9999")
+    val df = edges.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("i", "v")
+    val got = df.select(col("i"), col("v"),
+      Gen.bigNoise(col("v"), "edge", 0.99, 4, maxIntDigits = 60).as("out"))
+      .as[(Long, String, String)].collect()
+    got.foreach { case (i, v, out) =>
+      assert(out == noiseRef(v, "edge", 0.99, 4, None, None), s"edge case $i ($v)")
+    }
+  }
+
   test("bigNoise guards: sign and over-width inputs surface as NULL, null stays null") {
     val df = Seq(Some("-1.0000"), Some("1" + "0" * 60 + ".0000"), Some("42.0000"), None)
       .toDF("v")

@@ -64,6 +64,33 @@ class ScaleSoakSpec extends SparkSpec {
     assert(b10 <= b1 + 2, s"storage blocks accumulated: $b1 -> $b10")
   }
 
+  test("cyclic subset fix-point: 10x rows (more blocks, same cycle length) keeps iterations flat") {
+    import spark.implicits._
+    // one 8-cycle per block across two mutually-referencing tables; the
+    // cond breaks each cycle at index 3, so the whole block drains hop by
+    // hop — iteration count is the CYCLE length, not the row count
+    def tables(blocks: Int) = {
+      val ids = for (c <- 0 until blocks; i <- 0L until 8L) yield (c * 1000L + i, c * 1000L + (i + 1) % 8)
+      (ids.map { case (id, _) => (id, id) }.toDF("id", "b_ref"),
+        ids.toDF("id", "a_ref"))
+    }
+    def run(blocks: Int): (Long, Int) = {
+      val (a, b) = tables(blocks)
+      val surviving = SubsetPlanner.plan(
+        Map("a" -> a, "b" -> b), Map("a" -> Seq("id"), "b" -> Seq("id")),
+        Seq(FkRef("a", Seq("b_ref"), "b", Seq("id"), nullable = false),
+          FkRef("b", Seq("a_ref"), "a", Seq("id"), nullable = false)),
+        Map("a" -> Seq("id % 8 <> 3"), "b" -> Nil))
+      val rows = surviving("a").count() + surviving("b").count()
+      Checkpoints.releaseAll()
+      (rows, FixpointStats.last("cyclicSubset").get)
+    }
+    val (r1, i1) = run(20)
+    val (r10, i10) = run(200)
+    assert(r1 == 0 && r10 == 0) // every block fully drains (broken cycles)
+    assert(i10 == i1, s"iterations changed with block count: $i1 -> $i10")
+  }
+
   test("boilerplate-line removal scales linearly in rows at 10x") {
     def run(df: DataFrame): Long = {
       val n = Corpus.removeBoilerplateLines(df, "doc_id", "text", minDocs = 3).count()
