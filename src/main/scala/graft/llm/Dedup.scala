@@ -67,7 +67,13 @@ object Dedup {
     * collision here DELETES a span, and at 10^12 corpus shingles a 64-bit
     * key would take ~birthday-bound false deletions; 128 bits puts the
     * expected count at ~0. The 32-byte exchange key is the price of
-    * correctness at scale, mirroring the boilerplate-line pass. */
+    * correctness at scale, mirroring the boilerplate-line pass.
+    *
+    * The shingling runs twice (frequency pass + probe pass) by CHOICE:
+    * materializing the corpus-sized position table to avoid the recompute
+    * would cost ~corpus-scale temp storage, while shingling is cheap
+    * codegen'd CPU over data already being scanned — same
+    * recompute-over-materialize call as the line-frequency pass. */
   def dedupSpansAcross(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 6): DataFrame = {
     require(k >= 2 && k <= 64, "dedupSpansAcross: k in [2,64]")
