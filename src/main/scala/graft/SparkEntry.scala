@@ -53,6 +53,36 @@ object SparkEntry {
   // clamp bounds inside the noised envelope so both sides of the clamp bite
   private val BigNoiseLo = BigDecimal(BigInt(33) * BigInt(10).pow(48), 4)  // 3.3e45
   private val BigNoiseHi = BigDecimal(BigInt(104) * BigInt(10).pow(48), 4) // 1.04e46
+  // arbitrary-bounds query: negative min (first 50 digits of e), max = pi
+  // digits, scale 3 — the width is odd, so it has NO m*10^k factorization
+  private val BigAnyMin = BigDecimal(
+    BigInt("-27182818284590452353602874713526624977572470936999"), 3)
+  private val BigAnyMax = BigDecimal(BigPi50, 3)
+
+  /** Independent witness for q_random_numeric_any's pinned oracle: the
+    * digit-stream + mod spec recomputed with plain MessageDigest + BigInt
+    * (no Catalyst involvement). */
+  private def bigAnyWitness(key: String): String = {
+    val scale = 3
+    val minU = BigAnyMin.underlying.unscaledValue()
+    val width = BigInt(BigAnyMax.underlying.unscaledValue())
+      .-(BigInt(minU)).+(1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u60(t: String): Long = {
+      val hex = md.digest((Gen.Salt + "/" + t + "|" + key).getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val n = width.toString.length + 15
+    val digits = (0 until (n + 14) / 15)
+      .map(j => f"${u60("numany" + "n" + j) % 1000000000000000L}%015d").mkString.take(n)
+    val units = BigInt(minU) + BigInt(digits) % width
+    val neg = units < 0
+    val s = units.abs.toString
+    val padded = if (s.length <= scale) ("0" * (scale - s.length + 1)) + s else s
+    val body = padded.dropRight(scale) + "." + padded.takeRight(scale)
+    if (neg) "-" + body else body
+  }
 
   private def defs: Map[String, Q] = Map(
 
@@ -97,6 +127,23 @@ object SparkEntry {
         .select(CK, col("masked")).orderBy("c_custkey"),
       Some(OracleGen.bigDecimalSignedSelect("customer", "c_custkey", "c_custkey",
         45, 3, "numbigsz", "masked"))),
+    // ARBITRARY bounds: negative 50-digit min, odd width (not m*10^k —
+    // the constructive path rejects these), via the native BigUniformMod
+    // expression. DuckDB has no bignum, so the oracle is a PINNED witness
+    // table: values recomputed at registry-build time with plain JDK
+    // MessageDigest + BigInteger — independent of the digit-stream
+    // Catalyst plumbing and of the expression under test (the sha3
+    // pattern). Keys 1..100 exist at every sf.
+    "q_random_numeric_any" -> Q(
+      (s, dir) => rd(s, dir, "customer")
+        .filter(col("c_custkey").between(1, 100))
+        .select(CK, RandomNumericAny(BigAnyMin, BigAnyMax, 3).applied(CK).as("masked"))
+        .orderBy("c_custkey"),
+      Some {
+        val rows = (1 to 100).map(k => s"($k, '${bigAnyWitness(k.toString)}')")
+        "SELECT CAST(k AS BIGINT) AS c_custkey, v AS masked FROM (VALUES " +
+          rows.mkString(", ") + ") AS t(k, v) ORDER BY c_custkey"
+      }),
     // multiplicative noise + clamp over a 50-digit value generated in the
     // same query (both engines chain the identical construction)
     "q_noise_numeric_big" -> Q(

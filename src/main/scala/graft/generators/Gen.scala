@@ -248,6 +248,32 @@ object Gen {
     bigFormat(bigAddConst(r, g.wSum, g.minU), g.wSum, scale)
   }
 
+  /** ARBITRARY-bounds variant of [[bigDecimalBetween]]: any width (no
+    * m * 10^k factorization requirement) and negative minimums, via the
+    * native [[graft.expressions.BigUniformMod]] expression — one exact
+    * BigInteger modulo per row over the same digit stream, so the two
+    * paths are value-identical wherever both apply. Use the constructive
+    * path when bounds permit (pure built-ins, constructive DuckDB
+    * oracle); this one for bound shapes it cannot reach (oracle via
+    * pinned witness values). */
+  def bigDecimalBetweenAny(input: Column, tweak: String, min: BigDecimal, max: BigDecimal,
+                           scale: Int, salt: String = Salt): Column = {
+    require(scale >= 0 && scale <= 15, "bigDecimalBetweenAny: scale in [0,15]")
+    def units(v: BigDecimal, what: String): BigInt =
+      try BigInt(v.setScale(scale).underlying.unscaledValue())
+      catch { case _: ArithmeticException =>
+        throw new IllegalArgumentException(s"bigDecimalBetweenAny: $what not exact at scale $scale")
+      }
+    val minU = units(min, "min"); val maxU = units(max, "max")
+    require(maxU > minU, "bigDecimalBetweenAny: min must be < max")
+    val width = maxU - minU + 1
+    val digits = digitStream(input, tweak, nd(width) + 15, salt)
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.BigUniformMod(
+        org.apache.spark.sql.GraftBridge.expression(digits),
+        width.toString, minU.toString, scale))
+  }
+
   /** Size-mode big numeric (ref `GetMinAndMaxNumericValueBySetting`):
     * uniform sign × uniform magnitude in [0, 10^digits) at `scale` —
     * i.e. the reference's ±999…9 limiter for `digits` integer digits.

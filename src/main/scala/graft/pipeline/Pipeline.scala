@@ -392,6 +392,8 @@ object Registry {
       BigDecimal(p(m, "max", "1" + "0" * 50)), p(m, "scale", "0").toInt)),
     "RandomNumericBigSize" -> F(m => RandomNumericBigSize(p(m, "digits", "50").toInt,
       p(m, "scale", "0").toInt)),
+    "RandomNumericAny" -> F(m => RandomNumericAny(BigDecimal(p(m, "min", "-" + "1" + "0" * 50)),
+      BigDecimal(p(m, "max", "1" + "0" * 50)), p(m, "scale", "0").toInt)),
     "NoiseNumericBig" -> F(m => NoiseNumericBig(p(m, "ratio", "0.1").toDouble,
       p(m, "scale", "0").toInt, p(m, "max_int_digits", "60").toInt,
       m.get("min").map(BigDecimal(_)), m.get("max").map(BigDecimal(_)))),

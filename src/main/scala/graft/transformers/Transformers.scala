@@ -74,6 +74,16 @@ case class RandomNumericBig(min: BigDecimal, max: BigDecimal, scale: Int = 0,
   def oracle(in: String) = None
 }
 
+/** Arbitrary-bounds big numeric — any range width and negative minimums,
+  * via the native BigUniformMod expression (the bound shapes
+  * [[RandomNumericBig]]'s constructive VARCHAR-math path cannot reach).
+  * Full parity with the reference's unconstrained decimal limits. */
+case class RandomNumericAny(min: BigDecimal, max: BigDecimal, scale: Int = 0,
+                            tweak: String = "numany") extends ScalarTransformer {
+  def column(in: Column) = Gen.bigDecimalBetweenAny(in, tweak, min, max, scale)
+  def oracle(in: String) = None
+}
+
 /** Size-mode big numeric: ±(up to `digits` integer digits), the
   * reference's `GetMinAndMaxNumericValueBySetting` limiter
   * (`random_numeric.go:34-46`). */

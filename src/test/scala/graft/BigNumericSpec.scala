@@ -34,10 +34,11 @@ class BigNumericSpec extends SparkSpec {
     }.mkString.take(n)
 
   private def fmtRef(units: BigInt, scale: Int): String = {
-    val s = units.toString
+    val neg = units < 0
+    val s = units.abs.toString
     val padded = if (s.length <= scale) ("0" * (scale - s.length + 1)) + s else s
-    if (scale == 0) padded
-    else padded.dropRight(scale) + "." + padded.takeRight(scale)
+    val body = if (scale == 0) padded else padded.dropRight(scale) + "." + padded.takeRight(scale)
+    if (neg) "-" + body else body
   }
 
   private def betweenRef(input: String, tweak: String,
@@ -164,6 +165,34 @@ class BigNumericSpec extends SparkSpec {
     val staged = stagedDf.select(col("x"), col("g"), col("sg"), col("nz"))
       .as[(Long, String, String, String)].collect().sortBy(_._1).toSeq
     assert(staged == fused)
+  }
+
+  test("bigDecimalBetweenAny: negative min, odd (unfactorizable) width, witness parity") {
+    val anyMin = BigDecimal(BigInt("-27182818284590452353602874713526624977572470936999"), 3)
+    val anyMax = BigDecimal(BigInt("31415926535897932384626433832795028841971693993751"), 3)
+    // the constructive path must REJECT this width...
+    intercept[IllegalArgumentException] {
+      Gen.bigDecimalBetween(col("x"), "numany", BigDecimal(0),
+        anyMax - anyMin, 3)
+    }
+    // ...while the expression path handles it, matching the witness
+    val got = keys(200).select(col("x"),
+      Gen.bigDecimalBetweenAny(col("x"), "numany", anyMin, anyMax, 3).as("v"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    got.foreach { case (k, v) =>
+      assert(v == betweenRef(k.toString, "numany", anyMin, anyMax, 3), s"key $k")
+      val d = BigDecimal(v)
+      assert(d >= anyMin && d <= anyMax, s"key $k out of bounds: $v")
+    }
+    assert(got.exists(_._2.startsWith("-")) && got.exists(!_._2.startsWith("-")))
+  }
+
+  test("expression path agrees with the constructive path on factorizable bounds") {
+    val pairs = keys(200).select(
+      Gen.bigDecimalBetween(col("x"), "numbig", BigMin, BigMax, 4).as("c"),
+      Gen.bigDecimalBetweenAny(col("x"), "numbig", BigMin, BigMax, 4).as("e"))
+      .as[(String, String)].collect()
+    pairs.foreach { case (c, e) => assert(c == e) }
   }
 
   test("salt is injectable (no fixed-salt re-derivation)") {
