@@ -38,6 +38,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       }))
     ext.injectFunction((
+      FunctionIdentifier("big_uniform_mod"),
+      new ExpressionInfo(classOf[graft.expressions.BigUniformMod].getName, "big_uniform_mod"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 4, "big_uniform_mod(digits, width_lit, min_units_lit, scale_lit)")
+        (exprs(1), exprs(2), exprs(3)) match {
+          case (Literal(w, StringType), Literal(m, StringType), Literal(s, _)) =>
+            graft.expressions.BigUniformMod(Cast(exprs(0), StringType),
+              w.toString, m.toString, s.toString.toInt)
+          case other => throw new IllegalArgumentException(
+            s"big_uniform_mod: width/min/scale must be literals, got $other")
+        }
+      }))
+    ext.injectFunction((
       FunctionIdentifier("digest_hex"),
       new ExpressionInfo(classOf[graft.expressions.DigestHex].getName, "digest_hex"),
       (exprs: Seq[Expression]) => {

@@ -42,6 +42,17 @@ object GraftBridge {
         case other => throw new IllegalArgumentException(s"digest_hex: algo must be a string literal, got $other")
       }
     }, "built-in")
+    registry.createOrReplaceTempFunction("big_uniform_mod", exprs => {
+      // big_uniform_mod(digits, width_literal, min_units_literal, scale)
+      require(exprs.size == 4, "big_uniform_mod(digits, width_lit, min_units_lit, scale_lit)")
+      (exprs(1), exprs(2), exprs(3)) match {
+        case (Literal(w, StringType), Literal(m, StringType), Literal(s, _)) =>
+          graft.expressions.BigUniformMod(Cast(exprs(0), StringType),
+            w.toString, m.toString, s.toString.toInt)
+        case other => throw new IllegalArgumentException(
+          s"big_uniform_mod: width/min/scale must be literals, got $other")
+      }
+    }, "built-in")
     registry.createOrReplaceTempFunction("json_edit", exprs => {
       // json_edit(doc, 'set:a.b=1;delete:k' [, sort_keys]) — same compact
       // op spec as the Json registry factory

@@ -155,6 +155,10 @@ class GenSpec extends SparkSpec {
     val je = spark.sql(
       """SELECT json_edit('{"k":1}', 'set:a.b=2;delete:k') AS j""").collect().head.getString(0)
     assert(je == """{"a":{"b":2}}""")
+    // arbitrary-bounds numeric: 123456 mod 1000 = 456; -50 + 456 = 406 at scale 2
+    val bn = spark.sql(
+      "SELECT big_uniform_mod('123456', '1000', '-50', 2) AS v").collect().head.getString(0)
+    assert(bn == "4.06")
   }
 
   test("decimalBetween bounds at scale") {
