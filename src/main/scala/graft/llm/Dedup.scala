@@ -60,8 +60,10 @@ object Dedup {
     * and oracle-comparable.
     *
     * Positions pack as id * 2^20 + pos, so docs must stay under 2^20
-    * tokens (a 4 MB+ doc should be split upstream anyway). Docs shorter
-    * than k tokens pass through untouched.
+    * tokens (a 4 MB+ doc should be split upstream anyway) and ids below
+    * 2^43 so the packed key fits signed 64-bit — beyond that Spark would
+    * wrap silently while DuckDB errors, so re-key (dense ids) first.
+    * Docs shorter than k tokens pass through untouched.
     *
     * Digest width: full 128-bit md5 (not a folded 64-bit key). A shingle
     * collision here DELETES a span, and at 10^12 corpus shingles a 64-bit
