@@ -1110,21 +1110,21 @@ object SparkEntry {
       (s, dir) => Dedup.simhashBuckets(rd(s, dir, "documents"), "doc_id", "text")
         .orderBy("simhash"),
       Some {
-        val sh = TextOps.simhash16Sql("text")
+        val sh = TextOps.simhash60Sql("text")
         s"""SELECT (${sh})::BIGINT AS simhash, min(doc_id) AS rep_id, count(*) AS bucket_size
             FROM documents GROUP BY 1 ORDER BY simhash"""
       }),
-    // Hamming-k simhash pairs: 4x4-bit pigeonhole banding + exact popcount
+    // Hamming-k simhash pairs: 4x15-bit pigeonhole banding + exact popcount
     "q_simhash_hamming" -> Q(
       (s, dir) => Dedup.simhashHammingPairs(rd(s, dir, "documents"), "doc_id", "text", 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
         .orderBy("id_a", "id_b"),
       Some {
-        val sh = TextOps.simhash16Sql("text")
+        val sh = TextOps.simhash60Sql("text")
         s"""WITH s AS (
               SELECT doc_id AS id, (${sh})::BIGINT AS sh FROM documents
             ), banded AS (
-              SELECT id, sh, b.band_no, (sh >> (b.band_no * 4)) & 15 AS band_val
+              SELECT id, sh, b.band_no, (sh >> (b.band_no * 15)) & 32767 AS band_val
               FROM s CROSS JOIN (SELECT unnest([0,1,2,3]) AS band_no) b
             ), pairs AS (
               SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
@@ -1313,7 +1313,6 @@ object SparkEntry {
             WHERE ${cos} >= 0.8
             ORDER BY id_a, id_b"""
       }),
-
     // ----- LLM ops: text analysis -----
     "q_text_stats" -> Q(
       (s, dir) => graft.plans.Parallelism.widen(rd(s, dir, "documents")).select(

@@ -273,37 +273,44 @@ object Dedup {
     out
   }
 
-  /** SimHash near-dup bucket: docs with identical 16-bit simhash are
+  /** SimHash near-dup bucket: docs with identical 60-bit simhash are
     * near-dup candidates (hamming-0 bucket; widen by banding bits for
-    * hamming-k). */
+    * hamming-k). 60 bits (the full u60 stream) rather than 16: a 16-bit
+    * signature has only 65536 distinct values, so at corpus scale every
+    * bucket fills with birthday collisions and the groupBy runs 65536-way
+    * at best — the wide signature keeps buckets honest near-dup sets AND
+    * keeps the aggregation key space as wide as the cluster. */
   def simhashBuckets(df: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.plans.Parallelism.widen(df.select(col(idCol), col(textCol)))
-      .select(col(idCol), TextOps.simhash16(col(textCol)).as("simhash"))
+      .select(col(idCol), TextOps.simhash60(col(textCol)).as("simhash"))
       .groupBy("simhash")
       .agg(min(idCol).as("rep_id"), count(lit(1)).as("bucket_size"))
 
-  /** Hamming-k SimHash candidate pairs: split the 16-bit simhash into 4
-    * bands of 4 bits; by pigeonhole, any pair within hamming distance 3
+  /** Hamming-k SimHash candidate pairs: split the 60-bit simhash into 4
+    * bands of 15 bits; by pigeonhole, any pair within hamming distance 3
     * shares at least one identical band — so candidate generation is a
     * band-bucket join (never all-pairs) and the exact popcount filter
     * verifies the distance. The banding trick that makes hamming-ball
-    * near-dup linear at corpus scale. */
+    * near-dup linear at corpus scale. 15-bit bands give 4 x 32768
+    * distinct join keys (vs 4 x 16 for the old 4-bit bands, which capped
+    * the exchange at 64 reducers and made every bucket O(corpus/16) —
+    * a quadratic pair blowup waiting at scale). */
   def simhashHammingPairs(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3, "simhashHammingPairs: 4 bands cover hamming <= 3")
     // Widen a narrow scan, then materialize the signature ONCE as
     // (id, sh) — two longs per doc. Without the checkpoint the self-join
-    // below re-derives each side from the raw text, running the 16-pass
-    // simhash aggregate over the whole corpus TWICE (broadcast side +
+    // below re-derives each side from the raw text, running the simhash
+    // pass over the whole corpus TWICE (broadcast side +
     // stream side both recompute the scan subtree).
     val sims = graft.plans.Checkpoints.materialize(
       graft.plans.Parallelism
         .widen(df.select(col(idCol).as("id"), col(textCol).as("__text")))
-        .select(col("id"), TextOps.simhash16(col("__text")).as("sh")))
+        .select(col("id"), TextOps.simhash60(col("__text")).as("sh")))
     val banded = sims.select(col("id"), col("sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band_no"),
-          shiftright(col("sh"), b * 4).bitwiseAND(lit(15L)).as("band_val"))): _*)).as("band"))
+          shiftright(col("sh"), b * 15).bitwiseAND(lit(0x7FFFL)).as("band_val"))): _*)).as("band"))
       .select(col("id"), col("sh"), col("band.band_no"), col("band.band_val"))
     val a = banded.as("a")
     val b = banded.as("b")
@@ -315,8 +322,8 @@ object Dedup {
     // with NO pair exchange at all (the band self-join is the only
     // shuffle). The popcount bound filters in the same projection.
     def bandMatch(k: Int): Column =
-      shiftright(col("a.sh"), k * 4).bitwiseAND(lit(15L)) ===
-        shiftright(col("b.sh"), k * 4).bitwiseAND(lit(15L))
+      shiftright(col("a.sh"), k * 15).bitwiseAND(lit(0x7FFFL)) ===
+        shiftright(col("b.sh"), k * 15).bitwiseAND(lit(0x7FFFL))
     val earlierBandMatches = (0 until 4).map(k =>
       col("a.band_no") > k && bandMatch(k)).reduce(_ || _)
     a.join(b,

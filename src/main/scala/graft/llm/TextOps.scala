@@ -96,23 +96,51 @@ object TextOps {
     s"md5(${parts.mkString(" || ',' || ")})"
   }
 
-  /** 16-bit SimHash from one u60 per token: bit i set iff the sum of
-    * (+1/-1) votes of bit i across token hashes is positive. */
-  def simhash16(text: Column): Column = {
+  /** `bits`-wide SimHash from one u60 per token: bit i set iff the sum
+    * of (+1/-1) votes of bit i across token hashes is positive.
+    *
+    * Backed by the native fused [[graft.expressions.SimHashBits]] (one
+    * digest + `bits` vote counters per token, single array pass);
+    * [[simhashComposed]] is the value-identical built-in/HOF composition
+    * kept as the equivalence witness. 60 bits is the dedup default —
+    * 16-bit signatures give only 4x16 = 64 distinct band keys, capping
+    * hamming-band join parallelism at 64 reducers and making bucket
+    * sizes O(corpus/16): a skew cliff at cluster scale. */
+  def simhashN(text: Column, bits: Int): Column =
+    // coalesce mirrors the composed form's NULL swallow: NULL text makes
+    // every vote accumulator NULL, and `when(votes > 0, _).otherwise(0)`
+    // turns that into 0 — the oracle SQL (CASE ... ELSE 0) agrees.
+    coalesce(
+      org.apache.spark.sql.GraftBridge.column(
+        graft.expressions.SimHashBits(
+          org.apache.spark.sql.GraftBridge.expression(tokens(text)),
+          Gen.Salt + "/sim|", bits)),
+      lit(0L))
+
+  def simhash16(text: Column): Column = simhashN(text, 16)
+  def simhash60(text: Column): Column = simhashN(text, 60)
+
+  /** HOF-composed simhash (`bits` aggregate passes) — equivalence
+    * witness for the native expression, exercised by SimHashExprSpec. */
+  def simhashComposed(text: Column, bits: Int): Column = {
     val hs = transform(tokens(text), t => Gen.u60(t, "sim"))
-    (0 until 16).map { i =>
+    (0 until bits).map { i =>
       val votes = aggregate(hs, lit(0L),
         (acc, h) => acc + (shiftright(h, i).bitwiseAND(lit(1L)) * 2 - 1))
       when(votes > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
-  def simhash16Sql(text: String): String = {
+  def simhash16Composed(text: Column): Column = simhashComposed(text, 16)
+
+  def simhashNSql(text: String, bits: Int): String = {
     val hs = s"list_transform(${tokensSql(text)}, t -> ${OracleGen.u60("t", "sim")})"
-    (0 until 16).map { i =>
+    (0 until bits).map { i =>
       val votes = s"list_sum(list_transform(${hs}, h -> ((h >> ${i}) & 1) * 2 - 1))"
       s"CASE WHEN ${votes} > 0 THEN ${1L << i} ELSE 0 END"
     }.mkString("(", " + ", ")")
   }
+  def simhash16Sql(text: String): String = simhashNSql(text, 16)
+  def simhash60Sql(text: String): String = simhashNSql(text, 60)
 
   val Stopwords = Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for", "on", "with")
 

@@ -236,11 +236,13 @@ class LlmOpsSpec extends SparkSpec {
 
   test("simhash: identical docs identical hash, near docs close hamming") {
     val hs = Dedup.simhashBuckets(docs, "doc_id", "text")
-    val byDoc = docs.select(col("doc_id"), TextOps.simhash16(col("text")).as("h"))
+    val byDoc = docs.select(col("doc_id"), TextOps.simhash60(col("text")).as("h"))
       .as[(Long, Long)].collect().toMap
     assert(byDoc(1L) == byDoc(2L))
+    // 60-bit signature: near-dups flip a minority of bits (threshold
+    // scaled from the old 16-bit bound of 6, i.e. < ~40% of the width)
     val hamming = java.lang.Long.bitCount(byDoc(1L) ^ byDoc(3L))
-    assert(hamming <= 6, s"near-dup hamming too far: $hamming")
+    assert(hamming <= 22, s"near-dup hamming too far: $hamming")
   }
 
   test("native minhash signature is value-identical to the composed form") {
