@@ -1313,6 +1313,17 @@ object SparkEntry {
             WHERE ${cos} >= 0.8
             ORDER BY id_a, id_b"""
       }),
+    // SemDeDup (Abbas et al. 2023): IVF-cluster-scoped pairwise cosine,
+    // min-id survivor per near pair — pair join bounded by cluster size
+    // tau=0.45 sits in the fixture's near-pair range (the synthetic
+    // embeddings top out at cosine ~0.51; nearest pair is 5e-4 from the
+    // threshold, so no cross-engine ulp flip) — production corpora with
+    // real duplicates would run the operator default of 0.8
+    "q_semdedup" -> Q(
+      (s, dir) => Similarity.semDedup(rd(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, tau = 0.45).orderBy("vec_id"),
+      Some(Similarity.semDedupSql(k = 8, tau = 0.45, dim = 64))),
+
     // ----- LLM ops: text analysis -----
     "q_text_stats" -> Q(
       (s, dir) => graft.plans.Parallelism.widen(rd(s, dir, "documents")).select(

@@ -132,20 +132,89 @@ object Similarity {
     * cosine exceeds the threshold — bucket-bounded pair join. `nPlanes`
     * must scale with the corpus (see [[planesFor]]); the default suits
     * the sf fixtures only. */
+  /** Exact cosine between two vector columns (double accumulation,
+    * left-to-right — the order DuckDB's list_sum mirrors). */
+  def pairCosine(a: Column, b: Column): Column = {
+    val dotAb = aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    dotAb / (norm(a) * norm(b))
+  }
+
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double = 0.95, nPlanes: Int = 8,
                          dim: Int = 32): DataFrame = {
     val bucketed = withLshBuckets(df, idCol, vecCol, nPlanes, dim)
     val a = bucketed.as("a")
     val b = bucketed.as("b")
-    val dotAb = aggregate(
-      zip_with(col("a." + vecCol), col("b." + vecCol), (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
     a.join(b, col("a.bucket") === col("b.bucket") &&
         col("a." + idCol) < col("b." + idCol))
       .select(col("a." + idCol).as("id_a"), col("b." + idCol).as("id_b"),
-        (dotAb / (norm(col("a." + vecCol)) * norm(col("b." + vecCol)))).as("cosine"))
+        pairCosine(col("a." + vecCol), col("b." + vecCol)).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): cluster the embeddings with the
+    * deterministic IVF coarse quantizer, then within each cluster drop
+    * every vector that has a tau-near neighbor with a smaller id
+    * (pairwise cosine >= tau). The cluster scoping is the paper's whole
+    * point: pairwise similarity is computed within clusters only, so the
+    * pair join costs sum over clusters of n_c^2 instead of N^2 — `k`
+    * must scale with the corpus (the paper runs 50k clusters over LAION)
+    * to keep every cluster bounded; the assignment pass is one scan with
+    * k dot products per row and the cluster id is the shuffle key.
+    * Keep rule: the min id of every near pair survives — the paper keeps
+    * an arbitrary member per duplicate group (low-centroid-similarity
+    * heuristic); id order makes the choice deterministic and
+    * oracle-comparable. The assignment is checkpointed once — both pair
+    * sides and the final flag join reuse it rather than re-running the
+    * k-dot-product scan three times.
+    *
+    * Output: (idCol, cluster, keep) — one row per input vector. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String, k: Int = 8,
+               tau: Double = 0.8): DataFrame = {
+    val cents = ivfCentroids(df, idCol, vecCol, k)
+    val assigned = graft.plans.Checkpoints.materialize(
+      ivfAssign(df.select(col(idCol), col(vecCol)), vecCol, cents))
+    val a = assigned.as("a")
+    val b = assigned.as("b")
+    val dropped = a.join(b,
+        col("a.cluster") === col("b.cluster") && col("b." + idCol) < col("a." + idCol))
+      .filter(pairCosine(col("a." + vecCol), col("b." + vecCol)) >= tau)
+      .select(col("a." + idCol).as(idCol)).distinct()
+    assigned.join(dropped.withColumn("__drop", lit(true)), Seq(idCol), "left_outer")
+      .select(col(idCol), col("cluster"), col("__drop").isNull.as("keep"))
+  }
+
+  /** DuckDB rendering of [[semDedup]] — same hash-rank centroid seed,
+    * same argmax assignment (first-index tie-break == row_number by sim
+    * DESC, ci), same min-id-survives pair rule. */
+  def semDedupSql(k: Int, tau: Double, dim: Int): String = {
+    val u60 = graft.generators.OracleGen.u60("vec_id", "ivf")
+    val sim = pairCosineSql("e.embedding", "c.cvec", dim)
+    val pairCos = pairCosineSql("a.embedding", "b.embedding", dim)
+    s"""WITH csel AS (
+          SELECT vec_id, embedding FROM embeddings ORDER BY ${u60}, vec_id LIMIT ${k}
+        ), cent AS (
+          SELECT row_number() OVER (ORDER BY ${u60}, vec_id) - 1 AS ci, embedding AS cvec
+          FROM csel
+        ), sims AS (
+          SELECT e.vec_id, e.embedding, c.ci, ${sim} AS sim FROM embeddings e, cent c
+        ), assigned AS (
+          SELECT vec_id, embedding, ci FROM (
+            SELECT vec_id, embedding, ci,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, ci) AS rn
+            FROM sims) WHERE rn = 1
+        ), dropped AS (
+          SELECT DISTINCT a.vec_id FROM assigned a
+          JOIN assigned b ON a.ci = b.ci AND b.vec_id < a.vec_id
+          WHERE ${pairCos} >= ${tau}
+        )
+        SELECT a.vec_id, a.ci::INT AS cluster, (d.vec_id IS NULL) AS keep
+        FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+        ORDER BY a.vec_id"""
   }
 
   /** Deterministic query vector for tests/benchmarks (unit-ish vector). */

@@ -1,0 +1,50 @@
+package graft
+
+import graft.llm.Similarity
+import org.apache.spark.sql.functions._
+
+/** SemDeDup (cluster-scoped embedding dedup): keep rule, determinism
+  * across partitionings, and fixture sanity. */
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  test("exact duplicate vectors: min id survives, others dropped") {
+    // 1 and 3 identical; 2 near-orthogonal; 4 identical to 1 as well
+    val df = Seq(
+      (1L, vec(1, 0, 0, 0)),
+      (2L, vec(0, 1, 0, 0)),
+      (3L, vec(1, 0, 0, 0)),
+      (4L, vec(1, 0, 0, 0))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, "vec_id", "embedding", k = 2, tau = 0.99)
+      .orderBy("vec_id").collect()
+    val keep = out.map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(keep(1L), "min id of the duplicate group must survive")
+    assert(keep(2L), "non-duplicate must survive")
+    assert(!keep(3L) && !keep(4L), "higher-id duplicates must be dropped")
+    graft.plans.Checkpoints.releaseAll()
+  }
+
+  test("keep flags are partition-count invariant") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val r = Similarity.semDedup(df, "vec_id", "embedding", k = 4, tau = 0.8)
+        .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSeq
+      graft.plans.Checkpoints.releaseAll()
+      r
+    }
+    assert(run(docs.repartition(7)) == run(docs.coalesce(1)))
+  }
+
+  test("every row comes back exactly once with a cluster in range") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = docs.count()
+    val out = Similarity.semDedup(docs, "vec_id", "embedding", k = 8, tau = 0.8)
+    assert(out.count() == n)
+    assert(out.select("vec_id").distinct().count() == n)
+    assert(out.filter(col("cluster") < 0 || col("cluster") >= 8).count() == 0)
+    graft.plans.Checkpoints.releaseAll()
+  }
+}
