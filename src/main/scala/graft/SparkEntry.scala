@@ -1319,10 +1319,13 @@ object SparkEntry {
     // embeddings top out at cosine ~0.51; nearest pair is 5e-4 from the
     // threshold, so no cross-engine ulp flip) — production corpora with
     // real duplicates would run the operator default of 0.8
+    // k=0 -> adaptive max(8, N/64) on BOTH engines: 8 clusters at the
+    // sf0.01 correctness gate, 78 at the sf0.1 bench — cluster size (and
+    // so the pair join) stays bounded at any scale
     "q_semdedup" -> Q(
       (s, dir) => Similarity.semDedup(rd(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 8, tau = 0.45).orderBy("vec_id"),
-      Some(Similarity.semDedupSql(k = 8, tau = 0.45, dim = 64))),
+        k = 0, tau = 0.45).orderBy("vec_id"),
+      Some(Similarity.semDedupSql(k = 0, tau = 0.45, dim = 64))),
 
     // ----- LLM ops: text analysis -----
     "q_text_stats" -> Q(

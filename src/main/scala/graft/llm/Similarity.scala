@@ -27,7 +27,21 @@ object Similarity {
     Seq.fill(nPlanes)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
+  // Native fused kernels (graft.expressions.VecExprs): one array pass,
+  // identical accumulation order to the HOF compositions kept below as
+  // equivalence witnesses (VecExprSpec pins bit-equality).
   def dot(v: Column, q: Seq[Double]): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.DotConst(org.apache.spark.sql.GraftBridge.expression(v), q))
+
+  def cosineTo(v: Column, q: Seq[Double]): Column = {
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.CosineConst(org.apache.spark.sql.GraftBridge.expression(v), q, qn))
+  }
+
+  /** HOF-composed witnesses for the native kernels. */
+  def dotComposed(v: Column, q: Seq[Double]): Column =
     aggregate(
       zip_with(v, array(q.map(lit): _*), (x, y) => x.cast("double") * y),
       lit(0.0), (acc, x) => acc + x)
@@ -35,9 +49,9 @@ object Similarity {
   def norm(v: Column): Column =
     sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
-  def cosineTo(v: Column, q: Seq[Double]): Column = {
+  def cosineToComposed(v: Column, q: Seq[Double]): Column = {
     val qn = math.sqrt(q.map(x => x * x).sum)
-    dot(v, q) / (norm(v) * lit(qn))
+    dotComposed(v, q) / (norm(v) * lit(qn))
   }
 
   /** Brute-force cosine top-k to a query vector: the exact baseline.
@@ -133,8 +147,15 @@ object Similarity {
     * must scale with the corpus (see [[planesFor]]); the default suits
     * the sf fixtures only. */
   /** Exact cosine between two vector columns (double accumulation,
-    * left-to-right — the order DuckDB's list_sum mirrors). */
-  def pairCosine(a: Column, b: Column): Column = {
+    * left-to-right — the order DuckDB's list_sum mirrors). Native fused
+    * kernel; [[pairCosineComposed]] is the HOF witness. */
+  def pairCosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expressions.CosinePair(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
+
+  def pairCosineComposed(a: Column, b: Column): Column = {
     val dotAb = aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
@@ -172,10 +193,17 @@ object Similarity {
     * sides and the final flag join reuse it rather than re-running the
     * k-dot-product scan three times.
     *
+    * `k <= 0` selects the adaptive default max(8, N/64): cluster sizes
+    * stay ~64 at ANY corpus size, which bounds the pair join at ~32N
+    * comparisons total — the knob the paper turns (50k clusters for
+    * LAION-440M is the same ~1e4 vectors/cluster ballpark). A fixed k
+    * silently degrades to quadratic as the corpus grows past k*1e4.
+    *
     * Output: (idCol, cluster, keep) — one row per input vector. */
-  def semDedup(df: DataFrame, idCol: String, vecCol: String, k: Int = 8,
+  def semDedup(df: DataFrame, idCol: String, vecCol: String, k: Int = 0,
                tau: Double = 0.8): DataFrame = {
-    val cents = ivfCentroids(df, idCol, vecCol, k)
+    val kEff = if (k > 0) k else math.max(8L, df.count() / 64L).toInt
+    val cents = ivfCentroids(df, idCol, vecCol, kEff)
     val assigned = graft.plans.Checkpoints.materialize(
       ivfAssign(df.select(col(idCol), col(vecCol)), vecCol, cents))
     val a = assigned.as("a")
@@ -195,8 +223,11 @@ object Similarity {
     val u60 = graft.generators.OracleGen.u60("vec_id", "ivf")
     val sim = pairCosineSql("e.embedding", "c.cvec", dim)
     val pairCos = pairCosineSql("a.embedding", "b.embedding", dim)
+    // k <= 0 mirrors the Spark side's adaptive max(8, N/64)
+    val kExpr = if (k > 0) k.toString
+      else "(SELECT greatest(8, count(*) // 64) FROM embeddings)"
     s"""WITH csel AS (
-          SELECT vec_id, embedding FROM embeddings ORDER BY ${u60}, vec_id LIMIT ${k}
+          SELECT vec_id, embedding FROM embeddings ORDER BY ${u60}, vec_id LIMIT ${kExpr}
         ), cent AS (
           SELECT row_number() OVER (ORDER BY ${u60}, vec_id) - 1 AS ci, embedding AS cvec
           FROM csel
