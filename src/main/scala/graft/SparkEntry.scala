@@ -87,6 +87,12 @@ object SparkEntry {
   private def defs: Map[String, Q] = Map(
 
     // ----- §2.5 aggregation sanity + flagship (TPC-H q1 shape) -----
+    // NOT widened: a round-robin exchange would push all ~6M rows through
+    // the single scan task before the 32-way partial agg could start —
+    // measured no faster than letting that task do the (map-side-combining)
+    // partial agg itself. The 32-file staged pass (0.5s vs 1.4s) shows the
+    // gap is purely the fixture's single-file scan, which a real
+    // multi-split input parallelizes naturally.
     "q_agg_pricing" -> Q(
       (s, dir) => rd(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")

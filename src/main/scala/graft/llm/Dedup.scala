@@ -84,10 +84,10 @@ object Dedup {
     val base = graft.plans.Parallelism.widen(
       df.select(col(idCol).cast("long").as("id"),
         TextOps.tokens(col(textCol)).as("__toks")))
-    val shingles = when(size(col("__toks")) >= k,
-      transform(sequence(lit(1), size(col("__toks")) - (k - 1)),
-        j => md5(concat_ws(" ", slice(col("__toks"), j, lit(k))))))
-      .otherwise(array().cast("array<string>"))
+    // native fused shingle digests (graft.expressions.ShingleMd5, one
+    // pass, no interpreted HOF body) — spansShinglesComposed is the
+    // value-identical witness
+    val shingles = spansShingles(col("__toks"), k)
     val pos = base.select(col("id"), posexplode(shingles).as(Seq("__p0", "__h")))
       .select(col("__h"), col("id"), (col("__p0") + 1).as("__j"),
         (col("id") * (1L << 20) + col("__p0") + 1).as("__pk"))
@@ -132,6 +132,21 @@ object Dedup {
       "pos2 -> d0.toks[pos2]), ' '), '') END AS text_dedup " +
       s"FROM d0 LEFT JOIN perdoc p USING (id) ORDER BY $idCol"
   }
+
+  /** Native shingle-digest column (the span-dedup kernel) exposed for
+    * reuse and testing; [[spansShinglesComposed]] is the HOF witness. */
+  def spansShingles(toks: Column, k: Int): Column =
+    coalesce(
+      org.apache.spark.sql.GraftBridge.column(
+        graft.expressions.ShingleMd5(
+          org.apache.spark.sql.GraftBridge.expression(toks), k)),
+      array().cast("array<string>"))
+
+  def spansShinglesComposed(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        j => md5(concat_ws(" ", slice(toks, j, lit(k))))))
+      .otherwise(array().cast("array<string>"))
 
   /** MinHash-LSH near-dup: shingle -> minhash signature -> band buckets ->
     * per-bucket representative -> per-doc representative (min over its
