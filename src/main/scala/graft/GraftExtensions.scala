@@ -62,5 +62,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"digest_hex: algo must be a string literal, got $other")
         }
       }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_bits"),
+      new ExpressionInfo(classOf[graft.expressions.SimHashBits].getName, "simhash_bits"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 3, "simhash_bits(token_array, prefix_literal, bits_literal)")
+        (exprs(1), exprs(2)) match {
+          case (Literal(p, StringType), Literal(b, _)) =>
+            graft.expressions.SimHashBits(exprs(0), p.toString, b.toString.toInt)
+          case other => throw new IllegalArgumentException(
+            s"simhash_bits: literal args required, got $other")
+        }
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_md5"),
+      new ExpressionInfo(classOf[graft.expressions.ShingleMd5].getName, "shingle_md5"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2, "shingle_md5(token_array, k_literal)")
+        exprs(1) match {
+          case Literal(k, _) => graft.expressions.ShingleMd5(exprs(0), k.toString.toInt)
+          case other => throw new IllegalArgumentException(
+            s"shingle_md5: k must be a literal, got $other")
+        }
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_pair"),
+      new ExpressionInfo(classOf[graft.expressions.CosinePair].getName, "cosine_pair"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2, "cosine_pair(vec_a, vec_b)")
+        graft.expressions.CosinePair(exprs(0), exprs(1))
+      }))
   }
 }

@@ -67,5 +67,26 @@ object GraftBridge {
       } else true
       graft.expressions.JsonEditExpr(Cast(exprs(0), StringType), ops, sortKeys)
     }, "built-in")
+    registry.createOrReplaceTempFunction("simhash_bits", exprs => {
+      require(exprs.size == 3, "simhash_bits(token_array, prefix_literal, bits_literal)")
+      (exprs(1), exprs(2)) match {
+        case (Literal(p, StringType), Literal(b, _)) =>
+          graft.expressions.SimHashBits(exprs(0), p.toString, b.toString.toInt)
+        case other => throw new IllegalArgumentException(
+          s"simhash_bits: literal args required, got $other")
+      }
+    }, "built-in")
+    registry.createOrReplaceTempFunction("shingle_md5", exprs => {
+      require(exprs.size == 2, "shingle_md5(token_array, k_literal)")
+      exprs(1) match {
+        case Literal(k, _) => graft.expressions.ShingleMd5(exprs(0), k.toString.toInt)
+        case other => throw new IllegalArgumentException(
+          s"shingle_md5: k must be a literal, got $other")
+      }
+    }, "built-in")
+    registry.createOrReplaceTempFunction("cosine_pair", exprs => {
+      require(exprs.size == 2, "cosine_pair(vec_a, vec_b)")
+      graft.expressions.CosinePair(exprs(0), exprs(1))
+    }, "built-in")
   }
 }

@@ -159,6 +159,18 @@ class GenSpec extends SparkSpec {
     val bn = spark.sql(
       "SELECT big_uniform_mod('123456', '1000', '-50', 2) AS v").collect().head.getString(0)
     assert(bn == "4.06")
+    // round-8 kernels: simhash_bits / shingle_md5 / cosine_pair
+    val sh = spark.sql(
+      s"SELECT simhash_bits(split('a b c', ' '), '${Gen.Salt}/sim|', 60) AS s").collect().head
+    val shApi = spark.sql("SELECT 'a b c' AS t")
+      .select(graft.llm.TextOps.simhash60(col("t"))).collect().head
+    assert(sh.getLong(0) == shApi.getLong(0))
+    val sm = spark.sql(
+      "SELECT shingle_md5(split('a b c d', ' '), 2) AS s").collect().head.getSeq[String](0)
+    assert(sm.size == 3 && sm.head == "0cc9cd4dd26c5137b675a0d819cb9ab0") // md5('a b')
+    val cp = spark.sql(
+      "SELECT cosine_pair(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").collect().head
+    assert(math.abs(cp.getDouble(0) - 1.0) < 1e-12)
   }
 
   test("decimalBetween bounds at scale") {
