@@ -101,4 +101,31 @@ class ScaleSoakSpec extends SparkSpec {
     val n10 = run(inflate(docs, 10))
     assert(n10 == n1 * 10) // one rewritten row per doc at both scales
   }
+
+  test("semdedup: 10x vectors, adaptive k keeps cluster sizes flat") {
+    import graft.llm.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select("vec_id", "embedding")
+    def inflateVec(k: Int): DataFrame =
+      (0 until k).map(i =>
+        e.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"), col("embedding")))
+        .reduce(_ unionByName _)
+    def run(df: DataFrame): (Long, Long, Long) = {
+      val out = Similarity.semDedup(df, "vec_id", "embedding", k = 0, tau = 0.45)
+      val agg = out.agg(count(lit(1)), countDistinct("cluster")).head()
+      val maxSize = out.groupBy("cluster").agg(count(lit(1)).as("n"))
+        .agg(max("n")).head().getLong(0)
+      Checkpoints.releaseAll()
+      (agg.getLong(0), agg.getLong(1), maxSize)
+    }
+    val (n1, k1, max1) = run(e)
+    val (n10, k10, max10) = run(inflateVec(10))
+    assert(n10 == n1 * 10) // one flag row per vector at both scales
+    // adaptive k = max(8, N/64) must actually scale the cluster count,
+    // which is what keeps the within-cluster pair join ~32N instead of
+    // quadratic — a fixed k would show max10 ~ 10 * max1 here
+    assert(k10 >= k1 * 5, s"cluster count did not scale: $k1 -> $k10")
+    assert(max10 <= max1 * 4,
+      s"cluster sizes grew with volume (pair join degrading): $max1 -> $max10")
+  }
 }
