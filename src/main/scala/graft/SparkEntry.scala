@@ -1332,6 +1332,12 @@ object SparkEntry {
       (s, dir) => Similarity.semDedup(rd(s, dir, "embeddings"), "vec_id", "embedding",
         k = 0, tau = 0.45).orderBy("vec_id"),
       Some(Similarity.semDedupSql(k = 0, tau = 0.45, dim = 64))),
+    // Prototype selection for data pruning (Sorscher et al. 2022): top-16
+    // most-prototypical vectors per adaptive IVF cluster
+    "q_prototypes" -> Q(
+      (s, dir) => Similarity.prototypesPerCluster(rd(s, dir, "embeddings"),
+        "vec_id", "embedding", m = 16, k = 0).orderBy("vec_id"),
+      Some(Similarity.prototypesSql(m = 16, k = 0, dim = 64))),
 
     // ----- LLM ops: text analysis -----
     "q_text_stats" -> Q(

@@ -216,6 +216,67 @@ object Similarity {
       .select(col(idCol), col("cluster"), col("__drop").isNull.as("keep"))
   }
 
+  /** Prototype selection for data pruning ("Beyond neural scaling laws:
+    * beating power law scaling via data pruning", Sorscher et al. 2022,
+    * arXiv:2206.14486): rank every vector within its IVF cluster by
+    * cosine to its OWN centroid and keep the top `m` — the
+    * "keep-the-prototypical" pruning policy (rank ascending instead to
+    * keep hard examples; the rank column is returned so the caller picks
+    * the policy). Reuses the deterministic hash-rank centroid seed and
+    * argmax assignment of [[semDedup]]; the per-cluster rank is a window
+    * over the cluster id, so the only exchange after the assignment scan
+    * is hash(cluster) — k keys, and k scales with the corpus via the
+    * same adaptive max(8, N/64) default. Cosine to the own centroid is
+    * `element_at` into a broadcast-literal array of centroids + the
+    * native pair kernel: no join against a centroid table, no second
+    * scan. Ties (exact duplicate vectors) break by id, so the selection
+    * is fully specified and oracle-comparable.
+    *
+    * Output: (idCol, cluster, proto_rank) for the kept rows. */
+  def prototypesPerCluster(df: DataFrame, idCol: String, vecCol: String,
+                           m: Int, k: Int = 0): DataFrame = {
+    require(m >= 1, "prototypesPerCluster: m must be >= 1")
+    val kEff = if (k > 0) k else math.max(8L, df.count() / 64L).toInt
+    val cents = ivfCentroids(df, idCol, vecCol, kEff)
+    val assigned = ivfAssign(df.select(col(idCol), col(vecCol)), vecCol, cents)
+    val centArr = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val simToOwn = pairCosine(col(vecCol), element_at(centArr, col("cluster") + 1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(desc("__sim"), col(idCol))
+    assigned.withColumn("__sim", simToOwn)
+      .withColumn("proto_rank", row_number().over(w))
+      .filter(col("proto_rank") <= m)
+      .select(col(idCol), col("cluster"), col("proto_rank"))
+  }
+
+  /** DuckDB rendering of [[prototypesPerCluster]] — same seed/assignment
+    * CTEs as the semdedup oracle, rank via row_number over (sim DESC,
+    * id). */
+  def prototypesSql(m: Int, k: Int, dim: Int): String = {
+    val u60 = graft.generators.OracleGen.u60("vec_id", "ivf")
+    val sim = pairCosineSql("e.embedding", "c.cvec", dim)
+    val kExpr = if (k > 0) k.toString
+      else "(SELECT greatest(8, count(*) // 64) FROM embeddings)"
+    s"""WITH csel AS (
+          SELECT vec_id, embedding FROM embeddings ORDER BY ${u60}, vec_id LIMIT ${kExpr}
+        ), cent AS (
+          SELECT row_number() OVER (ORDER BY ${u60}, vec_id) - 1 AS ci, embedding AS cvec
+          FROM csel
+        ), sims AS (
+          SELECT e.vec_id, e.embedding, c.ci, ${sim} AS sim FROM embeddings e, cent c
+        ), assigned AS (
+          SELECT vec_id, ci, sim FROM (
+            SELECT vec_id, ci, sim,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, ci) AS rn
+            FROM sims) WHERE rn = 1
+        ), ranked AS (
+          SELECT vec_id, ci, row_number() OVER (PARTITION BY ci ORDER BY sim DESC, vec_id) AS proto_rank
+          FROM assigned
+        )
+        SELECT vec_id, ci::INT AS cluster, proto_rank::INT AS proto_rank
+        FROM ranked WHERE proto_rank <= ${m} ORDER BY vec_id"""
+  }
+
   /** DuckDB rendering of [[semDedup]] — same hash-rank centroid seed,
     * same argmax assignment (first-index tie-break == row_number by sim
     * DESC, ci), same min-id-survives pair rule. */

@@ -38,6 +38,36 @@ class SemDedupSpec extends SparkSpec {
     assert(run(docs.repartition(7)) == run(docs.coalesce(1)))
   }
 
+  test("prototypes: per-cluster top-m by own-centroid cosine, ties by id") {
+    // cluster 0 centroid will be seeded from the data; with exact
+    // duplicates the tie must break by id (lower id ranks first)
+    val df = Seq(
+      (1L, vec(1, 0, 0, 0)),
+      (2L, vec(1, 0, 0, 0)),
+      (3L, vec(0.9, 0.1, 0, 0)),
+      (4L, vec(0, 1, 0, 0)),
+      (5L, vec(0, 0.9, 0.1, 0))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.prototypesPerCluster(df, "vec_id", "embedding", m = 2, k = 2)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(2))).toMap
+    // every cluster keeps at most m=2 rows; 5 rows, 2 clusters -> <= 4 kept
+    assert(out.size <= 4)
+    // the duplicate pair 1,2: both cosine-1.0 to their centroid, so id
+    // breaks the tie -> 1 ranks strictly before 2
+    if (out.contains(1L) && out.contains(2L)) assert(out(1L) < out(2L))
+    graft.plans.Checkpoints.releaseAll()
+  }
+
+  test("prototypes: rank is partition-count invariant on the fixture") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.prototypesPerCluster(df, "vec_id", "embedding", m = 8, k = 4)
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(run(e.repartition(7)) == run(e.coalesce(1)))
+  }
+
   test("every row comes back exactly once with a cluster in range") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val n = docs.count()
