@@ -1206,6 +1206,45 @@ object SparkEntry {
             WHERE doc_id NOT IN (SELECT doc_id FROM bad)
             ORDER BY doc_id"""
       }),
+    // Bloom-prefiltered decontamination: same exact-anti-join contract as
+    // q_decontaminate_exact (bloom false positives are removed by the
+    // verify join, false negatives don't exist), so the oracle is the
+    // plain NOT IN — what differs is the plan: the corpus probes a
+    // broadcast bloom instead of shuffling its digests. Holdout here is
+    // every 7th doc to keep the query independent of the %5 exact row.
+    "q_decontaminate_bloom" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        Curation.decontaminateBloom(docs, docs.filter(col("doc_id") % 7 === 0), "text")
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""SELECT doc_id FROM documents
+              WHERE sha256(text) NOT IN
+                (SELECT sha256(text) FROM documents WHERE doc_id % 7 = 0)
+              ORDER BY doc_id""")),
+
+    // ----- LLM ops: curation scores (integer nano-nat log parity) -----
+    "q_unigram_xent" -> Q(
+      (s, dir) => Curation.unigramCrossEntropy(rd(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(Curation.unigramCrossEntropySql("documents", "doc_id", "text") +
+        " ORDER BY doc_id")),
+    "q_dsir_weights" -> Q(
+      (s, dir) => Curation.dsirWeights(rd(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en").orderBy("doc_id"),
+      Some(Curation.dsirWeightsSql("documents", "doc_id", "text", "lang = 'en'") +
+        " ORDER BY doc_id")),
+    "q_split_leakfree" -> Q(
+      (s, dir) => Curation.leakFreeSplit(rd(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(Curation.leakFreeSplitSql("documents", "doc_id", "text") +
+        " ORDER BY doc_id")),
+    "q_mix_temperature" -> Q(
+      (s, dir) => Curation.temperatureMixWeights(rd(s, dir, "documents"), "lang", "text",
+        budgetTokens = 1000000L).orderBy("lang"),
+      Some(Curation.temperatureMixWeightsSql("documents", "lang", "text", 1000000L) +
+        " ORDER BY lang")),
+
     // fraction of equal minhash streams = the classic unbiased Jaccard
     // estimator; integer-count / 8 => exact double parity with DuckDB
     "q_minhash_simest" -> Q(

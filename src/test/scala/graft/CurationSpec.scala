@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Curation, Dedup}
+
+/** Curation scoring ops: unigram cross-entropy, DSIR weights, bloom
+  * decontamination, leak-free splits, temperature mixture weights —
+  * model-checked against independent in-JVM reimplementations, plus the
+  * nano-nat quantization-boundary safety margin on the real fixture. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lnNano(x: Long): Long =
+    math.floor(math.log(x.toDouble) * 1e9 + 0.5).toLong
+
+  private val docs = Seq(
+    (1L, "the cat sat on the mat", "en"),
+    (2L, "the dog sat on the log", "en"),
+    (3L, "le chat aime le lait", "fr"),
+    (4L, "cat cat cat", "en"),
+    (5L, "", "fr")).toDF("doc_id", "text", "lang")
+
+  test("unigramCrossEntropy matches an exact integer model") {
+    val got = Curation.unigramCrossEntropy(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // independent model: corpus unigram freqs over whitespace tokens
+    val toks = Map(
+      1L -> Seq("the", "cat", "sat", "on", "the", "mat"),
+      2L -> Seq("the", "dog", "sat", "on", "the", "log"),
+      3L -> Seq("le", "chat", "aime", "le", "lait"),
+      4L -> Seq("cat", "cat", "cat"),
+      5L -> Seq.empty[String])
+    val freq = toks.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = freq.values.sum
+    val expect = toks.map { case (id, ts) =>
+      (id, ts.size.toLong, ts.map(t => lnNano(n) - lnNano(freq(t))).sum)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == expect)
+    // rare-token docs must score higher per token than common-token docs:
+    // doc 4 is all "cat" (freq 4); doc 3 is unique French tokens
+    val perTok = got.map(r => r._1 -> (if (r._2 == 0) 0.0 else r._3.toDouble / r._2)).toMap
+    assert(perTok(3L) > perTok(4L))
+    assert(perTok(5L) == 0.0)
+  }
+
+  test("dsirWeights matches an exact integer model and prefers target-like docs") {
+    val buckets = 16
+    val got = Curation.dsirWeights(docs, "doc_id", "text",
+      col("lang") === "en", buckets, tweak = "tst")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // independent model via the engine's own u60 (already model-checked in
+    // GenSpec) evaluated through a 1-column DataFrame
+    val allToks = Seq(
+      (1L, true, Seq("the", "cat", "sat", "on", "the", "mat")),
+      (2L, true, Seq("the", "dog", "sat", "on", "the", "log")),
+      (3L, false, Seq("le", "chat", "aime", "le", "lait")),
+      (4L, true, Seq("cat", "cat", "cat")),
+      (5L, false, Seq.empty[String]))
+    val vocabulary = allToks.flatMap(_._3).distinct
+    val b = vocabulary.toDF("token")
+      .select(col("token"), (generators.Gen.u60(col("token"), "tst") % buckets).as("b"))
+      .as[(String, Long)].collect().toMap
+    val flat = allToks.flatMap { case (id, tgt, ts) => ts.map(t => (id, tgt, b(t))) }
+    val r = flat.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val t = flat.groupBy(_._3).view.mapValues(_.count(_._2).toLong).toMap
+    val (bigR, bigT) = (flat.size.toLong, flat.count(_._2).toLong)
+    val expect = allToks.map { case (id, _, ts) =>
+      val s = ts.map { tok =>
+        lnNano(t(b(tok)) + 1) - lnNano(r(b(tok)) + 1)
+      }.sum + ts.size * (lnNano(bigR + buckets) - lnNano(bigT + buckets))
+      (id, ts.size.toLong, s)
+    }.sortBy(_._1)
+    assert(got.toSeq == expect)
+    // direction: an English doc should be more target-like than the French one
+    val w = got.map(x => x._1 -> x._3).toMap
+    assert(w(1L) > w(3L), s"en doc should outscore fr doc: $w")
+  }
+
+  test("decontaminateBloom equals the exact anti-join on the fixture corpus") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val holdout = corpus.filter(col("doc_id") % 3 === 0)
+    val viaBloom = Curation.decontaminateBloom(corpus, holdout, "text")
+      .select("doc_id").as[Long].collect().toSet
+    val exact = Dedup.crossCorpusExact(corpus, holdout, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaBloom == exact)
+    assert(viaBloom.nonEmpty)
+    // false-negative impossibility, spot-checked: no holdout text survives
+    val holdoutTexts = holdout.select("text").as[String].collect().toSet
+    val survivors = Curation.decontaminateBloom(corpus, holdout, "text")
+      .select("text").as[String].collect()
+    assert(!survivors.exists(holdoutTexts.contains))
+  }
+
+  test("decontaminateBloom with an empty holdout keeps everything") {
+    val corpus = docs
+    val out = Curation.decontaminateBloom(corpus, corpus.filter(lit(false)), "text")
+    assert(out.count() == corpus.count())
+  }
+
+  test("leakFreeSplit keeps every near-dup cluster in one split") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val split = Curation.leakFreeSplit(corpus, "doc_id", "text", testPm = 200, valPm = 200)
+    val rows = split.as[(Long, Long, String)].collect()
+    assert(rows.map(_._1).toSet == corpus.select("doc_id").as[Long].collect().toSet)
+    assert(rows.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+    // every cluster maps to exactly one split
+    val byCluster = rows.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(byCluster.values.forall(_.size == 1))
+    // the split is a pure function of the rep: recompute independently
+    val reps = rows.map(_._2).distinct.toSeq
+    val bucketOf = reps.toDF("r")
+      .select(col("r"), (generators.Gen.u60(col("r"), "split") % 1000).as("b"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (_, rep, s) =>
+      val b = bucketOf(rep)
+      val want = if (b < 200) "test" else if (b < 400) "val" else "train"
+      assert(s == want, s"rep $rep bucket $b: got $s want $want")
+    }
+    // with 20/20/60 all three splits should be populated on 100 docs
+    assert(rows.map(_._3).toSet.size == 3)
+  }
+
+  test("temperatureMixWeights matches the exact sqrt model and upsamples small groups") {
+    val budget = 1000000L
+    val got = Curation.temperatureMixWeights(docs, "lang", "text", budget)
+      .as[(String, Long, Long, Double, Double, Long)].collect().sortBy(_._1)
+    // model: groups sorted, fold left-to-right, exactly-rounded ops only
+    val toks = Map("en" -> (3L, 15L), "fr" -> (2L, 6L)) // (n_docs, n_tokens)
+    val ordered = toks.toSeq.sortBy(_._1)
+    val total = ordered.foldLeft(0.0) { case (a, (_, (_, nt))) => a + math.sqrt(nt.toDouble) }
+    val expect = ordered.map { case (g, (nd, nt)) =>
+      val w = math.sqrt(nt.toDouble)
+      (g, nd, nt, w, w / total, math.floor(budget.toDouble * w / total).toLong)
+    }
+    assert(got.toSeq == expect)
+    // temperature flattening: fr holds 6/21 of tokens but gets a larger share
+    val fr = got.find(_._1 == "fr").get
+    assert(fr._5 > 6.0 / 21.0)
+    // grants never overshoot the budget
+    assert(got.map(_._6).sum <= budget)
+  }
+
+  test("empty-token docs count zero tokens in both scoring ops") {
+    // doc 5 has empty text: n_tokens 0, scores 0 (left-join coalesce path)
+    val x = Curation.unigramCrossEntropy(docs, "doc_id", "text")
+      .filter(col("doc_id") === 5).as[(Long, Long, Long)].head()
+    assert(x == ((5L, 0L, 0L)))
+    val d = Curation.dsirWeights(docs, "doc_id", "text", col("lang") === "en")
+      .filter(col("doc_id") === 5).as[(Long, Long, Long)].head()
+    assert(d == ((5L, 0L, 0L)))
+  }
+
+  test("nano-nat quantization boundary margin holds on the sf0.01 fixture domain") {
+    // The oracle contract tolerates a 1-ulp ln() discrepancy between the
+    // JVM and DuckDB ONLY because no ln input in the fixture domain lands
+    // within ~2e-6 of a flooring boundary. Pin a 1e-4 margin over every
+    // value lnNano actually sees at sf0.01: corpus freqs, totals, DSIR
+    // smoothed bucket counts and totals.
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val toks = d.select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val freqs = toks.groupBy("token").count().select("count").as[Long].collect()
+    val n = freqs.sum
+    val buckets = 256
+    val bucketed = toks.select((generators.Gen.u60(col("token"), "dsir") % buckets).as("b"))
+      .groupBy("b").count().select("count").as[Long].collect()
+    val domain = (freqs ++ bucketed.map(_ + 1) ++
+      Seq(n, n + buckets) ++ (1L to 1000L)).distinct
+    domain.foreach { v =>
+      val x = math.log(v.toDouble) * 1e9 + 0.5
+      val dist = math.abs(x - math.rint(x))
+      assert(dist > 1e-4, s"ln($v)*1e9 too close to a flooring boundary: $x")
+    }
+  }
+}
