@@ -104,39 +104,45 @@ object Curation {
     * Positive = more target-like; resample by weight downstream
     * (e.g. [[Sampling.weighted]]).
     *
-    * Scale shape: the bucket-stats aggregate is map-side combinable into
-    * exactly B rows, which broadcast back onto the token stream; one
-    * per-doc aggregate follows. No corpus-sized state is cached.
-    * `targetPred` is any deterministic row predicate over `df`'s columns
-    * (the "target domain" sample).
+    * Scale shape: two corpus passes total — the bucket-stats aggregate
+    * (map-side combinable into exactly B rows, a bounded driver
+    * reduction), then one per-doc aggregate where each token's
+    * log-ratio comes from an O(1) array-literal index (element_at on a
+    * B-entry literal; a map literal would linear-scan its keys per
+    * token, and a broadcast join would re-tokenize for a third pass).
+    * No corpus-sized state is cached. `targetPred` is any deterministic
+    * row predicate over `df`'s columns (the "target domain" sample).
     */
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
                   targetPred: Column, buckets: Int = 256,
                   tweak: String = "dsir"): DataFrame = {
     require(buckets >= 2, "dsirWeights: need >= 2 buckets")
+    def lnNanoL(x: Long): Long = math.floor(math.log(x.toDouble) * 1e9 + 0.5).toLong
     val toks = df
       .select(col(idCol), targetPred.as("is_target"),
         explode(TextOps.tokens(col(textCol))).as("token"))
       .filter(length(col("token")) > 0)
       .select(col(idCol), col("is_target"),
         (Gen.u60(col("token"), tweak) % buckets).as("bucket"))
-    val stats = toks.groupBy("bucket")
+    val statsRows = toks.groupBy("bucket")
       .agg(count(lit(1)).as("r"),
         sum(when(col("is_target"), 1L).otherwise(0L)).as("t"))
-    // R/T totals are two scalars — bounded 1-row driver reduction, then
-    // literal constants in the per-doc plan (see unigramCrossEntropy).
-    val totRow = toks.agg(count(lit(1)).as("r"),
-      sum(when(col("is_target"), 1L).otherwise(0L)).as("t")).head()
-    val bigR = totRow.getLong(0)
-    val bigT = if (totRow.isNullAt(1)) 0L else totRow.getLong(1)
-    val agg = toks.join(broadcast(stats), "bucket")
+      .collect() // bounded: <= buckets rows
+    val bigR = statsRows.map(_.getLong(1)).sum
+    val bigT = statsRows.map(_.getLong(2)).sum
+    // per-bucket ln((t+1)) - ln((r+1)) in nano-nats; a bucket absent from
+    // the stats pass cannot appear in the scoring pass (same data), so
+    // the 0L filler is never read
+    val lrByBucket = statsRows.map(r => r.getLong(0) -> (lnNanoL(r.getLong(2) + 1) -
+      lnNanoL(r.getLong(1) + 1))).toMap
+    val lrArr = Seq.tabulate(buckets)(b => lrByBucket.getOrElse(b.toLong, 0L))
+    val perDocConst = lnNanoL(bigR + buckets) - lnNanoL(bigT + buckets)
+    val agg = toks
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"),
-        sum(lnNano(col("t") + 1) - lnNano(col("r") + 1)).as("sum_lr"))
+        sum(element_at(typedLit(lrArr), (col("bucket") + 1).cast("int"))).as("sum_lr"))
       .select(col(idCol), col("n_tokens"),
-        (col("sum_lr") + col("n_tokens") *
-          (lnNano(lit(bigR + buckets)) - lnNano(lit(bigT + buckets))))
-          .as("dsir_nanonats"))
+        (col("sum_lr") + col("n_tokens") * lit(perDocConst)).as("dsir_nanonats"))
     df.select(col(idCol)).join(agg, Seq(idCol), "left_outer")
       .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("dsir_nanonats"), lit(0L)).as("dsir_nanonats"))
