@@ -1245,6 +1245,14 @@ object SparkEntry {
       Some(Curation.temperatureMixWeightsSql("documents", "lang", "text", 1000000L) +
         " ORDER BY lang")),
 
+    // pairwise source-overlap: per-source MinHash signature agreement;
+    // integer-count / 32 => exact double parity with DuckDB
+    "q_source_overlap" -> Q(
+      (s, dir) => Corpus.sourceOverlapMinhash(rd(s, dir, "documents"), "source", "text")
+        .orderBy("src_a", "src_b"),
+      Some(Corpus.sourceOverlapMinhashSql("documents", "source", "text") +
+        " ORDER BY src_a, src_b")),
+
     // fraction of equal minhash streams = the classic unbiased Jaccard
     // estimator; integer-count / 8 => exact double parity with DuckDB
     "q_minhash_simest" -> Q(

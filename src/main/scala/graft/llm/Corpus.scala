@@ -122,6 +122,65 @@ object Corpus {
             ORDER BY h LIMIT ${k}))"""
   }
 
+  /** Pairwise source-overlap estimation: the Jaccard similarity between
+    * each pair of sources' shingle sets, estimated by per-source MinHash
+    * sketches — the "how redundant are my sources?" curation signal that
+    * decides whether two crawls/snapshots are worth keeping both of.
+    *
+    * Per source, the element-wise minimum of its docs' 2·`nDigests`
+    * native signature streams IS the source's own MinHash signature
+    * (min of per-doc minima = min over the source's shingle union), so
+    * one fused per-doc pass + one map-side-combinable min-aggregate
+    * produces a (sources × streams) relation of fixed size. Pairs then
+    * come from an EQUI-join on (stream, min-value) — two sources match
+    * on a stream iff they agree on its minimum — never a source×source
+    * cross product; sim_est = matching streams / streams (the classic
+    * unbiased estimator, exact n/2^k double). Pairs sharing zero
+    * streams (est 0) are absent from the output by construction, in
+    * both engines.
+    *
+    * Scale shape: the corpus-sized part is one narrow signature pass;
+    * everything after operates on sources·streams rows. */
+  def sourceOverlapMinhash(df: DataFrame, groupCol: String, textCol: String,
+                           nDigests: Int = 16, shingleN: Int = 3): DataFrame = {
+    val m = 2 * nDigests
+    val sig = df.select(col(groupCol).as("g"),
+      TextOps.minhashSignatureFromText(col(textCol), shingleN, nDigests).as("sig"))
+    val aggs = (0 until m).map(i => min(element_at(col("sig"), i + 1)).as(s"m$i"))
+    val mins = sig.groupBy("g").agg(aggs.head, aggs.tail: _*)
+    val entries = mins
+      .select(col("g"), posexplode(array((0 until m).map(i => col(s"m$i")): _*))
+        .as(Seq("stream", "v")))
+      .filter(col("v").isNotNull)
+    entries.as("a").join(entries.as("b"),
+        col("a.stream") === col("b.stream") && col("a.v") === col("b.v") &&
+          col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("src_a"), col("b.g").as("src_b"))
+      .agg(count(lit(1)).as("n_match"))
+      .select(col("src_a"), col("src_b"), col("n_match"),
+        (col("n_match").cast("double") / m).as("sim_est"))
+  }
+
+  def sourceOverlapMinhashSql(table: String, groupCol: String, textCol: String,
+                              nDigests: Int = 16, shingleN: Int = 3): String = {
+    val m = 2 * nDigests
+    val sh = TextOps.shinglesSql(textCol, shingleN)
+    val minCols = (0 until m).map(i => s"min(${TextOps.minhashSql(sh, i)}) AS m$i")
+    s"""WITH mins AS (
+          SELECT ${groupCol} AS g, ${minCols.mkString(", ")}
+          FROM ${table} GROUP BY ${groupCol}),
+        ent AS (
+          SELECT g, unnest(range(0, ${m})) AS stream,
+                 unnest([${(0 until m).map(i => s"m$i").mkString(", ")}]) AS v
+          FROM mins),
+        ent2 AS (SELECT * FROM ent WHERE v IS NOT NULL)
+        SELECT a.g AS src_a, b.g AS src_b, count(*) AS n_match,
+               (count(*)::DOUBLE / ${m}) AS sim_est
+        FROM ent2 a JOIN ent2 b
+          ON a.stream = b.stream AND a.v = b.v AND a.g < b.g
+        GROUP BY a.g, b.g"""
+  }
+
   /** CCNet-style boilerplate removal: drop every line that appears in at
     * least `minDocs` DISTINCT documents (nav bars, cookie banners, footers
     * — the lines whose very repetition marks them as template, not

@@ -151,6 +151,36 @@ class CurationSpec extends SparkSpec {
     assert(d == ((5L, 0L, 0L)))
   }
 
+  test("sourceOverlapMinhash: identical sources estimate 1.0, disjoint ones are absent") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "s1"),
+      (2L, "alpha beta gamma delta epsilon zeta", "s2"), // identical shingles as s1
+      (3L, "one two three four five six seven", "s3") // disjoint from both
+    ).toDF("doc_id", "text", "source")
+    val got = graft.llm.Corpus.sourceOverlapMinhash(corpus, "source", "text")
+      .as[(String, String, Long, Double)].collect().toSeq.sortBy(r => (r._1, r._2))
+    // s1/s2 share every shingle -> every stream minimum agrees -> est 1.0;
+    // s3 shares no shingle with either -> no stream can agree (min over
+    // disjoint sets collides only by hash accident) -> pair absent
+    assert(got == Seq(("s1", "s2", 32L, 1.0)))
+  }
+
+  test("sourceOverlapMinhash estimate tracks true Jaccard on a half-overlap") {
+    // two sources sharing half their shingle universe: J = 1/3
+    val a = (0 until 40).map(i => s"common$i w$i x$i").zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "sa") }
+    val b = (0 until 40).map(i => s"common$i w$i x$i").zipWithIndex
+      .map { case (t, i) => (100L + i, t, "sb") } // identical: J = 1
+    val c = (0 until 40).map(i => s"other$i y$i z$i").zipWithIndex
+      .map { case (t, i) => (200L + i, t, "sc") } // disjoint from sa
+    val corpus = (a ++ b ++ c).toDF("doc_id", "text", "source")
+    val est = graft.llm.Corpus.sourceOverlapMinhash(corpus, "source", "text")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(est(("sa", "sb")) == 1.0)
+    assert(!est.contains(("sa", "sc")))
+  }
+
   test("nano-nat quantization boundary margin holds on the sf0.01 fixture domain") {
     // The oracle contract tolerates a 1-ulp ln() discrepancy between the
     // JVM and DuckDB ONLY because no ln input in the fixture domain lands
