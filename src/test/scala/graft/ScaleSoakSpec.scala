@@ -91,6 +91,91 @@ class ScaleSoakSpec extends SparkSpec {
     assert(i10 == i1, s"iterations changed with block count: $i1 -> $i10")
   }
 
+  private def docsFull = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    .select("doc_id", "text", "lang", "source")
+
+  private def inflateFull(df: DataFrame, k: Int): DataFrame =
+    (0 until k).map(i =>
+      df.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        col("text"), col("lang"), col("source")))
+      .reduce(_ unionByName _)
+
+  test("unigram cross-entropy: 10x duplication keeps per-token scores stable") {
+    import graft.llm.Curation
+    def scores(df: DataFrame): Map[Long, (Long, Long)] =
+      Curation.unigramCrossEntropy(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val s1 = scores(docs)
+    val s10 = scores(inflate(docs, 10))
+    assert(s10.size == s1.size * 10)
+    s1.foreach { case (id, (n, x1)) =>
+      val (n10, x10) = s10(id)
+      assert(n10 == n)
+      // every freq and N scale exactly 10x, so ln(N)-ln(f) is invariant
+      // up to the nano-nat quantization of each term: at most a few
+      // nanonats of drift per token
+      assert(math.abs(x10 - x1) <= 5L * n.max(1L),
+        s"doc $id xent drifted: $x1 -> $x10 over $n tokens")
+      // copies must score identically to their original (pure function
+      // of text + corpus stats)
+      assert(s10(id + 10000000L) == ((n10, x10)))
+    }
+  }
+
+  test("dsirWeights: 10x duplication keeps bucket stats at B rows and copies identical") {
+    import graft.llm.Curation
+    def run(df: DataFrame): Map[Long, (Long, Long)] =
+      Curation.dsirWeights(df, "doc_id", "text", col("lang") === "en")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val s1 = run(docsFull)
+    val s10 = run(inflateFull(docsFull, 10))
+    assert(s10.size == s1.size * 10)
+    // NOTE: absolute scores are NOT duplication-invariant — add-one
+    // smoothing shrinks relative to 10x bucket counts (ln(10t+1)-ln(t+1)
+    // ~ ln 10 for sparse buckets) — but the score stays a pure function
+    // of text + corpus stats, and the target-vs-rest separation the
+    // weights exist for must survive the scale-up.
+    s1.keys.foreach { id =>
+      assert(s10(id) == s10(id + 10000000L), s"copy of doc $id scored differently")
+      assert(s10(id)._1 == s1(id)._1, s"doc $id token count changed")
+    }
+    def meanByTarget(df: DataFrame, s: Map[Long, (Long, Long)]): (Double, Double) = {
+      val isEn = df.select("doc_id", "lang").collect()
+        .map(r => r.getLong(0) -> (r.getString(1) == "en")).toMap
+      val (en, rest) = s.toSeq.partition { case (id, _) => isEn(id) }
+      (en.map(_._2._2.toDouble).sum / en.size, rest.map(_._2._2.toDouble).sum / rest.size)
+    }
+    val (en1, rest1) = meanByTarget(docsFull, s1)
+    val (en10, rest10) = meanByTarget(inflateFull(docsFull, 10), s10)
+    assert(en1 > rest1 && en10 > rest10,
+      s"target separation lost: 1x ($en1 vs $rest1), 10x ($en10 vs $rest10)")
+  }
+
+  test("decontaminateBloom still equals the exact anti-join at 10x") {
+    import graft.llm.{Curation, Dedup}
+    val corpus = inflate(docs, 10)
+    // holdout from BASE docs only: with copies included every text would
+    // be contaminated (copy ids sweep all mod-7 residues) and the
+    // equality would hold trivially on empty sets
+    val holdout = corpus.filter(col("doc_id") < 10000000L && col("doc_id") % 7 === 0)
+    val viaBloom = Curation.decontaminateBloom(corpus, holdout, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = Dedup.crossCorpusExact(corpus, holdout, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaBloom == exact)
+    assert(viaBloom.nonEmpty)
+  }
+
+  test("sourceOverlapMinhash: 10x duplication leaves the estimate matrix identical") {
+    import graft.llm.Corpus
+    def matrix(df: DataFrame): Set[(String, String, Long)] =
+      Corpus.sourceOverlapMinhash(df, "source", "text")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // duplicating docs does not change any source's shingle set, so the
+    // per-source sketches — and the whole pairwise matrix — are invariant
+    assert(matrix(inflateFull(docsFull, 10)) == matrix(docsFull))
+  }
+
   test("boilerplate-line removal scales linearly in rows at 10x") {
     def run(df: DataFrame): Long = {
       val n = Corpus.removeBoilerplateLines(df, "doc_id", "text", minDocs = 3).count()
