@@ -1229,6 +1229,11 @@ object SparkEntry {
         .orderBy("doc_id"),
       Some(Curation.unigramCrossEntropySql("documents", "doc_id", "text") +
         " ORDER BY doc_id")),
+    "q_bigram_xent" -> Q(
+      (s, dir) => Curation.bigramCrossEntropy(rd(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(Curation.bigramCrossEntropySql("documents", "doc_id", "text") +
+        " ORDER BY doc_id")),
     "q_dsir_weights" -> Q(
       (s, dir) => Curation.dsirWeights(rd(s, dir, "documents"), "doc_id", "text",
         col("lang") === "en").orderBy("doc_id"),

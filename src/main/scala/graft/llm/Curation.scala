@@ -87,6 +87,65 @@ object Curation {
                         - a.sum_ln, 0) AS xent_nanonats
         FROM ${table} d LEFT JOIN __agg a USING (${idCol})"""
 
+  /** Per-document cross-entropy under the corpus bigram LM (MLE, no
+    * smoothing needed: every scored bigram was observed), in integer
+    * nano-nats: xent2 = sum over bigrams of [ln f(prev) - ln f(prev,cur)]
+    * = -sum ln p(cur|prev). The conditional-LM upgrade of
+    * [[unigramCrossEntropy]] — repetitive/templated text scores near 0,
+    * original prose scores high; CCNet's LM filter signal with the corpus
+    * itself as the LM. f(prev,cur) <= f(prev) always (every bigram
+    * occurrence is an occurrence of prev with a successor), so terms are
+    * non-negative up to quantization.
+    *
+    * Scale shape: two map-side-combinable Zipf-small vocab aggregates
+    * (unigram + bigram), joined back onto the bigram stream; bigrams
+    * cross the exchange as strings once to build the frequency table —
+    * the same shape [[Corpus.bigramNovelty]] runs at corpus scale.
+    * Output: (idCol, n_bigrams, xent2_nanonats); docs with < 2 tokens
+    * score (0, 0). */
+  def bigramCrossEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val fu = toks.groupBy("token").agg(count(lit(1)).as("fu"))
+    val bgs = df.select(col(idCol), explode_outer(TextOps.shingles(col(textCol), 2)).as("bg"))
+      .filter(col("bg").isNotNull)
+      .withColumn("prev", split_part(col("bg"), lit(" "), lit(1)))
+      .filter(length(col("prev")) > 0 && length(split_part(col("bg"), lit(" "), lit(2))) > 0)
+    val fb = bgs.groupBy("bg").agg(count(lit(1)).as("fb"))
+    val agg = bgs.join(fb, "bg")
+      .join(fu, col("prev") === col("token"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(lnNano(col("fu")) - lnNano(col("fb"))).as("xent2_nanonats"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("xent2_nanonats"), lit(0L)).as("xent2_nanonats"))
+  }
+
+  def bigramCrossEntropySql(table: String, idCol: String, textCol: String): String =
+    s"""WITH __toks AS (
+          SELECT ${idCol}, token FROM (
+            SELECT ${idCol}, unnest(${TextOps.tokensSql(textCol)}) AS token
+            FROM ${table})
+          WHERE length(token) > 0),
+        __fu AS (SELECT token, count(*) AS fu FROM __toks GROUP BY token),
+        __bgs AS (
+          SELECT ${idCol}, bg, split_part(bg, ' ', 1) AS prev FROM (
+            SELECT ${idCol}, unnest(${TextOps.shinglesSql(textCol, 2)}) AS bg
+            FROM ${table})
+          WHERE bg IS NOT NULL
+            AND length(split_part(bg, ' ', 1)) > 0
+            AND length(split_part(bg, ' ', 2)) > 0),
+        __fb AS (SELECT bg, count(*) AS fb FROM __bgs GROUP BY bg),
+        __agg AS (
+          SELECT ${idCol}, count(*) AS n_bigrams,
+                 sum(${lnNanoSql("fu")} - ${lnNanoSql("fb")})::BIGINT AS xent2_nanonats
+          FROM __bgs JOIN __fb USING (bg) JOIN __fu ON __bgs.prev = __fu.token
+          GROUP BY ${idCol})
+        SELECT d.${idCol}, coalesce(a.n_bigrams, 0) AS n_bigrams,
+               coalesce(a.xent2_nanonats, 0) AS xent2_nanonats
+        FROM ${table} d LEFT JOIN __agg a USING (${idCol})"""
+
   // ---------------------------------------------------------------------
   // DSIR: data selection via importance resampling (hashed n-grams)
   // ---------------------------------------------------------------------

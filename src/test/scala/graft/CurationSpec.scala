@@ -43,6 +43,34 @@ class CurationSpec extends SparkSpec {
     assert(perTok(5L) == 0.0)
   }
 
+  test("bigramCrossEntropy matches an exact integer model; repetition scores low") {
+    val corpus = docs.union(Seq((6L, "go go go go go go", "en")).toDF("doc_id", "text", "lang"))
+    val got = Curation.bigramCrossEntropy(corpus, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val toks = Map(
+      1L -> Seq("the", "cat", "sat", "on", "the", "mat"),
+      2L -> Seq("the", "dog", "sat", "on", "the", "log"),
+      3L -> Seq("le", "chat", "aime", "le", "lait"),
+      4L -> Seq("cat", "cat", "cat"),
+      5L -> Seq.empty[String],
+      6L -> Seq("go", "go", "go", "go", "go", "go"))
+    val fu = toks.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bigrams = toks.view.mapValues(ts => ts.zip(ts.drop(1))).toMap
+    val fb = bigrams.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = bigrams.map { case (id, bs) =>
+      (id, bs.size.toLong, bs.map(b => lnNano(fu(b._1)) - lnNano(fb(b))).sum)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == expect)
+    // "go go go..." is perfectly predictable under its own bigram LM:
+    // p(go|go) = 5/6 -> near-zero xent per bigram; doc 1's bigrams are
+    // mostly unique given their prefix -> high xent
+    val perBg = got.map(r => r._1 -> (if (r._2 == 0) 0.0 else r._3.toDouble / r._2)).toMap
+    assert(perBg(6L) < perBg(1L) / 2)
+    // conditional probabilities <= 1 => every per-doc total stays >= 0
+    // (up to one nano-nat of quantization per bigram)
+    got.foreach(r => assert(r._3 >= -r._2))
+  }
+
   test("dsirWeights matches an exact integer model and prefers target-like docs") {
     val buckets = 16
     val got = Curation.dsirWeights(docs, "doc_id", "text",
@@ -195,7 +223,9 @@ class CurationSpec extends SparkSpec {
     val buckets = 256
     val bucketed = toks.select((generators.Gen.u60(col("token"), "dsir") % buckets).as("b"))
       .groupBy("b").count().select("count").as[Long].collect()
-    val domain = (freqs ++ bucketed.map(_ + 1) ++
+    val bigramFreqs = d.select(explode(graft.llm.TextOps.shingles(col("text"), 2)).as("bg"))
+      .groupBy("bg").count().select("count").as[Long].collect()
+    val domain = (freqs ++ bucketed.map(_ + 1) ++ bigramFreqs ++
       Seq(n, n + buckets) ++ (1L to 1000L)).distinct
     domain.foreach { v =>
       val x = math.log(v.toDouble) * 1e9 + 0.5
