@@ -60,6 +60,19 @@ object StreamingMask {
       .drop("__h")
   }
 
+  /** Bloom-prefiltered streaming decontamination — output identical to
+    * [[streamingDecontaminate]], but the common case (a clean row) never
+    * enters ANY join: the holdout bloom is built once at plan time
+    * (batch-side bounded reduction) and probed as a literal inside each
+    * micro-batch, so only the ~fpp false-positive sliver reaches the
+    * stream-static anti join. Delegates to
+    * [[graft.llm.Curation.decontaminateBloom]], whose plan (literal
+    * probe + self-union + stream-static LEFT ANTI) is streaming-safe. */
+  def streamingDecontaminateBloom(stream: DataFrame, holdout: DataFrame,
+                                  textCol: String, expectedItems: Long = 100000L,
+                                  fpp: Double = 0.01): DataFrame =
+    graft.llm.Curation.decontaminateBloom(stream, holdout, textCol, expectedItems, fpp)
+
   case class SessionState(count: Long, lastMs: Long)
   case class SessionUpdate(user_id: Long, n_events: Long, closed: Boolean)
 

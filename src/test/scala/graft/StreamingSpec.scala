@@ -241,6 +241,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bloom decontamination matches the exact streaming variant") {
+    implicit val sqlCtx = spark.sqlContext
+    val texts = (0 until 60).map(i => s"stream doc number $i with payload $i")
+    val holdout = texts.zipWithIndex.collect { case (t, i) if i % 5 == 0 => t }.toDF("text")
+    val input = MemoryStream[(Long, String)]
+    val cleaned = StreamingMask.streamingDecontaminateBloom(
+      input.toDF().toDF("doc_id", "text"), holdout, "text", expectedItems = 100L)
+    val q = cleaned.writeStream.format("memory").queryName("decon_bloom_out")
+      .outputMode("append").start()
+    try {
+      input.addData(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+      q.processAllAvailable()
+      val kept = spark.table("decon_bloom_out").select("doc_id").as[Long].collect().sorted.toSeq
+      // exactly the non-holdout docs survive — bloom false positives were
+      // exact-verified away, and false negatives cannot exist
+      assert(kept == (0 until 60).filter(_ % 5 != 0).map(_.toLong))
+    } finally q.stop()
+  }
+
   test("streaming asof forward/nearest: randomized parity with the batch operator") {
     import graft.streaming.StreamingAsOf
     import graft.ops.AsOfJoin
