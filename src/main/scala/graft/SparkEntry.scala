@@ -1229,6 +1229,13 @@ object SparkEntry {
         .orderBy("doc_id"),
       Some(Curation.unigramCrossEntropySql("documents", "doc_id", "text") +
         " ORDER BY doc_id")),
+    // distributed BPE tokenizer induction: 12 merge rounds over the
+    // word-frequency table; oracle = the identical induction unrolled as
+    // 12 CTE rounds (argmax + replace per round) in DuckDB
+    "q_bpe_merges" -> Q(
+      (s, dir) => Bpe.train(rd(s, dir, "documents"), "text", nMerges = 12)
+        .orderBy("step"),
+      Some(Bpe.trainSql("documents", "text", nMerges = 12) + " ORDER BY step")),
     "q_bigram_xent" -> Q(
       (s, dir) => Curation.bigramCrossEntropy(rd(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id"),

@@ -209,6 +209,52 @@ class CurationSpec extends SparkSpec {
     assert(!est.contains(("sa", "sc")))
   }
 
+  test("Bpe.train matches an independent in-JVM BPE on the fixture corpus") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = graft.llm.Bpe.train(corpus, "text", nMerges = 8)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    // reference: classic Sennrich-style BPE over the word-frequency dict
+    val words = corpus.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).groupBy("w").count()
+      .as[(String, Long)].collect().toMap
+    var syms: Map[Vector[String], Long] =
+      words.toSeq.map { case (w, f) => w.toVector.map(_.toString) -> f }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def applyMerge(s: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i < s.length - 1 && s(i) == a && s(i + 1) == b) { out += (a + b); i += 2 }
+        else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+    val expect = (1 to 8).map { step =>
+      val pairs = syms.toSeq.flatMap { case (s, f) =>
+        s.zip(s.drop(1)).map(p => p -> f)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val ((a, b), c) = pairs.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+      syms = syms.toSeq.map { case (s, f) => applyMerge(s, a, b) -> f }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      (step, a, b, c)
+    }
+    assert(got == expect)
+    // merged symbols grow: later rounds can merge earlier merge outputs
+    assert(got.exists(m => m._2.length > 1 || m._3.length > 1),
+      s"no compound merge in 8 rounds: $got")
+  }
+
+  test("BPE merge application is left-to-right non-overlapping") {
+    val corpus = Seq((1L, "go go go")).toDF("doc_id", "text")
+    // unigram chars: g,o ; best first merge is (g,o) count 3; second round
+    // has [go,go,go] per word... one word "go" repeated as 3 tokens: word
+    // table is {go: 3} -> symbols [g,o]; merge 1 = (g,o)x3 -> [go];
+    // no adjacent pairs remain -> exhausted after 1 merge
+    val got = graft.llm.Bpe.train(corpus, "text", nMerges = 5)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "g", "o", 3L)))
+  }
+
   test("nano-nat quantization boundary margin holds on the sf0.01 fixture domain") {
     // The oracle contract tolerates a 1-ulp ln() discrepancy between the
     // JVM and DuckDB ONLY because no ln input in the fixture domain lands
