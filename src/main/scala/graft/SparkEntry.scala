@@ -22,6 +22,12 @@ object SparkEntry {
   private def rd(s: SparkSession, dir: String, t: String): DataFrame =
     s.read.parquet(s"$dir/$t.parquet")
 
+  /** Fixed merge table for q_bpe_tokencount — rule order matters (later
+    * rules consume earlier merges' outputs: th+e, an+d). */
+  val bpeFixedMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "t" -> "h", "th" -> "e", "o" -> "n",
+    "a" -> "n", "an" -> "d", "in" -> "g")
+
   private case class Q(fn: (SparkSession, String) => DataFrame, sql: Option[String])
 
   /** Mechanical scalar-transformer query: SELECT id, t(input) AS out FROM
@@ -1236,6 +1242,13 @@ object SparkEntry {
       (s, dir) => Bpe.train(rd(s, dir, "documents"), "text", nMerges = 12)
         .orderBy("step"),
       Some(Bpe.trainSql("documents", "text", nMerges = 12) + " ORDER BY step")),
+    // tokenize under a FIXED production-style merge table (compounding
+    // rules included: th+e, an+d chain through earlier merges)
+    "q_bpe_tokencount" -> Q(
+      (s, dir) => Bpe.tokenCount(rd(s, dir, "documents"), "doc_id", "text",
+        SparkEntry.bpeFixedMerges).orderBy("doc_id"),
+      Some(Bpe.tokenCountSql("documents", "doc_id", "text",
+        SparkEntry.bpeFixedMerges) + " ORDER BY doc_id")),
     "q_bigram_xent" -> Q(
       (s, dir) => Curation.bigramCrossEntropy(rd(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id"),
@@ -1256,6 +1269,12 @@ object SparkEntry {
         budgetTokens = 1000000L).orderBy("lang"),
       Some(Curation.temperatureMixWeightsSql("documents", "lang", "text", 1000000L) +
         " ORDER BY lang")),
+
+    "q_mad_outliers" -> Q(
+      (s, dir) => Corpus.madOutliers(rd(s, dir, "documents"), "doc_id", "lang", "n_chars")
+        .orderBy("doc_id"),
+      Some(Corpus.madOutliersSql("documents", "doc_id", "lang", "n_chars") +
+        " ORDER BY doc_id")),
 
     // pairwise source-overlap: per-source MinHash signature agreement;
     // integer-count / 32 => exact double parity with DuckDB

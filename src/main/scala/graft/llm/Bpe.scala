@@ -81,6 +81,51 @@ object Bpe {
     merges.toSeq.toDF("step", "lhs", "rhs", "pair_count")
   }
 
+  /** Apply a merge table to one token column: fold the merges (in rule
+    * order) over the char-symbol string — each application is the same
+    * left-to-right non-overlapping replace the trainer uses. */
+  private def applyMerges(t: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(toSymbols(t)) { case (c, (a, b)) =>
+      replace(c, lit(Sep + a + Sep + b + Sep), lit(Sep + a + b + Sep))
+    }
+
+  /** Per-document token count under a GIVEN BPE merge table (e.g. the
+    * output of [[train]], or a fixed production tokenizer's rules) —
+    * the sizing signal the token-budget / packing / mixing operators
+    * consume, under the real tokenizer instead of the whitespace proxy.
+    *
+    * Pure per-row expression work (HOF fold over the doc's tokens, a
+    * replace chain per token): no shuffle, no UDF, corpus never leaves
+    * its scan partitions. Symbol count per token = separators - 1
+    * (counted as a length difference). Output: (idCol, n_ws_tokens,
+    * n_bpe_tokens). */
+  def tokenCount(df: DataFrame, idCol: String, textCol: String,
+                 merges: Seq[(String, String)]): DataFrame = {
+    val toks = filter(TextOps.tokens(col(textCol)), t => length(t) > 0)
+    val perTok = transform(toks, t => {
+      val s = applyMerges(t, merges)
+      length(s) - length(replace(s, lit(Sep))) - 1
+    })
+    df.select(col(idCol), size(toks).cast("long").as("n_ws_tokens"),
+      aggregate(perTok, lit(0L), (acc, x) => acc + x).as("n_bpe_tokens"))
+  }
+
+  def tokenCountSql(table: String, idCol: String, textCol: String,
+                    merges: Seq[(String, String)]): String = {
+    val base = s"chr(1) || regexp_replace(t, '(?s)(.)', '\\1' || chr(1), 'g')"
+    val applied = merges.foldLeft(base) { case (c, (a, b)) =>
+      val esc = (x: String) => x.replace("'", "''")
+      s"replace(${c}, chr(1) || '${esc(a)}' || chr(1) || '${esc(b)}' || chr(1), " +
+        s"chr(1) || '${esc(a)}${esc(b)}' || chr(1))"
+    }
+    val toks = s"list_filter(${TextOps.tokensSql(textCol)}, t -> length(t) > 0)"
+    s"""SELECT ${idCol}, len(${toks})::BIGINT AS n_ws_tokens,
+          coalesce(list_sum(list_transform(${toks},
+            t -> length(${applied}) - length(replace(${applied}, chr(1), '')) - 1)), 0)::BIGINT
+            AS n_bpe_tokens
+        FROM ${table}"""
+  }
+
   /** Unrolled-CTE DuckDB rendering of the identical induction: round i
     * computes its pair table from round i-1's words, its argmax merge,
     * and the rewritten word table; an exhausted round contributes no

@@ -334,6 +334,68 @@ object Corpus {
           col("rank") > expr(s"n * $hiPct div 100"))
   }
 
+  /** Robust per-group outlier flags via median absolute deviation — the
+    * distribution-free cousin of z-scoring ("drop docs whose length is
+    * wildly atypical FOR THEIR LANGUAGE"), immune to the outliers it
+    * hunts, unlike a mean/stddev rule. Everything is exact integers in
+    * any engine: both medians are RANK-based lower medians (the row at
+    * rank (n+1) div 2 ordered by (value, id)), deviations are absolute
+    * differences, and the flag is `dev > k * max(mad, 1)` (the max
+    * guards the degenerate all-equal group where mad = 0).
+    *
+    * Scale shape: two window passes over the group key (a giant group
+    * streams through its sorted window) and two group-row-sized median
+    * joins that AQE broadcasts; nothing materializes per group.
+    * Output: (idCol, groupCol, valueCol, med, mad, is_outlier). */
+  def madOutliers(df: DataFrame, idCol: String, groupCol: String,
+                  valueCol: String, k: Int = 3): DataFrame = {
+    require(k >= 1, "madOutliers: k must be >= 1")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    def lowerMedian(in: DataFrame, vCol: String, out: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCol).orderBy(col(vCol), col(idCol))
+      in.withColumn("__rk", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(wAll))
+        .filter(col("__rk") === expr("(__n + 1) div 2"))
+        .select(col(groupCol), col(vCol).as(out))
+    }
+    val base = df.select(col(idCol), col(groupCol), col(valueCol))
+    val med = lowerMedian(base, valueCol, "med")
+    val dev = base.join(med, groupCol)
+      .withColumn("__dev", abs(col(valueCol) - col("med")))
+    val mad = lowerMedian(dev, "__dev", "mad")
+    dev.join(mad, groupCol)
+      .select(col(idCol), col(groupCol), col(valueCol), col("med"), col("mad"),
+        (col("__dev") > lit(k) * greatest(col("mad"), lit(1L))).as("is_outlier"))
+  }
+
+  def madOutliersSql(table: String, idCol: String, groupCol: String,
+                     valueCol: String, k: Int = 3): String =
+    s"""WITH base AS (SELECT ${idCol}, ${groupCol}, ${valueCol} FROM ${table}),
+        med AS (
+          SELECT ${groupCol}, ${valueCol} AS med FROM (
+            SELECT ${groupCol}, ${valueCol},
+                   row_number() OVER (PARTITION BY ${groupCol}
+                     ORDER BY ${valueCol}, ${idCol}) AS rk,
+                   count(*) OVER (PARTITION BY ${groupCol}) AS n
+            FROM base)
+          WHERE rk = (n + 1) // 2),
+        dev AS (
+          SELECT b.${idCol}, b.${groupCol}, b.${valueCol}, m.med,
+                 abs(b.${valueCol} - m.med) AS d
+          FROM base b JOIN med m USING (${groupCol})),
+        mad AS (
+          SELECT ${groupCol}, d AS mad FROM (
+            SELECT ${groupCol}, d,
+                   row_number() OVER (PARTITION BY ${groupCol}
+                     ORDER BY d, ${idCol}) AS rk,
+                   count(*) OVER (PARTITION BY ${groupCol}) AS n
+            FROM dev)
+          WHERE rk = (n + 1) // 2)
+        SELECT dev.${idCol}, dev.${groupCol}, dev.${valueCol}, dev.med, mad.mad,
+               (dev.d > ${k} * greatest(mad.mad, 1)) AS is_outlier
+        FROM dev JOIN mad USING (${groupCol})"""
+
   def lengthOutliersSql(table: String, idCol: String, groupCol: String,
                         lenCol: String, loPct: Int, hiPct: Int): String =
     s"""SELECT ${idCol}, ${groupCol}, ${lenCol}, rank, n,

@@ -255,6 +255,62 @@ class CurationSpec extends SparkSpec {
     assert(got == Seq((1, "g", "o", 3L)))
   }
 
+  test("Bpe.tokenCount applies a merge table like the reference fold") {
+    val corpus = Seq(
+      (1L, "the thin thing"),
+      (2L, "and other things er in"),
+      (3L, "")).toDF("doc_id", "text")
+    val merges = graft.SparkEntry.bpeFixedMerges
+    val got = graft.llm.Bpe.tokenCount(corpus, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    def applyAll(word: String): Vector[String] = {
+      var s = word.toVector.map(_.toString)
+      merges.foreach { case (a, b) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i < s.length - 1 && s(i) == a && s(i + 1) == b) { out += (a + b); i += 2 }
+          else { out += s(i); i += 1 }
+        }
+        s = out.result()
+      }
+      s
+    }
+    val expect = Seq(
+      (1L, "the thin thing"), (2L, "and other things er in"), (3L, "")).map {
+      case (id, t) =>
+        val ws = t.split(" ").filter(_.nonEmpty).toSeq
+        (id, ws.size.toLong, ws.map(w => applyAll(w).size.toLong).sum)
+    }
+    assert(got.toSeq == expect)
+    // sanity on the rules: "the" -> [th]+[e] -> [the]? no: merges are
+    // (t,h) then (th,e) -> one symbol; "thing" -> th,in,g -> th,ing: 2
+    assert(applyAll("the") == Vector("the"))
+    assert(applyAll("thing") == Vector("th", "ing"))
+    // BPE always compresses vs characters, never below 1 symbol per word
+    got.filter(_._2 > 0).foreach(r => assert(r._3 >= r._2))
+  }
+
+  test("madOutliers flags the planted extreme, not the robust bulk") {
+    // group g: tight bulk around 100 plus one wild value; group h all-equal
+    val rows = Seq(
+      (1L, "g", 100L), (2L, "g", 101L), (3L, "g", 99L), (4L, "g", 102L),
+      (5L, "g", 98L), (6L, "g", 5000L),
+      (7L, "h", 7L), (8L, "h", 7L), (9L, "h", 7L)).toDF("doc_id", "lang", "n_chars")
+    val got = graft.llm.Corpus.madOutliers(rows, "doc_id", "lang", "n_chars")
+      .as[(Long, String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // g sorted: 98,99,100,101,102,5000 -> lower median rank 3 = 100;
+    // devs: 2,1,0,1,2,4900 -> sorted 0,1,1,2,2,4900 -> mad = 1
+    (1L to 5L).foreach(id => assert(!got(id)._6, s"bulk doc $id flagged"))
+    assert(got(6L)._6, "planted extreme not flagged")
+    assert(got(6L)._4 == 100L && got(6L)._5 == 1L)
+    // all-equal group: mad 0 -> guard max(mad,1); nothing flagged
+    (7L to 9L).foreach(id => assert(!got(id)._6))
+    // a mean/stddev rule would be dragged by the 5000: median was not
+    assert(got(1L)._4 == 100L)
+  }
+
   test("nano-nat quantization boundary margin holds on the sf0.01 fixture domain") {
     // The oracle contract tolerates a 1-ulp ln() discrepancy between the
     // JVM and DuckDB ONLY because no ln input in the fixture domain lands
