@@ -98,25 +98,27 @@ object Curation {
     * non-negative up to quantization.
     *
     * Scale shape: two map-side-combinable Zipf-small vocab aggregates
-    * (unigram + bigram), joined back onto the bigram stream; bigrams
-    * cross the exchange as strings once to build the frequency table —
-    * the same shape [[Corpus.bigramNovelty]] runs at corpus scale.
-    * Output: (idCol, n_bigrams, xent2_nanonats); docs with < 2 tokens
-    * score (0, 0). */
+    * (unigram + bigram); the unigram freqs join onto the DISTINCT-bigram
+    * vocab (vocab-sized), never onto the corpus bigram stream, so each
+    * distinct bigram's nano-nat term is priced exactly once and the
+    * corpus probes a single precomputed term table (one corpus-side
+    * join + the per-doc aggregate). Output: (idCol, n_bigrams,
+    * xent2_nanonats); docs with < 2 tokens score (0, 0). */
   def bigramCrossEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
       .filter(length(col("token")) > 0)
     val fu = toks.groupBy("token").agg(count(lit(1)).as("fu"))
     val bgs = df.select(col(idCol), explode_outer(TextOps.shingles(col(textCol), 2)).as("bg"))
       .filter(col("bg").isNotNull)
+      .filter(length(split_part(col("bg"), lit(" "), lit(1))) > 0 &&
+        length(split_part(col("bg"), lit(" "), lit(2))) > 0)
+    val terms = bgs.groupBy("bg").agg(count(lit(1)).as("fb"))
       .withColumn("prev", split_part(col("bg"), lit(" "), lit(1)))
-      .filter(length(col("prev")) > 0 && length(split_part(col("bg"), lit(" "), lit(2))) > 0)
-    val fb = bgs.groupBy("bg").agg(count(lit(1)).as("fb"))
-    val agg = bgs.join(fb, "bg")
       .join(fu, col("prev") === col("token"))
+      .select(col("bg"), (lnNano(col("fu")) - lnNano(col("fb"))).as("term"))
+    val agg = bgs.join(terms, "bg")
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(lnNano(col("fu")) - lnNano(col("fb"))).as("xent2_nanonats"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("xent2_nanonats"))
     df.select(col(idCol)).join(agg, Seq(idCol), "left_outer")
       .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("xent2_nanonats"), lit(0L)).as("xent2_nanonats"))
@@ -136,11 +138,15 @@ object Curation {
           WHERE bg IS NOT NULL
             AND length(split_part(bg, ' ', 1)) > 0
             AND length(split_part(bg, ' ', 2)) > 0),
-        __fb AS (SELECT bg, count(*) AS fb FROM __bgs GROUP BY bg),
+        __terms AS (
+          SELECT bg, ${lnNanoSql("fu")} - ${lnNanoSql("fb")} AS term FROM (
+            SELECT bg, count(*) AS fb, split_part(bg, ' ', 1) AS prev
+            FROM __bgs GROUP BY bg) f
+          JOIN __fu ON f.prev = __fu.token),
         __agg AS (
           SELECT ${idCol}, count(*) AS n_bigrams,
-                 sum(${lnNanoSql("fu")} - ${lnNanoSql("fb")})::BIGINT AS xent2_nanonats
-          FROM __bgs JOIN __fb USING (bg) JOIN __fu ON __bgs.prev = __fu.token
+                 sum(term)::BIGINT AS xent2_nanonats
+          FROM __bgs JOIN __terms USING (bg)
           GROUP BY ${idCol})
         SELECT d.${idCol}, coalesce(a.n_bigrams, 0) AS n_bigrams,
                coalesce(a.xent2_nanonats, 0) AS xent2_nanonats
