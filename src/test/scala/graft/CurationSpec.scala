@@ -311,6 +311,68 @@ class CurationSpec extends SparkSpec {
     assert(got(1L)._4 == 100L)
   }
 
+  test("randomized model parity: unigram/bigram xent and DSIR on generated corpora") {
+    val rnd = new scala.util.Random(8118)
+    val alphabet = Vector("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op")
+    (1 to 3).foreach { trial =>
+      val corpus = (0 until 40).map { i =>
+        val n = rnd.nextInt(12) // 0-token docs included
+        (i.toLong, Seq.fill(n)(alphabet(rnd.nextInt(alphabet.size))).mkString(" "),
+          if (rnd.nextBoolean()) "en" else "fr")
+      }
+      val df = corpus.toDF("doc_id", "text", "lang")
+      val toks = corpus.map { case (id, t, _) =>
+        id -> t.split(" ").filter(_.nonEmpty).toSeq
+      }.toMap
+
+      // unigram xent model
+      val fu = toks.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = fu.values.sum.max(1L)
+      val wantU = toks.view.mapValues(ts =>
+        (ts.size.toLong, ts.map(t => lnNano(n) - lnNano(fu(t))).sum)).toMap
+      val gotU = Curation.unigramCrossEntropy(df, "doc_id", "text")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(gotU == wantU, s"trial $trial unigram mismatch")
+
+      // bigram xent model
+      val bgs = toks.view.mapValues(ts => ts.zip(ts.drop(1))).toMap
+      val fb = bgs.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val wantB = bgs.view.mapValues(bs =>
+        (bs.size.toLong, bs.map(b => lnNano(fu(b._1)) - lnNano(fb(b))).sum)).toMap
+      val gotB = Curation.bigramCrossEntropy(df, "doc_id", "text")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(gotB == wantB, s"trial $trial bigram mismatch")
+
+      // DSIR model (reuse the engine's u60 only for the bucket routing)
+      val buckets = 8
+      val bkt = alphabet.toDF("token")
+        .select(col("token"), (generators.Gen.u60(col("token"), "dsir") % buckets).as("b"))
+        .as[(String, Long)].collect().toMap
+      val isEn = corpus.map(c => c._1 -> (c._3 == "en")).toMap
+      val flat = toks.toSeq.flatMap { case (id, ts) => ts.map(t => (isEn(id), bkt(t))) }
+      val r = flat.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val t = flat.groupBy(_._2).view.mapValues(_.count(_._1).toLong).toMap
+      val (bigR, bigT) = (flat.size.toLong, flat.count(_._1).toLong)
+      val wantD = toks.map { case (id, ts) =>
+        id -> (ts.size.toLong,
+          ts.map(tok => lnNano(t.getOrElse(bkt(tok), 0L) + 1) -
+            lnNano(r.getOrElse(bkt(tok), 0L) + 1)).sum +
+            ts.size * (lnNano(bigR + buckets) - lnNano(bigT + buckets)))
+      }
+      val gotD = Curation.dsirWeights(df, "doc_id", "text",
+        col("lang") === "en", buckets).as[(Long, Long, Long)].collect()
+        .map(x => x._1 -> (x._2, x._3)).toMap
+      assert(gotD == wantD, s"trial $trial dsir mismatch")
+    }
+  }
+
+  test("every registered query carries an oracle except the inherent PRNG row") {
+    val noOracle = graft.SparkEntry.queries.keySet -- graft.SparkEntry.oracleSql.keySet
+    // q_random_engine is non-deterministic BY CONTRACT (PRNG engine) —
+    // nothing else may silently ship rows-only
+    assert(noOracle == Set("q_random_engine"), s"rows-only queries crept in: $noOracle")
+  }
+
   test("nano-nat quantization boundary margin holds on the sf0.01 fixture domain") {
     // The oracle contract tolerates a 1-ulp ln() discrepancy between the
     // JVM and DuckDB ONLY because no ln input in the fixture domain lands
