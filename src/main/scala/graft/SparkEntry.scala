@@ -1270,6 +1270,12 @@ object SparkEntry {
       Some(Curation.temperatureMixWeightsSql("documents", "lang", "text", 1000000L) +
         " ORDER BY lang")),
 
+    // per-cluster cohesion: nano-quantized own-centroid cosines summed
+    // exactly (the float-kernel analog of the nano-nat log discipline)
+    "q_cluster_quality" -> Q(
+      (s, dir) => Similarity.clusterQuality(rd(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("cluster"),
+      Some(Similarity.clusterQualitySql(k = 0, dim = 64) + " ORDER BY cluster")),
     "q_mad_outliers" -> Q(
       (s, dir) => Corpus.madOutliers(rd(s, dir, "documents"), "doc_id", "lang", "n_chars")
         .orderBy("doc_id"),

@@ -277,6 +277,59 @@ object Similarity {
         FROM ranked WHERE proto_rank <= ${m} ORDER BY vec_id"""
   }
 
+  /** Per-cluster cohesion report — n members + mean cosine to the own
+    * centroid: the IVF/k-means diagnostic that says whether clusters are
+    * tight enough for SemDeDup / prototype pruning to be meaningful.
+    * Each member's cosine is quantized to integer nano-units
+    * (`floor(cos*1e9 + 0.5)`), so the per-cluster SUM is order-free and
+    * engine-exact even though raw cosines can differ from DuckDB by an
+    * ulp (the same discipline as Curation's nano-nat logs; ~1e-7 of
+    * pre-floor drift vs a CurationSpec-pinned boundary margin). The mean
+    * is two exactly-rounded divisions over those integers. Assumes no
+    * zero vectors (cosine NaN would poison the cast, as everywhere in
+    * this file). One centroid-literal probe pass + one map-side
+    * combinable aggregate; nothing cluster-sized materializes. */
+  def clusterQuality(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int = 0): DataFrame = {
+    val kEff = if (k > 0) k else math.max(8L, df.count() / 64L).toInt
+    val cents = ivfCentroids(df, idCol, vecCol, kEff)
+    val assigned = ivfAssign(df.select(col(idCol), col(vecCol)), vecCol, cents)
+    val centArr = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val cosNano = floor(pairCosine(col(vecCol), element_at(centArr, col("cluster") + 1))
+      * lit(1e9) + lit(0.5)).cast("long")
+    assigned.withColumn("__cn", cosNano)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"), sum(col("__cn")).as("sum_cos_nano"))
+      .select(col("cluster"), col("n_members"), col("sum_cos_nano"),
+        (col("sum_cos_nano").cast("double") / col("n_members") / lit(1e9)).as("mean_cos"))
+  }
+
+  /** DuckDB rendering of [[clusterQuality]] — the semdedup oracle's
+    * seed/assignment CTEs, then the identical nano-quantized aggregate. */
+  def clusterQualitySql(k: Int, dim: Int): String = {
+    val u60 = graft.generators.OracleGen.u60("vec_id", "ivf")
+    val sim = pairCosineSql("e.embedding", "c.cvec", dim)
+    val kExpr = if (k > 0) k.toString
+      else "(SELECT greatest(8, count(*) // 64) FROM embeddings)"
+    s"""WITH csel AS (
+          SELECT vec_id, embedding FROM embeddings ORDER BY ${u60}, vec_id LIMIT ${kExpr}
+        ), cent AS (
+          SELECT row_number() OVER (ORDER BY ${u60}, vec_id) - 1 AS ci, embedding AS cvec
+          FROM csel
+        ), sims AS (
+          SELECT e.vec_id, c.ci, ${sim} AS sim FROM embeddings e, cent c
+        ), assigned AS (
+          SELECT vec_id, ci, sim FROM (
+            SELECT vec_id, ci, sim,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, ci) AS rn
+            FROM sims) WHERE rn = 1
+        )
+        SELECT ci::INT AS cluster, count(*) AS n_members,
+               sum(floor(sim * 1e9 + 0.5)::BIGINT)::BIGINT AS sum_cos_nano,
+               (sum(floor(sim * 1e9 + 0.5)::BIGINT)::DOUBLE / count(*)) / 1e9 AS mean_cos
+        FROM assigned GROUP BY ci"""
+  }
+
   /** DuckDB rendering of [[semDedup]] — same hash-rank centroid seed,
     * same argmax assignment (first-index tie-break == row_number by sim
     * DESC, ci), same min-id-survives pair rule. */

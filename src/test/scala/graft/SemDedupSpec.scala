@@ -27,6 +27,44 @@ class SemDedupSpec extends SparkSpec {
     graft.plans.Checkpoints.releaseAll()
   }
 
+  test("clusterQuality: counts cover the corpus, cohesion beats a planted split") {
+    // two tight bundles around orthogonal axes: every member's cosine to
+    // its own centroid must be near 1, so mean_cos is high in both
+    // clusters and membership partitions the input exactly
+    def jitter(base: Array[Float], i: Int): Array[Float] =
+      base.zipWithIndex.map { case (x, j) => x + (if (j == i % 4) 0.05f else 0f) }
+    val a = vec(1, 0, 0, 0); val b = vec(0, 1, 0, 0)
+    val df = ((0 until 12).map(i => (i.toLong, jitter(a, i))) ++
+      (12 until 24).map(i => (i.toLong, jitter(b, i)))).toDF("vec_id", "embedding")
+    val out = Similarity.clusterQuality(df, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._2).sum == 24L, "every vector must land in exactly one cluster")
+    out.foreach { case (ci, n, sumNano, mean) =>
+      assert(mean > 0.9, s"cluster $ci mean cosine $mean too low for a tight bundle")
+      // the emitted mean must be exactly the two-division projection of
+      // the integer sum (the engine-exact contract)
+      assert(mean == sumNano.toDouble / n / 1e9)
+    }
+  }
+
+  test("clusterQuality nano-cosine boundary margin holds on the sf0.01 fixture") {
+    // the oracle tolerates an ulp of cosine drift only because no
+    // own-centroid cosine lands within ~2e-7 (pre-floor) of a flooring
+    // boundary; pin a 1e-6 margin on the real fixture values
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val k = math.max(8L, e.count() / 64L).toInt
+    val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", k)
+    val assigned = Similarity.ivfAssign(e, "embedding", cents)
+    val centArr = array(cents.map(c => array(c.map(lit): _*)): _*)
+    val cos = Similarity.pairCosine(col("embedding"), element_at(centArr, col("cluster") + 1))
+    val xs = assigned.select((cos * lit(1e9) + lit(0.5)).as("x")).as[Double].collect()
+    xs.foreach { x =>
+      val dist = math.abs(x - math.rint(x))
+      assert(dist > 1e-6, s"own-centroid cosine too close to a flooring boundary: $x")
+    }
+  }
+
   test("keep flags are partition-count invariant") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def run(df: org.apache.spark.sql.DataFrame) = {
