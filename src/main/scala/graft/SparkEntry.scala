@@ -1571,6 +1571,12 @@ object SparkEntry {
       Some(Corpus.contaminatedIdsSql("documents", "doc_id", "text",
         Corpus.probeShingles("key agg row scan slow fast")) + " ORDER BY doc_id")),
 
+    "q_contamination_frac" -> Q(
+      (s, dir) => Corpus.contaminationFraction(rd(s, dir, "documents"), "doc_id", "text",
+        Corpus.probeShingles("key agg row scan slow fast")).orderBy("doc_id"),
+      Some(Corpus.contaminationFractionSql("documents", "doc_id", "text",
+        Corpus.probeShingles("key agg row scan slow fast")) + " ORDER BY doc_id")),
+
     "q_rolling_fp" -> Q(
       (s, dir) => rd(s, dir, "documents")
         .select(col("doc_id"), TextOps.rollingFingerprint(col("text")).as("roll_fp"))

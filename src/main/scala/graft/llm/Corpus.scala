@@ -59,6 +59,52 @@ object Corpus {
         WHERE list_has_any(${TextOps.shinglesSql(textCol, shingleN)}, ${list})"""
   }
 
+  /** Graded contamination: per-document FRACTION of distinct word
+    * n-grams that appear in the probe set — the thresholdable version of
+    * [[contaminatedIds]] (a one-shingle brush vs a verbatim inclusion
+    * score very different treatments deserve). Counts are distinct-
+    * shingle integers; the fraction is one exact IEEE division, so the
+    * whole row oracle-compares. Same plan as contaminatedIds: explode,
+    * broadcast-probe membership, per-doc aggregate — no shingle arrays
+    * in any exchange. Output: (idCol, n_shingles, n_hit, frac). */
+  def contaminationFraction(df: DataFrame, idCol: String, textCol: String,
+                            probe: Seq[String], shingleN: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val probeDf = probe.toDF("sh").distinct()
+    val sh = df.select(col(idCol),
+        explode_outer(TextOps.shingles(col(textCol), shingleN)).as("sh"))
+      .filter(col("sh").isNotNull).distinct()
+    val agg = sh.join(broadcast(probeDf.withColumn("__hit", lit(1L))), Seq("sh"), "left_outer")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(coalesce(col("n_shingles"), lit(0L)) === 0, lit(0.0d))
+          .otherwise(col("n_hit").cast("double") / col("n_shingles")).as("frac"))
+  }
+
+  def contaminationFractionSql(table: String, idCol: String, textCol: String,
+                               probe: Seq[String], shingleN: Int = 3): String = {
+    val list = probe.distinct.map(p => s"'${p.replace("'", "''")}'").mkString("[", ",", "]")
+    s"""WITH __sh AS (
+          SELECT DISTINCT ${idCol}, sh FROM (
+            SELECT ${idCol}, unnest(${TextOps.shinglesSql(textCol, shingleN)}) AS sh
+            FROM ${table})
+          WHERE sh IS NOT NULL),
+        __agg AS (
+          SELECT ${idCol}, count(*) AS n_shingles,
+                 sum(CASE WHEN list_contains(${list}, sh) THEN 1 ELSE 0 END)::BIGINT AS n_hit
+          FROM __sh GROUP BY ${idCol})
+        SELECT d.${idCol}, coalesce(a.n_shingles, 0) AS n_shingles,
+               coalesce(a.n_hit, 0) AS n_hit,
+               CASE WHEN coalesce(a.n_shingles, 0) = 0 THEN 0.0
+                    ELSE a.n_hit::DOUBLE / a.n_shingles END AS frac
+        FROM ${table} d LEFT JOIN __agg a USING (${idCol})"""
+  }
+
   /** Top-k characteristic terms per document, TF-IDF-style but projected
     * onto integers so it is exactly engine-comparable (a float ln() would
     * differ in the last ulp across libm implementations): rank within each

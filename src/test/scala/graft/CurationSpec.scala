@@ -366,6 +366,25 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("contaminationFraction grades overlap; binary check is its threshold") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat today ok"), // shares shingles with probe
+      (2L, "completely different words here entirely"),
+      (3L, "the cat sat"), // exactly one shingle, in probe
+      (4L, "x")).toDF("doc_id", "text") // too short for any shingle
+    val probe = graft.llm.Corpus.probeShingles("the cat sat on the mat")
+    val got = graft.llm.Corpus.contaminationFraction(corpus, "doc_id", "text", probe)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._3 == 4L && got(1L)._2 == 6L && got(1L)._4 == 4.0 / 6)
+    assert(got(2L)._3 == 0L && got(2L)._4 == 0.0)
+    assert(got(3L) == ((3L, 1L, 1L, 1.0)))
+    assert(got(4L) == ((4L, 0L, 0L, 0.0)))
+    // consistency with the binary operator: hit iff frac > 0
+    val binary = graft.llm.Corpus.contaminatedIds(corpus, "doc_id", "text", probe)
+      .as[Long].collect().toSet
+    assert(binary == got.filter(_._2._4 > 0).keySet)
+  }
+
   test("every registered query carries an oracle except the inherent PRNG row") {
     val noOracle = graft.SparkEntry.queries.keySet -- graft.SparkEntry.oracleSql.keySet
     // q_random_engine is non-deterministic BY CONTRACT (PRNG engine) —
