@@ -31,7 +31,8 @@ object Bench {
     "q_ivf_topk", "q_asof_join", "q_range_join", "q_boilerplate_lines",
     "q_interval_overlap", "q_unigram_stats", "q_random_numeric_big",
     "q_dedup_spans", "q_semdedup",
-    "q_unigram_xent", "q_dsir_weights", "q_decontaminate_bloom")
+    "q_unigram_xent", "q_dsir_weights", "q_decontaminate_bloom",
+    "q_bigram_xent", "q_source_overlap")
 
   private val tables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
