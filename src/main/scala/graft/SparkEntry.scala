@@ -1276,6 +1276,11 @@ object SparkEntry {
       (s, dir) => Similarity.clusterQuality(rd(s, dir, "embeddings"), "vec_id", "embedding")
         .orderBy("cluster"),
       Some(Similarity.clusterQualitySql(k = 0, dim = 64) + " ORDER BY cluster")),
+    "q_source_report" -> Q(
+      (s, dir) => Corpus.sourceQualityReport(rd(s, dir, "documents"), "source", "text", "lang")
+        .orderBy("source"),
+      Some(Corpus.sourceQualityReportSql("documents", "source", "text", "lang") +
+        " ORDER BY source")),
     "q_mad_outliers" -> Q(
       (s, dir) => Corpus.madOutliers(rd(s, dir, "documents"), "doc_id", "lang", "n_chars")
         .orderBy("doc_id"),

@@ -380,6 +380,38 @@ object Corpus {
           col("rank") > expr(s"n * $hiPct div 100"))
   }
 
+  /** Per-source corpus report card — the "which sources earn their keep"
+    * dashboard: doc/token volume, exact-duplicate pressure (distinct
+    * content hashes vs docs), quality-gate pass counts, aggregate alpha
+    * fraction, and language spread, in ONE map-side-combinable aggregate
+    * (+ the two-phase distinct counts). Every column is engine-exact:
+    * counts are integers, and the alpha fractions — exact IEEE divisions,
+    * bit-identical across engines — are floored to nano-units per doc so
+    * their SUM is order-free. Output: (groupCol, n_docs, n_tokens,
+    * n_distinct_texts, n_quality_pass, sum_alpha_nano, n_langs). */
+  def sourceQualityReport(df: DataFrame, groupCol: String, textCol: String,
+                          langCol: String): DataFrame =
+    df.groupBy(groupCol).agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextOps.tokenCount(col(textCol))).cast("long").as("n_tokens"),
+      countDistinct(sha2(col(textCol), 256)).as("n_distinct_texts"),
+      sum(when(TextOps.gopherKeep(col(textCol)), 1L).otherwise(0L)).as("n_quality_pass"),
+      sum(floor(TextOps.alphaFrac(col(textCol)) * lit(1e9) + lit(0.5)).cast("long"))
+        .as("sum_alpha_nano"),
+      countDistinct(col(langCol)).as("n_langs"))
+
+  def sourceQualityReportSql(table: String, groupCol: String, textCol: String,
+                             langCol: String): String =
+    s"""SELECT ${groupCol}, count(*) AS n_docs,
+          sum(${TextOps.tokenCountSql(textCol)})::BIGINT AS n_tokens,
+          count(DISTINCT sha256(${textCol})) AS n_distinct_texts,
+          sum(CASE WHEN ${TextOps.gopherKeepSql(textCol)} THEN 1 ELSE 0 END)::BIGINT
+            AS n_quality_pass,
+          sum(floor(${TextOps.alphaFracSql(textCol)} * 1e9 + 0.5)::BIGINT)::BIGINT
+            AS sum_alpha_nano,
+          count(DISTINCT ${langCol}) AS n_langs
+        FROM ${table} GROUP BY ${groupCol}"""
+
   /** Robust per-group outlier flags via median absolute deviation — the
     * distribution-free cousin of z-scoring ("drop docs whose length is
     * wildly atypical FOR THEIR LANGUAGE"), immune to the outliers it

@@ -385,6 +385,24 @@ class CurationSpec extends SparkSpec {
     assert(binary == got.filter(_._2._4 > 0).keySet)
   }
 
+  test("sourceQualityReport aggregates volume, dups, quality and language spread") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat and ran", "en", "sa"),
+      (2L, "the cat sat on the mat and ran", "en", "sa"), // exact dup of 1
+      (3L, "a completely original document with more words", "de", "sa"),
+      (4L, "x", "fr", "sb")) // fails the quality gate (too few tokens)
+      .toDF("doc_id", "text", "lang", "source")
+    val got = graft.llm.Corpus.sourceQualityReport(corpus, "source", "text", "lang")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val sa = got("sa")
+    assert(sa._2 == 3 && sa._3 == 8 + 8 + 7)
+    assert(sa._4 == 2, "exact dup must collapse in distinct-text count")
+    assert(sa._6 > 0 && sa._7 == 2)
+    val sb = got("sb")
+    assert(sb._2 == 1 && sb._5 == 0, "1-token doc must fail the quality gate")
+  }
+
   test("every registered query carries an oracle except the inherent PRNG row") {
     val noOracle = graft.SparkEntry.queries.keySet -- graft.SparkEntry.oracleSql.keySet
     // q_random_engine is non-deterministic BY CONTRACT (PRNG engine) —
