@@ -112,13 +112,16 @@ object Curation {
       .filter(col("bg").isNotNull)
       .filter(length(split_part(col("bg"), lit(" "), lit(1))) > 0 &&
         length(split_part(col("bg"), lit(" "), lit(2))) > 0)
-    val terms = bgs.groupBy("bg").agg(count(lit(1)).as("fb"))
+    // per-(doc, bigram) counts first: map-side combinable, and the term
+    // join then touches distinct pairs instead of bigram instances
+    val perDocBg = bgs.groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+    val terms = perDocBg.groupBy("bg").agg(sum("c").as("fb"))
       .withColumn("prev", split_part(col("bg"), lit(" "), lit(1)))
       .join(fu, col("prev") === col("token"))
       .select(col("bg"), (lnNano(col("fu")) - lnNano(col("fb"))).as("term"))
-    val agg = bgs.join(terms, "bg")
+    val agg = perDocBg.join(terms, "bg")
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("xent2_nanonats"))
+      .agg(sum("c").as("n_bigrams"), sum(col("c") * col("term")).as("xent2_nanonats"))
     df.select(col(idCol)).join(agg, Seq(idCol), "left_outer")
       .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("xent2_nanonats"), lit(0L)).as("xent2_nanonats"))
@@ -138,15 +141,17 @@ object Curation {
           WHERE bg IS NOT NULL
             AND length(split_part(bg, ' ', 1)) > 0
             AND length(split_part(bg, ' ', 2)) > 0),
+        __pdb AS (
+          SELECT ${idCol}, bg, count(*) AS c FROM __bgs GROUP BY ${idCol}, bg),
         __terms AS (
           SELECT bg, ${lnNanoSql("fu")} - ${lnNanoSql("fb")} AS term FROM (
-            SELECT bg, count(*) AS fb, split_part(bg, ' ', 1) AS prev
-            FROM __bgs GROUP BY bg) f
+            SELECT bg, sum(c)::BIGINT AS fb, split_part(bg, ' ', 1) AS prev
+            FROM __pdb GROUP BY bg) f
           JOIN __fu ON f.prev = __fu.token),
         __agg AS (
-          SELECT ${idCol}, count(*) AS n_bigrams,
-                 sum(term)::BIGINT AS xent2_nanonats
-          FROM __bgs JOIN __terms USING (bg)
+          SELECT ${idCol}, sum(c)::BIGINT AS n_bigrams,
+                 sum(c * term)::BIGINT AS xent2_nanonats
+          FROM __pdb JOIN __terms USING (bg)
           GROUP BY ${idCol})
         SELECT d.${idCol}, coalesce(a.n_bigrams, 0) AS n_bigrams,
                coalesce(a.xent2_nanonats, 0) AS xent2_nanonats
