@@ -623,8 +623,8 @@ object SparkEntry {
     "q_seq_max" -> Q(
       (s, dir) => rd(s, dir, "orders").agg(max("o_orderkey").as("seq_last")),
       Some("SELECT max(o_orderkey) AS seq_last FROM orders")),
-    // window function over event time (engine breadth; ts is epoch-nanos
-    // long on the Spark side via nanosAsLong, ordering is equivalent)
+    // window function over event time (engine breadth; ts is a
+    // TIMESTAMP_NTZ — ordering is type-native on both sides)
     "q_events_window" -> Q(
       (s, dir) => {
         val w = org.apache.spark.sql.expressions.Window
@@ -639,13 +639,12 @@ object SparkEntry {
     // ----- as-of / range joins (engine additions: operators Spark lacks,
     // single-shuffle window formulation / bucketed equi-join — see
     // ops/AsOfJoin.scala, ops/RangeJoin.scala) -----
-    // Times run in MICROseconds on both sides: the parquet is
-    // timestamp[ns] (a long in Spark via nanosAsLong) but DuckDB's
-    // TIMESTAMP truncates nanos to micros on read, so nanos can never
-    // hash-match — `ts div 1000` here ≡ epoch_us(ts) there.
+    // Times run in MICROseconds on both sides: the parquet `ts` is
+    // timestamp[us] (TIMESTAMP_NTZ in Spark); under the UTC session,
+    // `unix_micros(cast(ts as timestamp))` here ≡ `epoch_us(ts)` there.
     "q_asof_join" -> Q(
       (s, dir) => {
-        val ev = rd(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+        val ev = rd(s, dir, "events").withColumn("ts", expr("unix_micros(cast(ts as timestamp))"))
         graft.ops.AsOfJoin.backward(
           ev.filter(col("event_type") === "purchase"),
           ev.filter(col("event_type") === "view"),
@@ -662,7 +661,7 @@ object SparkEntry {
     // As-of FORWARD: earliest view at-or-after each purchase
     "q_asof_forward" -> Q(
       (s, dir) => {
-        val ev = rd(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+        val ev = rd(s, dir, "events").withColumn("ts", expr("unix_micros(cast(ts as timestamp))"))
         graft.ops.AsOfJoin.forward(
           ev.filter(col("event_type") === "purchase"),
           ev.filter(col("event_type") === "view"),
@@ -680,7 +679,7 @@ object SparkEntry {
     // resolving backward; out-of-tolerance matches null out
     "q_asof_nearest" -> Q(
       (s, dir) => {
-        val ev = rd(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+        val ev = rd(s, dir, "events").withColumn("ts", expr("unix_micros(cast(ts as timestamp))"))
         graft.ops.AsOfJoin.nearest(
           ev.filter(col("event_type") === "purchase"),
           ev.filter(col("event_type") === "view"),
@@ -700,7 +699,7 @@ object SparkEntry {
     // survive (atomic struct carry), not be back-filled from an older row
     "q_asof_nulls" -> Q(
       (s, dir) => {
-        val ev = rd(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+        val ev = rd(s, dir, "events").withColumn("ts", expr("unix_micros(cast(ts as timestamp))"))
         val right = ev.filter(col("event_type") === "view")
           .withColumn("value",
             when(col("event_id") % 3 === 0, lit(null)).otherwise(col("value")))
@@ -720,7 +719,7 @@ object SparkEntry {
         " ORDER BY user_id, ts, event_id")),
     "q_asof_tolerance" -> Q(
       (s, dir) => {
-        val ev = rd(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+        val ev = rd(s, dir, "events").withColumn("ts", expr("unix_micros(cast(ts as timestamp))"))
         graft.ops.AsOfJoin.backward(
           ev.filter(col("event_type") === "purchase"),
           ev.filter(col("event_type") === "view"),
@@ -739,7 +738,7 @@ object SparkEntry {
     // first-common-bucket filter (no pair-dedup shuffle)
     "q_interval_overlap" -> Q(
       (s, dir) => {
-        val ev = rd(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+        val ev = rd(s, dir, "events").withColumn("ts", expr("unix_micros(cast(ts as timestamp))"))
         val halfDay = 12L * 3600 * 1000000L
         val day = 24L * 3600 * 1000000L
         val views = ev.filter(col("event_type") === "view")
@@ -768,7 +767,7 @@ object SparkEntry {
 
     "q_range_join" -> Q(
       (s, dir) => {
-        val ev = rd(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+        val ev = rd(s, dir, "events").withColumn("ts", expr("unix_micros(cast(ts as timestamp))"))
         val day = 24L * 3600 * 1000000L
         val points = ev.filter(col("event_type") === "view")
           .select(col("user_id"), col("ts"), col("event_id"))
@@ -809,13 +808,14 @@ object SparkEntry {
         "FROM customer ORDER BY ck")),
 
     // Sessionization: idle-gap session ids per user (lag + running-sum
-    // windows; ts is epoch-nanos long on the Spark side)
+    // windows; epoch seconds derived from the TIMESTAMP_NTZ ts)
     "q_sessionize" -> Q(
       (s, dir) => graft.ops.Sessionize.sessions(rd(s, dir, "events"),
-          "user_id", expr("ts div 1000000000"), "event_id", gapSec = 3600)
+          "user_id", expr("unix_micros(cast(ts as timestamp)) div 1000000"),
+          "event_id", gapSec = 3600)
         .select("user_id", "event_id", "session_id")
         .orderBy("user_id", "event_id"),
-      // epoch_ns // 1e9 floors like Spark's `div` on the nanos long;
+      // epoch_ns // 1e9 floors like Spark's `div` on the micros long;
       // epoch(ts)::BIGINT would ROUND fractional seconds and flip
       // sessions whose gap straddles the boundary
       Some(graft.ops.Sessionize.sessionsSql("events", "user_id",
@@ -1493,6 +1493,15 @@ object SparkEntry {
       (s, dir) => Corpus.tokenTopK(rd(s, dir, "documents"), "text", 50)
         .orderBy(desc("n"), col("token")),
       Some(Corpus.tokenTopKSql("documents", "text", 50))),
+
+    // BM25 top-k retrieval: exact integer nano-nat scores (lnNano idf +
+    // fraction-cleared tf factor via 128-bit integral division), so the
+    // ranking is ulp-proof across engines
+    "q_bm25_topk" -> Q(
+      (s, dir) => Retrieval.bm25TopK(rd(s, dir, "documents"), "doc_id", "text")
+        .orderBy("query_id", "rank"),
+      Some(Retrieval.bm25TopKSql("documents", "doc_id", "text") +
+        " ORDER BY query_id, rank")),
 
     // Per-doc characteristic terms (integer tf/df projection of TF-IDF)
     "q_tfidf_topterms" -> Q(
