@@ -1503,6 +1503,38 @@ object SparkEntry {
       Some(Retrieval.bm25TopKSql("documents", "doc_id", "text") +
         " ORDER BY query_id, rank")),
 
+    // Corpus snapshot diff: snapshot B is derived from the fixture
+    // IDENTICALLY in both engines (drop %17 ids, append ' v2' to %13
+    // texts, add synthetic %23 ids) so added/removed/changed all occur
+    "q_snapshot_diff" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents").select("doc_id", "text", "source")
+        val b = docs.filter(col("doc_id") % 17 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(docs.filter(col("doc_id") % 23 === 0)
+            .select((col("doc_id") + 10000000L).as("doc_id"),
+              concat(lit("new "), col("source")).as("text")))
+        Corpus.snapshotDiff(docs.select("doc_id", "text"), b, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some(Corpus.snapshotDiffSql("documents",
+        """(SELECT doc_id,
+              CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+            FROM documents WHERE doc_id % 17 <> 0
+            UNION ALL
+            SELECT doc_id + 10000000 AS doc_id, 'new ' || source AS text
+            FROM documents WHERE doc_id % 23 = 0)""",
+        "doc_id", "text") + " ORDER BY doc_id")),
+
+    // Per-source vocabulary heavy hitters (WindowGroupLimit top-k per group)
+    "q_heavy_hitters" -> Q(
+      (s, dir) => Corpus.heavyHittersPerGroup(rd(s, dir, "documents"), "source", "text", 10)
+        .orderBy("source", "rank"),
+      Some(Corpus.heavyHittersPerGroupSql("documents", "source", "text", 10) +
+        " ORDER BY source, rank")),
+
     // Per-doc characteristic terms (integer tf/df projection of TF-IDF)
     "q_tfidf_topterms" -> Q(
       (s, dir) => Corpus.topTermsPerDoc(rd(s, dir, "documents"), "doc_id", "text", 3)

@@ -498,4 +498,82 @@ object Corpus {
           FROM __toks JOIN __vocab USING (token) GROUP BY ${idCol})
         SELECT d.${idCol}, coalesce(a.n_tokens, 0) AS n_tokens, a.sum_freq, a.min_freq
         FROM ${table} d LEFT JOIN __agg a USING (${idCol})"""
+
+  // ---------------------------------------------------------------------
+  // Corpus snapshot diff (incremental-pipeline CDC)
+  // ---------------------------------------------------------------------
+
+  /** Diff two corpus snapshots by content digest: which docs were added,
+    * removed, or changed between crawl/pipeline versions — the signal an
+    * incremental training-data pipeline uses to reprocess only the delta
+    * instead of re-running dedup/scoring over 100 TB.
+    *
+    * Scale shape: each side reduces IN THE SCAN to the fixed-width
+    * (id, md5) projection, so the single id-keyed full-outer join — the
+    * only shuffle — exchanges 48-byte rows, never text. Unchanged docs
+    * (the overwhelming majority) are dropped by a post-join filter.
+    * Output: (idCol, status ∈ added|removed|changed, old_digest,
+    * new_digest). */
+  def snapshotDiff(a: DataFrame, b: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val da = a.select(col(idCol).as("id"), md5(col(textCol)).as("old_digest"))
+    val db = b.select(col(idCol).as("id"), md5(col(textCol)).as("new_digest"))
+    da.join(db, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("old_digest").isNull, lit("added"))
+          .when(col("new_digest").isNull, lit("removed"))
+          .when(col("old_digest") =!= col("new_digest"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col("id").as(idCol), col("status"), col("old_digest"), col("new_digest"))
+  }
+
+  /** DuckDB rendering; `a`/`b` are table expressions (subqueries allowed). */
+  def snapshotDiffSql(a: String, b: String, idCol: String, textCol: String): String =
+    s"""SELECT coalesce(o.id, n.id) AS ${idCol},
+          CASE WHEN o.id IS NULL THEN 'added'
+               WHEN n.id IS NULL THEN 'removed'
+               WHEN o.old_digest <> n.new_digest THEN 'changed' END AS status,
+          o.old_digest, n.new_digest
+        FROM (SELECT ${idCol} AS id, md5(${textCol}) AS old_digest FROM ${a} AS __sa) o
+        FULL OUTER JOIN
+             (SELECT ${idCol} AS id, md5(${textCol}) AS new_digest FROM ${b} AS __sb) n
+        ON o.id = n.id
+        WHERE o.id IS NULL OR n.id IS NULL OR o.old_digest <> n.new_digest"""
+
+  // ---------------------------------------------------------------------
+  // Per-group heavy hitters
+  // ---------------------------------------------------------------------
+
+  /** Top-k most frequent tokens PER GROUP (per-source vocabulary heavy
+    * hitters — the per-stream view of [[tokenTopK]], used to spot a
+    * source whose token distribution drifted from the corpus).
+    *
+    * Scale shape: one map-side-combinable (group, token) aggregate; the
+    * per-group top-k is a `row_number ≤ k` window that Spark runs with
+    * WindowGroupLimit (per-partition partial limit before the per-group
+    * sort), so the full vocabulary is never globally sorted. */
+  def heavyHittersPerGroup(df: DataFrame, groupCol: String, textCol: String,
+                           k: Int): DataFrame = {
+    val counts = df.select(col(groupCol).as("grp"),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("grp", "token").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("n").desc, col("token").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("grp").as(groupCol), col("token"), col("n"), col("rank"))
+  }
+
+  def heavyHittersPerGroupSql(table: String, groupCol: String, textCol: String,
+                              k: Int): String =
+    s"""SELECT ${groupCol}, token, n, rank FROM (
+          SELECT ${groupCol}, token, n,
+                 row_number() OVER (PARTITION BY ${groupCol}
+                                    ORDER BY n DESC, token ASC) AS rank
+          FROM (
+            SELECT ${groupCol}, token, count(*) AS n FROM (
+              SELECT ${groupCol}, unnest(${TextOps.tokensSql(textCol)}) AS token
+              FROM ${table})
+            WHERE length(token) > 0 GROUP BY ${groupCol}, token))
+        WHERE rank <= ${k}"""
 }

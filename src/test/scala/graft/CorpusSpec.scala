@@ -336,4 +336,41 @@ class CorpusSpec extends SparkSpec {
     assert(!flags(2L))
     assert(!flags(3L))
   }
+
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    val a = Seq((1L, "alpha"), (2L, "bravo"), (3L, "charlie"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val b = Seq((1L, "alpha"), (2L, "bravo v2"), (4L, "delta"), (5L, "echo"))
+      .toDF("doc_id", "text")
+    val diff = Corpus.snapshotDiff(a, b, "doc_id", "text")
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(diff == Map(2L -> "changed", 3L -> "removed", 5L -> "added"))
+    // digests present on the populated side only
+    val row5 = Corpus.snapshotDiff(a, b, "doc_id", "text")
+      .filter(col("doc_id") === 5L).head()
+    assert(row5.isNullAt(row5.fieldIndex("old_digest")))
+    assert(!row5.isNullAt(row5.fieldIndex("new_digest")))
+  }
+
+  test("heavyHittersPerGroup matches per-group brute counts with tie-break") {
+    val df = Seq(
+      ("s1", "a a b c"), ("s1", "b a"), ("s2", "z z y"), ("s2", "y z x"))
+      .toDF("source", "text")
+    val got = Corpus.heavyHittersPerGroup(df, "source", "text", 2)
+      .as[(String, String, Long, Int)].collect().toSet
+    // s1: a:3 b:2; s2: z:3 y:2
+    assert(got == Set(("s1", "a", 3L, 1), ("s1", "b", 2L, 2),
+      ("s2", "z", 3L, 1), ("s2", "y", 2L, 2)))
+  }
+
+  test("heavyHittersPerGroup plans WindowGroupLimit, snapshotDiff plans one join") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val hh = Corpus.heavyHittersPerGroup(d, "source", "text", 5)
+    hh.collect()
+    assert(hh.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+    val diff = Corpus.snapshotDiff(d, d.limit(100), "doc_id", "text")
+    diff.collect()
+    val plan = diff.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
 }
