@@ -108,8 +108,13 @@ object Curation {
     val toks = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
       .filter(length(col("token")) > 0)
     val fu = toks.groupBy("token").agg(count(lit(1)).as("fu"))
+    // the explicit id-notnull filter matches the constraint the final
+    // left-outer join infers into the per-doc branch, so BOTH consumers
+    // of the (doc, bigram) aggregate canonicalize identically and
+    // ReuseExchange materializes the corpus-scale explode+shuffle ONCE
+    // (shuffle files written once, read twice — no caching)
     val bgs = df.select(col(idCol), explode_outer(TextOps.shingles(col(textCol), 2)).as("bg"))
-      .filter(col("bg").isNotNull)
+      .filter(col(idCol).isNotNull && col("bg").isNotNull)
       .filter(length(split_part(col("bg"), lit(" "), lit(1))) > 0 &&
         length(split_part(col("bg"), lit(" "), lit(2))) > 0)
     // per-(doc, bigram) counts first: map-side combinable, and the term
@@ -138,7 +143,7 @@ object Curation {
           SELECT ${idCol}, bg, split_part(bg, ' ', 1) AS prev FROM (
             SELECT ${idCol}, unnest(${TextOps.shinglesSql(textCol, 2)}) AS bg
             FROM ${table})
-          WHERE bg IS NOT NULL
+          WHERE ${idCol} IS NOT NULL AND bg IS NOT NULL
             AND length(split_part(bg, ' ', 1)) > 0
             AND length(split_part(bg, ' ', 2)) > 0),
         __pdb AS (

@@ -71,6 +71,18 @@ class CurationSpec extends SparkSpec {
     got.foreach(r => assert(r._3 >= -r._2))
   }
 
+  test("bigramCrossEntropy reuses the (doc,bigram) exchange — one corpus explode") {
+    // the explicit id-notnull filter keeps the fb branch and the per-doc
+    // branch canonically identical, so AQE materializes the corpus-scale
+    // explode+shuffle once; without it the shuffle runs twice at 100 TB
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = Curation.bigramCrossEntropy(d, "doc_id", "text")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"(doc,bg) exchange no longer reused:\n$plan")
+  }
+
   test("dsirWeights matches an exact integer model and prefers target-like docs") {
     val buckets = 16
     val got = Curation.dsirWeights(docs, "doc_id", "text",
