@@ -122,6 +122,33 @@ class ScaleSoakSpec extends SparkSpec {
     }
   }
 
+  test("bm25: 10x duplication keeps copies score-identical and per-term weights stable") {
+    import graft.llm.Retrieval
+    // per-copy invariance is EXACT: tf, dl are per-doc; N,T,df all scale
+    // 10x so num/den's 10T factor cancels and idf's inputs are shared by
+    // every copy — all 10 copies of a doc must get the same integer score
+    def scores(df: DataFrame): Map[(Int, Long), Long] =
+      Retrieval.bm25TopK(df, "doc_id", "text", Retrieval.DefaultQueries, k = 30)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val s10 = scores(inflate(docs, 10))
+    // every retrieved doc's 9 siblings score identically wherever retrieved
+    val byScore = s10.groupBy { case ((q, id), s) => (q, id % 10000000L, s) }
+    byScore.keys.groupBy { case (q, base, _) => (q, base) }.foreach {
+      case ((q, base), variants) =>
+        assert(variants.map(_._3).toSet.size == 1,
+          s"copies of doc $base in query $q diverged: $variants")
+    }
+    // idf drift vs 1x is bounded: ln((20N+2)/(20df+1)) vs ln((2N+2)/(2df+1))
+    // differ by < 1e-2 nat => scores within 1% of the 1x run
+    val s1 = scores(docs)
+    s1.foreach { case ((q, id), v1) =>
+      s10.get((q, id)).foreach { v10 =>
+        assert(math.abs(v10 - v1) <= v1 / 100 + 5,
+          s"($q,$id) drifted: $v1 -> $v10")
+      }
+    }
+  }
+
   test("dsirWeights: 10x duplication keeps bucket stats at B rows and copies identical") {
     import graft.llm.Curation
     def run(df: DataFrame): Map[Long, (Long, Long)] =
