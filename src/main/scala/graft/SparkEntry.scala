@@ -1528,6 +1528,12 @@ object SparkEntry {
             FROM documents WHERE doc_id % 23 = 0)""",
         "doc_id", "text") + " ORDER BY doc_id")),
 
+    // PMI collocations: integer nano-nat PMI over a fused unigram∪bigram
+    // gram stream — one corpus pass, Zipf-small checkpointed freq table
+    "q_pmi_collocations" -> Q(
+      (s, dir) => Corpus.pmiCollocations(rd(s, dir, "documents"), "text"),
+      Some(Corpus.pmiCollocationsSql("documents", "text"))),
+
     // Per-source vocabulary heavy hitters (WindowGroupLimit top-k per group)
     "q_heavy_hitters" -> Q(
       (s, dir) => Corpus.heavyHittersPerGroup(rd(s, dir, "documents"), "source", "text", 10)

@@ -500,6 +500,89 @@ object Corpus {
         FROM ${table} d LEFT JOIN __agg a USING (${idCol})"""
 
   // ---------------------------------------------------------------------
+  // PMI collocations
+  // ---------------------------------------------------------------------
+
+  /** Top-k bigram collocations by pointwise mutual information — the
+    * "which word pairs belong together" corpus-analysis signal (tokenizer
+    * vocab curation, multi-word-expression mining):
+    *
+    *   pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) )
+    *            = ln f(a,b) − ln T₂ + 2·ln T₁ − ln f(a) − ln f(b)
+    *
+    * in integer nano-nats ([[Curation.lnNano]] per term — the exact
+    * cross-engine discipline of the xent ops). `minCount` drops the
+    * low-support pairs whose PMI is inflated by rarity.
+    *
+    * Scale shape: ONE corpus pass — unigrams and bigrams fuse into a
+    * single gram stream (disjoint by construction: tokens cannot contain
+    * the space a bigram always has) feeding one map-side-combinable
+    * aggregate whose result is Zipf-small. That small relation is
+    * localCheckpoint'd (registered with [[graft.plans.Checkpoints]]) so
+    * the totals reduction and the two self-joins below it never re-run
+    * the corpus explode; the final top-k is an `orderBy(...).limit(k)`
+    * → TakeOrderedAndProject, never a global sort. */
+  def pmiCollocations(df: DataFrame, textCol: String,
+                      minCount: Int = 5, k: Int = 50): DataFrame = {
+    import graft.llm.Curation.lnNano
+    val grams = df.select(explode(concat(
+        filter(TextOps.tokens(col(textCol)), t => length(t) > lit(0)),
+        filter(TextOps.shingles(col(textCol), 2), b =>
+          length(split_part(b, lit(" "), lit(1))) > 0 &&
+            length(split_part(b, lit(" "), lit(2))) > 0))).as("g"))
+    val freqs = graft.plans.Checkpoints.materialize(
+      grams.groupBy("g").agg(count(lit(1)).as("f")))
+    val isBigram = col("g").contains(" ")
+    val tot = freqs.agg(
+      sum(when(isBigram, col("f"))).as("tb"),
+      sum(when(!isBigram, col("f"))).as("tu")).head()
+    val (tb, tu) = (tot.getLong(0), tot.getLong(1))
+    def lnNanoL(x: Long): Long = math.floor(math.log(x.toDouble) * 1e9 + 0.5).toLong
+    val uni = freqs.filter(!isBigram)
+    val cand = freqs.filter(isBigram && col("f") >= minCount)
+      .select(col("g").as("bg"), col("f").as("fb"),
+        split_part(col("g"), lit(" "), lit(1)).as("w1"),
+        split_part(col("g"), lit(" "), lit(2)).as("w2"))
+    cand
+      .join(broadcast(uni.select(col("g").as("w1"), col("f").as("f1"))), "w1")
+      .join(broadcast(uni.select(col("g").as("w2"), col("f").as("f2"))), "w2")
+      .select(col("bg"), col("fb"),
+        (lnNano(col("fb")) - lit(lnNanoL(tb)) + lit(2L * lnNanoL(tu)) -
+          lnNano(col("f1")) - lnNano(col("f2"))).as("pmi_nano"))
+      .orderBy(desc("pmi_nano"), col("bg"))
+      .limit(k)
+  }
+
+  def pmiCollocationsSql(table: String, textCol: String,
+                         minCount: Int = 5, k: Int = 50): String = {
+    import graft.llm.Curation.lnNanoSql
+    s"""WITH __grams AS (
+          SELECT unnest(list_concat(
+            list_filter(${TextOps.tokensSql(textCol)}, t -> length(t) > 0),
+            list_filter(${TextOps.shinglesSql(textCol, 2)}, b ->
+              length(split_part(b, ' ', 1)) > 0 AND
+              length(split_part(b, ' ', 2)) > 0))) AS g
+          FROM ${table}),
+        __freqs AS (SELECT g, count(*)::BIGINT AS f FROM __grams GROUP BY g),
+        __tot AS (
+          SELECT sum(CASE WHEN contains(g, ' ') THEN f END)::BIGINT AS tb,
+                 sum(CASE WHEN NOT contains(g, ' ') THEN f END)::BIGINT AS tu
+          FROM __freqs),
+        __cand AS (
+          SELECT g AS bg, f AS fb,
+                 split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2
+          FROM __freqs WHERE contains(g, ' ') AND f >= ${minCount})
+        SELECT bg, fb,
+               (${lnNanoSql("fb")} - (SELECT ${lnNanoSql("tb")} FROM __tot)
+                + 2 * (SELECT ${lnNanoSql("tu")} FROM __tot)
+                - ${lnNanoSql("u1.f")} - ${lnNanoSql("u2.f")}) AS pmi_nano
+        FROM __cand
+        JOIN __freqs u1 ON u1.g = __cand.w1
+        JOIN __freqs u2 ON u2.g = __cand.w2
+        ORDER BY pmi_nano DESC, bg LIMIT ${k}"""
+  }
+
+  // ---------------------------------------------------------------------
   // Corpus snapshot diff (incremental-pipeline CDC)
   // ---------------------------------------------------------------------
 

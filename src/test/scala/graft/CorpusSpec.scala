@@ -363,6 +363,49 @@ class CorpusSpec extends SparkSpec {
       ("s2", "z", 3L, 1), ("s2", "y", 2L, 2)))
   }
 
+  test("pmiCollocations matches an exact in-JVM model; collocation outranks chance pair") {
+    def lnNano(x: Long): Long = math.floor(math.log(x.toDouble) * 1e9 + 0.5).toLong
+    // "new york" always together; "the"/"cat" frequent but independent
+    val df = Seq(
+      "new york is big", "new york is old", "i like new york",
+      "the cat sat", "the dog sat", "cat and dog", "the end")
+      .toDF("text")
+    val got = Corpus.pmiCollocations(df, "text", minCount = 2, k = 10)
+      .as[(String, Long, Long)].collect()
+    // independent witness
+    val texts = df.as[String].collect().map(_.split(" ").filter(_.nonEmpty).toSeq)
+    val fu = texts.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fb = texts.flatMap(ts => ts.zip(ts.drop(1)).map(p => p._1 + " " + p._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tu = fu.values.sum
+    val tb = fb.values.sum
+    val expect = fb.collect { case (bg, f) if f >= 2 =>
+      val Array(a, b) = bg.split(" ")
+      (bg, f, lnNano(f) - lnNano(tb) + 2 * lnNano(tu) - lnNano(fu(a)) - lnNano(fu(b)))
+    }.toSeq.sortBy { case (bg, _, p) => (-p, bg) }.take(10)
+    assert(got.toSeq == expect)
+    // the true collocation outscores the frequent-but-chance pair
+    val pmi = got.map(r => r._1 -> r._3).toMap
+    assert(pmi("new york") > pmi.getOrElse("the cat", Long.MinValue))
+  }
+
+  test("pmi nano-nat inputs clear the flooring boundary on the fixture domain") {
+    // pmi's ln inputs beyond CurationSpec's pinned domain: the bigram
+    // total T2 and the unigram total at sf0.01 and sf0.1
+    val domain = Seq("0.01", "0.1").flatMap { sf =>
+      val d = spark.read.parquet(s"/root/testdata/sf$sf/documents.parquet")
+      val uni = d.select(explode(split(col("text"), " ")).as("t"))
+        .filter(length(col("t")) > 0).count()
+      val bi = d.select(explode(TextOps.shingles(col("text"), 2)).as("b")).count()
+      Seq(uni, bi)
+    }
+    domain.foreach { v =>
+      val x = math.log(v.toDouble) * 1e9 + 0.5
+      assert(math.abs(x - math.rint(x)) > 1e-4,
+        s"ln($v)*1e9 too close to a flooring boundary: $x")
+    }
+  }
+
   test("heavyHittersPerGroup plans WindowGroupLimit, snapshotDiff plans one join") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val hh = Corpus.heavyHittersPerGroup(d, "source", "text", 5)
