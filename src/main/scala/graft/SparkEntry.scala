@@ -49,6 +49,27 @@ object SparkEntry {
 
   private val CK = col("c_custkey")
 
+  /** Synthetic "next snapshot" of the documents table, shared by the CDC
+    * queries (q_snapshot_diff, q_incremental_minhash): drop %17 ids,
+    * append ' v2' to %13 texts, add synthetic %23 ids — identical
+    * derivation in both engines. */
+  private def snapshotB(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(lit("new "), col("source")).as("text")))
+
+  private val SnapshotBSql: String =
+    """(SELECT doc_id,
+          CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+        FROM documents WHERE doc_id % 17 <> 0
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id, 'new ' || source AS text
+        FROM documents WHERE doc_id % 23 = 0)"""
+
   // 50-digit bounds for the unbounded-numeric queries: min = first 50
   // digits of pi (units at scale 4), inclusive width exactly 73 * 10^48
   // units (the m*10^k shape Gen.bigGeom requires). Values span ~[3.1e45,
@@ -1509,24 +1530,24 @@ object SparkEntry {
     "q_snapshot_diff" -> Q(
       (s, dir) => {
         val docs = rd(s, dir, "documents").select("doc_id", "text", "source")
-        val b = docs.filter(col("doc_id") % 17 =!= 0)
-          .select(col("doc_id"),
-            when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
-              .otherwise(col("text")).as("text"))
-          .unionByName(docs.filter(col("doc_id") % 23 === 0)
-            .select((col("doc_id") + 10000000L).as("doc_id"),
-              concat(lit("new "), col("source")).as("text")))
-        Corpus.snapshotDiff(docs.select("doc_id", "text"), b, "doc_id", "text")
-          .orderBy("doc_id")
+        Corpus.snapshotDiff(docs.select("doc_id", "text"), snapshotB(docs),
+          "doc_id", "text").orderBy("doc_id")
       },
-      Some(Corpus.snapshotDiffSql("documents",
-        """(SELECT doc_id,
-              CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
-            FROM documents WHERE doc_id % 17 <> 0
-            UNION ALL
-            SELECT doc_id + 10000000 AS doc_id, 'new ' || source AS text
-            FROM documents WHERE doc_id % 23 = 0)""",
-        "doc_id", "text") + " ORDER BY doc_id")),
+      Some(Corpus.snapshotDiffSql("documents", SnapshotBSql, "doc_id", "text") +
+        " ORDER BY doc_id")),
+
+    // Incremental index maintenance over the same snapshot pair: reuse
+    // stored signatures for unchanged docs, recompute only the delta —
+    // the oracle is a FULL REBUILD of the new snapshot's index, so the
+    // row-equality check IS the lossless-ness proof
+    "q_incremental_minhash" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents").select("doc_id", "text", "source")
+        Dedup.incrementalMinhashIndex(docs.select("doc_id", "text"), snapshotB(docs),
+          "doc_id", "text").orderBy("doc_id")
+      },
+      Some(Dedup.fullMinhashIndexSql(SnapshotBSql, "doc_id", "text") +
+        " ORDER BY doc_id")),
 
     // PMI collocations: integer nano-nat PMI over a fused unigram∪bigram
     // gram stream — one corpus pass, Zipf-small checkpointed freq table

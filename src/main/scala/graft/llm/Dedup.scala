@@ -468,4 +468,49 @@ object Dedup {
         when(union > 0, inter / union).otherwise(lit(0.0)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Incremental minhash-index maintenance — the CDC companion of
+    * [[Corpus.snapshotDiff]]: given the previous snapshot (whose index a
+    * live pipeline would have stored) and the current one, produce the
+    * current index by REUSING stored signatures for unchanged docs and
+    * recomputing only the added/changed delta. Because the signature is
+    * a pure function of the text and digest-equality pins the text, the
+    * result is provably identical to a full rebuild — which is exactly
+    * what the registered oracle checks.
+    *
+    * Scale shape: the changed-key set comes from an anti-join of
+    * fixed-width (id, digest) projections — text never enters that
+    * exchange; the delta's text is then fetched by a semi-join that AQE
+    * broadcasts when the delta is small (the common case), so corpus
+    * text never shuffles at all. Output: (idCol, digest, m0..m{n-1}). */
+  def incrementalMinhashIndex(prev: DataFrame, cur: DataFrame,
+                              idCol: String, textCol: String,
+                              shingleN: Int = 3, nStreams: Int = 8): DataFrame = {
+    val nDigests = (nStreams + 1) / 2
+    def sigCols(t: Column): Seq[Column] = (0 until nStreams).map(i =>
+      element_at(TextOps.minhashSignatureFromText(t, shingleN, nDigests), i + 1).as(s"m$i"))
+    // the previous index — in a live pipeline this is the stored artifact
+    val oldIdx = prev.select(
+      Seq(col(idCol).as("id"), md5(col(textCol)).as("digest")) ++ sigCols(col(textCol)): _*)
+    val curKeys = cur.select(col(idCol).as("id"), md5(col(textCol)).as("digest"))
+    val reused = oldIdx.join(curKeys, Seq("id", "digest"), "left_semi")
+    val changedKeys = curKeys.join(oldIdx.select("id", "digest"), Seq("id", "digest"), "left_anti")
+    val fresh = cur.select(Seq(col(idCol).as("id"), md5(col(textCol)).as("digest")) ++
+        Seq(col(textCol).as("__text")): _*)
+      .join(changedKeys, Seq("id", "digest"), "left_semi")
+      .select(Seq(col("id"), col("digest")) ++ sigCols(col("__text")): _*)
+    reused.unionByName(fresh)
+      .select(Seq(col("id").as(idCol), col("digest")) ++
+        (0 until nStreams).map(i => col(s"m$i")): _*)
+  }
+
+  /** Full-rebuild rendering over the CURRENT snapshot — the oracle that
+    * proves the incremental path loses nothing. */
+  def fullMinhashIndexSql(cur: String, idCol: String, textCol: String,
+                          shingleN: Int = 3, nStreams: Int = 8): String = {
+    val sh = TextOps.shinglesSql(textCol, shingleN)
+    val streams = (0 until nStreams)
+      .map(i => s"(${TextOps.minhashSql(sh, i)}) AS m$i").mkString(", ")
+    s"SELECT ${idCol}, md5(${textCol}) AS digest, ${streams} FROM ${cur} AS __cur"
+  }
 }

@@ -406,6 +406,23 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("incrementalMinhashIndex equals a full rebuild of the new snapshot") {
+    import graft.llm.Dedup
+    val a = Seq((1L, "the cat sat on the mat"), (2L, "the dog sat on the log"),
+      (3L, "cat cat cat cat"), (4L, "over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val b = Seq((1L, "the cat sat on the mat"),       // unchanged -> reused
+      (2L, "the dog slept on the log"),               // changed -> recomputed
+      (5L, "a brand new document arrives"))           // added -> recomputed
+      .toDF("doc_id", "text")                         // 3,4 removed
+    val inc = Dedup.incrementalMinhashIndex(a, b, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val full = Dedup.incrementalMinhashIndex(b.limit(0), b, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(inc.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq)
+    assert(inc.map(_.getLong(0)).toSeq == Seq(1L, 2L, 5L))
+  }
+
   test("heavyHittersPerGroup plans WindowGroupLimit, snapshotDiff plans one join") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val hh = Corpus.heavyHittersPerGroup(d, "source", "text", 5)
