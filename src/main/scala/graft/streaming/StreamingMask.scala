@@ -115,4 +115,51 @@ object StreamingMask {
           }
       }
   }
+
+  case class IndexDelta(doc_id: Long, digest: String, op: String)
+
+  /** Streaming CDC index maintenance — the streaming lift of
+    * [[graft.llm.Dedup.incrementalMinhashIndex]]'s reuse rule: per doc
+    * id, keep the last content digest in state; a row whose digest equals
+    * the stored one emits NOTHING (downstream index writers see only real
+    * deltas), a new/changed digest emits an `upsert`, and a row flagged
+    * deleted emits a `delete` tombstone and frees the state. Updates for
+    * the same id resolve in event-time order WITHIN a micro-batch, so
+    * replaying a log reaches the same final index regardless of batching.
+    * State is one (digest, ts) pair per LIVE doc — the inherent size of
+    * an index, not of the stream. Input columns: (doc_id, ts, text,
+    * deleted: boolean). */
+  def indexDeltas(stream: DataFrame): org.apache.spark.sql.Dataset[IndexDelta] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col("doc_id").cast("long"), col("ts"),
+        md5(col("text")).as("digest"), col("deleted").cast("boolean"))
+      .as[(Long, java.sql.Timestamp, String, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(String, Long), IndexDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (id, rows, state: GroupState[(String, Long)]) =>
+          val out = scala.collection.mutable.ArrayBuffer[IndexDelta]()
+          var cur = state.getOption
+          rows.toSeq.sortBy(r => (r._2.getTime, r._3)).foreach {
+            case (_, ts, digest, deleted) =>
+              val ms = ts.getTime
+              if (cur.forall(_._2 <= ms)) {
+                if (deleted) {
+                  if (cur.isDefined) { out += IndexDelta(id, null, "delete"); cur = None }
+                } else if (!cur.exists(_._1 == digest)) {
+                  out += IndexDelta(id, digest, "upsert")
+                  cur = Some((digest, ms))
+                } else cur = Some((digest, ms))
+              }
+          }
+          cur match {
+            case Some(c) => state.update(c)
+            case None    => if (state.exists) state.remove()
+          }
+          out.iterator
+      }
+  }
 }

@@ -394,4 +394,42 @@ class StreamingSpec extends SparkSpec {
       assert(out.contains((3L, 1L, false)))
     } finally q.stop()
   }
+
+  test("streaming index deltas: dup digests silent, changes upsert, deletes tombstone") {
+    implicit val sqlCtx = spark.sqlContext
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val input = MemoryStream[(Long, Timestamp, String, Boolean)]
+    val deltas = StreamingMask.indexDeltas(
+      input.toDF().toDF("doc_id", "ts", "text", "deleted"))
+    val q = deltas.writeStream.format("memory").queryName("idx_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(100), "hello world", false), (2L, ts(100), "doc two", false))
+      q.processAllAvailable()
+      input.addData((1L, ts(200), "hello world", false)) // same digest -> silent
+      q.processAllAvailable()
+      val afterDup = spark.table("idx_out").count()
+      assert(afterDup == 2, s"duplicate content emitted a delta: $afterDup rows")
+      // out-of-order WITHIN a batch resolves in event-time order: both
+      // versions emit (a log replay), final state is the later one
+      input.addData((3L, ts(500), "three B", false), (3L, ts(400), "three A", false))
+      q.processAllAvailable()
+      input.addData((3L, ts(450), "three C", false)) // stale vs state ts=500 -> dropped
+      q.processAllAvailable()
+      input.addData((1L, ts(300), "hello world v2", false), (2L, ts(300), "", true))
+      q.processAllAvailable()
+      val out = spark.table("idx_out")
+        .as[(Long, String, String)].collect().toSeq
+      assert(out.count(_._1 == 3L) == 2)
+      assert(out.filter(_._1 == 3L).map(_._2).toSet ==
+        Set(md5hex("three A"), md5hex("three B")))
+      assert(out.contains((1L, md5hex("hello world v2"), "upsert")))
+      assert(out.contains((2L, null, "delete")))
+      // stale doc-3 update (event time behind state) emitted nothing
+      assert(!out.exists(r => r._1 == 3L && r._2 == md5hex("three C")))
+      // total: 2 initial + 2 for doc 3 + change + tombstone
+      assert(out.size == 6, s"unexpected deltas: $out")
+    } finally q.stop()
+  }
 }
