@@ -598,8 +598,12 @@ object Corpus {
     * Output: (idCol, status ∈ added|removed|changed, old_digest,
     * new_digest). */
   def snapshotDiff(a: DataFrame, b: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val da = a.select(col(idCol).as("id"), md5(col(textCol)).as("old_digest"))
-    val db = b.select(col(idCol).as("id"), md5(col(textCol)).as("new_digest"))
+    // NULL text still digests to a sentinel: a present row must never be
+    // classified added/removed because its digest went NULL
+    val da = a.select(col(idCol).as("id"),
+      coalesce(md5(col(textCol)), lit("__null__")).as("old_digest"))
+    val db = b.select(col(idCol).as("id"),
+      coalesce(md5(col(textCol)), lit("__null__")).as("new_digest"))
     da.join(db, Seq("id"), "full_outer")
       .withColumn("status",
         when(col("old_digest").isNull, lit("added"))
@@ -616,9 +620,13 @@ object Corpus {
                WHEN n.id IS NULL THEN 'removed'
                WHEN o.old_digest <> n.new_digest THEN 'changed' END AS status,
           o.old_digest, n.new_digest
-        FROM (SELECT ${idCol} AS id, md5(${textCol}) AS old_digest FROM ${a} AS __sa) o
+        FROM (SELECT ${idCol} AS id,
+                     coalesce(md5(${textCol}), '__null__') AS old_digest
+              FROM ${a} AS __sa) o
         FULL OUTER JOIN
-             (SELECT ${idCol} AS id, md5(${textCol}) AS new_digest FROM ${b} AS __sb) n
+             (SELECT ${idCol} AS id,
+                     coalesce(md5(${textCol}), '__null__') AS new_digest
+              FROM ${b} AS __sb) n
         ON o.id = n.id
         WHERE o.id IS NULL OR n.id IS NULL OR o.old_digest <> n.new_digest"""
 

@@ -491,11 +491,15 @@ object Dedup {
       element_at(TextOps.minhashSignatureFromText(t, shingleN, nDigests), i + 1).as(s"m$i"))
     // the previous index — in a live pipeline this is the stored artifact
     val oldIdx = prev.select(
-      Seq(col(idCol).as("id"), md5(col(textCol)).as("digest")) ++ sigCols(col(textCol)): _*)
-    val curKeys = cur.select(col(idCol).as("id"), md5(col(textCol)).as("digest"))
+      Seq(col(idCol).as("id"),
+        coalesce(md5(col(textCol)), lit("__null__")).as("digest")) ++
+        sigCols(col(textCol)): _*)
+    val curKeys = cur.select(col(idCol).as("id"),
+      coalesce(md5(col(textCol)), lit("__null__")).as("digest"))
     val reused = oldIdx.join(curKeys, Seq("id", "digest"), "left_semi")
     val changedKeys = curKeys.join(oldIdx.select("id", "digest"), Seq("id", "digest"), "left_anti")
-    val fresh = cur.select(Seq(col(idCol).as("id"), md5(col(textCol)).as("digest")) ++
+    val fresh = cur.select(Seq(col(idCol).as("id"),
+        coalesce(md5(col(textCol)), lit("__null__")).as("digest")) ++
         Seq(col(textCol).as("__text")): _*)
       .join(changedKeys, Seq("id", "digest"), "left_semi")
       .select(Seq(col("id"), col("digest")) ++ sigCols(col("__text")): _*)
@@ -511,6 +515,7 @@ object Dedup {
     val sh = TextOps.shinglesSql(textCol, shingleN)
     val streams = (0 until nStreams)
       .map(i => s"(${TextOps.minhashSql(sh, i)}) AS m$i").mkString(", ")
-    s"SELECT ${idCol}, md5(${textCol}) AS digest, ${streams} FROM ${cur} AS __cur"
+    s"SELECT ${idCol}, coalesce(md5(${textCol}), '__null__') AS digest, " +
+      s"${streams} FROM ${cur} AS __cur"
   }
 }

@@ -338,12 +338,14 @@ class CorpusSpec extends SparkSpec {
   }
 
   test("snapshotDiff classifies added/removed/changed and drops unchanged") {
-    val a = Seq((1L, "alpha"), (2L, "bravo"), (3L, "charlie"), (4L, "delta"))
-      .toDF("doc_id", "text")
-    val b = Seq((1L, "alpha"), (2L, "bravo v2"), (4L, "delta"), (5L, "echo"))
-      .toDF("doc_id", "text")
+    val a = Seq((1L, "alpha"), (2L, "bravo"), (3L, "charlie"), (4L, "delta"),
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val b = Seq((1L, "alpha"), (2L, "bravo v2"), (4L, "delta"), (5L, "echo"),
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val diff = Corpus.snapshotDiff(a, b, "doc_id", "text")
       .select("doc_id", "status").as[(Long, String)].collect().toMap
+    // doc 6 (NULL text on both sides) is unchanged — the digest sentinel
+    // keeps a present row from reading as added/removed
     assert(diff == Map(2L -> "changed", 3L -> "removed", 5L -> "added"))
     // digests present on the populated side only
     val row5 = Corpus.snapshotDiff(a, b, "doc_id", "text")
