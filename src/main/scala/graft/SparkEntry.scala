@@ -1417,6 +1417,15 @@ object SparkEntry {
           cents, nProbe = 2).select("vec_id").orderBy("vec_id")
       },
       Some(Similarity.ivfMembershipSql(Similarity.testQuery(64), 20, 8, 2, 64))),
+    // ANN evaluation: recall@k of the IVF path vs brute ground truth —
+    // integer intersection counts, so the metric itself oracle-compares
+    "q_ann_recall" -> Q(
+      (s, dir) => Similarity.annRecallAtK(rd(s, dir, "embeddings"), "vec_id", "embedding",
+        Similarity.probeQueries(3, 64), k = 20, nCent = 8, nProbe = 2)
+        .orderBy("query_id"),
+      Some(Similarity.annRecallAtKSql(Similarity.probeQueries(3, 64), 20, 8, 2, 64) +
+        " ORDER BY query_id")),
+
     "q_embed_neardup" -> Q(
       (s, dir) => Similarity.cosineNearDupPairs(rd(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.8, nPlanes = 8, dim = 64).select("id_a", "id_b").orderBy("id_a", "id_b"),

@@ -552,4 +552,52 @@ object Similarity {
           ORDER BY cq DESC, a.vec_id LIMIT ${k}
         ) ORDER BY vec_id"""
   }
+
+  /** Fixed probe set for the recall query: deterministic unit-ish
+    * vectors, one seed per probe (probe 0 is [[testQuery]]'s cousin). */
+  def probeQueries(n: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until n).map { q =>
+      val rnd = new Random(100L + q)
+      Seq.fill(dim)(rnd.nextDouble() * 2 - 1)
+    }
+
+  /** ANN quality evaluation: recall@k of the IVF probe path against the
+    * brute-force ground truth, per probe query — the measurement that
+    * justifies (or vetoes) shipping the approximate index at a given
+    * (nCent, nProbe) operating point.
+    *
+    * Scale shape: the ground truth per probe is a TakeOrderedAndProject
+    * (per-partition heap, k rows survive), the IVF side scans only the
+    * probed clusters, and the intersection is a k-row broadcast join —
+    * nothing corpus-sized shuffles. Probes fan out as a plan-level union
+    * (fine for an evaluation batch of tens; an online evaluator would
+    * batch probes into one pass). Cross-engine note: like q_knn_brute,
+    * the top-k SETS compare raw-cosine order, safe while the fixture has
+    * no tie straddling the k-boundary — recall counts are then exact
+    * integers. */
+  def annRecallAtK(df: DataFrame, idCol: String, vecCol: String,
+                   probes: Seq[Seq[Double]], k: Int,
+                   nCent: Int, nProbe: Int): DataFrame = {
+    val cents = ivfCentroids(df, idCol, vecCol, nCent)
+    probes.zipWithIndex.map { case (p, q) =>
+      val brute = bruteForceTopK(df, idCol, vecCol, p, k).select(col(idCol))
+      val ivf = ivfTopK(df, idCol, vecCol, p, k, cents, nProbe).select(col(idCol))
+      brute.join(ivf, idCol)
+        .agg(count(lit(1)).as("n_common"))
+        .select(lit(q).as("query_id"), col("n_common"),
+          (col("n_common").cast("double") / lit(k.toDouble)).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
+  def annRecallAtKSql(probes: Seq[Seq[Double]], k: Int,
+                      nCent: Int, nProbe: Int, dim: Int): String =
+    probes.zipWithIndex.map { case (p, q) =>
+      val cos = cosineToSql("embedding", p)
+      s"""SELECT ${q} AS query_id, count(*)::BIGINT AS n_common,
+            count(*)::DOUBLE / ${k} AS recall
+          FROM (SELECT vec_id FROM (
+                  SELECT vec_id, ${cos} AS c FROM embeddings
+                  ORDER BY c DESC, vec_id LIMIT ${k})) b
+          JOIN (${ivfMembershipSql(p, k, nCent, nProbe, dim)}) i USING (vec_id)"""
+    }.mkString("\nUNION ALL\n")
 }

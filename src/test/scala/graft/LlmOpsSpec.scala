@@ -278,6 +278,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(top(1)._1 == 2L)
   }
 
+  test("ann recall@k: probing every cluster recovers the brute set exactly") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // nProbe == nCent degenerates IVF to brute force -> recall must be 1.0
+    val full = Similarity.annRecallAtK(vecs, "vec_id", "embedding",
+      Similarity.probeQueries(2, 64), k = 10, nCent = 4, nProbe = 4)
+      .as[(Int, Long, Double)].collect()
+    assert(full.forall { case (_, n, r) => n == 10L && r == 1.0 }, full.toSeq.toString)
+    // fewer probes can only lose candidates: recall monotonically <= 1
+    val part = Similarity.annRecallAtK(vecs, "vec_id", "embedding",
+      Similarity.probeQueries(2, 64), k = 10, nCent = 4, nProbe = 1)
+      .as[(Int, Long, Double)].collect()
+    part.zip(full).foreach { case ((_, n1, _), (_, nf, _)) => assert(n1 <= nf) }
+  }
+
   test("LSH bucketing is deterministic and bucket join finds identical vectors") {
     val vecs = Seq(
       (1L, Seq.fill(8)(0.5f)), (2L, Seq.fill(8)(0.5f)), (3L, Seq.fill(8)(-0.5f)))
