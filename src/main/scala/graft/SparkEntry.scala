@@ -1193,6 +1193,15 @@ object SparkEntry {
                    ELSE 0.0 END AS jaccard
             FROM pairs ORDER BY id_a, id_b"""
       }),
+    // Asymmetric containment over the same LSH candidates: catches
+    // sub-document duplication (quoted short doc inside a long one) that
+    // Jaccard dilutes; integer-count ratios => exact double parity
+    "q_dedup_containment" -> Q(
+      (s, dir) => Dedup.containmentPairs(rd(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5).orderBy("id_a", "id_b"),
+      Some(Dedup.containmentPairsSql("documents", "doc_id", "text", threshold = 0.5) +
+        " ORDER BY id_a, id_b")),
+
     // ----- LLM ops: cross-corpus decontamination + similarity estimate +
     // deterministic corpus shuffle -----
     // holdout = every 5th doc: exact decontamination removes exactly the

@@ -430,9 +430,18 @@ object Dedup {
   /** N-gram Jaccard verification over LSH candidate pairs: the
     * within-bucket verify step (`band join -> pair -> exact jaccard`).
     * Self-join ONLY on the band key — bucket-bounded, not all-pairs. */
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
-                   threshold: Double = 0.5): DataFrame = {
+  /** Shared LSH candidate machinery for the pairwise verifiers: band
+    * self-join for the pair set, distinct shingle arrays joined back by
+    * id once. The band explode / pair join / pair-dedup pipeline carries
+    * (id, band) and (id_a, id_b) ONLY — the shingle arrays never enter
+    * these exchanges (round-2 verdict: distinct() over rows holding both
+    * arrays shuffled every shingle set twice). (id, band) is two longs
+    * per band — checkpointed so the a/b self-join sides read the
+    * materialized pairs instead of each re-running the shingle+minhash
+    * pass over the corpus. Output: (id_a, id_b, sh_a, sh_b). */
+  private def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                                shingleN: Int, bands: Int,
+                                rowsPerBand: Int): DataFrame = {
     val nStreams = bands * rowsPerBand
     val withSh = graft.plans.Parallelism
       .widen(df.select(col(idCol).as("id"), col(textCol).as("__text")))
@@ -441,14 +450,6 @@ object Dedup {
       TextOps.minhashSignature(col("__sh"), (nStreams + 1) / 2).as("__mh"))
     val mh = (0 until nStreams).map(i => element_at(col("__mh"), i + 1))
     val bandCols = (0 until bands).map(b => TextOps.bandHashFrom(mh, b * rowsPerBand, rowsPerBand))
-    // The band explode / pair join / pair-dedup pipeline carries (id, band)
-    // and (id_a, id_b) ONLY — the shingle arrays never enter these
-    // exchanges (round-2 verdict: distinct() over rows holding both
-    // arrays shuffled every shingle set twice). Arrays are joined back by
-    // id once, after the pair set is deduped.
-    // (id, band) is two longs per band — checkpoint it so the a/b
-    // self-join sides read the materialized pairs instead of each
-    // re-running the shingle+minhash pass over the corpus
     val bandsDf = graft.plans.Checkpoints.materialize(
       withMh.select(col("id"), array(bandCols: _*).as("bands"))
         .select(col("id"), explode_outer(col("bands")).as("band"))
@@ -459,14 +460,77 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val shing = withSh.select(col("id"), array_distinct(col("__sh")).as("sh"))
-    val pairs = pairIds
+    pairIds
       .join(shing.toDF("id_a", "sh_a"), "id_a")
       .join(shing.toDF("id_b", "sh_b"), "id_b")
+  }
+
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+                   threshold: Double = 0.5): DataFrame = {
+    val pairs = lshCandidatePairs(df, idCol, textCol, shingleN, bands, rowsPerBand)
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
     pairs.select(col("id_a"), col("id_b"),
         when(union > 0, inter / union).otherwise(lit(0.0)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Containment verification over the same LSH candidates: the
+    * ASYMMETRIC overlap C(A|B) = |A∩B|/|A| and C(B|A) = |A∩B|/|B| that
+    * catches sub-document duplication — a short doc wholly quoted inside
+    * a long one scores near-1 containment while its Jaccard stays small
+    * (inter/union dilutes by the long side). `subsumed` flags pairs whose
+    * max containment clears `threshold` — the "drop the contained copy"
+    * dedup rule. Integer-count ratios => exact double parity.
+    *
+    * Candidate-gate caveat: this RE-SCORES the minhash-LSH candidates —
+    * for a strict subset, per-stream minhash agreement is |A|/|B|, so a
+    * tiny quote inside a huge doc may never surface as a candidate at
+    * all; pair it with [[dedupSpansAcross]] when span-level recall
+    * matters. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+                       threshold: Double = 0.9): DataFrame = {
+    val pairs = lshCandidatePairs(df, idCol, textCol, shingleN, bands, rowsPerBand)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val na = size(col("sh_a")).cast("double")
+    val nb = size(col("sh_b")).cast("double")
+    pairs.select(col("id_a"), col("id_b"),
+        when(na > 0, inter / na).otherwise(lit(0.0)).as("cont_a"),
+        when(nb > 0, inter / nb).otherwise(lit(0.0)).as("cont_b"))
+      .withColumn("subsumed", greatest(col("cont_a"), col("cont_b")) >= threshold)
+  }
+
+  /** DuckDB rendering of [[containmentPairs]]. */
+  def containmentPairsSql(table: String, idCol: String, textCol: String,
+                          shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+                          threshold: Double = 0.9): String = {
+    val sh = TextOps.shinglesSql(textCol, shingleN)
+    val bandExprs = (0 until bands)
+      .map(b => TextOps.bandHashSql(sh, b * rowsPerBand, rowsPerBand))
+    s"""WITH base AS (
+          SELECT ${idCol} AS id, list_distinct(${sh}) AS sh,
+                 [${bandExprs.mkString(", ")}] AS bands FROM ${table}
+        ), e AS (
+          SELECT id, sh, band FROM (
+            SELECT id, sh, unnest(bands) AS band FROM base)
+          WHERE band IS NOT NULL
+        ), pairs AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+          FROM e a JOIN e b ON a.band = b.band AND a.id < b.id
+        )
+        SELECT id_a, id_b, cont_a, cont_b,
+               (greatest(cont_a, cont_b) >= ${threshold}) AS subsumed
+        FROM (
+          SELECT id_a, id_b,
+            CASE WHEN len(sh_a) > 0
+                 THEN len(list_intersect(sh_a, sh_b))::DOUBLE / len(sh_a)::DOUBLE
+                 ELSE 0.0 END AS cont_a,
+            CASE WHEN len(sh_b) > 0
+                 THEN len(list_intersect(sh_a, sh_b))::DOUBLE / len(sh_b)::DOUBLE
+                 ELSE 0.0 END AS cont_b
+          FROM pairs)"""
   }
 
   /** Incremental minhash-index maintenance — the CDC companion of

@@ -234,6 +234,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
   }
 
+  test("containment flags a subsumed short doc that jaccard dilutes") {
+    // doc 20's shingles are a strict subset of doc 21's: containment 1.0
+    // on the short side while jaccard is only |A|/|B|. The subset must
+    // still be LARGE relative to B to surface as an LSH candidate —
+    // P(minhash agreement) per stream is exactly |A|/|B| for subsets,
+    // which is WHY containment-verify complements (not replaces) the
+    // jaccard gate: it re-scores candidates, it cannot conjure ones LSH
+    // never emits.
+    val quoted = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (21L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu " +
+        "nu xi omicron pi rho"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(quoted, "doc_id", "text", threshold = 0.9)
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+    val p = pairs.find(r => r._1 == 20L && r._2 == 21L)
+    assert(p.isDefined, s"candidate pair missing: ${pairs.toSeq}")
+    assert(p.get._3 == 1.0, s"short-side containment: ${p.get}")
+    assert(p.get._4 < 0.7)   // long side only partially covered
+    assert(p.get._5)         // subsumed under the max-containment rule
+    val j = Dedup.jaccardPairs(quoted, "doc_id", "text", threshold = 0.0)
+      .as[(Long, Long, Double)].collect().find(r => r._1 == 20L && r._2 == 21L)
+    assert(j.exists(_._3 < 0.7), s"jaccard should dilute: $j")
+  }
+
   test("simhash: identical docs identical hash, near docs close hamming") {
     val hs = Dedup.simhashBuckets(docs, "doc_id", "text")
     val byDoc = docs.select(col("doc_id"), TextOps.simhash60(col("text")).as("h"))
