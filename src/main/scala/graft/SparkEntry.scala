@@ -1311,6 +1311,13 @@ object SparkEntry {
         .orderBy("source"),
       Some(Corpus.sourceQualityReportSql("documents", "source", "text", "lang") +
         " ORDER BY source")),
+    // per-source exact length deciles: integer rank math, no interpolation
+    "q_length_deciles" -> Q(
+      (s, dir) => Corpus.groupQuantiles(rd(s, dir, "documents"), "source", "n_chars")
+        .orderBy("source", "pct"),
+      Some(Corpus.groupQuantilesSql("documents", "source", "n_chars") +
+        " ORDER BY source, pct")),
+
     "q_mad_outliers" -> Q(
       (s, dir) => Corpus.madOutliers(rd(s, dir, "documents"), "doc_id", "lang", "n_chars")
         .orderBy("doc_id"),

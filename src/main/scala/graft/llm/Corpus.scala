@@ -500,6 +500,48 @@ object Corpus {
         FROM ${table} d LEFT JOIN __agg a USING (${idCol})"""
 
   // ---------------------------------------------------------------------
+  // Per-group exact quantiles
+  // ---------------------------------------------------------------------
+
+  /** Exact per-group quantiles of a numeric column — the distribution
+    * view behind "did source X's length profile drift?" that the scalar
+    * means in [[sourceQualityReport]] can't show. Lower-quantile
+    * convention: the value at rank ceil(n·p/100) — pure integer rank
+    * math, no interpolation, so the output is exact and engine-identical
+    * (same discipline as the MAD and length-outlier ops).
+    *
+    * Scale shape: one rank window per group (the canonical exact-quantile
+    * sort; approximate sketches trade this away, exactness keeps it) and
+    * a literal-array explode of the requested percentiles — rows×|qs|
+    * never leaves the group's partition before the final filter. */
+  def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                     pcts: Seq[Int] = Seq(10, 25, 50, 75, 90, 100)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "groupQuantiles: percentiles in [1,100]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(valueCol)
+    df.select(col(groupCol), col(valueCol))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(groupCol)))
+      .select(col(groupCol), col(valueCol), col("rk"), col("n"),
+        explode(array(pcts.map(lit): _*)).as("pct"))
+      .filter(col("rk") === expr("(n * pct + 99) div 100"))
+      .select(col(groupCol), col("pct"), col(valueCol).as("value"))
+  }
+
+  def groupQuantilesSql(table: String, groupCol: String, valueCol: String,
+                        pcts: Seq[Int] = Seq(10, 25, 50, 75, 90, 100)): String =
+    s"""SELECT ${groupCol}, pct, ${valueCol} AS value FROM (
+          SELECT ${groupCol}, ${valueCol}, rk, n, unnest([${pcts.mkString(", ")}]) AS pct
+          FROM (
+            SELECT ${groupCol}, ${valueCol},
+                   row_number() OVER (PARTITION BY ${groupCol} ORDER BY ${valueCol}) AS rk,
+                   count(*) OVER (PARTITION BY ${groupCol}) AS n
+            FROM ${table}))
+        WHERE rk = (n * pct + 99) // 100"""
+
+  // ---------------------------------------------------------------------
   // PMI collocations
   // ---------------------------------------------------------------------
 

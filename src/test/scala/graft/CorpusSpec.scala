@@ -365,6 +365,17 @@ class CorpusSpec extends SparkSpec {
       ("s2", "z", 3L, 1), ("s2", "y", 2L, 2)))
   }
 
+  test("groupQuantiles: exact rank-based values, per-group isolation, tie-stable") {
+    val df = Seq(("a", 5L), ("a", 1L), ("a", 3L), ("a", 3L), ("a", 9L),
+      ("b", 100L), ("b", 200L)).toDF("g", "v")
+    val got = Corpus.groupQuantiles(df, "g", "v", Seq(10, 50, 100))
+      .as[(String, Int, Long)].collect().toSet
+    // a sorted: 1,3,3,5,9 (n=5): p10 -> rank ceil(0.5)=1 -> 1; p50 -> rank 3 -> 3;
+    // p100 -> rank 5 -> 9. b sorted: 100,200: p10 -> 100; p50 -> 100; p100 -> 200
+    assert(got == Set(("a", 10, 1L), ("a", 50, 3L), ("a", 100, 9L),
+      ("b", 10, 100L), ("b", 50, 100L), ("b", 100, 200L)))
+  }
+
   test("pmiCollocations matches an exact in-JVM model; collocation outranks chance pair") {
     def lnNano(x: Long): Long = math.floor(math.log(x.toDouble) * 1e9 + 0.5).toLong
     // "new york" always together; "the"/"cat" frequent but independent
