@@ -625,6 +625,47 @@ object SparkEntry {
                       FROM m GROUP BY c_nationkey)
               )
               SELECT * FROM ka, ld""")),
+    // t-closeness audit completing the privacy trio: same masked release,
+    // QI = (nation, rounded balance), sensitive = market segment, t = 2/5.
+    // TV distance in EXACT integer arithmetic on both sides (closed form
+    // folds values absent from a class into N·n_g; see Validator.tCloseness)
+    "q_t_closeness" -> Q(
+      (s, dir) => {
+        val masked = Planner.plan(rd(s, dir, "customer"), TableConfig("customer",
+          transforms = Seq(
+            ColumnTransform("c_acctbal", TemplateExpr("cast(round(c_acctbal, -3) as double)")),
+            ColumnTransform("c_name", SetNull()))))
+        Validator.tCloseness(masked, Seq("c_nationkey", "c_acctbal"),
+          "c_mktsegment", tNum = 2, tDen = 5)
+      },
+      Some("""WITH m AS (
+                SELECT c_nationkey, round(c_acctbal, -3)::DOUBLE AS c_acctbal, c_mktsegment
+                FROM customer
+              ), cls AS (
+                SELECT c_nationkey, c_acctbal, c_mktsegment, count(*)::BIGINT AS c_v
+                FROM m GROUP BY 1, 2, 3
+              ), ng AS (
+                SELECT c_nationkey, c_acctbal, sum(c_v)::BIGINT AS n_g
+                FROM cls GROUP BY 1, 2
+              ), gl AS (
+                SELECT c_mktsegment, count(*)::BIGINT AS big_c FROM m GROUP BY 1
+              ), tot AS (SELECT count(*)::BIGINT AS n_total FROM m),
+              per AS (
+                SELECT cls.c_nationkey, cls.c_acctbal,
+                       any_value(ng.n_g) AS n_g,
+                       any_value(tot.n_total) AS n_total,
+                       (sum(abs(c_v * tot.n_total - gl.big_c * ng.n_g) - gl.big_c * ng.n_g)
+                          + any_value(ng.n_g) * any_value(tot.n_total))::BIGINT AS num
+                FROM cls
+                JOIN ng ON cls.c_nationkey = ng.c_nationkey AND cls.c_acctbal = ng.c_acctbal
+                JOIN gl ON cls.c_mktsegment IS NOT DISTINCT FROM gl.c_mktsegment
+                CROSS JOIN tot
+                GROUP BY 1, 2
+              )
+              SELECT (max((num * 1000000000) // (2 * n_g * n_total)))::BIGINT AS max_tv_nano,
+                     sum(CASE WHEN num * 5 > 2 * 2 * n_g * n_total THEN 1 ELSE 0 END)::BIGINT AS classes_above_t,
+                     count(*)::BIGINT AS n_classes
+              FROM per""")),
 
     // ----- scans / projections / limits -----
     "q_query_scan" -> Q(

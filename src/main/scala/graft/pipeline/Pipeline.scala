@@ -356,6 +356,59 @@ object Validator {
         sum(when(col("n_sensitive") < l, 1L).otherwise(0L)).as("classes_below_l"))
   }
 
+  /** t-closeness: within each QI equivalence class, the sensitive-value
+    * distribution must stay within distance t of the corpus-wide
+    * distribution (l-diversity alone leaks when a class is skewed toward
+    * one value). Distance is total variation — for categorical sensitive
+    * attributes the equal-ground-distance EMD: TV = (1/2)·Σ_v |c_v/n_g −
+    * C_v/N|. Computed EXACTLY in integers via the closed form
+    * num_g = Σ_{v∈class}(|c_v·N − C_v·n_g| − C_v·n_g) + N·n_g
+    * (values absent from the class contribute C_v·n_g, and Σ_v C_v = N
+    * folds them in), so TV = num_g / (2·n_g·N). Products are
+    * DECIMAL(38,0) so the arithmetic survives corpus scales where
+    * BIGINT·BIGINT overflows; the threshold compare is cross-multiplied
+    * (num_g·tDen vs 2·tNum·n_g·N) — no floats anywhere. Shape: one
+    * groupBy over (QI, sensitive), a window + broadcast joins over the
+    * already-aggregated (Zipf-small) class relation, one final 1-row agg.
+    * Returns max TV nano-quantized (floor(TV·1e9)), classes above
+    * t = tNum/tDen, and the class count. */
+  def tCloseness(masked: DataFrame, quasiIdentifiers: Seq[String],
+                 sensitiveCol: String, tNum: Long, tDen: Long): DataFrame = {
+    require(quasiIdentifiers.nonEmpty, "tCloseness: need at least one QI column")
+    require(tNum >= 0 && tDen > 0, "tCloseness: t must be a non-negative rational")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val qiCols = quasiIdentifiers.map(col)
+    val cls = masked.groupBy((quasiIdentifiers :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("c_v"))
+    val glob = masked.groupBy(col(sensitiveCol).as("sv"))
+      .agg(count(lit(1)).as("big_c"))
+    val total = masked.agg(count(lit(1)).as("n_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qiCols: _*)
+    val withNg = cls.withColumn("n_g", sum("c_v").over(w))
+    // null-safe equality so a NULL sensitive value is its own category on
+    // both sides rather than silently dropping out of the sum
+    val joined = withNg
+      .join(broadcast(glob), withNg(sensitiveCol) <=> glob("sv"))
+      .crossJoin(broadcast(total)) // 1 row
+    val term = abs(col("c_v").cast(d38) * col("n_total").cast(d38) -
+        col("big_c").cast(d38) * col("n_g").cast(d38)) -
+      col("big_c").cast(d38) * col("n_g").cast(d38)
+    val perClass = joined.groupBy(qiCols: _*)
+      .agg(first("n_g").as("n_g"), first("n_total").as("n_total"),
+        sum(term).as("partial"))
+      .select(
+        (col("partial") + col("n_total").cast(d38) * col("n_g").cast(d38)).as("num"),
+        (col("n_g").cast(d38) * col("n_total").cast(d38) * lit(2).cast(d38)).as("den"),
+        col("n_g"), col("n_total"))
+    perClass.agg(
+      max(expr("(num * 1000000000) div den")).as("max_tv_nano"),
+      sum(when(col("num") * lit(tDen).cast(d38) >
+        lit(2 * tNum).cast(d38) * col("n_g").cast(d38) * col("n_total").cast(d38),
+        1L).otherwise(0L)).as("classes_above_t"),
+      count(lit(1)).as("n_classes"))
+  }
+
   /** Schema diff (`pkg/toolkit/database_schema.go:33-115`): added/removed/
     * retyped columns between two schemas. */
   def schemaDiff(before: org.apache.spark.sql.types.StructType,

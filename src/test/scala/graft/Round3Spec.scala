@@ -399,6 +399,32 @@ class Round3SmallFixSpec extends SparkSpec {
     assert(ok == ((3L, 0L)))
   }
 
+  test("t-closeness audit measures exact TV distance per class") {
+    import org.apache.spark.sql.functions._
+    // global: flu 3/4, cold 1/4. Class (30,1): flu 2/3, cold 1/3 ->
+    // TV = (|2/3-3/4| + |1/3-1/4|)/2 = 1/12. Class (40,2): flu 1/1 ->
+    // TV = (|1-3/4| + |0-1/4|)/2 = 1/4.
+    val masked = Seq(
+      (30, 1, "flu"), (30, 1, "flu"), (30, 1, "cold"), (40, 2, "flu"))
+      .toDF("age", "zip", "diagnosis")
+    // t = 1/5: only the (40,2) class (TV=1/4) exceeds it
+    val r = Validator.tCloseness(masked, Seq("age", "zip"), "diagnosis", 1, 5)
+      .as[(Long, Long, Long)].collect().head
+    assert(r == ((250000000L, 1L, 2L))) // floor(1/4 * 1e9), 1 class above, 2 classes
+    // t = 1/2: nothing exceeds
+    val r2 = Validator.tCloseness(masked, Seq("age", "zip"), "diagnosis", 1, 2)
+      .as[(Long, Long, Long)].collect().head
+    assert(r2 == ((250000000L, 0L, 2L)))
+    // a NULL sensitive value is its own category, not dropped: class (50,3)
+    // is all-NULL -> its TV vs the new global (flu 3/5, cold 1/5, null 1/5)
+    // is (|1-1/5| + 3/5 + 1/5)/2 = 4/5
+    val withNull = masked.union(Seq((50, 3, null.asInstanceOf[String]))
+      .toDF("age", "zip", "diagnosis"))
+    val r3 = Validator.tCloseness(withNull, Seq("age", "zip"), "diagnosis", 1, 2)
+      .as[(Long, Long, Long)].collect().head
+    assert(r3._1 == 800000000L && r3._3 == 3L)
+  }
+
   test("implicit-change detection flags undeclared column rewrites") {
     import org.apache.spark.sql.functions._
     val orig = Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "name", "seg")
