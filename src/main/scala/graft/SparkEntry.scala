@@ -1074,6 +1074,21 @@ object SparkEntry {
         "n_chars", budget = 3000L, selectCols = "doc_id, source, n_chars") +
         " ORDER BY doc_id")),
 
+    // Epoch-repeat mixing: per-language token TARGETS — en upsampled to
+    // ~3 epochs, de thinned below 1, unlisted languages on the default.
+    // n_copies is exact integer arithmetic on both engines.
+    "q_epoch_repeat" -> Q(
+      (s, dir) => Sampling.epochRepeat(rd(s, dir, "documents"), "doc_id",
+          "lang", "n_chars", targets = Map("en" -> 200000L, "de" -> 10000L),
+          default = 30000L)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("n_copies").cast("long").as("n_copies"))
+        .orderBy("doc_id"),
+      Some(Sampling.epochRepeatSql("documents", "doc_id", "lang", "n_chars",
+        targets = Map("en" -> 200000L, "de" -> 10000L), default = 30000L,
+        selectCols = "doc_id, lang, n_chars, n_copies::BIGINT AS n_copies") +
+        " ORDER BY doc_id")),
+
     // Quality-weighted deterministic sampling: keep-probability equals the
     // doc's quality score (the data-mixing primitive; no rand())
     "q_sample_weighted" -> Q(

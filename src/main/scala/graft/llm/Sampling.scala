@@ -203,4 +203,65 @@ object Sampling {
         }
       }.toDF("pack_id", "doc_id", "n_tokens")
   }
+
+  /** Epoch-repeat mixing: materialize each group at a TARGET token budget
+    * by repeating (or thinning) its documents — "2.3 epochs of source X",
+    * the up-sampling complement of [[mixByGroup]]/[[tokenBudgetPerGroup]].
+    * With A_g = the group's actual tokens and T_g its target, every doc
+    * gets floor(T_g/A_g) copies, and the docs FIRST in the group's
+    * deterministic hash-shuffled order absorb the remainder (T_g mod A_g)
+    * one extra copy each until the remainder budget is crossed — so the
+    * emitted token total lands within one document of T_g, every decision
+    * is a pure function of the data (reproducible anywhere, incremental-
+    * safe), and base = 0 degrades gracefully to deterministic
+    * down-sampling. One shuffle on the group key; both the group total and
+    * the cumulative sum ride the same partitioning. Emits n_copies >= 1
+    * rows only (zero-copy docs are dropped). */
+  def epochRepeat(df: DataFrame, keyCol: String, groupCol: String,
+                  tokenCol: String, targets: Map[String, Long],
+                  default: Long = 0L, tweak: String = "epoch"): DataFrame = {
+    require(targets.values.forall(_ >= 0) && default >= 0,
+      "epochRepeat: targets must be non-negative")
+    val W = org.apache.spark.sql.expressions.Window
+    val grpW = W.partitionBy(groupCol)
+    val cumW = W.partitionBy(groupCol)
+      .orderBy(Gen.u60(col(keyCol), tweak), col(keyCol))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val target = targets.foldLeft(lit(default)) { case (acc, (g, t)) =>
+      when(col(groupCol) === g, lit(t)).otherwise(acc)
+    }.cast("long")
+    val tok = col(tokenCol).cast("long")
+    df.withColumn("__a", sum(tok).over(grpW))
+      .withColumn("__cum", sum(tok).over(cumW))
+      .withColumn("__t", target)
+      .withColumn("n_copies",
+        expr("__t div __a") + // integral divide — `/` on longs is float division
+          when(col("__cum") - tok < col("__t") % col("__a"), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .drop("__a", "__cum", "__t")
+  }
+
+  /** DuckDB rendering of [[epochRepeat]]. `selectCols` must include
+    * `n_copies`. */
+  def epochRepeatSql(table: String, keyCol: String, groupCol: String,
+                     tokenCol: String, targets: Map[String, Long],
+                     default: Long = 0L, selectCols: String = "*",
+                     tweak: String = "epoch"): String = {
+    val cases = targets.map { case (g, t) =>
+      s"WHEN ${groupCol} = '${g.replace("'", "''")}' THEN ${t}"
+    }.mkString(" ")
+    s"""SELECT ${selectCols} FROM (
+          SELECT *,
+            ((CASE $cases ELSE ${default} END) // a)
+              + (CASE WHEN cum - ${tokenCol} < (CASE $cases ELSE ${default} END) % a
+                 THEN 1 ELSE 0 END) AS n_copies
+          FROM (
+            SELECT *,
+              sum(${tokenCol}) OVER (PARTITION BY ${groupCol}) AS a,
+              sum(${tokenCol}) OVER (PARTITION BY ${groupCol}
+                ORDER BY ${OracleGen.u60(keyCol, tweak)}, ${keyCol}
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM ${table}))
+        WHERE n_copies > 0"""
+  }
 }

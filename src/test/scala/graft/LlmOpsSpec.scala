@@ -339,6 +339,32 @@ class LlmOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sampling.hashSample(big, "doc_id", 1))
   }
 
+  test("epoch repeat: copies hit the token target within one doc, partition-invariant") {
+    val df = ((1L to 4L).map(i => (i, "a", 10L)) ++
+      (5L to 8L).map(i => (i, "b", 10L)) ++
+      (9L to 12L).map(i => (i, "c", 10L)))
+      .toDF("doc_id", "grp", "n_tok")
+    val targets = Map("a" -> 100L, "c" -> 15L) // a: 2.5 epochs; c: 0.375
+    val out = Sampling.epochRepeat(df, "doc_id", "grp", "n_tok", targets)
+      .select("doc_id", "grp", "n_tok", "n_copies")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    // group a: base 2 copies each + remainder 20 -> exactly 2 docs get a 3rd
+    val a = out.filter(_._2 == "a")
+    assert(a.length == 4 && a.map(_._4).sum == 10) // 4*2 + 2 extras
+    assert(a.map(r => r._4 * r._3).sum == 100L)    // exactly on target
+    // group b: default target 0 -> dropped entirely
+    assert(!out.exists(_._2 == "b"))
+    // group c: base 0 -> pure down-sample; >= target, overshoot < one doc
+    val c = out.filter(_._2 == "c")
+    val cTok = c.map(r => r._4 * r._3).sum
+    assert(c.forall(_._4 == 1) && cTok >= 15L && cTok < 15L + 10L)
+    // decisions are a pure function of the data
+    val rep = Sampling.epochRepeat(df.repartition(7), "doc_id", "grp", "n_tok", targets)
+      .select("doc_id", "grp", "n_tok", "n_copies")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(rep.toSeq == out.toSeq)
+  }
+
   test("text analysis stats are sane") {
     val row = docs.filter(col("doc_id") === 1L).select(
       TextOps.tokenCount(col("text")).as("n"),
