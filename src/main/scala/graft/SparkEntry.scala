@@ -28,6 +28,14 @@ object SparkEntry {
     "e" -> "r", "i" -> "n", "t" -> "h", "th" -> "e", "o" -> "n",
     "a" -> "n", "an" -> "d", "in" -> "g")
 
+  /** CMS probe set: frequent corpus tokens plus one guaranteed-absent
+    * probe (exercises the zero-estimate path). */
+  val cmsProbeTokens: Seq[String] =
+    Seq("join", "hash", "scan", "vector", "zz_absent_probe")
+
+  /** Funnel step sequence over the events table (strict-after order). */
+  val funnelStepTypes: Seq[String] = Seq("signup", "view", "click", "purchase")
+
   private case class Q(fn: (SparkSession, String) => DataFrame, sql: Option[String])
 
   /** Mechanical scalar-transformer query: SELECT id, t(input) AS out FROM
@@ -1712,10 +1720,53 @@ object SparkEntry {
       Some(Corpus.unigramStatsSql("documents", "doc_id", "text") + " ORDER BY doc_id")),
 
     // KMV distinct sketch: deterministic under the shared hash, so the
-    // ESTIMATE itself is oracle-comparable (HLL never is)
+    // ESTIMATE itself is oracle-comparable (as is the register-HLL below,
+    // built on the same salted u60 stream)
     "q_sketch_kmv" -> Q(
       (s, dir) => Corpus.kmvDistinct(rd(s, dir, "lineitem"), "l_partkey", 256),
       Some(Corpus.kmvDistinctSql("lineitem", "l_partkey", 256))),
+
+    // HLL-style 64-register sketch: per-source distinct-token estimates
+    // plus the __union__ row merged register-wise (the mergeability that
+    // matters at 100 TB: shard sketches combine by element-wise max, no
+    // rescan). Deterministic hash -> the estimate oracle-compares.
+    "q_sketch_hll" -> Q(
+      (s, dir) => Sketches.hllDistinct(
+        rd(s, dir, "documents")
+          .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok")),
+        "source", "tok").orderBy("grp"),
+      Some(Sketches.hllDistinctSql(
+        "(SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)",
+        "source", "tok") + " ORDER BY grp")),
+
+    // Count-min sketch: 4x256 counter grid over the token stream, point
+    // estimates for a fixed probe set vs exact counts (est >= exact by
+    // construction; the absent probe exercises the zero path)
+    "q_sketch_cms" -> Q(
+      (s, dir) => Sketches.cmsEstimate(
+        rd(s, dir, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("tok")),
+        "tok", cmsProbeTokens).orderBy("probe"),
+      Some(Sketches.cmsEstimateSql(
+        "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents)",
+        "tok", cmsProbeTokens) + " ORDER BY probe")),
+
+    // Ordered-funnel match over the event stream (strict-after step
+    // semantics; one shuffle on the user key, per-user HOF fold)
+    "q_funnel_steps" -> Q(
+      (s, dir) => graft.ops.Funnel.steps(rd(s, dir, "events"), "user_id",
+        expr("unix_micros(cast(ts as timestamp))"), "event_type",
+        funnelStepTypes).orderBy("user_id"),
+      Some(graft.ops.Funnel.stepsSql("events", "user_id", "epoch_us(e.ts)",
+        "event_type", funnelStepTypes) + " ORDER BY user_id")),
+
+    // Weekly cohort retention (integer week arithmetic, two aggregates)
+    "q_cohort_retention" -> Q(
+      (s, dir) => graft.ops.Funnel.cohortRetention(rd(s, dir, "events"), "user_id",
+        expr("unix_micros(cast(ts as timestamp))"))
+        .orderBy("cohort_week", "week_offset"),
+      Some(graft.ops.Funnel.cohortRetentionSql("events", "user_id", "epoch_us(ts)") +
+        " ORDER BY cohort_week, week_offset")),
 
     // Benchmark-contamination: docs sharing a word trigram with the probe
     // set (broadcast semi-join on exploded shingles)

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over a (user, ts, type) stream: ordered-step
+  * funnel matching and weekly cohort retention. Engine additions — the
+  * reference has no event model, but any pipeline curating interaction
+  * logs into training data needs both.
+  *
+  * Scale shape: the funnel is ONE shuffle on the user key (collect the
+  * user's own events, fold them with a codegen'd HOF — group state never
+  * leaves the row); retention is two map-side-combinable aggregates on
+  * (user) then (cohort, offset) — integer week arithmetic throughout, no
+  * timezone/date functions, so plans carry longs only.
+  */
+object Funnel {
+
+  /** Greedy ordered-funnel match: for each user, the number of `steps`
+    * completed in order, each step STRICTLY after the previous one's
+    * matched time (ties never advance, making the result independent of
+    * the sort order of same-timestamp events). Greedy first-match is
+    * optimal here: matching a step at its earliest admissible time can
+    * only widen later steps' windows.
+    *
+    * @param tsCol integral event-time column (epoch micros)
+    * @return (user, steps_done, completed) one row per user
+    */
+  def steps(df: DataFrame, userCol: String, tsCol: Column, typeCol: String,
+            stepTypes: Seq[String]): DataFrame = {
+    require(stepTypes.nonEmpty, "funnel: need at least one step")
+    val n = stepTypes.size
+    val stepArr = array(stepTypes.map(lit): _*)
+    val evs = sort_array(collect_list(struct(tsCol.as("ts"), col(typeCol).as("ty"))))
+    // fold state: (done, last matched ts); advance on the next wanted type
+    val folded = aggregate(
+      evs,
+      struct(lit(0).as("done"), lit(Long.MinValue).as("last")),
+      (acc, e) =>
+        when(acc("done") < n &&
+            e("ty") === element_at(stepArr, acc("done") + 1) &&
+            e("ts") > acc("last"),
+          struct((acc("done") + 1).as("done"), e("ts").as("last")))
+        .otherwise(acc))
+    df.groupBy(col(userCol).as("user_id"))
+      .agg(folded.as("st"))
+      .select(col("user_id"), col("st.done").as("steps_done"),
+        (col("st.done") === n).as("completed"))
+  }
+
+  /** DuckDB rendering: the greedy fold's closed form — step k's matched
+    * time is the min event time of type k strictly after step k-1's. */
+  def stepsSql(table: String, userCol: String, tsSql: String, typeCol: String,
+               stepTypes: Seq[String]): String = {
+    val n = stepTypes.size
+    val ctes = stepTypes.zipWithIndex.map { case (st, i) =>
+      val esc = st.replace("'", "''")
+      if (i == 0)
+        s"""s0 AS (
+              SELECT e.${userCol} AS user_id, min(${tsSql}) AS t
+              FROM ${table} e WHERE e.${typeCol} = '${esc}' GROUP BY 1)"""
+      else
+        s"""s${i} AS (
+              SELECT e.${userCol} AS user_id, min(${tsSql}) AS t
+              FROM ${table} e JOIN s${i - 1} p ON e.${userCol} = p.user_id
+              WHERE e.${typeCol} = '${esc}' AND ${tsSql} > p.t
+              GROUP BY e.${userCol})"""
+    }
+    val doneExpr = (0 until n).map(i =>
+      s"CASE WHEN s${i}.t IS NOT NULL THEN 1 ELSE 0 END").mkString(" + ")
+    val joins = (0 until n).map(i =>
+      s"LEFT JOIN s${i} USING (user_id)").mkString(" ")
+    s"""WITH ${ctes.mkString(", ")},
+          u AS (SELECT DISTINCT ${userCol} AS user_id FROM ${table})
+        SELECT user_id, (${doneExpr})::INT AS steps_done,
+          (${doneExpr}) = ${n} AS completed
+        FROM u ${joins}"""
+  }
+
+  /** Weekly cohort retention: cohort = integer week (epoch-micros div one
+    * week) of the user's first event; a user is retained at offset k if
+    * active during cohort week + k. Output (cohort_week, week_offset,
+    * n_users), offsets with zero users absent.
+    */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: Column): DataFrame = {
+    val weekMicros = 7L * 86400L * 1000000L
+    // exact-multiple division: the numerator is a multiple of weekMicros,
+    // so the one double division yields the integer week exactly (same
+    // value as DuckDB's integer `//` on the positive epoch)
+    val active = df.select(col(userCol).as("user_id"),
+        ((tsCol - tsCol % weekMicros) / weekMicros).cast("long").as("week"))
+      .distinct()
+    val cohorts = active.groupBy("user_id").agg(min("week").as("cohort_week"))
+    active.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
+  def cohortRetentionSql(table: String, userCol: String, tsSql: String): String = {
+    val weekMicros = 7L * 86400L * 1000000L
+    s"""WITH active AS (
+          SELECT DISTINCT ${userCol} AS user_id, (${tsSql}) // ${weekMicros} AS week
+          FROM ${table}
+        ), cohorts AS (
+          SELECT user_id, min(week) AS cohort_week FROM active GROUP BY 1
+        )
+        SELECT c.cohort_week, (a.week - c.cohort_week)::BIGINT AS week_offset,
+          count(DISTINCT a.user_id)::BIGINT AS n_users
+        FROM active a JOIN cohorts c USING (user_id)
+        GROUP BY 1, 2"""
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Sketches, TextOps}
+import graft.ops.Funnel
+
+/** Mergeable sketches (HLL registers, count-min) and event-sequence
+  * analytics (funnel, cohort retention). */
+class SketchFunnelSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docsTokens = spark.read.parquet(s"$sf/documents.parquet")
+    .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+
+  test("hllDistinct estimates per-source distinct tokens within 25%") {
+    val est = Sketches.hllDistinct(docsTokens, "source", "tok")
+      .collect().map(r => r.getString(0) -> r.getLong(3) / 1000.0).toMap
+    val exact = docsTokens.groupBy("source")
+      .agg(countDistinct("tok").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactUnion = docsTokens.select("tok").distinct().count()
+    assert(est.keySet == exact.keySet + "__union__")
+    exact.foreach { case (srcName, n) =>
+      val e = est(srcName)
+      assert(math.abs(e - n) / n < 0.25, s"$srcName: est $e vs exact $n")
+    }
+    // m=64 registers -> ~13% standard error; 25% is a 2-sigma bound
+    assert(math.abs(est("__union__") - exactUnion) / exactUnion < 0.25)
+  }
+
+  test("hllDistinct union row equals the sketch of the ungrouped stream") {
+    // mergeability: element-wise max of per-source registers == one pass
+    // over the whole stream with a single group
+    val merged = Sketches.hllDistinct(docsTokens, "source", "tok")
+      .filter(col("grp") === "__union__").select("hll_regsum")
+      .collect().head.getLong(0)
+    val single = Sketches.hllDistinct(
+        docsTokens.withColumn("source", lit("all")), "source", "tok")
+      .filter(col("grp") === "all").select("hll_regsum")
+      .collect().head.getLong(0)
+    assert(merged == single)
+  }
+
+  test("hllDistinct is partition-invariant") {
+    val a = Sketches.hllDistinct(docsTokens.repartition(1), "source", "tok")
+      .orderBy("grp").collect().toSeq
+    val b = Sketches.hllDistinct(docsTokens.repartition(7), "source", "tok")
+      .orderBy("grp").collect().toSeq
+    assert(a == b)
+  }
+
+  test("cmsEstimate dominates the exact count and hits zero for absent probes") {
+    val toks = docsTokens.select("tok")
+    val out = Sketches.cmsEstimate(toks, "tok", SparkEntry.cmsProbeTokens)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSet == SparkEntry.cmsProbeTokens.toSet)
+    out.foreach { case (p, est, exact) =>
+      assert(est >= exact, s"$p: CMS $est under exact $exact")
+    }
+    val absent = out.find(_._1 == "zz_absent_probe").get
+    assert(absent._3 == 0L)
+    // the present probes are real corpus tokens
+    assert(out.filter(_._1 != "zz_absent_probe").forall(_._3 > 0L))
+  }
+
+  test("funnel steps match a brute-force per-user fold") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("tsu", expr("unix_micros(cast(ts as timestamp))"))
+    val got = Funnel.steps(ev, "user_id", col("tsu"), "event_type",
+        SparkEntry.funnelStepTypes)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    val brute = ev.select("user_id", "tsu", "event_type")
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).map { case (u, evs) =>
+        var done = 0; var last = Long.MinValue
+        evs.sortBy(e => (e._2, e._3)).foreach { e =>
+          if (done < SparkEntry.funnelStepTypes.size &&
+              e._3 == SparkEntry.funnelStepTypes(done) && e._2 > last) {
+            done += 1; last = e._2
+          }
+        }
+        u -> done
+      }
+    assert(got.keySet == brute.keySet)
+    brute.foreach { case (u, done) =>
+      assert(got(u) == ((done, done == SparkEntry.funnelStepTypes.size)),
+        s"user $u: got ${got(u)} brute $done")
+    }
+  }
+
+  test("funnel is partition-invariant and strict-after on ties") {
+    import spark.implicits._
+    // same-ts step-2 event must NOT advance past step 1
+    val rows = Seq((1L, 10L, "signup"), (1L, 10L, "view"), (1L, 20L, "view"),
+      (2L, 5L, "view"), (2L, 6L, "signup"))
+    val df = rows.toDF("user_id", "tsu", "event_type")
+    val out = Funnel.steps(df, "user_id", col("tsu"), "event_type",
+      Seq("signup", "view")).orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(out == Seq((1L, 2), (2L, 1))) // u1 advances via ts=20; u2 has no view AFTER signup
+    val big = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("tsu", expr("unix_micros(cast(ts as timestamp))"))
+    val a = Funnel.steps(big.repartition(1), "user_id", col("tsu"), "event_type",
+      SparkEntry.funnelStepTypes).orderBy("user_id").collect().toSeq
+    val b = Funnel.steps(big.repartition(5), "user_id", col("tsu"), "event_type",
+      SparkEntry.funnelStepTypes).orderBy("user_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("cohort retention: offsets non-negative, offset-0 counts cohort sizes") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("tsu", expr("unix_micros(cast(ts as timestamp))"))
+    val ret = Funnel.cohortRetention(ev, "user_id", col("tsu")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ret.forall(_._2 >= 0))
+    // every user appears in their own cohort at offset 0
+    val cohortSizes = ret.filter(_._2 == 0).map(r => r._1 -> r._3).toMap
+    val users = ev.select("user_id").distinct().count()
+    assert(cohortSizes.values.sum == users)
+    // retention at offset k never exceeds the cohort size
+    ret.foreach { case (c, k, n) =>
+      assert(n <= cohortSizes(c), s"cohort $c offset $k: $n > ${cohortSizes(c)}")
+    }
+  }
+}
