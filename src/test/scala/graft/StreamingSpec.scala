@@ -432,4 +432,57 @@ class StreamingSpec extends SparkSpec {
       assert(out.size == 6, s"unexpected deltas: $out")
     } finally q.stop()
   }
+
+  test("streaming funnel: advances on watermark finality, matches the batch fold") {
+    import graft.streaming.StreamingFunnel
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("signup", "view", "purchase")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val updates = StreamingFunnel.steps(
+      input.toDF().toDF("user_id", "ts", "event_type"), steps,
+      watermark = "0 seconds")
+    val q = updates.writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      // u1 completes; u2 has view BEFORE signup (stuck at 1); u3's view
+      // ties signup's ts (strict-after: no advance past step 1)
+      input.addData(
+        (1L, ts(100), "signup"), (1L, ts(150), "view"), (1L, ts(200), "purchase"),
+        (2L, ts(100), "view"), (2L, ts(150), "signup"),
+        (3L, ts(100), "signup"), (3L, ts(100), "view"))
+      q.processAllAvailable()
+      // push the watermark past every event, then extra triggers for the
+      // event-time timeouts to flush buffered folds
+      input.addData((99L, ts(100000), "noise"))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val out = spark.table("funnel_out")
+        .as[(Long, Int, Boolean, Long)].collect().toSeq
+      val maxDone = out.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      assert(maxDone.get(1L).contains(3))
+      assert(out.contains((1L, 3, true, 200000L)))
+      assert(maxDone.get(2L).contains(1))
+      assert(maxDone.get(3L).contains(1))
+      // batch parity on the finalized users
+      import graft.ops.Funnel
+      val batch = Seq(
+        (1L, 100000L, "signup"), (1L, 150000L, "view"), (1L, 200000L, "purchase"),
+        (2L, 100000L, "view"), (2L, 150000L, "signup"),
+        (3L, 100000L, "signup"), (3L, 100000L, "view"))
+        .toDF("user_id", "tsu", "event_type")
+      val expect = Funnel.steps(batch, "user_id", col("tsu"), "event_type", steps)
+        .as[(Long, Int, Boolean)].collect().map(r => r._1 -> r._2).toMap
+      Seq(1L, 2L, 3L).foreach { u =>
+        assert(maxDone(u) == expect(u), s"user $u: stream ${maxDone(u)} batch ${expect(u)}")
+      }
+      // a late duplicate signup can't restart a completed funnel
+      input.addData((1L, ts(100500), "signup"), (1L, ts(100600), "view"))
+      input.addData((99L, ts(200000), "noise"))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val after = spark.table("funnel_out").as[(Long, Int, Boolean, Long)]
+        .collect().toSeq.filter(_._1 == 1L)
+      assert(after.map(_._2).max == 3 && after.size == out.count(_._1 == 1L))
+    } finally q.stop()
+  }
 }
