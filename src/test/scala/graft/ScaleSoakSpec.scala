@@ -240,4 +240,53 @@ class ScaleSoakSpec extends SparkSpec {
     assert(max10 <= max1 * 4,
       s"cluster sizes grew with volume (pair join degrading): $max1 -> $max10")
   }
+
+  test("HLL/CMS sketches: exact scaling invariants under 10x duplication") {
+    import graft.llm.{Sketches, TextOps}
+    def toks(df: DataFrame) = df.select(col("doc_id").cast("string").as("source"),
+      explode(TextOps.tokens(col("text"))).as("tok"))
+      .withColumn("source", lit("s")) // one group; ids only inflate rows
+    // registers depend only on the DISTINCT value set, so a 10x
+    // duplicated corpus must produce the IDENTICAL sketch — the bounded-
+    // state property that makes the sketch safe at any volume
+    val hll1 = Sketches.hllDistinct(toks(docs), "source", "tok")
+      .orderBy("grp").collect().toSeq
+    val hll10 = Sketches.hllDistinct(toks(inflate(docs, 10)), "source", "tok")
+      .orderBy("grp").collect().toSeq
+    assert(hll1 == hll10, "duplication changed the distinct sketch")
+    // CMS counters are pure sums: every probe estimate scales EXACTLY 10x
+    val probes = Seq("join", "hash", "scan")
+    val cms1 = Sketches.cmsEstimate(toks(docs), "tok", probes)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val cms10 = Sketches.cmsEstimate(toks(inflate(docs, 10)), "tok", probes)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    probes.foreach { p =>
+      assert(cms10(p)._1 == cms1(p)._1 * 10 && cms10(p)._2 == cms1(p)._2 * 10,
+        s"$p: ${cms1(p)} -> ${cms10(p)} is not exact 10x")
+    }
+  }
+
+  test("funnel: 10x users (id remap) keeps per-user results identical") {
+    import graft.ops.Funnel
+    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+      .select(col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("tsu"),
+        col("event_type"))
+    def inflateUsers(k: Int): DataFrame =
+      (0 until k).map(i => ev.select((col("user_id") + lit(i * 1000000000L))
+        .as("user_id"), col("tsu"), col("event_type")))
+        .reduce(_ unionByName _)
+    val steps = SparkEntry.funnelStepTypes
+    val r1 = Funnel.steps(ev, "user_id", col("tsu"), "event_type", steps)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val r10map = Funnel.steps(inflateUsers(10), "user_id", col("tsu"), "event_type", steps)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(r10map.size == r1.size * 10) // one row per user at both scales
+    // every copy folds to its original's exact result — the per-user
+    // state never couples across users, so user-count scales freely
+    r1.foreach { case (u, d) =>
+      (0 until 10).foreach { i =>
+        assert(r10map(u + i * 1000000000L) == d, s"copy $i of user $u diverged")
+      }
+    }
+  }
 }
