@@ -675,6 +675,32 @@ object SparkEntry {
                      count(*)::BIGINT AS n_classes
               FROM per""")),
 
+    // Privacy ENFORCEMENT (audit -> action): global-recoding k-anonymity
+    // via generalization ladders + suppression of residual small classes
+    "q_k_anonymize" -> Q(
+      (s, dir) => Anonymize.kAnonymize(rd(s, dir, "customer"), "c_custkey",
+        Seq(
+          Anonymize.QiLadder("nat", Seq(col("c_nationkey").cast("long"),
+            expr("c_nationkey div 5").cast("long"), lit(0L))),
+          Anonymize.QiLadder("bal", Seq(round(col("c_acctbal"), -2),
+            round(col("c_acctbal"), -3), lit(0.0d)))),
+        k = 5).orderBy("c_custkey"),
+      Some(Anonymize.kAnonymizeSql("customer", "c_custkey",
+        Seq(
+          "nat" -> Seq("c_nationkey::BIGINT", "(c_nationkey // 5)::BIGINT", "0::BIGINT"),
+          "bal" -> Seq("round(c_acctbal, -2)::DOUBLE", "round(c_acctbal, -3)::DOUBLE",
+            "0.0::DOUBLE")),
+        k = 5) + " ORDER BY c_custkey")),
+
+    // Privacy RELEASE: Laplace-noised group counts, noise drawn
+    // deterministically from the salted u60 stream (hash-engine style —
+    // reproducible and oracle-checkable; integer lnNano arithmetic)
+    "q_dp_counts" -> Q(
+      (s, dir) => Anonymize.dpNoisyCounts(rd(s, dir, "customer"),
+        "c_mktsegment", epsNum = 1L, epsDen = 2L).orderBy("grp"),
+      Some(Anonymize.dpNoisyCountsSql("customer", "c_mktsegment",
+        epsNum = 1L, epsDen = 2L) + " ORDER BY grp")),
+
     // ----- scans / projections / limits -----
     "q_query_scan" -> Q(
       (s, dir) => {
