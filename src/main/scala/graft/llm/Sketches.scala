@@ -160,11 +160,15 @@ object Sketches {
     * combine emits <= 1024 rows no matter the input size, the defining
     * CMS property. */
   def cmsBuild(df: DataFrame, valueCol: String, tweak: String = "cms"): DataFrame = {
-    val rows = (0 until CmsDepth).map { j =>
-      df.select(lit(j).as("depth"),
+    // ONE pass: each row explodes to its 4 (depth, bucket) cells in-line —
+    // a 4-way union would scan the source once per depth row
+    val cells = array((0 until CmsDepth).map { j =>
+      struct(lit(j).as("depth"),
         (Gen.u60(col(valueCol), s"$tweak$j") % CmsWidth).as("bucket"))
-    }.reduce(_.unionByName(_))
-    rows.groupBy("depth", "bucket").agg(count(lit(1)).as("cnt"))
+    }: _*)
+    df.select(explode(cells).as("cell"))
+      .select(col("cell.depth").as("depth"), col("cell.bucket").as("bucket"))
+      .groupBy("depth", "bucket").agg(count(lit(1)).as("cnt"))
   }
 
   /** Point-frequency estimates for `probes` against the sketch, next to

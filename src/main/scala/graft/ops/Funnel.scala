@@ -86,10 +86,15 @@ object Funnel {
     val weekMicros = 7L * 86400L * 1000000L
     // exact-multiple division: the numerator is a multiple of weekMicros,
     // so the one double division yields the integer week exactly (same
-    // value as DuckDB's integer `//` on the positive epoch)
-    val active = df.select(col(userCol).as("user_id"),
-        ((tsCol - tsCol % weekMicros) / weekMicros).cast("long").as("week"))
-      .distinct()
+    // value as DuckDB's integer `//` on the positive epoch).
+    // Materialized: both the cohort derivation and the offset join read
+    // this relation — without it the raw event scan runs twice (and at
+    // 100 TB the distinct (user, week) relation is users x weeks, orders
+    // smaller than the event log it summarizes).
+    val active = graft.plans.Checkpoints.materialize(
+      df.select(col(userCol).as("user_id"),
+          ((tsCol - tsCol % weekMicros) / weekMicros).cast("long").as("week"))
+        .distinct())
     val cohorts = active.groupBy("user_id").agg(min("week").as("cohort_week"))
     active.join(cohorts, "user_id")
       .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
