@@ -1777,6 +1777,15 @@ object SparkEntry {
         "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents)",
         "tok", cmsProbeTokens) + " ORDER BY probe")),
 
+    // Bottom-k-by-hash sample quantiles: deterministic uniform sample
+    // (mergeable like KMV — bottom-k of shard bottom-k's), exact rank
+    // rule over the sample; WindowGroupLimit keeps the shuffle k-bounded
+    "q_sketch_quantile" -> Q(
+      (s, dir) => Sketches.sampleQuantiles(rd(s, dir, "documents"),
+        "source", "doc_id", "n_chars", k = 64).orderBy("grp", "pct"),
+      Some(Sketches.sampleQuantilesSql("documents", "source", "doc_id",
+        "n_chars", k = 64) + " ORDER BY grp, pct")),
+
     // Ordered-funnel match over the event stream (strict-after step
     // semantics; one shuffle on the user key, per-user HOF fold)
     "q_funnel_steps" -> Q(

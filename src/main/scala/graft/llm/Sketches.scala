@@ -148,6 +148,84 @@ object Sketches {
   }
 
   // ---------------------------------------------------------------------
+  // Bottom-k sample quantiles (deterministic uniform sample, mergeable)
+  // ---------------------------------------------------------------------
+
+  /** Quantile estimates from a DETERMINISTIC uniform sample: the k rows
+    * with the smallest u60(id) per group are a uniform random sample of
+    * the group under the hash's uniformity — and a MERGEABLE one (the
+    * bottom-k of a union is the bottom-k of the parts' bottom-k's, so
+    * shard samples combine without a rescan — same family as the KMV
+    * sketch, carrying sampled VALUES instead of hash ranks). Quantiles
+    * over the sample use the engine's exact lower-quantile rank rule.
+    *
+    * Scale shape: the rank filter is a WindowGroupLimit — Spark pushes
+    * the row_number <= k bound below the exchange as per-partition
+    * top-k heaps, so the shuffle carries at most k rows per (partition,
+    * group), never the full table. The second window runs on the
+    * k-bounded sample. Output: (grp, pct, est_value, sample_n).
+    */
+  /** The k rows with the smallest u60(id) per group: a deterministic
+    * uniform sample, mergeable by re-sampling the union of shard
+    * samples. Output (groupCol, idCol, v) — the sample rows themselves. */
+  def bottomKSample(df: DataFrame, groupCol: String, idCol: String,
+                    valueCol: String, k: Int, tweak: String = "sq"): DataFrame = {
+    val wSamp = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("__h"), col(idCol))
+    df.select(col(groupCol), col(idCol), col(valueCol).as("v"),
+        Gen.u60(col(idCol), tweak).as("__h"))
+      .withColumn("__rk", row_number().over(wSamp))
+      .filter(col("__rk") <= k)
+      .select(col(groupCol), col(idCol), col("v"))
+  }
+
+  def sampleQuantiles(df: DataFrame, groupCol: String, idCol: String,
+                      valueCol: String, k: Int,
+                      pcts: Seq[Int] = Seq(25, 50, 75, 90),
+                      tweak: String = "sq"): DataFrame = {
+    require(k > 0 && pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "sampleQuantiles: k > 0, percentiles in [1,100]")
+    val sample = bottomKSample(df, groupCol, idCol, valueCol, k, tweak)
+    val wVal = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("v"), col(idCol))
+    sample
+      .withColumn("vrk", row_number().over(wVal))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(groupCol)))
+      .select(col(groupCol).as("grp"), col("v"), col("vrk"), col("n"),
+        explode(array(pcts.map(lit): _*)).as("pct"))
+      .filter(col("vrk") === expr("(n * pct + 99) div 100"))
+      .select(col("grp"), col("pct"), col("v").as("est_value"),
+        col("n").as("sample_n"))
+  }
+
+  def sampleQuantilesSql(table: String, groupCol: String, idCol: String,
+                         valueSql: String, k: Int,
+                         pcts: Seq[Int] = Seq(25, 50, 75, 90),
+                         tweak: String = "sq"): String = {
+    val h = OracleGen.u60(idCol, tweak)
+    s"""WITH src AS (
+          SELECT ${groupCol} AS grp, ${idCol} AS id, ${valueSql} AS v,
+                 ${h} AS h FROM ${table}
+        ), samp AS (
+          SELECT grp, id, v,
+                 row_number() OVER (PARTITION BY grp ORDER BY h, id) AS rk
+          FROM src
+        ), kept AS (
+          SELECT grp, id, v FROM samp WHERE rk <= ${k}
+        ), ranked AS (
+          SELECT grp, v,
+                 row_number() OVER (PARTITION BY grp ORDER BY v, id) AS vrk,
+                 count(*) OVER (PARTITION BY grp) AS n
+          FROM kept
+        )
+        SELECT grp, pct, v AS est_value, n::BIGINT AS sample_n FROM (
+          SELECT grp, v, vrk, n, unnest([${pcts.mkString(", ")}]) AS pct
+          FROM ranked)
+        WHERE vrk = (n * pct + 99) // 100"""
+  }
+
+  // ---------------------------------------------------------------------
   // Count-min sketch (depth x width counter grid, u60 streams)
   // ---------------------------------------------------------------------
 

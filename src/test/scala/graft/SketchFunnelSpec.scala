@@ -65,6 +65,36 @@ class SketchFunnelSpec extends SparkSpec {
     assert(out.filter(_._1 != "zz_absent_probe").forall(_._3 > 0L))
   }
 
+  test("sampleQuantiles: k-bounded sample, merge property, estimates near exact") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Sketches.sampleQuantiles(docs, "source", "doc_id", "n_chars", k = 64)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // sample size caps at k (or the group size)
+    val sizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { case (src, _, _, n) =>
+      assert(n == math.min(64L, sizes(src)), s"$src sample_n $n")
+    }
+    // median estimate within 35% of the exact median (k=64 sample)
+    val exact = graft.llm.Corpus.groupQuantiles(
+        docs.select(col("source"), col("n_chars")), "source", "n_chars", Seq(50))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    out.filter(_._2 == 50).foreach { case (src, _, est, _) =>
+      val e = exact(src).toDouble
+      assert(math.abs(est - e) / e < 0.35, s"$src: est $est exact $e")
+    }
+    // mergeability: re-sampling the UNION OF SHARD SAMPLES reproduces the
+    // whole-table sample exactly (bottom-k of parts' bottom-k's)
+    def bk(df: org.apache.spark.sql.DataFrame, v: String) =
+      Sketches.bottomKSample(df, "source", "doc_id", v, k = 64)
+    val s1 = bk(docs.filter(col("doc_id") % 2 === 0), "n_chars")
+    val s2 = bk(docs.filter(col("doc_id") % 2 =!= 0), "n_chars")
+    val merged = bk(s1.union(s2), "v")
+      .orderBy("source", "doc_id").collect().toSeq
+    val whole = bk(docs, "n_chars").orderBy("source", "doc_id").collect().toSeq
+    assert(merged == whole)
+  }
+
   test("funnel steps match a brute-force per-user fold") {
     import spark.implicits._
     val ev = spark.read.parquet(s"$sf/events.parquet")
