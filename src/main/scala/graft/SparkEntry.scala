@@ -1786,6 +1786,18 @@ object SparkEntry {
       Some(Sketches.sampleQuantilesSql("documents", "source", "doc_id",
         "n_chars", k = 64) + " ORDER BY grp, pct")),
 
+    // Morton (Z-order) interleaved layout key — the multi-dimensional
+    // file-skipping sort key (see ops/ZOrder.writeZOrdered); pure integer
+    // shift/mask ladder, identical in both engines
+    "q_zorder_key" -> Q(
+      (s, dir) => rd(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.ops.ZOrder.zValue(col("l_partkey"), col("l_suppkey")).as("z"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some(s"""SELECT l_orderkey, l_linenumber,
+          ${graft.ops.ZOrder.zValueSql("l_partkey", "l_suppkey")} AS z
+          FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
     // Ordered-funnel match over the event stream (strict-after step
     // semantics; one shuffle on the user key, per-user HOF fold)
     "q_funnel_steps" -> Q(
