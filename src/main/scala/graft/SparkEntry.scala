@@ -701,6 +701,25 @@ object SparkEntry {
       Some(Anonymize.dpNoisyCountsSql("customer", "c_mktsegment",
         epsNum = 1L, epsDen = 2L) + " ORDER BY grp")),
 
+    // Cross-engine-exact comparison stats: centi-quantized measures,
+    // exact integer moments, one fixed float tree, nano output
+    "q_welch_t" -> Q(
+      (s, dir) => graft.ops.Stats.welchT(rd(s, dir, "events"), "event_type",
+        "value", "purchase", "click"),
+      Some(graft.ops.Stats.welchTSql("events", "event_type", "value",
+        "purchase", "click"))),
+    "q_pearson" -> Q(
+      (s, dir) => graft.ops.Stats.pearsonByGroup(rd(s, dir, "lineitem"),
+        "l_returnflag", "l_extendedprice", "l_quantity").orderBy("grp"),
+      Some(graft.ops.Stats.pearsonByGroupSql("lineitem", "l_returnflag",
+        "l_extendedprice", "l_quantity") + " ORDER BY grp")),
+    "q_histogram" -> Q(
+      (s, dir) => graft.ops.Stats.histogram(rd(s, dir, "orders"),
+        "o_orderpriority", "o_totalprice", width = 50000.0)
+        .orderBy("grp", "bucket"),
+      Some(graft.ops.Stats.histogramSql("orders", "o_orderpriority",
+        "o_totalprice", width = 50000.0) + " ORDER BY grp, bucket")),
+
     // ----- scans / projections / limits -----
     "q_query_scan" -> Q(
       (s, dir) => {
@@ -1806,6 +1825,24 @@ object SparkEntry {
         funnelStepTypes).orderBy("user_id"),
       Some(graft.ops.Funnel.stepsSql("events", "user_id", "epoch_us(e.ts)",
         "event_type", funnelStepTypes) + " ORDER BY user_id")),
+
+    // Composition: sessionize -> funnel per SESSION (operators chain —
+    // the funnel key is the (user, session) pair)
+    "q_funnel_sessions" -> Q(
+      (s, dir) => {
+        val ev = rd(s, dir, "events")
+          .withColumn("tsu", expr("unix_micros(cast(ts as timestamp))"))
+        val sess = graft.ops.Sessionize.sessions(ev, "user_id",
+            expr("tsu div 1000000"), "event_id", gapSec = 3600)
+          .withColumn("usess", col("user_id") * lit(100000L) + col("session_id"))
+        graft.ops.Funnel.steps(sess, "usess", col("tsu"), "event_type",
+          funnelStepTypes).orderBy(col("user_id"))
+      },
+      Some(graft.ops.Funnel.stepsSql(
+        "(" + graft.ops.Sessionize.sessionsSql("events", "user_id",
+          "(epoch_ns(ts) // 1000000000)", "event_id", 3600,
+          "user_id * 100000 + session_id AS usess, epoch_us(ts) AS tsu, event_type") + ")",
+        "usess", "e.tsu", "event_type", funnelStepTypes) + " ORDER BY user_id")),
 
     // Weekly cohort retention (integer week arithmetic, two aggregates)
     "q_cohort_retention" -> Q(
