@@ -1844,6 +1844,24 @@ object SparkEntry {
           "user_id * 100000 + session_id AS usess, epoch_us(ts) AS tsu, event_type") + ")",
         "usess", "e.tsu", "event_type", funnelStepTypes) + " ORDER BY user_id")),
 
+    // Per-step matched times of the funnel fold (raw conversion relation)
+    "q_funnel_times" -> Q(
+      (s, dir) => graft.ops.Funnel.stepTimes(rd(s, dir, "events"), "user_id",
+        expr("unix_micros(cast(ts as timestamp))"), "event_type",
+        funnelStepTypes).orderBy("user_id", "step"),
+      Some(graft.ops.Funnel.stepTimesSql("events", "user_id", "epoch_us(e.ts)",
+        "event_type", funnelStepTypes) + " ORDER BY user_id, step")),
+
+    // Conversion-latency quantiles per step (stepTimes -> lag -> exact
+    // group-quantile rank rule)
+    "q_funnel_latency" -> Q(
+      (s, dir) => graft.ops.Funnel.conversionLatency(rd(s, dir, "events"),
+        "user_id", expr("unix_micros(cast(ts as timestamp))"), "event_type",
+        funnelStepTypes).orderBy("step", "pct"),
+      Some(graft.ops.Funnel.conversionLatencySql("events", "user_id",
+        "epoch_us(e.ts)", "event_type", funnelStepTypes) +
+        " ORDER BY step, pct")),
+
     // Weekly cohort retention (integer week arithmetic, two aggregates)
     "q_cohort_retention" -> Q(
       (s, dir) => graft.ops.Funnel.cohortRetention(rd(s, dir, "events"), "user_id",

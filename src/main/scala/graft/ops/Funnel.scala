@@ -53,7 +53,57 @@ object Funnel {
   def stepsSql(table: String, userCol: String, tsSql: String, typeCol: String,
                stepTypes: Seq[String]): String = {
     val n = stepTypes.size
-    val ctes = stepTypes.zipWithIndex.map { case (st, i) =>
+    val ctes = stepCtes(table, userCol, tsSql, typeCol, stepTypes)
+    val doneExpr = (0 until n).map(i =>
+      s"CASE WHEN s${i}.t IS NOT NULL THEN 1 ELSE 0 END").mkString(" + ")
+    val joins = (0 until n).map(i =>
+      s"LEFT JOIN s${i} USING (user_id)").mkString(" ")
+    s"""WITH ${ctes.mkString(", ")},
+          u AS (SELECT DISTINCT ${userCol} AS user_id FROM ${table})
+        SELECT user_id, (${doneExpr})::INT AS steps_done,
+          (${doneExpr}) = ${n} AS completed
+        FROM u ${joins}"""
+  }
+
+  /** Per-step matched times of the greedy fold: one row per (user,
+    * completed step) with the event time that advanced it — the raw
+    * relation behind conversion-latency analytics. Same single-shuffle
+    * fold as [[steps]], with the state carrying the matched-time array. */
+  def stepTimes(df: DataFrame, userCol: String, tsCol: Column, typeCol: String,
+                stepTypes: Seq[String]): DataFrame = {
+    require(stepTypes.nonEmpty, "funnel: need at least one step")
+    val n = stepTypes.size
+    val stepArr = array(stepTypes.map(lit): _*)
+    val evs = sort_array(collect_list(struct(tsCol.as("ts"), col(typeCol).as("ty"))))
+    val folded = aggregate(
+      evs,
+      struct(lit(0).as("done"), lit(Long.MinValue).as("last"),
+        array().cast("array<bigint>").as("times")),
+      (acc, e) =>
+        when(acc("done") < n &&
+            e("ty") === element_at(stepArr, acc("done") + 1) &&
+            e("ts") > acc("last"),
+          struct((acc("done") + 1).as("done"), e("ts").as("last"),
+            concat(acc("times"), array(e("ts"))).as("times")))
+        .otherwise(acc))
+    df.groupBy(col(userCol).as("user_id"))
+      .agg(folded.as("st"))
+      .select(col("user_id"), posexplode(col("st.times")))
+      .select(col("user_id"), (col("pos") + 1).as("step"), col("col").as("t"))
+  }
+
+  /** DuckDB rendering: union of the chained min-after-previous CTEs. */
+  def stepTimesSql(table: String, userCol: String, tsSql: String, typeCol: String,
+                   stepTypes: Seq[String]): String = {
+    val ctes = stepCtes(table, userCol, tsSql, typeCol, stepTypes)
+    val union = stepTypes.indices.map(i =>
+      s"SELECT user_id, ${i + 1} AS step, t FROM s${i}").mkString(" UNION ALL ")
+    s"WITH ${ctes.mkString(", ")} SELECT user_id, step::BIGINT AS step, t FROM (${union})"
+  }
+
+  private def stepCtes(table: String, userCol: String, tsSql: String,
+                       typeCol: String, stepTypes: Seq[String]): Seq[String] =
+    stepTypes.zipWithIndex.map { case (st, i) =>
       val esc = st.replace("'", "''")
       if (i == 0)
         s"""s0 AS (
@@ -66,15 +116,32 @@ object Funnel {
               WHERE e.${typeCol} = '${esc}' AND ${tsSql} > p.t
               GROUP BY e.${userCol})"""
     }
-    val doneExpr = (0 until n).map(i =>
-      s"CASE WHEN s${i}.t IS NOT NULL THEN 1 ELSE 0 END").mkString(" + ")
-    val joins = (0 until n).map(i =>
-      s"LEFT JOIN s${i} USING (user_id)").mkString(" ")
-    s"""WITH ${ctes.mkString(", ")},
-          u AS (SELECT DISTINCT ${userCol} AS user_id FROM ${table})
-        SELECT user_id, (${doneExpr})::INT AS steps_done,
-          (${doneExpr}) = ${n} AS completed
-        FROM u ${joins}"""
+
+  /** Conversion-latency quantiles: per funnel step >= 2, the exact
+    * lower-quantile latencies (t_step - t_{step-1}) across converting
+    * users. Composition: [[stepTimes]] -> lag window on the per-user
+    * step relation (n rows per user, tiny) -> the engine's exact
+    * group-quantile rank rule. */
+  def conversionLatency(df: DataFrame, userCol: String, tsCol: Column,
+                        typeCol: String, stepTypes: Seq[String],
+                        pcts: Seq[Int] = Seq(50, 90)): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("step")
+    val durs = stepTimes(df, userCol, tsCol, typeCol, stepTypes)
+      .withColumn("prev_t", lag("t", 1).over(w))
+      .filter(col("step") >= 2)
+      .select(col("step"), (col("t") - col("prev_t")).as("latency"))
+    graft.llm.Corpus.groupQuantiles(durs, "step", "latency", pcts)
+  }
+
+  def conversionLatencySql(table: String, userCol: String, tsSql: String,
+                           typeCol: String, stepTypes: Seq[String],
+                           pcts: Seq[Int] = Seq(50, 90)): String = {
+    val st = stepTimesSql(table, userCol, tsSql, typeCol, stepTypes)
+    val durs = s"""(SELECT step, latency FROM (
+          SELECT step, t - lag(t) OVER (PARTITION BY user_id ORDER BY step) AS latency
+          FROM (${st})) WHERE step >= 2 AND latency IS NOT NULL)"""
+    graft.llm.Corpus.groupQuantilesSql(durs, "step", "latency", pcts)
   }
 
   /** Weekly cohort retention: cohort = integer week (epoch-micros div one

@@ -140,6 +140,31 @@ class SketchFunnelSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("stepTimes agrees with steps and yields strictly increasing times") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("tsu", expr("unix_micros(cast(ts as timestamp))"))
+    val steps = SparkEntry.funnelStepTypes
+    val times = graft.ops.Funnel.stepTimes(ev, "user_id", col("tsu"),
+        "event_type", steps)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val done = graft.ops.Funnel.steps(ev, "user_id", col("tsu"), "event_type", steps)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // one time row per completed step, per user
+    val perUser = times.groupBy(_._1)
+    done.foreach { case (u, d) =>
+      assert(perUser.get(u).map(_.length).getOrElse(0) == d, s"user $u")
+    }
+    // steps are 1..d with strictly increasing times (strict-after rule)
+    perUser.foreach { case (u, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to rows.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 > a._3, s"user $u times not increasing")
+        case _ => ()
+      }
+    }
+  }
+
   test("cohort retention: offsets non-negative, offset-0 counts cohort sizes") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
       .withColumn("tsu", expr("unix_micros(cast(ts as timestamp))"))
