@@ -211,6 +211,9 @@ object Lifecycle {
         else { System.err.println(s"no dump named $name under $root"); sys.exit(1) }
       case "list-transformers" :: Nil => listTransformers().foreach(println)
       case "show-transformer" :: name :: Nil => println(showTransformer(name))
+      case "curate" :: cfgPath :: sfDir :: outDir :: Nil =>
+        graft.llm.CuratePipeline.main(spark,
+          Files.readString(Paths.get(cfgPath)), sfDir, outDir)
       case other =>
         System.err.println(
           "usage: dump <config.json> <sfDir> <outDir> | validate <config.json> <sfDir> | " +

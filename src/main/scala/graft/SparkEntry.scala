@@ -1805,6 +1805,38 @@ object SparkEntry {
       Some(Sketches.sampleQuantilesSql("documents", "source", "doc_id",
         "n_chars", k = 64) + " ORDER BY grp, pct")),
 
+    // Config-driven curation chain (normalize -> exact-dedup rep ->
+    // length filter -> hash sample), the declarative composition surface
+    // of llm/CuratePipeline — oracle renders the same chain in SQL
+    "q_curate_pipeline" -> Q(
+      (s, dir) => {
+        import graft.llm.CuratePipeline.{Config, Step}
+        val cfg = Config("documents", "doc_id", "text", Seq(
+          Step("normalize", Map.empty),
+          Step("dedup_exact", Map.empty),
+          Step("length_filter", Map("min_tokens" -> "3", "max_tokens" -> "10000")),
+          Step("sample_hash", Map("rate" -> "2"))), report = false)
+        graft.llm.CuratePipeline.run(cfg, t => rd(s, dir, t))._1
+          .select("doc_id", "text").orderBy("doc_id")
+      },
+      Some {
+        val norm = TextOps.normalizeSql("text")
+        s"""WITH n AS (
+              SELECT doc_id, ${norm} AS text FROM documents
+            ), d AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text, row_number() OVER (
+                  PARTITION BY sha256(text) ORDER BY doc_id) AS rn FROM n)
+              WHERE rn = 1
+            ), l AS (
+              SELECT doc_id, text FROM d
+              WHERE ${TextOps.tokenCountSql("text")} BETWEEN 3 AND 10000
+            )
+            SELECT doc_id, text FROM l
+            WHERE ${Sampling.hashSampleSql("doc_id", 2)}
+            ORDER BY doc_id"""
+      }),
+
     // Morton (Z-order) interleaved layout key — the multi-dimensional
     // file-skipping sort key (see ops/ZOrder.writeZOrdered); pure integer
     // shift/mask ladder, identical in both engines

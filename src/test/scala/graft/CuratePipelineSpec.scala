@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.CuratePipeline
+import graft.llm.CuratePipeline.{Config, Step}
+
+/** Config-driven curation chain: parsing, step semantics, E2E CLI run. */
+class CuratePipelineSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("parse: steps, typed params, env interpolation, defaults") {
+    val cfg = CuratePipeline.parse(
+      """{ "input": "documents", "report": true,
+           "steps": [
+             {"op": "normalize"},
+             {"op": "length_filter", "min_tokens": 3, "max_tokens": "${MAXTOK}"},
+             {"op": "sample_hash", "rate": 2}
+           ] }""",
+      env = Map("MAXTOK" -> "9999"))
+    assert(cfg.id == "doc_id" && cfg.text == "text" && cfg.report)
+    assert(cfg.steps.map(_.op) == Seq("normalize", "length_filter", "sample_hash"))
+    assert(cfg.steps(1).params == Map("min_tokens" -> "3", "max_tokens" -> "9999"))
+    intercept[IllegalArgumentException] {
+      CuratePipeline.parse("""{"steps": [{"op": "no_such_op"}]}""") match {
+        case c => CuratePipeline.run(c, _ => docs)
+      }
+    }
+  }
+
+  test("steps compose: counts only ever shrink; dedup keeps min-id reps") {
+    val cfg = Config("documents", "doc_id", "text", Seq(
+      Step("normalize", Map.empty),
+      Step("dedup_exact", Map.empty),
+      Step("dedup_minhash", Map.empty),
+      Step("length_filter", Map("min_tokens" -> "3", "max_tokens" -> "10000")),
+      Step("quality_filter", Map("min_milli" -> "100")),
+      Step("pii_scrub", Map.empty),
+      Step("sample_hash", Map("rate" -> "2"))), report = true)
+    val (out, stats) = CuratePipeline.run(cfg, _ => docs)
+    val counts = stats.map(_._2)
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"step grew the corpus: $stats")
+    assert(out.count() == counts.last && counts.last > 0)
+    // schema preserved through row-preserving chain
+    assert(out.columns.toSet == docs.columns.toSet)
+  }
+
+  test("decontaminate drops exactly the holdout-identical docs") {
+    val holdout = docs.filter(col("doc_id") % 7 === 0).select("text")
+    val cfg = Config("documents", "doc_id", "text",
+      Seq(Step("decontaminate", Map("holdout" -> "__holdout"))), report = false)
+    val (out, _) = CuratePipeline.run(cfg,
+      { case "__holdout" => holdout; case _ => docs })
+    val survivors = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val contaminated = docs.alias("d")
+      .join(holdout.alias("h"), expr("d.text = h.text"), "left_semi")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.intersect(contaminated).isEmpty)
+    assert(survivors.size == docs.count() - contaminated.size)
+  }
+
+  test("E2E CLI: curate writes parquet + report, token budget bounds sources") {
+    val outDir = "/tmp/curate_e2e"
+    val cfgJson =
+      """{ "input": "documents", "report": true,
+           "steps": [
+             {"op": "dedup_exact"},
+             {"op": "token_budget", "group": "source", "budget": 2000}
+           ] }"""
+    CuratePipeline.main(spark, cfgJson, "/root/testdata/sf0.001", outDir)
+    val curated = spark.read.parquet(s"$outDir/curated.parquet")
+    val report = scala.io.Source.fromFile(s"$outDir/curate_report.json").mkString
+    assert(report.contains("\"step\":\"input\"") && report.contains("token_budget"))
+    // every source's surviving token count respects the budget
+    val perSource = curated
+      .select(col("source"), graft.llm.TextOps.tokenCount(col("text")).cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").as("tot")).collect()
+    perSource.foreach(r => assert(r.getLong(1) <= 2000L,
+      s"${r.getString(0)} over budget: ${r.getLong(1)}"))
+  }
+}
