@@ -110,8 +110,31 @@ object CuratePipeline {
           .join(broadcast(holdout.select(sha2(col(text), 256).as("__ch")).distinct()),
             Seq("__ch"), "left_anti")
           .drop("__ch")
+      case "decontaminate_near" =>
+        // LSH-band near-decontamination (drop anything resembling holdout)
+        Dedup.crossCorpusNear(df, resolve(p("holdout")), id, text)
+      case "boilerplate_lines" =>
+        // replace text with the boilerplate-stripped rebuild, keep schema
+        val cleaned = Corpus.removeBoilerplateLines(
+          df.select(col(id), col(text)), id, text, p("min_docs").toInt)
+        df.drop(text).join(cleaned.withColumnRenamed("clean_text", text), Seq(id))
+      case "dedup_spans" =>
+        // cross-document duplicated-span removal (ExactSubstr-style);
+        // note: rewrites text in canonical single-space token form
+        val rewritten = Dedup.dedupSpansAcross(df, id, text,
+          step.params.get("k").map(_.toInt).getOrElse(6))
+        df.drop(text).join(
+          rewritten.withColumnRenamed("text_dedup", text), Seq(id))
+      case "stratified_quota" =>
+        Sampling.stratifiedQuota(df, p("group"), id, p("quota").toInt)
       case "sample_hash" =>
         Sampling.hashSample(df, id, p("rate").toInt)
+      case "chunk" =>
+        // TERMINAL step: explodes docs into fixed-token chunks — schema
+        // becomes (id, chunk_id, chunk_text, n_chunk_tokens)
+        Sampling.chunkDocuments(df, id, text,
+          p("chunk_tokens").toInt,
+          step.params.get("overlap").map(_.toInt).getOrElse(0))
       case "token_budget" =>
         Sampling.tokenBudgetPerGroup(
           df.withColumn("__nt", TextOps.tokenCount(col(text)).cast("long")),

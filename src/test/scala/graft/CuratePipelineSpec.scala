@@ -61,6 +61,30 @@ class CuratePipelineSpec extends SparkSpec {
     assert(survivors.size == docs.count() - contaminated.size)
   }
 
+  test("extended steps: near-decontamination, span dedup, quota, terminal chunk") {
+    val holdout = docs.filter(col("doc_id") % 11 === 0)
+    val cfg = Config("documents", "doc_id", "text", Seq(
+      Step("decontaminate_near", Map("holdout" -> "__holdout")),
+      Step("dedup_spans", Map("k" -> "6")),
+      Step("boilerplate_lines", Map("min_docs" -> "3")),
+      Step("stratified_quota", Map("group" -> "source", "quota" -> "20")),
+      Step("chunk", Map("chunk_tokens" -> "32", "overlap" -> "8"))), report = true)
+    val (out, stats) = CuratePipeline.run(cfg,
+      { case "__holdout" => holdout; case _ => docs })
+    // near-decontamination at least drops the holdout docs themselves
+    val afterNear = stats.find(_._1 == "decontaminate_near").get._2
+    assert(afterNear <= docs.count() - holdout.count())
+    // quota bounds every source at 20 docs
+    val afterQuota = stats.find(_._1 == "stratified_quota").get._2
+    val nSources = docs.select("source").distinct().count()
+    assert(afterQuota <= 20L * nSources)
+    // terminal chunk explodes rows; schema switches to the chunk shape
+    assert(out.columns.toSet ==
+      Set("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens"))
+    assert(out.count() >= afterQuota)
+    assert(out.agg(max("n_chunk_tokens")).head().getInt(0) <= 32)
+  }
+
   test("E2E CLI: curate writes parquet + report, token budget bounds sources") {
     val outDir = "/tmp/curate_e2e"
     val cfgJson =
