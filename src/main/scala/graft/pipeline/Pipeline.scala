@@ -378,11 +378,17 @@ object Validator {
     require(tNum >= 0 && tDen > 0, "tCloseness: t must be a non-negative rational")
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val qiCols = quasiIdentifiers.map(col)
-    val cls = masked.groupBy((quasiIdentifiers :+ sensitiveCol).map(col): _*)
-      .agg(count(lit(1)).as("c_v"))
-    val glob = masked.groupBy(col(sensitiveCol).as("sv"))
-      .agg(count(lit(1)).as("big_c"))
-    val total = masked.agg(count(lit(1)).as("n_total"))
+    // ONE corpus pass: the global sensitive distribution and the total
+    // are pure roll-ups of the (QI, sensitive) class aggregate — the
+    // Zipf-small class relation is materialized once and re-read by all
+    // three consumers instead of re-scanning the masked table per
+    // aggregate (round-7 PlanAudit finding: customer x3)
+    val cls = graft.plans.Checkpoints.materialize(
+      masked.groupBy((quasiIdentifiers :+ sensitiveCol).map(col): _*)
+        .agg(count(lit(1)).as("c_v")))
+    val glob = cls.groupBy(col(sensitiveCol).as("sv"))
+      .agg(sum("c_v").as("big_c"))
+    val total = cls.agg(sum("c_v").as("n_total"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(qiCols: _*)
     val withNg = cls.withColumn("n_g", sum("c_v").over(w))
