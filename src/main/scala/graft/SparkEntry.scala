@@ -1894,6 +1894,44 @@ object SparkEntry {
         "epoch_us(e.ts)", "event_type", funnelStepTypes) +
         " ORDER BY step, pct")),
 
+    // Funnel conversion summary: users reaching each step (one aggregate
+    // over the step-times relation)
+    "q_funnel_conversion" -> Q(
+      (s, dir) => graft.ops.Funnel.stepTimes(rd(s, dir, "events"), "user_id",
+          expr("unix_micros(cast(ts as timestamp))"), "event_type", funnelStepTypes)
+        .groupBy("step").agg(count(lit(1)).as("n_users")).orderBy("step"),
+      Some("SELECT step::BIGINT AS step, count(*)::BIGINT AS n_users FROM (" +
+        graft.ops.Funnel.stepTimesSql("events", "user_id", "epoch_us(e.ts)",
+          "event_type", funnelStepTypes) + ") GROUP BY step ORDER BY step")),
+
+    // NATIVE session-window aggregate (Spark's built-in session_window —
+    // the engine-preferred form of the custom Sessionize op; merge rule:
+    // events strictly inside the gap extend the session, so a gap-equal
+    // arrival starts a NEW session — mirrored by >= in the oracle)
+    "q_session_window" -> Q(
+      (s, dir) => rd(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts").cast("timestamp"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          expr("unix_micros(w.start)").as("sess_start"),
+          expr("unix_micros(w.end)").as("sess_end"), col("n"))
+        .orderBy("user_id", "sess_start"),
+      Some("""WITH e AS (
+            SELECT user_id, epoch_us(ts) AS t FROM events
+          ), f AS (
+            SELECT user_id, t,
+              CASE WHEN lag(t) OVER w IS NULL
+                     OR t - lag(t) OVER w >= 3600000000 THEN 1 ELSE 0 END AS ns
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+          ), s AS (
+            SELECT user_id, t, sum(ns) OVER (PARTITION BY user_id ORDER BY t
+              ROWS UNBOUNDED PRECEDING) AS sid
+            FROM f)
+          SELECT user_id, min(t) AS sess_start,
+                 max(t) + 3600000000 AS sess_end, count(*)::BIGINT AS n
+          FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start""")),
+
     // Weekly cohort retention (integer week arithmetic, two aggregates)
     "q_cohort_retention" -> Q(
       (s, dir) => graft.ops.Funnel.cohortRetention(rd(s, dir, "events"), "user_id",
