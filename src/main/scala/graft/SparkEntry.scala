@@ -1101,6 +1101,14 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id"),
       Some(s"SELECT doc_id, lang FROM documents WHERE ${Sampling.hashSampleSql("doc_id", 10)} " +
         "ORDER BY doc_id")),
+    // Efraimidis–Spirakis exact-k weighted sample without replacement
+    // (inclusion ∝ n_chars; deterministic ES keys from the hash stream)
+    "q_sample_weighted_topk" -> Q(
+      (s, dir) => Sampling.weightedTopK(rd(s, dir, "documents"), "source",
+          "doc_id", col("n_chars"), k = 8)
+        .select("doc_id", "source").orderBy("doc_id"),
+      Some(Sampling.weightedTopKSql("documents", "source", "doc_id",
+        "n_chars", 8, "doc_id, source") + " ORDER BY doc_id")),
     "q_sample_stratified" -> Q(
       (s, dir) => Sampling.stratifiedQuota(rd(s, dir, "documents"), "lang", "doc_id", 5)
         .select("doc_id", "lang").orderBy("doc_id"),

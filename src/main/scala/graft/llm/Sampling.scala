@@ -95,6 +95,48 @@ object Sampling {
     s"((${OracleGen.u60(keyCol, tweak)})::DOUBLE / ${Gen.U60Max.toDouble} < " +
       s"least(greatest(${weightSql}, 0.0), 1.0))"
 
+  /** Exact-k weighted sample WITHOUT replacement per group —
+    * Efraimidis–Spirakis: keep the k rows with the largest u^(1/w),
+    * equivalently the k SMALLEST (ln 2^53 − ln u)/w with u the row's
+    * fixed 53-bit hash draw (in [1, 2^53], never 0). The complement of
+    * [[weighted]] (Bernoulli thinning): here group sample sizes are
+    * exact, inclusion probability is proportional to weight, and the
+    * decision is still a pure function of (key, weight) — deterministic
+    * across runs/partitionings/engines.
+    *
+    * Float parity: ln runs on the INTEGER draw ([[Curation.lnNano]]);
+    * the ES key is ONE division of two exact integers — bit-identical
+    * both engines — and ties break on the key column. Scale shape: the
+    * rank filter is a WindowGroupLimit (per-partition top-k heaps below
+    * the exchange). Rows with weight <= 0 are excluded (can never win). */
+  def weightedTopK(df: DataFrame, groupCol: String, keyCol: String,
+                   weight: Column, k: Int, tweak: String = "eswr"): DataFrame = {
+    require(k >= 1, "weightedTopK: k must be >= 1")
+    val u = Gen.u60(col(keyCol), tweak) % lit(1L << 53) + lit(1L)
+    val esKey = (lit(graft.pipeline.Anonymize.Ln2p53Nano) - Curation.lnNano(u))
+      .cast("double") / weight.cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("__es"), col(keyCol))
+    df.filter(weight > 0)
+      .withColumn("__es", esKey)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__es", "__rk")
+  }
+
+  def weightedTopKSql(table: String, groupCol: String, keyCol: String,
+                      weightSql: String, k: Int, selectCols: String,
+                      tweak: String = "eswr"): String = {
+    val u = s"((${OracleGen.u60(keyCol, tweak)}) % ${1L << 53} + 1)"
+    val esKey = s"((${graft.pipeline.Anonymize.Ln2p53Nano} - ${Curation.lnNanoSql(u)})::DOUBLE" +
+      s" / (${weightSql})::DOUBLE)"
+    s"""SELECT ${selectCols} FROM (
+          SELECT *, row_number() OVER (PARTITION BY ${groupCol}
+            ORDER BY ${esKey}, ${keyCol}) AS __rk
+          FROM ${table} WHERE (${weightSql}) > 0)
+        WHERE __rk <= ${k}"""
+  }
+
   /** Deterministic global corpus shuffle: order by the key's salted u60
     * hash — the "shuffle the corpus before training" step, reproducible
     * across runs/engines and re-derivable for any subset (a doc's position

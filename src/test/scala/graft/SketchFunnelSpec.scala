@@ -95,6 +95,29 @@ class SketchFunnelSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("weightedTopK: exact k per group, weight-biased, partition-invariant") {
+    import graft.llm.Sampling
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Sampling.weightedTopK(docs, "source", "doc_id", col("n_chars"), k = 8)
+    val sizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (src, n) =>
+      assert(got(src) == math.min(8L, n), s"$src sample size")
+    }
+    // inclusion proportional to weight: sampled docs should skew longer
+    // than the corpus median length (8 of ~170 per source, char-weighted)
+    val medAll = docs.stat.approxQuantile("n_chars", Array(0.5), 0.0).head
+    val medSamp = out.stat.approxQuantile("n_chars", Array(0.5), 0.0).head
+    assert(medSamp > medAll, s"sample median $medSamp not above corpus $medAll")
+    val a = Sampling.weightedTopK(docs.repartition(1), "source", "doc_id",
+      col("n_chars"), 8).orderBy("doc_id").collect().toSeq
+    val b = Sampling.weightedTopK(docs.repartition(7), "source", "doc_id",
+      col("n_chars"), 8).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("funnel steps match a brute-force per-user fold") {
     import spark.implicits._
     val ev = spark.read.parquet(s"$sf/events.parquet")
