@@ -33,15 +33,19 @@ object Stats {
   def welchT(df: DataFrame, groupCol: String, valueCol: String,
              ga: String, gb: String): DataFrame = {
     val q = centi(col(valueCol))
+    // ONE conditional aggregate — both populations' moments in a single
+    // scan (splitting the per-group aggregate into two filtered sides
+    // re-computed the scan per side; round-7 PlanAudit finding)
+    def side(cond: Column, e: Column) = sum(when(cond, e).otherwise(lit(0L)))
+    val isA = col("g") === ga
+    val isB = col("g") === gb
     val m = df.filter(col(groupCol).isin(ga, gb))
       .select(col(groupCol).as("g"), q.as("v"))
-      .groupBy("g")
-      .agg(count(lit(1)).as("n"), sum("v").as("s"), sum(col("v") * col("v")).as("q2"))
-    val a = m.filter(col("g") === ga).select(col("n").as("n_a"),
-      col("s").as("s_a"), col("q2").as("q_a"))
-    val b = m.filter(col("g") === gb).select(col("n").as("n_b"),
-      col("s").as("s_b"), col("q2").as("q_b"))
-    val j = a.crossJoin(b) // 1 row x 1 row
+      .agg(
+        side(isA, lit(1L)).as("n_a"), side(isA, col("v")).as("s_a"),
+        side(isA, col("v") * col("v")).as("q_a"),
+        side(isB, lit(1L)).as("n_b"), side(isB, col("v")).as("s_b"),
+        side(isB, col("v") * col("v")).as("q_b"))
     def mean(s: Column, n: Column) = s.cast("double") / n.cast("double")
     def varOf(q2: Column, s: Column, n: Column) =
       (q2.cast("double") - s.cast("double") * s.cast("double") / n.cast("double")) /
@@ -49,7 +53,7 @@ object Stats {
     val t = (mean(col("s_a"), col("n_a")) - mean(col("s_b"), col("n_b"))) /
       sqrt(varOf(col("q_a"), col("s_a"), col("n_a")) / col("n_a").cast("double") +
         varOf(col("q_b"), col("s_b"), col("n_b")) / col("n_b").cast("double"))
-    j.select(col("n_a"), col("n_b"), col("s_a"), col("s_b"),
+    m.select(col("n_a"), col("n_b"), col("s_a"), col("s_b"),
       floor(t * lit(1e9) + lit(0.5)).cast("long").as("t_nano"))
   }
 
@@ -57,19 +61,21 @@ object Stats {
                 ga: String, gb: String): String = {
     val v = centiSql(valueSql)
     def esc(s: String) = s.replace("'", "''")
+    def sideSql(g: String, e: String) =
+      s"sum(CASE WHEN ${groupCol} = '${esc(g)}' THEN ${e} ELSE 0 END)::BIGINT"
     s"""WITH m AS (
-          SELECT ${groupCol} AS g, count(*)::BIGINT AS n,
-                 sum(${v})::BIGINT AS s, sum((${v}) * (${v}))::BIGINT AS q2
+          SELECT ${sideSql(ga, "1")} AS n_a, ${sideSql(ga, v)} AS s_a,
+                 ${sideSql(ga, s"($v) * ($v)")} AS q_a,
+                 ${sideSql(gb, "1")} AS n_b, ${sideSql(gb, v)} AS s_b,
+                 ${sideSql(gb, s"($v) * ($v)")} AS q_b
           FROM ${table} WHERE ${groupCol} IN ('${esc(ga)}', '${esc(gb)}')
-          GROUP BY 1
-        ), a AS (SELECT n AS n_a, s AS s_a, q2 AS q_a FROM m WHERE g = '${esc(ga)}'),
-           b AS (SELECT n AS n_b, s AS s_b, q2 AS q_b FROM m WHERE g = '${esc(gb)}')
+        )
         SELECT n_a, n_b, s_a, s_b,
           floor(((s_a::DOUBLE / n_a::DOUBLE) - (s_b::DOUBLE / n_b::DOUBLE)) /
             sqrt(((q_a::DOUBLE - s_a::DOUBLE * s_a::DOUBLE / n_a::DOUBLE) / (n_a::DOUBLE - 1.0)) / n_a::DOUBLE +
                  ((q_b::DOUBLE - s_b::DOUBLE * s_b::DOUBLE / n_b::DOUBLE) / (n_b::DOUBLE - 1.0)) / n_b::DOUBLE)
             * 1e9 + 0.5)::BIGINT AS t_nano
-        FROM a, b"""
+        FROM m"""
   }
 
   /** Per-group Pearson correlation between two measures, nano-quantized
