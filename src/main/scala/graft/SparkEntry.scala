@@ -701,6 +701,25 @@ object SparkEntry {
       Some(Anonymize.dpNoisyCountsSql("customer", "c_mktsegment",
         epsNum = 1L, epsDen = 2L) + " ORDER BY grp")),
 
+    // Per-column profiling report (null counts, string-form ranges,
+    // mergeable HLL distinct sketches) — the dump-side table survey
+    "q_profile" -> Q(
+      (s, dir) => graft.pipeline.Profile.profile(rd(s, dir, "customer"),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+        .orderBy("col"),
+      Some(graft.pipeline.Profile.profileSql("customer",
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")) +
+        " ORDER BY col")),
+
+    // Sketch algebra: distinct-key overlap via inclusion-exclusion over
+    // register sketches (union = register-wise max, never a join)
+    "q_sketch_overlap" -> Q(
+      (s, dir) => Sketches.hllOverlap(
+        rd(s, dir, "orders"), "o_custkey", rd(s, dir, "customer"), "c_custkey"),
+      Some(Sketches.hllOverlapSql(
+        "SELECT o_custkey AS v FROM orders",
+        "SELECT c_custkey AS v FROM customer"))),
+
     // Cross-engine-exact comparison stats: centi-quantized measures,
     // exact integer moments, one fixed float tree, nano output
     "q_welch_t" -> Q(

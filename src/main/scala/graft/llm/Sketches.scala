@@ -147,6 +147,40 @@ object Sketches {
         FROM est"""
   }
 
+  /** Sketch algebra: distinct-key overlap of two relations by
+    * inclusion–exclusion over the register sketches — |A∩B| est =
+    * est(A) + est(B) − est(A∪B), with the union estimated from the
+    * register-wise max (never a rescan or a join). One row:
+    * (est_a_milli, est_b_milli, est_union_milli, est_overlap_milli);
+    * overlap is an integer difference of the milli estimates, so the
+    * algebra adds no float risk. Small negatives are sketch noise. */
+  def hllOverlap(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+                 tweak: String = "hll"): DataFrame = {
+    val tagged = a.select(lit("a").as("grp"), col(aCol).cast("string").as("v"))
+      .unionByName(b.select(lit("b").as("grp"), col(bCol).cast("string").as("v")))
+    val ests = hllDistinct(tagged, "grp", "v", tweak)
+    def pick(g: String) = sum(when(col("grp") === g, col("hll_est_milli"))
+      .otherwise(lit(0L)))
+    ests.agg(pick("a").as("est_a_milli"), pick("b").as("est_b_milli"),
+        pick("__union__").as("est_union_milli"))
+      .withColumn("est_overlap_milli",
+        col("est_a_milli") + col("est_b_milli") - col("est_union_milli"))
+  }
+
+  /** @param aSql / bSql: subqueries each yielding one column aliased `v` */
+  def hllOverlapSql(aSql: String, bSql: String, tweak: String = "hll"): String = {
+    val tagged = s"(SELECT 'a' AS grp, v::VARCHAR AS v FROM (${aSql})" +
+      s" UNION ALL SELECT 'b' AS grp, v::VARCHAR AS v FROM (${bSql}))"
+    def pick(g: String) =
+      s"sum(CASE WHEN grp = '${g}' THEN hll_est_milli ELSE 0 END)::BIGINT"
+    s"""WITH ests AS (${hllDistinctSql(tagged, "grp", "v", tweak)})
+        SELECT ${pick("a")} AS est_a_milli, ${pick("b")} AS est_b_milli,
+               ${pick("__union__")} AS est_union_milli,
+               (${pick("a")} + ${pick("b")} - ${pick("__union__")})::BIGINT
+                 AS est_overlap_milli
+        FROM ests"""
+  }
+
   // ---------------------------------------------------------------------
   // Bottom-k sample quantiles (deterministic uniform sample, mergeable)
   // ---------------------------------------------------------------------

@@ -95,6 +95,38 @@ class SketchFunnelSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("hllOverlap estimates the distinct-key intersection within sketch error") {
+    import spark.implicits._
+    // |A| = 1000, |B| = 600, |A∩B| = 300 exactly
+    val a = (1 to 1000).map(_.toLong).toDF("k")
+    val b = (701 to 1300).map(_.toLong).toDF("k")
+    val r = Sketches.hllOverlap(a, "k", b, "k").head()
+    val (ea, eb, eu, eo) = (r.getLong(0) / 1000.0, r.getLong(1) / 1000.0,
+      r.getLong(2) / 1000.0, r.getLong(3) / 1000.0)
+    assert(math.abs(ea - 1000) / 1000.0 < 0.3)
+    assert(math.abs(eb - 600) / 600.0 < 0.3)
+    assert(math.abs(eu - 1300) / 1300.0 < 0.3)
+    // overlap inherits the union's error additively: wide but useful bound
+    assert(eo > 0 && math.abs(eo - 300) < 300,
+      s"overlap est $eo vs exact 300 (a=$ea b=$eb u=$eu)")
+  }
+
+  test("profile: null accounting, string-form ranges, distinct sketch present") {
+    import spark.implicits._
+    val df = Seq((1L, Some("x"), 5), (2L, None, 5), (3L, Some("y"), 7))
+      .toDF("id", "s", "n")
+    val out = graft.pipeline.Profile.profile(df, Seq("id", "s", "n"))
+      .orderBy("col").collect()
+    val byCol = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4), r.getLong(6))).toMap
+    assert(byCol("id") == ((3L, 0L, "1", "3", byCol("id")._5)))
+    assert(byCol("s")._1 == 2L && byCol("s")._2 == 1L)
+    assert(byCol("n")._3 == "5" && byCol("n")._4 == "7")
+    // tiny cardinalities -> linear counting is near-exact
+    assert(byCol("id")._5 / 1000.0 > 2.0 && byCol("id")._5 / 1000.0 < 4.5)
+    assert(byCol("n")._5 / 1000.0 > 1.5 && byCol("n")._5 / 1000.0 < 2.5)
+  }
+
   test("weightedTopK: exact k per group, weight-biased, partition-invariant") {
     import graft.llm.Sampling
     val docs = spark.read.parquet(s"$sf/documents.parquet")
