@@ -85,8 +85,12 @@ object Sketches {
   def hllDistinct(df: DataFrame, groupCol: String, valueCol: String,
                   tweak: String = "hll"): DataFrame = {
     val h = Gen.u60(col(valueCol), tweak)
+    // w = h div 64 via an exact shift — `h / 64` would be a DOUBLE
+    // division, and a 54-bit quotient can round across a bit-length
+    // boundary, silently disagreeing with the oracle's integer `//`
     val perReg = df
-      .select(col(groupCol).as("grp"), (h % HllM).as("reg"), (h / HllM).as("w"))
+      .select(col(groupCol).as("grp"), (h % HllM).as("reg"),
+        shiftright(h, 6).as("w"))
       .groupBy("grp", "reg")
       .agg(max(hllRank(col("w"))).as("rank"))
     // union registers = max over groups, same 64-row relation

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.llm.Sketches
+
+/** Streaming sketch maintenance — running distinct-count estimates per
+  * group over an unbounded stream, the streaming complement of
+  * `Sketches.hllDistinct`: state per group is EXACTLY the 64 HLL
+  * registers (one byte of rank each — O(1) regardless of stream volume),
+  * updated register-wise per micro-batch and emitted as the same
+  * integer register sum + milli estimate the batch sketch produces. A
+  * group that goes quiet holds 64 bytes forever — the sketch never
+  * grows, which is what makes unbounded-retention distinct counting
+  * possible at all (exact streaming distinct state grows with
+  * cardinality).
+  *
+  * Determinism: same salted u60 stream as batch, so after any prefix of
+  * the stream the emitted sketch equals `hllDistinct` over that prefix
+  * — spec-pinned.
+  */
+object StreamingSketch {
+
+  case class SketchUpdate(grp: String, hll_regsum: Long, hll_est_milli: Long)
+
+  /** @param stream streaming (grp: string, v: string) */
+  def hllRunning(stream: DataFrame): Dataset[SketchUpdate] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val m = Sketches.HllM
+    stream
+      .select(col("grp"), graft.generators.Gen.u60(col("v"), "hll").as("h"))
+      .select(col("grp"), (col("h") % m).cast("int").as("reg"),
+        shiftright(col("h"), 6).as("w"))
+      .as[(String, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Byte], SketchUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (grp, rows, state: GroupState[Array[Byte]]) =>
+          val regs = state.getOption.getOrElse(new Array[Byte](m))
+          rows.foreach { case (_, reg, w) =>
+            // rank = 55 - bit_length(w); w = 0 -> 55 (matches hllRank)
+            val rank = if (w == 0L) 55 else 55 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+            if (rank > regs(reg)) regs(reg) = rank.toByte
+          }
+          state.update(regs)
+          // same integer sum + single division as the batch estimator
+          val regsum = regs.map(r => 1L << (55 - r)).sum
+          val nEmpty = regs.count(_ == 0)
+          val raw = Sketches.HllNumerator / regsum.toDouble
+          val est =
+            if (nEmpty == 0 || raw > Sketches.HllSmallRange) raw
+            else (m.toLong * (Sketches.LnMNano -
+              math.floor(math.log(nEmpty.toDouble) * 1e9 + 0.5).toLong)).toDouble / 1e9
+          Iterator(SketchUpdate(grp, regsum,
+            math.floor(est * 1000.0 + 0.5).toLong))
+      }
+  }
+}

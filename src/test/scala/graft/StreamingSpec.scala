@@ -433,6 +433,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL: O(1) register state, final sketch equals the batch sketch") {
+    import graft.streaming.StreamingSketch
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("source").as("grp"),
+        explode(graft.llm.TextOps.tokens(col("text"))).as("v"))
+    val rows = docs.as[(String, String)].collect().toSeq
+    val input = MemoryStream[(String, String)]
+    val updates = StreamingSketch.hllRunning(input.toDF().toDF("grp", "v"))
+    val q = updates.writeStream.format("memory").queryName("hll_out")
+      .outputMode("append").start()
+    try {
+      val (first, second) = rows.splitAt(rows.size / 2)
+      input.addData(first: _*)
+      q.processAllAvailable()
+      input.addData(second: _*)
+      q.processAllAvailable()
+      // LAST update per group == the batch sketch over the whole stream
+      val finals = spark.table("hll_out").as[(String, Long, Long)].collect()
+        .zipWithIndex.groupBy(_._1._1)
+        .map { case (g, us) => g -> us.maxBy(_._2)._1 }
+      val batch = graft.llm.Sketches.hllDistinct(docs.toDF(), "grp", "v")
+        .filter(col("grp") =!= "__union__")
+        .collect().map(r => r.getString(0) -> ((r.getString(0), r.getLong(1), r.getLong(3)))).toMap
+      assert(finals.keySet == batch.keySet)
+      finals.foreach { case (g, u) =>
+        assert(u == batch(g), s"$g: stream $u vs batch ${batch(g)}")
+      }
+      // running estimates never decrease (registers are monotone)
+      spark.table("hll_out").as[(String, Long, Long)].collect()
+        .zipWithIndex.groupBy(_._1._1).foreach { case (g, us) =>
+          val sums = us.sortBy(_._2).map(_._1._2)
+          sums.sliding(2).foreach {
+            case Array(a, b) => assert(b <= a, s"$g regsum increased (fewer distinct?)")
+            case _ => ()
+          }
+        }
+    } finally q.stop()
+  }
+
   test("streaming funnel: advances on watermark finality, matches the batch fold") {
     import graft.streaming.StreamingFunnel
     implicit val sqlCtx = spark.sqlContext
