@@ -25,6 +25,48 @@ object StreamingSketch {
 
   case class SketchUpdate(grp: String, hll_regsum: Long, hll_est_milli: Long)
 
+  case class HeavyHitter(grp: String, item: String, est: Long, err: Long)
+
+  /** Streaming heavy hitters by SPACE-SAVING (Metwally et al.): at most
+    * `capacity` counters per group; a new item evicts the minimum
+    * counter and inherits its count as overestimation error. The classic
+    * guarantees hold regardless of arrival order: every item with true
+    * frequency > N/capacity is present, and true <= est <= true + err
+    * with err <= N/capacity — so the bounded state answers "what
+    * dominates this stream" exactly where exact counting would need
+    * cardinality-sized state. Emits the current top-`k` snapshot per
+    * micro-batch (a monitoring stream; read the LAST snapshot per group
+    * for the final answer).
+    */
+  def spaceSavingRunning(stream: DataFrame, capacity: Int, k: Int)
+      : Dataset[HeavyHitter] = {
+    require(capacity >= 1 && k >= 1 && k <= capacity,
+      "spaceSaving: need 1 <= k <= capacity")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col("grp"), col("v").cast("string"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[String, (Long, Long)], HeavyHitter](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (grp, rows, state: GroupState[Map[String, (Long, Long)]]) =>
+          var m = state.getOption.getOrElse(Map.empty[String, (Long, Long)])
+          rows.foreach { case (_, v) =>
+            m.get(v) match {
+              case Some((c, e)) => m = m.updated(v, (c + 1, e))
+              case None if m.size < capacity => m = m.updated(v, (1L, 0L))
+              case None =>
+                // evict the minimum counter (ties by item for determinism)
+                val (minItem, (minC, _)) = m.minBy { case (it, (c, _)) => (c, it) }
+                m = (m - minItem).updated(v, (minC + 1, minC))
+            }
+          }
+          state.update(m)
+          m.toSeq.sortBy { case (it, (c, _)) => (-c, it) }.take(k)
+            .map { case (it, (c, e)) => HeavyHitter(grp, it, c, e) }.iterator
+      }
+  }
+
   /** @param stream streaming (grp: string, v: string) */
   def hllRunning(stream: DataFrame): Dataset[SketchUpdate] = {
     val spark = stream.sparkSession

@@ -473,6 +473,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming space-saving: bounded counters keep the true heavy hitters") {
+    import graft.streaming.StreamingSketch
+    implicit val sqlCtx = spark.sqlContext
+    // zipf-ish stream: item i appears ~600/i times, 40 distinct items
+    val rows = (1 to 40).flatMap(i => Seq.fill(600 / i)(("g", s"item$i")))
+    val exact = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = rows.size.toLong
+    val cap = 12
+    val input = MemoryStream[(String, String)]
+    val q = StreamingSketch.spaceSavingRunning(
+        input.toDF().toDF("grp", "v"), capacity = cap, k = cap)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("append").start()
+    try {
+      val (a, b) = rows.splitAt(rows.size / 2)
+      input.addData(a: _*); q.processAllAvailable()
+      input.addData(b: _*); q.processAllAvailable()
+      // final snapshot = rows of the last batch per group
+      val all = spark.table("hh_out").as[(String, String, Long, Long)]
+        .collect().zipWithIndex
+      val lastStart = all.map(_._2).max - cap + 1
+      val fin = all.filter(_._2 >= lastStart).map(_._1)
+        .map(r => r._2 -> (r._3, r._4)).toMap
+      // space-saving guarantees, independent of arrival order:
+      fin.foreach { case (item, (est, err)) =>
+        val t = exact.getOrElse(item, 0L)
+        assert(est >= t && est <= t + err, s"$item: est $est err $err true $t")
+        assert(err <= n / cap, s"$item err $err > N/cap ${n / cap}")
+      }
+      // every item with true freq > N/cap must be present
+      exact.filter(_._2 > n / cap).keys.foreach { it =>
+        assert(fin.contains(it), s"heavy item $it missing from $fin")
+      }
+    } finally q.stop()
+  }
+
   test("streaming funnel: advances on watermark finality, matches the batch fold") {
     import graft.streaming.StreamingFunnel
     implicit val sqlCtx = spark.sqlContext
