@@ -129,6 +129,17 @@ object CuratePipeline {
         Sampling.stratifiedQuota(df, p("group"), id, p("quota").toInt)
       case "sample_hash" =>
         Sampling.hashSample(df, id, p("rate").toInt)
+      case "mix_by_group" =>
+        // proportions as "src1=0.5,src2=1.0"; absent groups use 'default'
+        val props = p("proportions").split(",").map { kv =>
+          val Array(g, v) = kv.split("="); g.trim -> v.trim.toDouble
+        }.toMap
+        Sampling.mixByGroup(df, id, p("group"), props,
+          step.params.get("default").map(_.toDouble).getOrElse(0.0))
+      case "weighted_topk" =>
+        // exact-k per group, inclusion proportional to token count
+        Sampling.weightedTopK(df, p("group"), id,
+          TextOps.tokenCount(col(text)).cast("double"), p("k").toInt)
       case "chunk" =>
         // TERMINAL step: explodes docs into fixed-token chunks — schema
         // becomes (id, chunk_id, chunk_text, n_chunk_tokens)

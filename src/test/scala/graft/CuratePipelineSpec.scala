@@ -85,6 +85,24 @@ class CuratePipelineSpec extends SparkSpec {
     assert(out.agg(max("n_chunk_tokens")).head().getInt(0) <= 32)
   }
 
+  test("mix and weighted-topk steps: per-source proportions and exact-k") {
+    val srcs = docs.select("source").distinct().collect().map(_.getString(0)).sorted
+    val cfg = Config("documents", "doc_id", "text", Seq(
+      Step("mix_by_group", Map("group" -> "source",
+        "proportions" -> s"${srcs.head}=1.0", "default" -> "0.0"))), report = false)
+    val (mixed, _) = CuratePipeline.run(cfg, _ => docs)
+    // proportion 1.0 keeps all of srcs.head; default 0.0 drops the rest
+    assert(mixed.select("source").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq(srcs.head))
+    assert(mixed.count() == docs.filter(col("source") === srcs.head).count())
+    val cfg2 = Config("documents", "doc_id", "text", Seq(
+      Step("weighted_topk", Map("group" -> "source", "k" -> "5"))), report = false)
+    val (topk, _) = CuratePipeline.run(cfg2, _ => docs)
+    topk.groupBy("source").count().collect().foreach { r =>
+      assert(r.getLong(1) <= 5L, s"${r.getString(0)} over k")
+    }
+  }
+
   test("E2E CLI: curate writes parquet + report, token budget bounds sources") {
     val outDir = "/tmp/curate_e2e"
     val cfgJson =
