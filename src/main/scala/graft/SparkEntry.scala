@@ -1638,6 +1638,27 @@ object SparkEntry {
     // PII scrubbing: synthetic PII is appended from doc_id (the corpus has
     // none), then scrubbed — the oracle applies the same construction, so
     // the compare exercises every pattern on every row
+    // PII audit: per-pattern match counts on the raw text (the "how much
+    // PII" report read before scrubbing)
+    "q_pii_audit" -> Q(
+      (s, dir) => {
+        val augmented = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+          lit(" ip 10.0.0."), (col("doc_id") % 200).cast("string"),
+          lit(" call +1 555 010 1234"))
+        val counts = TextOps.piiCounts(augmented).zip(TextOps.PiiCountNames)
+          .map { case (c, n) => c.as(n) }
+        rd(s, dir, "documents")
+          .select((col("doc_id") +: counts): _*).orderBy("doc_id")
+      },
+      Some {
+        val augmented = "(text || ' contact user' || doc_id::VARCHAR || '@example.com' || " +
+          "' ip 10.0.0.' || (doc_id % 200)::VARCHAR || ' call +1 555 010 1234')"
+        val counts = TextOps.piiCountsSql(augmented).zip(TextOps.PiiCountNames)
+          .map { case (c, n) => s"${c} AS ${n}" }.mkString(", ")
+        s"SELECT doc_id, ${counts} FROM documents ORDER BY doc_id"
+      }),
+
     "q_pii_scrub" -> Q(
       (s, dir) => {
         val augmented = concat(col("text"),

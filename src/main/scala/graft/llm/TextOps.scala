@@ -276,6 +276,19 @@ object TextOps {
       s"regexp_replace(${c}, '${p.replace("'", "''")}', '${r}', 'g')"
     }
 
+  /** Per-pattern PII match counts on the RAW text — the audit complement
+    * of [[piiScrub]] ("how much PII is in this corpus" before redacting).
+    * Each pattern counts independently (scrub order doesn't apply to
+    * counting); RE2-safe patterns keep Java and RE2 counts identical. */
+  def piiCounts(text: Column): Seq[Column] =
+    PiiPatterns.map { case (p, _) => regexp_count(text, lit(p)) }
+  def piiCountsSql(text: String): Seq[String] =
+    PiiPatterns.map { case (p, _) =>
+      s"len(regexp_extract_all(${text}, '${p.replace("'", "''")}'))::INT"
+    }
+  /** Output column names for [[piiCounts]], in pattern order. */
+  val PiiCountNames: Seq[String] = Seq("n_email", "n_ip", "n_phone")
+
   /** Fraction of tokens containing a letter (Gopher-style "alpha words"
     * signal). */
   def alphaFrac(text: Column): Column =
