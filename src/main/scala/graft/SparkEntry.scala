@@ -1507,6 +1507,14 @@ object SparkEntry {
         .orderBy("c_custkey"),
       None),
 
+    // Exact per-label embedding centroids (nano-quantized components ->
+    // exact integer sums -> one bit-identical division)
+    "q_embed_centroids" -> Q(
+      (s, dir) => Similarity.groupCentroids(rd(s, dir, "embeddings"),
+        "label", "embedding").orderBy("grp", "dim"),
+      Some(Similarity.groupCentroidsSql("embeddings", "label", "embedding") +
+        " ORDER BY grp, dim")),
+
     // ----- LLM ops: similarity search -----
     // Raw cosines differ from DuckDB in the last float ulp, so the oracle
     // compares only ulp-robust projections: top-k membership, bucket

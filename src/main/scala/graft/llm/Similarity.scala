@@ -450,6 +450,35 @@ object Similarity {
   /** Unit-normalize a vector (zero vectors pass through untouched —
     * dividing by a zero norm would NaN the whole array). For feeding the
     * cosine ops: normalized inputs turn cosine into a plain dot product. */
+  /** Exact per-group embedding centroids: each dimension's mean in
+    * integer nano-units. Float sums are order-dependent (a naive
+    * avg(explode) would differ across partitionings and engines), so
+    * components quantize to nano BEFORE the sum — the reduction is an
+    * exact integer sum, map-side combinable on the (group, dim) key, and
+    * the mean is one double division of two exact integers (bit-identical
+    * cross-engine). Output: (grp, dim, n, mean_nano). */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol).as("grp"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("grp"), col("dim"),
+        floor(col("v").cast("double") * lit(1e9) + lit(0.5)).cast("long").as("vn"))
+      .groupBy("grp", "dim")
+      .agg(count(lit(1)).as("n"), sum("vn").as("sum_nano"))
+      .select(col("grp"), col("dim"), col("n"),
+        floor(col("sum_nano").cast("double") / col("n").cast("double") + lit(0.5))
+          .cast("long").as("mean_nano"))
+
+  def groupCentroidsSql(table: String, groupCol: String, vecCol: String): String =
+    s"""SELECT grp, dim, n, floor(sum_nano::DOUBLE / n::DOUBLE + 0.5)::BIGINT AS mean_nano
+        FROM (
+          SELECT grp, dim, count(*)::BIGINT AS n, sum(vn)::BIGINT AS sum_nano
+          FROM (
+            SELECT ${groupCol} AS grp,
+                   (generate_subscripts(${vecCol}, 1) - 1)::INT AS dim,
+                   floor(unnest(${vecCol})::DOUBLE * 1e9 + 0.5)::BIGINT AS vn
+            FROM ${table})
+          GROUP BY grp, dim)"""
+
   def l2Normalize(v: Column): Column = {
     val n = norm(v)
     when(n === 0 || n.isNull, v)
