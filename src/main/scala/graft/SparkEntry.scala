@@ -1515,6 +1515,14 @@ object SparkEntry {
       Some(Similarity.groupCentroidsSql("embeddings", "label", "embedding") +
         " ORDER BY grp, dim")),
 
+    // Between-centroid separation matrix (pairs over the tiny
+    // labels x dims centroid relation, never the vectors)
+    "q_centroid_dists" -> Q(
+      (s, dir) => Similarity.centroidDistances(rd(s, dir, "embeddings"),
+        "label", "embedding").orderBy("la", "lb"),
+      Some(Similarity.centroidDistancesSql("embeddings", "label", "embedding") +
+        " ORDER BY la, lb")),
+
     // ----- LLM ops: similarity search -----
     // Raw cosines differ from DuckDB in the last float ulp, so the oracle
     // compares only ulp-robust projections: top-k membership, bucket

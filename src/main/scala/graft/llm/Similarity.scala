@@ -479,6 +479,38 @@ object Similarity {
             FROM ${table})
           GROUP BY grp, dim)"""
 
+  /** Between-centroid squared distances — the SEPARATION report paired
+    * with [[clusterQuality]]'s cohesion: for every ordered label pair
+    * a < b, the exact squared L2 distance between their centroids in
+    * integer micro²-units (means re-quantized to micro so 64-dim
+    * squared sums stay far inside BIGINT). The pair join runs on the
+    * (label, dim) centroid relation — labels x dims rows, never the
+    * vectors. */
+  def centroidDistances(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val cents = groupCentroids(df, groupCol, vecCol)
+      .select(col("grp"), col("dim"),
+        // nano -> micro: floor-div by 1000 via pmod (sign-safe both engines)
+        ((col("mean_nano") - pmod(col("mean_nano"), lit(1000L))) / lit(1000.0))
+          .cast("long").as("m"))
+    val a = cents.select(col("grp").as("la"), col("dim"), col("m").as("ma"))
+    val b = cents.select(col("grp").as("lb"), col("dim"), col("m").as("mb"))
+    a.join(b, Seq("dim"))
+      .filter(col("la") < col("lb"))
+      .groupBy("la", "lb")
+      .agg(sum((col("ma") - col("mb")) * (col("ma") - col("mb"))).as("dist_sq_micro2"))
+  }
+
+  def centroidDistancesSql(table: String, groupCol: String, vecCol: String): String =
+    s"""WITH cents AS (
+          SELECT grp, dim,
+                 ((mean_nano - (((mean_nano % 1000) + 1000) % 1000)) // 1000)::BIGINT AS m
+          FROM (${groupCentroidsSql(table, groupCol, vecCol)})
+        )
+        SELECT a.grp AS la, b.grp AS lb,
+               sum((a.m - b.m) * (a.m - b.m))::BIGINT AS dist_sq_micro2
+        FROM cents a JOIN cents b ON a.dim = b.dim AND a.grp < b.grp
+        GROUP BY 1, 2"""
+
   def l2Normalize(v: Column): Column = {
     val n = norm(v)
     when(n === 0 || n.isNull, v)
