@@ -1996,6 +1996,16 @@ object SparkEntry {
                  max(t) + 3600000000 AS sess_end, count(*)::BIGINT AS n
           FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start""")),
 
+    // Markov event-transition matrix (lag window -> pair counts ->
+    // integer nano probabilities)
+    "q_event_transitions" -> Q(
+      (s, dir) => graft.ops.Funnel.eventTransitions(rd(s, dir, "events"),
+        "user_id", expr("unix_micros(cast(ts as timestamp))"), "event_id",
+        "event_type").orderBy("prev_type", "next_type"),
+      Some(graft.ops.Funnel.eventTransitionsSql("events", "user_id",
+        "epoch_us(ts)", "event_id", "event_type") +
+        " ORDER BY prev_type, next_type")),
+
     // Weekly cohort retention (integer week arithmetic, two aggregates)
     "q_cohort_retention" -> Q(
       (s, dir) => graft.ops.Funnel.cohortRetention(rd(s, dir, "events"), "user_id",

@@ -144,6 +144,43 @@ object Funnel {
     graft.llm.Corpus.groupQuantilesSql(durs, "step", "latency", pcts)
   }
 
+  /** Event-path transition matrix: counts and probabilities of each
+    * consecutive (prev_type -> type) pair per user stream — the Markov
+    * view behind "what do users do next". One window pass on the user
+    * key (lag over (ts, orderCol) — the deterministic tie order), one
+    * map-side-combinable pair count; probabilities are integer nano
+    * (count·1e9 div row-total) so the matrix hash-compares. */
+  def eventTransitions(df: DataFrame, userCol: String, tsCol: Column,
+                       orderCol: String, typeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(tsCol, col(orderCol))
+    val pairs = df
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy("prev_type")
+    pairs
+      .withColumn("row_total", sum("n").over(wt))
+      .withColumn("p_nano", expr("(n * 1000000000) div row_total"))
+      .select("prev_type", "next_type", "n", "p_nano")
+  }
+
+  def eventTransitionsSql(table: String, userCol: String, tsSql: String,
+                          orderCol: String, typeCol: String): String =
+    s"""WITH pairs AS (
+          SELECT prev_type, ${typeCol} AS next_type, count(*)::BIGINT AS n
+          FROM (
+            SELECT ${typeCol},
+                   lag(${typeCol}) OVER (PARTITION BY ${userCol}
+                     ORDER BY ${tsSql}, ${orderCol}) AS prev_type
+            FROM ${table})
+          WHERE prev_type IS NOT NULL
+          GROUP BY 1, 2)
+        SELECT prev_type, next_type, n,
+               ((n * 1000000000) // sum(n) OVER (PARTITION BY prev_type))::BIGINT AS p_nano
+        FROM pairs"""
+
   /** Weekly cohort retention: cohort = integer week (epoch-micros div one
     * week) of the user's first event; a user is retained at offset k if
     * active during cohort week + k. Output (cohort_week, week_offset,
