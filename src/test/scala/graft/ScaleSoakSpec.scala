@@ -266,6 +266,27 @@ class ScaleSoakSpec extends SparkSpec {
     }
   }
 
+  test("centroids: 10x duplication leaves means identical, sums exactly 10x") {
+    import graft.llm.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select("vec_id", "label", "embedding")
+    def inflateVecs(k: Int): DataFrame =
+      (0 until k).map(i => e.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        col("label"), col("embedding"))).reduce(_ unionByName _)
+    val c1 = Similarity.groupCentroids(e, "label", "embedding")
+      .orderBy("grp", "dim").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val c10 = Similarity.groupCentroids(inflateVecs(10), "label", "embedding")
+      .orderBy("grp", "dim").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(c1.keySet == c10.keySet)
+    c1.foreach { case (k, (n, mean)) =>
+      // exact-integer sums: duplication scales n by 10 and leaves the
+      // mean IDENTICAL (a float-sum mean would drift)
+      assert(c10(k) == ((n * 10, mean)), s"$k: ${c1(k)} -> ${c10(k)}")
+    }
+  }
+
   test("funnel: 10x users (id remap) keeps per-user results identical") {
     import graft.ops.Funnel
     val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
