@@ -2028,6 +2028,19 @@ object SparkEntry {
       Some(Corpus.contaminationFractionSql("documents", "doc_id", "text",
         Corpus.probeShingles("key agg row scan slow fast")) + " ORDER BY doc_id")),
 
+    // Corpus drift: Jensen-Shannon divergence between two sources'
+    // unigram distributions, exact integer nano rendering
+    "q_corpus_drift" -> Q(
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        Corpus.jsDivergence(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 =!= 0), "text")
+      },
+      Some(Corpus.jsDivergenceSql(
+        "SELECT text FROM documents WHERE doc_id % 2 = 0",
+        "SELECT text FROM documents WHERE doc_id % 2 <> 0", "text"))),
+
     "q_rolling_fp" -> Q(
       (s, dir) => rd(s, dir, "documents")
         .select(col("doc_id"), TextOps.rollingFingerprint(col("text")).as("roll_fp"))

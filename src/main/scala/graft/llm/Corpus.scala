@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-level aggregation operators for training-data pipelines —
@@ -541,9 +541,84 @@ object Corpus {
             FROM ${table}))
         WHERE rk = (n * pct + 99) // 100"""
 
-  // ---------------------------------------------------------------------
-  // PMI collocations
-  // ---------------------------------------------------------------------
+  /** Jensen–Shannon divergence between two corpora's unigram
+    * distributions — the drift statistic behind "did the crawl change
+    * under me": 0 = identical token mix, ln(2) ≈ 0.693e9 nano = disjoint
+    * vocabularies. Exact integer rendering: with c1/N1 and c2/N2 the
+    * per-token probabilities,
+    *
+    *   p/m = 2·c1·N2 / (c1·N2 + c2·N1)
+    *
+    * so each token's log-ratio is a difference of [[Curation.lnNano]]
+    * integers, weighted sums run in DECIMAL(38,0), and the final
+    * normalization is one integral division per side — no floats
+    * anywhere, so the statistic hash-compares. Zero-count tokens
+    * contribute only to the side that has them (p·ln(p/m) -> 0 as
+    * p -> 0, the standard JS convention).
+    *
+    * Scale shape: two map-side-combinable Zipf-small freq aggregates,
+    * one full-outer join on the token vocab, a 1-row reduction. */
+  def jsDivergence(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def freqs(df: DataFrame, out: String) =
+      df.select(explode(TextOps.tokens(col(textCol))).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as(out))
+    val fa = freqs(a, "c1")
+    val fb = freqs(b, "c2")
+    val joined = fa.join(fb, Seq("token"), "full_outer")
+      .select(col("token"), coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+    val totals = joined.agg(sum("c1").as("n1"), sum("c2").as("n2")).head()
+    val (n1, n2) = (totals.getLong(0), totals.getLong(1))
+    require(n1 > 0 && n2 > 0, "jsDivergence: both corpora need tokens")
+    val mix = col("c1") * lit(n2) + col("c2") * lit(n1)
+    def side(c: Column, n: Long): Column =
+      sum(when(c > 0,
+        c.cast(d38) * (Curation.lnNano(c * lit(2L) * lit(if (n == n1) n2 else n1)) -
+          Curation.lnNano(mix)).cast(d38))
+        .otherwise(lit(0L).cast(d38)))
+    // each side is a KL(p||m) >= 0; clamp at 0 so a sub-nano quantization
+    // wobble on near-identical corpora can't turn flooring vs truncating
+    // division into a cross-engine off-by-one
+    joined.agg(side(col("c1"), n1).as("s1"), side(col("c2"), n2).as("s2"))
+      .select(greatest(col("s1"), lit(0).cast(d38)).as("s1"),
+        greatest(col("s2"), lit(0).cast(d38)).as("s2"))
+      .select(lit(n1).as("n_a"), lit(n2).as("n_b"),
+        (expr(s"(s1 div ${2L * n1})") + expr(s"(s2 div ${2L * n2})"))
+          .cast("long").as("js_nano"))
+  }
+
+  def jsDivergenceSql(aSql: String, bSql: String, textCol: String): String = {
+    s"""WITH fa AS (
+          SELECT token, count(*)::BIGINT AS c1 FROM (
+            SELECT unnest(${TextOps.tokensSql(textCol)}) AS token FROM (${aSql}))
+          WHERE length(token) > 0 GROUP BY token
+        ), fb AS (
+          SELECT token, count(*)::BIGINT AS c2 FROM (
+            SELECT unnest(${TextOps.tokensSql(textCol)}) AS token FROM (${bSql}))
+          WHERE length(token) > 0 GROUP BY token
+        ), j AS (
+          SELECT coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+          FROM fa FULL OUTER JOIN fb USING (token)
+        ), t AS (
+          SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2 FROM j
+        ), s AS (
+          SELECT
+            sum(CASE WHEN c1 > 0 THEN c1::HUGEINT *
+              (${Curation.lnNanoSql("c1 * 2 * t.n2")} - ${Curation.lnNanoSql("c1 * t.n2 + c2 * t.n1")})::HUGEINT
+              ELSE 0 END) AS s1,
+            sum(CASE WHEN c2 > 0 THEN c2::HUGEINT *
+              (${Curation.lnNanoSql("c2 * 2 * t.n1")} - ${Curation.lnNanoSql("c1 * t.n2 + c2 * t.n1")})::HUGEINT
+              ELSE 0 END) AS s2,
+            any_value(t.n1) AS n1, any_value(t.n2) AS n2
+          FROM j CROSS JOIN t
+        )
+        SELECT n1 AS n_a, n2 AS n_b,
+          ((greatest(s1, 0::HUGEINT) // (2 * n1)) +
+           (greatest(s2, 0::HUGEINT) // (2 * n2)))::BIGINT AS js_nano
+        FROM s"""
+  }
 
   /** Top-k bigram collocations by pointwise mutual information — the
     * "which word pairs belong together" corpus-analysis signal (tokenizer
