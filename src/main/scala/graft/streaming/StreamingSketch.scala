@@ -27,6 +27,48 @@ object StreamingSketch {
 
   case class HeavyHitter(grp: String, item: String, est: Long, err: Long)
 
+  case class QuantileUpdate(grp: String, pct: Int, est_value: Long, sample_n: Long)
+
+  /** Streaming bottom-k sample quantiles — the streaming complement of
+    * `Sketches.sampleQuantiles`: state per group is the k rows with the
+    * smallest u60(id) seen so far (the mergeable bottom-k sample), so
+    * after any stream prefix the emitted quantiles EQUAL the batch
+    * operator over that prefix — spec-pinned. State is exactly k
+    * (hash, id, value) triples per group, independent of stream volume.
+    * Emits the current estimates per micro-batch; read the last snapshot
+    * per group.
+    */
+  def sampleQuantilesRunning(stream: DataFrame, k: Int,
+                             pcts: Seq[Int] = Seq(25, 50, 75, 90),
+                             tweak: String = "sq"): Dataset[QuantileUpdate] = {
+    require(k >= 1 && pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "sampleQuantilesRunning: k >= 1, percentiles in [1,100]")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col("grp"), col("id").cast("long"), col("v").cast("long"),
+        graft.generators.Gen.u60(col("id"), tweak).as("h"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Vector[(Long, Long, Long)], QuantileUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (grp, rows, state: GroupState[Vector[(Long, Long, Long)]]) =>
+          // state: (h, id, v) sorted by (h, id), size <= k
+          val merged = (state.getOption.getOrElse(Vector.empty) ++
+            rows.map { case (_, id, v, h) => (h, id, v) })
+            .distinct.sortBy(t => (t._1, t._2)).take(k)
+          state.update(merged)
+          // batch rank rule over the sample: value at ceil(n*p/100),
+          // ordered by (v, id) like the batch operator
+          val byV = merged.sortBy(t => (t._3, t._2))
+          val n = byV.size.toLong
+          pcts.iterator.map { p =>
+            val rk = ((n * p + 99) / 100).toInt // 1-based
+            QuantileUpdate(grp, p, byV(rk - 1)._3, n)
+          }
+      }
+  }
+
   /** Streaming heavy hitters by SPACE-SAVING (Metwally et al.): at most
     * `capacity` counters per group; a new item evicts the minimum
     * counter and inherits its count as overestimation error. The classic

@@ -473,6 +473,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bottom-k quantiles: final snapshot equals the batch sketch") {
+    import graft.streaming.StreamingSketch
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("source").as("grp"), col("doc_id").as("id"),
+        col("n_chars").as("v"))
+    val rows = docs.as[(String, Long, Long)].collect().toSeq
+    val input = MemoryStream[(String, Long, Long)]
+    val q = StreamingSketch.sampleQuantilesRunning(
+        input.toDF().toDF("grp", "id", "v"), k = 64)
+      .writeStream.format("memory").queryName("sq_out")
+      .outputMode("append").start()
+    try {
+      val (a, b) = rows.splitAt(rows.size / 2)
+      input.addData(a: _*); q.processAllAvailable()
+      input.addData(b: _*); q.processAllAvailable()
+      val all = spark.table("sq_out").as[(String, Int, Long, Long)]
+        .collect().zipWithIndex
+      val fin = all.groupBy(r => (r._1._1, r._1._2))
+        .map { case (key, us) => key -> us.maxBy(_._2)._1 }
+      val batch = graft.llm.Sketches.sampleQuantiles(
+          spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+          "source", "doc_id", "n_chars", k = 64)
+        .collect().map(r => (r.getString(0), r.getInt(1)) ->
+          ((r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(fin.keySet == batch.keySet)
+      fin.foreach { case (key, u) =>
+        assert(u == batch(key), s"$key: stream $u batch ${batch(key)}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming space-saving: bounded counters keep the true heavy hitters") {
     import graft.streaming.StreamingSketch
     implicit val sqlCtx = spark.sqlContext
