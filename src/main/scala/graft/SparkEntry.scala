@@ -720,6 +720,29 @@ object SparkEntry {
         "SELECT o_custkey AS v FROM orders",
         "SELECT c_custkey AS v FROM customer"))),
 
+    // Record linkage: block -> candidate -> Levenshtein verify against a
+    // deterministically perturbed twin table (suffix blocking — these
+    // serial names share a long prefix, so a prefix block degenerates)
+    "q_fuzzy_link" -> Q(
+      (s, dir) => {
+        val cust = rd(s, dir, "customer")
+        val perturbed = cust.select(col("c_custkey").as("p_key"),
+          translate(col("c_name"), "1", "I").as("p_name"))
+        graft.ops.RecordLinkage.fuzzyJoin(
+          cust, "c_custkey", "c_name",
+          graft.ops.RecordLinkage.suffixBlock(col("c_name")),
+          perturbed, "p_key", "p_name",
+          graft.ops.RecordLinkage.suffixBlock(col("p_name")),
+          maxDist = 3).orderBy("id_a", "id_b")
+      },
+      Some(graft.ops.RecordLinkage.fuzzyJoinSql(
+        "SELECT c_custkey, c_name FROM customer", "c_custkey", "c_name",
+        graft.ops.RecordLinkage.suffixBlockSql("a.c_name"),
+        "SELECT c_custkey AS p_key, replace(c_name, '1', 'I') AS p_name FROM customer",
+        "p_key", "p_name",
+        graft.ops.RecordLinkage.suffixBlockSql("b.p_name"),
+        maxDist = 3) + " ORDER BY id_a, id_b")),
+
     // Cross-engine-exact comparison stats: centi-quantized measures,
     // exact integer moments, one fixed float tree, nano output
     "q_welch_t" -> Q(
