@@ -36,6 +36,21 @@ object SparkEntry {
   /** Funnel step sequence over the events table (strict-after order). */
   val funnelStepTypes: Seq[String] = Seq("signup", "view", "click", "purchase")
 
+  /** Expectation rules for q_expectations (rule 4 deliberately fails). */
+  val expectationRules: Seq[graft.pipeline.Expectations.Rule] = {
+    import graft.pipeline.Expectations.Rule
+    Seq(
+      Rule("c_name", "not_null", Map("threshold_milli" -> "1000")),
+      Rule("c_custkey", "unique", Map.empty),
+      Rule("c_acctbal", "min", Map("bound" -> "-1000.0")),
+      Rule("c_acctbal", "max", Map("bound" -> "10000.0")),
+      Rule("c_acctbal", "min", Map("bound" -> "0.0")), // fails: negatives exist
+      Rule("c_name", "regex_frac",
+        Map("pattern" -> "^Customer#", "threshold_milli" -> "1000")),
+      Rule("c_mktsegment", "accepted",
+        Map("values" -> "AUTOMOBILE,BUILDING,FURNITURE,HOUSEHOLD,MACHINERY")))
+  }
+
   private case class Q(fn: (SparkSession, String) => DataFrame, sql: Option[String])
 
   /** Mechanical scalar-transformer query: SELECT id, t(input) AS out FROM
@@ -700,6 +715,15 @@ object SparkEntry {
         "c_mktsegment", epsNum = 1L, epsDen = 2L).orderBy("grp"),
       Some(Anonymize.dpNoisyCountsSql("customer", "c_mktsegment",
         epsNum = 1L, epsDen = 2L) + " ORDER BY grp")),
+
+    // Data-quality expectations: declarative rules, one aggregate pass,
+    // auditable per-rule report (deequ-style surface). Rule 4 is
+    // deliberately failing (negative balances exist).
+    "q_expectations" -> Q(
+      (s, dir) => graft.pipeline.Expectations.check(rd(s, dir, "customer"),
+        expectationRules).orderBy("rule_id"),
+      Some(graft.pipeline.Expectations.checkSql("customer", expectationRules) +
+        " ORDER BY rule_id")),
 
     // Per-column profiling report (null counts, string-form ranges,
     // mergeable HLL distinct sketches) — the dump-side table survey
