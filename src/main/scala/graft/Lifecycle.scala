@@ -214,12 +214,27 @@ object Lifecycle {
       case "curate" :: cfgPath :: sfDir :: outDir :: Nil =>
         graft.llm.CuratePipeline.main(spark,
           Files.readString(Paths.get(cfgPath)), sfDir, outDir)
+      case "expect" :: rulesPath :: sfDir :: table :: Nil =>
+        // CI-style data-quality gate: print the per-rule report, exit
+        // nonzero when any expectation fails
+        val rules = graft.pipeline.Expectations.parse(
+          Files.readString(Paths.get(rulesPath)))
+        val report = graft.pipeline.Expectations.check(
+          spark.read.parquet(s"$sfDir/$table.parquet"), rules).collect()
+        report.foreach { r =>
+          println(s"[expect] ${if (r.getBoolean(3)) "PASS" else "FAIL"} " +
+            s"rule=${r.getInt(0)} ${r.getString(1)}/${r.getString(2)} " +
+            s"observed=${r.getLong(4)}m")
+        }
+        if (report.exists(!_.getBoolean(3))) { spark.stop(); sys.exit(1) }
       case other =>
         System.err.println(
           "usage: dump <config.json> <sfDir> <outDir> | validate <config.json> <sfDir> | " +
             "restore <manifest.json> <targetDirOrJdbcUrl> [tables,csv] | " +
             "list-dumps <root> | show-dump <manifest.json> | delete <root> <name> | " +
-            "list-transformers | show-transformer <name>")
+            "list-transformers | show-transformer <name> | " +
+            "curate <config.json> <sfDir> <outDir> | " +
+            "expect <rules.json> <sfDir> <table>")
         sys.exit(2)
     }
     spark.stop()
