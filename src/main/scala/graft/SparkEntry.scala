@@ -2043,6 +2043,22 @@ object SparkEntry {
                  max(t) + 3600000000 AS sess_end, count(*)::BIGINT AS n
           FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start""")),
 
+    // Event-rate anomaly detection: hourly counts per type -> robust MAD
+    // outlier flags (composition of the windowed-count and MAD ops)
+    "q_event_anomaly" -> Q(
+      (s, dir) => {
+        val counts = rd(s, dir, "events")
+          .select(col("event_type"),
+            expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("hour"))
+          .groupBy("event_type", "hour").agg(count(lit(1)).as("n"))
+        Corpus.madOutliers(counts, "hour", "event_type", "n", k = 3)
+          .orderBy("event_type", "hour")
+      },
+      Some(Corpus.madOutliersSql(
+        """(SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+             count(*)::BIGINT AS n FROM events GROUP BY 1, 2)""",
+        "hour", "event_type", "n", k = 3) + " ORDER BY event_type, hour")),
+
     // Markov event-transition matrix (lag window -> pair counts ->
     // integer nano probabilities)
     "q_event_transitions" -> Q(

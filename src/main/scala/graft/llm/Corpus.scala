@@ -454,10 +454,10 @@ object Corpus {
           SELECT ${groupCol}, ${valueCol} AS med FROM (
             SELECT ${groupCol}, ${valueCol},
                    row_number() OVER (PARTITION BY ${groupCol}
-                     ORDER BY ${valueCol}, ${idCol}) AS rk,
-                   count(*) OVER (PARTITION BY ${groupCol}) AS n
+                     ORDER BY ${valueCol}, ${idCol}) AS __rk,
+                   count(*) OVER (PARTITION BY ${groupCol}) AS __wn
             FROM base)
-          WHERE rk = (n + 1) // 2),
+          WHERE __rk = (__wn + 1) // 2),
         dev AS (
           SELECT b.${idCol}, b.${groupCol}, b.${valueCol}, m.med,
                  abs(b.${valueCol} - m.med) AS d
@@ -466,10 +466,10 @@ object Corpus {
           SELECT ${groupCol}, d AS mad FROM (
             SELECT ${groupCol}, d,
                    row_number() OVER (PARTITION BY ${groupCol}
-                     ORDER BY d, ${idCol}) AS rk,
-                   count(*) OVER (PARTITION BY ${groupCol}) AS n
+                     ORDER BY d, ${idCol}) AS __rk,
+                   count(*) OVER (PARTITION BY ${groupCol}) AS __wn
             FROM dev)
-          WHERE rk = (n + 1) // 2)
+          WHERE __rk = (__wn + 1) // 2)
         SELECT dev.${idCol}, dev.${groupCol}, dev.${valueCol}, dev.med, mad.mad,
                (dev.d > ${k} * greatest(mad.mad, 1)) AS is_outlier
         FROM dev JOIN mad USING (${groupCol})"""
