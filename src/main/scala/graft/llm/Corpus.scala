@@ -532,14 +532,16 @@ object Corpus {
 
   def groupQuantilesSql(table: String, groupCol: String, valueCol: String,
                         pcts: Seq[Int] = Seq(10, 25, 50, 75, 90, 100)): String =
+    // internal aliases are __-reserved so a value column named "n"/"rk"
+    // cannot capture them (the madOutliersSql alias-capture lesson)
     s"""SELECT ${groupCol}, pct, ${valueCol} AS value FROM (
-          SELECT ${groupCol}, ${valueCol}, rk, n, unnest([${pcts.mkString(", ")}]) AS pct
+          SELECT ${groupCol}, ${valueCol}, __rk, __wn, unnest([${pcts.mkString(", ")}]) AS pct
           FROM (
             SELECT ${groupCol}, ${valueCol},
-                   row_number() OVER (PARTITION BY ${groupCol} ORDER BY ${valueCol}) AS rk,
-                   count(*) OVER (PARTITION BY ${groupCol}) AS n
+                   row_number() OVER (PARTITION BY ${groupCol} ORDER BY ${valueCol}) AS __rk,
+                   count(*) OVER (PARTITION BY ${groupCol}) AS __wn
             FROM ${table}))
-        WHERE rk = (n * pct + 99) // 100"""
+        WHERE __rk = (__wn * pct + 99) // 100"""
 
   /** Jensen–Shannon divergence between two corpora's unigram
     * distributions — the drift statistic behind "did the crawl change
