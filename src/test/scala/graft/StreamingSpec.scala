@@ -473,6 +473,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rate anomaly: spike flagged against trailing baseline, steady not") {
+    import graft.streaming.StreamingAnomaly
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    // 1-second windows; steady 3 events/window for windows 0..5, spike of
+    // 30 in window 6, steady again in 7
+    val events = (0 to 5).flatMap(w => Seq.fill(3)(("g", ts(100 + w)))) ++
+      Seq.fill(30)(("g", ts(106))) ++ Seq.fill(3)(("g", ts(107)))
+    val q = StreamingAnomaly.rateFlags(
+        input.toDF().toDF("grp", "ts"), windowMs = 1000L, history = 4,
+        k = 3L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("rate_out")
+      .outputMode("append").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      input.addData(("zz", ts(1000))) // push the watermark past everything
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val out = spark.table("rate_out").as[(String, Long, Long, Long, Boolean)]
+        .collect().filter(_._1 == "g").sortBy(_._2).toSeq
+      assert(out.map(_._2) == (100L to 107L))
+      // window 0 has no baseline yet; 1..5 steady at 3 vs baseline 3
+      assert(out.filter(w => w._2 >= 101 && w._2 <= 105).forall(w => !w._5 && w._4 == 3L))
+      val spike = out.find(_._2 == 106L).get
+      assert(spike._3 == 30L && spike._4 == 3L && spike._5, s"spike row: $spike")
+      // post-spike window 7: baseline median of (3,3,3,30) = 3 -> not flagged
+      val after = out.find(_._2 == 107L).get
+      assert(!after._5 && after._4 == 3L)
+    } finally q.stop()
+  }
+
   test("streaming bottom-k quantiles: final snapshot equals the batch sketch") {
     import graft.streaming.StreamingSketch
     implicit val sqlCtx = spark.sqlContext
