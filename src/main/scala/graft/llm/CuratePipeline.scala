@@ -140,6 +140,17 @@ object CuratePipeline {
         // exact-k per group, inclusion proportional to token count
         Sampling.weightedTopK(df, p("group"), id,
           TextOps.tokenCount(col(text)).cast("double"), p("k").toInt)
+      case "expect_gate" =>
+        // fail-fast data-quality gate mid-chain: evaluates EAGERLY (rule
+        // verdicts need an action) and aborts the pipeline on violation —
+        // curating a corpus that fails its contract wastes the whole run
+        val rules = graft.pipeline.Expectations.parse(p("rules"))
+        val rep = graft.pipeline.Expectations.check(df, rules).collect()
+        val failed = rep.filter(!_.getBoolean(3))
+        require(failed.isEmpty,
+          "curate: expect_gate failed: " + failed.map(r =>
+            s"${r.getString(1)}/${r.getString(2)}=${r.getLong(4)}m").mkString(", "))
+        df
       case "chunk" =>
         // TERMINAL step: explodes docs into fixed-token chunks — schema
         // becomes (id, chunk_id, chunk_text, n_chunk_tokens)

@@ -49,6 +49,20 @@ object RecordLinkage {
       .select("id_a", "id_b", "dist")
   }
 
+  /** Multi-pass blocking: union the candidate pairs of several blocking
+    * keys and keep each matched pair once (min distance is identical
+    * across passes — the distance doesn't depend on the block). Recovers
+    * pairs any single key misses at the cost of one pass per key. */
+  def fuzzyJoinMulti(a: DataFrame, aId: String, aText: String,
+                     b: DataFrame, bId: String, bText: String,
+                     blocks: Seq[(Column, Column)], maxDist: Int): DataFrame = {
+    require(blocks.nonEmpty, "fuzzyJoinMulti: need at least one blocking key")
+    blocks.map { case (ba, bb) =>
+      fuzzyJoin(a, aId, aText, ba, b, bId, bText, bb, maxDist)
+    }.reduce(_ unionByName _)
+      .groupBy("id_a", "id_b").agg(min("dist").as("dist"))
+  }
+
   def fuzzyJoinSql(aSql: String, aId: String, aText: String, blockASql: String,
                    bSql: String, bId: String, bText: String, blockBSql: String,
                    maxDist: Int): String =

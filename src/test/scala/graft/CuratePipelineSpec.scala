@@ -103,6 +103,44 @@ class CuratePipelineSpec extends SparkSpec {
     }
   }
 
+  test("expect_gate: passing rules flow through, violations abort the chain") {
+    val okRules = """{"rules": [{"column": "doc_id", "kind": "unique"}]}"""
+    val cfgOk = Config("documents", "doc_id", "text",
+      Seq(Step("expect_gate", Map("rules" -> okRules)),
+        Step("sample_hash", Map("rate" -> "2"))), report = false)
+    val (out, _) = CuratePipeline.run(cfgOk, _ => docs)
+    assert(out.count() > 0)
+    val badRules = """{"rules": [{"column": "n_chars", "kind": "max", "bound": "10"}]}"""
+    val cfgBad = Config("documents", "doc_id", "text",
+      Seq(Step("expect_gate", Map("rules" -> badRules))), report = false)
+    val e = intercept[IllegalArgumentException] {
+      CuratePipeline.run(cfgBad, _ => docs)
+    }
+    assert(e.getMessage.contains("expect_gate failed"))
+  }
+
+  test("multi-pass blocking recovers pairs a single key misses") {
+    import graft.ops.RecordLinkage
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select("c_custkey", "c_name")
+    val perturbed = cust.select(col("c_custkey").as("p_key"),
+      translate(col("c_name"), "1", "I").as("p_name"))
+    def single(blk: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)) =
+      RecordLinkage.fuzzyJoin(cust, "c_custkey", "c_name", blk._1,
+        perturbed, "p_key", "p_name", blk._2, maxDist = 3)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val suffix = (RecordLinkage.suffixBlock(col("c_name")),
+      RecordLinkage.suffixBlock(col("p_name")))
+    // prefix on the LAST 6 chars' first 3 = a different slice
+    val mid = (upper(substring(col("c_name"), -6, 3)),
+      upper(substring(col("p_name"), -6, 3)))
+    val multi = RecordLinkage.fuzzyJoinMulti(cust, "c_custkey", "c_name",
+        perturbed, "p_key", "p_name", Seq(suffix, mid), maxDist = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(multi == single(suffix) ++ single(mid))
+    assert(multi.size >= single(suffix).size)
+  }
+
   test("E2E CLI: curate writes parquet + report, token budget bounds sources") {
     val outDir = "/tmp/curate_e2e"
     val cfgJson =
