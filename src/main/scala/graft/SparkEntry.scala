@@ -767,6 +767,37 @@ object SparkEntry {
         graft.ops.RecordLinkage.suffixBlockSql("b.p_name"),
         maxDist = 3) + " ORDER BY id_a, id_b")),
 
+    // Multi-pass blocking: union of suffix and mid-slice blocking keys,
+    // per-pair min-distance dedup
+    "q_fuzzy_link_multi" -> Q(
+      (s, dir) => {
+        val cust = rd(s, dir, "customer")
+        val perturbed = cust.select(col("c_custkey").as("p_key"),
+          translate(col("c_name"), "1", "I").as("p_name"))
+        graft.ops.RecordLinkage.fuzzyJoinMulti(
+          cust, "c_custkey", "c_name", perturbed, "p_key", "p_name",
+          Seq(
+            (graft.ops.RecordLinkage.suffixBlock(col("c_name")),
+              graft.ops.RecordLinkage.suffixBlock(col("p_name"))),
+            (upper(substring(col("c_name"), -6, 3)),
+              upper(substring(col("p_name"), -6, 3)))),
+          maxDist = 3).orderBy("id_a", "id_b")
+      },
+      Some {
+        val a = "SELECT c_custkey, c_name FROM customer"
+        val b = "SELECT c_custkey AS p_key, replace(c_name, '1', 'I') AS p_name FROM customer"
+        val pass1 = graft.ops.RecordLinkage.fuzzyJoinSql(a, "c_custkey", "c_name",
+          graft.ops.RecordLinkage.suffixBlockSql("a.c_name"),
+          b, "p_key", "p_name",
+          graft.ops.RecordLinkage.suffixBlockSql("b.p_name"), 3)
+        val pass2 = graft.ops.RecordLinkage.fuzzyJoinSql(a, "c_custkey", "c_name",
+          "upper(substr(a.c_name, -6, 3))", b, "p_key", "p_name",
+          "upper(substr(b.p_name, -6, 3))", 3)
+        s"""SELECT id_a, id_b, min(dist)::INT AS dist FROM (
+              (${pass1}) UNION ALL (${pass2}))
+            GROUP BY id_a, id_b ORDER BY id_a, id_b"""
+      }),
+
     // Cross-engine-exact comparison stats: centi-quantized measures,
     // exact integer moments, one fixed float tree, nano output
     "q_welch_t" -> Q(
