@@ -337,9 +337,12 @@ object SparkEntry {
       (s, dir) => Planner.plan(rd(s, dir, "customer"), TableConfig("customer",
         transforms = Seq(
           ColumnTransform("c_name", TemplateExpr("concat('User-', cast(c_custkey as string))")),
-          ColumnTransform("c_acctbal", TemplateExpr("round(c_acctbal, 0)"))))).orderBy("c_custkey"),
+          // + 0.0 canonicalizes IEEE signed zero: DuckDB's round yields
+          // -0.0 for balances in (-0.5, 0) where Spark yields +0.0, and
+          // the driver's gate hashes BYTES (-0.0 != +0.0 bytewise)
+          ColumnTransform("c_acctbal", TemplateExpr("round(c_acctbal, 0) + 0.0"))))).orderBy("c_custkey"),
       Some("SELECT c_custkey, ('User-' || c_custkey::VARCHAR) AS c_name, c_nationkey, " +
-        "round(c_acctbal, 0) AS c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey")),
+        "(round(c_acctbal, 0) + 0.0) AS c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey")),
 
     // ----- faker family: all 22 scalars in one query -----
     "q_faker" -> Q(
@@ -697,13 +700,16 @@ object SparkEntry {
         Seq(
           Anonymize.QiLadder("nat", Seq(col("c_nationkey").cast("long"),
             expr("c_nationkey div 5").cast("long"), lit(0L))),
-          Anonymize.QiLadder("bal", Seq(round(col("c_acctbal"), -2),
-            round(col("c_acctbal"), -3), lit(0.0d)))),
+          // + 0.0 canonicalizes IEEE signed zero on the emitted double
+          // ladder: DuckDB round(-251.3, -3) = -0.0, Spark = +0.0, and the
+          // driver's gate hashes bytes (-0.0 + 0.0 = +0.0 in both engines)
+          Anonymize.QiLadder("bal", Seq(round(col("c_acctbal"), -2) + lit(0.0d),
+            round(col("c_acctbal"), -3) + lit(0.0d), lit(0.0d)))),
         k = 5).orderBy("c_custkey"),
       Some(Anonymize.kAnonymizeSql("customer", "c_custkey",
         Seq(
           "nat" -> Seq("c_nationkey::BIGINT", "(c_nationkey // 5)::BIGINT", "0::BIGINT"),
-          "bal" -> Seq("round(c_acctbal, -2)::DOUBLE", "round(c_acctbal, -3)::DOUBLE",
+          "bal" -> Seq("(round(c_acctbal, -2)::DOUBLE + 0.0)", "(round(c_acctbal, -3)::DOUBLE + 0.0)",
             "0.0::DOUBLE")),
         k = 5) + " ORDER BY c_custkey")),
 

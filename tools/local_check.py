@@ -43,8 +43,17 @@ for name in sorted(os.listdir(OUT)):
     for c in sc:
         sv, tv = s[c], t[c]
         try:
-            eq = (sv.astype(object).where(sv.notna(), None) ==
-                  tv.astype(object).where(tv.notna(), None)) | (sv.isna() & tv.isna())
+            import numpy as np
+            if sv.dtype.kind == "f" and tv.dtype.kind == "f":
+                # BYTE-exact like the driver's hash gate: -0.0 != +0.0
+                # (both-NaN counts as equal; parquet NaNs are canonical)
+                sb = sv.to_numpy(dtype="float64").view("uint64")
+                tb = tv.to_numpy(dtype="float64").view("uint64")
+                eq = (sb == tb) | (sv.isna().to_numpy() & tv.isna().to_numpy())
+                eq = __import__("pandas").Series(eq)
+            else:
+                eq = (sv.astype(object).where(sv.notna(), None) ==
+                      tv.astype(object).where(tv.notna(), None)) | (sv.isna() & tv.isna())
         except Exception as e:
             bad = (c, f"compare error {e}")
             break
