@@ -520,13 +520,15 @@ object Corpus {
       "groupQuantiles: percentiles in [1,100]")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(valueCol)
+    // internal aliases are __-reserved so a value column literally named
+    // "n"/"rk" is not captured (mirrors the __-reserved SQL rendering)
     df.select(col(groupCol), col(valueCol))
-      .withColumn("rk", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__wn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(groupCol)))
-      .select(col(groupCol), col(valueCol), col("rk"), col("n"),
+      .select(col(groupCol), col(valueCol), col("__rk"), col("__wn"),
         explode(array(pcts.map(lit): _*)).as("pct"))
-      .filter(col("rk") === expr("(n * pct + 99) div 100"))
+      .filter(col("__rk") === expr("(__wn * pct + 99) div 100"))
       .select(col(groupCol), col("pct"), col(valueCol).as("value"))
   }
 

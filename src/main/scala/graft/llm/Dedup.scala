@@ -38,8 +38,8 @@ object Dedup {
     df.select(col(idCol), col(textCol),
         sha2(TextOps.normalize(col(textCol)), 256).as("norm_hash"),
         length(col(textCol)).as("n_chars"))
-      .withColumn("rank", row_number().over(w))
-      .select(col(idCol), col("norm_hash"), (col("rank") === 1).as("keep"))
+      .withColumn("__rank", row_number().over(w))
+      .select(col(idCol), col("norm_hash"), (col("__rank") === 1).as("keep"))
   }
 
   /** Cross-document duplicated-SPAN removal — the ExactSubstr-style dedup

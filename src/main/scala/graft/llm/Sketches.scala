@@ -226,15 +226,17 @@ object Sketches {
     val sample = bottomKSample(df, groupCol, idCol, valueCol, k, tweak)
     val wVal = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(col("v"), col(idCol))
+    // __-reserved internals: a group/id column literally named "n" or
+    // "vrk" must not be captured by the window rank/count
     sample
-      .withColumn("vrk", row_number().over(wVal))
-      .withColumn("n", count(lit(1)).over(
+      .withColumn("__vrk", row_number().over(wVal))
+      .withColumn("__wn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(groupCol)))
-      .select(col(groupCol).as("grp"), col("v"), col("vrk"), col("n"),
+      .select(col(groupCol).as("grp"), col("v"), col("__vrk"), col("__wn"),
         explode(array(pcts.map(lit): _*)).as("pct"))
-      .filter(col("vrk") === expr("(n * pct + 99) div 100"))
+      .filter(col("__vrk") === expr("(__wn * pct + 99) div 100"))
       .select(col("grp"), col("pct"), col("v").as("est_value"),
-        col("n").as("sample_n"))
+        col("__wn").as("sample_n"))
   }
 
   def sampleQuantilesSql(table: String, groupCol: String, idCol: String,

@@ -134,6 +134,8 @@ object Expectations {
           val vals = p("values").split(",").map(v => s"'${v.trim.replace("'", "''")}'")
           Seq(s"coalesce(sum(CASE WHEN ${c} NOT IN (${vals.mkString(", ")}) THEN 1 ELSE 0 END), 0)::BIGINT AS m$i",
             s"count(${c})::BIGINT AS d$i")
+        case other =>
+          throw new IllegalArgumentException(s"expectations: unknown kind '$other'")
       }
     }
     val rows = rules.zipWithIndex.map { case (r, i) =>

@@ -31,9 +31,15 @@ object Profile {
       sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
       min("v").as("min_v"), max("v").as("max_v"))
     val hll = Sketches.hllDistinct(pairs.filter(col("v").isNotNull), "col", "v")
-    counts.join(hll, counts("col") === hll("grp"))
+    // LEFT join: an all-null column has no sketch row (nothing survived
+    // the isNotNull filter) but must still appear in the report — its
+    // sketch is the EMPTY sketch (64 zero registers: regsum = 64·2^55,
+    // small-range estimate 0)
+    counts.join(hll, counts("col") === hll("grp"), "left")
       .select(counts("col"), col("n_nonnull"), col("n_null"),
-        col("min_v"), col("max_v"), col("hll_regsum"), col("hll_est_milli"))
+        col("min_v"), col("max_v"),
+        coalesce(col("hll_regsum"), lit(64L << 55)).as("hll_regsum"),
+        coalesce(col("hll_est_milli"), lit(0L)).as("hll_est_milli"))
   }
 
   def profileSql(table: String, cols: Seq[String]): String = {
@@ -49,7 +55,8 @@ object Profile {
           FROM (${pairSelects}) GROUP BY col
         ), hll AS (${hll})
         SELECT counts.col, n_nonnull, n_null, min_v, max_v,
-               hll.hll_regsum, hll.hll_est_milli
-        FROM counts JOIN hll ON counts.col = hll.grp"""
+               coalesce(hll.hll_regsum, ${64L << 55})::BIGINT AS hll_regsum,
+               coalesce(hll.hll_est_milli, 0)::BIGINT AS hll_est_milli
+        FROM counts LEFT JOIN hll ON counts.col = hll.grp"""
   }
 }

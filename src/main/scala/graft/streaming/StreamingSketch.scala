@@ -53,10 +53,15 @@ object StreamingSketch {
       .flatMapGroupsWithState[Vector[(Long, Long, Long)], QuantileUpdate](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (grp, rows, state: GroupState[Vector[(Long, Long, Long)]]) =>
-          // state: (h, id, v) sorted by (h, id), size <= k
+          // state: (h, id, v) sorted by (h, id), size <= k. Duplicate
+          // input rows KEEP their multiplicity — the batch operator's
+          // row_number sample counts each physical row, and the state
+          // store's batch-id checkpointing already makes engine-side
+          // replay idempotent (no .distinct needed, and .distinct would
+          // silently collapse genuinely duplicated rows)
           val merged = (state.getOption.getOrElse(Vector.empty) ++
             rows.map { case (_, id, v, h) => (h, id, v) })
-            .distinct.sortBy(t => (t._1, t._2)).take(k)
+            .sortBy(t => (t._1, t._2)).take(k)
           state.update(merged)
           // batch rank rule over the sample: value at ceil(n*p/100),
           // ordered by (v, id) like the batch operator

@@ -376,6 +376,34 @@ class CorpusSpec extends SparkSpec {
       ("b", 10, 100L), ("b", 50, 100L), ("b", 100, 200L)))
   }
 
+  test("groupQuantiles/sampleQuantiles: adversarial column names (n, rk, vrk) are not captured") {
+    // the alias-capture class: a caller column literally named after a
+    // window internal must not be overwritten by the rank/count
+    val df = Seq(("a", 5L), ("a", 1L), ("a", 3L), ("a", 3L), ("a", 9L),
+      ("b", 100L), ("b", 200L)).toDF("g", "n")
+    val got = Corpus.groupQuantiles(df, "g", "n", Seq(10, 50, 100))
+      .as[(String, Int, Long)].collect().toSet
+    assert(got == Set(("a", 10, 1L), ("a", 50, 3L), ("a", 100, 9L),
+      ("b", 10, 100L), ("b", 50, 100L), ("b", 100, 200L)))
+
+    val df2 = Seq(("a", 5L), ("a", 1L), ("a", 3L), ("a", 3L), ("a", 9L),
+      ("b", 100L), ("b", 200L)).toDF("rk", "n")
+    val got2 = Corpus.groupQuantiles(df2, "rk", "n", Seq(50))
+      .as[(String, Int, Long)].collect().toSet
+    assert(got2 == Set(("a", 50, 3L), ("b", 50, 100L)))
+
+    // sampleQuantiles with id column named "n" and group named "vrk":
+    // k >= group size means the sample is the whole group -> exact values
+    val df3 = Seq(("a", 1L, 5L), ("a", 2L, 1L), ("a", 3L, 3L), ("a", 4L, 3L),
+      ("a", 5L, 9L), ("b", 6L, 100L), ("b", 7L, 200L)).toDF("vrk", "n", "val")
+    val got3 = graft.llm.Sketches.sampleQuantiles(df3, "vrk", "n", "val",
+        k = 100, pcts = Seq(50, 100))
+      .selectExpr("grp", "pct", "est_value", "sample_n")
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(got3 == Set(("a", 50, 3L, 5L), ("a", 100, 9L, 5L),
+      ("b", 50, 100L, 2L), ("b", 100, 200L, 2L)))
+  }
+
   test("pmiCollocations matches an exact in-JVM model; collocation outranks chance pair") {
     def lnNano(x: Long): Long = math.floor(math.log(x.toDouble) * 1e9 + 0.5).toLong
     // "new york" always together; "the"/"cat" frequent but independent

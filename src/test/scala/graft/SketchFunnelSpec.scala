@@ -127,6 +127,20 @@ class SketchFunnelSpec extends SparkSpec {
     assert(byCol("n")._5 / 1000.0 > 1.5 && byCol("n")._5 / 1000.0 < 2.5)
   }
 
+  test("profile: an all-null column still appears, with the empty sketch") {
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("id", "dead")
+    val out = graft.pipeline.Profile.profile(df, Seq("id", "dead"))
+      .orderBy("col").collect()
+    assert(out.length == 2, "all-null column must not drop from the report")
+    val dead = out.find(_.getString(0) == "dead").get
+    assert(dead.getLong(1) == 0L && dead.getLong(2) == 2L)
+    assert(dead.isNullAt(3) && dead.isNullAt(4))
+    // empty sketch: 64 zero registers -> regsum 64*2^55, estimate 0
+    assert(dead.getLong(5) == (64L << 55) && dead.getLong(6) == 0L)
+  }
+
   test("weightedTopK: exact k per group, weight-biased, partition-invariant") {
     import graft.llm.Sampling
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -537,6 +537,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bottom-k quantiles: duplicate input rows keep multiplicity (= batch)") {
+    import graft.streaming.StreamingSketch
+    implicit val sqlCtx = spark.sqlContext
+    // ids 1..6 once each, id 3 delivered THREE times (genuine duplicates,
+    // split across micro-batches) — the batch sample counts each physical
+    // row, so the stream must too
+    val base = (1L to 6L).map(i => ("g", i, i * 10L))
+    val rows = base ++ Seq(("g", 3L, 30L), ("g", 3L, 30L))
+    val input = MemoryStream[(String, Long, Long)]
+    val q = StreamingSketch.sampleQuantilesRunning(
+        input.toDF().toDF("grp", "id", "v"), k = 64, pcts = Seq(25, 50, 100))
+      .writeStream.format("memory").queryName("sqdup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(base :+ ("g", 3L, 30L): _*); q.processAllAvailable()
+      input.addData(("g", 3L, 30L)); q.processAllAvailable()
+      val all = spark.table("sqdup_out").as[(String, Int, Long, Long)]
+        .collect().zipWithIndex
+      val fin = all.groupBy(r => (r._1._1, r._1._2))
+        .map { case (key, us) => key -> us.maxBy(_._2)._1 }
+      val batchDf = rows.toDF("source", "doc_id", "n_chars")
+      val batch = graft.llm.Sketches.sampleQuantiles(
+          batchDf, "source", "doc_id", "n_chars", k = 64, pcts = Seq(25, 50, 100))
+        .collect().map(r => (r.getString(0), r.getInt(1)) ->
+          ((r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(fin.keySet == batch.keySet)
+      fin.foreach { case (key, u) =>
+        assert(u == batch(key), s"$key: stream $u batch ${batch(key)}")
+      }
+      // and the multiplicity is real: n = 8 physical rows, not 6 distinct
+      assert(fin.values.head._4 == 8L)
+    } finally q.stop()
+  }
+
   test("streaming space-saving: bounded counters keep the true heavy hitters") {
     import graft.streaming.StreamingSketch
     implicit val sqlCtx = spark.sqlContext
