@@ -168,11 +168,26 @@ object Bench {
         s""""queries_staged_32file_stats":${jsStats(st)}""" +
         s""","loadavg_staged_before":$loadMid,"loadavg_staged_after":$loadAfter"""
     }.getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","samples":3,""" +
+    // Full diagnostics (min/median/max, staged layout pass, loadavg at
+    // every phase boundary) go to a file AND a non-final stdout line; the
+    // FINAL line is the compact primary metric only. The driver keeps a
+    // bounded tail of stdout and parses the last line as JSON — the full
+    // record outgrew that capture in round 7 (BENCH_r07 parsed: null).
+    val diag = s"""{"metric":"total","value":$total,"unit":"sec","samples":3,""" +
       s""""queries":${js(medians)},"query_stats":${jsStats(single)}""" +
       s""","loadavg_warmup_before":$loadWarm""" +
       s""","loadavg_before":$loadBefore,"loadavg_after":$loadMid""" +
-      s""","sf":"$sfDir"$extras}""")
+      s""","sf":"$sfDir"$extras}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/graft_bench_diag.json"), diag)
+    catch { case _: Throwable => () }
+    println(diag)
+    // compact: ms-precision medians keep 31 queries well inside the tail
+    def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qCompact = medians.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","samples":3,""" +
+      s""""queries":$qCompact,"sf":"$sfDir","diag":"/tmp/graft_bench_diag.json"}""")
     spark.stop()
   }
 }
