@@ -804,6 +804,54 @@ object SparkEntry {
             GROUP BY id_a, id_b ORDER BY id_a, id_b"""
       }),
 
+    // Entity resolution on top of linkage: three record variants per
+    // customer (original, '1'->'I' twin, '2'->'Z' twin; ids namespaced
+    // 3k/3k+1/3k+2), pairs from two suffix-blocked fuzzy joins that each
+    // link a twin ONLY to the original — so the two twins land in one
+    // entity purely by TRANSITIVITY. Label-propagation fix-point vs
+    // DuckDB's exact recursive reachability over the same edges.
+    "q_entity_clusters" -> Q(
+      (s, dir) => {
+        val cust = rd(s, dir, "customer").filter(col("c_custkey") <= 500)
+        def twin(from: String, to: String) = cust.select(
+          col("c_custkey").as("p_key"),
+          translate(col("c_name"), from, to).as("p_name"))
+        def pass(t: org.apache.spark.sql.DataFrame, ns: Int) =
+          graft.ops.RecordLinkage.fuzzyJoin(
+            cust, "c_custkey", "c_name",
+            graft.ops.RecordLinkage.suffixBlock(col("c_name")),
+            t, "p_key", "p_name",
+            graft.ops.RecordLinkage.suffixBlock(col("p_name")),
+            maxDist = 2)
+            .select((col("id_a") * 3).as("id_a"), (col("id_b") * 3 + ns).as("id_b"))
+        val pairs = pass(twin("1", "I"), 1).unionByName(pass(twin("2", "Z"), 2))
+          .distinct()
+        val records = (0 to 2).map(ns =>
+          cust.select((col("c_custkey") * 3 + ns).as("rec_id")))
+          .reduce(_ unionByName _)
+        graft.ops.RecordLinkage.entityClusters(records, "rec_id", pairs)
+          .orderBy("rec_id")
+      },
+      Some {
+        val a = "SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 500"
+        def bSql(from: Char, to: Char) =
+          s"SELECT c_custkey AS p_key, replace(c_name, '$from', '$to') AS p_name " +
+            "FROM customer WHERE c_custkey <= 500"
+        def passSql(b: String, ns: Int) =
+          s"SELECT id_a * 3 AS id_a, id_b * 3 + $ns AS id_b FROM (" +
+            graft.ops.RecordLinkage.fuzzyJoinSql(a, "c_custkey", "c_name",
+              graft.ops.RecordLinkage.suffixBlockSql("a.c_name"),
+              b, "p_key", "p_name",
+              graft.ops.RecordLinkage.suffixBlockSql("b.p_name"), 2) + ")"
+        graft.ops.RecordLinkage.entityClustersSql(
+          (0 to 2).map(ns => s"SELECT c_custkey * 3 + $ns AS id " +
+            "FROM customer WHERE c_custkey <= 500").mkString(" UNION ALL "),
+          "rec_id",
+          s"""SELECT DISTINCT id_a, id_b FROM (
+                (${passSql(bSql('1', 'I'), 1)}) UNION ALL (${passSql(bSql('2', 'Z'), 2)}))""") +
+          " ORDER BY rec_id"
+      }),
+
     // Cross-engine-exact comparison stats: centi-quantized measures,
     // exact integer moments, one fixed float tree, nano output
     "q_welch_t" -> Q(

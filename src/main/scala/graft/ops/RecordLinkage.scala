@@ -63,6 +63,92 @@ object RecordLinkage {
       .groupBy("id_a", "id_b").agg(min("dist").as("dist"))
   }
 
+  /** Entity resolution on top of linkage: transitively cluster matched
+    * pairs into entities — records A~B and B~C land in one entity even
+    * when A and C were never directly matched (the MERGE step real
+    * linkage users run after [[fuzzyJoinMulti]]). Union-find semantics
+    * executed as Spark joins: min-label propagation over the symmetric
+    * edge list until stable, the same fix-point discipline as
+    * `Dedup.minhashLshClusters` (monotone decreasing labels, so
+    * convergence = an exact decimal sum going flat — no labels×next
+    * join; localCheckpoint per round bounds lineage; converges in
+    * O(component diameter) rounds, small for match graphs).
+    *
+    * Only (id, rep) longs shuffle — never the record payloads. Records
+    * with no match keep themselves as their entity (final left join).
+    *
+    * @param records one row per record; `idCol` must be a unique LONG id
+    *        across BOTH linked sides (namespace two tables first, e.g.
+    *        2k / 2k+1)
+    * @param pairs   matched pairs over that id space (direction ignored)
+    * @return (idCol, entity_rep) — entity_rep = min record id reachable
+    */
+  def entityClusters(records: DataFrame, idCol: String, pairs: DataFrame,
+                     aCol: String = "id_a", bCol: String = "id_b",
+                     maxIter: Int = 30): DataFrame = {
+    val fwd = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    def repSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0)
+    // seed: rep_0(id) = min over {id} ∪ direct neighbors — one aggregate
+    var labels = edges
+      .groupBy(col("src").as("id"))
+      .agg(min(least(col("src"), col("dst"))).as("rep"))
+      .localCheckpoint(true)
+    var prevSum = repSum(labels)
+    var converged = false
+    var iter = 1
+    while (!converged && iter < maxIter) {
+      val viaNb = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("rep"))
+      val next = labels.unionByName(viaNb)
+        .groupBy("id").agg(min("rep").as("rep"))
+        .localCheckpoint(true)
+      val newSum = repSum(next)
+      graft.plans.Checkpoints.unpersistCheckpoint(labels)
+      labels = next
+      converged = java.util.Objects.equals(newSum, prevSum)
+      prevSum = newSum
+      iter += 1
+    }
+    if (!converged) {
+      graft.plans.Checkpoints.unpersistCheckpoint(labels)
+      graft.plans.Checkpoints.unpersistCheckpoint(edges)
+      throw new IllegalStateException(
+        s"entityClusters: label propagation did not converge after $maxIter " +
+          "iterations — raise maxIter")
+    }
+    graft.plans.FixpointStats.record("entityClusters", iter)
+    val out = records.select(col(idCol).cast("long").as("id"))
+      .join(labels, Seq("id"), "left_outer")
+      .select(col("id").as(idCol), coalesce(col("rep"), col("id")).as("entity_rep"))
+    graft.plans.Checkpoints.unpersistCheckpoint(edges)
+    out
+  }
+
+  /** DuckDB rendering of [[entityClusters]]: exact recursive reachability
+    * over the same symmetric edges, min reachable id per record.
+    * @param recordsSql must yield one column named `id`
+    * @param pairsSql   must yield columns `id_a`, `id_b` */
+  def entityClustersSql(recordsSql: String, idOut: String,
+                        pairsSql: String): String =
+    s"""WITH RECURSIVE prs AS (${pairsSql}),
+          edges AS (
+            SELECT id_a AS src, id_b AS dst FROM prs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM prs),
+          reach AS (
+            SELECT src AS id, src AS r FROM edges
+            UNION
+            SELECT e.dst AS id, reach.r
+            FROM reach JOIN edges e ON reach.id = e.src),
+          lab AS (SELECT id, min(r) AS entity_rep FROM reach GROUP BY id)
+        SELECT rec.id AS ${idOut}, coalesce(lab.entity_rep, rec.id) AS entity_rep
+        FROM (${recordsSql}) rec LEFT JOIN lab ON rec.id = lab.id"""
+
   def fuzzyJoinSql(aSql: String, aId: String, aText: String, blockASql: String,
                    bSql: String, bId: String, bText: String, blockBSql: String,
                    maxDist: Int): String =

@@ -46,4 +46,27 @@ class RecordLinkageSpec extends SparkSpec {
       assert(lev(names(ia), pNames(ib)) == dist, s"dist mismatch for ($ia,$ib)")
     }
   }
+
+  test("entityClusters: transitive merge over a chain, singletons kept, dup edges ok") {
+    import spark.implicits._
+    // chain 1-2, 2-3, 3-4 (depth forces >1 propagation round); island 7-8;
+    // 9 never matched; duplicate + reversed edges must not double-count
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (7L, 8L), (3L, 2L), (2L, 3L))
+      .toDF("id_a", "id_b")
+    val records = (1L to 9L).toDF("rec_id")
+    val out = RecordLinkage.entityClusters(records, "rec_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 6L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
+  }
+
+  test("entityClusters: a long path converges (fix-point really iterates)") {
+    import spark.implicits._
+    // path 1-2-3-...-12: min label must travel the whole chain
+    val pairs = (1L until 12L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val records = (1L to 12L).toDF("rec_id")
+    val out = RecordLinkage.entityClusters(records, "rec_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out.values.toSet == Set(1L) && out.size == 12)
+  }
 }
