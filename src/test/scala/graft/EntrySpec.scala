@@ -44,8 +44,9 @@ class EntrySpec extends SparkSpec {
       // isFinalPlan=false — round-6 ADVICE). collect() is cheap at sf0.001.
       df.collect()
       val finalPlan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0) // audit the FINAL adaptive plan only
       // Fail loudly if we ever inspect an unexecuted adaptive plan again.
-      if (finalPlan.contains("AdaptiveSparkPlan")) {
+      if (df.queryExecution.executedPlan.toString.contains("AdaptiveSparkPlan")) {
         adaptiveSeen += 1
         assert(finalPlan.contains("isFinalPlan=true"),
           s"$name: inspected adaptive plan was never finalized — the AQE guard is vacuous")
@@ -54,10 +55,33 @@ class EntrySpec extends SparkSpec {
         s"$name re-planned to a CartesianProduct under AQE")
       assert(!finalPlan.contains("BroadcastNestedLoopJoin"),
         s"$name re-planned to a BNLJ under AQE")
+      // Mechanical multi-scan / exchange-count regression guard: PlanAudit
+      // is a manual tool, so a shape regression (like the CMS sketch's
+      // 4-way-union multi-scan, or a ReusedExchange de-canonicalizing into
+      // duplicate subtrees) could land silently. Ceilings are the measured
+      // round-8 baseline — an operator change that raises them must raise
+      // the ceiling here CONSCIOUSLY, with the 100 TB cost written down.
+      val scans = ("Location: InMemoryFileIndex(?:\\(\\d+ paths?\\))?" +
+        "\\[[^\\]]*/(\\w+)\\.parquet").r
+        .findAllMatchIn(finalPlan).map(_.group(1)).toSeq
+        .groupBy(identity).view.mapValues(_.size)
+      val nEx = "\\bExchange hashpartitioning".r.findAllIn(finalPlan).size
+      val (maxScan, maxEx) = PlanCeilings.headline(name)
+      scans.foreach { case (t, c) =>
+        assert(c <= maxScan,
+          s"$name scans $t $c times (ceiling $maxScan) — a new pass over the fact table")
+      }
+      assert(nEx <= maxEx,
+        s"$name has $nEx hash exchanges (ceiling $maxEx) — a new shuffle appeared")
       graft.plans.Checkpoints.releaseAll()
     }
     // the guard is only meaningful if AQE actually re-planned something
     assert(adaptiveSeen > 0, "no headline query produced an adaptive plan — AQE guard inspected nothing")
+  }
+
+  test("every headline query has a plan ceiling (new headline entries must be baselined)") {
+    val missing = Bench.headline.filterNot(PlanCeilings.headline.contains)
+    assert(missing.isEmpty, s"run PlanAudit and add ceilings for: $missing")
   }
 
   test("oracle SQL strings are single-line friendly (no raw control chars)") {
