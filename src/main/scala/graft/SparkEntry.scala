@@ -2054,6 +2054,19 @@ object SparkEntry {
       Some(graft.ops.Funnel.stepsSql("events", "user_id", "epoch_us(e.ts)",
         "event_type", funnelStepTypes) + " ORDER BY user_id")),
 
+    // Same funnel with the per-user event cap that bounds group state at
+    // scale (WindowGroupLimit prefilter: first 50 events per user by
+    // (ts, type) — bites here, users carry 49-86 events at sf0.01)
+    "q_funnel_steps_capped" -> Q(
+      (s, dir) => graft.ops.Funnel.steps(rd(s, dir, "events"), "user_id",
+        expr("unix_micros(cast(ts as timestamp))"), "event_type",
+        funnelStepTypes, maxEventsPerUser = 50).orderBy("user_id"),
+      Some(graft.ops.Funnel.stepsSql(
+        graft.ops.Funnel.cappedEventsSql("events", "user_id",
+          "epoch_us(ts)", "event_type", 50),
+        "user_id", "epoch_us(e.ts)", "event_type", funnelStepTypes) +
+        " ORDER BY user_id")),
+
     // Composition: sessionize -> funnel per SESSION (operators chain —
     // the funnel key is the (user, session) pair)
     "q_funnel_sessions" -> Q(

@@ -16,6 +16,22 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
+  /** Bound per-user group state: keep each user's FIRST `cap` events
+    * (ordered by (ts, type) — deterministic under timestamp ties). The
+    * row_number <= cap filter compiles to a WindowGroupLimit, so the
+    * shuffle carries at most cap rows per (partition, user) — without
+    * this, `collect_list` state is O(events-per-user) and one bot key
+    * with 10^8 events lands on a single task at 100 TB. */
+  private def capEvents(df: DataFrame, userCol: String, tsCol: Column,
+                        typeCol: String, cap: Int): DataFrame =
+    if (cap <= 0) df
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(userCol).orderBy(tsCol, col(typeCol))
+      df.withColumn("__evrk", row_number().over(w))
+        .filter(col("__evrk") <= cap).drop("__evrk")
+    }
+
   /** Greedy ordered-funnel match: for each user, the number of `steps`
     * completed in order, each step STRICTLY after the previous one's
     * matched time (ties never advance, making the result independent of
@@ -24,11 +40,15 @@ object Funnel {
     * only widen later steps' windows.
     *
     * @param tsCol integral event-time column (epoch micros)
+    * @param maxEventsPerUser optional cap: > 0 evaluates the funnel over
+    *        each user's first that-many events (by (ts, type)), bounding
+    *        per-key state against bot/runaway users — see [[capEvents]]
     * @return (user, steps_done, completed) one row per user
     */
   def steps(df: DataFrame, userCol: String, tsCol: Column, typeCol: String,
-            stepTypes: Seq[String]): DataFrame = {
+            stepTypes: Seq[String], maxEventsPerUser: Int = 0): DataFrame = {
     require(stepTypes.nonEmpty, "funnel: need at least one step")
+    val capped = capEvents(df, userCol, tsCol, typeCol, maxEventsPerUser)
     val n = stepTypes.size
     val stepArr = array(stepTypes.map(lit): _*)
     val evs = sort_array(collect_list(struct(tsCol.as("ts"), col(typeCol).as("ty"))))
@@ -42,11 +62,19 @@ object Funnel {
             e("ts") > acc("last"),
           struct((acc("done") + 1).as("done"), e("ts").as("last")))
         .otherwise(acc))
-    df.groupBy(col(userCol).as("user_id"))
+    capped.groupBy(col(userCol).as("user_id"))
       .agg(folded.as("st"))
       .select(col("user_id"), col("st.done").as("steps_done"),
         (col("st.done") === n).as("completed"))
   }
+
+  /** DuckDB rendering of a `maxEventsPerUser`-capped event source —
+    * compose with [[stepsSql]]/[[stepTimesSql]] as the `table` arg. */
+  def cappedEventsSql(table: String, userCol: String, tsSql: String,
+                      typeCol: String, cap: Int): String =
+    s"""(SELECT * FROM ${table}
+         QUALIFY row_number() OVER (
+           PARTITION BY ${userCol} ORDER BY ${tsSql}, ${typeCol}) <= ${cap})"""
 
   /** DuckDB rendering: the greedy fold's closed form — step k's matched
     * time is the min event time of type k strictly after step k-1's. */
@@ -70,8 +98,9 @@ object Funnel {
     * relation behind conversion-latency analytics. Same single-shuffle
     * fold as [[steps]], with the state carrying the matched-time array. */
   def stepTimes(df: DataFrame, userCol: String, tsCol: Column, typeCol: String,
-                stepTypes: Seq[String]): DataFrame = {
+                stepTypes: Seq[String], maxEventsPerUser: Int = 0): DataFrame = {
     require(stepTypes.nonEmpty, "funnel: need at least one step")
+    val capped = capEvents(df, userCol, tsCol, typeCol, maxEventsPerUser)
     val n = stepTypes.size
     val stepArr = array(stepTypes.map(lit): _*)
     val evs = sort_array(collect_list(struct(tsCol.as("ts"), col(typeCol).as("ty"))))
@@ -86,7 +115,7 @@ object Funnel {
           struct((acc("done") + 1).as("done"), e("ts").as("last"),
             concat(acc("times"), array(e("ts"))).as("times")))
         .otherwise(acc))
-    df.groupBy(col(userCol).as("user_id"))
+    capped.groupBy(col(userCol).as("user_id"))
       .agg(folded.as("st"))
       .select(col("user_id"), posexplode(col("st.times")))
       .select(col("user_id"), (col("pos") + 1).as("step"), col("col").as("t"))

@@ -209,6 +209,45 @@ class SketchFunnelSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("funnel maxEventsPerUser: truncated-history semantics, WindowGroupLimit in plan") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("tsu", expr("unix_micros(cast(ts as timestamp))"))
+    val cap = 20
+    val capped = Funnel.steps(ev, "user_id", col("tsu"), "event_type",
+      SparkEntry.funnelStepTypes, maxEventsPerUser = cap)
+    // semantics: equals the uncapped funnel over each user's first cap
+    // events by (ts, type)
+    val got = capped.collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    val brute = ev.select("user_id", "tsu", "event_type")
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).map { case (u, evs) =>
+        var done = 0; var last = Long.MinValue
+        evs.sortBy(e => (e._2, e._3)).take(cap).foreach { e =>
+          if (done < SparkEntry.funnelStepTypes.size &&
+              e._3 == SparkEntry.funnelStepTypes(done) && e._2 > last) {
+            done += 1; last = e._2
+          }
+        }
+        u -> done
+      }
+    assert(got.keySet == brute.keySet)
+    brute.foreach { case (u, done) =>
+      assert(got(u)._1 == done, s"user $u: got ${got(u)} brute $done")
+    }
+    // the cap actually bit (users carry ~50-90 events at this sf)…
+    val uncapped = Funnel.steps(ev, "user_id", col("tsu"), "event_type",
+        SparkEntry.funnelStepTypes)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.exists { case (u, (d, _)) => d != uncapped(u) },
+      "cap=20 changed no user — fixture no longer exercises truncation")
+    // …and via the rank-limit pushdown, not a full-history shuffle
+    capped.collect()
+    assert(capped.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "row_number cap did not push down to a WindowGroupLimit")
+  }
+
   test("stepTimes agrees with steps and yields strictly increasing times") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
       .withColumn("tsu", expr("unix_micros(cast(ts as timestamp))"))
