@@ -84,6 +84,11 @@ object Lifecycle {
     val manifest = Manifest.build(dumped)
     Files.createDirectories(Paths.get(outDir))
     Manifest.write(manifest, s"$outDir/manifest.json")
+    // pg_restore-compatible twin of the manifest: `pg_restore -l <outDir>`
+    // lists the dump like any directory archive (PgTocSpec proves the
+    // real binary accepts it)
+    PgToc.writeFile(PgToc.fromManifest(manifest, dbName = "graft"),
+      s"$outDir/toc.dat")
     manifest
   }
 

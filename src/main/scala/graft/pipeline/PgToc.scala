@@ -1,0 +1,275 @@
+package graft.pipeline
+
+import java.io.{ByteArrayOutputStream, EOFException, InputStream, OutputStream}
+import java.nio.file.{Files, Paths}
+
+/** pg_restore-compatible binary TOC (`toc.dat`) codec — the
+  * archive-format interop piece the JSON [[Manifest]] deliberately
+  * replaced for the engine's OWN lifecycle, kept here so a user holding
+  * reference-produced directory archives (or wanting `pg_restore -l` /
+  * selective-restore tooling against ours) is not stranded.
+  *
+  * Format: the PostgreSQL directory-archive TOC byte layout
+  * (`PGDMP` magic; version triple; per-field version gates up to v1.16),
+  * matching the reference's re-implementation at
+  * `internal/db/postgres/toc/writer.go:43-330` / `reader.go:48-498` and
+  * verified here against a REAL `pg_restore -l` (PgTocSpec). Integers
+  * are a sign byte + `intSize` little-endian bytes; strings are a length
+  * int + bytes with length -1 meaning NULL; oids and dependency ids
+  * travel as decimal strings; the dependency list is NULL-terminated.
+  * Directory archives store format byte 3 ('tar' — the directory layout
+  * is tar-compatible, and `pg_restore` rejects anything else in
+  * `toc.dat`).
+  *
+  * Version support: writes any version in [1.10, 1.16] (gates skip the
+  * fields a version predates — write 1.14 for PostgreSQL 15 tooling,
+  * 1.16 matches the reference's MaxVersion); reads [1.10, 1.16] and
+  * rejects older archives loudly (the pre-1.10 gates cover formats from
+  * the 1990s; the reference accepts them, we document the floor).
+  */
+object PgToc {
+
+  val SectionNone = 1
+  val SectionPreData = 2
+  val SectionData = 3
+  val SectionPostData = 4
+
+  /** Archive format byte stored in toc.dat: directory archives write
+    * 'tar' (3) — see scaladoc above. */
+  val FormatTar: Int = 3
+
+  def makeVersion(major: Int, minor: Int, rev: Int): Int =
+    (major * 256 + minor) * 256 + rev
+
+  val V1_10: Int = makeVersion(1, 10, 0)
+  val V1_11: Int = makeVersion(1, 11, 0)
+  val V1_14: Int = makeVersion(1, 14, 0)
+  val V1_15: Int = makeVersion(1, 15, 0)
+  val V1_16: Int = makeVersion(1, 16, 0)
+
+  /** pg_dump compression spec: algorithm 0=none 1=gzip 2=lz4 3=zstd
+    * (v1.15+ stores the algorithm byte; older versions store a gzip
+    * level int). */
+  case class Compression(algorithm: Int = 0, level: Int = 0)
+
+  /** struct-tm creation stamp as stored: year is calendar-1900, month
+    * 0-based. */
+  case class Crtm(sec: Int, min: Int, hour: Int, mday: Int, mon: Int,
+                  year: Int, isDst: Int)
+  object Crtm {
+    def of(dt: java.time.LocalDateTime): Crtm =
+      Crtm(dt.getSecond, dt.getMinute, dt.getHour, dt.getDayOfMonth,
+        dt.getMonthValue - 1, dt.getYear - 1900, 0)
+  }
+
+  case class Header(versionMajor: Int, versionMinor: Int, versionRev: Int,
+                    intSize: Int = 4, offSize: Int = 8,
+                    format: Int = FormatTar,
+                    compression: Compression = Compression(),
+                    crtm: Crtm = Crtm(0, 0, 0, 1, 0, 100, 0),
+                    dbName: Option[String] = None,
+                    remoteVersion: Option[String] = None,
+                    dumpVersion: Option[String] = None) {
+    def version: Int = makeVersion(versionMajor, versionMinor, versionRev)
+  }
+
+  case class Entry(dumpId: Int, hadDumper: Int = 0,
+                   tableOid: Long = 0L, oid: Long = 0L,
+                   tag: Option[String] = None, desc: Option[String] = None,
+                   section: Int = SectionNone,
+                   defn: Option[String] = None,
+                   dropStmt: Option[String] = None,
+                   copyStmt: Option[String] = None,
+                   namespace: Option[String] = None,
+                   tablespace: Option[String] = None,
+                   tableam: Option[String] = None,
+                   relkind: Byte = 0,
+                   owner: Option[String] = None,
+                   dependencies: Seq[Int] = Nil,
+                   fileName: Option[String] = None)
+
+  case class Toc(header: Header, entries: Seq[Entry])
+
+  // ---------------------------------------------------------------- write
+
+  def write(toc: Toc, out: OutputStream): Unit = {
+    val h = toc.header
+    val v = h.version
+    require(v >= V1_10 && v <= V1_16,
+      s"PgToc.write: version ${h.versionMajor}.${h.versionMinor} outside supported [1.10, 1.16]")
+    require(h.intSize == 4, "PgToc.write: only intSize=4 is supported")
+    def byte(b: Int): Unit = out.write(b & 0xFF)
+    def int(i0: Int): Unit = {
+      var i = i0
+      byte(if (i < 0) 1 else 0)
+      if (i < 0) i = -i
+      var k = 0
+      while (k < h.intSize) { byte(i & 0xFF); i >>= 8; k += 1 }
+    }
+    def str(s: Option[String]): Unit = s match {
+      case None => int(-1)
+      case Some(x) =>
+        val bs = x.getBytes("UTF-8")
+        int(bs.length); out.write(bs)
+    }
+    out.write("PGDMP".getBytes("US-ASCII"))
+    byte(h.versionMajor); byte(h.versionMinor); byte(h.versionRev)
+    byte(h.intSize); byte(h.offSize); byte(h.format)
+    if (v >= V1_15) byte(h.compression.algorithm)
+    else int(h.compression.level)
+    int(h.crtm.sec); int(h.crtm.min); int(h.crtm.hour); int(h.crtm.mday)
+    int(h.crtm.mon); int(h.crtm.year); int(h.crtm.isDst)
+    str(h.dbName); str(h.remoteVersion); str(h.dumpVersion)
+    // Entry text fields are canonicalized None -> "" on write: the format
+    // allows a NULL (-1 length) but real pg_dump never emits one here and
+    // real pg_restore SEGFAULTS listing an archive that does (verified
+    // against pg_restore 15). NULL stays meaningful where the format
+    // requires it (the dependency-list terminator) and on READ (a foreign
+    // archive's -1 surfaces as None).
+    def estr(s: Option[String]): Unit = str(Some(s.getOrElse("")))
+    int(toc.entries.size)
+    toc.entries.foreach { e =>
+      int(e.dumpId); int(e.hadDumper)
+      str(Some(e.tableOid.toString)); str(Some(e.oid.toString))
+      estr(e.tag); estr(e.desc)
+      int(e.section)
+      estr(e.defn); estr(e.dropStmt); estr(e.copyStmt)
+      estr(e.namespace); estr(e.tablespace)
+      if (v >= V1_14) estr(e.tableam)
+      if (v >= V1_16) int(e.relkind & 0xFF)
+      estr(e.owner)
+      str(Some("false")) // with-oids, retired since PostgreSQL 12
+      e.dependencies.foreach(d => str(Some(d.toString)))
+      str(None) // dependency-list terminator
+      estr(e.fileName)
+    }
+    out.flush()
+  }
+
+  def writeBytes(toc: Toc): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    write(toc, bos)
+    bos.toByteArray
+  }
+
+  def writeFile(toc: Toc, path: String): Unit =
+    Files.write(Paths.get(path), writeBytes(toc))
+
+  // ----------------------------------------------------------------- read
+
+  def read(in: InputStream): Toc = {
+    def byte(): Int = {
+      val b = in.read()
+      if (b < 0) throw new EOFException("PgToc.read: truncated archive")
+      b
+    }
+    def bytes(n: Int): Array[Byte] = {
+      val buf = new Array[Byte](n)
+      var off = 0
+      while (off < n) {
+        val r = in.read(buf, off, n - off)
+        if (r < 0) throw new EOFException("PgToc.read: truncated archive")
+        off += r
+      }
+      buf
+    }
+    val magic = new String(bytes(5), "US-ASCII")
+    require(magic == "PGDMP", s"PgToc.read: bad magic '$magic'")
+    val major = byte(); val minor = byte()
+    val rev = if (major > 1 || minor > 0) byte() else 0
+    val v = makeVersion(major, minor, rev)
+    require(v >= V1_10 && v <= V1_16,
+      s"PgToc.read: archive version $major.$minor outside supported [1.10, 1.16]")
+    val intSize = byte()
+    require(intSize == 4, s"PgToc.read: unsupported intSize $intSize")
+    def int(): Int = {
+      val sign = byte()
+      var res = 0; var shift = 0; var k = 0
+      while (k < intSize) {
+        val b = byte()
+        if (b != 0) res += b << shift
+        shift += 8; k += 1
+      }
+      if (sign != 0) -res else res
+    }
+    def str(): Option[String] = {
+      val l = int()
+      if (l < 0) None else Some(new String(bytes(l), "UTF-8"))
+    }
+    def strReq(what: String): String =
+      str().getOrElse(throw new IllegalArgumentException(
+        s"PgToc.read: unexpected NULL $what"))
+    val offSize = byte()
+    val format = byte()
+    require(format == FormatTar,
+      s"PgToc.read: format byte $format is not a directory archive (expected 3)")
+    val compression =
+      if (v >= V1_15) Compression(algorithm = byte())
+      else {
+        val level = int()
+        Compression(algorithm = if (level != 0) 1 else 0, level = level)
+      }
+    val crtm = Crtm(int(), int(), int(), int(), int(), int(), int())
+    val dbName = str(); val remoteVersion = str(); val dumpVersion = str()
+    val header = Header(major, minor, rev, intSize, offSize, format,
+      compression, crtm, dbName, remoteVersion, dumpVersion)
+    val n = int()
+    val entries = (0 until n).map { _ =>
+      val dumpId = int()
+      require(dumpId > 0, s"PgToc.read: entry id $dumpId out of range — corrupt TOC")
+      val hadDumper = int()
+      val tableOid = strReq("tableOid").toLong
+      val oid = strReq("oid").toLong
+      val tag = str(); val desc = str()
+      val section = if (v >= V1_11) int() else SectionNone
+      val defn = str(); val dropStmt = str(); val copyStmt = str()
+      val namespace = str(); val tablespace = str()
+      val tableam = if (v >= V1_14) str() else None
+      val relkind = if (v >= V1_16) (int() & 0xFF).toByte else 0.toByte
+      val owner = str()
+      str() // with-oids marker ("true"/"false"), ignored
+      val deps = Iterator.continually(str())
+        .takeWhile(_.isDefined).map(_.get.toInt).toSeq
+      val fileName = str()
+      Entry(dumpId, hadDumper, tableOid, oid, tag, desc, section, defn,
+        dropStmt, copyStmt, namespace, tablespace, tableam, relkind, owner,
+        deps, fileName)
+    }
+    Toc(header, entries)
+  }
+
+  def readFile(path: String): Toc = {
+    val in = Files.newInputStream(Paths.get(path))
+    try read(in) finally in.close()
+  }
+
+  // ------------------------------------------------------------- manifest
+
+  /** Render the engine's [[Manifest]] as a pg_restore-compatible TOC:
+    * one TABLE DATA entry per dumped table, dependency ids preserved,
+    * data file = the manifest path's basename. `pg_restore -l` then
+    * lists our archives; pair with COPY-text data files
+    * (`sources/CopyText`) for the full directory-archive shape. */
+  def fromManifest(m: Manifest, dbName: String,
+                   namespace: String = "public",
+                   owner: String = "graft",
+                   versionMinor: Int = 14,
+                   crtm: Crtm = Crtm(0, 0, 0, 1, 0, 100, 0)): Toc = {
+    val header = Header(1, versionMinor, 0, dbName = Some(dbName),
+      remoteVersion = Some("15.0"), dumpVersion = Some("15.0"), crtm = crtm)
+    val entries = m.entries.map { e =>
+      Entry(
+        dumpId = e.dumpId, hadDumper = 1,
+        oid = e.dumpId.toLong, // synthetic stable oid; engine has no catalog
+        tag = Some(e.table), desc = Some("TABLE DATA"),
+        section = SectionData,
+        defn = Some(""), dropStmt = Some(""),
+        copyStmt = Some(s"COPY ${namespace}.${e.table} FROM stdin;\n"),
+        namespace = Some(namespace), tablespace = Some(""),
+        tableam = Some(""), relkind = 'r'.toByte,
+        owner = Some(owner), dependencies = e.dependsOn,
+        fileName = Some(new java.io.File(e.path).getName))
+    }
+    Toc(header, entries)
+  }
+}

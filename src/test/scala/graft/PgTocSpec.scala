@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.{Manifest, ManifestEntry, PgToc}
+import graft.pipeline.PgToc.{Compression, Crtm, Entry, Header, Toc}
+
+/** pg_restore-compatible TOC codec: byte round-trips at both supported
+  * gate extremes, corruption rejection, and — when the real pg_restore
+  * binary is present — an end-to-end `pg_restore -l` acceptance check of
+  * our bytes (the strongest interop evidence available offline). */
+class PgTocSpec extends AnyFunSuite {
+
+  private def fixtureToc(minor: Int): Toc = {
+    val header = Header(1, minor, 0,
+      compression = if (minor >= 15) Compression(algorithm = 0) else Compression(),
+      crtm = Crtm(30, 15, 10, 14, 7, 126, 0),
+      dbName = Some("testdb"), remoteVersion = Some("15.0"),
+      dumpVersion = Some("15.18"))
+    val entries = Seq(
+      Entry(dumpId = 1, hadDumper = 1, tableOid = 0L, oid = 16384L,
+        tag = Some("customer"), desc = Some("TABLE DATA"),
+        section = PgToc.SectionData, defn = Some(""), dropStmt = Some(""),
+        copyStmt = Some("COPY public.customer (c_custkey, c_name) FROM stdin;\n"),
+        namespace = Some("public"), tablespace = Some(""),
+        tableam = Some(""), relkind = 'r'.toByte, owner = Some("graft"),
+        dependencies = Nil, fileName = Some("customer.dat")),
+      Entry(dumpId = 2, hadDumper = 1, tableOid = 0L, oid = 16385L,
+        tag = Some("orders"), desc = Some("TABLE DATA"),
+        section = PgToc.SectionData, defn = Some(""), dropStmt = Some(""),
+        copyStmt = Some("COPY public.orders FROM stdin;\n"),
+        namespace = Some("public"), tablespace = Some(""),
+        tableam = Some(""), relkind = 'r'.toByte, owner = Some("graft"),
+        dependencies = Seq(1), fileName = Some("orders.dat")),
+      // a non-data entry with NULL optionals exercises the -1 string path
+      Entry(dumpId = 3, hadDumper = 0, tableOid = 0L, oid = 0L,
+        tag = Some("SEQ"), desc = Some("SEQUENCE SET"),
+        section = PgToc.SectionNone, owner = Some("graft")))
+    Toc(header, entries)
+  }
+
+  private def normalized(t: Toc, minor: Int): Toc =
+    // fields a version's gates never serialize read back as defaults, and
+    // entry text fields canonicalize None -> "" on write (pg_restore
+    // segfaults on NULL entry strings; pg_dump never emits them)
+    t.copy(entries = t.entries.map { e =>
+      def c(s: Option[String]) = Some(s.getOrElse(""))
+      e.copy(tag = c(e.tag), desc = c(e.desc), defn = c(e.defn),
+        dropStmt = c(e.dropStmt), copyStmt = c(e.copyStmt),
+        namespace = c(e.namespace), tablespace = c(e.tablespace),
+        tableam = c(e.tableam), owner = c(e.owner),
+        fileName = c(e.fileName),
+        relkind = if (minor >= 16) e.relkind else 0.toByte)
+    })
+
+  test("write -> read round-trips at v1.14 and v1.16 (gate extremes)") {
+    Seq(14, 16).foreach { minor =>
+      val toc = fixtureToc(minor)
+      val back = PgToc.read(new java.io.ByteArrayInputStream(PgToc.writeBytes(toc)))
+      assert(back == normalized(toc, minor), s"v1.$minor round-trip diverged")
+    }
+  }
+
+  test("v1.14 bytes start with the PGDMP magic and version triple") {
+    val bs = PgToc.writeBytes(fixtureToc(14))
+    assert(new String(bs.take(5), "US-ASCII") == "PGDMP")
+    assert(bs(5) == 1 && bs(6) == 14 && bs(7) == 0)
+    assert(bs(8) == 4 && bs(9) == 8 && bs(10) == 3) // intSize, offSize, 'tar'
+  }
+
+  test("reader rejects bad magic, wrong format byte, and out-of-range versions") {
+    val good = PgToc.writeBytes(fixtureToc(14))
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    assertThrows[IllegalArgumentException](
+      PgToc.read(new java.io.ByteArrayInputStream(badMagic)))
+    val badFormat = good.clone(); badFormat(10) = 5 // 'directory' code is NOT stored in toc.dat
+    assertThrows[IllegalArgumentException](
+      PgToc.read(new java.io.ByteArrayInputStream(badFormat)))
+    val tooOld = good.clone(); tooOld(6) = 9 // v1.9 < floor
+    assertThrows[IllegalArgumentException](
+      PgToc.read(new java.io.ByteArrayInputStream(tooOld)))
+    assertThrows[java.io.EOFException](
+      PgToc.read(new java.io.ByteArrayInputStream(good.take(40))))
+  }
+
+  test("manifest adapter: TABLE DATA entries, dependency ids, file basenames") {
+    val m = Manifest(Seq(
+      ManifestEntry(1, "customer", "/dump/customer.parquet", "{}", 100L, Nil),
+      ManifestEntry(2, "orders", "/dump/orders.parquet", "{}", 500L, Seq(1))))
+    val toc = PgToc.fromManifest(m, "graftdb")
+    assert(toc.entries.map(_.tag) == Seq(Some("customer"), Some("orders")))
+    assert(toc.entries.forall(_.desc.contains("TABLE DATA")))
+    assert(toc.entries(1).dependencies == Seq(1))
+    assert(toc.entries.map(_.fileName) ==
+      Seq(Some("customer.parquet"), Some("orders.parquet")))
+    val back = PgToc.read(new java.io.ByteArrayInputStream(PgToc.writeBytes(toc)))
+    assert(back.entries.map(e => (e.dumpId, e.tag, e.dependencies)) ==
+      toc.entries.map(e => (e.dumpId, e.tag, e.dependencies)))
+  }
+
+  test("real pg_restore -l accepts and lists our archive") {
+    val pgRestore = new java.io.File("/usr/bin/pg_restore")
+    assume(pgRestore.canExecute, "pg_restore binary not present")
+    val dir = java.nio.file.Files.createTempDirectory("graft_toc").toFile
+    PgToc.writeFile(fixtureToc(14), new java.io.File(dir, "toc.dat").getPath)
+    val p = new ProcessBuilder("/usr/bin/pg_restore", "-l", dir.getPath)
+      .redirectErrorStream(true).start()
+    val outText = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    assert(p.waitFor() == 0, s"pg_restore -l failed:\n$outText")
+    assert(outText.contains("TABLE DATA public customer graft"), outText)
+    assert(outText.contains("TABLE DATA public orders graft"), outText)
+    assert(outText.contains("SEQUENCE SET"), outText)
+    assert(outText.contains("dbname: testdb"), outText)
+  }
+}
