@@ -120,24 +120,26 @@ object PgToc {
     int(h.crtm.sec); int(h.crtm.min); int(h.crtm.hour); int(h.crtm.mday)
     int(h.crtm.mon); int(h.crtm.year); int(h.crtm.isDst)
     str(h.dbName); str(h.remoteVersion); str(h.dumpVersion)
-    // Entry text fields are canonicalized None -> "" on write: the format
-    // allows a NULL (-1 length) but real pg_dump never emits one here and
-    // real pg_restore SEGFAULTS listing an archive that does (verified
-    // against pg_restore 15). NULL stays meaningful where the format
-    // requires it (the dependency-list terminator) and on READ (a foreign
-    // archive's -1 surfaces as None).
+    // NULL (-1 length) vs "" is SEMANTIC in this format and real
+    // pg_restore cares: a NULL tableam/tablespace means "emit no SET"
+    // while "" produces `SET default_table_access_method = "";` and
+    // fails the restore; conversely a NULL desc or fileName SEGFAULTS
+    // `pg_restore -l` (field-by-field matrix probe against pg_restore
+    // 15). So the writer is pg_dump-faithful: None passes through
+    // everywhere EXCEPT desc and fileName, which canonicalize to ""
+    // (pg_dump always writes both).
     def estr(s: Option[String]): Unit = str(Some(s.getOrElse("")))
     int(toc.entries.size)
     toc.entries.foreach { e =>
       int(e.dumpId); int(e.hadDumper)
       str(Some(e.tableOid.toString)); str(Some(e.oid.toString))
-      estr(e.tag); estr(e.desc)
+      str(e.tag); estr(e.desc)
       int(e.section)
-      estr(e.defn); estr(e.dropStmt); estr(e.copyStmt)
-      estr(e.namespace); estr(e.tablespace)
-      if (v >= V1_14) estr(e.tableam)
+      str(e.defn); str(e.dropStmt); str(e.copyStmt)
+      str(e.namespace); str(e.tablespace)
+      if (v >= V1_14) str(e.tableam)
       if (v >= V1_16) int(e.relkind & 0xFF)
-      estr(e.owner)
+      str(e.owner)
       str(Some("false")) // with-oids, retired since PostgreSQL 12
       e.dependencies.foreach(d => str(Some(d.toString)))
       str(None) // dependency-list terminator
@@ -245,6 +247,41 @@ object PgToc {
 
   // ------------------------------------------------------------- manifest
 
+  /** Dump DataFrames as a COMPLETE pg_restore-loadable directory archive:
+    * `toc.dat` (one TABLE DATA entry per table, explicit column lists in
+    * the COPY statements) plus one `<dumpId>.dat` COPY-text data file per
+    * table (`CopyText.writeDatFile`). `pg_restore -a -d <db> <outDir>`
+    * then loads the data into matching pre-created tables — the
+    * reference's masked-dump -> pg_restore workflow, producible straight
+    * from Spark. `deps` maps child table -> parent tables for the TOC
+    * dependency ids (restore ordering). */
+  def dumpArchive(tables: Seq[(String, org.apache.spark.sql.DataFrame)],
+                  outDir: String, dbName: String,
+                  namespace: String = "public", owner: String = "graft",
+                  deps: Map[String, Seq[String]] = Map.empty): Toc = {
+    Files.createDirectories(Paths.get(outDir))
+    val ids = tables.zipWithIndex.map { case ((t, _), i) => t -> (i + 1) }.toMap
+    val entries = tables.map { case (table, df) =>
+      val id = ids(table)
+      val file = s"$id.dat"
+      graft.sources.CopyText.writeDatFile(df, s"$outDir/$file")
+      Entry(
+        dumpId = id, hadDumper = 1, oid = id.toLong,
+        tag = Some(table), desc = Some("TABLE DATA"),
+        section = SectionData,
+        copyStmt = Some(s"COPY ${namespace}.${table} " +
+          s"(${df.columns.mkString(", ")}) FROM stdin;\n"),
+        namespace = Some(namespace), relkind = 'r'.toByte,
+        owner = Some(owner),
+        dependencies = deps.getOrElse(table, Nil).flatMap(ids.get),
+        fileName = Some(file))
+    }
+    val toc = Toc(Header(1, 14, 0, dbName = Some(dbName),
+      remoteVersion = Some("15.0"), dumpVersion = Some("15.0")), entries)
+    writeFile(toc, s"$outDir/toc.dat")
+    toc
+  }
+
   /** Render the engine's [[Manifest]] as a pg_restore-compatible TOC:
     * one TABLE DATA entry per dumped table, dependency ids preserved,
     * data file = the manifest path's basename. `pg_restore -l` then
@@ -258,15 +295,16 @@ object PgToc {
     val header = Header(1, versionMinor, 0, dbName = Some(dbName),
       remoteVersion = Some("15.0"), dumpVersion = Some("15.0"), crtm = crtm)
     val entries = m.entries.map { e =>
+      // pg_dump-faithful TABLE DATA shape: defn/drop/tablespace/tableam
+      // stay NULL (NULL = "no statement"; "" would make pg_restore emit
+      // broken SETs — see write())
       Entry(
         dumpId = e.dumpId, hadDumper = 1,
         oid = e.dumpId.toLong, // synthetic stable oid; engine has no catalog
         tag = Some(e.table), desc = Some("TABLE DATA"),
         section = SectionData,
-        defn = Some(""), dropStmt = Some(""),
         copyStmt = Some(s"COPY ${namespace}.${e.table} FROM stdin;\n"),
-        namespace = Some(namespace), tablespace = Some(""),
-        tableam = Some(""), relkind = 'r'.toByte,
+        namespace = Some(namespace), relkind = 'r'.toByte,
         owner = Some(owner), dependencies = e.dependsOn,
         fileName = Some(new java.io.File(e.path).getName))
     }

@@ -100,6 +100,25 @@ object CopyText {
     w.mode("overwrite").text(path)
   }
 
+  /** Render one SINGLE `.dat` data file (the pg_restore directory-archive
+    * per-table payload): distributed COPY-text encode into a scratch dir,
+    * then a driver-side ordered stream-concat of the part files plus the
+    * `\.` terminator line. One table = one COPY stream is pg_restore's
+    * own contract, so the final single-stream hop is inherent to the
+    * format, not a scale bug — the encode itself stays distributed. */
+  def writeDatFile(df: DataFrame, file: String): Unit = {
+    val tmp = file + ".tmpdir"
+    write(df, tmp)
+    val dir = new java.io.File(tmp)
+    val parts = dir.listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(file))
+    try {
+      parts.foreach(p => java.nio.file.Files.copy(p.toPath, out))
+      out.write("\\.\n".getBytes("UTF-8"))
+    } finally out.close()
+    dir.listFiles().foreach(_.delete()); dir.delete()
+  }
+
   /** Read COPY text lines back into a string-typed DataFrame. */
   def read(spark: SparkSession, path: String, columns: Seq[String]): DataFrame = {
     val schema = StructType(columns.map(c => StructField(c, StringType, nullable = true)))

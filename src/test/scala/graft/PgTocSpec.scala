@@ -19,17 +19,17 @@ class PgTocSpec extends AnyFunSuite {
     val entries = Seq(
       Entry(dumpId = 1, hadDumper = 1, tableOid = 0L, oid = 16384L,
         tag = Some("customer"), desc = Some("TABLE DATA"),
-        section = PgToc.SectionData, defn = Some(""), dropStmt = Some(""),
+        section = PgToc.SectionData,
         copyStmt = Some("COPY public.customer (c_custkey, c_name) FROM stdin;\n"),
-        namespace = Some("public"), tablespace = Some(""),
-        tableam = Some(""), relkind = 'r'.toByte, owner = Some("graft"),
+        namespace = Some("public"), relkind = 'r'.toByte,
+        owner = Some("graft"),
         dependencies = Nil, fileName = Some("customer.dat")),
       Entry(dumpId = 2, hadDumper = 1, tableOid = 0L, oid = 16385L,
         tag = Some("orders"), desc = Some("TABLE DATA"),
-        section = PgToc.SectionData, defn = Some(""), dropStmt = Some(""),
+        section = PgToc.SectionData,
         copyStmt = Some("COPY public.orders FROM stdin;\n"),
-        namespace = Some("public"), tablespace = Some(""),
-        tableam = Some(""), relkind = 'r'.toByte, owner = Some("graft"),
+        namespace = Some("public"), relkind = 'r'.toByte,
+        owner = Some("graft"),
         dependencies = Seq(1), fileName = Some("orders.dat")),
       // a non-data entry with NULL optionals exercises the -1 string path
       Entry(dumpId = 3, hadDumper = 0, tableOid = 0L, oid = 0L,
@@ -39,16 +39,14 @@ class PgTocSpec extends AnyFunSuite {
   }
 
   private def normalized(t: Toc, minor: Int): Toc =
-    // fields a version's gates never serialize read back as defaults, and
-    // entry text fields canonicalize None -> "" on write (pg_restore
-    // segfaults on NULL entry strings; pg_dump never emits them)
+    // fields a version's gates never serialize read back as defaults;
+    // only desc and fileName canonicalize None -> "" on write (they are
+    // the two fields a real pg_restore segfaults on when NULL — every
+    // other None is semantic and passes through)
     t.copy(entries = t.entries.map { e =>
-      def c(s: Option[String]) = Some(s.getOrElse(""))
-      e.copy(tag = c(e.tag), desc = c(e.desc), defn = c(e.defn),
-        dropStmt = c(e.dropStmt), copyStmt = c(e.copyStmt),
-        namespace = c(e.namespace), tablespace = c(e.tablespace),
-        tableam = c(e.tableam), owner = c(e.owner),
-        fileName = c(e.fileName),
+      e.copy(desc = Some(e.desc.getOrElse("")),
+        fileName = Some(e.fileName.getOrElse("")),
+        tableam = if (minor >= 14) e.tableam else None,
         relkind = if (minor >= 16) e.relkind else 0.toByte)
     })
 
