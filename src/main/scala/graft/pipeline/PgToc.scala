@@ -247,22 +247,68 @@ object PgToc {
 
   // ------------------------------------------------------------- manifest
 
+  /** Spark schema -> PostgreSQL column type for generated CREATE TABLE
+    * DDL. Unmappable types (arrays, structs, maps) fall back to text —
+    * their COPY rendering is a string anyway. */
+  def pgType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => "bigint"
+      case IntegerType => "integer"
+      case ShortType => "smallint"
+      case ByteType => "smallint"
+      case StringType => "text"
+      case DoubleType => "double precision"
+      case FloatType => "real"
+      case BooleanType => "boolean"
+      case d: DecimalType => s"numeric(${d.precision}, ${d.scale})"
+      case DateType => "date"
+      case _: TimestampType | _: TimestampNTZType => "timestamp"
+      case BinaryType => "bytea"
+      case _ => "text"
+    }
+  }
+
   /** Dump DataFrames as a COMPLETE pg_restore-loadable directory archive:
-    * `toc.dat` (one TABLE DATA entry per table, explicit column lists in
-    * the COPY statements) plus one `<dumpId>.dat` COPY-text data file per
-    * table (`CopyText.writeDatFile`). `pg_restore -a -d <db> <outDir>`
-    * then loads the data into matching pre-created tables — the
-    * reference's masked-dump -> pg_restore workflow, producible straight
-    * from Spark. `deps` maps child table -> parent tables for the TOC
-    * dependency ids (restore ordering). */
+    * `toc.dat` (a pre-data TABLE entry with CREATE TABLE DDL generated
+    * from the Spark schema when `includeSchema`, plus one TABLE DATA
+    * entry per table with explicit column lists in the COPY statements)
+    * and one `<dumpId>.dat` COPY-text data file per table
+    * (`CopyText.writeDatFile`). With schema entries,
+    * `pg_restore -d <db> <outDir>` alone creates the tables and loads
+    * the data — the reference's masked-dump -> pg_restore workflow,
+    * producible straight from Spark; data-only archives restore with
+    * `-a` into pre-created tables. `deps` maps child table -> parent
+    * tables for the TOC dependency ids (restore ordering). */
   def dumpArchive(tables: Seq[(String, org.apache.spark.sql.DataFrame)],
                   outDir: String, dbName: String,
                   namespace: String = "public", owner: String = "graft",
-                  deps: Map[String, Seq[String]] = Map.empty): Toc = {
+                  deps: Map[String, Seq[String]] = Map.empty,
+                  includeSchema: Boolean = false): Toc = {
     Files.createDirectories(Paths.get(outDir))
-    val ids = tables.zipWithIndex.map { case ((t, _), i) => t -> (i + 1) }.toMap
-    val entries = tables.map { case (table, df) =>
-      val id = ids(table)
+    val n = tables.size
+    // schema entries take ids 1..n, data entries n+1..2n (restore order:
+    // pre-data first; pg_restore also honors sections)
+    val schemaIds = tables.zipWithIndex.map { case ((t, _), i) => t -> (i + 1) }.toMap
+    val dataIds = tables.zipWithIndex.map { case ((t, _), i) =>
+      t -> (if (includeSchema) n + i + 1 else i + 1)
+    }.toMap
+    val schemaEntries = if (!includeSchema) Nil else tables.map { case (table, df) =>
+      val cols = df.schema.fields
+        .map(f => s"    ${f.name} ${pgType(f.dataType)}").mkString(",\n")
+      Entry(
+        dumpId = schemaIds(table), hadDumper = 0, oid = schemaIds(table).toLong,
+        tag = Some(table), desc = Some("TABLE"),
+        section = SectionPreData,
+        defn = Some(s"CREATE TABLE ${namespace}.${table} (\n$cols\n);\n"),
+        dropStmt = Some(s"DROP TABLE ${namespace}.${table};\n"),
+        namespace = Some(namespace), tablespace = Some(""),
+        tableam = Some("heap"), relkind = 'r'.toByte,
+        owner = Some(owner),
+        dependencies = deps.getOrElse(table, Nil).flatMap(schemaIds.get))
+    }
+    val dataEntries = tables.map { case (table, df) =>
+      val id = dataIds(table)
       val file = s"$id.dat"
       graft.sources.CopyText.writeDatFile(df, s"$outDir/$file")
       Entry(
@@ -273,11 +319,14 @@ object PgToc {
           s"(${df.columns.mkString(", ")}) FROM stdin;\n"),
         namespace = Some(namespace), relkind = 'r'.toByte,
         owner = Some(owner),
-        dependencies = deps.getOrElse(table, Nil).flatMap(ids.get),
+        dependencies =
+          (if (includeSchema) Seq(schemaIds(table)) else Nil) ++
+            deps.getOrElse(table, Nil).flatMap(dataIds.get),
         fileName = Some(file))
     }
     val toc = Toc(Header(1, 14, 0, dbName = Some(dbName),
-      remoteVersion = Some("15.0"), dumpVersion = Some("15.0")), entries)
+      remoteVersion = Some("15.0"), dumpVersion = Some("15.0")),
+      schemaEntries ++ dataEntries)
     writeFile(toc, s"$outDir/toc.dat")
     toc
   }

@@ -136,4 +136,51 @@ class PgInteropSpec extends SparkSpec {
     val (rc3, lst) = sh(s"/usr/bin/pg_restore -l $arch")
     assert(rc3 == 0 && lst.contains("TABLE DATA public child graft"), lst)
   }
+
+  test("full workflow: live PII source -> COPY ingest -> mask -> schema+data archive -> pg_restore -> live target") {
+    live()
+    import graft.pipeline.{Planner, TableConfig, ColumnTransform}
+    import graft.transformers.{Masking, HashText}
+    import graft.sources.PgSource
+    // 1. a source database holding PII
+    psql("postgres", "CREATE DATABASE pii_src")
+    assert(psql("pii_src",
+      "CREATE TABLE public.people(id bigint, full_name text, email text, note text); " +
+        "INSERT INTO people VALUES " +
+        "(1, 'Ada Lovelace', 'ada@calc.org', 'vip'), " +
+        "(2, 'Tab\tTricky', 'tab@x.io', NULL), " +
+        "(3, 'Nl\nNasty', 'nl@x.io', 'weird''quote')")._1 == 0)
+    // 2. ingest over the COPY protocol (the reference's dump path)
+    val psqlArgs = Seq("-h", sockDir, "-U", "graft", "-d", "pii_src")
+    val src = PgSource.table(spark, psqlArgs, "people")
+    assert(src.columns.toSeq == Seq("id", "full_name", "email", "note"))
+    assert(src.count() == 3)
+    // 3. the engine's masking plan (deterministic hash-engine transforms)
+    val masked = Planner.plan(src, TableConfig("people", transforms = Seq(
+      ColumnTransform("full_name", Masking("name")),
+      ColumnTransform("email", HashText("sha256", maxLength = 16)))))
+    // 4. schema-carrying archive: pg_restore alone creates AND loads
+    val arch = s"$base/masked_arch"
+    PgToc.dumpArchive(Seq("people" -> masked), arch, "pii_tgt",
+      includeSchema = true)
+    psql("postgres", "CREATE DATABASE pii_tgt")
+    val (rc, out) = sh(s"PGHOST=$sockDir PGUSER=graft /usr/bin/pg_restore -d pii_tgt $arch")
+    assert(rc == 0, s"pg_restore failed:\n$out")
+    // 5. the live target holds masked rows: PII gone, ids + note intact
+    val (rc2, copyOut) = psql("pii_tgt",
+      "COPY (SELECT id, full_name, email, note FROM people ORDER BY id) TO STDOUT")
+    assert(rc2 == 0, copyOut)
+    val got = copyOut.split("\n", -1).filter(_.nonEmpty).map(_.split("\t", -1))
+    assert(got.map(_(0)).toSeq == Seq("1", "2", "3"))
+    assert(!got.map(_(1)).contains("Ada Lovelace"), "name not masked")
+    assert(got.forall(r => !r(2).contains("@")), "emails not hashed")
+    assert(got.forall(r => r(2).length == 16), "hash truncation lost")
+    assert(got(0)(3) == "vip" && got(1)(3) == "\\N", "untransformed cols changed")
+    // masking is the engine's deterministic rendering: target == plan
+    val expected = masked.orderBy("id").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val gotPairs = got.map(r =>
+      (graft.sources.CopyText.decodeField(r(1)), r(2)))
+    assert(gotPairs.toSeq == expected.toSeq)
+  }
 }
