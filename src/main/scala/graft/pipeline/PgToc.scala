@@ -284,7 +284,8 @@ object PgToc {
                   outDir: String, dbName: String,
                   namespace: String = "public", owner: String = "graft",
                   deps: Map[String, Seq[String]] = Map.empty,
-                  includeSchema: Boolean = false): Toc = {
+                  includeSchema: Boolean = false,
+                  sequences: Map[String, Long] = Map.empty): Toc = {
     Files.createDirectories(Paths.get(outDir))
     val n = tables.size
     // schema entries take ids 1..n, data entries n+1..2n (restore order:
@@ -324,9 +325,23 @@ object PgToc {
             deps.getOrElse(table, Nil).flatMap(dataIds.get),
         fileName = Some(file))
     }
+    // SEQUENCE SET entries replay sequence positions on the target
+    // (`setval`, the reference's sequence restore —
+    // `internal/db/postgres/dumpers/sequence.go`): executable statements,
+    // no data file.
+    val seqBase = (if (includeSchema) 2 * n else n)
+    val seqEntries = sequences.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((seq, value), i) =>
+        Entry(
+          dumpId = seqBase + i + 1, hadDumper = 0, oid = (seqBase + i + 1).toLong,
+          tag = Some(seq), desc = Some("SEQUENCE SET"),
+          section = SectionData,
+          defn = Some(s"SELECT pg_catalog.setval('${namespace}.${seq}', ${value}, true);\n"),
+          namespace = Some(namespace), owner = Some(owner))
+    }
     val toc = Toc(Header(1, 14, 0, dbName = Some(dbName),
       remoteVersion = Some("15.0"), dumpVersion = Some("15.0")),
-      schemaEntries ++ dataEntries)
+      schemaEntries ++ dataEntries ++ seqEntries)
     writeFile(toc, s"$outDir/toc.dat")
     toc
   }

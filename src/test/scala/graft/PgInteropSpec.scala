@@ -160,10 +160,12 @@ class PgInteropSpec extends SparkSpec {
       ColumnTransform("full_name", Masking("name")),
       ColumnTransform("email", HashText("sha256", maxLength = 16)))))
     // 4. schema-carrying archive: pg_restore alone creates AND loads
+    //    (sequence position replayed via a SEQUENCE SET entry)
     val arch = s"$base/masked_arch"
     PgToc.dumpArchive(Seq("people" -> masked), arch, "pii_tgt",
-      includeSchema = true)
+      includeSchema = true, sequences = Map("people_id_seq" -> 42L))
     psql("postgres", "CREATE DATABASE pii_tgt")
+    assert(psql("pii_tgt", "CREATE SEQUENCE public.people_id_seq")._1 == 0)
     val (rc, out) = sh(s"PGHOST=$sockDir PGUSER=graft /usr/bin/pg_restore -d pii_tgt $arch")
     assert(rc == 0, s"pg_restore failed:\n$out")
     // 5. the live target holds masked rows: PII gone, ids + note intact
@@ -182,5 +184,7 @@ class PgInteropSpec extends SparkSpec {
     val gotPairs = got.map(r =>
       (graft.sources.CopyText.decodeField(r(1)), r(2)))
     assert(gotPairs.toSeq == expected.toSeq)
+    // the SEQUENCE SET entry replayed the sequence position
+    assert(psql("pii_tgt", "SELECT last_value FROM people_id_seq")._2.trim == "42")
   }
 }
