@@ -33,7 +33,8 @@ object Bench {
     "q_dedup_spans", "q_semdedup",
     "q_unigram_xent", "q_dsir_weights", "q_decontaminate_bloom",
     "q_bigram_xent", "q_source_overlap", "q_bm25_topk",
-    "q_sketch_hll", "q_funnel_steps", "q_curate_pipeline")
+    "q_sketch_hll", "q_funnel_steps", "q_curate_pipeline",
+    "q_entity_clusters", "q_funnel_steps_capped")
 
   private val tables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

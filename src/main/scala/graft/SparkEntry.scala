@@ -826,9 +826,10 @@ object SparkEntry {
             .select((col("id_a") * 3).as("id_a"), (col("id_b") * 3 + ns).as("id_b"))
         val pairs = pass(twin("1", "I"), 1).unionByName(pass(twin("2", "Z"), 2))
           .distinct()
-        val records = (0 to 2).map(ns =>
-          cust.select((col("c_custkey") * 3 + ns).as("rec_id")))
-          .reduce(_ unionByName _)
+        // one scan for all three record namespaces (a 3-way union would
+        // read the table three times)
+        val records = cust.select(explode(array((0 to 2).map(ns =>
+          col("c_custkey") * 3 + ns): _*)).as("rec_id"))
         graft.ops.RecordLinkage.entityClusters(records, "rec_id", pairs)
           .orderBy("rec_id")
       },

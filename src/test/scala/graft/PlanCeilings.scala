@@ -51,6 +51,8 @@ object PlanCeilings {
     "q_bm25_topk"           -> (2, 5),
     "q_sketch_hll"          -> (1, 4),
     "q_funnel_steps"        -> (1, 1),
-    "q_curate_pipeline"     -> (1, 1)
+    "q_curate_pipeline"     -> (1, 1),
+    "q_entity_clusters"     -> (1, 2),
+    "q_funnel_steps_capped" -> (1, 1)
   )
 }
