@@ -92,6 +92,28 @@ object Lifecycle {
     manifest
   }
 
+  /** The reference's own one-command workflow (`greenmask dump`): ingest
+    * each configured table FROM a live PostgreSQL over the COPY protocol
+    * (`sources/PgSource` via psql — no JDBC driver needed), apply the
+    * config's masking plan, and write a pg_restore-loadable directory
+    * archive (toc.dat with CREATE TABLE DDL from the Spark schema +
+    * COPY-text data files). `pg_restore -d <target> <outDir>` then
+    * stands up the masked copy. `conninfo` is a libpq string, e.g.
+    * "host=/sockdir dbname=src user=graft". */
+  def pgDump(spark: SparkSession, configJson: String, conninfo: String,
+             outDir: String): graft.pipeline.PgToc.Toc = {
+    val configs = ConfigLoader.fromJson(configJson)
+    val psqlArgs = Seq("-d", conninfo)
+    val masked = configs.map { cfg =>
+      val src = graft.sources.PgSource.table(spark, psqlArgs, cfg.table)
+      cfg.table -> Planner.plan(src, cfg.copy(subsetConds = Nil))
+    }
+    val dbName = "\\bdbname=(\\S+)".r.findFirstMatchIn(conninfo)
+      .map(_.group(1)).getOrElse("graft")
+    graft.pipeline.PgToc.dumpArchive(masked, outDir, dbName,
+      includeSchema = true)
+  }
+
   /** validate --data: warnings + original-vs-transformed diff counts. */
   def validate(spark: SparkSession, configJson: String, sfDir: String,
                rowsLimit: Int = 1000): Seq[String] = {
@@ -201,6 +223,10 @@ object Lifecycle {
     args.toList match {
       case "dump" :: cfgPath :: sfDir :: outDir :: Nil =>
         dump(spark, Files.readString(Paths.get(cfgPath)), sfDir, outDir)
+      case "pg-dump" :: cfgPath :: conninfo :: outDir :: Nil =>
+        pgDump(spark, Files.readString(Paths.get(cfgPath)), conninfo, outDir)
+          .entries.foreach(e => println(s"[pg-dump] ${e.tag.getOrElse("")} " +
+            s"${e.desc.getOrElse("")} -> ${e.fileName.getOrElse("(stmt)")}"))
       case "validate" :: cfgPath :: sfDir :: Nil =>
         validate(spark, Files.readString(Paths.get(cfgPath)), sfDir).foreach(println)
       case "restore" :: manifestPath :: target :: rest =>
@@ -234,7 +260,9 @@ object Lifecycle {
         if (report.exists(!_.getBoolean(3))) { spark.stop(); sys.exit(1) }
       case other =>
         System.err.println(
-          "usage: dump <config.json> <sfDir> <outDir> | validate <config.json> <sfDir> | " +
+          "usage: dump <config.json> <sfDir> <outDir> | " +
+            "pg-dump <config.json> <conninfo> <outDir> | " +
+            "validate <config.json> <sfDir> | " +
             "restore <manifest.json> <targetDirOrJdbcUrl> [tables,csv] | " +
             "list-dumps <root> | show-dump <manifest.json> | delete <root> <name> | " +
             "list-transformers | show-transformer <name> | " +

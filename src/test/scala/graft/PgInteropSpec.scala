@@ -187,4 +187,33 @@ class PgInteropSpec extends SparkSpec {
     // the SEQUENCE SET entry replayed the sequence position
     assert(psql("pii_tgt", "SELECT last_value FROM people_id_seq")._2.trim == "42")
   }
+
+  test("Lifecycle.pgDump: config-driven masked dump from live pg, restorable") {
+    live()
+    psql("postgres", "CREATE DATABASE cli_src")
+    assert(psql("cli_src",
+      "CREATE TABLE public.accounts(id bigint, holder text, iban text); " +
+        "INSERT INTO accounts VALUES (1,'Jane','DE02120300000000202051'), " +
+        "(2,'Omar','FR1420041010050500013M02606')")._1 == 0)
+    val out = s"$base/cli_arch"
+    val config = """{ "tables": [
+      { "table": "accounts", "transforms": [
+        {"column": "holder", "name": "Masking", "params": {"type": "name"}},
+        {"column": "iban", "name": "Masking", "params": {"type": "id"}} ] } ] }"""
+    val toc = Lifecycle.pgDump(spark, config,
+      s"host=$sockDir dbname=cli_src user=graft", out)
+    assert(toc.header.dbName.contains("cli_src"))
+    assert(toc.entries.exists(e => e.desc.contains("TABLE") &&
+      e.defn.exists(_.contains("CREATE TABLE public.accounts"))))
+    psql("postgres", "CREATE DATABASE cli_tgt")
+    val (rc, o) = sh(s"PGHOST=$sockDir PGUSER=graft /usr/bin/pg_restore -d cli_tgt $out")
+    assert(rc == 0, o)
+    val (rc2, rows) = psql("cli_tgt",
+      "COPY (SELECT holder, iban FROM accounts ORDER BY id) TO STDOUT")
+    assert(rc2 == 0, rows)
+    val got = rows.split("\n").filter(_.nonEmpty).map(_.split("\t"))
+    assert(!got.map(_(0)).contains("Jane"), "holder not masked")
+    // Masking("id") keeps a 6-char prefix and stars the rest
+    assert(got.map(_(1)).toSeq == Seq("DE0212****", "FR1420****"), "iban not masked")
+  }
 }
