@@ -124,8 +124,16 @@ object CopyText {
     val schema = StructType(columns.map(c => StructField(c, StringType, nullable = true)))
     val enc = Encoders.row(schema)
     import spark.implicits._
+    // Real pg_dump payloads end with the `\.` terminator followed by TWO
+    // blank lines; a line-oriented distributed read cannot express "stop
+    // at the terminator", so both the terminator and empty lines are
+    // dropped. Caveat: a ONE-column table's empty-string row is encoded
+    // as an empty line in COPY text and is indistinguishable from the
+    // trailing padding — single-column empty strings do not round-trip
+    // (multi-column rows always carry a tab, so the normal case is
+    // unambiguous).
     spark.read.textFile(path)
-      .filter((l: String) => l != "\\.") // trailing terminator line, if present
+      .filter((l: String) => l != "\\." && l.nonEmpty)
       .mapPartitions { lines =>
         lines.map { l =>
           val fields = l.split("\t", -1).map {

@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.pipeline.PgToc
+
+/** Consume a PostgreSQL directory archive (pg_dump -Fd, or a
+  * reference-produced dump) INTO Spark: parse `toc.dat`
+  * ([[PgToc.read]]), then read each TABLE DATA payload through the
+  * COPY-text codec ([[CopyText.read]]) with the column list taken from
+  * the entry's own COPY statement. Gzipped payloads (`<id>.dat.gz`,
+  * pg_dump's default) decompress transparently through Spark's codec
+  * lookup; the TOC always records the bare `.dat` name, so the loader
+  * probes both. The inverse of [[graft.pipeline.PgToc.dumpArchive]] —
+  * together they make reference archives a first-class interchange
+  * format on both sides of the engine.
+  */
+object PgArchive {
+
+  private val CopyCols = """COPY\s+\S+\s*\(([^)]*)\)\s+FROM\s+stdin""".r
+
+  /** Column names from a TOC entry's COPY statement (pg_dump always
+    * emits an explicit column list). */
+  def columnsOf(e: PgToc.Entry): Seq[String] =
+    e.copyStmt.flatMap(CopyCols.findFirstMatchIn)
+      .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(throw new IllegalArgumentException(
+        s"PgArchive: entry ${e.tag.getOrElse("?")} has no parsable COPY column list"))
+
+  /** Load every TABLE DATA payload: (table tag, string-typed DataFrame).
+    * Entries come back in TOC order; restore ordering (dependencies) is
+    * on the TOC if the caller needs it. */
+  def load(spark: SparkSession, dir: String): Seq[(String, DataFrame)] = {
+    val toc = PgToc.readFile(s"$dir/toc.dat")
+    toc.entries.filter(_.desc.contains("TABLE DATA")).map { e =>
+      val table = e.tag.getOrElse(
+        throw new IllegalArgumentException("PgArchive: TABLE DATA entry without a tag"))
+      val base = e.fileName.filter(_.nonEmpty).getOrElse(
+        throw new IllegalArgumentException(s"PgArchive: $table has no data file"))
+      val plain = new java.io.File(dir, base)
+      val gz = new java.io.File(dir, base + ".gz")
+      val file =
+        if (plain.exists()) plain.getPath
+        else if (gz.exists()) gz.getPath
+        else throw new IllegalArgumentException(
+          s"PgArchive: data file $base(.gz) missing for $table")
+      table -> CopyText.read(spark, file, columnsOf(e))
+    }
+  }
+}

@@ -97,6 +97,29 @@ class PgInteropSpec extends SparkSpec {
     // the dependency id points at the TABLE definition entry
     val tableEntry = toc.entries.find(_.desc.contains("TABLE")).get
     assert(e.dependencies.contains(tableEntry.dumpId))
+    // and the archive's DATA loads into Spark value-identically
+    val loaded = graft.sources.PgArchive.load(spark, dump)
+    assert(loaded.map(_._1) == Seq("src"))
+    val rows = loaded.head._2.orderBy("id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(("1", "a"), ("2", null)))
+  }
+
+  test("PgArchive loads a DEFAULT (gzipped) pg_dump -Fd archive") {
+    live()
+    psql("postgres", "CREATE DATABASE gzsrc")
+    assert(psql("gzsrc",
+      "CREATE TABLE public.gz(id int, v text); " +
+        "INSERT INTO gz VALUES (1, 'x'), (2, 'tab\thard')")._1 == 0)
+    val dump = s"$base/gzdump"
+    val (rc, out) = sh(s"PGHOST=$sockDir PGUSER=graft /usr/bin/pg_dump -Fd -d gzsrc -f $dump")
+    assert(rc == 0, out)
+    assert(new java.io.File(dump).listFiles().exists(_.getName.endsWith(".dat.gz")),
+      "expected gzipped payloads from default pg_dump")
+    val rows = graft.sources.PgArchive.load(spark, dump)
+      .collectFirst { case ("gz", df) => df }.get
+      .orderBy("id").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(("1", "x"), ("2", "tab\thard")))
   }
 
   test("write-side: Spark-built archive restores through real pg_restore, values identical") {
