@@ -105,7 +105,10 @@ object Lifecycle {
     val configs = ConfigLoader.fromJson(configJson)
     val psqlArgs = Seq("-d", conninfo)
     val masked = configs.map { cfg =>
-      val src = graft.sources.PgSource.table(spark, psqlArgs, cfg.table)
+      // subset conds push into the COPY's SELECT: the SOURCE SERVER
+      // filters, so a subset dump moves only the subset's bytes
+      val src = graft.sources.PgSource.table(spark, psqlArgs, cfg.table,
+        conds = cfg.subsetConds)
       cfg.table -> Planner.plan(src, cfg.copy(subsetConds = Nil))
     }
     val dbName = "\\bdbname=(\\S+)".r.findFirstMatchIn(conninfo)

@@ -308,10 +308,19 @@ object PgToc {
         owner = Some(owner),
         dependencies = deps.getOrElse(table, Nil).flatMap(schemaIds.get))
     }
+    // per-table concurrency is the dump-side parallelism lever (the
+    // reference's worker pool; same Future pool as Lifecycle.dump) —
+    // each table's COPY-text encode is itself a distributed Spark job
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val writes = tables.map { case (table, df) =>
+      Future(graft.sources.CopyText.writeDatFile(df, s"$outDir/${dataIds(table)}.dat"))
+    }
+    writes.foreach(Await.result(_, Duration.Inf))
     val dataEntries = tables.map { case (table, df) =>
       val id = dataIds(table)
       val file = s"$id.dat"
-      graft.sources.CopyText.writeDatFile(df, s"$outDir/$file")
       Entry(
         dumpId = id, hadDumper = 1, oid = id.toLong,
         tag = Some(table), desc = Some("TABLE DATA"),

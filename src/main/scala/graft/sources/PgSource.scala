@@ -55,14 +55,21 @@ object PgSource {
     cols
   }
 
-  /** Ingest a whole table: discover columns, COPY it out, distribute. */
+  /** Ingest a whole table: discover columns, COPY it out, distribute.
+    * Optional `conds` push a WHERE into the COPY's inner SELECT — the
+    * reference's subset-scoped dump (rows are filtered on the SERVER, so
+    * a 1% subset moves 1% of the bytes). The spool file must outlive the
+    * returned (lazy) DataFrame; it is registered for JVM-exit cleanup. */
   def table(spark: SparkSession, psqlArgs: Seq[String], tableName: String,
-            namespace: String = "public"): DataFrame = {
+            namespace: String = "public", conds: Seq[String] = Nil): DataFrame = {
     val cols = columnsOf(psqlArgs, tableName, namespace)
-    val spool = java.nio.file.Files
-      .createTempFile(s"graft_pgsrc_$tableName", ".dat").toString
-    copyIn(spark, psqlArgs,
-      s"COPY ${namespace}.${tableName} (${cols.mkString(", ")}) TO STDOUT",
-      cols, spool)
+    val spoolPath = java.nio.file.Files
+      .createTempFile(s"graft_pgsrc_$tableName", ".dat")
+    spoolPath.toFile.deleteOnExit()
+    val source =
+      if (conds.isEmpty) s"${namespace}.${tableName} (${cols.mkString(", ")})"
+      else s"(SELECT ${cols.mkString(", ")} FROM ${namespace}.${tableName} " +
+        s"WHERE ${conds.map(c => s"($c)").mkString(" AND ")})"
+    copyIn(spark, psqlArgs, s"COPY $source TO STDOUT", cols, spoolPath.toString)
   }
 }

@@ -219,8 +219,11 @@ class PgInteropSpec extends SparkSpec {
         "INSERT INTO accounts VALUES (1,'Jane','DE02120300000000202051'), " +
         "(2,'Omar','FR1420041010050500013M02606')")._1 == 0)
     val out = s"$base/cli_arch"
+    // subset_conds filter on the SOURCE server (inside the COPY SELECT)
     val config = """{ "tables": [
-      { "table": "accounts", "transforms": [
+      { "table": "accounts",
+        "subset_conds": ["id <= 1"],
+        "transforms": [
         {"column": "holder", "name": "Masking", "params": {"type": "name"}},
         {"column": "iban", "name": "Masking", "params": {"type": "id"}} ] } ] }"""
     val toc = Lifecycle.pgDump(spark, config,
@@ -236,7 +239,8 @@ class PgInteropSpec extends SparkSpec {
     assert(rc2 == 0, rows)
     val got = rows.split("\n").filter(_.nonEmpty).map(_.split("\t"))
     assert(!got.map(_(0)).contains("Jane"), "holder not masked")
-    // Masking("id") keeps a 6-char prefix and stars the rest
-    assert(got.map(_(1)).toSeq == Seq("DE0212****", "FR1420****"), "iban not masked")
+    // Masking("id") keeps a 6-char prefix and stars the rest; the subset
+    // cond dropped row 2 on the source server
+    assert(got.map(_(1)).toSeq == Seq("DE0212****"), "subset + mask wrong")
   }
 }
