@@ -1074,6 +1074,27 @@ object SparkEntry {
       Some("SELECT c_custkey AS ck, c_name AS nm, c_mktsegment AS seg " +
         "FROM customer ORDER BY ck")),
 
+    // Whole pg_restore-archive round-trip INSIDE the correctness gate:
+    // dumpArchive renders toc.dat + COPY-text payload, PgArchive parses
+    // the binary TOC back and loads the payload — values survive both
+    // codecs exactly (string-safe columns; float renderings are
+    // engine-specific by repo discipline)
+    "q_pg_archive_roundtrip" -> Q(
+      (s, dir) => {
+        val out = s"/tmp/graft_pg_arch_rt_${new java.io.File(dir).getName}"
+        val src = rd(s, dir, "customer")
+          .select(CK, col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+        graft.pipeline.PgToc.dumpArchive(Seq("customer" -> src), out, "rt")
+        val loaded = graft.sources.PgArchive.load(s, out)
+        require(loaded.map(_._1) == Seq("customer"), "archive tag mismatch")
+        loaded.head._2
+          .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+            col("c_nationkey").cast("int").as("c_nationkey"), col("c_mktsegment"))
+          .orderBy("c_custkey")
+      },
+      Some("SELECT c_custkey, c_name, c_nationkey, c_mktsegment " +
+        "FROM customer ORDER BY c_custkey")),
+
     // Sessionization: idle-gap session ids per user (lag + running-sum
     // windows; epoch seconds derived from the TIMESTAMP_NTZ ts)
     "q_sessionize" -> Q(
