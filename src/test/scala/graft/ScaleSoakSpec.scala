@@ -287,6 +287,34 @@ class ScaleSoakSpec extends SparkSpec {
     }
   }
 
+  test("entityClusters: 10x disjoint copies — identical labels, FLAT iteration count") {
+    import graft.ops.RecordLinkage
+    import spark.implicits._
+    // a chain (depth forces iteration) + an island + singletons
+    val basePairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 8L))
+    val baseRecords = (1L to 9L)
+    def inflate(k: Int) = (
+      (0 until k).flatMap(i => basePairs.map { case (a, b) =>
+        (a + i * 1000L, b + i * 1000L) }).toDF("id_a", "id_b"),
+      (0 until k).flatMap(i => baseRecords.map(_ + i * 1000L)).toDF("rec_id"))
+    val (p1, r1) = inflate(1)
+    val out1 = RecordLinkage.entityClusters(r1, "rec_id", p1)
+      .as[(Long, Long)].collect().toMap
+    val it1 = graft.plans.FixpointStats.last("entityClusters").get
+    val (p10, r10) = inflate(10)
+    val out10 = RecordLinkage.entityClusters(r10, "rec_id", p10)
+      .as[(Long, Long)].collect().toMap
+    val it10 = graft.plans.FixpointStats.last("entityClusters").get
+    assert(out10.size == out1.size * 10)
+    out1.foreach { case (id, rep) =>
+      (0 until 10).foreach(i =>
+        assert(out10(id + i * 1000L) == rep + i * 1000L, s"copy $i of $id diverged"))
+    }
+    // convergence is a function of component DIAMETER, not corpus size:
+    // 10x disjoint copies leave the hop count identical
+    assert(it10 == it1, s"iterations grew with corpus size: $it1 -> $it10")
+  }
+
   test("funnel: 10x users (id remap) keeps per-user results identical") {
     import graft.ops.Funnel
     val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
