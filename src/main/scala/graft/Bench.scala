@@ -179,8 +179,10 @@ object Bench {
       s""","loadavg_warmup_before":$loadWarm""" +
       s""","loadavg_before":$loadBefore,"loadavg_after":$loadMid""" +
       s""","sf":"$sfDir"$extras}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/tmp/graft_bench_diag.json"), diag)
+    // per-SF path: back-to-back runs against different fixtures must not
+    // clobber each other's diagnostics
+    val diagPath = s"/tmp/graft_bench_diag_${new java.io.File(sfDir).getName}.json"
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(diagPath), diag)
     catch { case _: Throwable => () }
     println(diag)
     // compact: ms-precision medians keep 31 queries well inside the tail
@@ -188,7 +190,7 @@ object Bench {
     val qCompact = medians.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","samples":3,""" +
-      s""""queries":$qCompact,"sf":"$sfDir","diag":"/tmp/graft_bench_diag.json"}""")
+      s""""queries":$qCompact,"sf":"$sfDir","diag":"$diagPath"}""")
     spark.stop()
   }
 }

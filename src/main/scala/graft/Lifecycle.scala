@@ -104,12 +104,20 @@ object Lifecycle {
              outDir: String): graft.pipeline.PgToc.Toc = {
     val configs = ConfigLoader.fromJson(configJson)
     val psqlArgs = Seq("-d", conninfo)
+    // per-table COPY transfers are network-bound and independent — run
+    // them through the same Future pool as the archive writes (the
+    // reference's dump worker pool; wall-clock = slowest table, not sum)
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
     val masked = configs.map { cfg =>
       // subset conds push into the COPY's SELECT: the SOURCE SERVER
       // filters, so a subset dump moves only the subset's bytes
-      val src = graft.sources.PgSource.table(spark, psqlArgs, cfg.table,
-        conds = cfg.subsetConds)
-      cfg.table -> Planner.plan(src, cfg.copy(subsetConds = Nil))
+      cfg -> Future(graft.sources.PgSource.table(spark, psqlArgs, cfg.table,
+        conds = cfg.subsetConds))
+    }.map { case (cfg, fut) =>
+      cfg.table -> Planner.plan(Await.result(fut, Duration.Inf),
+        cfg.copy(subsetConds = Nil))
     }
     val dbName = "\\bdbname=(\\S+)".r.findFirstMatchIn(conninfo)
       .map(_.group(1)).getOrElse("graft")

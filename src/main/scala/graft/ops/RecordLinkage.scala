@@ -100,7 +100,7 @@ object RecordLinkage {
       .localCheckpoint(true)
     var prevSum = repSum(labels)
     var converged = false
-    var iter = 1
+    var iter = 0
     while (!converged && iter < maxIter) {
       val viaNb = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("rep"))
@@ -118,8 +118,8 @@ object RecordLinkage {
       graft.plans.Checkpoints.unpersistCheckpoint(labels)
       graft.plans.Checkpoints.unpersistCheckpoint(edges)
       throw new IllegalStateException(
-        s"entityClusters: label propagation did not converge after $maxIter " +
-          "iterations — raise maxIter")
+        s"entityClusters: label propagation did not converge after $iter " +
+          "propagation rounds — raise maxIter")
     }
     graft.plans.FixpointStats.record("entityClusters", iter)
     val out = records.select(col(idCol).cast("long").as("id"))

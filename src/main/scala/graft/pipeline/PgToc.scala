@@ -294,15 +294,19 @@ object PgToc {
     val dataIds = tables.zipWithIndex.map { case ((t, _), i) =>
       t -> (if (includeSchema) n + i + 1 else i + 1)
     }.toMap
+    // pg_dump-style identifier quoting: simple lower-case names pass
+    // through, everything else double-quotes — mixed-case Spark column
+    // names survive the generated DDL and COPY statements
+    def qi(n: String) = graft.sources.PgSource.quoteIdent(n)
     val schemaEntries = if (!includeSchema) Nil else tables.map { case (table, df) =>
       val cols = df.schema.fields
-        .map(f => s"    ${f.name} ${pgType(f.dataType)}").mkString(",\n")
+        .map(f => s"    ${qi(f.name)} ${pgType(f.dataType)}").mkString(",\n")
       Entry(
         dumpId = schemaIds(table), hadDumper = 0, oid = schemaIds(table).toLong,
         tag = Some(table), desc = Some("TABLE"),
         section = SectionPreData,
-        defn = Some(s"CREATE TABLE ${namespace}.${table} (\n$cols\n);\n"),
-        dropStmt = Some(s"DROP TABLE ${namespace}.${table};\n"),
+        defn = Some(s"CREATE TABLE ${qi(namespace)}.${qi(table)} (\n$cols\n);\n"),
+        dropStmt = Some(s"DROP TABLE ${qi(namespace)}.${qi(table)};\n"),
         namespace = Some(namespace), tablespace = Some(""),
         tableam = Some("heap"), relkind = 'r'.toByte,
         owner = Some(owner),
@@ -325,8 +329,8 @@ object PgToc {
         dumpId = id, hadDumper = 1, oid = id.toLong,
         tag = Some(table), desc = Some("TABLE DATA"),
         section = SectionData,
-        copyStmt = Some(s"COPY ${namespace}.${table} " +
-          s"(${df.columns.mkString(", ")}) FROM stdin;\n"),
+        copyStmt = Some(s"COPY ${qi(namespace)}.${qi(table)} " +
+          s"(${df.columns.map(qi).mkString(", ")}) FROM stdin;\n"),
         namespace = Some(namespace), relkind = 'r'.toByte,
         owner = Some(owner),
         dependencies =
@@ -376,7 +380,8 @@ object PgToc {
         oid = e.dumpId.toLong, // synthetic stable oid; engine has no catalog
         tag = Some(e.table), desc = Some("TABLE DATA"),
         section = SectionData,
-        copyStmt = Some(s"COPY ${namespace}.${e.table} FROM stdin;\n"),
+        copyStmt = Some(s"COPY ${graft.sources.PgSource.quoteIdent(namespace)}." +
+          s"${graft.sources.PgSource.quoteIdent(e.table)} FROM stdin;\n"),
         namespace = Some(namespace), relkind = 'r'.toByte,
         owner = Some(owner), dependencies = e.dependsOn,
         fileName = Some(new java.io.File(e.path).getName))

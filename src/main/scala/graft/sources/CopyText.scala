@@ -108,15 +108,27 @@ object CopyText {
     * format, not a scale bug — the encode itself stays distributed. */
   def writeDatFile(df: DataFrame, file: String): Unit = {
     val tmp = file + ".tmpdir"
-    write(df, tmp)
     val dir = new java.io.File(tmp)
-    val parts = dir.listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(file))
     try {
-      parts.foreach(p => java.nio.file.Files.copy(p.toPath, out))
-      out.write("\\.\n".getBytes("UTF-8"))
-    } finally out.close()
-    dir.listFiles().foreach(_.delete()); dir.delete()
+      write(df, tmp)
+      // the concat step requires a DRIVER-LOCAL scratch dir (this method
+      // targets local directory archives; on a cluster, point `file` at
+      // local disk or concat on the storage layer) — fail with a
+      // diagnostic, not an NPE, if the write landed elsewhere
+      val listed = Option(dir.listFiles()).getOrElse(
+        throw new IllegalStateException(
+          s"CopyText.writeDatFile: scratch dir $tmp is not on the driver-local " +
+            "filesystem (spark default FS must be local for single-file rendering)"))
+      val parts = listed.filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(file))
+      try {
+        parts.foreach(p => java.nio.file.Files.copy(p.toPath, out))
+        out.write("\\.\n".getBytes("UTF-8"))
+      } finally out.close()
+    } finally {
+      Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+      dir.delete()
+    }
   }
 
   /** Read COPY text lines back into a string-typed DataFrame. */
@@ -125,15 +137,18 @@ object CopyText {
     val enc = Encoders.row(schema)
     import spark.implicits._
     // Real pg_dump payloads end with the `\.` terminator followed by TWO
-    // blank lines; a line-oriented distributed read cannot express "stop
-    // at the terminator", so both the terminator and empty lines are
-    // dropped. Caveat: a ONE-column table's empty-string row is encoded
-    // as an empty line in COPY text and is indistinguishable from the
-    // trailing padding — single-column empty strings do not round-trip
-    // (multi-column rows always carry a tab, so the normal case is
-    // unambiguous).
-    spark.read.textFile(path)
-      .filter((l: String) => l != "\\." && l.nonEmpty)
+    // blank lines. "Everything after the terminator is not data" needs
+    // line POSITIONS, so the lines are indexed (zipWithIndex preserves
+    // file order: splits enumerate by offset) and the stream is cut at
+    // the first terminator. Legitimate empty lines BEFORE it — a
+    // one-column table's empty-string rows — survive; a literal "\\."
+    // row is never ambiguous because COPY escapes its backslash.
+    val indexed = spark.read.textFile(path).rdd.zipWithIndex()
+    val termIdx = indexed.filter(_._1 == "\\.").map(_._2)
+      .takeOrdered(1).headOption.getOrElse(Long.MaxValue)
+    val lineDs = spark.createDataset(
+      indexed.filter { case (_, i) => i < termIdx }.map(_._1))(Encoders.STRING)
+    lineDs
       .mapPartitions { lines =>
         lines.map { l =>
           val fields = l.split("\t", -1).map {

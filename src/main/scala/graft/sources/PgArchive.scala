@@ -16,13 +16,42 @@ import graft.pipeline.PgToc
   */
 object PgArchive {
 
-  private val CopyCols = """COPY\s+\S+\s*\(([^)]*)\)\s+FROM\s+stdin""".r
+  // table part may itself be a quoted identifier with spaces — match
+  // lazily up to the column-list paren rather than assuming \S+
+  private val CopyCols = """(?s)COPY\s+.+?\(([^)]*)\)\s+FROM\s+stdin""".r
+
+  /** Split a COPY column list honoring pg_dump's identifier quoting:
+    * commas inside double quotes don't split, surrounding quotes strip,
+    * doubled quotes un-double — so `("userId", "a,b")` yields exactly
+    * `userId` and `a,b`. */
+  def splitIdentList(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) {
+        if (c == '"' && i + 1 < s.length && s.charAt(i + 1) == '"') { cur += '"'; i += 1 }
+        else if (c == '"') inQ = false
+        else cur += c
+      } else c match {
+        case '"' => inQ = true
+        case ',' => out += cur.result().trim; cur.clear()
+        case _ => cur += c
+      }
+      i += 1
+    }
+    out += cur.result().trim
+    out.result().filter(_.nonEmpty)
+  }
 
   /** Column names from a TOC entry's COPY statement (pg_dump always
     * emits an explicit column list). */
   def columnsOf(e: PgToc.Entry): Seq[String] =
     e.copyStmt.flatMap(CopyCols.findFirstMatchIn)
-      .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .map(m => splitIdentList(m.group(1)))
+      .filter(_.nonEmpty)
       .getOrElse(throw new IllegalArgumentException(
         s"PgArchive: entry ${e.tag.getOrElse("?")} has no parsable COPY column list"))
 

@@ -19,38 +19,59 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object PgSource {
 
-  /** Low-level: run psql with `args`, execute one `COPY ... TO STDOUT`,
-    * spool the stream to `spoolFile`, and read it back distributed as a
-    * string-typed DataFrame with `columns`. */
+  /** Quote an SQL identifier the way pg_dump does: pass through names
+    * that are already lower-case-simple, double-quote (with embedded
+    * quote doubling) everything else — so mixed-case, reserved-word, or
+    * special-character tables and columns survive the generated SQL. */
+  def quoteIdent(name: String): String =
+    if (name.matches("[a-z_][a-z0-9_]*")) name
+    else "\"" + name.replace("\"", "\"\"") + "\""
+
+  /** Run psql, draining stdout to `sink` and stderr to a bounded buffer
+    * on its own thread — NEVER merge them (server NOTICEs would corrupt
+    * the data stream) and never leave stderr undrained (a chatty server
+    * fills the pipe and deadlocks the copy). Returns (rc, stderrText). */
+  private def runPsql(args: Seq[String], sink: java.io.OutputStream): (Int, String) = {
+    val cmd = Seq("/usr/bin/psql", "-X", "-q", "-v", "ON_ERROR_STOP=1") ++ args
+    val p = new ProcessBuilder(cmd: _*).start()
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val drainer = new Thread(() => {
+      try p.getErrorStream.transferTo(errBuf) catch { case _: Throwable => () }
+    })
+    drainer.setDaemon(true); drainer.start()
+    try p.getInputStream.transferTo(sink) finally sink.close()
+    val rc = p.waitFor()
+    drainer.join(10000)
+    (rc, errBuf.toString("UTF-8"))
+  }
+
+  /** Low-level: run one `COPY ... TO STDOUT`, spool the stream to
+    * `spoolFile`, and read it back distributed as a string-typed
+    * DataFrame with `columns`. */
   def copyIn(spark: SparkSession, psqlArgs: Seq[String], copySql: String,
              columns: Seq[String], spoolFile: String): DataFrame = {
     require(columns.nonEmpty, "PgSource.copyIn: need column names")
-    val cmd = Seq("/usr/bin/psql", "-X", "-v", "ON_ERROR_STOP=1") ++
-      psqlArgs ++ Seq("-A", "-t", "-c", copySql)
-    val p = new ProcessBuilder(cmd: _*).start()
     val out = new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(spoolFile))
-    try p.getInputStream.transferTo(out) finally out.close()
-    val rc = p.waitFor()
-    if (rc != 0) {
-      val err = new String(p.getErrorStream.readAllBytes(), "UTF-8")
+    val (rc, err) = runPsql(psqlArgs ++ Seq("-A", "-t", "-c", copySql), out)
+    if (rc != 0)
       throw new IllegalStateException(s"PgSource: psql rc=$rc: $err")
-    }
     CopyText.read(spark, spoolFile, columns)
   }
 
-  /** Column names of a live table, in ordinal order. */
+  /** Column names of a live table, in ordinal position order. stdout
+    * carries ONLY the query result (stderr is drained separately), so
+    * server notices cannot masquerade as columns. */
   def columnsOf(psqlArgs: Seq[String], table: String,
                 namespace: String = "public"): Seq[String] = {
     val sql = "SELECT column_name FROM information_schema.columns " +
-      s"WHERE table_schema = '$namespace' AND table_name = '$table' " +
+      s"WHERE table_schema = '${namespace.replace("'", "''")}' " +
+      s"AND table_name = '${table.replace("'", "''")}' " +
       "ORDER BY ordinal_position"
-    val cmd = Seq("/usr/bin/psql", "-X", "-v", "ON_ERROR_STOP=1") ++
-      psqlArgs ++ Seq("-A", "-t", "-c", sql)
-    val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-    require(p.waitFor() == 0, s"PgSource.columnsOf: $out")
-    val cols = out.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    val buf = new java.io.ByteArrayOutputStream()
+    val (rc, err) = runPsql(psqlArgs ++ Seq("-A", "-t", "-c", sql), buf)
+    require(rc == 0, s"PgSource.columnsOf: psql rc=$rc: $err")
+    val cols = buf.toString("UTF-8").split("\n").map(_.trim).filter(_.nonEmpty).toSeq
     require(cols.nonEmpty, s"PgSource: table $namespace.$table has no columns")
     cols
   }
@@ -64,11 +85,13 @@ object PgSource {
             namespace: String = "public", conds: Seq[String] = Nil): DataFrame = {
     val cols = columnsOf(psqlArgs, tableName, namespace)
     val spoolPath = java.nio.file.Files
-      .createTempFile(s"graft_pgsrc_$tableName", ".dat")
+      .createTempFile(s"graft_pgsrc_${tableName.replaceAll("[^A-Za-z0-9_-]", "_")}", ".dat")
     spoolPath.toFile.deleteOnExit()
+    val qTable = s"${quoteIdent(namespace)}.${quoteIdent(tableName)}"
+    val qCols = cols.map(quoteIdent).mkString(", ")
     val source =
-      if (conds.isEmpty) s"${namespace}.${tableName} (${cols.mkString(", ")})"
-      else s"(SELECT ${cols.mkString(", ")} FROM ${namespace}.${tableName} " +
+      if (conds.isEmpty) s"$qTable ($qCols)"
+      else s"(SELECT $qCols FROM $qTable " +
         s"WHERE ${conds.map(c => s"($c)").mkString(" AND ")})"
     copyIn(spark, psqlArgs, s"COPY $source TO STDOUT", cols, spoolPath.toString)
   }

@@ -211,6 +211,39 @@ class PgInteropSpec extends SparkSpec {
     assert(psql("pii_tgt", "SELECT last_value FROM people_id_seq")._2.trim == "42")
   }
 
+  test("mixed-case identifiers and 1-col empty strings survive the full loop") {
+    live()
+    import spark.implicits._
+    // mixed-case table + column names force the quoting path end-to-end
+    val df = Seq((1L, "A"), (2L, "")).toDF("rowId", "payloadText")
+    val arch = s"$base/mixed_arch"
+    PgToc.dumpArchive(Seq("CaseTable" -> df), arch, "mixed_tgt",
+      includeSchema = true)
+    psql("postgres", "CREATE DATABASE mixed_tgt")
+    val (rc, out) = sh(s"PGHOST=$sockDir PGUSER=graft /usr/bin/pg_restore -d mixed_tgt $arch")
+    assert(rc == 0, out)
+    val (rc2, rows) = psql("mixed_tgt",
+      "COPY (SELECT \\\"rowId\\\", \\\"payloadText\\\" FROM \\\"CaseTable\\\" ORDER BY 1) TO STDOUT")
+    assert(rc2 == 0, rows)
+    assert(rows.split("\n").filter(_.nonEmpty).toSeq == Seq("1\tA", "2\t"))
+    // and our own loader reads its archive back, quoting included
+    val loaded = graft.sources.PgArchive.load(spark, arch)
+    assert(loaded.map(_._1) == Seq("CaseTable"))
+    val back = loaded.head._2
+    assert(back.columns.toSeq == Seq("rowId", "payloadText"))
+    assert(back.orderBy("rowId").collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("1", "A"), ("2", "")))
+
+    // single-column table with an empty-string row: the terminator-aware
+    // reader keeps it (it used to be dropped as padding)
+    val one = Seq("x", "", "z").toDF("v")
+    val arch2 = s"$base/onecol_arch"
+    PgToc.dumpArchive(Seq("onecol" -> one), arch2, "whatever")
+    val got = graft.sources.PgArchive.load(spark, arch2).head._2
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("", "x", "z"))
+  }
+
   test("Lifecycle.pgDump: config-driven masked dump from live pg, restorable") {
     live()
     psql("postgres", "CREATE DATABASE cli_src")

@@ -95,6 +95,23 @@ class PgTocSpec extends AnyFunSuite {
       toc.entries.map(e => (e.dumpId, e.tag, e.dependencies)))
   }
 
+  test("splitIdentList honors pg_dump quoting (commas and quotes inside identifiers)") {
+    import graft.sources.PgArchive.splitIdentList
+    assert(splitIdentList("a, b, c") == Seq("a", "b", "c"))
+    assert(splitIdentList("\"userId\", \"a,b\", plain") == Seq("userId", "a,b", "plain"))
+    assert(splitIdentList("\"we\"\"ird\"") == Seq("we\"ird"))
+    assert(splitIdentList("") == Nil)
+    // quoteIdent is its inverse on the writer side
+    import graft.sources.PgSource.quoteIdent
+    assert(quoteIdent("simple_name") == "simple_name")
+    assert(quoteIdent("userId") == "\"userId\"")
+    assert(quoteIdent("a,b") == "\"a,b\"")
+    assert(quoteIdent("we\"ird") == "\"we\"\"ird\"")
+    Seq("userId", "a,b", "we\"ird", "order").foreach { n =>
+      assert(splitIdentList(quoteIdent(n)) == Seq(n), s"round-trip of '$n'")
+    }
+  }
+
   test("real pg_restore -l accepts and lists our archive") {
     val pgRestore = new java.io.File("/usr/bin/pg_restore")
     assume(pgRestore.canExecute, "pg_restore binary not present")
