@@ -121,8 +121,19 @@ object Lifecycle {
     }
     val dbName = "\\bdbname=(\\S+)".r.findFirstMatchIn(conninfo)
       .map(_.group(1)).getOrElse("graft")
-    graft.pipeline.PgToc.dumpArchive(masked, outDir, dbName,
-      includeSchema = true)
+    // FK edges from the live catalog drive BOTH the TOC dependency ids
+    // (what pg_restore's dependency sorter reads under -j) and the entry
+    // ORDER (single-session pg_restore replays TOC order — parents must
+    // come first). The reference records the same at dump time.
+    val deps = graft.sources.PgSource.fkDeps(psqlArgs)
+    val names = masked.map(_._1)
+    val edges = deps.toSeq.flatMap { case (c, ps) =>
+      ps.filter(names.contains).map(p => FkRef(c, Nil, p, Nil)) }
+    val byName = masked.toMap
+    val ordered = graft.subset.SubsetGraph.restoreOrder(names, edges)
+      .flatten.map(n => n -> byName(n))
+    graft.pipeline.PgToc.dumpArchive(ordered, outDir, dbName,
+      includeSchema = true, deps = deps)
   }
 
   /** validate --data: warnings + original-vs-transformed diff counts. */

@@ -76,6 +76,30 @@ object PgSource {
     cols
   }
 
+  /** Foreign-key edges (child table -> referenced parent tables) from
+    * the live catalog — the dependency information the reference records
+    * into its TOC at dump time (`dump.go:383-413` analog) so restore
+    * order respects referential integrity. */
+  def fkDeps(psqlArgs: Seq[String],
+             namespace: String = "public"): Map[String, Seq[String]] = {
+    val ns = namespace.replace("'", "''")
+    val sql =
+      "SELECT tc.table_name, ccu.table_name AS parent " +
+        "FROM information_schema.table_constraints tc " +
+        "JOIN information_schema.constraint_column_usage ccu " +
+        "ON tc.constraint_name = ccu.constraint_name " +
+        "AND tc.table_schema = ccu.table_schema " +
+        s"WHERE tc.constraint_type = 'FOREIGN KEY' AND tc.table_schema = '$ns' " +
+        "ORDER BY 1, 2"
+    val buf = new java.io.ByteArrayOutputStream()
+    val (rc, err) = runPsql(psqlArgs ++ Seq("-A", "-t", "-c", sql), buf)
+    require(rc == 0, s"PgSource.fkDeps: psql rc=$rc: $err")
+    buf.toString("UTF-8").split("\n").map(_.trim).filter(_.nonEmpty)
+      .map(_.split("\\|")).collect {
+        case Array(child, parent) if child != parent => child -> parent
+      }.toSeq.distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+  }
+
   /** Ingest a whole table: discover columns, COPY it out, distribute.
     * Optional `conds` push a WHERE into the COPY's inner SELECT — the
     * reference's subset-scoped dump (rows are filtered on the SERVER, so

@@ -248,12 +248,17 @@ class PgInteropSpec extends SparkSpec {
     live()
     psql("postgres", "CREATE DATABASE cli_src")
     assert(psql("cli_src",
-      "CREATE TABLE public.accounts(id bigint, holder text, iban text); " +
+      "CREATE TABLE public.accounts(id bigint PRIMARY KEY, holder text, iban text); " +
+        "CREATE TABLE public.payments(pid bigint, account_id bigint REFERENCES accounts(id)); " +
         "INSERT INTO accounts VALUES (1,'Jane','DE02120300000000202051'), " +
-        "(2,'Omar','FR1420041010050500013M02606')")._1 == 0)
+        "(2,'Omar','FR1420041010050500013M02606'); " +
+        "INSERT INTO payments VALUES (10, 1)")._1 == 0)
     val out = s"$base/cli_arch"
-    // subset_conds filter on the SOURCE server (inside the COPY SELECT)
+    // subset_conds filter on the SOURCE server (inside the COPY SELECT);
+    // payments is listed FIRST in the config but depends on accounts —
+    // the dumped TOC must reorder parents-first
     val config = """{ "tables": [
+      { "table": "payments", "transforms": [] },
       { "table": "accounts",
         "subset_conds": ["id <= 1"],
         "transforms": [
@@ -264,6 +269,15 @@ class PgInteropSpec extends SparkSpec {
     assert(toc.header.dbName.contains("cli_src"))
     assert(toc.entries.exists(e => e.desc.contains("TABLE") &&
       e.defn.exists(_.contains("CREATE TABLE public.accounts"))))
+    // FK-driven ordering: accounts (parent) precedes payments in both
+    // sections, and the child's data entry records the dependency
+    val tags = toc.entries.filter(_.desc.contains("TABLE DATA")).flatMap(_.tag)
+    assert(tags == Seq("accounts", "payments"), s"TOC order: $tags")
+    val payData = toc.entries.find(e =>
+      e.desc.contains("TABLE DATA") && e.tag.contains("payments")).get
+    val acctData = toc.entries.find(e =>
+      e.desc.contains("TABLE DATA") && e.tag.contains("accounts")).get
+    assert(payData.dependencies.contains(acctData.dumpId))
     psql("postgres", "CREATE DATABASE cli_tgt")
     val (rc, o) = sh(s"PGHOST=$sockDir PGUSER=graft /usr/bin/pg_restore -d cli_tgt $out")
     assert(rc == 0, o)
