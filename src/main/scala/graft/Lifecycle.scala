@@ -249,6 +249,13 @@ object Lifecycle {
         pgDump(spark, Files.readString(Paths.get(cfgPath)), conninfo, outDir)
           .entries.foreach(e => println(s"[pg-dump] ${e.tag.getOrElse("")} " +
             s"${e.desc.getOrElse("")} -> ${e.fileName.getOrElse("(stmt)")}"))
+      case "pg-ingest" :: archDir :: outDir :: Nil =>
+        // any pg_dump -Fd / reference-produced directory archive ->
+        // parquet lake (string-typed; cast downstream)
+        graft.sources.PgArchive.load(spark, archDir).foreach { case (t, df) =>
+          df.write.mode("overwrite").parquet(s"$outDir/$t")
+          println(s"[pg-ingest] $t -> $outDir/$t")
+        }
       case "validate" :: cfgPath :: sfDir :: Nil =>
         validate(spark, Files.readString(Paths.get(cfgPath)), sfDir).foreach(println)
       case "restore" :: manifestPath :: target :: rest =>
@@ -284,6 +291,7 @@ object Lifecycle {
         System.err.println(
           "usage: dump <config.json> <sfDir> <outDir> | " +
             "pg-dump <config.json> <conninfo> <outDir> | " +
+            "pg-ingest <archiveDir> <outDir> | " +
             "validate <config.json> <sfDir> | " +
             "restore <manifest.json> <targetDirOrJdbcUrl> [tables,csv] | " +
             "list-dumps <root> | show-dump <manifest.json> | delete <root> <name> | " +

@@ -120,6 +120,14 @@ class PgInteropSpec extends SparkSpec {
       .collectFirst { case ("gz", df) => df }.get
       .orderBy("id").collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(rows == Seq(("1", "x"), ("2", "tab\thard")))
+    // CLI: the same archive lands as a parquet lake
+    val lake = s"$base/gz_lake"
+    graft.sources.PgArchive.load(spark, dump).foreach { case (t, df) =>
+      df.write.mode("overwrite").parquet(s"$lake/$t")
+    }
+    val back = spark.read.parquet(s"$lake/gz").orderBy("id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(back == rows)
   }
 
   test("write-side: Spark-built archive restores through real pg_restore, values identical") {
