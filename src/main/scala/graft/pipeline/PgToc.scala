@@ -285,7 +285,8 @@ object PgToc {
                   namespace: String = "public", owner: String = "graft",
                   deps: Map[String, Seq[String]] = Map.empty,
                   includeSchema: Boolean = false,
-                  sequences: Map[String, Long] = Map.empty): Toc = {
+                  sequences: Map[String, Long] = Map.empty,
+                  compress: Boolean = false): Toc = {
     Files.createDirectories(Paths.get(outDir))
     val n = tables.size
     // schema entries take ids 1..n, data entries n+1..2n (restore order:
@@ -318,8 +319,12 @@ object PgToc {
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
+    // pg_dump convention: gzipped payloads live at <id>.dat.gz while the
+    // TOC records the bare .dat name; pg_restore (and PgArchive) probe both
+    val ext = if (compress) ".dat.gz" else ".dat"
     val writes = tables.map { case (table, df) =>
-      Future(graft.sources.CopyText.writeDatFile(df, s"$outDir/${dataIds(table)}.dat"))
+      Future(graft.sources.CopyText.writeDatFile(
+        df, s"$outDir/${dataIds(table)}$ext", gzip = compress))
     }
     writes.foreach(Await.result(_, Duration.Inf))
     val dataEntries = tables.map { case (table, df) =>
@@ -353,7 +358,10 @@ object PgToc {
           namespace = Some(namespace), owner = Some(owner))
     }
     val toc = Toc(Header(1, 14, 0, dbName = Some(dbName),
-      remoteVersion = Some("15.0"), dumpVersion = Some("15.0")),
+      remoteVersion = Some("15.0"), dumpVersion = Some("15.0"),
+      // v1.14 stores a gzip LEVEL int; non-zero = gzip (pg_dump default 6)
+      compression = if (compress) Compression(algorithm = 1, level = 6)
+                    else Compression()),
       schemaEntries ++ dataEntries ++ seqEntries)
     writeFile(toc, s"$outDir/toc.dat")
     toc

@@ -106,11 +106,16 @@ object CopyText {
     * `\.` terminator line. One table = one COPY stream is pg_restore's
     * own contract, so the final single-stream hop is inherent to the
     * format, not a scale bug — the encode itself stays distributed. */
-  def writeDatFile(df: DataFrame, file: String): Unit = {
+  /** With `gzip = true` the payload is written as CONCATENATED gzip
+    * members (one per part + one for the terminator) — the gzip format
+    * makes member concatenation a valid stream, so the distributed
+    * encode parallelism survives compression, and zlib-based readers
+    * (pg_restore included) decode it transparently. */
+  def writeDatFile(df: DataFrame, file: String, gzip: Boolean = false): Unit = {
     val tmp = file + ".tmpdir"
     val dir = new java.io.File(tmp)
     try {
-      write(df, tmp)
+      write(df, tmp, compression = if (gzip) Some("gzip") else None)
       // the concat step requires a DRIVER-LOCAL scratch dir (this method
       // targets local directory archives; on a cluster, point `file` at
       // local disk or concat on the storage layer) — fail with a
@@ -123,7 +128,10 @@ object CopyText {
       val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(file))
       try {
         parts.foreach(p => java.nio.file.Files.copy(p.toPath, out))
-        out.write("\\.\n".getBytes("UTF-8"))
+        if (gzip) {
+          val gz = new java.util.zip.GZIPOutputStream(out)
+          gz.write("\\.\n".getBytes("UTF-8")); gz.finish()
+        } else out.write("\\.\n".getBytes("UTF-8"))
       } finally out.close()
     } finally {
       Option(dir.listFiles()).foreach(_.foreach(_.delete()))

@@ -252,6 +252,26 @@ class PgInteropSpec extends SparkSpec {
     assert(got == Seq("", "x", "z"))
   }
 
+  test("compressed archive (concatenated gzip members) restores through pg_restore") {
+    live()
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, s"val-$i")).toDF("id", "v")
+      .repartition(4) // several parts -> several gzip members per payload
+    val arch = s"$base/gz_arch"
+    PgToc.dumpArchive(Seq("gztab" -> df), arch, "gz_tgt",
+      includeSchema = true, compress = true)
+    assert(new java.io.File(arch).listFiles().exists(_.getName.endsWith(".dat.gz")),
+      "payload not gzipped")
+    psql("postgres", "CREATE DATABASE gz_tgt")
+    val (rc, out) = sh(s"PGHOST=$sockDir PGUSER=graft /usr/bin/pg_restore -d gz_tgt $arch")
+    assert(rc == 0, out)
+    assert(psql("gz_tgt", "SELECT count(*), min(v), max(id) FROM gztab")._2.trim
+      == "500|val-1|500")
+    // and our own loader reads the compressed archive back
+    val back = graft.sources.PgArchive.load(spark, arch).head._2
+    assert(back.count() == 500)
+  }
+
   test("Lifecycle.pgDump: config-driven masked dump from live pg, restorable") {
     live()
     psql("postgres", "CREATE DATABASE cli_src")
