@@ -1060,6 +1060,18 @@ object SparkEntry {
         .withColumnRenamed("l_returnflag", "key").orderBy("key"),
       Some("SELECT l_returnflag AS key, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY key")),
 
+    // Salted skew JOIN: hot keys spread across saltBuckets tasks; the
+    // OUTPUT is salt-independent (every left row meets its replicated
+    // right row exactly once), so the plain inner join is the oracle
+    "q_skew_salted_join" -> Q(
+      (s, dir) => graft.ops.Skew.saltedJoin(
+          rd(s, dir, "orders").select(col("o_custkey").as("k"), col("o_orderkey")),
+          rd(s, dir, "customer").select(col("c_custkey").as("k"), col("c_mktsegment")),
+          "k", saltBuckets = 8)
+        .orderBy("o_orderkey"),
+      Some("SELECT o_custkey AS k, o_orderkey, c_mktsegment " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey")),
+
     // COPY text-format codec round-trip: write pgcopy-style lines, read
     // them back (escapes, \N nulls), values survive exactly
     "q_copy_roundtrip" -> Q(
