@@ -55,6 +55,68 @@ object PgArchive {
       .getOrElse(throw new IllegalArgumentException(
         s"PgArchive: entry ${e.tag.getOrElse("?")} has no parsable COPY column list"))
 
+  /** PostgreSQL column type -> Spark cast target (inverse of
+    * `PgToc.pgType`; unmapped types stay string). */
+  def sparkType(pg: String): Option[String] = pg.trim.toLowerCase match {
+    case "bigint" | "int8" => Some("long")
+    case "integer" | "int" | "int4" => Some("int")
+    case "smallint" | "int2" => Some("short")
+    case "double precision" | "float8" => Some("double")
+    case "real" | "float4" => Some("float")
+    case "boolean" | "bool" => Some("boolean")
+    case "date" => Some("date")
+    case t if t.startsWith("numeric") =>
+      Some(t.replace("numeric", "decimal"))
+    case t if t.startsWith("timestamp") => Some("timestamp")
+    case "bytea" => Some("binary")
+    case _ => None // text & friends stay string
+  }
+
+  private val DdlCol = """^\s*("(?:[^"]|"")+"|\S+)\s+(.+?),?\s*$""".r
+
+  /** Column -> declared pg type from a TABLE entry's CREATE TABLE defn
+    * (one column per line, the shape both pg_dump and
+    * [[PgToc.dumpArchive]] emit). */
+  def ddlTypes(defn: String): Map[String, String] =
+    defn.linesIterator
+      .dropWhile(!_.contains("(")).drop(1)
+      .takeWhile(l => !l.trim.startsWith(")"))
+      .flatMap {
+        case DdlCol(rawName, tpe) =>
+          val name =
+            if (rawName.startsWith("\""))
+              rawName.stripPrefix("\"").stripSuffix("\"").replace("\"\"", "\"")
+            else rawName
+          Some(name -> tpe.trim.stripSuffix(","))
+        case _ => None
+      }.toMap
+
+  /** Like [[load]], but when the archive carries TABLE schema entries
+    * (pg_dump or `dumpArchive(includeSchema = true)`), cast each column
+    * to the Spark type its CREATE TABLE DDL declares — so a
+    * dumpArchive -> loadTyped round-trip preserves long/int/double/
+    * decimal/bool/date/timestamp columns instead of flattening to
+    * strings. Tables without a schema entry load string-typed. */
+  def loadTyped(spark: SparkSession, dir: String): Seq[(String, DataFrame)] = {
+    import org.apache.spark.sql.functions.col
+    val toc = PgToc.readFile(s"$dir/toc.dat")
+    val ddl = toc.entries
+      .filter(e => e.desc.contains("TABLE") && e.defn.exists(_.contains("CREATE TABLE")))
+      .flatMap(e => e.tag.map(_ -> ddlTypes(e.defn.get))).toMap
+    load(spark, dir).map { case (table, df) =>
+      ddl.get(table) match {
+        case None => table -> df
+        case Some(types) =>
+          table -> df.select(df.columns.map { c =>
+            types.get(c).flatMap(sparkType) match {
+              case Some(t) => col(c).cast(t).as(c)
+              case None => col(c)
+            }
+          }: _*)
+      }
+    }
+  }
+
   /** Load every TABLE DATA payload: (table tag, string-typed DataFrame).
     * Entries come back in TOC order; restore ordering (dependencies) is
     * on the TOC if the caller needs it. */

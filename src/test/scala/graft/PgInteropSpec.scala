@@ -252,6 +252,31 @@ class PgInteropSpec extends SparkSpec {
     assert(got == Seq("", "x", "z"))
   }
 
+  test("loadTyped: schema-carrying archive round-trips Spark types") {
+    // pure file-level round-trip — no live cluster needed
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, 7, 1.5d, true, BigDecimal("12.34"), "txt"),
+      (2L, -3, -0.25d, false, BigDecimal("-5.00"), "more"))
+      .toDF("idL", "n_int", "ratio", "flag", "amount", "note")
+      .select(col("idL"), col("n_int"), col("ratio"), col("flag"),
+        col("amount").cast("decimal(10,2)").as("amount"), col("note"))
+    val arch = java.nio.file.Files.createTempDirectory("graft_typed").toString
+    PgToc.dumpArchive(Seq("typed" -> df), arch, "t", includeSchema = true)
+    val back = graft.sources.PgArchive.loadTyped(spark, arch)
+      .collectFirst { case ("typed", d) => d }.get
+    assert(back.schema.map(f => f.name -> f.dataType.simpleString) ==
+      Seq("idL" -> "bigint", "n_int" -> "int", "ratio" -> "double",
+        "flag" -> "boolean", "amount" -> "decimal(10,2)", "note" -> "string"))
+    val rows = back.orderBy("idL").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows.map(_.getInt(1)).toSeq == Seq(7, -3))
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(1.5d, -0.25d))
+    assert(rows.map(_.getBoolean(3)).toSeq == Seq(true, false))
+    assert(rows.map(_.getDecimal(4).toPlainString).toSeq == Seq("12.34", "-5.00"))
+  }
+
   test("compressed archive (concatenated gzip members) restores through pg_restore") {
     live()
     import spark.implicits._
