@@ -251,8 +251,9 @@ object Lifecycle {
             s"${e.desc.getOrElse("")} -> ${e.fileName.getOrElse("(stmt)")}"))
       case "pg-ingest" :: archDir :: outDir :: Nil =>
         // any pg_dump -Fd / reference-produced directory archive ->
-        // parquet lake (string-typed; cast downstream)
-        graft.sources.PgArchive.load(spark, archDir).foreach { case (t, df) =>
+        // parquet lake, typed from the archive's own CREATE TABLE DDL
+        // (string-typed where no schema entry / no faithful scalar)
+        graft.sources.PgArchive.loadTyped(spark, archDir).foreach { case (t, df) =>
           df.write.mode("overwrite").parquet(s"$outDir/$t")
           println(s"[pg-ingest] $t -> $outDir/$t")
         }

@@ -30,6 +30,23 @@ object PgTypes {
     case _ => StringType // unsupported => raw passthrough
   }
 
+  /** Precision-preserving variant for archive DDL: `numeric(p,s)` keeps
+    * its declared precision instead of the 38,18 cap, and NAIVE
+    * timestamps map to TimestampNTZType (a `timestamp without time zone`
+    * value is not an instant — reading it as session-zoned TimestampType
+    * would shift it by the loader's timezone). Everything else delegates
+    * to [[toSpark]]. */
+  def toSparkPrecise(pgType: String): DataType = {
+    val NumP = """(?i)\s*(?:numeric|decimal)\s*\(\s*(\d+)\s*(?:,\s*(\d+))?\s*\)\s*""".r
+    pgType.trim match {
+      case NumP(p, s) => DecimalType(p.toInt, Option(s).map(_.toInt).getOrElse(0))
+      case t => normalize(t) match {
+        case "timestamp" | "timestamp without time zone" => TimestampNTZType
+        case _ => toSpark(t)
+      }
+    }
+  }
+
   /** Whether the type is "supported" (typed round-trip) vs passthrough. */
   def isSupported(pgType: String): Boolean =
     toSpark(pgType) != StringType || Set("text", "varchar", "char", "bpchar",

@@ -129,8 +129,11 @@ object CopyText {
       try {
         parts.foreach(p => java.nio.file.Files.copy(p.toPath, out))
         if (gzip) {
+          // close() (not just finish()) releases the Deflater's native
+          // zlib buffers immediately; it also closes `out`, which is
+          // idempotent under the finally below
           val gz = new java.util.zip.GZIPOutputStream(out)
-          gz.write("\\.\n".getBytes("UTF-8")); gz.finish()
+          gz.write("\\.\n".getBytes("UTF-8")); gz.close()
         } else out.write("\\.\n".getBytes("UTF-8"))
       } finally out.close()
     } finally {

@@ -55,28 +55,17 @@ object PgArchive {
       .getOrElse(throw new IllegalArgumentException(
         s"PgArchive: entry ${e.tag.getOrElse("?")} has no parsable COPY column list"))
 
-  /** PostgreSQL column type -> Spark cast target (inverse of
-    * `PgToc.pgType`; unmapped types stay string). */
-  def sparkType(pg: String): Option[String] = pg.trim.toLowerCase match {
-    case "bigint" | "int8" => Some("long")
-    case "integer" | "int" | "int4" => Some("int")
-    case "smallint" | "int2" => Some("short")
-    case "double precision" | "float8" => Some("double")
-    case "real" | "float4" => Some("float")
-    case "boolean" | "bool" => Some("boolean")
-    case "date" => Some("date")
-    case t if t.startsWith("numeric") =>
-      Some(t.replace("numeric", "decimal"))
-    case t if t.startsWith("timestamp") => Some("timestamp")
-    case "bytea" => Some("binary")
-    case _ => None // text & friends stay string
-  }
-
   private val DdlCol = """^\s*("(?:[^"]|"")+"|\S+)\s+(.+?),?\s*$""".r
+
+  // column-level constraint/option suffixes real pg_dump appends after
+  // the type ('o_totalprice numeric(15,2) NOT NULL,') — strip before the
+  // type lookup or the cast target would be garbage
+  private val DdlSuffix =
+    """(?i)\s+(not\s+null|null|default\s.*|generated\s.*|primary\s+key.*|unique.*|references\s.*|check\s*\(.*|collate\s.*|constraint\s.*)$""".r
 
   /** Column -> declared pg type from a TABLE entry's CREATE TABLE defn
     * (one column per line, the shape both pg_dump and
-    * [[PgToc.dumpArchive]] emit). */
+    * [[PgToc.dumpArchive]] emit); trailing column constraints strip. */
   def ddlTypes(defn: String): Map[String, String] =
     defn.linesIterator
       .dropWhile(!_.contains("(")).drop(1)
@@ -87,30 +76,55 @@ object PgArchive {
             if (rawName.startsWith("\""))
               rawName.stripPrefix("\"").stripSuffix("\"").replace("\"\"", "\"")
             else rawName
-          Some(name -> tpe.trim.stripSuffix(","))
+          // CONSTRAINT-only lines have no column; skip table-level rows
+          if (Set("constraint", "primary", "unique", "foreign", "check")
+              .contains(name.toLowerCase)) None
+          else {
+            var t = tpe.trim.stripSuffix(",")
+            var changed = true
+            while (changed) DdlSuffix.findFirstMatchIn(t) match {
+              case Some(m) => t = t.substring(0, m.start).trim
+              case None => changed = false
+            }
+            Some(name -> t)
+          }
         case _ => None
       }.toMap
 
   /** Like [[load]], but when the archive carries TABLE schema entries
     * (pg_dump or `dumpArchive(includeSchema = true)`), cast each column
-    * to the Spark type its CREATE TABLE DDL declares — so a
-    * dumpArchive -> loadTyped round-trip preserves long/int/double/
-    * decimal/bool/date/timestamp columns instead of flattening to
-    * strings. Tables without a schema entry load string-typed. */
+    * to the Spark type its CREATE TABLE DDL declares, via the central
+    * [[graft.pipeline.PgTypes]] mapping (precision-aware decimals, NTZ
+    * naive timestamps) — so a dump -> loadTyped round-trip preserves the
+    * schema instead of flattening to strings. `bytea` columns decode
+    * from their COPY hex form (`\x...`) to real bytes. Tables without a
+    * schema entry, and columns whose pg type has no faithful Spark
+    * scalar (arrays, json, uuid...), stay string-typed. */
   def loadTyped(spark: SparkSession, dir: String): Seq[(String, DataFrame)] = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     val toc = PgToc.readFile(s"$dir/toc.dat")
     val ddl = toc.entries
       .filter(e => e.desc.contains("TABLE") && e.defn.exists(_.contains("CREATE TABLE")))
       .flatMap(e => e.tag.map(_ -> ddlTypes(e.defn.get))).toMap
-    load(spark, dir).map { case (table, df) =>
+    loadFrom(spark, dir, toc).map { case (table, df) =>
       ddl.get(table) match {
         case None => table -> df
         case Some(types) =>
           table -> df.select(df.columns.map { c =>
-            types.get(c).flatMap(sparkType) match {
-              case Some(t) => col(c).cast(t).as(c)
-              case None => col(c)
+            types.get(c).map(graft.pipeline.PgTypes.toSparkPrecise) match {
+              case Some(BinaryType) =>
+                // COPY text renders bytea as \x<hex>; unhex the payload
+                // (a straight string->binary cast would keep the "\x.."
+                // TEXT's utf-8 bytes — silent corruption)
+                when(col(c).isNull, lit(null).cast(BinaryType))
+                  .otherwise(unhex(regexp_replace(col(c), "^\\\\x", ""))).as(c)
+              case Some(t: DecimalType) => col(c).cast(t).as(c)
+              case Some(t @ (LongType | IntegerType | ShortType | DoubleType |
+                             FloatType | BooleanType | DateType |
+                             TimestampType | TimestampNTZType)) =>
+                col(c).cast(t).as(c)
+              case _ => col(c) // string family / arrays / unknown: as-is
             }
           }: _*)
       }
@@ -120,8 +134,11 @@ object PgArchive {
   /** Load every TABLE DATA payload: (table tag, string-typed DataFrame).
     * Entries come back in TOC order; restore ordering (dependencies) is
     * on the TOC if the caller needs it. */
-  def load(spark: SparkSession, dir: String): Seq[(String, DataFrame)] = {
-    val toc = PgToc.readFile(s"$dir/toc.dat")
+  def load(spark: SparkSession, dir: String): Seq[(String, DataFrame)] =
+    loadFrom(spark, dir, PgToc.readFile(s"$dir/toc.dat"))
+
+  private def loadFrom(spark: SparkSession, dir: String,
+                       toc: PgToc.Toc): Seq[(String, DataFrame)] = {
     toc.entries.filter(_.desc.contains("TABLE DATA")).map { e =>
       val table = e.tag.getOrElse(
         throw new IllegalArgumentException("PgArchive: TABLE DATA entry without a tag"))

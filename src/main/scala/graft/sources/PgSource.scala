@@ -83,13 +83,18 @@ object PgSource {
   def fkDeps(psqlArgs: Seq[String],
              namespace: String = "public"): Map[String, Seq[String]] = {
     val ns = namespace.replace("'", "''")
+    // pg_catalog.pg_constraint, NOT information_schema: the info-schema
+    // view constraint_column_usage only shows tables the current role
+    // OWNS (a read-only dump role would silently lose every FK edge),
+    // and joining constraints by NAME cross-matches when two tables
+    // reuse a constraint name. conrelid/confrelid have neither problem.
     val sql =
-      "SELECT tc.table_name, ccu.table_name AS parent " +
-        "FROM information_schema.table_constraints tc " +
-        "JOIN information_schema.constraint_column_usage ccu " +
-        "ON tc.constraint_name = ccu.constraint_name " +
-        "AND tc.table_schema = ccu.table_schema " +
-        s"WHERE tc.constraint_type = 'FOREIGN KEY' AND tc.table_schema = '$ns' " +
+      "SELECT c.relname, p.relname AS parent " +
+        "FROM pg_catalog.pg_constraint con " +
+        "JOIN pg_catalog.pg_class c ON con.conrelid = c.oid " +
+        "JOIN pg_catalog.pg_class p ON con.confrelid = p.oid " +
+        "JOIN pg_catalog.pg_namespace n ON c.relnamespace = n.oid " +
+        s"WHERE con.contype = 'f' AND n.nspname = '$ns' " +
         "ORDER BY 1, 2"
     val buf = new java.io.ByteArrayOutputStream()
     val (rc, err) = runPsql(psqlArgs ++ Seq("-A", "-t", "-c", sql), buf)

@@ -77,9 +77,14 @@ class PgInteropSpec extends SparkSpec {
   test("read-side: a real pg_dump -Fd toc.dat parses with the expected shape") {
     live()
     psql("postgres", "CREATE DATABASE rsrc")
+    // PRIMARY KEY makes pg_dump render `id integer NOT NULL` inline —
+    // the constrained-DDL shape loadTyped must strip; numeric + bytea
+    // exercise precision and hex decode on REAL pg_dump output
     assert(psql("rsrc",
-      "CREATE TABLE public.src(id int, name text); " +
-        "INSERT INTO src VALUES (1,'a'), (2, NULL)")._1 == 0)
+      "CREATE TABLE public.src(id int PRIMARY KEY, name text, " +
+        "amount numeric(8,2) DEFAULT 0 NOT NULL, blob bytea); " +
+        "INSERT INTO src VALUES (1,'a', 12.34, '\\xdead'::bytea), " +
+        "(2, NULL, -5.00, NULL)")._1 == 0)
     val dump = s"$base/realdump"
     val (rc, out) = sh(s"PGHOST=$sockDir PGUSER=graft /usr/bin/pg_dump -Fd --compress=0 -d rsrc -f $dump")
     assert(rc == 0, out)
@@ -103,6 +108,19 @@ class PgInteropSpec extends SparkSpec {
     val rows = loaded.head._2.orderBy("id").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
     assert(rows == Seq(("1", "a"), ("2", null)))
+    // loadTyped against REAL pg_dump DDL: inline NOT NULL / DEFAULT
+    // strip, numeric keeps its declared precision, bytea hex decodes
+    val typed = graft.sources.PgArchive.loadTyped(spark, dump)
+      .collectFirst { case ("src", d) => d }.get
+    assert(typed.schema.map(f => f.name -> f.dataType.simpleString) ==
+      Seq("id" -> "int", "name" -> "string",
+        "amount" -> "decimal(8,2)", "blob" -> "binary"))
+    val trows = typed.orderBy("id").collect()
+    assert(trows.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(trows(0).getDecimal(2).toPlainString == "12.34" &&
+      trows(1).getDecimal(2).toPlainString == "-5.00")
+    assert(trows(0).getAs[Array[Byte]](3).toSeq ==
+      Seq(0xDE.toByte, 0xAD.toByte) && trows(1).isNullAt(3))
   }
 
   test("PgArchive loads a DEFAULT (gzipped) pg_dump -Fd archive") {
