@@ -249,6 +249,19 @@ object Lifecycle {
         pgDump(spark, Files.readString(Paths.get(cfgPath)), conninfo, outDir)
           .entries.foreach(e => println(s"[pg-dump] ${e.tag.getOrElse("")} " +
             s"${e.desc.getOrElse("")} -> ${e.fileName.getOrElse("(stmt)")}"))
+      case "pg-diff" :: connA :: connB :: tablesCsv :: Nil =>
+        // post-restore verification: per table, server-side row count +
+        // order-independent content fingerprint on BOTH databases; exit
+        // nonzero when any table diverges (CI-gate style, like `expect`)
+        val results = tablesCsv.split(",").map(_.trim).filter(_.nonEmpty).map { t =>
+          val (na, ha) = graft.sources.PgSource.tableFingerprint(Seq("-d", connA), t)
+          val (nb, hb) = graft.sources.PgSource.tableFingerprint(Seq("-d", connB), t)
+          val ok = na == nb && ha == hb
+          println(s"[pg-diff] ${if (ok) "MATCH" else "DIFFER"} $t " +
+            s"rows=$na/$nb fp=${ha.take(12)}/${hb.take(12)}")
+          ok
+        }
+        if (results.contains(false)) { spark.stop(); sys.exit(1) }
       case "pg-ingest" :: archDir :: outDir :: Nil =>
         // any pg_dump -Fd / reference-produced directory archive ->
         // parquet lake, typed from the archive's own CREATE TABLE DDL
@@ -293,6 +306,7 @@ object Lifecycle {
           "usage: dump <config.json> <sfDir> <outDir> | " +
             "pg-dump <config.json> <conninfo> <outDir> | " +
             "pg-ingest <archiveDir> <outDir> | " +
+            "pg-diff <conninfoA> <conninfoB> <tables,csv> | " +
             "validate <config.json> <sfDir> | " +
             "restore <manifest.json> <targetDirOrJdbcUrl> [tables,csv] | " +
             "list-dumps <root> | show-dump <manifest.json> | delete <root> <name> | " +

@@ -105,6 +105,22 @@ object PgSource {
       }.toSeq.distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
   }
 
+  /** Order-independent content fingerprint of a live table: row count +
+    * md5 over the sorted per-row md5s, computed ON the server (one
+    * aggregate query; no data moves). The post-restore verification
+    * primitive — same fingerprint <=> same multiset of row texts. */
+  def tableFingerprint(psqlArgs: Seq[String], table: String,
+                       namespace: String = "public"): (Long, String) = {
+    val qt = s"${quoteIdent(namespace)}.${quoteIdent(table)}"
+    val sql = s"SELECT count(*) || '|' || coalesce(md5(string_agg(h, '' ORDER BY h)), 'empty') " +
+      s"FROM (SELECT md5(t.*::text) AS h FROM $qt t) s"
+    val buf = new java.io.ByteArrayOutputStream()
+    val (rc, err) = runPsql(psqlArgs ++ Seq("-A", "-t", "-c", sql), buf)
+    require(rc == 0, s"PgSource.tableFingerprint: psql rc=$rc: $err")
+    val Array(n, h) = buf.toString("UTF-8").trim.split("\\|", 2)
+    (n.toLong, h)
+  }
+
   /** Ingest a whole table: discover columns, COPY it out, distribute.
     * Optional `conds` push a WHERE into the COPY's inner SELECT — the
     * reference's subset-scoped dump (rows are filtered on the SERVER, so

@@ -315,6 +315,29 @@ class PgInteropSpec extends SparkSpec {
     assert(back.count() == 500)
   }
 
+  test("tableFingerprint: identical tables match, any divergence shows") {
+    live()
+    import graft.sources.PgSource
+    psql("postgres", "CREATE DATABASE fp_a")
+    psql("postgres", "CREATE DATABASE fp_b")
+    // same content inserted in DIFFERENT row order -> same fingerprint
+    assert(psql("fp_a", "CREATE TABLE t(id int, v text); " +
+      "INSERT INTO t VALUES (1,'x'), (2,'y'), (3, NULL)")._1 == 0)
+    assert(psql("fp_b", "CREATE TABLE t(id int, v text); " +
+      "INSERT INTO t VALUES (3, NULL), (1,'x'), (2,'y')")._1 == 0)
+    val a = PgSource.tableFingerprint(Seq("-d", s"host=$sockDir dbname=fp_a user=graft"), "t")
+    val b = PgSource.tableFingerprint(Seq("-d", s"host=$sockDir dbname=fp_b user=graft"), "t")
+    assert(a == b && a._1 == 3L)
+    // one changed value flips the fingerprint, not the count
+    assert(psql("fp_b", "UPDATE t SET v = 'X' WHERE id = 1")._1 == 0)
+    val b2 = PgSource.tableFingerprint(Seq("-d", s"host=$sockDir dbname=fp_b user=graft"), "t")
+    assert(b2._1 == 3L && b2._2 != a._2)
+    // empty table fingerprints as 'empty', not an error
+    assert(psql("fp_a", "CREATE TABLE e(x int)")._1 == 0)
+    assert(PgSource.tableFingerprint(
+      Seq("-d", s"host=$sockDir dbname=fp_a user=graft"), "e") == ((0L, "empty")))
+  }
+
   test("Lifecycle.pgDump: config-driven masked dump from live pg, restorable") {
     live()
     psql("postgres", "CREATE DATABASE cli_src")
