@@ -137,6 +137,38 @@ object PgArchive {
   def load(spark: SparkSession, dir: String): Seq[(String, DataFrame)] =
     loadFrom(spark, dir, PgToc.readFile(s"$dir/toc.dat"))
 
+  /** Large objects from a directory archive as (lo_oid: long, data:
+    * binary) — `blobs.toc` maps each oid to a `blob_<oid>.dat[.gz]` file
+    * whose payload is the RAW object bytes (not COPY text; verified
+    * against real pg_dump output). Empty result when the archive holds
+    * no large objects. Reads distribute one task per object; gzipped
+    * payloads decompress inline. This is the ingest side of the
+    * reference's LO support (`dumpers/large_object.go`) — LO write/ACL
+    * restore stays out of analytic scope per SURVEY §2.1. */
+  def loadLargeObjects(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toc = new java.io.File(dir, "blobs.toc")
+    val entries: Seq[(Long, String)] =
+      if (!toc.exists()) Nil
+      else java.nio.file.Files.readAllLines(toc.toPath).toArray(Array[String]())
+        .toSeq.map(_.trim).filter(_.nonEmpty).map { line =>
+          val Array(oid, f) = line.split("\\s+", 2)
+          oid.toLong -> f.trim
+        }
+    entries.toDF("lo_oid", "f").as[(Long, String)].map { case (oid, f) =>
+      val plain = new java.io.File(dir, f)
+      val gz = new java.io.File(dir, f + ".gz")
+      val bytes =
+        if (plain.exists()) java.nio.file.Files.readAllBytes(plain.toPath)
+        else {
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.FileInputStream(gz))
+          try in.readAllBytes() finally in.close()
+        }
+      (oid, bytes)
+    }.toDF("lo_oid", "data")
+  }
+
   private def loadFrom(spark: SparkSession, dir: String,
                        toc: PgToc.Toc): Seq[(String, DataFrame)] = {
     toc.entries.filter(_.desc.contains("TABLE DATA")).map { e =>

@@ -315,6 +315,26 @@ class PgInteropSpec extends SparkSpec {
     assert(back.count() == 500)
   }
 
+  test("loadLargeObjects: real pg_dump LO payloads land as (oid, bytes)") {
+    live()
+    psql("postgres", "CREATE DATABASE losrc")
+    assert(psql("losrc", "SELECT lo_from_bytea(0, '\\\\xdeadbeef'::bytea)")._1 == 0)
+    assert(psql("losrc", "SELECT lo_from_bytea(0, '\\\\x0102'::bytea)")._1 == 0)
+    // default pg_dump compresses blob payloads too (.dat.gz path)
+    val dump = s"$base/lodump"
+    val (rc, out) = sh(s"PGHOST=$sockDir PGUSER=graft /usr/bin/pg_dump -Fd -d losrc -f $dump")
+    assert(rc == 0, out)
+    val lo = graft.sources.PgArchive.loadLargeObjects(spark, dump)
+      .orderBy("lo_oid").collect()
+    assert(lo.length == 2)
+    val payloads = lo.map(_.getAs[Array[Byte]]("data").toSeq).toSeq
+    assert(payloads.contains(Seq(0xDE.toByte, 0xAD.toByte, 0xBE.toByte, 0xEF.toByte)))
+    assert(payloads.contains(Seq(0x01.toByte, 0x02.toByte)))
+    // archives without LOs yield an empty, correctly-typed frame
+    val none = graft.sources.PgArchive.loadLargeObjects(spark, s"$base/realdump")
+    assert(none.columns.toSeq == Seq("lo_oid", "data") && none.count() == 0)
+  }
+
   test("tableFingerprint: identical tables match, any divergence shows") {
     live()
     import graft.sources.PgSource
