@@ -3,6 +3,44 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
+/** Hadoop text input format whose splits are CLIPPED at a byte bound
+  * (`graft.copytext.bound`): lines starting at or after the bound are
+  * never read. [[CopyText.read]] uses it to cut a COPY payload at its
+  * `\.` terminator in the SAME pass that reads the data — the
+  * terminator's byte offset comes from a driver-side tail probe, so the
+  * payload is read exactly once and the scan stays splittable/parallel.
+  *
+  * Split semantics: Hadoop's LineRecordReader assigns a line to the
+  * split containing its START (a reader consumes lines while
+  * lineStart <= splitEnd, and a non-first split skips its leading
+  * partial line). Clipping a split's end to `bound - 1` therefore keeps
+  * exactly the lines that start before the bound. */
+class BoundedTextInputFormat
+    extends org.apache.hadoop.mapreduce.lib.input.TextInputFormat {
+  import org.apache.hadoop.mapreduce.{InputSplit, JobContext}
+  import org.apache.hadoop.mapreduce.lib.input.FileSplit
+  override def getSplits(job: JobContext): java.util.List[InputSplit] = {
+    val bound = job.getConfiguration.getLong(
+      BoundedTextInputFormat.BoundKey, Long.MaxValue)
+    val out = new java.util.ArrayList[InputSplit]()
+    super.getSplits(job).forEach { s =>
+      val f = s.asInstanceOf[FileSplit]
+      // keep lines with start <= bound-1: first split reads from 0, any
+      // other split reads lines starting strictly after its own start
+      if (bound > 0 && (f.getStart == 0 || f.getStart < bound - 1)) {
+        val end = math.min(f.getStart + f.getLength, bound - 1)
+        val len = end - f.getStart
+        if (len > 0 || f.getStart == 0)
+          out.add(new FileSplit(f.getPath, f.getStart, len, f.getLocations))
+      }
+    }
+    out
+  }
+}
+object BoundedTextInputFormat {
+  val BoundKey = "graft.copytext.bound"
+}
+
 /** PostgreSQL COPY text-format codec — the Spark edition of the
   * reference's zero-copy row codec (`internal/db/postgres/pgcopy/`:
   * delimiters `common.go:17-20` — `\t` field sep, `\N` null, `\.`
@@ -72,8 +110,8 @@ object CopyText {
       } else {
         var j = i
         while (j < s.length && s.charAt(j) != '\\') j += 1
-        out.write(s.substring(i, j).getBytes(utf8))
-        i = j
+        if (j == i) { out.write('\\'); i += 1 } // lone TRAILING backslash
+        else { out.write(s.substring(i, j).getBytes(utf8)); i = j }
       }
     }
     new String(out.toByteArray, utf8)
@@ -82,9 +120,29 @@ object CopyText {
   private def isHex(c: Char): Boolean =
     (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
 
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** PostgreSQL hex form of a bytea value: `\x` + lowercase hex — the
+    * text rendering COPY expects on input and emits on output. */
+  def byteaHex(b: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(2 + b.length * 2)
+    sb.append("\\x")
+    var i = 0
+    while (i < b.length) {
+      val x = b(i) & 0xFF
+      sb.append(HexChars(x >> 4)).append(HexChars(x & 0xF))
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Encode a DataFrame (stringified columns) as COPY text lines. One
     * output line per row; distributed text write (optionally gzip via
-    * codec option, matching the reference's `.dat.gz`). */
+    * codec option, matching the reference's `.dat.gz`). BinaryType
+    * columns render in PostgreSQL hex form (`\x...` — the exact inverse
+    * of [[graft.sources.PgArchive.loadTyped]]'s unhex decode), so bytea
+    * payloads survive a dump -> restore/re-load round-trip instead of
+    * degrading to `Array.toString`. */
   def write(df: DataFrame, path: String, compression: Option[String] = None): Unit = {
     val cols = df.columns
     val spark = df.sparkSession
@@ -92,7 +150,11 @@ object CopyText {
     val lines = df.mapPartitions { rows =>
       rows.map { r =>
         (0 until cols.length).map { i =>
-          if (r.isNullAt(i)) "\\N" else encodeField(String.valueOf(r.get(i)))
+          if (r.isNullAt(i)) "\\N"
+          else r.get(i) match {
+            case b: Array[Byte] => encodeField(byteaHex(b))
+            case v => encodeField(String.valueOf(v))
+          }
         }.mkString("\t")
       }
     }(Encoders.STRING)
@@ -142,23 +204,77 @@ object CopyText {
     }
   }
 
-  /** Read COPY text lines back into a string-typed DataFrame. */
+  /** Byte offset of the `\.` terminator LINE START when it is the last
+    * non-blank line of the file (the shape every well-formed COPY
+    * payload has — real pg_dump ends with `\.` plus two blank lines), by
+    * reading only the file's tail on the driver. None when the tail
+    * shows no terminator (e.g. a psql `COPY TO STDOUT` spool, which
+    * carries no terminator at all) or the last line exceeds the probe
+    * window. */
+  private def probeTerminator(fs: org.apache.hadoop.fs.FileSystem,
+                              p: org.apache.hadoop.fs.Path,
+                              len: Long): Option[Long] = {
+    if (len == 0) return None
+    val n = math.min(len, 4096L).toInt
+    val buf = new Array[Byte](n)
+    val in = fs.open(p)
+    try { in.seek(len - n); in.readFully(buf) } finally in.close()
+    var i = n - 1
+    // trailing junk after a terminator is blank lines only: skip EOL bytes
+    while (i >= 0 && (buf(i) == '\n' || buf(i) == '\r')) i -= 1
+    if (i < 0) return None // all-blank file
+    var j = i
+    while (j >= 0 && buf(j) != '\n') j -= 1
+    val start = j + 1
+    // start == 0 with more file before the window: the line may be
+    // truncated at the probe head — can't certify, fall back
+    if (start == 0 && len > n) None
+    else if (i - start + 1 == 2 && buf(start) == '\\' && buf(start + 1) == '.')
+      Some(len - n + start)
+    else None
+  }
+
+  /** Read COPY text lines back into a string-typed DataFrame — LAZY and
+    * single-pass. Real pg_dump payloads end with the `\.` terminator
+    * followed by two blank lines; "everything after the terminator is
+    * not data" is resolved WITHOUT an eager indexing job:
+    *
+    *  - single plain file with the terminator as its last non-blank line
+    *    (certified by a driver-side tail probe): the scan is cut at the
+    *    terminator's byte offset via [[BoundedTextInputFormat]] — exact,
+    *    splittable, and the payload is read once;
+    *  - everything else (gzipped payloads — unsplittable, one partition
+    *    per file, so a per-partition cut at the terminator is exact;
+    *    terminator-less spools/directories — the cut never fires): a
+    *    per-partition `takeWhile`, zero extra jobs, one decompress.
+    *
+    * Legitimate empty lines BEFORE the terminator — a one-column table's
+    * empty-string rows — survive in both paths; a literal "\\." row is
+    * never ambiguous because COPY escapes its backslash. */
   def read(spark: SparkSession, path: String, columns: Seq[String]): DataFrame = {
     val schema = StructType(columns.map(c => StructField(c, StringType, nullable = true)))
     val enc = Encoders.row(schema)
-    import spark.implicits._
-    // Real pg_dump payloads end with the `\.` terminator followed by TWO
-    // blank lines. "Everything after the terminator is not data" needs
-    // line POSITIONS, so the lines are indexed (zipWithIndex preserves
-    // file order: splits enumerate by offset) and the stream is cut at
-    // the first terminator. Legitimate empty lines BEFORE it — a
-    // one-column table's empty-string rows — survive; a literal "\\."
-    // row is never ambiguous because COPY escapes its backslash.
-    val indexed = spark.read.textFile(path).rdd.zipWithIndex()
-    val termIdx = indexed.filter(_._1 == "\\.").map(_._2)
-      .takeOrdered(1).headOption.getOrElse(Long.MaxValue)
-    val lineDs = spark.createDataset(
-      indexed.filter { case (_, i) => i < termIdx }.map(_._1))(Encoders.STRING)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val bounded =
+      if (st.isFile && !p.getName.endsWith(".gz"))
+        probeTerminator(fs, p, st.getLen)
+      else None
+    val lineDs = bounded match {
+      case Some(termOffset) =>
+        val conf = new org.apache.hadoop.conf.Configuration(
+          spark.sparkContext.hadoopConfiguration)
+        conf.setLong(BoundedTextInputFormat.BoundKey, termOffset)
+        val rdd = spark.sparkContext.newAPIHadoopFile(
+          path, classOf[BoundedTextInputFormat],
+          classOf[org.apache.hadoop.io.LongWritable],
+          classOf[org.apache.hadoop.io.Text], conf).map(_._2.toString)
+        spark.createDataset(rdd)(Encoders.STRING)
+      case None =>
+        spark.read.textFile(path)
+          .mapPartitions(_.takeWhile(_ != "\\."))(Encoders.STRING)
+    }
     lineDs
       .mapPartitions { lines =>
         lines.map { l =>

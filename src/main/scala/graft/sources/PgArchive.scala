@@ -16,9 +16,42 @@ import graft.pipeline.PgToc
   */
 object PgArchive {
 
-  // table part may itself be a quoted identifier with spaces — match
-  // lazily up to the column-list paren rather than assuming \S+
-  private val CopyCols = """(?s)COPY\s+.+?\(([^)]*)\)\s+FROM\s+stdin""".r
+  /** The column-list parenthesis group of a COPY statement, located by a
+    * QUOTE-AWARE scan (not a regex): a '(' inside a quoted table
+    * identifier (`COPY public."a(b" (id) FROM stdin`) does not start the
+    * list, and a ')' or ',' inside a quoted column name does not end or
+    * split it. Doubled quotes toggle in/out of quoting twice — a no-op
+    * for scanning purposes. Returns the raw text between the list's
+    * parens, verified to be followed by `FROM stdin`. */
+  private def copyColumnGroup(stmt: String): Option[String] = {
+    val at = stmt.indexOf("COPY")
+    if (at < 0) return None
+    var i = at + 4
+    var inQ = false
+    var start = -1
+    while (i < stmt.length && start < 0) {
+      val c = stmt.charAt(i)
+      if (inQ) { if (c == '"') inQ = false }
+      else if (c == '"') inQ = true
+      else if (c == '(') start = i + 1
+      i += 1
+    }
+    if (start < 0) return None
+    var j = start
+    inQ = false
+    while (j < stmt.length) {
+      val c = stmt.charAt(j)
+      if (inQ) { if (c == '"') inQ = false }
+      else if (c == '"') inQ = true
+      else if (c == ')') {
+        return if (stmt.substring(j + 1).matches("(?is)\\s+FROM\\s+stdin.*"))
+          Some(stmt.substring(start, j))
+        else None
+      }
+      j += 1
+    }
+    None
+  }
 
   /** Split a COPY column list honoring pg_dump's identifier quoting:
     * commas inside double quotes don't split, surrounding quotes strip,
@@ -49,8 +82,8 @@ object PgArchive {
   /** Column names from a TOC entry's COPY statement (pg_dump always
     * emits an explicit column list). */
   def columnsOf(e: PgToc.Entry): Seq[String] =
-    e.copyStmt.flatMap(CopyCols.findFirstMatchIn)
-      .map(m => splitIdentList(m.group(1)))
+    e.copyStmt.flatMap(copyColumnGroup)
+      .map(splitIdentList)
       .filter(_.nonEmpty)
       .getOrElse(throw new IllegalArgumentException(
         s"PgArchive: entry ${e.tag.getOrElse("?")} has no parsable COPY column list"))

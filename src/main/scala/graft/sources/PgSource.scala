@@ -88,13 +88,17 @@ object PgSource {
     // OWNS (a read-only dump role would silently lose every FK edge),
     // and joining constraints by NAME cross-matches when two tables
     // reuse a constraint name. conrelid/confrelid have neither problem.
+    // BOTH endpoints' namespaces filter: an FK pointing at a same-named
+    // table in a DIFFERENT schema must not fabricate a dependency edge
+    // onto the dumped table (bare relnames would mis-attribute it)
     val sql =
       "SELECT c.relname, p.relname AS parent " +
         "FROM pg_catalog.pg_constraint con " +
         "JOIN pg_catalog.pg_class c ON con.conrelid = c.oid " +
         "JOIN pg_catalog.pg_class p ON con.confrelid = p.oid " +
         "JOIN pg_catalog.pg_namespace n ON c.relnamespace = n.oid " +
-        s"WHERE con.contype = 'f' AND n.nspname = '$ns' " +
+        "JOIN pg_catalog.pg_namespace np ON p.relnamespace = np.oid " +
+        s"WHERE con.contype = 'f' AND n.nspname = '$ns' AND np.nspname = '$ns' " +
         "ORDER BY 1, 2"
     val buf = new java.io.ByteArrayOutputStream()
     val (rc, err) = runPsql(psqlArgs ++ Seq("-A", "-t", "-c", sql), buf)

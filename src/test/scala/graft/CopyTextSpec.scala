@@ -24,6 +24,71 @@ class CopyTextSpec extends SparkSpec {
     assert(CopyText.decodeField("\\7") == 0x7.toChar.toString) // short octal
   }
 
+  test("decoder terminates on a lone trailing backslash (malformed input)") {
+    // the escape branch needs a following char; a truncated field ending
+    // in '\' used to loop forever — it must decode and advance instead
+    assert(CopyText.decodeField("abc\\") == "abc\\")
+    assert(CopyText.decodeField("\\") == "\\")
+    assert(CopyText.decodeField("a\\\\") == "a\\") // escaped pair still one byte
+  }
+
+  test("bytea columns render as PostgreSQL hex and round-trip") {
+    assert(CopyText.byteaHex(Array(0xDE.toByte, 0xAD.toByte, 0x00.toByte)) == "\\xdead00")
+    val df = Seq((1L, Array[Byte](0xDE.toByte, 0xAD.toByte)),
+      (2L, Array.emptyByteArray), (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "blob")
+    val dir = Files.createTempDirectory("copybytea").toString
+    CopyText.write(df.selectExpr("cast(id as string) id", "blob"), s"$dir/t")
+    val back = CopyText.read(spark, s"$dir/t", Seq("id", "blob"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    // field content is the COPY text form: backslash-x + hex (null stays null)
+    assert(back.toSeq == Seq(("1", "\\xdead"), ("2", "\\x"), ("3", null)))
+  }
+
+  test("read() is lazy and single-pass: zero jobs at call time, terminator cut exact") {
+    // a well-formed pg_dump payload: data (incl. an empty line that IS a
+    // row of a 1-col table), the \. terminator, then two junk blank lines
+    val dat = Files.createTempDirectory("copyterm").resolve("16404.dat")
+    Files.write(dat, "x\n\ny\n\\.\n\n\n".getBytes("UTF-8"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // the listener bus is async — a short settle after each step keeps
+    // the counts honest without private API
+    def settle(): Unit = Thread.sleep(400)
+    try {
+      settle(); jobs.set(0)
+      val df = CopyText.read(spark, dat.toString, Seq("v"))
+      settle()
+      assert(jobs.get() == 0, "read() ran eager Spark jobs before any action")
+      val rows = df.collect().map(_.getString(0)).toSeq
+      assert(rows == Seq("x", "", "y"), s"terminator cut wrong: $rows")
+      settle()
+      assert(jobs.get() == 1, s"expected ONE job for the data pass, saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    // terminator-less spool (psql COPY TO STDOUT shape): everything kept
+    val spool = Files.createTempDirectory("copyspool").resolve("s.dat")
+    Files.write(spool, "a\nb\n".getBytes("UTF-8"))
+    assert(CopyText.read(spark, spool.toString, Seq("v"))
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+
+    // gzipped payload: one partition, per-partition cut, junk dropped
+    val gz = Files.createTempDirectory("copygz").resolve("g.dat.gz")
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(gz))
+    out.write("p\nq\n\\.\n\n\n".getBytes("UTF-8")); out.close()
+    assert(CopyText.read(spark, gz.toString, Seq("v"))
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("p", "q"))
+
+    // empty data: file is just the terminator + junk
+    val empty = Files.createTempDirectory("copyempty").resolve("e.dat")
+    Files.write(empty, "\\.\n\n\n".getBytes("UTF-8"))
+    assert(CopyText.read(spark, empty.toString, Seq("v")).count() == 0)
+  }
+
   test("write/read round-trip with tabs, newlines, nulls, gzip") {
     val df = Seq(
       (1L, Some("plain"), Some("with\ttab")),

@@ -112,6 +112,24 @@ class PgTocSpec extends AnyFunSuite {
     }
   }
 
+  test("columnsOf: quote-aware COPY column-list extraction") {
+    import graft.sources.PgArchive.columnsOf
+    def entry(stmt: String) = PgToc.Entry(dumpId = 1, copyStmt = Some(stmt))
+    assert(columnsOf(entry("COPY public.t (id, v) FROM stdin;\n")) == Seq("id", "v"))
+    // a '(' inside the QUOTED TABLE identifier must not start the list
+    assert(columnsOf(entry("COPY public.\"a(b\" (id, \"colX\") FROM stdin;\n"))
+      == Seq("id", "colX"))
+    // a ')' or ',' inside a QUOTED COLUMN identifier must not end/split it
+    assert(columnsOf(entry("COPY public.t (\"a)b\", \"c,d\", e) FROM stdin;\n"))
+      == Seq("a)b", "c,d", "e"))
+    // doubled quotes inside identifiers scan through
+    assert(columnsOf(entry("COPY public.\"we\"\"(rd\" (\"q\"\")t\", z) FROM stdin;\n"))
+      == Seq("q\")t", "z"))
+    intercept[IllegalArgumentException] {
+      columnsOf(entry("COPY public.t FROM stdin;\n")) // no column list
+    }
+  }
+
   test("real pg_restore -l accepts and lists our archive") {
     val pgRestore = new java.io.File("/usr/bin/pg_restore")
     assume(pgRestore.canExecute, "pg_restore binary not present")
