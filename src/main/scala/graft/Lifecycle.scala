@@ -96,12 +96,22 @@ object Lifecycle {
     * each configured table FROM a live PostgreSQL over the COPY protocol
     * (`sources/PgSource` via psql — no JDBC driver needed), apply the
     * config's masking plan, and write a pg_restore-loadable directory
-    * archive (toc.dat with CREATE TABLE DDL from the Spark schema +
-    * COPY-text data files). `pg_restore -d <target> <outDir>` then
-    * stands up the masked copy. `conninfo` is a libpq string, e.g.
-    * "host=/sockdir dbname=src user=graft". */
+    * archive. `pg_restore -d <target> <outDir>` then stands up the
+    * masked copy. `conninfo` is a libpq string, e.g.
+    * "host=/sockdir dbname=src user=graft".
+    *
+    * Schema fidelity: when the `pg_dump` client binary is present (and
+    * `schemaFromSource`), the archive's schema sections come from a REAL
+    * `pg_dump --schema-only -Fd` of the source merged with our masked
+    * data entries ([[PgToc.dumpArchiveMerged]]; the reference does
+    * exactly this, `cmd/dump.go:212-251,551-590`) — so restoring into an
+    * EMPTY database reproduces primary keys, indexes, FK constraints,
+    * defaults, sequences, comments and ACLs, with sequence positions
+    * replayed from `pg_sequences`. Without the binary it falls back to
+    * CREATE TABLE DDL generated from the Spark schema (bare tables). */
   def pgDump(spark: SparkSession, configJson: String, conninfo: String,
-             outDir: String): graft.pipeline.PgToc.Toc = {
+             outDir: String,
+             schemaFromSource: Boolean = true): graft.pipeline.PgToc.Toc = {
     val configs = ConfigLoader.fromJson(configJson)
     val psqlArgs = Seq("-d", conninfo)
     // per-table COPY transfers are network-bound and independent — run
@@ -132,8 +142,33 @@ object Lifecycle {
     val byName = masked.toMap
     val ordered = graft.subset.SubsetGraph.restoreOrder(names, edges)
       .flatten.map(n => n -> byName(n))
-    graft.pipeline.PgToc.dumpArchive(ordered, outDir, dbName,
-      includeSchema = true, deps = deps)
+    val pgDumpBin = new java.io.File("/usr/bin/pg_dump")
+    if (schemaFromSource && pgDumpBin.canExecute) {
+      // full-fidelity path: real schema-only archive of the source,
+      // masked data merged in (uncompressed so PgToc parses it plainly)
+      val schemaDir = Paths.get(outDir + ".schema")
+      if (Files.exists(schemaDir)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(schemaDir).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
+      val p = new ProcessBuilder(pgDumpBin.getPath, "-Fd", "--schema-only",
+        "--compress=0", "-d", conninfo, "-f", schemaDir.toString)
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      require(p.waitFor() == 0, s"pg_dump --schema-only failed:\n$out")
+      val schemaToc = PgToc.readFile(s"$schemaDir/toc.dat")
+      locally { // scratch schema archive fully absorbed into the merge
+        import scala.jdk.CollectionConverters._
+        Files.walk(schemaDir).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
+      val sequences = graft.sources.PgSource.sequenceValues(psqlArgs)
+      PgToc.dumpArchiveMerged(ordered, outDir, schemaToc,
+        deps = deps, sequences = sequences)
+    } else
+      graft.pipeline.PgToc.dumpArchive(ordered, outDir, dbName,
+        includeSchema = true, deps = deps)
   }
 
   /** validate --data: warnings + original-vs-transformed diff counts. */

@@ -367,6 +367,97 @@ object PgToc {
     toc
   }
 
+  /** Merge a REAL `pg_dump --schema-only -Fd` archive with Spark-masked
+    * table data — the reference's own dump shape (`internal/db/postgres/
+    * cmd/dump.go:212-251` shells out for the schema sections;
+    * `dump.go:551-590` merges the TOC): the source archive's entries are
+    * kept VERBATIM (full-fidelity DDL — primary keys, indexes, FK
+    * constraints, defaults, sequences, ACLs, comments, in pg_dump's own
+    * order), our TABLE DATA entries (ids allocated past the schema TOC's
+    * max) are spliced in before the first post-data entry, each
+    * depending on its table's TABLE definition entry, and SEQUENCE SET
+    * entries replay the source's sequence positions. Restoring the
+    * result into an EMPTY database reproduces the source's complete
+    * schema with masked data — no pre-created tables needed.
+    *
+    * `tables` must already be in restore (parents-first) order; `deps`
+    * adds data->data dependency ids on top of the data->DDL ones (what
+    * `pg_restore -j` reads). Owner and namespace come from each table's
+    * own schema entry, falling back to `namespace`/"graft" for tables
+    * the schema archive doesn't know. */
+  def dumpArchiveMerged(tables: Seq[(String, org.apache.spark.sql.DataFrame)],
+                        outDir: String, schemaToc: Toc,
+                        deps: Map[String, Seq[String]] = Map.empty,
+                        sequences: Map[String, Long] = Map.empty,
+                        namespace: String = "public",
+                        compress: Boolean = false): Toc = {
+    Files.createDirectories(Paths.get(outDir))
+    def qi(n: String) = graft.sources.PgSource.quoteIdent(n)
+    val maxId = schemaToc.entries.map(_.dumpId).maxOption.getOrElse(0)
+    val tableDdl: Map[String, Entry] = schemaToc.entries
+      .filter(_.desc.contains("TABLE"))
+      .flatMap(e => e.tag.map(_ -> e)).toMap
+    val seqDdl: Map[String, Entry] = schemaToc.entries
+      .filter(_.desc.contains("SEQUENCE"))
+      .flatMap(e => e.tag.map(_ -> e)).toMap
+    val dataIds = tables.zipWithIndex.map { case ((t, _), i) => t -> (maxId + i + 1) }.toMap
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val ext = if (compress) ".dat.gz" else ".dat"
+    val writes = tables.map { case (table, df) =>
+      Future(graft.sources.CopyText.writeDatFile(
+        df, s"$outDir/${dataIds(table)}$ext", gzip = compress))
+    }
+    writes.foreach(Await.result(_, Duration.Inf))
+    val dataEntries = tables.map { case (table, df) =>
+      val id = dataIds(table)
+      val ddl = tableDdl.get(table)
+      val ns = ddl.flatMap(_.namespace).getOrElse(namespace)
+      Entry(
+        dumpId = id, hadDumper = 1,
+        tableOid = ddl.map(_.oid).getOrElse(0L), oid = id.toLong,
+        tag = Some(table), desc = Some("TABLE DATA"),
+        section = SectionData,
+        copyStmt = Some(s"COPY ${qi(ns)}.${qi(table)} " +
+          s"(${df.columns.map(qi).mkString(", ")}) FROM stdin;\n"),
+        namespace = Some(ns), relkind = 'r'.toByte,
+        owner = ddl.flatMap(_.owner).orElse(Some("graft")),
+        dependencies =
+          ddl.map(_.dumpId).toSeq ++
+            deps.getOrElse(table, Nil).flatMap(dataIds.get),
+        fileName = Some(s"$id.dat"))
+    }
+    val seqBase = maxId + tables.size
+    val seqEntries = sequences.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((seq, value), i) =>
+        val ddl = seqDdl.get(seq)
+        val ns = ddl.flatMap(_.namespace).getOrElse(namespace)
+        Entry(
+          dumpId = seqBase + i + 1, hadDumper = 0, oid = (seqBase + i + 1).toLong,
+          tag = Some(seq), desc = Some("SEQUENCE SET"),
+          section = SectionData,
+          defn = Some(s"SELECT pg_catalog.setval('${qi(ns)}.${qi(seq)}', ${value}, true);\n"),
+          namespace = Some(ns),
+          owner = ddl.flatMap(_.owner).orElse(Some("graft")),
+          dependencies = ddl.map(_.dumpId).toSeq)
+    }
+    // splice data before the first post-data entry so single-session
+    // pg_restore sees pre-data -> data -> post-data in TOC order (the
+    // order pg_dump itself writes); attached entries (COMMENT/ACL) keep
+    // their position relative to their objects
+    val splitAt = schemaToc.entries.indexWhere(_.section == SectionPostData)
+    val (pre, post) =
+      if (splitAt < 0) (schemaToc.entries, Seq.empty[Entry])
+      else schemaToc.entries.splitAt(splitAt)
+    val header = schemaToc.header.copy(
+      compression = if (compress) Compression(algorithm = 1, level = 6)
+                    else Compression())
+    val toc = Toc(header, pre ++ dataEntries ++ seqEntries ++ post)
+    writeFile(toc, s"$outDir/toc.dat")
+    toc
+  }
+
   /** Render the engine's [[Manifest]] as a pg_restore-compatible TOC:
     * one TABLE DATA entry per dumped table, dependency ids preserved,
     * data file = the manifest path's basename. `pg_restore -l` then

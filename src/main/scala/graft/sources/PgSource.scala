@@ -109,6 +109,23 @@ object PgSource {
       }.toSeq.distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
   }
 
+  /** Current positions of every CALLED sequence in the namespace
+    * (`pg_sequences.last_value` is NULL until the first `nextval`) — the
+    * values a dump must replay as `SEQUENCE SET` entries so restored
+    * serial columns resume where the source left off (the reference's
+    * sequence dump, `internal/db/postgres/dumpers/sequence.go`). */
+  def sequenceValues(psqlArgs: Seq[String],
+                     namespace: String = "public"): Map[String, Long] = {
+    val ns = namespace.replace("'", "''")
+    val sql = "SELECT sequencename, last_value FROM pg_catalog.pg_sequences " +
+      s"WHERE schemaname = '$ns' AND last_value IS NOT NULL ORDER BY 1"
+    val buf = new java.io.ByteArrayOutputStream()
+    val (rc, err) = runPsql(psqlArgs ++ Seq("-A", "-t", "-c", sql), buf)
+    require(rc == 0, s"PgSource.sequenceValues: psql rc=$rc: $err")
+    buf.toString("UTF-8").split("\n").map(_.trim).filter(_.nonEmpty)
+      .map(_.split("\\|")).collect { case Array(s, v) => s -> v.toLong }.toMap
+  }
+
   /** Order-independent content fingerprint of a live table: row count +
     * md5 over the sorted per-row md5s, computed ON the server (one
     * aggregate query; no data moves). The post-restore verification
