@@ -269,6 +269,79 @@ object PgToc {
     }
   }
 
+  /** Write large-object payloads as `blob_<oid>.dat[.gz]` files plus the
+    * plain-text `blobs.toc` map (always recording the BARE `.dat` name,
+    * exactly like pg_dump — verified against the real binary under both
+    * compression settings). `los` must be a (lo_oid: long, data: binary)
+    * frame — [[graft.sources.PgArchive.loadLargeObjects]]'s own shape,
+    * so read and write sides compose. Streams through `toLocalIterator`:
+    * one blob in driver memory at a time (the Row model holds a blob as
+    * one value; the reference streams the same content in 1 MiB chunks —
+    * `dumpers/large_object.go:35`). Returns the oids written. */
+  def writeBlobFiles(los: org.apache.spark.sql.DataFrame, outDir: String,
+                     compress: Boolean = false): Seq[Long] = {
+    Files.createDirectories(Paths.get(outDir))
+    val it = los.select("lo_oid", "data").toLocalIterator()
+    val oids = Seq.newBuilder[Long]
+    val toc = new StringBuilder
+    while (it.hasNext) {
+      val r = it.next()
+      val oid = r.getLong(0)
+      val bytes = if (r.isNullAt(1)) Array.emptyByteArray
+                  else r.getAs[Array[Byte]](1)
+      val name = s"blob_$oid.dat"
+      if (compress) {
+        val gz = new java.util.zip.GZIPOutputStream(
+          Files.newOutputStream(Paths.get(outDir, name + ".gz")))
+        try gz.write(bytes) finally gz.close()
+      } else Files.write(Paths.get(outDir, name), bytes)
+      toc.append(oid).append(' ').append(name).append('\n')
+      oids += oid
+    }
+    Files.write(Paths.get(outDir, "blobs.toc"),
+      toc.toString.getBytes("UTF-8"))
+    oids.result()
+  }
+
+  /** TOC entries for large objects, pg_dump-shaped (field values proved
+    * against the real binary's output): per blob a pre-data `BLOB` entry
+    * (tableOid 2613 = pg_largeobject_metadata, `lo_create`/`lo_unlink`
+    * statements) optionally followed by its `ACL` entry (section NONE,
+    * tag `LARGE OBJECT <oid>`, depends on the BLOB entry), plus one
+    * data-section `BLOBS` entry (hadDumper=1, file `blobs.toc`, no
+    * owner/namespace). Returns (pre-data entries, BLOBS data entry). */
+  def blobTocEntries(oids: Seq[Long], acls: Map[Long, String],
+                     firstId: Int, owner: String): (Seq[Entry], Entry) = {
+    var id = firstId
+    val pre = oids.flatMap { oid =>
+      val blobId = id
+      val blob = Entry(
+        dumpId = blobId, hadDumper = 0, tableOid = 2613L, oid = oid,
+        tag = Some(oid.toString), desc = Some("BLOB"),
+        section = SectionPreData,
+        defn = Some(s"SELECT pg_catalog.lo_create('$oid');\n"),
+        dropStmt = Some(s"SELECT pg_catalog.lo_unlink('$oid');\n"),
+        owner = Some(owner))
+      id += 1
+      val acl = acls.get(oid).map { sql =>
+        val e = Entry(
+          dumpId = id, hadDumper = 0,
+          tag = Some(s"LARGE OBJECT $oid"), desc = Some("ACL"),
+          section = SectionNone,
+          defn = Some(if (sql.endsWith("\n")) sql else sql + "\n"),
+          owner = Some(owner), dependencies = Seq(blobId))
+        id += 1
+        e
+      }
+      blob +: acl.toSeq
+    }
+    val blobs = Entry(
+      dumpId = id, hadDumper = 1,
+      tag = Some("BLOBS"), desc = Some("BLOBS"),
+      section = SectionData, fileName = Some("blobs.toc"))
+    (pre, blobs)
+  }
+
   /** Dump DataFrames as a COMPLETE pg_restore-loadable directory archive:
     * `toc.dat` (a pre-data TABLE entry with CREATE TABLE DDL generated
     * from the Spark schema when `includeSchema`, plus one TABLE DATA
@@ -286,7 +359,9 @@ object PgToc {
                   deps: Map[String, Seq[String]] = Map.empty,
                   includeSchema: Boolean = false,
                   sequences: Map[String, Long] = Map.empty,
-                  compress: Boolean = false): Toc = {
+                  compress: Boolean = false,
+                  largeObjects: Option[org.apache.spark.sql.DataFrame] = None,
+                  loAcls: Map[Long, String] = Map.empty): Toc = {
     Files.createDirectories(Paths.get(outDir))
     val n = tables.size
     // schema entries take ids 1..n, data entries n+1..2n (restore order:
@@ -357,12 +432,22 @@ object PgToc {
           defn = Some(s"SELECT pg_catalog.setval('${namespace}.${seq}', ${value}, true);\n"),
           namespace = Some(namespace), owner = Some(owner))
     }
+    // large objects: blob payload files + pg_dump-shaped BLOB/ACL/BLOBS
+    // entries (write side of PgArchive.loadLargeObjects)
+    val (blobPre, blobData) = largeObjects match {
+      case Some(los) =>
+        val oids = writeBlobFiles(los, outDir, compress)
+        val (pre, data) = blobTocEntries(oids, loAcls,
+          firstId = seqBase + sequences.size + 1, owner = owner)
+        (pre, Seq(data))
+      case None => (Nil, Nil)
+    }
     val toc = Toc(Header(1, 14, 0, dbName = Some(dbName),
       remoteVersion = Some("15.0"), dumpVersion = Some("15.0"),
       // v1.14 stores a gzip LEVEL int; non-zero = gzip (pg_dump default 6)
       compression = if (compress) Compression(algorithm = 1, level = 6)
                     else Compression()),
-      schemaEntries ++ dataEntries ++ seqEntries)
+      schemaEntries ++ blobPre ++ dataEntries ++ seqEntries ++ blobData)
     writeFile(toc, s"$outDir/toc.dat")
     toc
   }
@@ -390,7 +475,9 @@ object PgToc {
                         deps: Map[String, Seq[String]] = Map.empty,
                         sequences: Map[String, Long] = Map.empty,
                         namespace: String = "public",
-                        compress: Boolean = false): Toc = {
+                        compress: Boolean = false,
+                        largeObjects: Option[org.apache.spark.sql.DataFrame] = None,
+                        loAcls: Map[Long, String] = Map.empty): Toc = {
     Files.createDirectories(Paths.get(outDir))
     def qi(n: String) = graft.sources.PgSource.quoteIdent(n)
     val maxId = schemaToc.entries.map(_.dumpId).maxOption.getOrElse(0)
@@ -442,6 +529,15 @@ object PgToc {
           owner = ddl.flatMap(_.owner).orElse(Some("graft")),
           dependencies = ddl.map(_.dumpId).toSeq)
     }
+    // large objects (same pg_dump shape as dumpArchive's)
+    val (blobPre, blobData) = largeObjects match {
+      case Some(los) =>
+        val oids = writeBlobFiles(los, outDir, compress)
+        val (preE, dataE) = blobTocEntries(oids, loAcls,
+          firstId = seqBase + sequences.size + 1, owner = "graft")
+        (preE, Seq(dataE))
+      case None => (Nil, Nil)
+    }
     // splice data before the first post-data entry so single-session
     // pg_restore sees pre-data -> data -> post-data in TOC order (the
     // order pg_dump itself writes); attached entries (COMMENT/ACL) keep
@@ -453,7 +549,8 @@ object PgToc {
     val header = schemaToc.header.copy(
       compression = if (compress) Compression(algorithm = 1, level = 6)
                     else Compression())
-    val toc = Toc(header, pre ++ dataEntries ++ seqEntries ++ post)
+    val toc = Toc(header,
+      pre ++ blobPre ++ dataEntries ++ seqEntries ++ blobData ++ post)
     writeFile(toc, s"$outDir/toc.dat")
     toc
   }

@@ -176,8 +176,10 @@ object PgArchive {
     * against real pg_dump output). Empty result when the archive holds
     * no large objects. Reads distribute one task per object; gzipped
     * payloads decompress inline. This is the ingest side of the
-    * reference's LO support (`dumpers/large_object.go`) — LO write/ACL
-    * restore stays out of analytic scope per SURVEY §2.1. */
+    * reference's LO support (`dumpers/large_object.go`); the write side
+    * is [[graft.pipeline.PgToc.writeBlobFiles]] + `blobTocEntries` (the
+    * `largeObjects` parameter of the archive dumpers), so blobs
+    * round-trip in both directions. */
   def loadLargeObjects(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val toc = new java.io.File(dir, "blobs.toc")
