@@ -297,6 +297,13 @@ object Lifecycle {
           ok
         }
         if (results.contains(false)) { spark.stop(); sys.exit(1) }
+      case "pg-restore" :: archDir :: conninfo :: rest =>
+        // replay a directory archive (pg_dump -Fd / pg-dump output) into
+        // a live database through psql — no native pg_restore needed
+        graft.sources.PgRestore.restore(archDir, Seq("-d", conninfo),
+          dataOnly = rest.contains("--data-only"),
+          disableTriggers = rest.contains("--disable-triggers"))
+          .foreach(l => println(s"[pg-restore] $l"))
       case "pg-ingest" :: archDir :: outDir :: Nil =>
         // any pg_dump -Fd / reference-produced directory archive ->
         // parquet lake, typed from the archive's own CREATE TABLE DDL
@@ -340,6 +347,7 @@ object Lifecycle {
         System.err.println(
           "usage: dump <config.json> <sfDir> <outDir> | " +
             "pg-dump <config.json> <conninfo> <outDir> | " +
+            "pg-restore <archiveDir> <conninfo> [--data-only] [--disable-triggers] | " +
             "pg-ingest <archiveDir> <outDir> | " +
             "pg-diff <conninfoA> <conninfoB> <tables,csv> | " +
             "validate <config.json> <sfDir> | " +

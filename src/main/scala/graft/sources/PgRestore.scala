@@ -1,0 +1,192 @@
+package graft.sources
+
+import graft.pipeline.PgToc
+
+/** `pg_restore` re-implemented over the stock `psql` client: replay a
+  * PostgreSQL directory archive (pg_dump -Fd, the reference's output, or
+  * [[graft.pipeline.PgToc.dumpArchive]]/`dumpArchiveMerged` output) into
+  * a live database WITHOUT the native pg_restore binary — the Spark-side
+  * twin of the reference's restore command
+  * (`internal/db/postgres/cmd/restore.go`; per-table COPY streaming
+  * `restorers/table.go:54-160`, integrity controls `restorers/base.go`,
+  * blob restore `restorers/blobs.go:52`).
+  *
+  * Entries replay in TOC order (pg_dump writes pre-data -> data ->
+  * post-data; parents-first inside data — the same order the native
+  * single-session pg_restore uses). TABLE DATA payloads stream straight
+  * from the archive file into `COPY ... FROM STDIN` — no Spark pass, no
+  * re-encode; gzipped payloads decompress inline on the stream. Within
+  * the data section, tables load through a worker pool in dependency
+  * WAVES (the reference's task queue, `restore.go:755-831`): a table
+  * starts only after every data entry it depends on has finished, and
+  * independent tables load concurrently.
+  *
+  * Scale note: one COPY stream per table is the protocol's shape (same
+  * as the dump side); `jobs` is the per-table concurrency lever, exactly
+  * like `pg_restore -j`.
+  */
+object PgRestore {
+
+  /** One SQL batch in its own psql session; returns (rc, combined out). */
+  private def exec(psqlArgs: Seq[String], sql: String): (Int, String) = {
+    val cmd = Seq("/usr/bin/psql", "-X", "-q", "-v", "ON_ERROR_STOP=1") ++
+      psqlArgs ++ Seq("-c", sql)
+    val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    p.getOutputStream.close()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    (p.waitFor(), out)
+  }
+
+  /** Run a psql session with `pre` statements (each its own -c) followed
+    * by a COPY FROM STDIN fed from `file` (gunzipped inline when the
+    * name ends .gz). The payload's own `\.` terminator ends the COPY. */
+  private def copyFrom(psqlArgs: Seq[String], pre: Seq[String],
+                       copySql: String, file: java.io.File): (Int, String) = {
+    val cmd = Seq("/usr/bin/psql", "-X", "-q", "-v", "ON_ERROR_STOP=1") ++
+      psqlArgs ++ pre.flatMap(s => Seq("-c", s)) ++ Seq("-c", copySql)
+    val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val feeder = new Thread(() => {
+      val in: java.io.InputStream = {
+        val raw = new java.io.BufferedInputStream(new java.io.FileInputStream(file))
+        if (file.getName.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw)
+        else raw
+      }
+      try in.transferTo(p.getOutputStream)
+      catch { case _: java.io.IOException => () } // psql exited early
+      finally { try p.getOutputStream.close() catch { case _: Throwable => () }
+                in.close() }
+    })
+    feeder.setDaemon(true); feeder.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    val rc = p.waitFor()
+    feeder.join(10000)
+    (rc, out)
+  }
+
+  /** Large-object data: for each `blobs.toc` line, (re)create the oid
+    * and stream its payload through chunked `lo_put` calls in a psql -f
+    * script — hex literals stay under the per-argument OS limit and a
+    * multi-GB blob never lives in one statement. */
+  private def restoreBlobs(dir: String, psqlArgs: Seq[String],
+                           createOids: Boolean): Seq[String] = {
+    val toc = new java.io.File(dir, "blobs.toc")
+    if (!toc.exists()) return Nil
+    java.nio.file.Files.readAllLines(toc.toPath).toArray(Array[String]())
+      .toSeq.map(_.trim).filter(_.nonEmpty).map { line =>
+        val Array(oidS, name) = line.split("\\s+", 2)
+        val oid = oidS.toLong
+        val plain = new java.io.File(dir, name.trim)
+        val gz = new java.io.File(dir, name.trim + ".gz")
+        val in: java.io.InputStream =
+          if (plain.exists()) new java.io.FileInputStream(plain)
+          else new java.util.zip.GZIPInputStream(new java.io.FileInputStream(gz))
+        val script = java.nio.file.Files.createTempFile("graft_lo", ".sql")
+        val w = java.nio.file.Files.newBufferedWriter(script)
+        try {
+          if (createOids) w.write(s"SELECT pg_catalog.lo_create($oid);\n")
+          val buf = new Array[Byte](256 * 1024)
+          var off = 0L
+          var n = in.read(buf)
+          while (n > 0) {
+            val hex = new java.lang.StringBuilder(n * 2)
+            var i = 0
+            while (i < n) {
+              hex.append("0123456789abcdef".charAt((buf(i) >> 4) & 0xF))
+              hex.append("0123456789abcdef".charAt(buf(i) & 0xF))
+              i += 1
+            }
+            w.write(s"SELECT pg_catalog.lo_put($oid, $off, '\\x$hex');\n")
+            off += n
+            n = in.read(buf)
+          }
+        } finally { w.close(); in.close() }
+        val cmd = Seq("/usr/bin/psql", "-X", "-q", "-v", "ON_ERROR_STOP=1") ++
+          psqlArgs ++ Seq("-o", "/dev/null", "-f", script.toString)
+        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        p.getOutputStream.close()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        val rc = p.waitFor()
+        java.nio.file.Files.delete(script)
+        require(rc == 0, s"pg-restore: blob $oid failed: $out")
+        s"blob $oid"
+      }
+  }
+
+  /** Replay the archive at `dir` into the database `psqlArgs` points at.
+    * Returns one human line per restored entry. `dataOnly` skips schema
+    * (pre/post-data) statements — the native `-a`; `disableTriggers`
+    * wraps each COPY in `session_replication_role = replica` (the
+    * reference's integrity control; superuser required). */
+  def restore(dir: String, psqlArgs: Seq[String],
+              dataOnly: Boolean = false,
+              disableTriggers: Boolean = false,
+              jobs: Int = 4): Seq[String] = {
+    val toc = PgToc.readFile(s"$dir/toc.dat")
+    val skip = Set("DATABASE", "ENCODING", "STDSTRINGS", "SEARCHPATH")
+    val pre =
+      if (disableTriggers) Seq("SET session_replication_role = replica") else Nil
+    val done = Seq.newBuilder[String]
+
+    def execDefn(e: PgToc.Entry): Unit = e.defn.filter(_.trim.nonEmpty).foreach { sql =>
+      val (rc, out) = exec(psqlArgs, sql)
+      require(rc == 0,
+        s"pg-restore: ${e.desc.getOrElse("?")} ${e.tag.getOrElse("?")} failed: $out")
+      done += s"${e.desc.getOrElse("?")} ${e.tag.getOrElse("?")}"
+    }
+
+    def loadTable(e: PgToc.Entry): Unit = {
+      val base = e.fileName.filter(_.nonEmpty).getOrElse(
+        throw new IllegalArgumentException(
+          s"pg-restore: TABLE DATA ${e.tag.getOrElse("?")} has no data file"))
+      val plain = new java.io.File(dir, base)
+      val f = if (plain.exists()) plain else new java.io.File(dir, base + ".gz")
+      require(f.exists(), s"pg-restore: missing payload $base(.gz)")
+      val copySql = e.copyStmt.map(_.trim.stripSuffix(";")).getOrElse(
+        throw new IllegalArgumentException(
+          s"pg-restore: TABLE DATA ${e.tag.getOrElse("?")} has no COPY statement"))
+      val (rc, out) = copyFrom(psqlArgs, pre, copySql, f)
+      require(rc == 0, s"pg-restore: COPY ${e.tag.getOrElse("?")} failed: $out")
+    }
+
+    // dependency WAVES inside the data section: a data entry whose deps
+    // include another data entry waits for it; independents run together
+    val dataEntries = toc.entries.filter(_.desc.contains("TABLE DATA"))
+    val dataIds = dataEntries.map(_.dumpId).toSet
+    def waves(remaining: Seq[PgToc.Entry], doneIds: Set[Int],
+              acc: Seq[Seq[PgToc.Entry]]): Seq[Seq[PgToc.Entry]] =
+      if (remaining.isEmpty) acc
+      else {
+        val (ready, blocked) = remaining.partition(
+          _.dependencies.filter(dataIds).forall(doneIds))
+        require(ready.nonEmpty,
+          "pg-restore: dependency cycle among TABLE DATA entries")
+        waves(blocked, doneIds ++ ready.map(_.dumpId), acc :+ ready)
+      }
+
+    // 1. schema + pre-data statements, TOC order (unless data-only)
+    toc.entries.filter(e => e.section == PgToc.SectionPreData ||
+        e.section == PgToc.SectionNone).foreach { e =>
+      val d = e.desc.getOrElse("")
+      if (!skip(d) && !dataOnly) execDefn(e)
+    }
+    // 2. data: tables in dependency waves through a worker pool
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    val ec = ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(math.max(1, jobs)))
+    try waves(dataEntries, Set.empty, Nil).foreach { wave =>
+      wave.map(e => Future(loadTable(e))(ec)).foreach(Await.result(_, Duration.Inf))
+      wave.foreach(e => done += s"TABLE DATA ${e.tag.getOrElse("?")}")
+    } finally ec.shutdown()
+    // 3. remaining data-section statements (SEQUENCE SET) + blobs
+    toc.entries.filter(e => e.section == PgToc.SectionData &&
+      e.desc.contains("SEQUENCE SET")).foreach(execDefn)
+    if (toc.entries.exists(_.desc.contains("BLOBS")))
+      done ++= restoreBlobs(dir, psqlArgs, createOids = dataOnly)
+    // 4. post-data (constraints, indexes, FKs) + ACLs (unless data-only)
+    if (!dataOnly) {
+      toc.entries.filter(_.section == PgToc.SectionPostData).foreach(execDefn)
+    }
+    done.result()
+  }
+}

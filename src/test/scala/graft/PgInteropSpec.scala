@@ -394,6 +394,70 @@ class PgInteropSpec extends SparkSpec {
     assert(backGz.toSeq == back.toSeq)
   }
 
+  test("pg-restore CLI: reference-produced archive loads without the native binary, identical to pg_restore") {
+    live()
+    import graft.sources.{PgRestore, PgSource}
+    psql("postgres", "CREATE DATABASE pr_src")
+    assert(psql("pr_src",
+      "CREATE TABLE public.t1(id int PRIMARY KEY, v text, amt numeric(8,2)); " +
+        "CREATE TABLE public.t2(id int REFERENCES t1(id), note text); " +
+        "INSERT INTO t1 VALUES (1, 'tab\there', 1.50), (2, NULL, -3.25); " +
+        "INSERT INTO t2 VALUES (1, 'x'), (2, NULL); " +
+        "SELECT lo_from_bytea(91001, '\\\\xdeadbeef'::bytea)")._1 == 0)
+    // the REAL pg_dump, default settings (gzipped payloads)
+    val dump = s"$base/pr_dump"
+    val (rcD, outD) = sh(s"PGHOST=$sockDir PGUSER=graft /usr/bin/pg_dump -Fd -d pr_src -f $dump")
+    assert(rcD == 0, outD)
+    // target A through OUR restorer, target B through the native binary
+    psql("postgres", "CREATE DATABASE pr_a")
+    psql("postgres", "CREATE DATABASE pr_b")
+    val lines = PgRestore.restore(dump, Seq("-d", s"host=$sockDir dbname=pr_a user=graft"))
+    assert(lines.exists(_ == "TABLE DATA t1") && lines.exists(_.startsWith("blob ")),
+      s"restore log: $lines")
+    val (rcB, outB) = sh(s"PGHOST=$sockDir PGUSER=graft /usr/bin/pg_restore -d pr_b $dump")
+    assert(rcB == 0, outB)
+    // pg-diff green between the two targets on every table
+    Seq("t1", "t2").foreach { t =>
+      val a = PgSource.tableFingerprint(Seq("-d", s"host=$sockDir dbname=pr_a user=graft"), t)
+      val b = PgSource.tableFingerprint(Seq("-d", s"host=$sockDir dbname=pr_b user=graft"), t)
+      assert(a == b && a._1 == 2L, s"$t diverged: $a vs $b")
+    }
+    // schema fidelity through OUR restorer: PK and FK landed
+    assert(psql("pr_a", "SELECT count(*) FROM pg_constraint c JOIN pg_class t " +
+      "ON c.conrelid=t.oid WHERE t.relname='t1' AND c.contype='p'")._2.trim == "1")
+    assert(psql("pr_a", "SELECT count(*) FROM pg_constraint c JOIN pg_class t " +
+      "ON c.conrelid=t.oid WHERE t.relname='t2' AND c.contype='f'")._2.trim == "1")
+    // blob byte-identical on both targets
+    val la = psql("pr_a", "SELECT encode(lo_get(91001),'hex')")._2.trim
+    val lb = psql("pr_b", "SELECT encode(lo_get(91001),'hex')")._2.trim
+    assert(la == "deadbeef" && lb == la, s"blob mismatch: $la vs $lb")
+  }
+
+  test("pg-restore CLI: our own schema+data+blobs archive stands up a database with no native tooling") {
+    live()
+    import spark.implicits._
+    import graft.sources.PgRestore
+    val users = Seq((1L, "née\ttab"), (2L, null.asInstanceOf[String])).toDF("id", "name")
+    val blobs = Seq((88001L, Array[Byte](1, 2, 0, 3))).toDF("lo_oid", "data")
+    val arch = s"$base/own_restore_arch"
+    PgToc.dumpArchive(Seq("users" -> users), arch, "own_tgt",
+      includeSchema = true, sequences = Map("users_seq" -> 17L),
+      largeObjects = Some(blobs), compress = true)
+    psql("postgres", "CREATE DATABASE own_tgt")
+    assert(psql("own_tgt", "CREATE SEQUENCE public.users_seq")._1 == 0)
+    PgRestore.restore(arch, Seq("-d", s"host=$sockDir dbname=own_tgt user=graft"))
+    val (rc, got) = psql("own_tgt",
+      "COPY (SELECT id, name FROM users ORDER BY id) TO STDOUT")
+    assert(rc == 0, got)
+    val rows = got.split("\n").filter(_.nonEmpty).map { l =>
+      val Array(id, n) = l.split("\t", 2)
+      id -> (if (n == "\\N") null else graft.sources.CopyText.decodeField(n))
+    }.toSeq
+    assert(rows == Seq("1" -> "née\ttab", "2" -> null), s"rows: $rows")
+    assert(psql("own_tgt", "SELECT last_value FROM users_seq")._2.trim == "17")
+    assert(psql("own_tgt", "SELECT encode(lo_get(88001),'hex')")._2.trim == "01020003")
+  }
+
   test("tableFingerprint: identical tables match, any divergence shows") {
     live()
     import graft.sources.PgSource
