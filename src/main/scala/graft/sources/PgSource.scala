@@ -10,12 +10,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[CopyText.read]] — so a table leaves the source database through
   * exactly one COPY stream, like pg_dump itself.
   *
-  * Scale note: one COPY stream per table is the protocol's shape; the
-  * parallelism lever at scale is per-table concurrency (the reference's
-  * worker pool; `Lifecycle.dump`'s Future pool here) plus the
+  * Scale note: the parallelism levers are per-table concurrency (the
+  * reference's worker pool; `Lifecycle.dump`'s Future pool here),
+  * INTRA-table ctid-range slicing (`table(..., slices = N)` — N
+  * concurrent COPY streams per table, so one huge table no longer
+  * serializes through a single stream/driver file), and the
   * stride-partitioned JDBC scan in `pipeline/Pipeline` when a driver is
-  * available. This source is the client-tool analog for
-  * COPY-compatible endpoints.
+  * available. This source is the client-tool analog for COPY-compatible
+  * endpoints.
   */
 object PgSource {
 
@@ -142,23 +144,76 @@ object PgSource {
     (n.toLong, h)
   }
 
+  /** Heap size of a live table in PAGES (`pg_class.relpages`, never
+    * below 1) — the ctid-slicing basis for [[table]]. */
+  def relPages(psqlArgs: Seq[String], tableName: String,
+               namespace: String = "public"): Long = {
+    val rel = s"${quoteIdent(namespace)}.${quoteIdent(tableName)}"
+      .replace("'", "''")
+    val sql = s"SELECT GREATEST(relpages, 1) FROM pg_catalog.pg_class " +
+      s"WHERE oid = '$rel'::regclass"
+    val buf = new java.io.ByteArrayOutputStream()
+    val (rc, err) = runPsql(psqlArgs ++ Seq("-A", "-t", "-c", sql), buf)
+    require(rc == 0, s"PgSource.relPages: psql rc=$rc: $err")
+    buf.toString("UTF-8").trim.toLong
+  }
+
   /** Ingest a whole table: discover columns, COPY it out, distribute.
     * Optional `conds` push a WHERE into the COPY's inner SELECT — the
     * reference's subset-scoped dump (rows are filtered on the SERVER, so
-    * a 1% subset moves 1% of the bytes). The spool file must outlive the
-    * returned (lazy) DataFrame; it is registered for JVM-exit cleanup. */
+    * a 1% subset moves 1% of the bytes). The spool file(s) must outlive
+    * the returned (lazy) DataFrame; they are registered for JVM-exit
+    * cleanup.
+    *
+    * `slices` > 1 splits the transfer into N concurrent ctid-range
+    * `COPY (SELECT ...)` streams — page-range slicing off `relpages`,
+    * each slice spooling to its own file, unioned lazily. PostgreSQL 14+
+    * serves each slice with a TID range scan, so a 10 TB table no longer
+    * serializes through one stream and one driver file: this is the COPY
+    * analog of the reference's intra-dump worker pool
+    * (`cmd/dump.go:592-686`), and the per-TABLE concurrency lever
+    * (Lifecycle's Future pool) composes with it. The LAST slice is
+    * open-ended (`ctid >= ...` with no upper bound) so rows appended
+    * past a stale `relpages` estimate are still captured; slice count
+    * caps at the page count. */
   def table(spark: SparkSession, psqlArgs: Seq[String], tableName: String,
-            namespace: String = "public", conds: Seq[String] = Nil): DataFrame = {
+            namespace: String = "public", conds: Seq[String] = Nil,
+            slices: Int = 1): DataFrame = {
     val cols = columnsOf(psqlArgs, tableName, namespace)
-    val spoolPath = java.nio.file.Files
-      .createTempFile(s"graft_pgsrc_${tableName.replaceAll("[^A-Za-z0-9_-]", "_")}", ".dat")
-    spoolPath.toFile.deleteOnExit()
     val qTable = s"${quoteIdent(namespace)}.${quoteIdent(tableName)}"
     val qCols = cols.map(quoteIdent).mkString(", ")
-    val source =
-      if (conds.isEmpty) s"$qTable ($qCols)"
+    def spool(suffix: String): String = {
+      val p = java.nio.file.Files.createTempFile(
+        s"graft_pgsrc_${tableName.replaceAll("[^A-Za-z0-9_-]", "_")}$suffix", ".dat")
+      p.toFile.deleteOnExit()
+      p.toString
+    }
+    def sourceSql(extraConds: Seq[String]): String = {
+      val all = conds ++ extraConds
+      if (all.isEmpty) s"$qTable ($qCols)"
       else s"(SELECT $qCols FROM $qTable " +
-        s"WHERE ${conds.map(c => s"($c)").mkString(" AND ")})"
-    copyIn(spark, psqlArgs, s"COPY $source TO STDOUT", cols, spoolPath.toString)
+        s"WHERE ${all.map(c => s"($c)").mkString(" AND ")})"
+    }
+    val pages = if (slices <= 1) 1L else relPages(psqlArgs, tableName, namespace)
+    val n = math.min(slices.toLong, pages).toInt
+    if (n <= 1)
+      copyIn(spark, psqlArgs, s"COPY ${sourceSql(Nil)} TO STDOUT", cols, spool(""))
+    else {
+      val ranges = (0 until n).map { i =>
+        val lo = pages * i / n
+        val hi = pages * (i + 1) / n
+        val lower = s"ctid >= '($lo,0)'"
+        if (i == n - 1) Seq(lower) // open-ended tail slice
+        else Seq(lower, s"ctid < '($hi,0)'")
+      }
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val parts = ranges.zipWithIndex.map { case (r, i) =>
+        Future(copyIn(spark, psqlArgs,
+          s"COPY ${sourceSql(r)} TO STDOUT", cols, spool(s"_s$i")))
+      }.map(Await.result(_, Duration.Inf))
+      parts.reduce(_ unionAll _)
+    }
   }
 }

@@ -458,6 +458,35 @@ class PgInteropSpec extends SparkSpec {
     assert(psql("own_tgt", "SELECT encode(lo_get(88001),'hex')")._2.trim == "01020003")
   }
 
+  test("sliced COPY ingest: N ctid-range streams are row-identical to one stream") {
+    live()
+    import graft.sources.PgSource
+    psql("postgres", "CREATE DATABASE slice_src")
+    // ~10k rows over a couple hundred heap pages, with text wide enough
+    // to spread; one NULL row and one tab row to exercise the codec
+    assert(psql("slice_src",
+      "CREATE TABLE public.big(id bigint, payload text); " +
+        "INSERT INTO big SELECT g, repeat(md5(g::text), 4) FROM generate_series(1, 10000) g; " +
+        "INSERT INTO big VALUES (10001, NULL), (10002, 'tab\tin\tpayload'); " +
+        "ANALYZE big")._1 == 0)
+    val args = Seq("-d", s"host=$sockDir dbname=slice_src user=graft")
+    assert(PgSource.relPages(args, "big") > 4, "fixture too small to slice")
+    val one = PgSource.table(spark, args, "big")
+    val four = PgSource.table(spark, args, "big", slices = 4)
+    assert(four.rdd.getNumPartitions >= 1)
+    val a = one.orderBy("id").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val b = four.orderBy("id").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(a.size == 10002 && a == b, s"slice divergence: sizes ${a.size} vs ${b.size}")
+    // conds compose with slice ranges (server-side subset + slices)
+    val sub = PgSource.table(spark, args, "big", conds = Seq("id <= 100"), slices = 3)
+    assert(sub.count() == 100)
+    // more slices than pages degrades gracefully to page count
+    psql("slice_src", "CREATE TABLE public.tiny(x int); INSERT INTO tiny VALUES (1), (2)")
+    psql("slice_src", "ANALYZE tiny")
+    assert(PgSource.table(spark, args, "tiny", slices = 64)
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("1", "2"))
+  }
+
   test("tableFingerprint: identical tables match, any divergence shows") {
     live()
     import graft.sources.PgSource
