@@ -804,6 +804,39 @@ object SparkEntry {
             GROUP BY id_a, id_b ORDER BY id_a, id_b"""
       }),
 
+    // Degenerate-block guard: placeholder values ('UNKNOWN' standing in
+    // for dirty names) collapse into one mega-block whose pairs are all
+    // junk matches (dist 0 on the placeholder itself). maxBlockSize
+    // drops any block over the cap on either side BEFORE the join —
+    // at sf0.01 this is 65,631 candidate pairs uncapped vs 1,131 capped.
+    // Oracle replicates the cap with QUALIFY window counts per side.
+    "q_fuzzy_link_capped" -> Q(
+      (s, dir) => {
+        val cust = rd(s, dir, "customer")
+        val dirtyA = cust.select(col("c_custkey").as("a_key"),
+          when(col("c_custkey") % 7 === 0, lit("UNKNOWN"))
+            .otherwise(col("c_name")).as("a_name"))
+        val dirtyB = cust.select(col("c_custkey").as("p_key"),
+          when(col("c_custkey") % 5 === 0, lit("UNKNOWN"))
+            .otherwise(translate(col("c_name"), "1", "I")).as("p_name"))
+        graft.ops.RecordLinkage.fuzzyJoin(
+          dirtyA, "a_key", "a_name",
+          graft.ops.RecordLinkage.suffixBlock(col("a_name")),
+          dirtyB, "p_key", "p_name",
+          graft.ops.RecordLinkage.suffixBlock(col("p_name")),
+          maxDist = 3, maxBlockSize = Some(100)).orderBy("id_a", "id_b")
+      },
+      Some(graft.ops.RecordLinkage.fuzzyJoinCappedSql(
+        "SELECT c_custkey AS a_key, CASE WHEN c_custkey % 7 = 0 THEN 'UNKNOWN' " +
+          "ELSE c_name END AS a_name FROM customer",
+        "a_key", "a_name",
+        graft.ops.RecordLinkage.suffixBlockSql("a_name"),
+        "SELECT c_custkey AS p_key, CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN' " +
+          "ELSE replace(c_name, '1', 'I') END AS p_name FROM customer",
+        "p_key", "p_name",
+        graft.ops.RecordLinkage.suffixBlockSql("p_name"),
+        maxDist = 3, maxBlockSize = 100) + " ORDER BY id_a, id_b")),
+
     // Entity resolution on top of linkage: three record variants per
     // customer (original, '1'->'I' twin, '2'->'Z' twin; ids namespaced
     // 3k/3k+1/3k+2), pairs from two suffix-blocked fuzzy joins that each

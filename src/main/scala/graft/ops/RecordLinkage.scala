@@ -33,32 +33,62 @@ object RecordLinkage {
 
   /** Fuzzy join: pairs (id_a, id_b, dist) where both sides share the
     * blocking key and levenshtein(textA, textB) <= maxDist.
+    *
+    * `maxBlockSize` is the DEGENERATE-BLOCK guard (standard linkage
+    * hygiene): a block whose row count exceeds the cap on EITHER side is
+    * dropped from candidate generation entirely — without it, one hot
+    * key ("", "UNKNOWN", a shared serial prefix) makes the join
+    * quadratic in that block's size. Enforced per side with a window
+    * count over `__blk`, which the join's own hash partitioning absorbs
+    * (same key, no extra exchange pair beyond the window sort). Dropped
+    * blocks trade recall for a hard cost bound — exactly the dial real
+    * linkage systems expose; pick the cap so legitimate blocks pass.
+    *
     * @param blockA / blockB blocking-key expressions over each side's
     *        text column (same key family on both sides for recall). */
   def fuzzyJoin(a: DataFrame, aId: String, aText: String, blockA: Column,
                 b: DataFrame, bId: String, bText: String, blockB: Column,
-                maxDist: Int): DataFrame = {
+                maxDist: Int, maxBlockSize: Option[Int] = None): DataFrame = {
     require(maxDist >= 0, "fuzzyJoin: maxDist must be >= 0")
-    val left = a.select(col(aId).as("id_a"), col(aText).as("text_a"),
-      blockA.as("__blk"))
-    val right = b.select(col(bId).as("id_b"), col(bText).as("text_b"),
-      blockB.as("__blk"))
+    require(maxBlockSize.forall(_ > 0), "fuzzyJoin: maxBlockSize must be positive")
+    import org.apache.spark.sql.expressions.Window
+    def capped(df: DataFrame): DataFrame = maxBlockSize.fold(df) { cap =>
+      df.withColumn("__bn", count(lit(1)).over(Window.partitionBy("__blk")))
+        .filter(col("__bn") <= cap).drop("__bn")
+    }
+    val left = capped(a.select(col(aId).as("id_a"), col(aText).as("text_a"),
+      blockA.as("__blk")))
+    val right = capped(b.select(col(bId).as("id_b"), col(bText).as("text_b"),
+      blockB.as("__blk")))
     left.join(right, "__blk")
       .withColumn("dist", levenshtein(col("text_a"), col("text_b")))
       .filter(col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
   }
 
+  /** Per-block row counts on each side — the diagnostic to run BEFORE
+    * committing to a cap: returns (__blk, side, n) sorted largest first. */
+  def blockSizeReport(a: DataFrame, blockA: Column,
+                      b: DataFrame, blockB: Column): DataFrame =
+    a.select(blockA.as("__blk")).groupBy("__blk").count()
+      .select(col("__blk"), lit("a").as("side"), col("count").as("n"))
+      .unionByName(
+        b.select(blockB.as("__blk")).groupBy("__blk").count()
+          .select(col("__blk"), lit("b").as("side"), col("count").as("n")))
+      .orderBy(col("n").desc)
+
   /** Multi-pass blocking: union the candidate pairs of several blocking
     * keys and keep each matched pair once (min distance is identical
     * across passes — the distance doesn't depend on the block). Recovers
-    * pairs any single key misses at the cost of one pass per key. */
+    * pairs any single key misses at the cost of one pass per key.
+    * `maxBlockSize` applies per pass (see [[fuzzyJoin]]). */
   def fuzzyJoinMulti(a: DataFrame, aId: String, aText: String,
                      b: DataFrame, bId: String, bText: String,
-                     blocks: Seq[(Column, Column)], maxDist: Int): DataFrame = {
+                     blocks: Seq[(Column, Column)], maxDist: Int,
+                     maxBlockSize: Option[Int] = None): DataFrame = {
     require(blocks.nonEmpty, "fuzzyJoinMulti: need at least one blocking key")
     blocks.map { case (ba, bb) =>
-      fuzzyJoin(a, aId, aText, ba, b, bId, bText, bb, maxDist)
+      fuzzyJoin(a, aId, aText, ba, b, bId, bText, bb, maxDist, maxBlockSize)
     }.reduce(_ unionByName _)
       .groupBy("id_a", "id_b").agg(min("dist").as("dist"))
   }
@@ -157,5 +187,23 @@ object RecordLinkage {
                  levenshtein(a.${aText}, b.${bText})::INT AS dist
           FROM (${aSql}) a JOIN (${bSql}) b
             ON (${blockASql}) = (${blockBSql}))
+        WHERE dist <= ${maxDist}"""
+
+  /** DuckDB rendering of the CAPPED [[fuzzyJoin]]: identical block-size
+    * semantics via QUALIFY window counts per side. Block expressions
+    * here are over each subquery's BARE columns (no alias prefix). */
+  def fuzzyJoinCappedSql(aSql: String, aId: String, aText: String,
+                         blockASql: String,
+                         bSql: String, bId: String, bText: String,
+                         blockBSql: String,
+                         maxDist: Int, maxBlockSize: Int): String =
+    s"""SELECT id_a, id_b, dist FROM (
+          SELECT a.${aId} AS id_a, b.${bId} AS id_b,
+                 levenshtein(a.${aText}, b.${bText})::INT AS dist
+          FROM (SELECT *, ${blockASql} AS __blk FROM (${aSql})
+                QUALIFY count(*) OVER (PARTITION BY __blk) <= ${maxBlockSize}) a
+          JOIN (SELECT *, ${blockBSql} AS __blk FROM (${bSql})
+                QUALIFY count(*) OVER (PARTITION BY __blk) <= ${maxBlockSize}) b
+            ON a.__blk = b.__blk)
         WHERE dist <= ${maxDist}"""
 }

@@ -47,6 +47,33 @@ class RecordLinkageSpec extends SparkSpec {
     }
   }
 
+  test("maxBlockSize drops hot blocks on either side, keeps the rest intact") {
+    // side a: 8 rows in hot block "XXX" + 3 clean rows; side b: 1 hot + 3 clean.
+    // cap=5 kills the hot block via SIDE A alone (8 > 5 >= 1) — every
+    // XXX pair disappears while clean-block pairs are byte-identical.
+    val a = ((1L to 8L).map(i => (i, s"nameXXX")) ++
+      Seq((20L, "alpha"), (21L, "alphb"), (22L, "gamma"))).toDF("id", "t")
+    val b = (Seq((101L, "nameXXX")) ++
+      Seq((120L, "alpha"), (121L, "alphc"), (122L, "delta"))).toDF("id", "t")
+    def run(cap: Option[Int]) = RecordLinkage.fuzzyJoin(
+      a, "id", "t", RecordLinkage.suffixBlock(col("t")),
+      b, "id", "t", RecordLinkage.suffixBlock(col("t")),
+      maxDist = 2, maxBlockSize = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val uncapped = run(None)
+    val capped = run(Some(5))
+    assert(uncapped.exists(_._2 == 101L), "hot-block pairs present uncapped")
+    assert(!capped.exists(_._2 == 101L), "hot block survived the cap")
+    assert(capped == uncapped.filterNot(_._2 == 101L),
+      "clean blocks must be untouched by the cap")
+    // diagnostic report ranks the hot block first
+    val top = RecordLinkage.blockSizeReport(
+      a.select(RecordLinkage.suffixBlock(col("t")).as("__blk")), col("__blk"),
+      b.select(RecordLinkage.suffixBlock(col("t")).as("__blk")), col("__blk"))
+      .head()
+    assert(top.getString(0) == "XXX" && top.getLong(2) == 8L)
+  }
+
   test("entityClusters: transitive merge over a chain, singletons kept, dup edges ok") {
     import spark.implicits._
     // chain 1-2, 2-3, 3-4 (depth forces >1 propagation round); island 7-8;
