@@ -1140,6 +1140,34 @@ object SparkEntry {
       Some("SELECT c_custkey, c_name, c_nationkey, c_mktsegment " +
         "FROM customer ORDER BY c_custkey")),
 
+    // Archive round-trip at data scale: the BIG table through the full
+    // pg_dump shape (gzip member, binary TOC, COPY text codec) — the
+    // interop-throughput headliner the bench tracks round over round.
+    // 600k rows at sf0.1; quantity cast to int (integral in TPC-H) keeps
+    // the oracle float-format-free per repo discipline.
+    "q_pg_archive_lineitem" -> Q(
+      (s, dir) => {
+        val out = s"/tmp/graft_pg_arch_li_${new java.io.File(dir).getName}"
+        val src = rd(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+            col("l_quantity").cast("int").as("l_quantity"),
+            col("l_returnflag"), col("l_linestatus"))
+        graft.pipeline.PgToc.dumpArchive(Seq("lineitem" -> src), out, "rt",
+          compress = true)
+        val loaded = graft.sources.PgArchive.load(s, out)
+        require(loaded.map(_._1) == Seq("lineitem"), "archive tag mismatch")
+        loaded.head._2
+          .select(col("l_orderkey").cast("long").as("l_orderkey"),
+            col("l_partkey").cast("long").as("l_partkey"),
+            col("l_linenumber").cast("int").as("l_linenumber"),
+            col("l_quantity").cast("int").as("l_quantity"),
+            col("l_returnflag"), col("l_linestatus"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("SELECT l_orderkey, l_partkey, l_linenumber, " +
+        "CAST(l_quantity AS INT) AS l_quantity, l_returnflag, l_linestatus " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber")),
+
     // Sessionization: idle-gap session ids per user (lag + running-sum
     // windows; epoch seconds derived from the TIMESTAMP_NTZ ts)
     "q_sessionize" -> Q(

@@ -53,6 +53,10 @@ object PlanCeilings {
     "q_funnel_steps"        -> (1, 1),
     "q_curate_pipeline"     -> (1, 1),
     "q_entity_clusters"     -> (1, 2),
-    "q_funnel_steps_capped" -> (1, 1)
+    "q_funnel_steps_capped" -> (1, 1),
+    // dump side runs eagerly inside the query fn (COPY spool, not in this
+    // plan); the audited LOAD plan scans the archive's .dat.gz text, no
+    // parquet and no hash exchange (orderBy is a range partition)
+    "q_pg_archive_lineitem" -> (1, 0)
   )
 }
