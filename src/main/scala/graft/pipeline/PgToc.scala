@@ -134,7 +134,10 @@ object PgToc {
       int(e.dumpId); int(e.hadDumper)
       str(Some(e.tableOid.toString)); str(Some(e.oid.toString))
       str(e.tag); estr(e.desc)
-      int(e.section)
+      // section field exists from 1.11 (pg_backup_archiver K_VERS_1_11);
+      // an ungated write here desyncs a 1.10 reader one int into every
+      // entry (caught by PgTocPropertySpec's cross-version fuzz)
+      if (v >= V1_11) int(e.section)
       str(e.defn); str(e.dropStmt); str(e.copyStmt)
       str(e.namespace); str(e.tablespace)
       if (v >= V1_14) str(e.tableam)
