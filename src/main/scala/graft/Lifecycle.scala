@@ -124,7 +124,7 @@ object Lifecycle {
       // subset conds push into the COPY's SELECT: the SOURCE SERVER
       // filters, so a subset dump moves only the subset's bytes
       cfg -> Future(graft.sources.PgSource.table(spark, psqlArgs, cfg.table,
-        conds = cfg.subsetConds))
+        conds = cfg.subsetConds, slices = cfg.dumpSlices))
     }.map { case (cfg, fut) =>
       cfg.table -> Planner.plan(Await.result(fut, Duration.Inf),
         cfg.copy(subsetConds = Nil))

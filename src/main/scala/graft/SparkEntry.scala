@@ -1162,11 +1162,16 @@ object SparkEntry {
             col("l_linenumber").cast("int").as("l_linenumber"),
             col("l_quantity").cast("int").as("l_quantity"),
             col("l_returnflag"), col("l_linestatus"))
-          .orderBy("l_orderkey", "l_linenumber")
+          // total order over every output column: the fixture is
+          // TPC-H-ISH — (orderkey, linenumber) is NOT unique in it, so a
+          // partial sort leaves tie order engine-dependent
+          .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+            "l_returnflag", "l_linestatus")
       },
       Some("SELECT l_orderkey, l_partkey, l_linenumber, " +
         "CAST(l_quantity AS INT) AS l_quantity, l_returnflag, l_linestatus " +
-        "FROM lineitem ORDER BY l_orderkey, l_linenumber")),
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, " +
+        "l_quantity, l_returnflag, l_linestatus")),
 
     // Sessionization: idle-gap session ids per user (lag + running-sum
     // windows; epoch seconds derived from the TIMESTAMP_NTZ ts)

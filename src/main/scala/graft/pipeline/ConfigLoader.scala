@@ -12,6 +12,8 @@ import org.json4s.jackson.JsonMethods
   *     { "table": "customer",
   *       "when": "c_custkey % 2 = 0",
   *       "subset_conds": ["c_acctbal > 0"],
+  *       "dump_slices": 8,
+  *
   *       "drop_columns": ["c_comment"],
   *       "type_overrides": {"c_acctbal": "decimal(12,2)"},
   *       "apply_for_inherited": true,
@@ -75,6 +77,7 @@ object ConfigLoader {
       dropColumns = (t \ "drop_columns").extractOpt[Seq[String]].getOrElse(Nil),
       limit = (t \ "limit").extractOpt[Int],
       typeOverrides = (t \ "type_overrides").extractOpt[Map[String, String]].getOrElse(Map.empty),
-      applyForInherited = (t \ "apply_for_inherited").extractOpt[Boolean].getOrElse(false))
+      applyForInherited = (t \ "apply_for_inherited").extractOpt[Boolean].getOrElse(false),
+      dumpSlices = (t \ "dump_slices").extractOpt[Int].getOrElse(1))
   }
 }

@@ -175,7 +175,11 @@ case class TableConfig(table: String,
                        dropColumns: Seq[String] = Nil,
                        limit: Option[Int] = None,
                        typeOverrides: Map[String, String] = Map.empty,
-                       applyForInherited: Boolean = false)
+                       applyForInherited: Boolean = false,
+                       // live-PG ingest only (`pg-dump`): ctid-range COPY
+                       // slice count for THIS table — the per-table dial
+                       // for one huge table serializing a dump
+                       dumpSlices: Int = 1)
 
 /** Plan-time validation warning (analog of toolkit.ValidationWarning). */
 case class ValidationWarning(severity: String, table: String, column: String, msg: String)

@@ -33,7 +33,7 @@ class EntrySpec extends SparkSpec {
     // during adaptive re-planning would slip past a static-only check
     // (round-5 ADVICE).
     var adaptiveSeen = 0
-    Bench.headline.foreach { name =>
+    Bench.headlineAll.foreach { name =>
       val fn = SparkEntry.queries(name)
       val df = fn(spark, "/root/testdata/sf0.001")
       val initial = df.queryExecution.executedPlan.toString
@@ -80,7 +80,7 @@ class EntrySpec extends SparkSpec {
   }
 
   test("every headline query has a plan ceiling (new headline entries must be baselined)") {
-    val missing = Bench.headline.filterNot(PlanCeilings.headline.contains)
+    val missing = Bench.headlineAll.filterNot(PlanCeilings.headline.contains)
     assert(missing.isEmpty, s"run PlanAudit and add ceilings for: $missing")
   }
 

@@ -211,6 +211,12 @@ class ManifestRound3Spec extends SparkSpec {
     intercept[IllegalArgumentException](ConfigLoader.interpolate("${MISSING_VAR_42}", env))
   }
 
+  test("config dump_slices parses per table (default 1)") {
+    val cfg = ConfigLoader.fromJson(
+      """{"tables":[{"table":"lineitem","dump_slices":8},{"table":"region"}]}""")
+    assert(cfg.head.dumpSlices == 8 && cfg(1).dumpSlices == 1)
+  }
+
   test("list-dumps / show-dump / delete over a manifest directory") {
     val root = Files.createTempDirectory("graft_dumps").toString
     val df = Seq((1L, "x")).toDF("id", "v")
