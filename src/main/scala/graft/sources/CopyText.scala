@@ -199,8 +199,18 @@ object CopyText {
             "filesystem (spark default FS must be local for single-file rendering)"))
       val parts = listed.filter(_.getName.startsWith("part-")).sortBy(_.getName)
       val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(file))
+      // gzip member boundaries, known only HERE at write time: recorded to
+      // a `.idx` sidecar so [[read]] can decompress members in parallel.
+      // pg_restore reads only the files toc.dat lists, so the sidecar is
+      // invisible to the native toolchain — our archives stay byte-level
+      // pg_dump-compatible AND parallel-loadable by our own reader.
+      val members = Seq.newBuilder[(Long, Long)]
+      var off = 0L
       try {
-        parts.foreach(p => java.nio.file.Files.copy(p.toPath, out))
+        parts.foreach { p =>
+          java.nio.file.Files.copy(p.toPath, out)
+          members += ((off, p.length())); off += p.length()
+        }
         if (gzip) {
           // close() (not just finish()) releases the Deflater's native
           // zlib buffers immediately; it also closes `out`, which is
@@ -209,6 +219,13 @@ object CopyText {
           gz.write("\\.\n".getBytes("UTF-8")); gz.close()
         } else out.write("\\.\n".getBytes("UTF-8"))
       } finally out.close()
+      if (gzip) {
+        val total = new java.io.File(file).length()
+        val lines = (s"graftgzidx v1 $total" +:
+          members.result().map { case (s, l) => s"$s $l" }).mkString("", "\n", "\n")
+        java.nio.file.Files.write(java.nio.file.Paths.get(file + ".idx"),
+          lines.getBytes("UTF-8"))
+      }
     } finally {
       Option(dir.listFiles()).foreach(_.foreach(_.delete()))
       dir.delete()
@@ -254,14 +271,48 @@ object CopyText {
     *    (certified by a driver-side tail probe): the scan is cut at the
     *    terminator's byte offset via [[BoundedTextInputFormat]] — exact,
     *    splittable, and the payload is read once;
-    *  - everything else (gzipped payloads — unsplittable, one partition
-    *    per file, so a per-partition cut at the terminator is exact;
-    *    terminator-less spools/directories — the cut never fires): a
-    *    per-partition `takeWhile`, zero extra jobs, one decompress.
+    *  - gzipped payload WITH a `.idx` sidecar (our own [[writeDatFile]]
+    *    output): one task per recorded gzip member — the normally
+    *    unsplittable stream decompresses in parallel, turning archive
+    *    load from a 1-task bottleneck into a full-width scan (foreign
+    *    archives have no sidecar and a stale one self-invalidates by
+    *    total length);
+    *  - everything else (foreign gzipped payloads — unsplittable, one
+    *    partition per file, so a per-partition cut at the terminator is
+    *    exact; terminator-less spools/directories — the cut never
+    *    fires): a per-partition `takeWhile`, zero extra jobs, one
+    *    decompress.
     *
     * Legitimate empty lines BEFORE the terminator — a one-column table's
     * empty-string rows — survive in both paths; a literal "\\." row is
     * never ambiguous because COPY escapes its backslash. */
+  /** Parse a `.dat.gz.idx` sidecar written by [[writeDatFile]]: header
+    * `graftgzidx v1 <totalBytes>`, then one `start length` line per gzip
+    * DATA member. Returns the member ranges only when the recorded total
+    * matches the file's CURRENT length — a payload rewritten by any
+    * other tool (real pg_dump, manual edit) invalidates the sidecar and
+    * the reader falls back to the single-stream path. */
+  private def memberIndex(fs: org.apache.hadoop.fs.FileSystem,
+                          p: org.apache.hadoop.fs.Path,
+                          len: Long): Option[Seq[(Long, Long)]] = {
+    val idx = new org.apache.hadoop.fs.Path(p.toString + ".idx")
+    if (!fs.exists(idx)) return None
+    try {
+      val n = fs.getFileStatus(idx).getLen.toInt
+      val buf = new Array[Byte](n)
+      val in = fs.open(idx)
+      try in.readFully(0, buf) finally in.close()
+      val text = new String(buf, "UTF-8")
+      val lines = text.split("\n").filter(_.nonEmpty)
+      val hdr = lines.head.split(" ")
+      if (hdr.length != 3 || hdr(0) != "graftgzidx" || hdr(1) != "v1" ||
+        hdr(2).toLong != len) None
+      else Some(lines.tail.toSeq.map { l =>
+        val a = l.split(" "); (a(0).toLong, a(1).toLong)
+      })
+    } catch { case _: Exception => None }
+  }
+
   def read(spark: SparkSession, path: String, columns: Seq[String]): DataFrame = {
     val schema = StructType(columns.map(c => StructField(c, StringType, nullable = true)))
     val enc = Encoders.row(schema)
@@ -272,8 +323,51 @@ object CopyText {
       if (st.isFile && !p.getName.endsWith(".gz"))
         probeTerminator(fs, p, st.getLen)
       else None
-    val lineDs = bounded match {
-      case Some(termOffset) =>
+    // Our own gzipped payloads carry a member index: one task per gzip
+    // member turns the format's one-unsplittable-stream-per-table decode
+    // into a parallel scan (the load-side twin of writeDatFile's
+    // distributed encode). Foreign payloads have no sidecar -> fallback.
+    val indexed =
+      if (st.isFile && p.getName.endsWith(".gz"))
+        memberIndex(fs, p, st.getLen)
+      else None
+    val lineDs = (indexed, bounded) match {
+      case (Some(ranges), _) if ranges.nonEmpty =>
+        val uri = p.toUri
+        val rdd = spark.sparkContext
+          .parallelize(ranges, ranges.size)
+          .flatMap { case (start, mlen) =>
+            // executor-side FS handle; default Configuration resolves
+            // file:// (the directory-archive deployment shape) and any
+            // scheme configured cluster-wide
+            val efs = org.apache.hadoop.fs.FileSystem.get(uri,
+              new org.apache.hadoop.conf.Configuration())
+            val raw = efs.open(new org.apache.hadoop.fs.Path(uri))
+            raw.seek(start)
+            val boundedIn = new java.io.InputStream {
+              private var left = mlen
+              override def read(): Int =
+                if (left <= 0) -1
+                else { val b = raw.read(); if (b >= 0) left -= 1; b }
+              override def read(b: Array[Byte], o: Int, l: Int): Int =
+                if (left <= 0) -1
+                else {
+                  val n = raw.read(b, o, math.min(l.toLong, left).toInt)
+                  if (n > 0) left -= n
+                  n
+                }
+              override def close(): Unit = raw.close()
+            }
+            val br = new java.io.BufferedReader(new java.io.InputStreamReader(
+              new java.util.zip.GZIPInputStream(boundedIn), "UTF-8"))
+            new Iterator[String] {
+              private var nxt = br.readLine()
+              def hasNext: Boolean = nxt != null || { br.close(); false }
+              def next(): String = { val r = nxt; nxt = br.readLine(); r }
+            }.takeWhile(_ != "\\.")
+          }
+        spark.createDataset(rdd)(Encoders.STRING)
+      case (_, Some(termOffset)) =>
         val conf = new org.apache.hadoop.conf.Configuration(
           spark.sparkContext.hadoopConfiguration)
         conf.setLong(BoundedTextInputFormat.BoundKey, termOffset)
@@ -282,7 +376,7 @@ object CopyText {
           classOf[org.apache.hadoop.io.LongWritable],
           classOf[org.apache.hadoop.io.Text], conf).map(_._2.toString)
         spark.createDataset(rdd)(Encoders.STRING)
-      case None =>
+      case _ =>
         spark.read.textFile(path)
           .mapPartitions(_.takeWhile(_ != "\\."))(Encoders.STRING)
     }

@@ -105,4 +105,40 @@ class CopyTextSpec extends SparkSpec {
       ("2", None, Some("with\nnewline")),
       ("3", Some("back\\slash"), None)))
   }
+
+  test("gzip .dat member index: parallel load, identical rows, stale idx falls back") {
+    val df = (1 to 500).map(i => (i.toString, s"v\t$i\nx")).toDF("id", "v")
+      .repartition(6)
+    val dir = Files.createTempDirectory("copyidx")
+    val dat = dir.resolve("t.dat.gz").toString
+    CopyText.writeDatFile(df, dat, gzip = true)
+    val idx = java.nio.file.Paths.get(dat + ".idx")
+    assert(Files.exists(idx), "writeDatFile(gzip) must emit the member sidecar")
+    val idxLines = new String(Files.readAllBytes(idx), "UTF-8").split("\n")
+    assert(idxLines.head.startsWith("graftgzidx v1 "))
+
+    val indexed = CopyText.read(spark, dat, Seq("id", "v"))
+    // one task per DATA member (terminator member is not indexed)
+    assert(indexed.rdd.getNumPartitions == idxLines.length - 1,
+      "indexed read must decompress members in parallel")
+    val expect = (1 to 500).map(i => (i.toString, s"v\t$i\nx")).sortBy(_._1)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.as[(String, String)].collect().sortBy(_._1).toSeq
+    assert(rows(indexed) == expect)
+
+    // a payload rewritten out-of-band invalidates the sidecar by length:
+    // append blank lines (legal trailing junk) -> fallback path, same rows
+    Files.write(java.nio.file.Paths.get(dat),
+      gzipBytes("\n\n"), java.nio.file.StandardOpenOption.APPEND)
+    val fallback = CopyText.read(spark, dat, Seq("id", "v"))
+    assert(fallback.rdd.getNumPartitions == 1, "stale idx must fall back to 1 stream")
+    assert(rows(fallback) == expect)
+  }
+
+  private def gzipBytes(s: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(s.getBytes("UTF-8")); gz.close()
+    bos.toByteArray
+  }
 }
