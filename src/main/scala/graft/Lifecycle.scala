@@ -300,9 +300,12 @@ object Lifecycle {
       case "pg-restore" :: archDir :: conninfo :: rest =>
         // replay a directory archive (pg_dump -Fd / pg-dump output) into
         // a live database through psql — no native pg_restore needed
+        val jobs = rest.sliding(2).collectFirst {
+          case Seq("--jobs", n) => n.toInt }.getOrElse(4)
         graft.sources.PgRestore.restore(archDir, Seq("-d", conninfo),
           dataOnly = rest.contains("--data-only"),
-          disableTriggers = rest.contains("--disable-triggers"))
+          disableTriggers = rest.contains("--disable-triggers"),
+          jobs = jobs)
           .foreach(l => println(s"[pg-restore] $l"))
       case "pg-ingest" :: archDir :: outDir :: Nil =>
         // any pg_dump -Fd / reference-produced directory archive ->
@@ -347,7 +350,7 @@ object Lifecycle {
         System.err.println(
           "usage: dump <config.json> <sfDir> <outDir> | " +
             "pg-dump <config.json> <conninfo> <outDir> | " +
-            "pg-restore <archiveDir> <conninfo> [--data-only] [--disable-triggers] | " +
+            "pg-restore <archiveDir> <conninfo> [--data-only] [--disable-triggers] [--jobs N] | " +
             "pg-ingest <archiveDir> <outDir> | " +
             "pg-diff <conninfoA> <conninfoB> <tables,csv> | " +
             "validate <config.json> <sfDir> | " +
