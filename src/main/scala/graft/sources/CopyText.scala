@@ -314,8 +314,6 @@ object CopyText {
   }
 
   def read(spark: SparkSession, path: String, columns: Seq[String]): DataFrame = {
-    val schema = StructType(columns.map(c => StructField(c, StringType, nullable = true)))
-    val enc = Encoders.row(schema)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
@@ -380,15 +378,25 @@ object CopyText {
         spark.read.textFile(path)
           .mapPartitions(_.takeWhile(_ != "\\."))(Encoders.STRING)
     }
-    lineDs
-      .mapPartitions { lines =>
-        lines.map { l =>
-          val fields = l.split("\t", -1).map {
-            case "\\N" => null
-            case f => decodeField(f)
-          }
-          Row.fromSeq(fields.padTo(columns.size, null).take(columns.size).toIndexedSeq)
+    linesToRows(lineDs, columns)
+  }
+
+  /** COPY text lines -> string-typed rows: the shared tail of [[read]]
+    * and the STREAMING ingest ([[graft.streaming.StreamingMask
+    * .copyIngestStream]]) — a stateless per-row decode, so it lifts to
+    * micro-batches unchanged. */
+  def linesToRows(lines: org.apache.spark.sql.Dataset[String],
+                  columns: Seq[String]): DataFrame = {
+    val schema = StructType(columns.map(c => StructField(c, StringType, nullable = true)))
+    val enc = Encoders.row(schema)
+    lines.mapPartitions { ls =>
+      ls.map { l =>
+        val fields = l.split("\t", -1).map {
+          case "\\N" => null
+          case f => decodeField(f)
         }
-      }(enc)
+        Row.fromSeq(fields.padTo(columns.size, null).take(columns.size).toIndexedSeq)
+      }
+    }(enc)
   }
 }

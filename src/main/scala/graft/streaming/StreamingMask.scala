@@ -22,6 +22,31 @@ object StreamingMask {
     Planner.plan(stream, cfg)
   }
 
+  /** Continuous COPY-payload ingestion: watch `dir` for dropped
+    * pg-formatted `.dat` payloads (pg_dump data members, psql COPY
+    * spools, our own archive payloads) and decode each as it lands —
+    * the streaming twin of [[graft.sources.CopyText.read]], composing
+    * with [[maskStream]] for continuous masked ingestion.
+    *
+    * Each file reads as ONE row (`wholetext`) so the `\.` terminator cut
+    * is exact per payload with zero cross-batch state; the per-row field
+    * decode is stateless, so the whole source is a plain projection the
+    * engine can fan out. Payload files are therefore the unit of memory
+    * — drop directories should carry bounded-size members (exactly what
+    * the sliced/partitioned dump sides emit). Default `split("\n")`
+    * drops the trailing blank lines real pg_dump appends AFTER the
+    * terminator while keeping legitimate interior empty-string rows. */
+  def copyIngestStream(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       columns: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val lines = spark.readStream
+      .option("wholetext", "true")
+      .text(dir)
+      .as[String]
+      .flatMap(_.split("\n").iterator.takeWhile(_ != "\\."))
+    graft.sources.CopyText.linesToRows(lines, columns)
+  }
+
   /** Watermarked per-window document-quality aggregation: the shape of a
     * continuous training-data quality monitor (event-time + late-data
     * handling via watermark). */

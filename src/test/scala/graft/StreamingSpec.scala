@@ -32,6 +32,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming COPY ingest: dropped .dat payloads decode, compose with masking, late files land") {
+    val dir = java.nio.file.Files.createTempDirectory("copy_stream")
+    def drop(name: String, rows: Seq[(String, String)]): Unit = {
+      // pg-shaped payload: escaped fields, \N nulls, terminator + blanks
+      val body = rows.map { case (a, b) =>
+        Seq(a, b).map(v => if (v == null) "\\N"
+          else graft.sources.CopyText.encodeField(v)).mkString("\t")
+      }.mkString("", "\n", "\n") + "\\.\n\n\n"
+      java.nio.file.Files.write(dir.resolve(name), body.getBytes("UTF-8"))
+    }
+    drop("a.dat", Seq(("1", "alice"), ("2", null), ("3", "tab\there\nand newline")))
+    val decoded = StreamingMask.copyIngestStream(spark, dir.toString, Seq("id", "name"))
+    val masked = StreamingMask.maskStream(decoded, TableConfig("s",
+      transforms = Seq(ColumnTransform("name", Masking("name")))))
+    val q = masked.writeStream.format("memory").queryName("copy_stream_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a LATE payload lands in a later micro-batch
+      drop("b.dat", Seq(("4", "dave")))
+      q.processAllAvailable()
+      val rows = spark.table("copy_stream_out").as[(String, String)].collect().toMap
+      // escapes decoded BEFORE masking (first char + '**'); NULL passes
+      // through the transformer (keepNull)
+      assert(rows == Map("1" -> "a**", "2" -> null,
+        "3" -> "t**", "4" -> "d**"))
+    } finally q.stop()
+  }
+
   test("watermarked window aggregates doc quality") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
