@@ -358,6 +358,10 @@ object CopyText {
             }
             val br = new java.io.BufferedReader(new java.io.InputStreamReader(
               new java.util.zip.GZIPInputStream(boundedIn), "UTF-8"))
+            // a downstream limit can drop the iterator mid-member: close on
+            // task completion, not only on exhaustion (idempotent close)
+            Option(org.apache.spark.TaskContext.get())
+              .foreach(_.addTaskCompletionListener[Unit](_ => br.close()))
             new Iterator[String] {
               private var nxt = br.readLine()
               def hasNext: Boolean = nxt != null || { br.close(); false }
