@@ -41,6 +41,7 @@ object Bench {
     "q_bigram_xent", "q_source_overlap", "q_bm25_topk",
     "q_sketch_hll", "q_funnel_steps", "q_curate_pipeline",
     "q_entity_clusters", "q_funnel_steps_capped", "q_fuzzy_link_capped",
+    "q_quality_hashlin", "q_quality_nb",
     // interop throughput: full pg-archive dump->load over the big table
     // (gzip member + binary TOC + COPY codec both directions)
     "q_pg_archive_lineitem")

@@ -1924,6 +1924,21 @@ object SparkEntry {
           "FROM documents ORDER BY doc_id"
       }),
 
+    // Model-based quality scoring (the CCNet/fastText-style classifier
+    // stage): a zero-shuffle hashed linear scorer, and a naive-Bayes
+    // log-odds classifier trained on heuristic seed labels and applied
+    // in the same plan (top-V broadcastable vocabulary).
+    "q_quality_hashlin" -> Q(
+      (s, dir) => QualityClassifier.hashedLinearScore(
+        rd(s, dir, "documents"), "doc_id", "text").orderBy("doc_id"),
+      Some(QualityClassifier.hashedLinearScoreSql("documents", "doc_id", "text") +
+        " ORDER BY doc_id")),
+    "q_quality_nb" -> Q(
+      (s, dir) => QualityClassifier.nbQuality(
+        rd(s, dir, "documents"), "doc_id", "text", topV = 4096).orderBy("doc_id"),
+      Some(QualityClassifier.nbQualitySql("documents", "doc_id", "text", topV = 4096) +
+        " ORDER BY doc_id")),
+
     // Gopher-style quality filter flags (Rae et al. 2021 heuristics)
     "q_quality_gopher" -> Q(
       (s, dir) => rd(s, dir, "documents").select(

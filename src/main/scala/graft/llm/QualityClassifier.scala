@@ -1,0 +1,177 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.generators.{Gen, OracleGen}
+
+/** Model-based quality scoring for training-data curation — the
+  * "quality classifier" stage of a CCNet/fastText-style pipeline
+  * (reference pipelines train a linear classifier on seed labels and
+  * keep documents the model scores as high-quality).
+  *
+  * Two scorers, both exactly cross-engine comparable:
+  *
+  *  - [[hashedLinearScore]]: a fixed hashed linear model — every token
+  *    hashes to a deterministic integer weight in [-1000, 1000] and the
+  *    document score is the exact integer sum. The shape of fastText
+  *    inference (hashed features x weight vector) with the weight lookup
+  *    collapsed into the hash itself, so scoring is a pure per-row
+  *    higher-order-function expression: no explode, no join, no shuffle
+  *    — embarrassingly parallel over any corpus size.
+  *
+  *  - [[nbQuality]]: a naive-Bayes log-odds classifier TRAINED AND
+  *    APPLIED in one distributed plan. Seed labels come from an exact
+  *    integer heuristic (stopword ratio >= 20%, the bootstrap-label trick
+  *    quality-filter papers use); per-token class counts aggregate with
+  *    map-side combine; the vocabulary is capped to the top-V most
+  *    frequent tokens (deterministic tie-break) so the weight relation
+  *    stays broadcastable no matter the corpus size; scoring is a
+  *    broadcast hash join + one per-doc aggregate. All log terms use the
+  *    integer nano-nat discipline (see [[Curation]] scaladoc), so the
+  *    distributed sum is exact and engine-portable.
+  *
+  * Scale shape at 100 TB: training is one Zipf-small vocab aggregate
+  * (map-side combined) + two bounded 1-row driver reductions; the top-V
+  * cap is a TakeOrdered (V rows), not a global sort; the corpus-sized
+  * token stream is never shuffled — it probes the broadcast weight table
+  * and feeds a single per-doc hash aggregate.
+  */
+object QualityClassifier {
+
+  /** Deterministic pseudo-weight for a token: integer in [-1000, 1000].
+    * Spark `%` and DuckDB `%` agree on the non-negative u60 input. */
+  private def tokenWeight(t: Column): Column =
+    Gen.u60(t, "qlin") % lit(2001L) - lit(1000L)
+  private def tokenWeightSql(t: String): String =
+    s"(${OracleGen.u60(t, "qlin")} % 2001 - 1000)"
+
+  /** Hashed linear quality score: (idCol, n_tokens, score_milli, pred).
+    * score_milli is the exact integer sum of per-token weights; pred = 1
+    * when score_milli >= 0. Zero-shuffle: one scan, per-row lambdas. */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = filter(TextOps.tokens(col(textCol)), t => length(t) > 0)
+    val score = aggregate(toks, lit(0L), (acc, t) => acc + tokenWeight(t))
+    df.select(col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      score.as("score_milli"),
+      when(score >= 0, 1).otherwise(0).as("pred"))
+  }
+
+  def hashedLinearScoreSql(table: String, idCol: String, textCol: String): String = {
+    val toks = s"list_filter(${TextOps.tokensSql(textCol)}, t -> length(t) > 0)"
+    val score = s"coalesce(list_sum(list_transform(${toks}, t -> ${tokenWeightSql("t")}))::BIGINT, 0)"
+    s"""SELECT ${idCol}, len(${toks})::BIGINT AS n_tokens,
+               ${score} AS score_milli,
+               CASE WHEN ${score} >= 0 THEN 1 ELSE 0 END AS pred
+        FROM ${table}"""
+  }
+
+  /** Exact integer seed label: stopword-ratio >= 20% and at least one
+    * token. Integer-only comparison — portable bit-for-bit. */
+  private def seedLabel(text: Column): Column = {
+    val n = TextOps.tokenCount(text)
+    (TextOps.stopwordCount(text) * 5 >= n) && (n > 0)
+  }
+  private def seedLabelSql(text: String): String =
+    s"(${TextOps.stopwordCountSql(text)} * 5 >= ${TextOps.tokenCountSql(text)}" +
+      s" AND ${TextOps.tokenCountSql(text)} > 0)"
+
+  /** Driver-side nano-nat log over a positive integer (same quantization
+    * as [[Curation.lnNano]]; precedent: dsirWeights' driver constant). */
+  private def lnNanoL(x: Long): Long =
+    math.floor(math.log(x.toDouble) * 1e9 + 0.5).toLong
+
+  /** Naive-Bayes log-odds quality classifier, trained on [[seedLabel]]
+    * and applied to every document in one plan. Output per document:
+    * (idCol, seed_label, n_scored, score_nanonats, pred) where
+    * score_nanonats = prior + sum over in-vocabulary tokens of
+    * [ln(c_pos+1) - ln(c_neg+1) - (ln(N_pos+V) - ln(N_neg+V))] in
+    * integer nano-nats, prior = ln(docs_pos) - ln(docs_neg), and
+    * pred = 1 iff score >= 0. Tokens outside the top-`topV` vocabulary
+    * (by total frequency, ties broken by token text) contribute 0 —
+    * the frequency prune that keeps the weight table broadcastable. */
+  def nbQuality(df: DataFrame, idCol: String, textCol: String,
+                topV: Int = 4096): DataFrame = {
+    val labeled = df.select(col(idCol), seedLabel(col(textCol)).as("__lab"),
+      col(textCol))
+    val toks = labeled
+      .select(col(idCol), col("__lab"),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val vocab = toks.groupBy("token").agg(
+      sum(when(col("__lab"), 1L).otherwise(0L)).as("c_pos"),
+      count(lit(1)).as("c_all"))
+    // Global normalizers: one bounded 1-row driver reduction each (the
+    // constants fold into literals; no 1-row cross join in the plan).
+    val t = vocab.agg(
+      coalesce(sum("c_pos"), lit(0L)), coalesce(sum("c_all"), lit(0L)),
+      count(lit(1))).head()
+    val (nPos, nAll, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    val nNeg = nAll - nPos
+    val d = labeled.agg(
+      coalesce(sum(when(col("__lab"), 1L).otherwise(0L)), lit(0L)),
+      count(lit(1))).head()
+    val (dPos, dAll) = (d.getLong(0), d.getLong(1))
+    val prior = lnNanoL(dPos.max(1L)) - lnNanoL((dAll - dPos).max(1L))
+    val norm = lnNanoL(nPos + v) - lnNanoL(nNeg + v)
+    val weights = vocab.orderBy(col("c_all").desc, col("token").asc).limit(topV)
+      .select(col("token"),
+        (Curation.lnNano(col("c_pos") + 1) -
+          Curation.lnNano(col("c_all") - col("c_pos") + 1) - lit(norm)).as("w"))
+    val scored = toks.join(broadcast(weights), Seq("token"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_scored"), sum("w").as("sum_w"))
+    val score = lit(prior) + coalesce(col("sum_w"), lit(0L))
+    labeled.select(col(idCol), col("__lab"))
+      .join(scored, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        when(col("__lab"), 1).otherwise(0).as("seed_label"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        score.as("score_nanonats"),
+        when(score >= 0, 1).otherwise(0).as("pred"))
+  }
+
+  def nbQualitySql(table: String, idCol: String, textCol: String,
+                   topV: Int = 4096): String = {
+    val ln = Curation.lnNanoSql _
+    s"""WITH __lab AS (
+          SELECT ${idCol},
+                 (CASE WHEN ${seedLabelSql(textCol)} THEN 1 ELSE 0 END) AS lab,
+                 ${textCol} AS __text
+          FROM ${table}),
+        __toks AS (
+          SELECT ${idCol}, lab, token FROM (
+            SELECT ${idCol}, lab, unnest(${TextOps.tokensSql("__text")}) AS token
+            FROM __lab)
+          WHERE length(token) > 0),
+        __vocab AS (
+          SELECT token, sum(lab)::BIGINT AS c_pos, count(*)::BIGINT AS c_all
+          FROM __toks GROUP BY token),
+        __tot AS (
+          SELECT coalesce(sum(c_pos), 0)::BIGINT AS np,
+                 coalesce(sum(c_all), 0)::BIGINT AS na,
+                 count(*)::BIGINT AS v
+          FROM __vocab),
+        __docs AS (
+          SELECT coalesce(sum(lab), 0)::BIGINT AS dp, count(*)::BIGINT AS da
+          FROM __lab),
+        __w AS (
+          SELECT token,
+                 ${ln("c_pos + 1")} - ${ln("c_all - c_pos + 1")}
+                   - (SELECT ${ln("np + v")} - ${ln("na - np + v")} FROM __tot) AS w
+          FROM (SELECT * FROM __vocab ORDER BY c_all DESC, token LIMIT ${topV})),
+        __sc AS (
+          SELECT ${idCol}, count(*)::BIGINT AS n_scored, sum(w)::BIGINT AS sum_w
+          FROM __toks JOIN __w USING (token) GROUP BY ${idCol}),
+        __prior AS (
+          SELECT ${ln("greatest(dp, 1)")} - ${ln("greatest(da - dp, 1)")} AS p
+          FROM __docs)
+        SELECT l.${idCol}, l.lab AS seed_label,
+               coalesce(s.n_scored, 0) AS n_scored,
+               (SELECT p FROM __prior) + coalesce(s.sum_w, 0) AS score_nanonats,
+               CASE WHEN (SELECT p FROM __prior) + coalesce(s.sum_w, 0) >= 0
+                    THEN 1 ELSE 0 END AS pred
+        FROM __lab l LEFT JOIN __sc s USING (${idCol})"""
+  }
+}

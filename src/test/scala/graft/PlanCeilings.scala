@@ -61,6 +61,13 @@ object PlanCeilings {
     // dump side runs eagerly inside the query fn (COPY spool, not in this
     // plan); the audited LOAD plan scans the archive's .dat.gz text, no
     // parquet and no hash exchange (orderBy is a range partition)
-    "q_pg_archive_lineitem" -> (1, 0)
+    "q_pg_archive_lineitem" -> (1, 0),
+    // per-row hashed linear scorer: pure HOF lambdas — no exchange at all
+    "q_quality_hashlin"     -> (1, 0),
+    // naive-Bayes train+score: same 3-scan class as unigram_xent (vocab
+    // pass + scoring pass + id/label pass; caching the corpus-sized
+    // token stream instead would be the 100 TB mistake), exchanges =
+    // vocab agg + per-doc agg (weights broadcast, never sort-merged)
+    "q_quality_nb"          -> (3, 2)
   )
 }

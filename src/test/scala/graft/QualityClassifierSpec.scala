@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.QualityClassifier
+
+class QualityClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("hashedLinearScore: exact sum of per-token hashed weights (explode witness)") {
+    val df = docs(1L -> "alpha beta gamma", 2L -> "alpha alpha", 3L -> "")
+    val got = QualityClassifier.hashedLinearScore(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // independent recompute: explode + groupBy over the same weight expr
+    val w = graft.generators.Gen.u60(col("token"), "qlin") % lit(2001L) - lit(1000L)
+    val witness = df.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("doc_id").agg(sum(w).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val (s, n) = witness.getOrElse(id, (0L, 0L))
+      assert(r.getLong(1) == n, s"n_tokens for $id")
+      assert(r.getLong(2) == s, s"score for $id")
+      assert(r.getInt(3) == (if (s >= 0) 1 else 0), s"pred for $id")
+    }
+    // duplicate tokens weigh twice
+    assert(got(1).getLong(1) == 2)
+    // empty text: zero tokens, zero score, pred = 1 (score 0 >= 0)
+    assert(got(2).getLong(1) == 0 && got(2).getLong(2) == 0 && got(2).getInt(3) == 1)
+  }
+
+  test("hashedLinearScore: zero-shuffle plan (no exchange, one scan)") {
+    val df = docs(1L -> "a b c", 2L -> "d e")
+    val out = QualityClassifier.hashedLinearScore(df, "doc_id", "text")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange"), s"per-row scorer must not shuffle:\n$plan")
+  }
+
+  test("nbQuality: seed labels, prediction direction, empty docs survive") {
+    // 4 stopword-heavy (positive seed) docs sharing 'the', 3 negatives
+    // sharing 'zzz', one empty doc
+    val df = docs(
+      1L -> "the the the quick", 2L -> "the of and it",
+      3L -> "the a an of", 4L -> "the to in on",
+      5L -> "zzz qqq www", 6L -> "zzz kkk jjj", 7L -> "zzz mmm nnn",
+      8L -> "")
+    val out = QualityClassifier.nbQuality(df, "doc_id", "text", topV = 100)
+      .orderBy("doc_id").collect()
+    assert(out.length == 8)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // seed labels: >= 20% stopwords
+    Seq(1L, 2L, 3L, 4L).foreach(id => assert(byId(id).getInt(1) == 1, s"seed $id"))
+    Seq(5L, 6L, 7L, 8L).foreach(id => assert(byId(id).getInt(1) == 0, s"seed $id"))
+    // the trained model separates the classes it was seeded with
+    Seq(1L, 2L, 3L, 4L).foreach(id =>
+      assert(byId(id).getLong(3) > 0, s"pos doc $id should score > 0"))
+    Seq(5L, 6L, 7L).foreach(id =>
+      assert(byId(id).getLong(3) < 0, s"neg doc $id should score < 0"))
+    // empty doc: nothing scored, score = prior alone
+    assert(byId(8L).getLong(2) == 0)
+    out.foreach(r =>
+      assert(r.getInt(4) == (if (r.getLong(3) >= 0) 1 else 0), "pred = score>=0"))
+  }
+
+  test("nbQuality: top-V cap silences out-of-vocabulary tokens") {
+    // 'the' appears 6x (top-1 by frequency); rare tokens fall outside
+    // topV=1 and must contribute nothing: two docs whose texts differ
+    // only in rare tokens score identically
+    val df = docs(
+      1L -> "the the the", 2L -> "the the the",
+      3L -> "the rare1 rare2", 4L -> "the other5 other6",
+      5L -> "nostop nostop")
+    val out = QualityClassifier.nbQuality(df, "doc_id", "text", topV = 1)
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(3L).getLong(3) == byId(4L).getLong(3),
+      "docs differing only in out-of-vocab tokens must score identically")
+    // in-vocab count reflects only 'the'
+    assert(byId(3L).getLong(2) == 1 && byId(4L).getLong(2) == 1)
+    assert(byId(1L).getLong(2) == 3)
+  }
+
+  test("nbQuality: scoring join broadcasts the weight table") {
+    val df = docs(1L -> "the the a", 2L -> "zzz qqq")
+    val out = QualityClassifier.nbQuality(df, "doc_id", "text", topV = 16)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"weights must broadcast onto the token stream:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus token stream must not sort-merge:\n$plan")
+  }
+
+  test("nbQuality: partition-count invariant (exact integer arithmetic)") {
+    val base = (1L to 60L).map(i =>
+      i -> (if (i % 3 == 0) "the of and extra" + i else "w" + i + " x" + i))
+    val df1 = docs(base: _*).repartition(1)
+    val df8 = docs(base: _*).repartition(8)
+    val a = QualityClassifier.nbQuality(df1, "doc_id", "text", topV = 32)
+      .orderBy("doc_id").collect().map(_.toString)
+    val b = QualityClassifier.nbQuality(df8, "doc_id", "text", topV = 32)
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(a.toSeq == b.toSeq, "nano-nat integer sums must be partition-invariant")
+  }
+}
