@@ -132,6 +132,53 @@ object QualityClassifier {
         when(score >= 0, 1).otherwise(0).as("pred"))
   }
 
+  /** Trained classifier as a broadcastable artifact: top-V token
+    * weights (nano-nats) + class prior. Bounded by topV — safe to
+    * collect and ship inside a plan (the model-artifact shape streaming
+    * scoring needs; batch training, per-row stateless inference). */
+  case class NbModel(weights: Map[String, Long], prior: Long)
+
+  /** Train the naive-Bayes model of [[nbQuality]] and collect the
+    * (bounded, topV-row) weight table into an [[NbModel]]. */
+  def nbTrain(df: DataFrame, textCol: String, topV: Int = 4096): NbModel = {
+    val labeled = df.select(seedLabel(col(textCol)).as("__lab"), col(textCol))
+    val toks = labeled
+      .select(col("__lab"), explode(TextOps.tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val vocab = toks.groupBy("token").agg(
+      sum(when(col("__lab"), 1L).otherwise(0L)).as("c_pos"),
+      count(lit(1)).as("c_all"))
+    val t = vocab.agg(
+      coalesce(sum("c_pos"), lit(0L)), coalesce(sum("c_all"), lit(0L)),
+      count(lit(1))).head()
+    val (nPos, nAll, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    val norm = lnNanoL(nPos + v) - lnNanoL(nAll - nPos + v)
+    val d = labeled.agg(
+      coalesce(sum(when(col("__lab"), 1L).otherwise(0L)), lit(0L)),
+      count(lit(1))).head()
+    val prior = lnNanoL(d.getLong(0).max(1L)) -
+      lnNanoL((d.getLong(1) - d.getLong(0)).max(1L))
+    val w = vocab.orderBy(col("c_all").desc, col("token").asc).limit(topV)
+      .select(col("token"),
+        (Curation.lnNano(col("c_pos") + 1) -
+          Curation.lnNano(col("c_all") - col("c_pos") + 1) - lit(norm)).as("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    NbModel(w, prior)
+  }
+
+  /** Per-row score under a trained [[NbModel]]: prior + sum of in-vocab
+    * token weights, out-of-vocab tokens contribute 0. Pure stateless
+    * column expression (the weight map rides the plan as a literal), so
+    * it works identically on batch frames and unbounded streams — the
+    * inference half of a batch-train / stream-score pipeline. */
+  def scoreWith(text: Column, model: NbModel): Column = {
+    val wmap = typedLit(model.weights)
+    val toks = filter(TextOps.tokens(text), t => length(t) > 0)
+    lit(model.prior) +
+      aggregate(toks, lit(0L),
+        (acc, t) => acc + coalesce(element_at(wmap, t), lit(0L)))
+  }
+
   def nbQualitySql(table: String, idCol: String, textCol: String,
                    topV: Int = 4096): String = {
     val ln = Curation.lnNanoSql _

@@ -61,6 +61,19 @@ object StreamingMask {
         sum(TextOps.tokenCount(col(textCol)).cast("long")).as("total_tokens"),
         count(lit(1)).as("n_docs"))
 
+  /** Streaming model-based quality scoring: apply a batch-trained
+    * [[graft.llm.QualityClassifier.NbModel]] to an unbounded document
+    * stream. Stateless per-row inference (the bounded weight map rides
+    * the plan as a literal; no stream-static join, no state store), so
+    * throughput is pure map parallelism — the batch-train /
+    * stream-score split a 100 TB/day curation pipeline runs. */
+  def classifierScoreStream(stream: DataFrame, textCol: String,
+                            model: graft.llm.QualityClassifier.NbModel): DataFrame = {
+    val score = graft.llm.QualityClassifier.scoreWith(col(textCol), model)
+    stream.withColumn("score_nanonats", score)
+      .withColumn("pred", when(col("score_nanonats") >= 0, 1).otherwise(0))
+  }
+
   /** Streaming exact dedup: watermark-bounded state keyed by content
     * digest (dropDuplicates keeps first-seen; state expires past the
     * watermark — bounded memory at 100 TB/day stream rates). */

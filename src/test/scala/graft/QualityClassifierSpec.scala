@@ -95,6 +95,52 @@ class QualityClassifierSpec extends SparkSpec {
       s"corpus token stream must not sort-merge:\n$plan")
   }
 
+  test("nbTrain + scoreWith reproduce nbQuality's scores exactly (model-artifact path)") {
+    val df = docs(
+      1L -> "the the the quick", 2L -> "the of and it",
+      3L -> "zzz qqq www", 4L -> "zzz kkk jjj", 5L -> "")
+    val model = QualityClassifier.nbTrain(df, "text", topV = 64)
+    val viaModel = df.select(col("doc_id"),
+      QualityClassifier.scoreWith(col("text"), model).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaPlan = QualityClassifier.nbQuality(df, "doc_id", "text", topV = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(viaModel == viaPlan,
+      "collected-model scoring must equal the in-plan join scoring")
+    // top-V prune carries into the artifact
+    val m1 = QualityClassifier.nbTrain(df, "text", topV = 1)
+    assert(m1.weights.size == 1 && m1.weights.contains("the"))
+  }
+
+  test("classifierScoreStream: stateless stream scoring matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val train = docs(
+      1L -> "the the the quick", 2L -> "the of and it",
+      3L -> "zzz qqq www", 4L -> "zzz kkk jjj")
+    val model = QualityClassifier.nbTrain(train, "text", topV = 64)
+    val input = MemoryStream[(Long, String)]
+    val scored = graft.streaming.StreamingMask.classifierScoreStream(
+      input.toDF().toDF("doc_id", "text"), "text", model)
+    val q = scored.writeStream.format("memory").queryName("clf_out")
+      .outputMode("append").start()
+    try {
+      input.addData(10L -> "the of the", 11L -> "zzz unknowntoken", 12L -> "")
+      q.processAllAvailable()
+      val got = spark.table("clf_out")
+        .select("doc_id", "score_nanonats", "pred")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+      val batch = docs(10L -> "the of the", 11L -> "zzz unknowntoken", 12L -> "")
+        .select(col("doc_id"), QualityClassifier.scoreWith(col("text"), model).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.view.mapValues(_._1).toMap == batch, "stream == batch scores")
+      got.foreach { case (id, (s, p)) =>
+        assert(p == (if (s >= 0) 1 else 0), s"pred for $id") }
+      assert(got(10L)._2 == 1 && got(11L)._2 == 0,
+        "stopword-heavy doc keeps, junk doc drops")
+    } finally q.stop()
+  }
+
   test("nbQuality: partition-count invariant (exact integer arithmetic)") {
     val base = (1L to 60L).map(i =>
       i -> (if (i % 3 == 0) "the of and extra" + i else "w" + i + " x" + i))
