@@ -38,9 +38,12 @@ object RecordLinkage {
     * hygiene): a block whose row count exceeds the cap on EITHER side is
     * dropped from candidate generation entirely — without it, one hot
     * key ("", "UNKNOWN", a shared serial prefix) makes the join
-    * quadratic in that block's size. Enforced per side with a window
-    * count over `__blk`, which the join's own hash partitioning absorbs
-    * (same key, no extra exchange pair beyond the window sort). Dropped
+    * quadratic in that block's size. Enforced per side with a partial-agg
+    * block count and a BROADCAST anti-join of the over-cap keys: the count
+    * map-side-combines (a degenerate block never funnels through one
+    * task, unlike a window count whose partition sort would), and the
+    * over-cap key set is tiny by construction (it only holds degenerate
+    * keys), so the anti-join is a broadcast, not a shuffle. Dropped
     * blocks trade recall for a hard cost bound — exactly the dial real
     * linkage systems expose; pick the cap so legitimate blocks pass.
     *
@@ -51,10 +54,10 @@ object RecordLinkage {
                 maxDist: Int, maxBlockSize: Option[Int] = None): DataFrame = {
     require(maxDist >= 0, "fuzzyJoin: maxDist must be >= 0")
     require(maxBlockSize.forall(_ > 0), "fuzzyJoin: maxBlockSize must be positive")
-    import org.apache.spark.sql.expressions.Window
     def capped(df: DataFrame): DataFrame = maxBlockSize.fold(df) { cap =>
-      df.withColumn("__bn", count(lit(1)).over(Window.partitionBy("__blk")))
-        .filter(col("__bn") <= cap).drop("__bn")
+      val over = df.groupBy("__blk").agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") > cap).select("__blk")
+      df.join(broadcast(over), Seq("__blk"), "left_anti")
     }
     val left = capped(a.select(col(aId).as("id_a"), col(aText).as("text_a"),
       blockA.as("__blk")))

@@ -54,10 +54,11 @@ object PlanCeilings {
     "q_curate_pipeline"     -> (1, 1),
     "q_entity_clusters"     -> (1, 2),
     "q_funnel_steps_capped" -> (1, 1),
-    // one scan per linkage side (each side's block-count window is its
-    // own pass over customer); exchanges = the two per-side window
-    // partitionings — the capped join itself broadcasts at this sf
-    "q_fuzzy_link_capped"   -> (2, 2),
+    // one scan per linkage side; the per-side over-cap key sets are
+    // broadcast subplans (partial-agg count + broadcast anti-join), so
+    // no hash exchange survives in the final plan — the r9 window-count
+    // version needed (2,2) and sorted the hot block through one task
+    "q_fuzzy_link_capped"   -> (2, 0),
     // dump side runs eagerly inside the query fn (COPY spool, not in this
     // plan); the audited LOAD plan scans the archive's .dat.gz text, no
     // parquet and no hash exchange (orderBy is a range partition)
