@@ -24,10 +24,24 @@ object Bench {
     * probe, as-of and range joins) so regressions there are visible
     * round over round. */
   /** Dev iteration: SPARK_GRAFT_ONLY=q_a,q_b restricts the timed set
-    * (the driver never sets it — default is the full headline list). */
-  def headline: Seq[String] = sys.env.get("SPARK_GRAFT_ONLY")
-    .map(_.split(",").toSeq.filter(_.nonEmpty))
-    .getOrElse(headlineAll)
+    * (the driver never sets it — default is the full headline list).
+    * A leaked/stale value must not silently masquerade as the full
+    * battery: unknown names fail fast, and any restriction is shouted
+    * on stderr and tagged into the output JSON (`"only"` key). */
+  def headline: Seq[String] = sys.env.get("SPARK_GRAFT_ONLY") match {
+    case Some(raw) =>
+      val names = raw.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      val unknown = names.filterNot(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(",")} " +
+          "(typo? unset the var for the full headline battery)")
+      System.err.println(
+        s"[bench] WARNING: SPARK_GRAFT_ONLY restricts the timed set to " +
+          s"${names.size} quer${if (names.size == 1) "y" else "ies"} -- " +
+          "this is NOT the full headline battery")
+      names
+    case None => headlineAll
+  }
 
   val headlineAll: Seq[String] = Seq(
     "q_agg_pricing", "q_faker", "q_masking_styles", "q_noise_float",
@@ -88,22 +102,27 @@ object Bench {
     def run(dir: String): Seq[(String, Double)] =
       headline.filter(SparkEntry.queries.contains).map(n => n -> runOnce(dir, n))
 
-    /** Three consecutive warm samples per query. Single-sample rounds
-      * proved unauditable on a shared host (BENCH_r05 overstated the total
-      * by 37% vs a controlled rerun); the median is robust to one co-tenant
-      * spike and min/max expose how noisy the host was. */
-    def runMedianOf3(dir: String): Seq[(String, (Double, Double, Double))] =
+    /** Three consecutive warm samples per query, plus the 1-min loadavg
+      * sampled right after them. Single-sample rounds proved unauditable
+      * on a shared host (BENCH_r05 overstated the total by 37% vs a
+      * controlled rerun); the median is robust to one co-tenant spike,
+      * min/max expose how noisy the host was, and the per-query loadavg
+      * localizes WHICH queries ran under a spike (round-9 verdict: 4
+      * untouched queries drifted >25% with only bracketing loadavg to
+      * explain it). */
+    def runMedianOf3(dir: String): Seq[(String, (Double, Double, Double, Double))] =
       headline.filter(SparkEntry.queries.contains).map { name =>
         val samples = Seq.fill(3)(runOnce(dir, name)).sorted
-        name -> ((samples.head, samples(1), samples.last))
+        name -> ((samples.head, samples(1), samples.last, load1()))
       }
 
     def js(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
-    def jsStats(rs: Seq[(String, (Double, Double, Double))]) =
-      rs.map { case (k, (mn, md, mx)) =>
-        "\"" + k + "\":{\"min\":" + mn + ",\"median\":" + md + ",\"max\":" + mx + "}"
+    def jsStats(rs: Seq[(String, (Double, Double, Double, Double))]) =
+      rs.map { case (k, (mn, md, mx, ld)) =>
+        "\"" + k + "\":{\"min\":" + mn + ",\"median\":" + md +
+          ",\"max\":" + mx + ",\"load1\":" + ld + "}"
       }.mkString("{", ",", "}")
 
     def loadAvg(): String =
@@ -111,6 +130,36 @@ object Bench {
         val parts = scala.io.Source.fromFile("/proc/loadavg").mkString.split("\\s+")
         s"[${parts(0)},${parts(1)},${parts(2)}]"
       } catch { case _: Throwable => "null" }
+
+    def load1(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+
+    // Measurement gate (round-9 verdict #4): co-tenant load is the
+    // dominant noise source on this shared host. Refuse to START timing
+    // while the 1-min loadavg is above the gate; retry for a bounded
+    // window (the driver's round must not hang), then proceed tagged so
+    // a gated-but-noisy run is visible in the output rather than
+    // masquerading as a clean sample.
+    val loadGate = sys.env.get("SPARK_GRAFT_LOAD_GATE")
+      .map(_.toDouble).getOrElse(4.0)
+    var gateWaitSec = 0
+    var gateTimedOut = false
+    locally {
+      val maxWaitSec = sys.env.get("SPARK_GRAFT_LOAD_GATE_WAIT")
+        .map(_.toInt).getOrElse(300)
+      var l = load1()
+      while (l > loadGate && gateWaitSec < maxWaitSec) {
+        System.err.println(f"[bench] loadavg $l%.2f > gate $loadGate%.1f — " +
+          s"waiting (${gateWaitSec}s/${maxWaitSec}s)")
+        Thread.sleep(15000); gateWaitSec += 15; l = load1()
+      }
+      gateTimedOut = l > loadGate
+      if (gateTimedOut) System.err.println(
+        f"[bench] proceeding UNDER LOAD after ${gateWaitSec}s wait " +
+          f"(loadavg $l%.2f > gate $loadGate%.1f) — samples are suspect")
+    }
 
     val staged = if (sys.env.getOrElse("SPARK_GRAFT_STAGE", "1") != "0") {
       // untimed staging: same rows, 32-file layout -> parallel scan tasks
@@ -170,10 +219,12 @@ object Bench {
     // tables are sub-MB, so per-task overhead outweighs parallel-scan
     // gains for most queries — the parallel layout pays off exactly where
     // real data volume exists (lineitem) and everywhere at cluster scale.
-    val medians = single.map { case (k, (_, md, _)) => k -> md }
+    val medians = single.map { case (k, (_, md, _, _)) => k -> md }
+    val mins = single.map { case (k, (mn, _, _, _)) => k -> mn }
     val total = medians.map(_._2).sum
+    val totalMin = mins.map(_._2).sum
     val extras = stagedTimes.map { st =>
-      val med = st.map { case (k, (_, md, _)) => k -> md }
+      val med = st.map { case (k, (_, md, _, _)) => k -> md }
       s""","total_staged_32file":${med.map(_._2).sum},""" +
         s""""queries_staged_32file":${js(med)},""" +
         s""""queries_staged_32file_stats":${jsStats(st)}""" +
@@ -184,11 +235,16 @@ object Bench {
     // FINAL line is the compact primary metric only. The driver keeps a
     // bounded tail of stdout and parses the last line as JSON — the full
     // record outgrew that capture in round 7 (BENCH_r07 parsed: null).
+    val onlyTag = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(o => s""","only":"${o}"""").getOrElse("")
     val diag = s"""{"metric":"total","value":$total,"unit":"sec","samples":3,""" +
-      s""""queries":${js(medians)},"query_stats":${jsStats(single)}""" +
+      s""""total_min":$totalMin,"queries":${js(medians)},""" +
+      s""""queries_min":${js(mins)},"query_stats":${jsStats(single)}""" +
+      s""","load_gate":$loadGate,"load_gate_wait_sec":$gateWaitSec""" +
+      s""","load_gate_timed_out":$gateTimedOut""" +
       s""","loadavg_warmup_before":$loadWarm""" +
       s""","loadavg_before":$loadBefore,"loadavg_after":$loadMid""" +
-      s""","sf":"$sfDir"$extras}"""
+      s""","sf":"$sfDir"$onlyTag$extras}"""
     // per-SF path: back-to-back runs against different fixtures must not
     // clobber each other's diagnostics
     val diagPath = s"/tmp/graft_bench_diag_${new java.io.File(sfDir).getName}.json"
@@ -200,7 +256,8 @@ object Bench {
     val qCompact = medians.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","samples":3,""" +
-      s""""queries":$qCompact,"sf":"$sfDir","diag":"$diagPath"}""")
+      s""""total_min":${ms(totalMin)},"gated":${!gateTimedOut},""" +
+      s""""queries":$qCompact,"sf":"$sfDir"$onlyTag,"diag":"$diagPath"}""")
     spark.stop()
   }
 }
