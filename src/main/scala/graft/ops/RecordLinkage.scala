@@ -39,13 +39,16 @@ object RecordLinkage {
     * dropped from candidate generation entirely — without it, one hot
     * key ("", "UNKNOWN", a shared serial prefix) makes the join
     * quadratic in that block's size. Enforced per side with a partial-agg
-    * block count and a BROADCAST anti-join of the over-cap keys: the count
+    * block count and an anti-join of the over-cap keys: the count
     * map-side-combines (a degenerate block never funnels through one
-    * task, unlike a window count whose partition sort would), and the
-    * over-cap key set is tiny by construction (it only holds degenerate
-    * keys), so the anti-join is a broadcast, not a shuffle. Dropped
-    * blocks trade recall for a hard cost bound — exactly the dial real
-    * linkage systems expose; pick the cap so legitimate blocks pass.
+    * task, unlike a window count whose partition sort would). The
+    * anti-join carries NO broadcast hint on purpose: the over-cap set is
+    * usually tiny (only degenerate keys) and AQE broadcasts it at
+    * runtime, but its size is bounded only by rows/cap — a small cap on
+    * a skewed corpus can make it arbitrarily large, and a forced hint
+    * would turn that into a driver OOM cliff instead of a plain shuffle.
+    * Dropped blocks trade recall for a hard cost bound — exactly the dial
+    * real linkage systems expose; pick the cap so legitimate blocks pass.
     *
     * @param blockA / blockB blocking-key expressions over each side's
     *        text column (same key family on both sides for recall). */
@@ -57,7 +60,7 @@ object RecordLinkage {
     def capped(df: DataFrame): DataFrame = maxBlockSize.fold(df) { cap =>
       val over = df.groupBy("__blk").agg(count(lit(1)).as("__bn"))
         .filter(col("__bn") > cap).select("__blk")
-      df.join(broadcast(over), Seq("__blk"), "left_anti")
+      df.join(over, Seq("__blk"), "left_anti")
     }
     val left = capped(a.select(col(aId).as("id_a"), col(aText).as("text_a"),
       blockA.as("__blk")))

@@ -58,21 +58,21 @@ class EntrySpec extends SparkSpec {
       // Mechanical multi-scan / exchange-count regression guard: PlanAudit
       // is a manual tool, so a shape regression (like the CMS sketch's
       // 4-way-union multi-scan, or a ReusedExchange de-canonicalizing into
-      // duplicate subtrees) could land silently. Ceilings are the measured
-      // round-8 baseline — an operator change that raises them must raise
-      // the ceiling here CONSCIOUSLY, with the 100 TB cost written down.
-      val scans = ("Location: InMemoryFileIndex(?:\\(\\d+ paths?\\))?" +
-        "\\[[^\\]]*/(\\w+)\\.parquet").r
-        .findAllMatchIn(finalPlan).map(_.group(1)).toSeq
-        .groupBy(identity).view.mapValues(_.size)
-      val nEx = "\\bExchange hashpartitioning".r.findAllIn(finalPlan).size
+      // duplicate subtrees) could land silently. Counted STRUCTURALLY via
+      // PlanAudit.shape — the tree walk descends into materialized query
+      // stages, so scans/exchanges inside a broadcast stage (invisible to
+      // the elided final-plan string this guard used through round 10)
+      // are bounded too. Ceilings are the measured round-11 baseline — an
+      // operator change that raises them must raise the ceiling here
+      // CONSCIOUSLY, with the 100 TB cost written down.
+      val s = graft.tools.PlanAudit.shape(df.queryExecution.executedPlan)
       val (maxScan, maxEx) = PlanCeilings.headline(name)
-      scans.foreach { case (t, c) =>
+      s.scans.foreach { case (t, c) =>
         assert(c <= maxScan,
           s"$name scans $t $c times (ceiling $maxScan) — a new pass over the fact table")
       }
-      assert(nEx <= maxEx,
-        s"$name has $nEx hash exchanges (ceiling $maxEx) — a new shuffle appeared")
+      assert(s.exchanges <= maxEx,
+        s"$name has ${s.exchanges} hash exchanges (ceiling $maxEx) — a new shuffle appeared")
       graft.plans.Checkpoints.releaseAll()
     }
     // the guard is only meaningful if AQE actually re-planned something

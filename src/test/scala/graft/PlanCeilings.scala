@@ -1,13 +1,18 @@
 package graft
 
 /** Measured plan-shape baseline for the bench headline set (PlanAudit at
-  * sf0.001, round 8): per query, (max scans of any ONE parquet table in
-  * the final adaptive plan, max `Exchange hashpartitioning` nodes).
-  * EntrySpec asserts these as CEILINGS so a multi-scan or extra-shuffle
-  * regression fails loudly instead of landing as a silent slowdown —
-  * the spec-level version of the manual PlanAudit sweep. Raising a
-  * ceiling is allowed, but only as a conscious edit here with the
-  * 100 TB cost justified in the commit.
+  * sf0.001, re-baselined round 11 with the STRUCTURAL counter): per
+  * query, (max scans of any ONE parquet table in the final adaptive
+  * plan, max hash-partitioned shuffle exchanges). Counts come from
+  * `PlanAudit.shape`, which walks the executed-plan TREE and descends
+  * into materialized query stages — so scans/exchanges inside a
+  * broadcast stage (invisible to the elided final-plan string used
+  * through round 10) are bounded too. EntrySpec asserts these as
+  * CEILINGS so a multi-scan or extra-shuffle regression fails loudly
+  * instead of landing as a silent slowdown — the spec-level version of
+  * the manual PlanAudit sweep. Raising a ceiling is allowed, but only
+  * as a conscious edit here with the 100 TB cost justified in the
+  * commit.
   *
   * Notes on the entries above the defaults:
   *  - events:2 queries (as-of / range / interval) read the table once per
@@ -46,18 +51,23 @@ object PlanCeilings {
     "q_unigram_xent"        -> (3, 2),
     "q_dsir_weights"        -> (2, 1),
     "q_decontaminate_bloom" -> (3, 1),
-    "q_bigram_xent"         -> (3, 5),
-    "q_source_overlap"      -> (1, 2),
+    "q_bigram_xent"         -> (3, 4),
+    "q_source_overlap"      -> (1, 1),
     "q_bm25_topk"           -> (2, 5),
-    "q_sketch_hll"          -> (1, 4),
+    "q_sketch_hll"          -> (1, 3),
     "q_funnel_steps"        -> (1, 1),
     "q_curate_pipeline"     -> (1, 1),
     "q_entity_clusters"     -> (1, 2),
     "q_funnel_steps_capped" -> (1, 1),
-    // one scan per linkage side; the per-side over-cap key sets are
-    // broadcast subplans (partial-agg count + broadcast anti-join), so
-    // no hash exchange survives in the final plan — the r9 window-count
-    // version needed (2,2) and sorted the hot block through one task
+    // one scan per linkage side. At sf0.001 no block exceeds the cap,
+    // so AQE's empty-relation propagation deletes the per-side over-cap
+    // anti-join subplan outright — the structural count is genuinely
+    // (2,0) HERE, but the count pass (one extra scan + hash exchange
+    // per side) is real on a corpus with degenerate blocks; the r9
+    // window-count version needed (2,2) and sorted the hot block
+    // through one task. The anti-join carries no broadcast hint (AQE
+    // decides at runtime — a forced hint was a driver-OOM cliff when a
+    // small cap makes the over-cap set large).
     "q_fuzzy_link_capped"   -> (2, 0),
     // dump side runs eagerly inside the query fn (COPY spool, not in this
     // plan); the audited LOAD plan scans the archive's .dat.gz text, no
