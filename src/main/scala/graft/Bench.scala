@@ -31,6 +31,9 @@ object Bench {
   def headline: Seq[String] = sys.env.get("SPARK_GRAFT_ONLY") match {
     case Some(raw) =>
       val names = raw.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      require(names.nonEmpty,
+        "SPARK_GRAFT_ONLY is set but names no queries — a bench over zero " +
+          "queries would emit value:0; unset the var for the full battery")
       val unknown = names.filterNot(SparkEntry.queries.keySet)
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(",")} " +
@@ -64,6 +67,10 @@ object Bench {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def main(args: Array[String]): Unit = {
+    // Resolve (and validate) the timed set FIRST: a SPARK_GRAFT_ONLY typo
+    // must abort here, not after the load-gate wait and the multi-minute
+    // staging pass (round-10 ADVICE).
+    val headlineNames: Seq[String] = headline
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -82,11 +89,21 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    // A query that throws must not time ~0 and silently deflate the
+    // total (round-10 verdict #4): every failure is collected and tagged
+    // into BOTH output lines — a bench that can shrink on breakage is a
+    // trap even with correctness gated elsewhere.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+
     def runOnce(dir: String, name: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try fn(spark, dir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+      catch {
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // untimed: materializing a shared subtree is part of the query,
       // releasing its blocks afterwards is session hygiene
@@ -100,30 +117,10 @@ object Bench {
     }
 
     def run(dir: String): Seq[(String, Double)] =
-      headline.filter(SparkEntry.queries.contains).map(n => n -> runOnce(dir, n))
-
-    /** Three consecutive warm samples per query, plus the 1-min loadavg
-      * sampled right after them. Single-sample rounds proved unauditable
-      * on a shared host (BENCH_r05 overstated the total by 37% vs a
-      * controlled rerun); the median is robust to one co-tenant spike,
-      * min/max expose how noisy the host was, and the per-query loadavg
-      * localizes WHICH queries ran under a spike (round-9 verdict: 4
-      * untouched queries drifted >25% with only bracketing loadavg to
-      * explain it). */
-    def runMedianOf3(dir: String): Seq[(String, (Double, Double, Double, Double))] =
-      headline.filter(SparkEntry.queries.contains).map { name =>
-        val samples = Seq.fill(3)(runOnce(dir, name)).sorted
-        name -> ((samples.head, samples(1), samples.last, load1()))
-      }
+      headlineNames.filter(SparkEntry.queries.contains).map(n => n -> runOnce(dir, n))
 
     def js(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-
-    def jsStats(rs: Seq[(String, (Double, Double, Double, Double))]) =
-      rs.map { case (k, (mn, md, mx, ld)) =>
-        "\"" + k + "\":{\"min\":" + mn + ",\"median\":" + md +
-          ",\"max\":" + mx + ",\"load1\":" + ld + "}"
-      }.mkString("{", ",", "}")
 
     def loadAvg(): String =
       try {
@@ -160,6 +157,58 @@ object Bench {
         f"[bench] proceeding UNDER LOAD after ${gateWaitSec}s wait " +
           f"(loadavg $l%.2f > gate $loadGate%.1f) — samples are suspect")
     }
+
+    /** (min, median, max, load1 after the samples, resample rounds). */
+    type QStats = (Double, Double, Double, Double, Int)
+
+    def sampleQuery(dir: String, name: String): QStats = {
+      val samples = Seq.fill(3)(runOnce(dir, name)).sorted
+      (samples.head, samples(1), samples.last, load1(), 0)
+    }
+
+    /** Three consecutive warm samples per query, plus the 1-min loadavg
+      * sampled right after them. Single-sample rounds proved unauditable
+      * on a shared host (BENCH_r05 overstated the total by 37% vs a
+      * controlled rerun); the median is robust to one co-tenant spike,
+      * min/max expose how noisy the host was, and the per-query loadavg
+      * localizes WHICH queries ran under a spike.
+      *
+      * The start-of-run gate alone proved insufficient in round 10: the
+      * gate passed, co-tenant load arrived MID-RUN, and q_subset_acyclic
+      * recorded 2.93s for a query that measures 1.32s idle. So the gate
+      * now acts per query: any query whose post-sample load1 exceeds the
+      * gate is RE-SAMPLED (bounded: up to 2 retries, each preceded by a
+      * bounded wait for the spike to pass) and, if it never ran clean,
+      * stays tagged `suspect` in the emitted stats — the driver's number
+      * is self-qualifying instead of silently poisoned. A load1 read
+      * failure (-1) is UNKNOWN, not clean: tagged suspect, not retried
+      * (there is nothing to gate on). */
+    def runMedianOf3(dir: String): Seq[(String, QStats)] =
+      headlineNames.filter(SparkEntry.queries.contains).map { name =>
+        var s = sampleQuery(dir, name)
+        var rounds = 0
+        while (s._4 > loadGate && rounds < 2) {
+          var waited = 0
+          while (load1() > loadGate && waited < 60) {
+            Thread.sleep(15000); waited += 15
+          }
+          System.err.println(f"[bench] $name sampled under load1 ${s._4}%.2f " +
+            f"> gate $loadGate%.1f — re-sampling (retry ${rounds + 1}/2)")
+          rounds += 1
+          val r = sampleQuery(dir, name)
+          s = (r._1, r._2, r._3, r._4, rounds)
+        }
+        name -> s
+      }
+
+    def suspectOf(s: QStats): Boolean = s._4 > loadGate || s._4 < 0
+
+    def jsStats(rs: Seq[(String, QStats)]) =
+      rs.map { case (k, s @ (mn, md, mx, ld, rr)) =>
+        "\"" + k + "\":{\"min\":" + mn + ",\"median\":" + md +
+          ",\"max\":" + mx + ",\"load1\":" + ld + ",\"resampled\":" + rr +
+          ",\"suspect\":" + suspectOf(s) + "}"
+      }.mkString("{", ",", "}")
 
     val staged = if (sys.env.getOrElse("SPARK_GRAFT_STAGE", "1") != "0") {
       // untimed staging: same rows, 32-file layout -> parallel scan tasks
@@ -219,29 +268,42 @@ object Bench {
     // tables are sub-MB, so per-task overhead outweighs parallel-scan
     // gains for most queries — the parallel layout pays off exactly where
     // real data volume exists (lineitem) and everywhere at cluster scale.
-    val medians = single.map { case (k, (_, md, _, _)) => k -> md }
-    val mins = single.map { case (k, (mn, _, _, _)) => k -> mn }
+    val medians = single.map { case (k, (_, md, _, _, _)) => k -> md }
+    val mins = single.map { case (k, (mn, _, _, _, _)) => k -> mn }
     val total = medians.map(_._2).sum
     val totalMin = mins.map(_._2).sum
     val extras = stagedTimes.map { st =>
-      val med = st.map { case (k, (_, md, _, _)) => k -> md }
+      val med = st.map { case (k, (_, md, _, _, _)) => k -> md }
       s""","total_staged_32file":${med.map(_._2).sum},""" +
         s""""queries_staged_32file":${js(med)},""" +
         s""""queries_staged_32file_stats":${jsStats(st)}""" +
         s""","loadavg_staged_before":$loadMid,"loadavg_staged_after":$loadAfter"""
     }.getOrElse("")
+    // Suspect = still sampled above the gate after bounded re-sampling,
+    // or loadavg unreadable. The PRIMARY pass's suspects qualify the
+    // emitted medians; `gated` is derived from measurement-time evidence
+    // (round-10 ADVICE: the start-only flag labeled a load1=14.9 run
+    // clean), so gated=true now MEANS every primary sample ran at or
+    // under the gate with a readable loadavg and no query failed.
+    val suspects = single.collect { case (k, s) if suspectOf(s) => k }
+    val gatedClean = !gateTimedOut && suspects.isEmpty && failed.isEmpty
+    def jsNames(ns: Iterable[String]) =
+      ns.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Full diagnostics (min/median/max, staged layout pass, loadavg at
     // every phase boundary) go to a file AND a non-final stdout line; the
     // FINAL line is the compact primary metric only. The driver keeps a
     // bounded tail of stdout and parses the last line as JSON — the full
     // record outgrew that capture in round 7 (BENCH_r07 parsed: null).
+    // trimmed resolved names, not the raw env value (which may carry
+    // whitespace or JSON-hostile characters)
     val onlyTag = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(o => s""","only":"${o}"""").getOrElse("")
+      .map(_ => s""","only":"${headlineNames.mkString(",")}"""").getOrElse("")
     val diag = s"""{"metric":"total","value":$total,"unit":"sec","samples":3,""" +
       s""""total_min":$totalMin,"queries":${js(medians)},""" +
       s""""queries_min":${js(mins)},"query_stats":${jsStats(single)}""" +
       s""","load_gate":$loadGate,"load_gate_wait_sec":$gateWaitSec""" +
       s""","load_gate_timed_out":$gateTimedOut""" +
+      s""","suspect":${jsNames(suspects)},"failed":${jsNames(failed)}""" +
       s""","loadavg_warmup_before":$loadWarm""" +
       s""","loadavg_before":$loadBefore,"loadavg_after":$loadMid""" +
       s""","sf":"$sfDir"$onlyTag$extras}"""
@@ -256,7 +318,8 @@ object Bench {
     val qCompact = medians.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","samples":3,""" +
-      s""""total_min":${ms(totalMin)},"gated":${!gateTimedOut},""" +
+      s""""total_min":${ms(totalMin)},"gated":$gatedClean,""" +
+      s""""suspect":${jsNames(suspects)},"failed":${jsNames(failed)},""" +
       s""""queries":$qCompact,"sf":"$sfDir"$onlyTag,"diag":"$diagPath"}""")
     spark.stop()
   }

@@ -111,7 +111,8 @@ object Lifecycle {
     * CREATE TABLE DDL generated from the Spark schema (bare tables). */
   def pgDump(spark: SparkSession, configJson: String, conninfo: String,
              outDir: String,
-             schemaFromSource: Boolean = true): graft.pipeline.PgToc.Toc = {
+             schemaFromSource: Boolean = true,
+             compress: String = "none"): graft.pipeline.PgToc.Toc = {
     val configs = ConfigLoader.fromJson(configJson)
     val psqlArgs = Seq("-d", conninfo)
     // per-table COPY transfers are network-bound and independent — run
@@ -165,10 +166,10 @@ object Lifecycle {
       }
       val sequences = graft.sources.PgSource.sequenceValues(psqlArgs)
       PgToc.dumpArchiveMerged(ordered, outDir, schemaToc,
-        deps = deps, sequences = sequences)
+        deps = deps, sequences = sequences, compress = compress)
     } else
       graft.pipeline.PgToc.dumpArchive(ordered, outDir, dbName,
-        includeSchema = true, deps = deps)
+        includeSchema = true, deps = deps, compress = compress)
   }
 
   /** validate --data: warnings + original-vs-transformed diff counts. */
@@ -280,8 +281,14 @@ object Lifecycle {
     args.toList match {
       case "dump" :: cfgPath :: sfDir :: outDir :: Nil =>
         dump(spark, Files.readString(Paths.get(cfgPath)), sfDir, outDir)
-      case "pg-dump" :: cfgPath :: conninfo :: outDir :: Nil =>
-        pgDump(spark, Files.readString(Paths.get(cfgPath)), conninfo, outDir)
+      case "pg-dump" :: cfgPath :: conninfo :: outDir :: rest =>
+        // --compress=none|gzip|lz4|zstd (pg_dump 16's own flag values);
+        // payload members ride graft.sources.Compress either way
+        val compress = rest.collectFirst {
+          case a if a.startsWith("--compress=") => a.stripPrefix("--compress=")
+        }.getOrElse("none")
+        pgDump(spark, Files.readString(Paths.get(cfgPath)), conninfo, outDir,
+          compress = compress)
           .entries.foreach(e => println(s"[pg-dump] ${e.tag.getOrElse("")} " +
             s"${e.desc.getOrElse("")} -> ${e.fileName.getOrElse("(stmt)")}"))
       case "pg-diff" :: connA :: connB :: tablesCsv :: Nil =>

@@ -1153,7 +1153,7 @@ object SparkEntry {
             col("l_quantity").cast("int").as("l_quantity"),
             col("l_returnflag"), col("l_linestatus"))
         graft.pipeline.PgToc.dumpArchive(Seq("lineitem" -> src), out, "rt",
-          compress = true)
+          compress = "gzip")
         val loaded = graft.sources.PgArchive.load(s, out)
         require(loaded.map(_._1) == Seq("lineitem"), "archive tag mismatch")
         loaded.head._2
@@ -1738,6 +1738,37 @@ object SparkEntry {
         graft.generators.RandomEngine.choice(Seq("alpha", "beta")).as("picked"))
         .orderBy("c_custkey"),
       None),
+    // Driver-visible invariants of the PRNG engine (round-9 verdict #7):
+    // the value stream is rows-only by nature, but its CONTRACT is
+    // oracle-checkable — row count preserved, limiter bounds respected,
+    // choice values drawn from the dictionary, outputs never null, the
+    // decimal grid honored. Each invariant collapses to a constant the
+    // DuckDB oracle states outright; any engine violation (a limiter off
+    // by one, a null leak, a choice outside the dictionary) flips a
+    // column and hash-mismatches.
+    "q_random_engine_bounds" -> Q(
+      (s, dir) => {
+        val eng = graft.generators.RandomEngine
+        rd(s, dir, "customer").select(
+          eng.longBetween(0, 999999).as("masked"),
+          eng.choice(Seq("alpha", "beta")).as("picked"),
+          eng.doubleBetween(1.5, 9.5, 2).as("dbl"))
+          .agg(
+            count(lit(1)).as("n"),
+            (min(col("masked")) >= 0 && max(col("masked")) <= 999999)
+              .as("long_in_bounds"),
+            sum(when(col("picked").isin("alpha", "beta"), 0L).otherwise(1L))
+              .as("bad_choice"),
+            sum(when(col("masked").isNull || col("picked").isNull ||
+              col("dbl").isNull, 1L).otherwise(0L)).as("nulls_out"),
+            (min(col("dbl")) >= 1.5 && max(col("dbl")) <= 9.5)
+              .as("dbl_in_bounds"),
+            sum(when(abs(col("dbl") * 100 - round(col("dbl") * 100)) > 1e-9,
+              1L).otherwise(0L)).as("off_grid"))
+      },
+      Some("""SELECT count(*)::BIGINT AS n, true AS long_in_bounds,
+              0::BIGINT AS bad_choice, 0::BIGINT AS nulls_out,
+              true AS dbl_in_bounds, 0::BIGINT AS off_grid FROM customer""")),
 
     // Exact per-label embedding centroids (nano-quantized components ->
     // exact integer sums -> one bit-identical division)

@@ -49,7 +49,9 @@ object PgToc {
 
   /** pg_dump compression spec: algorithm 0=none 1=gzip 2=lz4 3=zstd
     * (v1.15+ stores the algorithm byte; older versions store a gzip
-    * level int). */
+    * level int — lz4/zstd are therefore inexpressible below 1.15 and
+    * the writer enforces it). Payload members for all three algorithms
+    * encode/decode through [[graft.sources.Compress]]. */
   case class Compression(algorithm: Int = 0, level: Int = 0)
 
   /** struct-tm creation stamp as stored: year is calendar-1900, month
@@ -98,6 +100,12 @@ object PgToc {
     require(v >= V1_10 && v <= V1_16,
       s"PgToc.write: version ${h.versionMajor}.${h.versionMinor} outside supported [1.10, 1.16]")
     require(h.intSize == 4, "PgToc.write: only intSize=4 is supported")
+    require(h.compression.algorithm >= 0 && h.compression.algorithm <= 3,
+      s"PgToc.write: unknown compression algorithm ${h.compression.algorithm}")
+    require(h.compression.algorithm <= 1 || v >= V1_15,
+      s"PgToc.write: ${graft.sources.Compress.name(h.compression.algorithm)} " +
+        "compression requires archive version >= 1.15 (older headers store " +
+        "only a gzip level int)")
     def byte(b: Int): Unit = out.write(b & 0xFF)
     def int(i0: Int): Unit = {
       var i = i0
@@ -214,6 +222,9 @@ object PgToc {
         val level = int()
         Compression(algorithm = if (level != 0) 1 else 0, level = level)
       }
+    require(compression.algorithm <= 3,
+      s"PgToc.read: unknown compression algorithm byte ${compression.algorithm} " +
+        "(supported: 0=none, 1=gzip, 2=lz4, 3=zstd — a newer pg_dump format?)")
     val crtm = Crtm(int(), int(), int(), int(), int(), int(), int())
     val dbName = str(); val remoteVersion = str(); val dumpVersion = str()
     val header = Header(major, minor, rev, intSize, offSize, format,
@@ -282,7 +293,7 @@ object PgToc {
     * one value; the reference streams the same content in 1 MiB chunks —
     * `dumpers/large_object.go:35`). Returns the oids written. */
   def writeBlobFiles(los: org.apache.spark.sql.DataFrame, outDir: String,
-                     compress: Boolean = false): Seq[Long] = {
+                     algo: Int = 0): Seq[Long] = {
     Files.createDirectories(Paths.get(outDir))
     val it = los.select("lo_oid", "data").toLocalIterator()
     val oids = Seq.newBuilder[Long]
@@ -293,10 +304,10 @@ object PgToc {
       val bytes = if (r.isNullAt(1)) Array.emptyByteArray
                   else r.getAs[Array[Byte]](1)
       val name = s"blob_$oid.dat"
-      if (compress) {
-        val gz = new java.util.zip.GZIPOutputStream(
-          Files.newOutputStream(Paths.get(outDir, name + ".gz")))
-        try gz.write(bytes) finally gz.close()
+      if (algo != 0) {
+        val z = graft.sources.Compress.output(algo, Files.newOutputStream(
+          Paths.get(outDir, name + graft.sources.Compress.extension(algo))))
+        try z.write(bytes) finally z.close()
       } else Files.write(Paths.get(outDir, name), bytes)
       toc.append(oid).append(' ').append(name).append('\n')
       oids += oid
@@ -355,17 +366,21 @@ object PgToc {
     * the data — the reference's masked-dump -> pg_restore workflow,
     * producible straight from Spark; data-only archives restore with
     * `-a` into pre-created tables. `deps` maps child table -> parent
-    * tables for the TOC dependency ids (restore ordering). */
+    * tables for the TOC dependency ids (restore ordering). `compress`
+    * is a [[graft.sources.Compress]] spec ("none"/"gzip"/"lz4"/"zstd");
+    * lz4/zstd bump the archive version to 1.15, the first that can
+    * record them. */
   def dumpArchive(tables: Seq[(String, org.apache.spark.sql.DataFrame)],
                   outDir: String, dbName: String,
                   namespace: String = "public", owner: String = "graft",
                   deps: Map[String, Seq[String]] = Map.empty,
                   includeSchema: Boolean = false,
                   sequences: Map[String, Long] = Map.empty,
-                  compress: Boolean = false,
+                  compress: String = "none",
                   largeObjects: Option[org.apache.spark.sql.DataFrame] = None,
                   loAcls: Map[Long, String] = Map.empty): Toc = {
     Files.createDirectories(Paths.get(outDir))
+    val algo = graft.sources.Compress.parse(compress)
     val n = tables.size
     // schema entries take ids 1..n, data entries n+1..2n (restore order:
     // pre-data first; pg_restore also honors sections)
@@ -397,12 +412,13 @@ object PgToc {
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    // pg_dump convention: gzipped payloads live at <id>.dat.gz while the
-    // TOC records the bare .dat name; pg_restore (and PgArchive) probe both
-    val ext = if (compress) ".dat.gz" else ".dat"
+    // pg_dump convention: compressed payloads live at <id>.dat.<ext>
+    // while the TOC records the bare .dat name; pg_restore (and
+    // PgArchive) probe every suffix
+    val ext = ".dat" + graft.sources.Compress.extension(algo)
     val writes = tables.map { case (table, df) =>
       Future(graft.sources.CopyText.writeDatFile(
-        df, s"$outDir/${dataIds(table)}$ext", gzip = compress))
+        df, s"$outDir/${dataIds(table)}$ext", algo))
     }
     writes.foreach(Await.result(_, Duration.Inf))
     val dataEntries = tables.map { case (table, df) =>
@@ -439,20 +455,32 @@ object PgToc {
     // entries (write side of PgArchive.loadLargeObjects)
     val (blobPre, blobData) = largeObjects match {
       case Some(los) =>
-        val oids = writeBlobFiles(los, outDir, compress)
+        val oids = writeBlobFiles(los, outDir, algo)
         val (pre, data) = blobTocEntries(oids, loAcls,
           firstId = seqBase + sequences.size + 1, owner = owner)
         (pre, Seq(data))
       case None => (Nil, Nil)
     }
-    val toc = Toc(Header(1, 14, 0, dbName = Some(dbName),
+    // v1.14 (the PostgreSQL 15 shape) stores a gzip LEVEL int, enough
+    // for none/gzip; lz4/zstd exist only as a v1.15+ algorithm byte, so
+    // those archives write the 1.15 header (entry layout is unchanged
+    // between 1.14 and 1.15 — the gates in between are header-only)
+    val minor = if (algo >= 2) 15 else 14
+    val toc = Toc(Header(1, minor, 0, dbName = Some(dbName),
       remoteVersion = Some("15.0"), dumpVersion = Some("15.0"),
-      // v1.14 stores a gzip LEVEL int; non-zero = gzip (pg_dump default 6)
-      compression = if (compress) Compression(algorithm = 1, level = 6)
-                    else Compression()),
+      compression = headerCompression(algo)),
       schemaEntries ++ blobPre ++ dataEntries ++ seqEntries ++ blobData)
     writeFile(toc, s"$outDir/toc.dat")
     toc
+  }
+
+  /** Header compression field for a member algorithm: v1.15+ readers see
+    * the algorithm byte; pre-1.15 readers see the level int (gzip
+    * default 6, pg_dump's own default). */
+  private def headerCompression(algo: Int): Compression = algo match {
+    case 0 => Compression()
+    case 1 => Compression(algorithm = 1, level = 6)
+    case a => Compression(algorithm = a)
   }
 
   /** Merge a REAL `pg_dump --schema-only -Fd` archive with Spark-masked
@@ -478,10 +506,11 @@ object PgToc {
                         deps: Map[String, Seq[String]] = Map.empty,
                         sequences: Map[String, Long] = Map.empty,
                         namespace: String = "public",
-                        compress: Boolean = false,
+                        compress: String = "none",
                         largeObjects: Option[org.apache.spark.sql.DataFrame] = None,
                         loAcls: Map[Long, String] = Map.empty): Toc = {
     Files.createDirectories(Paths.get(outDir))
+    val algo = graft.sources.Compress.parse(compress)
     def qi(n: String) = graft.sources.PgSource.quoteIdent(n)
     val maxId = schemaToc.entries.map(_.dumpId).maxOption.getOrElse(0)
     val tableDdl: Map[String, Entry] = schemaToc.entries
@@ -494,10 +523,10 @@ object PgToc {
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val ext = if (compress) ".dat.gz" else ".dat"
+    val ext = ".dat" + graft.sources.Compress.extension(algo)
     val writes = tables.map { case (table, df) =>
       Future(graft.sources.CopyText.writeDatFile(
-        df, s"$outDir/${dataIds(table)}$ext", gzip = compress))
+        df, s"$outDir/${dataIds(table)}$ext", algo))
     }
     writes.foreach(Await.result(_, Duration.Inf))
     val dataEntries = tables.map { case (table, df) =>
@@ -535,7 +564,7 @@ object PgToc {
     // large objects (same pg_dump shape as dumpArchive's)
     val (blobPre, blobData) = largeObjects match {
       case Some(los) =>
-        val oids = writeBlobFiles(los, outDir, compress)
+        val oids = writeBlobFiles(los, outDir, algo)
         val (preE, dataE) = blobTocEntries(oids, loAcls,
           firstId = seqBase + sequences.size + 1, owner = "graft")
         (preE, Seq(dataE))
@@ -549,9 +578,14 @@ object PgToc {
     val (pre, post) =
       if (splitAt < 0) (schemaToc.entries, Seq.empty[Entry])
       else schemaToc.entries.splitAt(splitAt)
-    val header = schemaToc.header.copy(
-      compression = if (compress) Compression(algorithm = 1, level = 6)
-                    else Compression())
+    // a pg_dump-15 schema TOC is v1.14, which cannot record lz4/zstd:
+    // bump to 1.15 (entry layout unchanged between the two — the gates
+    // in between are header-only)
+    val bumped =
+      if (algo >= 2 && schemaToc.header.version < V1_15)
+        schemaToc.header.copy(versionMajor = 1, versionMinor = 15, versionRev = 0)
+      else schemaToc.header
+    val header = bumped.copy(compression = headerCompression(algo))
     val toc = Toc(header,
       pre ++ blobPre ++ dataEntries ++ seqEntries ++ blobData ++ post)
     writeFile(toc, s"$outDir/toc.dat")

@@ -162,18 +162,53 @@ object CopyText {
     w.mode("overwrite").text(path)
   }
 
+  /** Byte counter around the concat target so compressed member lengths
+    * are known as they are written. */
+  private final class CountingOutputStream(u: java.io.OutputStream)
+      extends java.io.OutputStream {
+    var count = 0L
+    override def write(b: Int): Unit = { u.write(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      u.write(b, off, len); count += len
+    }
+    override def flush(): Unit = u.flush()
+    override def close(): Unit = u.close()
+  }
+
+  /** Shield between a per-member compression stream and the shared
+    * concat target: frame streams close their underlying stream on
+    * close(), but the target must stay open for the next member. */
+  private final class NonClosingOutputStream(u: java.io.OutputStream)
+      extends java.io.OutputStream {
+    override def write(b: Int): Unit = u.write(b)
+    override def write(b: Array[Byte], off: Int, len: Int): Unit =
+      u.write(b, off, len)
+    override def flush(): Unit = u.flush()
+    override def close(): Unit = u.flush()
+  }
+
   /** Render one SINGLE `.dat` data file (the pg_restore directory-archive
     * per-table payload): distributed COPY-text encode into a scratch dir,
     * then a driver-side ordered stream-concat of the part files plus the
     * `\.` terminator line. One table = one COPY stream is pg_restore's
     * own contract, so the final single-stream hop is inherent to the
     * format, not a scale bug — the encode itself stays distributed. */
-  /** With `gzip = true` the payload is written as CONCATENATED gzip
-    * members (one per part + one for the terminator) — the gzip format
-    * makes member concatenation a valid stream, so the distributed
-    * encode parallelism survives compression, and zlib-based readers
-    * (pg_restore included) decode it transparently. */
-  def writeDatFile(df: DataFrame, file: String, gzip: Boolean = false): Unit = {
+  def writeDatFile(df: DataFrame, file: String, gzip: Boolean = false): Unit =
+    writeDatFile(df, file, if (gzip) Compress.Gzip else Compress.None)
+
+  /** Compressed payloads are written as CONCATENATED members (one per
+    * part + one for the terminator) — gzip members, LZ4 frames and zstd
+    * frames all define concatenation as a valid stream, so the
+    * distributed encode parallelism survives compression. gzip members
+    * are deflated DISTRIBUTED (Spark's text codec writes proper gzip
+    * part files, copied verbatim); lz4/zstd members are framed during
+    * the driver-side concat (streamed, bounded memory) because Hadoop's
+    * lz4/zstd codecs write block formats incompatible with the frame
+    * formats pg tooling expects. Member boundaries are recorded to a
+    * `.idx` sidecar so [[read]] can decompress members in parallel;
+    * pg_restore reads only the files toc.dat lists, so the sidecar is
+    * invisible to the native toolchain. */
+  def writeDatFile(df: DataFrame, file: String, algo: Int): Unit = {
     val tmp = file + ".tmpdir"
     val dir = new java.io.File(tmp)
     try {
@@ -188,7 +223,8 @@ object CopyText {
       val wide = if (df.rdd.getNumPartitions < math.min(target, 16)) {
         df.repartition(math.min(target, 16))
       } else df
-      write(wide, tmp, compression = if (gzip) Some("gzip") else None)
+      write(wide, tmp,
+        compression = if (algo == Compress.Gzip) Some("gzip") else None)
       // the concat step requires a DRIVER-LOCAL scratch dir (this method
       // targets local directory archives; on a cluster, point `file` at
       // local disk or concat on the storage layer) — fail with a
@@ -198,28 +234,31 @@ object CopyText {
           s"CopyText.writeDatFile: scratch dir $tmp is not on the driver-local " +
             "filesystem (spark default FS must be local for single-file rendering)"))
       val parts = listed.filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(file))
-      // gzip member boundaries, known only HERE at write time: recorded to
-      // a `.idx` sidecar so [[read]] can decompress members in parallel.
-      // pg_restore reads only the files toc.dat lists, so the sidecar is
-      // invisible to the native toolchain — our archives stay byte-level
-      // pg_dump-compatible AND parallel-loadable by our own reader.
+      val out = new CountingOutputStream(
+        new java.io.BufferedOutputStream(new java.io.FileOutputStream(file)))
       val members = Seq.newBuilder[(Long, Long)]
-      var off = 0L
       try {
         parts.foreach { p =>
-          java.nio.file.Files.copy(p.toPath, out)
-          members += ((off, p.length())); off += p.length()
+          val start = out.count
+          if (algo == Compress.Lz4 || algo == Compress.Zstd) {
+            // frame-per-part: compression happens here (see scaladoc)
+            val z = Compress.output(algo, new NonClosingOutputStream(out))
+            val in = new java.io.FileInputStream(p)
+            try in.transferTo(z) finally in.close()
+            z.close()
+          } else java.nio.file.Files.copy(p.toPath, out)
+          members += ((start, out.count - start))
         }
-        if (gzip) {
-          // close() (not just finish()) releases the Deflater's native
-          // zlib buffers immediately; it also closes `out`, which is
-          // idempotent under the finally below
-          val gz = new java.util.zip.GZIPOutputStream(out)
-          gz.write("\\.\n".getBytes("UTF-8")); gz.close()
-        } else out.write("\\.\n".getBytes("UTF-8"))
+        if (algo == Compress.None) out.write("\\.\n".getBytes("UTF-8"))
+        else {
+          // close() (not just finish()) releases native codec buffers
+          // immediately; the shield keeps the concat target open for the
+          // final close below
+          val z = Compress.output(algo, new NonClosingOutputStream(out))
+          z.write("\\.\n".getBytes("UTF-8")); z.close()
+        }
       } finally out.close()
-      if (gzip) {
+      if (algo != Compress.None) {
         val total = new java.io.File(file).length()
         val lines = (s"graftgzidx v1 $total" +:
           members.result().map { case (s, l) => s"$s $l" }).mkString("", "\n", "\n")
@@ -313,62 +352,73 @@ object CopyText {
     } catch { case _: Exception => None }
   }
 
+  /** One task per (start, length) range of `uri`: seek, decompress with
+    * `algo`, decode lines up to the member's own `\.` terminator. The
+    * parallel-member scan AND the single-stream fallback for frame
+    * formats Hadoop has no codec for (lz4/zstd) — the latter is just the
+    * whole file as one range. */
+  private def memberScan(spark: SparkSession, uri: java.net.URI,
+                         ranges: Seq[(Long, Long)], algo: Int):
+      org.apache.spark.sql.Dataset[String] = {
+    val rdd = spark.sparkContext
+      .parallelize(ranges, ranges.size)
+      .flatMap { case (start, mlen) =>
+        // executor-side FS handle; default Configuration resolves
+        // file:// (the directory-archive deployment shape) and any
+        // scheme configured cluster-wide
+        val efs = org.apache.hadoop.fs.FileSystem.get(uri,
+          new org.apache.hadoop.conf.Configuration())
+        val raw = efs.open(new org.apache.hadoop.fs.Path(uri))
+        raw.seek(start)
+        val boundedIn = new java.io.InputStream {
+          private var left = mlen
+          override def read(): Int =
+            if (left <= 0) -1
+            else { val b = raw.read(); if (b >= 0) left -= 1; b }
+          override def read(b: Array[Byte], o: Int, l: Int): Int =
+            if (left <= 0) -1
+            else {
+              val n = raw.read(b, o, math.min(l.toLong, left).toInt)
+              if (n > 0) left -= n
+              n
+            }
+          override def close(): Unit = raw.close()
+        }
+        val br = new java.io.BufferedReader(new java.io.InputStreamReader(
+          Compress.input(algo, boundedIn), "UTF-8"))
+        // a downstream limit can drop the iterator mid-member: close on
+        // task completion, not only on exhaustion (idempotent close)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => br.close()))
+        new Iterator[String] {
+          private var nxt = br.readLine()
+          def hasNext: Boolean = nxt != null || { br.close(); false }
+          def next(): String = { val r = nxt; nxt = br.readLine(); r }
+        }.takeWhile(_ != "\\.")
+      }
+    spark.createDataset(rdd)(Encoders.STRING)
+  }
+
   def read(spark: SparkSession, path: String, columns: Seq[String]): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
+    val algo = Compress.algoOfFile(p.getName)
     val bounded =
-      if (st.isFile && !p.getName.endsWith(".gz"))
+      if (st.isFile && algo == Compress.None)
         probeTerminator(fs, p, st.getLen)
       else None
-    // Our own gzipped payloads carry a member index: one task per gzip
+    // Our own compressed payloads carry a member index: one task per
     // member turns the format's one-unsplittable-stream-per-table decode
     // into a parallel scan (the load-side twin of writeDatFile's
     // distributed encode). Foreign payloads have no sidecar -> fallback.
     val indexed =
-      if (st.isFile && p.getName.endsWith(".gz"))
+      if (st.isFile && algo != Compress.None)
         memberIndex(fs, p, st.getLen)
       else None
     val lineDs = (indexed, bounded) match {
       case (Some(ranges), _) if ranges.nonEmpty =>
-        val uri = p.toUri
-        val rdd = spark.sparkContext
-          .parallelize(ranges, ranges.size)
-          .flatMap { case (start, mlen) =>
-            // executor-side FS handle; default Configuration resolves
-            // file:// (the directory-archive deployment shape) and any
-            // scheme configured cluster-wide
-            val efs = org.apache.hadoop.fs.FileSystem.get(uri,
-              new org.apache.hadoop.conf.Configuration())
-            val raw = efs.open(new org.apache.hadoop.fs.Path(uri))
-            raw.seek(start)
-            val boundedIn = new java.io.InputStream {
-              private var left = mlen
-              override def read(): Int =
-                if (left <= 0) -1
-                else { val b = raw.read(); if (b >= 0) left -= 1; b }
-              override def read(b: Array[Byte], o: Int, l: Int): Int =
-                if (left <= 0) -1
-                else {
-                  val n = raw.read(b, o, math.min(l.toLong, left).toInt)
-                  if (n > 0) left -= n
-                  n
-                }
-              override def close(): Unit = raw.close()
-            }
-            val br = new java.io.BufferedReader(new java.io.InputStreamReader(
-              new java.util.zip.GZIPInputStream(boundedIn), "UTF-8"))
-            // a downstream limit can drop the iterator mid-member: close on
-            // task completion, not only on exhaustion (idempotent close)
-            Option(org.apache.spark.TaskContext.get())
-              .foreach(_.addTaskCompletionListener[Unit](_ => br.close()))
-            new Iterator[String] {
-              private var nxt = br.readLine()
-              def hasNext: Boolean = nxt != null || { br.close(); false }
-              def next(): String = { val r = nxt; nxt = br.readLine(); r }
-            }.takeWhile(_ != "\\.")
-          }
-        spark.createDataset(rdd)(Encoders.STRING)
+        memberScan(spark, p.toUri, ranges, algo)
       case (_, Some(termOffset)) =>
         val conf = new org.apache.hadoop.conf.Configuration(
           spark.sparkContext.hadoopConfiguration)
@@ -378,6 +428,13 @@ object CopyText {
           classOf[org.apache.hadoop.io.LongWritable],
           classOf[org.apache.hadoop.io.Text], conf).map(_._2.toString)
         spark.createDataset(rdd)(Encoders.STRING)
+      case _ if st.isFile &&
+          (algo == Compress.Lz4 || algo == Compress.Zstd) =>
+        // foreign lz4/zstd payload (no sidecar): Hadoop ships no codec
+        // for the FRAME formats pg_dump writes, so stream-decode the
+        // whole file as one range — same 1-task shape a foreign .gz
+        // payload gets from the textFile fallback below
+        memberScan(spark, p.toUri, Seq((0L, st.getLen)), algo)
       case _ =>
         spark.read.textFile(path)
           .mapPartitions(_.takeWhile(_ != "\\."))(Encoders.STRING)

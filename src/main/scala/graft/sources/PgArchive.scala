@@ -191,15 +191,12 @@ object PgArchive {
           oid.toLong -> f.trim
         }
     entries.toDF("lo_oid", "f").as[(Long, String)].map { case (oid, f) =>
-      val plain = new java.io.File(dir, f)
-      val gz = new java.io.File(dir, f + ".gz")
-      val bytes =
-        if (plain.exists()) java.nio.file.Files.readAllBytes(plain.toPath)
-        else {
-          val in = new java.util.zip.GZIPInputStream(
-            new java.io.FileInputStream(gz))
-          try in.readAllBytes() finally in.close()
-        }
+      val file = Compress.probeFile(dir, f).getOrElse(
+        throw new IllegalArgumentException(
+          s"PgArchive: blob payload $f(.gz/.lz4/.zst) missing"))
+      val in = Compress.input(Compress.algoOfFile(file.getName),
+        new java.io.FileInputStream(file))
+      val bytes = try in.readAllBytes() finally in.close()
       (oid, bytes)
     }.toDF("lo_oid", "data")
   }
@@ -211,13 +208,12 @@ object PgArchive {
         throw new IllegalArgumentException("PgArchive: TABLE DATA entry without a tag"))
       val base = e.fileName.filter(_.nonEmpty).getOrElse(
         throw new IllegalArgumentException(s"PgArchive: $table has no data file"))
-      val plain = new java.io.File(dir, base)
-      val gz = new java.io.File(dir, base + ".gz")
-      val file =
-        if (plain.exists()) plain.getPath
-        else if (gz.exists()) gz.getPath
-        else throw new IllegalArgumentException(
-          s"PgArchive: data file $base(.gz) missing for $table")
+      // the TOC records the bare .dat name for every compression
+      // algorithm; probe plain/.gz/.lz4/.zst — CopyText.read picks the
+      // codec from the suffix it finds
+      val file = Compress.probeFile(dir, base).getOrElse(
+        throw new IllegalArgumentException(
+          s"PgArchive: data file $base(.gz/.lz4/.zst) missing for $table")).getPath
       table -> CopyText.read(spark, file, columnsOf(e))
     }
   }

@@ -38,19 +38,18 @@ object PgRestore {
   }
 
   /** Run a psql session with `pre` statements (each its own -c) followed
-    * by a COPY FROM STDIN fed from `file` (gunzipped inline when the
-    * name ends .gz). The payload's own `\.` terminator ends the COPY. */
+    * by a COPY FROM STDIN fed from `file` (decompressed inline by
+    * suffix — .gz/.lz4/.zst). The payload's own `\.` terminator ends
+    * the COPY. */
   private def copyFrom(psqlArgs: Seq[String], pre: Seq[String],
                        copySql: String, file: java.io.File): (Int, String) = {
     val cmd = Seq("/usr/bin/psql", "-X", "-q", "-v", "ON_ERROR_STOP=1") ++
       psqlArgs ++ pre.flatMap(s => Seq("-c", s)) ++ Seq("-c", copySql)
     val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
     val feeder = new Thread(() => {
-      val in: java.io.InputStream = {
-        val raw = new java.io.BufferedInputStream(new java.io.FileInputStream(file))
-        if (file.getName.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw)
-        else raw
-      }
+      val in: java.io.InputStream = Compress.input(
+        Compress.algoOfFile(file.getName),
+        new java.io.BufferedInputStream(new java.io.FileInputStream(file)))
       try in.transferTo(p.getOutputStream)
       catch { case _: java.io.IOException => () } // psql exited early
       finally { try p.getOutputStream.close() catch { case _: Throwable => () }
@@ -75,11 +74,11 @@ object PgRestore {
       .toSeq.map(_.trim).filter(_.nonEmpty).map { line =>
         val Array(oidS, name) = line.split("\\s+", 2)
         val oid = oidS.toLong
-        val plain = new java.io.File(dir, name.trim)
-        val gz = new java.io.File(dir, name.trim + ".gz")
-        val in: java.io.InputStream =
-          if (plain.exists()) new java.io.FileInputStream(plain)
-          else new java.util.zip.GZIPInputStream(new java.io.FileInputStream(gz))
+        val f = Compress.probeFile(dir, name.trim).getOrElse(
+          throw new IllegalArgumentException(
+            s"pg-restore: blob payload ${name.trim}(.gz/.lz4/.zst) missing"))
+        val in: java.io.InputStream = Compress.input(
+          Compress.algoOfFile(f.getName), new java.io.FileInputStream(f))
         val script = java.nio.file.Files.createTempFile("graft_lo", ".sql")
         val w = java.nio.file.Files.newBufferedWriter(script)
         try {
@@ -138,9 +137,9 @@ object PgRestore {
       val base = e.fileName.filter(_.nonEmpty).getOrElse(
         throw new IllegalArgumentException(
           s"pg-restore: TABLE DATA ${e.tag.getOrElse("?")} has no data file"))
-      val plain = new java.io.File(dir, base)
-      val f = if (plain.exists()) plain else new java.io.File(dir, base + ".gz")
-      require(f.exists(), s"pg-restore: missing payload $base(.gz)")
+      val f = Compress.probeFile(dir, base).getOrElse(
+        throw new IllegalArgumentException(
+          s"pg-restore: missing payload $base(.gz/.lz4/.zst)"))
       val copySql = e.copyStmt.map(_.trim.stripSuffix(";")).getOrElse(
         throw new IllegalArgumentException(
           s"pg-restore: TABLE DATA ${e.tag.getOrElse("?")} has no COPY statement"))

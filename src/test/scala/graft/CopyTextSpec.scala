@@ -135,6 +135,33 @@ class CopyTextSpec extends SparkSpec {
     assert(rows(fallback) == expect)
   }
 
+  test("lz4/zstd .dat members: parallel indexed load + single-stream fallback") {
+    import graft.sources.Compress
+    for (algo <- Seq(Compress.Lz4, Compress.Zstd)) {
+      val df = (1 to 400).map(i => (i.toString, s"v\t$i\nx")).toDF("id", "v")
+        .repartition(5) // several parts -> several frames per payload
+      val dir = Files.createTempDirectory("copyfrm")
+      val dat = dir.resolve("t.dat" + Compress.extension(algo)).toString
+      CopyText.writeDatFile(df, dat, algo)
+      val idx = java.nio.file.Paths.get(dat + ".idx")
+      assert(Files.exists(idx), s"${Compress.name(algo)}: member sidecar missing")
+      val expect = (1 to 400).map(i => (i.toString, s"v\t$i\nx")).sortBy(_._1)
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.as[(String, String)].collect().sortBy(_._1).toSeq
+      val indexed = CopyText.read(spark, dat, Seq("id", "v"))
+      assert(indexed.rdd.getNumPartitions > 1,
+        s"${Compress.name(algo)}: indexed read must decode frames in parallel")
+      assert(rows(indexed) == expect, Compress.name(algo))
+      // no sidecar = a foreign archive's payload: whole-file stream decode
+      // (Hadoop has no codec for the frame formats, so this path is ours)
+      Files.delete(idx)
+      val single = CopyText.read(spark, dat, Seq("id", "v"))
+      assert(single.rdd.getNumPartitions == 1,
+        s"${Compress.name(algo)}: foreign payload must fall back to 1 stream")
+      assert(rows(single) == expect, Compress.name(algo))
+    }
+  }
+
   private def gzipBytes(s: String): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val gz = new java.util.zip.GZIPOutputStream(bos)

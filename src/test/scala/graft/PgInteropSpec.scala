@@ -302,7 +302,7 @@ class PgInteropSpec extends SparkSpec {
       .repartition(4) // several parts -> several gzip members per payload
     val arch = s"$base/gz_arch"
     PgToc.dumpArchive(Seq("gztab" -> df), arch, "gz_tgt",
-      includeSchema = true, compress = true)
+      includeSchema = true, compress = "gzip")
     assert(new java.io.File(arch).listFiles().exists(_.getName.endsWith(".dat.gz")),
       "payload not gzipped")
     psql("postgres", "CREATE DATABASE gz_tgt")
@@ -313,6 +313,28 @@ class PgInteropSpec extends SparkSpec {
     // and our own loader reads the compressed archive back
     val back = graft.sources.PgArchive.load(spark, arch).head._2
     assert(back.count() == 500)
+  }
+
+  test("zstd archive restores into live PG through our pg-restore CLI") {
+    live()
+    import spark.implicits._
+    // PG16's --compress=zstd archive shape; the container's pg_restore is
+    // PostgreSQL 15 (predates the format), so the live replay runs through
+    // OUR restore path — psql fed by the same frame decoders the loader
+    // uses, which is exactly what a PG15-tooling user needs for these
+    // archives anyway
+    val df = (1L to 500L).map(i => (i, s"val-$i")).toDF("id", "v")
+      .repartition(4) // several parts -> several zstd frames per payload
+    val arch = s"$base/zstd_arch"
+    PgToc.dumpArchive(Seq("zstab" -> df), arch, "zstd_tgt",
+      includeSchema = true, compress = "zstd")
+    assert(new java.io.File(arch).listFiles().exists(_.getName.endsWith(".dat.zst")),
+      "payload not zstd")
+    psql("postgres", "CREATE DATABASE zstd_tgt")
+    graft.sources.PgRestore.restore(arch,
+      Seq("-d", s"host=$sockDir dbname=zstd_tgt user=graft"))
+    assert(psql("zstd_tgt", "SELECT count(*), min(v), max(id) FROM zstab")._2.trim
+      == "500|val-1|500")
   }
 
   test("loadLargeObjects: real pg_dump LO payloads land as (oid, bytes)") {
@@ -386,7 +408,7 @@ class PgInteropSpec extends SparkSpec {
     // readable by our own loader (gzip branch)
     val archGz = s"$base/lo_write_arch_gz"
     PgToc.dumpArchive(Seq.empty, archGz, "x",
-      largeObjects = Some(blobs), compress = true)
+      largeObjects = Some(blobs), compress = "gzip")
     assert(new java.io.File(archGz, "blob_77001.dat.gz").exists())
     val backGz = graft.sources.PgArchive.loadLargeObjects(spark, archGz)
       .orderBy("lo_oid").collect()
@@ -442,7 +464,7 @@ class PgInteropSpec extends SparkSpec {
     val arch = s"$base/own_restore_arch"
     PgToc.dumpArchive(Seq("users" -> users), arch, "own_tgt",
       includeSchema = true, sequences = Map("users_seq" -> 17L),
-      largeObjects = Some(blobs), compress = true)
+      largeObjects = Some(blobs), compress = "gzip")
     psql("postgres", "CREATE DATABASE own_tgt")
     assert(psql("own_tgt", "CREATE SEQUENCE public.users_seq")._1 == 0)
     PgRestore.restore(arch, Seq("-d", s"host=$sockDir dbname=own_tgt user=graft"))

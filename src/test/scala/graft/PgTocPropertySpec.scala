@@ -70,7 +70,9 @@ class PgTocPropertySpec extends AnyFunSuite {
     deps, fileName)
 
   private def headerGen(minor: Int): Gen[Header] = for {
-    algo <- Gen.oneOf(0, 1)
+    // v1.15+ records the algorithm byte, so lz4 (2) and zstd (3) fuzz
+    // there; older headers can only express none/gzip via the level int
+    algo <- if (minor >= 15) Gen.oneOf(0, 1, 2, 3) else Gen.oneOf(0, 1)
     level <- Gen.choose(0, 9)
     sec <- Gen.choose(0, 59); min <- Gen.choose(0, 59); hour <- Gen.choose(0, 23)
     mday <- Gen.choose(1, 28); mon <- Gen.choose(0, 11)

@@ -80,6 +80,30 @@ class PgTocSpec extends AnyFunSuite {
       PgToc.read(new java.io.ByteArrayInputStream(good.take(40))))
   }
 
+  test("compression gates: lz4/zstd need v1.15+, unknown algorithm bytes reject") {
+    // the writer refuses a header that cannot record its own algorithm
+    // (pre-1.15 stores only a gzip level int)
+    val h14 = fixtureToc(14).header.copy(compression = Compression(algorithm = 2))
+    assertThrows[IllegalArgumentException](
+      PgToc.writeBytes(fixtureToc(14).copy(header = h14)))
+    // v1.15 headers round-trip all three algorithms
+    for (a <- Seq(1, 2, 3)) {
+      val t15 = fixtureToc(15)
+      val t = t15.copy(header = t15.header.copy(compression = Compression(algorithm = a)))
+      val back = PgToc.read(new java.io.ByteArrayInputStream(PgToc.writeBytes(t)))
+      assert(back.header.compression.algorithm == a)
+    }
+    // a FUTURE algorithm byte rejects loudly on read instead of silently
+    // misdecoding payloads: byte 11 is the v1.15 algorithm position
+    // (5 magic + 3 version + intSize + offSize + format)
+    val good = PgToc.writeBytes(fixtureToc(15))
+    assert(good(11) == 0)
+    val unknown = good.clone(); unknown(11) = 7
+    val ex = intercept[IllegalArgumentException](
+      PgToc.read(new java.io.ByteArrayInputStream(unknown)))
+    assert(ex.getMessage.contains("compression algorithm"))
+  }
+
   test("manifest adapter: TABLE DATA entries, dependency ids, file basenames") {
     val m = Manifest(Seq(
       ManifestEntry(1, "customer", "/dump/customer.parquet", "{}", 100L, Nil),
