@@ -304,15 +304,28 @@ object Lifecycle {
           ok
         }
         if (results.contains(false)) { spark.stop(); sys.exit(1) }
+      case "pg-restore" :: archDir :: "--list" :: Nil =>
+        // `pg_restore -l` analog: emit the archive's restore list (edit +
+        // feed back via --use-list for selective restore)
+        graft.sources.PgRestore.listLines(archDir).foreach(println)
       case "pg-restore" :: archDir :: conninfo :: rest =>
         // replay a directory archive (pg_dump -Fd / pg-dump output) into
         // a live database through psql — no native pg_restore needed
         val jobs = rest.sliding(2).collectFirst {
           case Seq("--jobs", n) => n.toInt }.getOrElse(4)
+        // --use-list <file>: the native -L — restore only (and in the
+        // order of) the listed dumpIds; --with-deps adds each listed
+        // entry's transitive dependency closure
+        val useList = rest.sliding(2).collectFirst {
+          case Seq("--use-list", f) =>
+            graft.sources.PgRestore.parseRestoreList(
+              Files.readString(Paths.get(f)))
+        }
         graft.sources.PgRestore.restore(archDir, Seq("-d", conninfo),
           dataOnly = rest.contains("--data-only"),
           disableTriggers = rest.contains("--disable-triggers"),
-          jobs = jobs)
+          jobs = jobs, useList = useList,
+          withDeps = rest.contains("--with-deps"))
           .foreach(l => println(s"[pg-restore] $l"))
       case "pg-ingest" :: archDir :: outDir :: Nil =>
         // any pg_dump -Fd / reference-produced directory archive ->

@@ -352,6 +352,48 @@ object CopyText {
     } catch { case _: Exception => None }
   }
 
+  /** EXECUTOR-side streamed line decode of one byte range of a payload:
+    * open `uri`, seek `start`, decompress `mlen` bytes (Long.MaxValue =
+    * to EOF) with `algo`, iterate lines up to the `\.` terminator. Task
+    * memory is ONE line buffer regardless of payload size — the shared
+    * machinery of the batch member scan and the streaming COPY ingest
+    * ([[graft.streaming.StreamingMask.copyIngestStream]]). */
+  private[graft] def linesFrom(uri: java.net.URI, start: Long, mlen: Long,
+                               algo: Int): Iterator[String] = {
+    // executor-side FS handle; default Configuration resolves file://
+    // (the directory-archive deployment shape) and any scheme
+    // configured cluster-wide
+    val efs = org.apache.hadoop.fs.FileSystem.get(uri,
+      new org.apache.hadoop.conf.Configuration())
+    val raw = efs.open(new org.apache.hadoop.fs.Path(uri))
+    if (start > 0) raw.seek(start)
+    val boundedIn = new java.io.InputStream {
+      private var left = mlen
+      override def read(): Int =
+        if (left <= 0) -1
+        else { val b = raw.read(); if (b >= 0) left -= 1; b }
+      override def read(b: Array[Byte], o: Int, l: Int): Int =
+        if (left <= 0) -1
+        else {
+          val n = raw.read(b, o, math.min(l.toLong, left).toInt)
+          if (n > 0) left -= n
+          n
+        }
+      override def close(): Unit = raw.close()
+    }
+    val br = new java.io.BufferedReader(new java.io.InputStreamReader(
+      Compress.input(algo, boundedIn), "UTF-8"))
+    // a downstream limit can drop the iterator mid-member: close on
+    // task completion, not only on exhaustion (idempotent close)
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => br.close()))
+    new Iterator[String] {
+      private var nxt = br.readLine()
+      def hasNext: Boolean = nxt != null || { br.close(); false }
+      def next(): String = { val r = nxt; nxt = br.readLine(); r }
+    }.takeWhile(_ != "\\.")
+  }
+
   /** One task per (start, length) range of `uri`: seek, decompress with
     * `algo`, decode lines up to the member's own `\.` terminator. The
     * parallel-member scan AND the single-stream fallback for frame
@@ -362,40 +404,7 @@ object CopyText {
       org.apache.spark.sql.Dataset[String] = {
     val rdd = spark.sparkContext
       .parallelize(ranges, ranges.size)
-      .flatMap { case (start, mlen) =>
-        // executor-side FS handle; default Configuration resolves
-        // file:// (the directory-archive deployment shape) and any
-        // scheme configured cluster-wide
-        val efs = org.apache.hadoop.fs.FileSystem.get(uri,
-          new org.apache.hadoop.conf.Configuration())
-        val raw = efs.open(new org.apache.hadoop.fs.Path(uri))
-        raw.seek(start)
-        val boundedIn = new java.io.InputStream {
-          private var left = mlen
-          override def read(): Int =
-            if (left <= 0) -1
-            else { val b = raw.read(); if (b >= 0) left -= 1; b }
-          override def read(b: Array[Byte], o: Int, l: Int): Int =
-            if (left <= 0) -1
-            else {
-              val n = raw.read(b, o, math.min(l.toLong, left).toInt)
-              if (n > 0) left -= n
-              n
-            }
-          override def close(): Unit = raw.close()
-        }
-        val br = new java.io.BufferedReader(new java.io.InputStreamReader(
-          Compress.input(algo, boundedIn), "UTF-8"))
-        // a downstream limit can drop the iterator mid-member: close on
-        // task completion, not only on exhaustion (idempotent close)
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => br.close()))
-        new Iterator[String] {
-          private var nxt = br.readLine()
-          def hasNext: Boolean = nxt != null || { br.close(); false }
-          def next(): String = { val r = nxt; nxt = br.readLine(); r }
-        }.takeWhile(_ != "\\.")
-      }
+      .flatMap { case (start, mlen) => linesFrom(uri, start, mlen, algo) }
     spark.createDataset(rdd)(Encoders.STRING)
   }
 

@@ -111,16 +111,82 @@ object PgRestore {
       }
   }
 
+  /** `pg_restore -l` analog: one restore-list line per TOC entry in the
+    * archive's own format (`dumpId; tableOid oid DESC [namespace] tag
+    * owner`). Edit the output — delete or `;`-comment lines, reorder —
+    * and feed it back through [[parseRestoreList]] + `restore(useList)`
+    * for selective restore, exactly the native workflow. */
+  def listLines(dir: String): Seq[String] = {
+    val toc = PgToc.readFile(s"$dir/toc.dat")
+    Seq(";",
+      s"; Archive ${toc.header.dbName.fold("")(d => s"of database $d ")}" +
+        s"(format directory, version ${toc.header.versionMajor}." +
+        s"${toc.header.versionMinor})",
+      "; Selected TOC Entries:",
+      ";") ++
+      toc.entries.map { e =>
+        val ns = e.namespace.filter(_.nonEmpty).fold("")(_ + " ")
+        s"${e.dumpId}; ${e.tableOid} ${e.oid} ${e.desc.getOrElse("")} " +
+          s"$ns${e.tag.getOrElse("")} ${e.owner.getOrElse("")}"
+      }
+  }
+
+  /** Parse a pg_restore-format list file: each active line starts with a
+    * dumpId followed by `;` (reference `cmd/restore.go:909-949` uses the
+    * same `^\s*(\d+)\s*;` shape); comment lines (leading `;`) and any
+    * other junk are skipped — commenting a line out IS the disable
+    * gesture, as with the native tool. Returns ids in file order. */
+  def parseRestoreList(text: String): Seq[Int] = {
+    val pat = "^\\s*(\\d+)\\s*;".r
+    text.linesIterator
+      .flatMap(l => pat.findFirstMatchIn(l).map(_.group(1).toInt)).toSeq
+  }
+
   /** Replay the archive at `dir` into the database `psqlArgs` points at.
     * Returns one human line per restored entry. `dataOnly` skips schema
     * (pre/post-data) statements — the native `-a`; `disableTriggers`
     * wraps each COPY in `session_replication_role = replica` (the
-    * reference's integrity control; superuser required). */
+    * reference's integrity control; superuser required).
+    *
+    * `useList` is the `pg_restore -L` filter ([[parseRestoreList]]
+    * output): only the listed entries replay, in LIST order (the
+    * reference reorders the TOC to the list, `cmd/restore.go:329-343`),
+    * and a listed id missing from the archive fails loudly (same
+    * message shape). `withDeps` additionally pulls each listed entry's
+    * transitive dependency closure back in, in TOC order — the
+    * [[graft.pipeline.Manifest.filtered]] discipline (iterative visited
+    * set, cycle-safe) for users who list only the tables they want and
+    * expect the DDL those tables need to come along; the native tool
+    * makes the user list everything, so the default matches it. */
   def restore(dir: String, psqlArgs: Seq[String],
               dataOnly: Boolean = false,
               disableTriggers: Boolean = false,
-              jobs: Int = 4): Seq[String] = {
-    val toc = PgToc.readFile(s"$dir/toc.dat")
+              jobs: Int = 4,
+              useList: Option[Seq[Int]] = None,
+              withDeps: Boolean = false): Seq[String] = {
+    val fullToc = PgToc.readFile(s"$dir/toc.dat")
+    val toc = useList match {
+      case None => fullToc
+      case Some(ids) =>
+        val byId = fullToc.entries.map(e => e.dumpId -> e).toMap
+        ids.foreach(id => require(byId.contains(id),
+          s"pg-restore: entry from provided list with dump id $id is not found"))
+        val entries =
+          if (!withDeps) ids.map(byId)
+          else {
+            val needed = scala.collection.mutable.Set[Int]()
+            val queue = scala.collection.mutable.Queue[Int](ids: _*)
+            while (queue.nonEmpty) {
+              val id = queue.dequeue()
+              if (needed.add(id))
+                byId.get(id).foreach(_.dependencies.foreach(queue.enqueue))
+            }
+            // closure restores in TOC order (pg_dump's own restore-safe
+            // order); pure-list mode keeps the list's order instead
+            fullToc.entries.filter(e => needed(e.dumpId))
+          }
+        fullToc.copy(entries = entries)
+    }
     val skip = Set("DATABASE", "ENCODING", "STDSTRINGS", "SEARCHPATH")
     val pre =
       if (disableTriggers) Seq("SET session_replication_role = replica") else Nil

@@ -23,27 +23,45 @@ object StreamingMask {
   }
 
   /** Continuous COPY-payload ingestion: watch `dir` for dropped
-    * pg-formatted `.dat` payloads (pg_dump data members, psql COPY
-    * spools, our own archive payloads) and decode each as it lands —
-    * the streaming twin of [[graft.sources.CopyText.read]], composing
-    * with [[maskStream]] for continuous masked ingestion.
+    * pg-formatted `.dat[.gz/.lz4/.zst]` payloads (pg_dump data members,
+    * psql COPY spools, our own archive payloads) and decode each as it
+    * lands — the streaming twin of [[graft.sources.CopyText.read]],
+    * composing with [[maskStream]] for continuous masked ingestion.
     *
-    * Each file reads as ONE row (`wholetext`) so the `\.` terminator cut
-    * is exact per payload with zero cross-batch state; the per-row field
-    * decode is stateless, so the whole source is a plain projection the
-    * engine can fan out. Payload files are therefore the unit of memory
-    * — drop directories should carry bounded-size members (exactly what
-    * the sliced/partitioned dump sides emit). Default `split("\n")`
-    * drops the trailing blank lines real pg_dump appends AFTER the
-    * terminator while keeping legitimate interior empty-string rows. */
+    * The file SOURCE is `binaryFile` pruned to the `path` column — the
+    * stream carries file NAMES, never file contents (column pruning
+    * means the source does not read payload bytes at all), and each task
+    * stream-decodes its files line by line through the batch reader's
+    * own machinery (`CopyText.linesFrom`: decompress-by-suffix, decode,
+    * cut at the payload's `\.` terminator). Task memory is ONE line
+    * buffer, so a multi-GB dropped payload streams through instead of
+    * materializing in a single task (the pre-round-11 `wholetext`
+    * ingest's failure mode). Trailing blank lines real pg_dump appends
+    * AFTER the terminator never emit (the cut stops first); legitimate
+    * interior empty-string rows survive. One file = one COPY stream is
+    * the format's shape, so per-file decode is sequential and the
+    * parallelism unit is files-per-trigger, same as the dump side's
+    * bounded members. */
   def copyIngestStream(spark: org.apache.spark.sql.SparkSession, dir: String,
                        columns: Seq[String]): DataFrame = {
     import spark.implicits._
-    val lines = spark.readStream
-      .option("wholetext", "true")
-      .text(dir)
-      .as[String]
-      .flatMap(_.split("\n").iterator.takeWhile(_ != "\\."))
+    import org.apache.spark.sql.types._
+    // binaryFile's fixed schema, stated explicitly (streaming sources
+    // don't infer); only `path` is ever selected, so the source prunes
+    // `content` away and reads no payload bytes
+    val binarySchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val lines = spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .load(dir)
+      .select("path").as[String]
+      .flatMap { p =>
+        graft.sources.CopyText.linesFrom(new java.net.URI(p), 0L,
+          Long.MaxValue, graft.sources.Compress.algoOfFile(p))
+      }
     graft.sources.CopyText.linesToRows(lines, columns)
   }
 

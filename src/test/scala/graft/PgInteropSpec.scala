@@ -337,6 +337,36 @@ class PgInteropSpec extends SparkSpec {
       == "500|val-1|500")
   }
 
+  test("pg-restore --use-list: selective restore; --with-deps pulls the closure") {
+    live()
+    import spark.implicits._
+    val parent = Seq((1L, "p1"), (2L, "p2")).toDF("id", "name")
+    val child = Seq((10L, 1L), (11L, 2L)).toDF("cid", "pid")
+    val arch = s"$base/uselist_arch"
+    val toc = PgToc.dumpArchive(
+      Seq("ulparent" -> parent, "ulchild" -> child), arch, "ul_tgt",
+      includeSchema = true, deps = Map("ulchild" -> Seq("ulparent")))
+    val ids = toc.entries.map(e => (e.tag.get, e.desc.get) -> e.dumpId).toMap
+    // exact-list mode (native -L semantics): only the parent's DDL +
+    // data replay; the child never reaches the target
+    psql("postgres", "CREATE DATABASE ul_tgt")
+    graft.sources.PgRestore.restore(arch,
+      Seq("-d", s"host=$sockDir dbname=ul_tgt user=graft"),
+      useList = Some(Seq(ids("ulparent" -> "TABLE"),
+        ids("ulparent" -> "TABLE DATA"))))
+    assert(psql("ul_tgt", "SELECT count(*) FROM ulparent")._2.trim == "2")
+    assert(psql("ul_tgt", "SELECT count(*) FROM ulchild")._1 != 0,
+      "skipped entry must be absent from the target")
+    // --with-deps: listing ONLY the child's data pulls its DDL and the
+    // parent chain transitively, in TOC (restore-safe) order
+    psql("postgres", "CREATE DATABASE ul_tgt2")
+    graft.sources.PgRestore.restore(arch,
+      Seq("-d", s"host=$sockDir dbname=ul_tgt2 user=graft"),
+      useList = Some(Seq(ids("ulchild" -> "TABLE DATA"))), withDeps = true)
+    assert(psql("ul_tgt2", "SELECT count(*) FROM ulchild")._2.trim == "2")
+    assert(psql("ul_tgt2", "SELECT count(*) FROM ulparent")._2.trim == "2")
+  }
+
   test("loadLargeObjects: real pg_dump LO payloads land as (oid, bytes)") {
     live()
     psql("postgres", "CREATE DATABASE losrc")

@@ -104,6 +104,26 @@ class PgTocSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("compression algorithm"))
   }
 
+  test("restore-list: listLines round-trips through parseRestoreList; unknown id rejects") {
+    import graft.sources.PgRestore
+    val dir = java.nio.file.Files.createTempDirectory("rl").toString
+    PgToc.writeFile(fixtureToc(14), s"$dir/toc.dat")
+    val lines = PgRestore.listLines(dir)
+    assert(PgRestore.parseRestoreList(lines.mkString("\n")) == Seq(1, 2, 3))
+    // commenting a line out disables it; junk lines are skipped; ids
+    // come back in FILE order (the list's order is the restore order)
+    val edited = """|; 1; 0 16384 TABLE DATA public customer graft
+                    | 3; 0 0 SEQUENCE SET SEQ graft
+                    |not a list line
+                    |2; 0 16385 TABLE DATA public orders graft""".stripMargin
+    assert(PgRestore.parseRestoreList(edited) == Seq(3, 2))
+    // a listed id the archive doesn't know fails loudly BEFORE any SQL
+    // (reference message shape, cmd/restore.go:337)
+    val ex = intercept[IllegalArgumentException](
+      PgRestore.restore(dir, Seq("-d", "unused"), useList = Some(Seq(99))))
+    assert(ex.getMessage.contains("dump id 99"))
+  }
+
   test("manifest adapter: TABLE DATA entries, dependency ids, file basenames") {
     val m = Manifest(Seq(
       ManifestEntry(1, "customer", "/dump/customer.parquet", "{}", 100L, Nil),
