@@ -113,8 +113,37 @@ object Lifecycle {
              outDir: String,
              schemaFromSource: Boolean = true,
              compress: String = "none"): graft.pipeline.PgToc.Toc = {
-    val configs = ConfigLoader.fromJson(configJson)
+    val rawConfigs = ConfigLoader.fromJson(configJson)
     val psqlArgs = Seq("-d", conninfo)
+    // Partitioned-table routing (the contract real pg_dump uses): a
+    // config naming a relkind-'p' PARENT expands to one dump per LEAF
+    // partition — the parent contributes its DDL (via the merged schema
+    // TOC) but NO data entry, and each leaf inherits the parent's
+    // masking plan (`apply_for_inherited`, reference
+    // `config_builder.go:723-766`; the catalog walk is
+    // `TableGetChildPatsQuery`, recursive through sub-partitions). A
+    // leaf with its OWN config entry keeps it (the reference logs and
+    // merges; we let the explicit entry win). Without
+    // apply_for_inherited the parent config is an ERROR, exactly like
+    // the reference (`config_builder.go:226-233`) — silently dumping a
+    // parent as one table would double-route rows on restore. The
+    // alternative contract (COPY the parent, all rows in one payload)
+    // stays CORRECT for ad-hoc ingest via PgSource.table, which now
+    // detects 'p' and routes through `COPY (SELECT ...)`.
+    val relkinds = graft.sources.PgSource.relkinds(psqlArgs)
+    lazy val leavesOf = graft.sources.PgSource.partitionLeaves(psqlArgs)
+    val configs = rawConfigs.flatMap { cfg =>
+      if (!relkinds.get(cfg.table).contains('p')) Seq(cfg)
+      else {
+        require(cfg.applyForInherited,
+          s"pg-dump: table ${cfg.table} is partitioned — use apply_for_inherited")
+        val leaves = leavesOf.getOrElse(cfg.table, Nil)
+        require(leaves.nonEmpty,
+          s"pg-dump: partitioned table ${cfg.table} has no leaf partitions")
+        leaves.filterNot(l => rawConfigs.exists(_.table == l))
+          .map(l => cfg.copy(table = l, applyForInherited = false))
+      }
+    }
     // per-table COPY transfers are network-bound and independent — run
     // them through the same Future pool as the archive writes (the
     // reference's dump worker pool; wall-clock = slowest table, not sum)

@@ -111,6 +111,55 @@ object PgSource {
       }.toSeq.distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
   }
 
+  /** relkind of every user relation in the namespace ('r' plain table,
+    * 'p' declaratively partitioned parent) — the catalog bit that
+    * decides partition routing at dump time (reference
+    * `pkg/toolkit/table.go:28-44` models the same `Kind`). */
+  def relkinds(psqlArgs: Seq[String],
+               namespace: String = "public"): Map[String, Char] = {
+    val ns = namespace.replace("'", "''")
+    val sql = "SELECT c.relname, c.relkind FROM pg_catalog.pg_class c " +
+      "JOIN pg_catalog.pg_namespace n ON c.relnamespace = n.oid " +
+      s"WHERE n.nspname = '$ns' AND c.relkind IN ('r', 'p') ORDER BY 1"
+    val buf = new java.io.ByteArrayOutputStream()
+    val (rc, err) = runPsql(psqlArgs ++ Seq("-A", "-t", "-c", sql), buf)
+    require(rc == 0, s"PgSource.relkinds: psql rc=$rc: $err")
+    buf.toString("UTF-8").split("\n").map(_.trim).filter(_.nonEmpty)
+      .map(_.split("\\|")).collect { case Array(t, k) => t -> k.head }.toMap
+  }
+
+  /** LEAF partitions (relkind 'r') of every partitioned ROOT in the
+    * namespace, recursive through sub-partitioned levels — the
+    * reference's `TableGetChildPatsQuery` (`context/queries.go:52-76`,
+    * driven from `config_builder.go:723-766`). Roots are partitioned
+    * tables that are not themselves partitions (the `RootPt*` notion of
+    * `toolkit/table.go`); intermediate 'p' levels route through but are
+    * not returned — only leaves hold rows. */
+  def partitionLeaves(psqlArgs: Seq[String],
+                      namespace: String = "public"): Map[String, Seq[String]] = {
+    val ns = namespace.replace("'", "''")
+    val sql =
+      "WITH RECURSIVE tree AS ( " +
+        "SELECT i.inhparent AS root, i.inhrelid AS child FROM pg_inherits i " +
+        "JOIN pg_class pc ON i.inhparent = pc.oid " +
+        "JOIN pg_namespace pn ON pc.relnamespace = pn.oid " +
+        s"WHERE pn.nspname = '$ns' AND pc.relkind = 'p' " +
+        "AND NOT EXISTS (SELECT 1 FROM pg_inherits up WHERE up.inhrelid = i.inhparent) " +
+        "UNION ALL " +
+        "SELECT t.root, i.inhrelid FROM tree t " +
+        "JOIN pg_inherits i ON i.inhparent = t.child) " +
+      "SELECT rp.relname, cp.relname FROM tree " +
+      "JOIN pg_class rp ON tree.root = rp.oid " +
+      "JOIN pg_class cp ON tree.child = cp.oid " +
+      "WHERE cp.relkind = 'r' ORDER BY 1, 2"
+    val buf = new java.io.ByteArrayOutputStream()
+    val (rc, err) = runPsql(psqlArgs ++ Seq("-A", "-t", "-c", sql), buf)
+    require(rc == 0, s"PgSource.partitionLeaves: psql rc=$rc: $err")
+    buf.toString("UTF-8").split("\n").map(_.trim).filter(_.nonEmpty)
+      .map(_.split("\\|")).collect { case Array(root, leaf) => root -> leaf }
+      .toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+  }
+
   /** Current positions of every CALLED sequence in the namespace
     * (`pg_sequences.last_value` is NULL until the first `nextval`) — the
     * values a dump must replay as `SEQUENCE SET` entries so restored
@@ -182,6 +231,13 @@ object PgSource {
     val cols = columnsOf(psqlArgs, tableName, namespace)
     val qTable = s"${quoteIdent(namespace)}.${quoteIdent(tableName)}"
     val qCols = cols.map(quoteIdent).mkString(", ")
+    // Partitioned parents (relkind 'p') reject plain `COPY t TO STDOUT`
+    // and expose no ctid, so a parent ingests as ONE `COPY (SELECT ...)`
+    // stream routed through the leaves by the server — CORRECT but
+    // unsliceable. The dump path never takes it (pg-dump expands a
+    // parent config to per-leaf dumps, where ctid slicing works); this
+    // keeps ad-hoc parent ingest working rather than erroring.
+    val isParent = relkinds(psqlArgs, namespace).get(tableName).contains('p')
     def spool(suffix: String): String = {
       val p = java.nio.file.Files.createTempFile(
         s"graft_pgsrc_${tableName.replaceAll("[^A-Za-z0-9_-]", "_")}$suffix", ".dat")
@@ -190,11 +246,13 @@ object PgSource {
     }
     def sourceSql(extraConds: Seq[String]): String = {
       val all = conds ++ extraConds
-      if (all.isEmpty) s"$qTable ($qCols)"
+      if (all.isEmpty && !isParent) s"$qTable ($qCols)"
+      else if (all.isEmpty) s"(SELECT $qCols FROM $qTable)"
       else s"(SELECT $qCols FROM $qTable " +
         s"WHERE ${all.map(c => s"($c)").mkString(" AND ")})"
     }
-    val pages = if (slices <= 1) 1L else relPages(psqlArgs, tableName, namespace)
+    val pages = if (slices <= 1 || isParent) 1L
+                else relPages(psqlArgs, tableName, namespace)
     val n = math.min(slices.toLong, pages).toInt
     if (n <= 1)
       copyIn(spark, psqlArgs, s"COPY ${sourceSql(Nil)} TO STDOUT", cols, spool(""))

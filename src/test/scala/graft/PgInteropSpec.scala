@@ -337,6 +337,70 @@ class PgInteropSpec extends SparkSpec {
       == "500|val-1|500")
   }
 
+  test("partitioned source: parent config expands to leaves; pg-diff green on parent AND leaves") {
+    live()
+    psql("postgres", "CREATE DATABASE psrc")
+    assert(psql("psrc", "CREATE TABLE pmeas (id bigint, city text, day date) PARTITION BY RANGE (day)")._1 == 0)
+    assert(psql("psrc", "CREATE TABLE pmeas_2024 PARTITION OF pmeas FOR VALUES FROM ('2024-01-01') TO ('2025-01-01')")._1 == 0)
+    assert(psql("psrc", "CREATE TABLE pmeas_2025 PARTITION OF pmeas FOR VALUES FROM ('2025-01-01') TO ('2026-01-01')")._1 == 0)
+    assert(psql("psrc", "INSERT INTO pmeas SELECT g, 'city-' || g, DATE '2024-01-01' + (g % 500) FROM generate_series(1, 400) g")._1 == 0)
+    val conninfo = s"host=$sockDir dbname=psrc user=graft"
+
+    // catalog discovery: the recursive leaf walk and the relkind map
+    assert(graft.sources.PgSource.relkinds(Seq("-d", conninfo)).get("pmeas").contains('p'))
+    assert(graft.sources.PgSource.partitionLeaves(Seq("-d", conninfo))("pmeas").toSet
+      == Set("pmeas_2024", "pmeas_2025"))
+
+    // a parent config WITHOUT apply_for_inherited is an ERROR (reference
+    // config_builder.go:226-233 parity) — not a silent one-table dump
+    val ex = intercept[IllegalArgumentException](graft.Lifecycle.pgDump(spark,
+      """{"tables":[{"table":"pmeas"}]}""", conninfo, s"$base/part_err"))
+    assert(ex.getMessage.contains("apply_for_inherited"))
+
+    // passthrough dump: data routing contract = per-LEAF TABLE DATA (what
+    // real pg_dump emits); the parent rides the schema TOC only
+    val arch = s"$base/part_arch"
+    val toc = graft.Lifecycle.pgDump(spark,
+      """{"tables":[{"table":"pmeas","apply_for_inherited":true}]}""",
+      conninfo, arch)
+    val dataTags = toc.entries.filter(_.desc.contains("TABLE DATA")).flatMap(_.tag)
+    assert(dataTags.toSet == Set("pmeas_2024", "pmeas_2025"),
+      s"expected per-leaf data entries, got $dataTags")
+    assert(toc.entries.exists(e => e.desc.contains("TABLE") && e.tag.contains("pmeas")),
+      "parent DDL entry must ride the merged schema TOC")
+
+    // NATIVE pg_restore into an empty DB reproduces the partitioned shape
+    psql("postgres", "CREATE DATABASE ptgt")
+    val (rc, out) = sh(s"PGHOST=$sockDir PGUSER=graft /usr/bin/pg_restore -d ptgt $arch")
+    assert(rc == 0, out)
+    // pg-diff green on the parent AND every leaf (count + order-free
+    // content fingerprint, computed server-side on both databases)
+    for (t <- Seq("pmeas", "pmeas_2024", "pmeas_2025")) {
+      val a = graft.sources.PgSource.tableFingerprint(Seq("-d", conninfo), t)
+      val b = graft.sources.PgSource.tableFingerprint(
+        Seq("-d", s"host=$sockDir dbname=ptgt user=graft"), t)
+      assert(a == b, s"$t fingerprints diverge: $a vs $b")
+    }
+
+    // masked variant: every leaf inherits the parent's plan; row routing
+    // and per-leaf counts survive, and the mask applied on ALL leaves
+    val archM = s"$base/part_arch_m"
+    graft.Lifecycle.pgDump(spark,
+      """{"tables":[{"table":"pmeas","apply_for_inherited":true,
+           "transforms":[{"column":"city","name":"Masking","params":{"type":"name"}}]}]}""",
+      conninfo, archM)
+    psql("postgres", "CREATE DATABASE ptgt2")
+    graft.sources.PgRestore.restore(archM,
+      Seq("-d", s"host=$sockDir dbname=ptgt2 user=graft"))
+    assert(psql("ptgt2", "SELECT count(*) FROM pmeas")._2.trim == "400")
+    for (leaf <- Seq("pmeas_2024", "pmeas_2025"))
+      assert(psql("ptgt2", s"SELECT count(*) FROM $leaf")._2.trim ==
+        psql("psrc", s"SELECT count(*) FROM $leaf")._2.trim, s"$leaf count")
+    assert(psql("ptgt2",
+      "SELECT count(*) FROM pmeas WHERE city <> 'c**'")._2.trim == "0",
+      "mask must hold across every leaf")
+  }
+
   test("pg-restore --use-list: selective restore; --with-deps pulls the closure") {
     live()
     import spark.implicits._
