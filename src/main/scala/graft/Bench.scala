@@ -133,6 +133,33 @@ object Bench {
         .split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
 
+    // ---- EXTERNAL-CPU accounting: loadavg cannot distinguish co-tenant
+    // load from the bench's own 32-thread bursts (a busy query drives
+    // load1 past any reasonable gate all by itself — observed the first
+    // time the per-query loadavg check ran, round 11). The suspect signal
+    // is therefore foreign CPU: system-wide busy jiffies minus this JVM's
+    // own CPU time, per second of wall clock = cores of NON-BENCH work
+    // that ran concurrently with the samples. Self-load contributes
+    // exactly zero to it.
+    val UserHz = 100.0 // Linux USER_HZ on this platform
+
+    /** Seconds of busy CPU summed across all cores since boot (idle and
+      * iowait excluded; steal counts as busy — co-tenant VMs ARE foreign
+      * load). -1 when unreadable. */
+    def sysBusySec(): Double =
+      try {
+        val f = scala.io.Source.fromFile("/proc/stat")
+        val cpu = try f.getLines().next() finally f.close()
+        val v = cpu.trim.split("\\s+").drop(1).map(_.toDouble)
+        (v.sum - v(3) - v(4)) / UserHz
+      } catch { case _: Throwable => -1.0 }
+
+    def jvmCpuSec(): Double =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+        .getProcessCpuTime / 1e9
+      catch { case _: Throwable => -1.0 }
+
     // Measurement gate (round-9 verdict #4): co-tenant load is the
     // dominant noise source on this shared host. Refuse to START timing
     // while the 1-min loadavg is above the gate; retry for a bounded
@@ -158,56 +185,64 @@ object Bench {
           f"(loadavg $l%.2f > gate $loadGate%.1f) — samples are suspect")
     }
 
-    /** (min, median, max, load1 after the samples, resample rounds). */
-    type QStats = (Double, Double, Double, Double, Int)
+    /** (min, median, max, load1 after the samples, external cores during
+      * the samples, resample rounds). */
+    type QStats = (Double, Double, Double, Double, Double, Int)
 
     def sampleQuery(dir: String, name: String): QStats = {
+      val w0 = System.nanoTime(); val b0 = sysBusySec(); val c0 = jvmCpuSec()
       val samples = Seq.fill(3)(runOnce(dir, name)).sorted
-      (samples.head, samples(1), samples.last, load1(), 0)
+      val wall = (System.nanoTime() - w0) / 1e9
+      val b1 = sysBusySec(); val c1 = jvmCpuSec()
+      val ext =
+        if (b0 < 0 || b1 < 0 || c0 < 0 || c1 < 0 || wall <= 0) -1.0
+        else math.max(0.0, ((b1 - b0) - (c1 - c0)) / wall)
+      (samples.head, samples(1), samples.last, load1(), ext, 0)
     }
 
     /** Three consecutive warm samples per query, plus the 1-min loadavg
-      * sampled right after them. Single-sample rounds proved unauditable
-      * on a shared host (BENCH_r05 overstated the total by 37% vs a
-      * controlled rerun); the median is robust to one co-tenant spike,
-      * min/max expose how noisy the host was, and the per-query loadavg
-      * localizes WHICH queries ran under a spike.
+      * and the EXTERNAL-CPU rate measured across them. Single-sample
+      * rounds proved unauditable on a shared host (BENCH_r05 overstated
+      * the total by 37% vs a controlled rerun); the median is robust to
+      * one co-tenant spike, min/max expose how noisy the host was, and
+      * the per-query diagnostics localize WHICH queries ran dirty.
       *
       * The start-of-run gate alone proved insufficient in round 10: the
       * gate passed, co-tenant load arrived MID-RUN, and q_subset_acyclic
-      * recorded 2.93s for a query that measures 1.32s idle. So the gate
-      * now acts per query: any query whose post-sample load1 exceeds the
-      * gate is RE-SAMPLED (bounded: up to 2 retries, each preceded by a
-      * bounded wait for the spike to pass) and, if it never ran clean,
-      * stays tagged `suspect` in the emitted stats — the driver's number
-      * is self-qualifying instead of silently poisoned. A load1 read
-      * failure (-1) is UNKNOWN, not clean: tagged suspect, not retried
-      * (there is nothing to gate on). */
+      * recorded 2.93s for a query that measures 1.32s idle. The per-query
+      * signal is ext_cores (foreign busy CPU per wall second — loadavg
+      * would flag the bench's own 32-thread bursts): a query sampled
+      * with more than `loadGate` cores of co-tenant work is RE-SAMPLED
+      * (bounded: up to 2 retries, each preceded by a bounded wait for
+      * the spike to pass) and, if it never ran clean, stays tagged
+      * `suspect` in the emitted stats — the driver's number is
+      * self-qualifying instead of silently poisoned. An unreadable
+      * metric (-1) is UNKNOWN, not clean: tagged suspect, not retried. */
     def runMedianOf3(dir: String): Seq[(String, QStats)] =
       headlineNames.filter(SparkEntry.queries.contains).map { name =>
         var s = sampleQuery(dir, name)
         var rounds = 0
-        while (s._4 > loadGate && rounds < 2) {
+        while (s._5 > loadGate && rounds < 2) {
+          System.err.println(f"[bench] $name sampled under ${s._5}%.2f " +
+            f"external cores > gate $loadGate%.1f — re-sampling (retry ${rounds + 1}/2)")
           var waited = 0
           while (load1() > loadGate && waited < 60) {
             Thread.sleep(15000); waited += 15
           }
-          System.err.println(f"[bench] $name sampled under load1 ${s._4}%.2f " +
-            f"> gate $loadGate%.1f — re-sampling (retry ${rounds + 1}/2)")
           rounds += 1
           val r = sampleQuery(dir, name)
-          s = (r._1, r._2, r._3, r._4, rounds)
+          s = (r._1, r._2, r._3, r._4, r._5, rounds)
         }
         name -> s
       }
 
-    def suspectOf(s: QStats): Boolean = s._4 > loadGate || s._4 < 0
+    def suspectOf(s: QStats): Boolean = s._5 > loadGate || s._5 < 0
 
     def jsStats(rs: Seq[(String, QStats)]) =
-      rs.map { case (k, s @ (mn, md, mx, ld, rr)) =>
+      rs.map { case (k, s @ (mn, md, mx, ld, ext, rr)) =>
         "\"" + k + "\":{\"min\":" + mn + ",\"median\":" + md +
-          ",\"max\":" + mx + ",\"load1\":" + ld + ",\"resampled\":" + rr +
-          ",\"suspect\":" + suspectOf(s) + "}"
+          ",\"max\":" + mx + ",\"load1\":" + ld + ",\"ext_cores\":" + ext +
+          ",\"resampled\":" + rr + ",\"suspect\":" + suspectOf(s) + "}"
       }.mkString("{", ",", "}")
 
     val staged = if (sys.env.getOrElse("SPARK_GRAFT_STAGE", "1") != "0") {
@@ -268,23 +303,24 @@ object Bench {
     // tables are sub-MB, so per-task overhead outweighs parallel-scan
     // gains for most queries — the parallel layout pays off exactly where
     // real data volume exists (lineitem) and everywhere at cluster scale.
-    val medians = single.map { case (k, (_, md, _, _, _)) => k -> md }
-    val mins = single.map { case (k, (mn, _, _, _, _)) => k -> mn }
+    val medians = single.map { case (k, (_, md, _, _, _, _)) => k -> md }
+    val mins = single.map { case (k, (mn, _, _, _, _, _)) => k -> mn }
     val total = medians.map(_._2).sum
     val totalMin = mins.map(_._2).sum
     val extras = stagedTimes.map { st =>
-      val med = st.map { case (k, (_, md, _, _, _)) => k -> md }
+      val med = st.map { case (k, (_, md, _, _, _, _)) => k -> md }
       s""","total_staged_32file":${med.map(_._2).sum},""" +
         s""""queries_staged_32file":${js(med)},""" +
         s""""queries_staged_32file_stats":${jsStats(st)}""" +
         s""","loadavg_staged_before":$loadMid,"loadavg_staged_after":$loadAfter"""
     }.getOrElse("")
-    // Suspect = still sampled above the gate after bounded re-sampling,
-    // or loadavg unreadable. The PRIMARY pass's suspects qualify the
-    // emitted medians; `gated` is derived from measurement-time evidence
-    // (round-10 ADVICE: the start-only flag labeled a load1=14.9 run
-    // clean), so gated=true now MEANS every primary sample ran at or
-    // under the gate with a readable loadavg and no query failed.
+    // Suspect = still sampled above `loadGate` cores of EXTERNAL work
+    // after bounded re-sampling, or the metric unreadable. The PRIMARY
+    // pass's suspects qualify the emitted medians; `gated` is derived
+    // from measurement-time evidence (round-10 ADVICE: the start-only
+    // flag labeled a load1=14.9 run clean), so gated=true now MEANS
+    // every primary sample ran with at most the gated amount of
+    // co-tenant CPU alongside it and no query failed.
     val suspects = single.collect { case (k, s) if suspectOf(s) => k }
     val gatedClean = !gateTimedOut && suspects.isEmpty && failed.isEmpty
     def jsNames(ns: Iterable[String]) =

@@ -199,20 +199,21 @@ object CopyText {
   /** Compressed payloads are written as CONCATENATED members (one per
     * part + one for the terminator) — gzip members, LZ4 frames and zstd
     * frames all define concatenation as a valid stream, so the
-    * distributed encode parallelism survives compression. gzip members
-    * are deflated DISTRIBUTED (Spark's text codec writes proper gzip
-    * part files, copied verbatim); lz4/zstd members are framed during
-    * the driver-side concat (streamed, bounded memory) because Hadoop's
-    * lz4/zstd codecs write block formats incompatible with the frame
-    * formats pg tooling expects. Member boundaries are recorded to a
-    * `.idx` sidecar so [[read]] can decompress members in parallel;
-    * pg_restore reads only the files toc.dat lists, so the sidecar is
-    * invisible to the native toolchain. */
+    * distributed encode parallelism survives compression for ALL three
+    * algorithms: gzip rides Spark's own text codec, lz4/zstd ride the
+    * [[FrameHadoopCodec]] wrappers (Hadoop's bundled lz4/zstd codecs
+    * write block formats incompatible with the frame formats pg tooling
+    * expects — the wrappers put the right formats on the executor write
+    * path), and the driver-side concat is a plain byte copy either way.
+    * Member boundaries are recorded to a `.idx` sidecar so [[read]] can
+    * decompress members in parallel; pg_restore reads only the files
+    * toc.dat lists, so the sidecar is invisible to the native
+    * toolchain. */
   def writeDatFile(df: DataFrame, file: String, algo: Int): Unit = {
     val tmp = file + ".tmpdir"
     val dir = new java.io.File(tmp)
     try {
-      // The encode (escape tables + gzip deflate) is CPU-bound: when the
+      // The encode (escape tables + compression) is CPU-bound: when the
       // upstream plan has fewer partitions than cores (a one-file scan, a
       // collapsed aggregate), widen it so the render uses the machine —
       // measured 5.4 s -> 3.9 s on the 600k-row bench cycle. Row order
@@ -223,8 +224,12 @@ object CopyText {
       val wide = if (df.rdd.getNumPartitions < math.min(target, 16)) {
         df.repartition(math.min(target, 16))
       } else df
-      write(wide, tmp,
-        compression = if (algo == Compress.Gzip) Some("gzip") else None)
+      val codec = algo match {
+        case Compress.None => None
+        case Compress.Gzip => Some("gzip")
+        case a             => Some(Compress.hadoopCodecClass(a))
+      }
+      write(wide, tmp, compression = codec)
       // the concat step requires a DRIVER-LOCAL scratch dir (this method
       // targets local directory archives; on a cluster, point `file` at
       // local disk or concat on the storage layer) — fail with a
@@ -240,13 +245,7 @@ object CopyText {
       try {
         parts.foreach { p =>
           val start = out.count
-          if (algo == Compress.Lz4 || algo == Compress.Zstd) {
-            // frame-per-part: compression happens here (see scaladoc)
-            val z = Compress.output(algo, new NonClosingOutputStream(out))
-            val in = new java.io.FileInputStream(p)
-            try in.transferTo(z) finally in.close()
-            z.close()
-          } else java.nio.file.Files.copy(p.toPath, out)
+          java.nio.file.Files.copy(p.toPath, out)
           members += ((start, out.count - start))
         }
         if (algo == Compress.None) out.write("\\.\n".getBytes("UTF-8"))
@@ -310,12 +309,14 @@ object CopyText {
     *    (certified by a driver-side tail probe): the scan is cut at the
     *    terminator's byte offset via [[BoundedTextInputFormat]] — exact,
     *    splittable, and the payload is read once;
-    *  - gzipped payload WITH a `.idx` sidecar (our own [[writeDatFile]]
-    *    output): one task per recorded gzip member — the normally
-    *    unsplittable stream decompresses in parallel, turning archive
-    *    load from a 1-task bottleneck into a full-width scan (foreign
-    *    archives have no sidecar and a stale one self-invalidates by
-    *    total length);
+    *  - compressed payload (.gz/.lz4/.zst) WITH a `.idx` sidecar (our
+    *    own [[writeDatFile]] output): one task per recorded member — the
+    *    normally unsplittable stream decompresses in parallel, turning
+    *    archive load from a 1-task bottleneck into a full-width scan
+    *    (foreign archives have no sidecar and a stale one
+    *    self-invalidates by total length);
+    *  - foreign lz4/zstd payloads (no sidecar): whole-file stream decode
+    *    on one task — Hadoop has no codec for the frame formats;
     *  - everything else (foreign gzipped payloads — unsplittable, one
     *    partition per file, so a per-partition cut at the terminator is
     *    exact; terminator-less spools/directories — the cut never
