@@ -233,7 +233,9 @@ object Lifecycle {
   def restore(spark: SparkSession, manifestPath: String, target: String,
               tables: Option[Set[String]] = None,
               insertMode: Boolean = false,
-              ignoreSqlStates: Set[String] = Set.empty): Seq[String] = {
+              ignoreSqlStates: Set[String] = Set.empty,
+              onConflictDoNothing: Boolean = false,
+              overridingSystemValue: Boolean = false): Seq[String] = {
     val all = Manifest(Manifest.readEntries(manifestPath))
     val keep = tables.fold(all)(ts => all.filtered(ts))
     keep.restoreBatches.flatten.map { e =>
@@ -246,7 +248,9 @@ object Lifecycle {
         // insert mode = the reference's --inserts path (row INSERTs with
         // per-error exclusion into an EXISTING table); copy mode = bulk
         // batched JDBC overwrite
-        if (insertMode) RestoreSink.insertRows(df, target, e.table, ignoreSqlStates)
+        if (insertMode) RestoreSink.insertRows(df, target, e.table,
+          ignoreSqlStates, onConflictDoNothing = onConflictDoNothing,
+          overridingSystemValue = overridingSystemValue)
         else RestoreSink.bulk(df, target, e.table, mode = org.apache.spark.sql.SaveMode.Overwrite)
       } else df.write.mode("overwrite").parquet(s"$target/${e.table}")
       e.table
@@ -311,8 +315,10 @@ object Lifecycle {
       case "dump" :: cfgPath :: sfDir :: outDir :: Nil =>
         dump(spark, Files.readString(Paths.get(cfgPath)), sfDir, outDir)
       case "pg-dump" :: cfgPath :: conninfo :: outDir :: rest =>
-        // --compress=none|gzip|lz4|zstd (pg_dump 16's own flag values);
-        // payload members ride graft.sources.Compress either way
+        // --compress=none|gzip|lz4|zstd[:level] or a bare gzip level
+        // 0-9 (the full native pg_dump 16 grammar — a plain integer is
+        // a gzip LEVEL, never an algorithm number); payload members
+        // ride graft.sources.Compress either way
         val compress = rest.collectFirst {
           case a if a.startsWith("--compress=") => a.stripPrefix("--compress=")
         }.getOrElse("none")
@@ -368,9 +374,20 @@ object Lifecycle {
         validate(spark, Files.readString(Paths.get(cfgPath)), sfDir).foreach(println)
       case "restore" :: manifestPath :: target :: rest =>
         val inserts = rest.contains("--inserts")
+        // reference restore flags (cmd/restore.go): --on-conflict-do-nothing
+        // emits the literal clause so duplicates skip SERVER-SIDE (the
+        // 23505 exclusion default is then unnecessary — the server never
+        // raises); --overriding-system-value lets explicit values land in
+        // GENERATED ALWAYS identity columns. Both imply INSERT mode.
+        val onConflict = rest.contains("--on-conflict-do-nothing")
+        val overriding = rest.contains("--overriding-system-value")
         val tbls = rest.filterNot(_.startsWith("--")).headOption.map(_.split(",").toSet)
-        restore(spark, manifestPath, target, tbls, insertMode = inserts,
-          ignoreSqlStates = if (inserts) Set("23505") else Set.empty)
+        restore(spark, manifestPath, target, tbls,
+          insertMode = inserts || onConflict || overriding,
+          ignoreSqlStates =
+            if (inserts && !onConflict) Set("23505") else Set.empty,
+          onConflictDoNothing = onConflict,
+          overridingSystemValue = overriding)
           .foreach(t => println(s"restored $t"))
       case "list-dumps" :: root :: Nil => listDumps(root).foreach(println)
       case "show-dump" :: manifestPath :: Nil => showDump(manifestPath).foreach(println)

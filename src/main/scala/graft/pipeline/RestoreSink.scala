@@ -12,11 +12,15 @@ import java.util.Properties
   *    size tunable (the reference's 1 MiB stream buffer becomes the JDBC
   *    `batchsize`).
   *  - [[insertRows]] is the INSERT-mode restore
-  *    (`restorers/table_insert_format.go:166-194`): row-wise prepared
-  *    INSERTs with the reference's per-error exclusion semantics
-  *    (`domains/config.go:115-130`) — SQLSTATEs listed in
-  *    `ignoreSqlStates` (e.g. 23505 unique violation ≈ ON CONFLICT DO
-  *    NOTHING) are skipped instead of failing the task.
+  *    (`restorers/table_insert_format.go:166-194`): batched prepared
+  *    INSERTs carrying the reference's literal clauses when asked —
+  *    `ON CONFLICT DO NOTHING` (duplicates skip server-side, single
+  *    statement) and `OVERRIDING SYSTEM VALUE` (explicit values into
+  *    identity columns) — plus the per-error exclusion semantics
+  *    (`domains/config.go:115-130`): SQLSTATEs listed in
+  *    `ignoreSqlStates` are skipped via row-wise replay instead of
+  *    failing the task (the portable fallback for targets without
+  *    ON CONFLICT, and for error classes beyond unique violations).
   *
   * Snapshot consistency on restore is the target DB's concern (SURVEY
   * §7.4); at cluster scale partitions write concurrently exactly like the
@@ -96,12 +100,32 @@ object RestoreSink {
     }
   }
 
+  /** The INSERT statement the reference's insert restorer generates
+    * (`table_insert_format.go:170-188`), with JDBC `?` placeholders:
+    * `ON CONFLICT DO NOTHING` makes duplicate-key rows skip SERVER-SIDE
+    * in the single statement (no error raised, so no client-side
+    * exclusion/replay is involved), and `OVERRIDING SYSTEM VALUE` lets
+    * an explicit value land in a `GENERATED ALWAYS AS IDENTITY` column.
+    * Both are PostgreSQL grammar — leave them off for other targets and
+    * use `ignoreSqlStates` there. */
+  def insertStatement(table: String, cols: Seq[String],
+                      onConflictDoNothing: Boolean = false,
+                      overridingSystemValue: Boolean = false): String = {
+    val overriding = if (overridingSystemValue) "OVERRIDING SYSTEM VALUE " else ""
+    val onConflict = if (onConflictDoNothing) " ON CONFLICT DO NOTHING" else ""
+    s"INSERT INTO $table (${cols.mkString(", ")}) ${overriding}VALUES " +
+      s"(${cols.map(_ => "?").mkString(", ")})$onConflict"
+  }
+
   def insertRows(df: DataFrame, url: String, table: String,
                  ignoreSqlStates: Set[String] = Set.empty,
                  batchSize: Int = 500,
-                 integrity: IntegrityOptions = IntegrityOptions()): Unit = {
+                 integrity: IntegrityOptions = IntegrityOptions(),
+                 onConflictDoNothing: Boolean = false,
+                 overridingSystemValue: Boolean = false): Unit = {
     val cols = df.columns
-    val sql = s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val sql = insertStatement(table, cols.toSeq, onConflictDoNothing,
+      overridingSystemValue)
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.nonEmpty) {
         val conn: Connection = DriverManager.getConnection(url)

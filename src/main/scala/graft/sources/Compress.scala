@@ -28,15 +28,47 @@ object Compress {
   val Lz4 = 2
   val Zstd = 3
 
-  /** Parse a user-facing spec (`--compress=` value): name or algorithm
-    * number; unknown values fail loudly with the supported list. */
-  def parse(spec: String): Int = spec.trim.toLowerCase match {
-    case "" | "none" | "0" => None
-    case "gzip" | "1"      => Gzip
-    case "lz4" | "2"       => Lz4
-    case "zstd" | "3"      => Zstd
-    case other => throw new IllegalArgumentException(
-      s"unknown compression '$other' (supported: none, gzip, lz4, zstd)")
+  /** Parse a user-facing spec (`--compress=` value) with the NATIVE
+    * pg_dump grammar: a bare integer is a GZIP LEVEL (`0` = none,
+    * `1`-`9` = gzip at that level — never an algorithm byte), otherwise
+    * `method[:level]` with method in none/gzip/lz4/zstd. The level is
+    * validated against the codec's range (gzip 1-9, lz4 1-12, zstd
+    * 1-22) and then ignored — members encode at each codec's default
+    * level, and the archive format records only the algorithm byte, so
+    * round-trips are unaffected. Unknown methods or out-of-range levels
+    * fail loudly. */
+  def parse(spec: String): Int = {
+    val s = spec.trim.toLowerCase
+    val (method, levelStr) = s.indexOf(':') match {
+      case -1 => (s, scala.None)
+      case i  => (s.substring(0, i), Some(s.substring(i + 1)))
+    }
+    def level(lo: Int, hi: Int): Unit = levelStr.foreach { t =>
+      val v = try t.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"invalid compression level '$t' in '$spec'")
+      }
+      if (v < lo || v > hi) throw new IllegalArgumentException(
+        s"compression level $v out of range [$lo, $hi] for $method in '$spec'")
+    }
+    method match {
+      case "" | "none" => level(0, 0); None
+      case "gzip"      => level(1, 9); Gzip
+      case "lz4"       => level(1, 12); Lz4
+      case "zstd"      => level(1, 22); Zstd
+      case n if n.nonEmpty && n.forall(_.isDigit) =>
+        val v = n.toInt
+        if (levelStr.nonEmpty) throw new IllegalArgumentException(
+          s"bare integer --compress takes no ':level' suffix: '$spec'")
+        if (v == 0) None
+        else if (v <= 9) Gzip
+        else throw new IllegalArgumentException(
+          s"compression level $v out of range (a bare integer is a gzip " +
+            "level 0-9, as with native pg_dump; use lz4/zstd by name)")
+      case other => throw new IllegalArgumentException(
+        s"unknown compression '$other' (supported: none, gzip, lz4, zstd, " +
+          "a bare gzip level 0-9, or method:level)")
+    }
   }
 
   def name(algo: Int): String = algo match {

@@ -354,19 +354,21 @@ object CopyText {
   }
 
   /** EXECUTOR-side streamed line decode of one byte range of a payload:
-    * open `uri`, seek `start`, decompress `mlen` bytes (Long.MaxValue =
+    * open `pathStr`, seek `start`, decompress `mlen` bytes (Long.MaxValue =
     * to EOF) with `algo`, iterate lines up to the `\.` terminator. Task
     * memory is ONE line buffer regardless of payload size — the shared
     * machinery of the batch member scan and the streaming COPY ingest
     * ([[graft.streaming.StreamingMask.copyIngestStream]]). */
-  private[graft] def linesFrom(uri: java.net.URI, start: Long, mlen: Long,
+  private[graft] def linesFrom(pathStr: String, start: Long, mlen: Long,
                                algo: Int): Iterator[String] = {
     // executor-side FS handle; default Configuration resolves file://
     // (the directory-archive deployment shape) and any scheme
-    // configured cluster-wide
-    val efs = org.apache.hadoop.fs.FileSystem.get(uri,
-      new org.apache.hadoop.conf.Configuration())
-    val raw = efs.open(new org.apache.hadoop.fs.Path(uri))
+    // configured cluster-wide. Hadoop Path(String) tolerates the
+    // unencoded spaces/'%' that Path.toString and binaryFile's `path`
+    // column carry — java.net.URI(raw string) would throw on them.
+    val path = new org.apache.hadoop.fs.Path(pathStr)
+    val efs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val raw = efs.open(path)
     if (start > 0) raw.seek(start)
     val boundedIn = new java.io.InputStream {
       private var left = mlen
@@ -400,12 +402,12 @@ object CopyText {
     * parallel-member scan AND the single-stream fallback for frame
     * formats Hadoop has no codec for (lz4/zstd) — the latter is just the
     * whole file as one range. */
-  private def memberScan(spark: SparkSession, uri: java.net.URI,
+  private def memberScan(spark: SparkSession, pathStr: String,
                          ranges: Seq[(Long, Long)], algo: Int):
       org.apache.spark.sql.Dataset[String] = {
     val rdd = spark.sparkContext
       .parallelize(ranges, ranges.size)
-      .flatMap { case (start, mlen) => linesFrom(uri, start, mlen, algo) }
+      .flatMap { case (start, mlen) => linesFrom(pathStr, start, mlen, algo) }
     spark.createDataset(rdd)(Encoders.STRING)
   }
 
@@ -428,7 +430,7 @@ object CopyText {
       else None
     val lineDs = (indexed, bounded) match {
       case (Some(ranges), _) if ranges.nonEmpty =>
-        memberScan(spark, p.toUri, ranges, algo)
+        memberScan(spark, p.toString, ranges, algo)
       case (_, Some(termOffset)) =>
         val conf = new org.apache.hadoop.conf.Configuration(
           spark.sparkContext.hadoopConfiguration)
@@ -444,7 +446,7 @@ object CopyText {
         // for the FRAME formats pg_dump writes, so stream-decode the
         // whole file as one range — same 1-task shape a foreign .gz
         // payload gets from the textFile fallback below
-        memberScan(spark, p.toUri, Seq((0L, st.getLen)), algo)
+        memberScan(spark, p.toString, Seq((0L, st.getLen)), algo)
       case _ =>
         spark.read.textFile(path)
           .mapPartitions(_.takeWhile(_ != "\\."))(Encoders.STRING)

@@ -149,10 +149,18 @@ object PgRestore {
     * reference's integrity control; superuser required).
     *
     * `useList` is the `pg_restore -L` filter ([[parseRestoreList]]
-    * output): only the listed entries replay, in LIST order (the
-    * reference reorders the TOC to the list, `cmd/restore.go:329-343`),
-    * and a listed id missing from the archive fails loudly (same
-    * message shape). `withDeps` additionally pulls each listed entry's
+    * output): only the listed entries replay (the reference reorders
+    * the TOC to the list, `cmd/restore.go:329-343`). Duplicate dump ids
+    * in the list are deduped (first occurrence wins), and a listed id
+    * missing from the archive fails loudly (same message shape). List
+    * order is honored WITHIN each restore section — execution still
+    * phases pre-data → data waves → SEQUENCE SET/blobs → post-data, so
+    * a list that interleaves sections replays section-phased, not
+    * literally as listed (restoring an index before its table's data
+    * is never correct; the phasing preserves that invariant the same
+    * way the native tool's parallel mode does). Within the data
+    * section, listed tables keep list order subject to dependency
+    * waves. `withDeps` additionally pulls each listed entry's
     * transitive dependency closure back in, in TOC order — the
     * [[graft.pipeline.Manifest.filtered]] discipline (iterative visited
     * set, cycle-safe) for users who list only the tables they want and
@@ -167,7 +175,10 @@ object PgRestore {
     val fullToc = PgToc.readFile(s"$dir/toc.dat")
     val toc = useList match {
       case None => fullToc
-      case Some(ids) =>
+      case Some(rawIds) =>
+        // duplicate ids in a hand-edited list must not restore twice;
+        // first occurrence keeps its position
+        val ids = rawIds.distinct
         val byId = fullToc.entries.map(e => e.dumpId -> e).toMap
         ids.foreach(id => require(byId.contains(id),
           s"pg-restore: entry from provided list with dump id $id is not found"))

@@ -58,8 +58,12 @@ object StreamingMask {
       .schema(binarySchema)
       .load(dir)
       .select("path").as[String]
+      // our own compressed dumps land WITH their `.idx` member sidecar;
+      // a sidecar is metadata, not a COPY payload — decoding one would
+      // inject its header/offset lines as data rows
+      .filter(p => !p.endsWith(".idx"))
       .flatMap { p =>
-        graft.sources.CopyText.linesFrom(new java.net.URI(p), 0L,
+        graft.sources.CopyText.linesFrom(p, 0L,
           Long.MaxValue, graft.sources.Compress.algoOfFile(p))
       }
     graft.sources.CopyText.linesToRows(lines, columns)

@@ -54,4 +54,22 @@ class ArchiveCompressionSpec extends SparkSpec {
       PgToc.dumpArchive(Seq("t" -> df), s"$base/arch", "db", compress = "snappy"))
     assert(ex.getMessage.contains("snappy") && ex.getMessage.contains("zstd"))
   }
+
+  test("--compress grammar matches native pg_dump: bare int = gzip LEVEL, method:level accepted") {
+    // pg_dump treats a plain integer as a gzip level (0=none, 1-9=gzip)
+    // — never an algorithm byte; '--compress=2' must NOT mean lz4
+    assert(Compress.parse("0") == Compress.None)
+    for (lvl <- 1 to 9) assert(Compress.parse(lvl.toString) == Compress.Gzip)
+    // method:level (pg_dump 16 grammar): level validated per codec, algo wins
+    assert(Compress.parse("gzip:6") == Compress.Gzip)
+    assert(Compress.parse("lz4:9") == Compress.Lz4)
+    assert(Compress.parse("zstd:3") == Compress.Zstd)
+    assert(Compress.parse("none") == Compress.None)
+    // out-of-range levels and level'd bare ints fail loudly
+    intercept[IllegalArgumentException](Compress.parse("10"))
+    intercept[IllegalArgumentException](Compress.parse("gzip:10"))
+    intercept[IllegalArgumentException](Compress.parse("zstd:99"))
+    intercept[IllegalArgumentException](Compress.parse("lz4:x"))
+    intercept[IllegalArgumentException](Compress.parse("2:3"))
+  }
 }

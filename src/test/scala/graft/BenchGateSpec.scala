@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench's co-tenant trip-wire (round-11 calibration): the
+  * ext_cores instrument must MEASURE a genuinely foreign busy process,
+  * and the suspect rule must trip on it at the dedicated ~0.4-core gate
+  * (the old rule reused loadGate=4.0 and stayed silent while 0.6-2.2
+  * foreign cores inflated recorded medians ~7%). */
+class BenchGateSpec extends AnyFunSuite {
+
+  test("a foreign busy-loop process trips the suspect rule at the 0.4-core ext gate") {
+    // one spun-pinned foreign core, by construction outside this JVM
+    val busy = new ProcessBuilder("sh", "-c", "while :; do :; done").start()
+    try {
+      Thread.sleep(200) // let the loop get scheduled
+      // idle window: self CPU ~0, so ext reads the foreign loop directly
+      val ext = Bench.extProbe(2000)
+      assert(ext >= 0.5, s"busy-loop foreign core not measured (ext=$ext)")
+      assert(Bench.isSuspect(ext, 0.4),
+        s"suspect rule must trip on $ext foreign cores at gate 0.4")
+    } finally {
+      busy.destroyForcibly()
+      busy.waitFor()
+    }
+  }
+
+  test("suspect rule: unreadable ext is suspect (unknown != clean); sub-gate ext is not") {
+    assert(Bench.isSuspect(-1.0, 0.4))
+    assert(Bench.isSuspect(0.41, 0.4))
+    assert(!Bench.isSuspect(0.0, 0.4))
+    assert(!Bench.isSuspect(0.39, 0.4))
+  }
+
+  test("withExt attributes this JVM's own burn to self, not to foreign load") {
+    // burn ~2s of CPU in-process: ext must NOT rise with it (the whole
+    // point of the instrument — loadavg would have flagged this)
+    val ambient = Bench.extProbe(1000)
+    val (_, extBusySelf) = Bench.withExt {
+      val stop = System.nanoTime() + 2L * 1000 * 1000 * 1000
+      var x = 0L
+      while (System.nanoTime() < stop) { x += 1 }
+      x
+    }
+    assert(extBusySelf >= 0, s"ext must stay readable (got $extBusySelf)")
+    // allow generous co-tenant slack; the self-burn itself is ~1.0 core
+    // and must not appear in ext
+    assert(extBusySelf <= ambient + 0.8,
+      s"self CPU leaked into ext: ambient=$ambient, during self-burn=$extBusySelf")
+  }
+}

@@ -412,13 +412,17 @@ class PgInteropSpec extends SparkSpec {
       includeSchema = true, deps = Map("ulchild" -> Seq("ulparent")))
     val ids = toc.entries.map(e => (e.tag.get, e.desc.get) -> e.dumpId).toMap
     // exact-list mode (native -L semantics): only the parent's DDL +
-    // data replay; the child never reaches the target
+    // data replay; the child never reaches the target. The data id is
+    // listed TWICE (a hand-edited list can carry duplicates) — it must
+    // replay once, not double the rows.
     psql("postgres", "CREATE DATABASE ul_tgt")
     graft.sources.PgRestore.restore(arch,
       Seq("-d", s"host=$sockDir dbname=ul_tgt user=graft"),
       useList = Some(Seq(ids("ulparent" -> "TABLE"),
+        ids("ulparent" -> "TABLE DATA"),
         ids("ulparent" -> "TABLE DATA"))))
-    assert(psql("ul_tgt", "SELECT count(*) FROM ulparent")._2.trim == "2")
+    assert(psql("ul_tgt", "SELECT count(*) FROM ulparent")._2.trim == "2",
+      "duplicate list ids must not restore twice")
     assert(psql("ul_tgt", "SELECT count(*) FROM ulchild")._1 != 0,
       "skipped entry must be absent from the target")
     // --with-deps: listing ONLY the child's data pulls its DDL and the
@@ -429,6 +433,65 @@ class PgInteropSpec extends SparkSpec {
       useList = Some(Seq(ids("ulchild" -> "TABLE DATA"))), withDeps = true)
     assert(psql("ul_tgt2", "SELECT count(*) FROM ulchild")._2.trim == "2")
     assert(psql("ul_tgt2", "SELECT count(*) FROM ulparent")._2.trim == "2")
+  }
+
+  test("INSERT-mode literal clauses: ON CONFLICT skips server-side, OVERRIDING lands in identity columns") {
+    live()
+    // No PostgreSQL JDBC driver ships in this container (Derby only), so
+    // the live proof executes the EXACT statement text insertRows
+    // prepares — placeholders bound as psql PREPARE/EXECUTE arguments —
+    // against a real server. The JDBC wire path around that text is
+    // covered by RestoreSinkSpec (Derby).
+    psql("postgres", "CREATE DATABASE insmode")
+    psql("insmode",
+      "CREATE TABLE idt(id bigint GENERATED ALWAYS AS IDENTITY, k int UNIQUE, v text)")
+    def prepared(stmt: String, types: Seq[String], args: String): (Int, String) = {
+      var i = 0
+      val pgStmt = stmt.flatMap {
+        case '?' => i += 1; s"$$$i"
+        case c   => c.toString
+      }
+      // via -f, not -c: the $n placeholders must reach psql unexpanded
+      val f = java.nio.file.Files.createTempFile("insmode", ".sql")
+      java.nio.file.Files.writeString(f,
+        s"PREPARE st(${types.mkString(",")}) AS $pgStmt;\nEXECUTE st($args);\n")
+      val r = sh(s"PGHOST=$sockDir PGUSER=graft /usr/bin/psql -X " +
+        s"-v ON_ERROR_STOP=1 -d insmode -A -t -f $f")
+      java.nio.file.Files.delete(f)
+      r
+    }
+    val conflictSql = graft.pipeline.RestoreSink.insertStatement(
+      "idt", Seq("k", "v"), onConflictDoNothing = true)
+    assert(conflictSql.endsWith("ON CONFLICT DO NOTHING"), conflictSql)
+    // same key twice: WITHOUT the clause the server raises 23505 (the
+    // row-wise-replay trigger); WITH it the statement succeeds silently
+    assert(prepared(conflictSql, Seq("int", "text"), "1, 'a'")._1 == 0)
+    val (rcDup, outDup) = prepared(graft.pipeline.RestoreSink.insertStatement(
+      "idt", Seq("k", "v")), Seq("int", "text"), "1, 'dup'")
+    assert(rcDup != 0 && outDup.contains("duplicate key"), outDup)
+    assert(prepared(conflictSql, Seq("int", "text"), "1, 'dup'")._1 == 0,
+      "duplicate must skip server-side with no error to replay")
+    assert(psql("insmode", "SELECT count(*), min(v) FROM idt WHERE k=1")._2.trim
+      == "1|a", "first row wins; duplicate skipped")
+    // GENERATED ALWAYS identity: explicit id rejected without the
+    // clause, accepted verbatim with OVERRIDING SYSTEM VALUE
+    val plainId = graft.pipeline.RestoreSink.insertStatement(
+      "idt", Seq("id", "k", "v"))
+    val (rcId, outId) = prepared(plainId, Seq("bigint", "int", "text"), "42, 2, 'x'")
+    assert(rcId != 0 && outId.contains("GENERATED ALWAYS"), outId)
+    val overridingSql = graft.pipeline.RestoreSink.insertStatement(
+      "idt", Seq("id", "k", "v"), overridingSystemValue = true)
+    assert(overridingSql.contains(") OVERRIDING SYSTEM VALUE VALUES ("), overridingSql)
+    assert(prepared(overridingSql, Seq("bigint", "int", "text"), "42, 2, 'x'")._1 == 0)
+    assert(psql("insmode", "SELECT id FROM idt WHERE k=2")._2.trim == "42",
+      "explicit identity value must land under OVERRIDING SYSTEM VALUE")
+    // both clauses compose (the reference emits them together when both
+    // options are set)
+    val bothSql = graft.pipeline.RestoreSink.insertStatement(
+      "idt", Seq("id", "k", "v"), onConflictDoNothing = true,
+      overridingSystemValue = true)
+    assert(prepared(bothSql, Seq("bigint", "int", "text"), "42, 2, 'again'")._1 == 0)
+    assert(psql("insmode", "SELECT count(*) FROM idt")._2.trim == "2")
   }
 
   test("loadLargeObjects: real pg_dump LO payloads land as (oid, bytes)") {

@@ -58,6 +58,23 @@ class RestoreSinkSpec extends SparkSpec {
     }
   }
 
+  test("insertStatement renders the reference's literal clauses in the exact positions") {
+    // table_insert_format.go:170-188: OVERRIDING between the column list
+    // and VALUES; ON CONFLICT trailing — live-PG execution of these
+    // exact texts is proven in PgInteropSpec
+    assert(RestoreSink.insertStatement("t", Seq("a", "b")) ==
+      "INSERT INTO t (a, b) VALUES (?, ?)")
+    assert(RestoreSink.insertStatement("t", Seq("a", "b"),
+      onConflictDoNothing = true) ==
+      "INSERT INTO t (a, b) VALUES (?, ?) ON CONFLICT DO NOTHING")
+    assert(RestoreSink.insertStatement("t", Seq("a", "b"),
+      overridingSystemValue = true) ==
+      "INSERT INTO t (a, b) OVERRIDING SYSTEM VALUE VALUES (?, ?)")
+    assert(RestoreSink.insertStatement("t", Seq("a"),
+      onConflictDoNothing = true, overridingSystemValue = true) ==
+      "INSERT INTO t (a) OVERRIDING SYSTEM VALUE VALUES (?) ON CONFLICT DO NOTHING")
+  }
+
   test("integrity statement plan mirrors the reference setupTx/resetTx (PG dialect)") {
     import graft.pipeline.IntegrityOptions
     val o = IntegrityOptions(sessionReplicationRoleReplica = true,

@@ -50,14 +50,16 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append").start()
     try {
       q.processAllAvailable()
-      // a LATE payload lands in a later micro-batch
+      // a LATE payload lands in a later micro-batch; a path with a SPACE
+      // must not kill the task (hadoop Path, not java.net.URI(raw))
       drop("b.dat", Seq(("4", "dave")))
+      drop("late drop.dat", Seq(("5", "eve")))
       q.processAllAvailable()
       val rows = spark.table("copy_stream_out").as[(String, String)].collect().toMap
       // escapes decoded BEFORE masking (first char + '**'); NULL passes
       // through the transformer (keepNull)
       assert(rows == Map("1" -> "a**", "2" -> null,
-        "3" -> "t**", "4" -> "d**"))
+        "3" -> "t**", "4" -> "d**", "5" -> "e**"))
     } finally q.stop()
   }
 
@@ -69,6 +71,11 @@ class StreamingSpec extends SparkSpec {
     val gz = new java.util.zip.GZIPOutputStream(
       java.nio.file.Files.newOutputStream(dir.resolve("a.dat.gz")))
     gz.write(body.getBytes("UTF-8")); gz.close()
+    // our own dump output drops WITH its member-index sidecar — the
+    // sidecar is metadata and must never decode as COPY rows
+    val gzLen = java.nio.file.Files.size(dir.resolve("a.dat.gz"))
+    java.nio.file.Files.write(dir.resolve("a.dat.gz.idx"),
+      s"graftgzidx v1 $gzLen\n0 $gzLen\n".getBytes("UTF-8"))
     val decoded = StreamingMask.copyIngestStream(spark, dir.toString, Seq("id", "v"))
     // the memory contract: the streaming SOURCE carries file paths only
     // (binaryFile pruned to `path`) — payload bytes stream through the
@@ -82,7 +89,8 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val rows = spark.table("copy_gz_out").as[(String, String)].collect()
         .sortBy(_._1).toSeq
-      // interior empty string survives; terminator + trailing blanks cut
+      // interior empty string survives; terminator + trailing blanks cut;
+      // and NO sidecar junk rows (no 'graftgzidx …' header, no offsets)
       assert(rows == Seq(("1", "v1"), ("2", ""), ("3", "v3")))
     } finally q.stop()
   }
