@@ -118,7 +118,14 @@ object Curation {
       .filter(length(split_part(col("bg"), lit(" "), lit(1))) > 0 &&
         length(split_part(col("bg"), lit(" "), lit(2))) > 0)
     // per-(doc, bigram) counts first: map-side combinable, and the term
-    // join then touches distinct pairs instead of bigram instances
+    // join then touches distinct pairs instead of bigram instances.
+    // Measured negative result #2 (round 12, sf0.1 idle): materializing
+    // this aggregate ONCE via localCheckpoint — so both consumers read
+    // finished rows instead of re-aggregating off the ReusedExchange —
+    // benches 3.16 s vs 3.06 s for the exchange-reuse form; the block
+    // write+read costs more than the second reduce-side agg saves.
+    // (Negative result #1, earlier round: fusing the unigram stream out
+    // of the bigram stream.) The 3-scan/1-reuse shape stays.
     val perDocBg = bgs.groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
     val terms = perDocBg.groupBy("bg").agg(sum("c").as("fb"))
       .withColumn("prev", split_part(col("bg"), lit(" "), lit(1)))

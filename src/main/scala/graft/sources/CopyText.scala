@@ -257,7 +257,12 @@ object CopyText {
           z.write("\\.\n".getBytes("UTF-8")); z.close()
         }
       } finally out.close()
-      if (algo != Compress.None) {
+      // sidecar for EVERY algorithm, including none: uncompressed member
+      // ranges align to part-file (= line) boundaries, so the reader gets
+      // one-task-per-member parallel decode there too — without it a
+      // 129 MB uncompressed payload fell back to ~4 block-sized splits
+      // and loaded 7x slower than its zstd twin (10x soak, round 12)
+      locally {
         val total = new java.io.File(file).length()
         val lines = (s"graftgzidx v1 $total" +:
           members.result().map { case (s, l) => s"$s $l" }).mkString("", "\n", "\n")
@@ -420,14 +425,15 @@ object CopyText {
       if (st.isFile && algo == Compress.None)
         probeTerminator(fs, p, st.getLen)
       else None
-    // Our own compressed payloads carry a member index: one task per
-    // member turns the format's one-unsplittable-stream-per-table decode
-    // into a parallel scan (the load-side twin of writeDatFile's
-    // distributed encode). Foreign payloads have no sidecar -> fallback.
+    // Our own payloads carry a member index for EVERY algorithm: one
+    // task per member turns the format's one-unsplittable-stream decode
+    // into a parallel scan for compressed payloads, and gives the
+    // uncompressed payload line-aligned splits at the encoder's own
+    // parallelism (measured in the 10x soak: 129 MB uncompressed fell
+    // back to 4 block splits and loaded 7x slower than zstd before
+    // this). Foreign payloads have no sidecar -> fallback.
     val indexed =
-      if (st.isFile && algo != Compress.None)
-        memberIndex(fs, p, st.getLen)
-      else None
+      if (st.isFile) memberIndex(fs, p, st.getLen) else None
     val lineDs = (indexed, bounded) match {
       case (Some(ranges), _) if ranges.nonEmpty =>
         memberScan(spark, p.toString, ranges, algo)
@@ -435,6 +441,15 @@ object CopyText {
         val conf = new org.apache.hadoop.conf.Configuration(
           spark.sparkContext.hadoopConfiguration)
         conf.setLong(BoundedTextInputFormat.BoundKey, termOffset)
+        // a FOREIGN uncompressed payload (real pg_dump --compress=0) has
+        // no sidecar; splits default to the local-FS block size (32 MB),
+        // which caps decode parallelism at len/32MB tasks. Size splits
+        // to the session's parallelism instead (floor 4 MB keeps tiny
+        // payloads at one task); on a real cluster HDFS/S3 block sizes
+        // make the default reasonable, and this only ever ADDS tasks.
+        val targetSplit = math.max(4L << 20,
+          st.getLen / math.max(1, spark.sparkContext.defaultParallelism))
+        conf.setLong("mapreduce.input.fileinputformat.split.maxsize", targetSplit)
         val rdd = spark.sparkContext.newAPIHadoopFile(
           path, classOf[BoundedTextInputFormat],
           classOf[org.apache.hadoop.io.LongWritable],

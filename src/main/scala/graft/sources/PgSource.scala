@@ -128,13 +128,14 @@ object PgSource {
       .map(_.split("\\|")).collect { case Array(t, k) => t -> k.head }.toMap
   }
 
-  /** LEAF partitions (relkind 'r') of every partitioned ROOT in the
-    * namespace, recursive through sub-partitioned levels — the
-    * reference's `TableGetChildPatsQuery` (`context/queries.go:52-76`,
-    * driven from `config_builder.go:723-766`). Roots are partitioned
-    * tables that are not themselves partitions (the `RootPt*` notion of
-    * `toolkit/table.go`); intermediate 'p' levels route through but are
-    * not returned — only leaves hold rows. */
+  /** LEAF partitions (relkind 'r') of EVERY partitioned table in the
+    * namespace — top-level roots AND intermediate sub-partitioned
+    * levels each map to the leaves of their own subtree, recursively —
+    * the reference's `TableGetChildPatsQuery` (`context/queries.go:
+    * 52-76`, driven from `config_builder.go:723-766`, which walks the
+    * children of whichever table the config NAMES, root or not).
+    * Intermediate 'p' levels never appear as values — only leaves hold
+    * rows. */
   def partitionLeaves(psqlArgs: Seq[String],
                       namespace: String = "public"): Map[String, Seq[String]] = {
     val ns = namespace.replace("'", "''")
@@ -144,7 +145,6 @@ object PgSource {
         "JOIN pg_class pc ON i.inhparent = pc.oid " +
         "JOIN pg_namespace pn ON pc.relnamespace = pn.oid " +
         s"WHERE pn.nspname = '$ns' AND pc.relkind = 'p' " +
-        "AND NOT EXISTS (SELECT 1 FROM pg_inherits up WHERE up.inhrelid = i.inhparent) " +
         "UNION ALL " +
         "SELECT t.root, i.inhrelid FROM tree t " +
         "JOIN pg_inherits i ON i.inhparent = t.child) " +

@@ -401,6 +401,81 @@ class PgInteropSpec extends SparkSpec {
       "mask must hold across every leaf")
   }
 
+  test("TWO-LEVEL partition tree: recursive leaf walk live-proven, dump/restore green at every level") {
+    live()
+    psql("postgres", "CREATE DATABASE p2src")
+    // parent 'p' → sub-partitioned child 'p' → leaves 'r', plus one
+    // plain leaf directly under the parent — the shape the recursive
+    // pg_inherits walk claims to handle but had only been proven one
+    // level deep against a live server
+    assert(psql("p2src",
+      "CREATE TABLE ev (id bigint, city text, region text, day date) PARTITION BY RANGE (day)")._1 == 0)
+    assert(psql("p2src",
+      "CREATE TABLE ev_2024 PARTITION OF ev FOR VALUES FROM ('2024-01-01') TO ('2025-01-01') PARTITION BY LIST (region)")._1 == 0)
+    assert(psql("p2src",
+      "CREATE TABLE ev_2024_eu PARTITION OF ev_2024 FOR VALUES IN ('eu')")._1 == 0)
+    assert(psql("p2src",
+      "CREATE TABLE ev_2024_us PARTITION OF ev_2024 FOR VALUES IN ('us')")._1 == 0)
+    assert(psql("p2src",
+      "CREATE TABLE ev_2025 PARTITION OF ev FOR VALUES FROM ('2025-01-01') TO ('2026-01-01')")._1 == 0)
+    assert(psql("p2src",
+      "INSERT INTO ev SELECT g, 'city-' || g, CASE WHEN g % 2 = 0 THEN 'eu' ELSE 'us' END, " +
+        "DATE '2024-01-01' + (g % 600) FROM generate_series(1, 300) g")._1 == 0)
+    val conninfo = s"host=$sockDir dbname=p2src user=graft"
+
+    // the walk maps EVERY 'p' table to the true leaves ('r') of its own
+    // subtree — the top parent sees all three, the intermediate level
+    // sees its two, and no 'p' node ever appears as a value (reference
+    // TableGetChildPatsQuery walks from whichever table the config names)
+    assert(graft.sources.PgSource.relkinds(Seq("-d", conninfo)).get("ev_2024").contains('p'))
+    val leaves = graft.sources.PgSource.partitionLeaves(Seq("-d", conninfo))
+    assert(leaves("ev").toSet == Set("ev_2024_eu", "ev_2024_us", "ev_2025"))
+    assert(leaves("ev_2024").toSet == Set("ev_2024_eu", "ev_2024_us"))
+
+    // a config naming the INTERMEDIATE level dumps exactly its subtree's
+    // leaves (the reference's named-table child walk)
+    val tocMid = graft.Lifecycle.pgDump(spark,
+      """{"tables":[{"table":"ev_2024","apply_for_inherited":true}]}""",
+      conninfo, s"$base/p2_mid")
+    assert(tocMid.entries.filter(_.desc.contains("TABLE DATA")).flatMap(_.tag).toSet
+      == Set("ev_2024_eu", "ev_2024_us"))
+
+    // passthrough dump: TABLE DATA per LEAF only; both 'p' levels ride
+    // the schema TOC; native pg_restore reproduces the tree, and the
+    // fingerprints agree at EVERY level (root, intermediate, 3 leaves)
+    val arch = s"$base/p2_arch"
+    val toc = graft.Lifecycle.pgDump(spark,
+      """{"tables":[{"table":"ev","apply_for_inherited":true}]}""", conninfo, arch)
+    assert(toc.entries.filter(_.desc.contains("TABLE DATA")).flatMap(_.tag).toSet
+      == Set("ev_2024_eu", "ev_2024_us", "ev_2025"))
+    psql("postgres", "CREATE DATABASE p2tgt")
+    val (rc, out) = sh(s"PGHOST=$sockDir PGUSER=graft /usr/bin/pg_restore -d p2tgt $arch")
+    assert(rc == 0, out)
+    for (t <- Seq("ev", "ev_2024", "ev_2024_eu", "ev_2024_us", "ev_2025")) {
+      val a = graft.sources.PgSource.tableFingerprint(Seq("-d", conninfo), t)
+      val b = graft.sources.PgSource.tableFingerprint(
+        Seq("-d", s"host=$sockDir dbname=p2tgt user=graft"), t)
+      assert(a == b, s"$t fingerprints diverge: $a vs $b")
+    }
+
+    // masked dump through OUR pg-restore: counts survive at every level
+    // and the inherited mask holds across both branches of the tree
+    val archM = s"$base/p2_arch_m"
+    graft.Lifecycle.pgDump(spark,
+      """{"tables":[{"table":"ev","apply_for_inherited":true,
+           "transforms":[{"column":"city","name":"Masking","params":{"type":"name"}}]}]}""",
+      conninfo, archM)
+    psql("postgres", "CREATE DATABASE p2tgt2")
+    graft.sources.PgRestore.restore(archM,
+      Seq("-d", s"host=$sockDir dbname=p2tgt2 user=graft"))
+    for (t <- Seq("ev", "ev_2024", "ev_2024_eu", "ev_2024_us", "ev_2025"))
+      assert(psql("p2tgt2", s"SELECT count(*) FROM $t")._2.trim ==
+        psql("p2src", s"SELECT count(*) FROM $t")._2.trim, s"$t count")
+    assert(psql("p2tgt2",
+      "SELECT count(*) FROM ev WHERE city <> 'c**'")._2.trim == "0",
+      "inherited mask must hold across every leaf of the 2-level tree")
+  }
+
   test("pg-restore --use-list: selective restore; --with-deps pulls the closure") {
     live()
     import spark.implicits._
