@@ -235,7 +235,8 @@ object Lifecycle {
               insertMode: Boolean = false,
               ignoreSqlStates: Set[String] = Set.empty,
               onConflictDoNothing: Boolean = false,
-              overridingSystemValue: Boolean = false): Seq[String] = {
+              overridingSystemValue: Boolean = false,
+              exclusions: Option[ConfigLoader.ErrorExclusions] = None): Seq[String] = {
     val all = Manifest(Manifest.readEntries(manifestPath))
     val keep = tables.fold(all)(ts => all.filtered(ts))
     keep.restoreBatches.flatten.map { e =>
@@ -248,9 +249,17 @@ object Lifecycle {
         // insert mode = the reference's --inserts path (row INSERTs with
         // per-error exclusion into an EXISTING table); copy mode = bulk
         // batched JDBC overwrite
-        if (insertMode) RestoreSink.insertRows(df, target, e.table,
-          ignoreSqlStates, onConflictDoNothing = onConflictDoNothing,
-          overridingSystemValue = overridingSystemValue)
+        if (insertMode) {
+          // per-table effective rule = config global ∪ table-specific
+          // (reference insert_error_exclusions, domains/config.go:115-130)
+          val rule = exclusions.map(_.forTable(e.table))
+            .getOrElse(ConfigLoader.ExclusionRule.empty)
+          RestoreSink.insertRows(df, target, e.table,
+            ignoreSqlStates ++ rule.errorCodes,
+            onConflictDoNothing = onConflictDoNothing,
+            overridingSystemValue = overridingSystemValue,
+            ignoreConstraints = rule.constraints)
+        }
         else RestoreSink.bulk(df, target, e.table, mode = org.apache.spark.sql.SaveMode.Overwrite)
       } else df.write.mode("overwrite").parquet(s"$target/${e.table}")
       e.table
@@ -381,13 +390,21 @@ object Lifecycle {
         // GENERATED ALWAYS identity columns. Both imply INSERT mode.
         val onConflict = rest.contains("--on-conflict-do-nothing")
         val overriding = rest.contains("--overriding-system-value")
+        // --config=<json> supplies the reference's insert_error_exclusions
+        // block (global + per-table SQLSTATEs and constraint names)
+        val excl = rest.collectFirst {
+          case a if a.startsWith("--config=") =>
+            ConfigLoader.exclusionsFromJson(
+              Files.readString(Paths.get(a.stripPrefix("--config="))))
+        }
         val tbls = rest.filterNot(_.startsWith("--")).headOption.map(_.split(",").toSet)
         restore(spark, manifestPath, target, tbls,
           insertMode = inserts || onConflict || overriding,
           ignoreSqlStates =
             if (inserts && !onConflict) Set("23505") else Set.empty,
           onConflictDoNothing = onConflict,
-          overridingSystemValue = overriding)
+          overridingSystemValue = overriding,
+          exclusions = excl)
           .foreach(t => println(s"restored $t"))
       case "list-dumps" :: root :: Nil => listDumps(root).foreach(println)
       case "show-dump" :: manifestPath :: Nil => showDump(manifestPath).foreach(println)

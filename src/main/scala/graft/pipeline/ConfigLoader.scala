@@ -80,4 +80,52 @@ object ConfigLoader {
       applyForInherited = (t \ "apply_for_inherited").extractOpt[Boolean].getOrElse(false),
       dumpSlices = (t \ "dump_slices").extractOpt[Int].getOrElse(1))
   }
+
+  /** One exclusion rule: SQLSTATE error codes and/or CONSTRAINT names
+    * whose violations the INSERT-mode restore skips instead of failing
+    * (reference `domains/config.go:115-130`,
+    * `table_insert_format.go:isErrorAllowed`). */
+  case class ExclusionRule(errorCodes: Set[String], constraints: Set[String]) {
+    def ++(o: ExclusionRule): ExclusionRule =
+      ExclusionRule(errorCodes ++ o.errorCodes, constraints ++ o.constraints)
+    def isEmpty: Boolean = errorCodes.isEmpty && constraints.isEmpty
+  }
+  object ExclusionRule { val empty: ExclusionRule = ExclusionRule(Set.empty, Set.empty) }
+
+  /** The reference's `insert_error_exclusions` block: a GLOBAL rule plus
+    * per-TABLE rules; a table's effective rule is global ∪ its own. */
+  case class ErrorExclusions(global: ExclusionRule,
+                             tables: Map[String, ExclusionRule]) {
+    def forTable(table: String): ExclusionRule =
+      global ++ tables.getOrElse(table, ExclusionRule.empty)
+  }
+
+  /** Parse the `insert_error_exclusions` block of a config document:
+    * ```json
+    * { "insert_error_exclusions": {
+    *     "global": {"error_codes": ["23505"], "constraints": ["users_pk"]},
+    *     "tables": [{"name": "orders", "error_codes": ["23503"],
+    *                 "constraints": ["orders_fk"]}] } }
+    * ```
+    * Absent block -> empty exclusions (every insert error propagates,
+    * the reference's default). */
+  def exclusionsFromJson(json: String,
+                         env: Map[String, String] = sys.env): ErrorExclusions = {
+    implicit val fmt: Formats = DefaultFormats
+    val root = JsonMethods.parse(interpolate(json, env))
+    def rule(v: JValue): ExclusionRule = ExclusionRule(
+      (v \ "error_codes").extractOpt[Seq[String]].getOrElse(Nil).toSet,
+      (v \ "constraints").extractOpt[Seq[String]].getOrElse(Nil).toSet)
+    val block = root \ "insert_error_exclusions"
+    val tables = (block \ "tables") match {
+      case JArray(ts) => ts.map { t =>
+        val name = (t \ "name").extractOpt[String].getOrElse(
+          throw new IllegalArgumentException(
+            "config: insert_error_exclusions table entry missing 'name'"))
+        name -> rule(t)
+      }.toMap
+      case _ => Map.empty[String, ExclusionRule]
+    }
+    ErrorExclusions(rule(block \ "global"), tables)
+  }
 }

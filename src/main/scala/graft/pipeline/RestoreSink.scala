@@ -117,12 +117,20 @@ object RestoreSink {
       s"(${cols.map(_ => "?").mkString(", ")})$onConflict"
   }
 
+  /** `ignoreConstraints` is the constraint-NAME half of the reference's
+    * `insert_error_exclusions` (`domains/config.go:115-130`: rules list
+    * `error_codes` AND `constraints`; `isErrorAllowed` compares the
+    * server error's ConstraintName). Generic JDBC drivers don't expose a
+    * structured constraint field, so the match scans the exception
+    * chain's messages for the name — every mainstream driver (PG, Derby,
+    * MySQL) names the violated constraint there. */
   def insertRows(df: DataFrame, url: String, table: String,
                  ignoreSqlStates: Set[String] = Set.empty,
                  batchSize: Int = 500,
                  integrity: IntegrityOptions = IntegrityOptions(),
                  onConflictDoNothing: Boolean = false,
-                 overridingSystemValue: Boolean = false): Unit = {
+                 overridingSystemValue: Boolean = false,
+                 ignoreConstraints: Set[String] = Set.empty): Unit = {
     val cols = df.columns
     val sql = insertStatement(table, cols.toSeq, onConflictDoNothing,
       overridingSystemValue)
@@ -146,6 +154,17 @@ object RestoreSink {
             }
             out
           }
+          def ignorable(e: SQLException): Boolean = {
+            if (states(e).exists(ignoreSqlStates)) return true
+            if (ignoreConstraints.isEmpty) return false
+            var cur: SQLException = e
+            while (cur != null) {
+              val msg = Option(cur.getMessage).getOrElse("")
+              if (ignoreConstraints.exists(msg.contains)) return true
+              cur = cur.getNextException
+            }
+            false
+          }
           def bind(vals: Array[AnyRef]): Unit = {
             var i = 0
             while (i < vals.length) { st.setObject(i + 1, vals(i)); i += 1 }
@@ -159,14 +178,14 @@ object RestoreSink {
           def flush(): Unit = if (buffer.nonEmpty) {
             try { st.executeBatch(); conn.commit() }
             catch {
-              case e: SQLException if states(e).exists(ignoreSqlStates) =>
+              case e: SQLException if ignorable(e) =>
                 conn.rollback()
                 st.clearBatch()
                 buffer.foreach { vals =>
                   bind(vals)
                   try { st.executeUpdate(); conn.commit() }
                   catch {
-                    case e2: SQLException if states(e2).exists(ignoreSqlStates) =>
+                    case e2: SQLException if ignorable(e2) =>
                       conn.rollback() // skip just this row
                   }
                 }

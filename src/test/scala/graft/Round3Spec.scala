@@ -331,6 +331,71 @@ class RestoreFallbackSpec extends SparkSpec {
     assert(back == Map(1L -> "one", 2L -> "existing", 3L -> "three"))
   }
 
+  test("insert_error_exclusions: constraint-NAME rule skips its violations, per-table scoped") {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE excl_t") catch { case _: Throwable => () }
+      st.execute("CREATE TABLE excl_t (id BIGINT, v VARCHAR(20), " +
+        "CONSTRAINT EXCL_PK PRIMARY KEY (id))")
+      st.execute("INSERT INTO excl_t VALUES (2, 'existing')")
+      st.close()
+    } finally conn.close()
+    // reference rule shape: the config names the CONSTRAINT, no SQLSTATE
+    // (domains/config.go:115-130; isErrorAllowed matches ConstraintName)
+    val df = Seq((1L, "one"), (2L, "dup"), (3L, "three")).toDF("id", "v").coalesce(1)
+    RestoreSink.insertRows(df, url, "excl_t", ignoreSqlStates = Set.empty,
+      batchSize = 100, ignoreConstraints = Set("EXCL_PK"))
+    val back = spark.read.jdbc(url, "excl_t", new Properties())
+      .as[(Long, String)].collect().toMap
+    assert(back == Map(1L -> "one", 2L -> "existing", 3L -> "three"))
+    // a rule naming a DIFFERENT constraint does not cover this violation
+    intercept[Exception] {
+      RestoreSink.insertRows(Seq((2L, "dup")).toDF("id", "v"), url, "excl_t",
+        ignoreConstraints = Set("OTHER_FK"))
+    }
+  }
+
+  test("insert_error_exclusions config block: global ∪ per-table rules, restore-path wiring") {
+    import graft.pipeline.ConfigLoader
+    val excl = ConfigLoader.exclusionsFromJson(
+      """{"insert_error_exclusions": {
+           "global": {"error_codes": ["23505"]},
+           "tables": [{"name": "orders", "error_codes": ["23503"],
+                       "constraints": ["ORDERS_FK"]}] }}""")
+    assert(excl.forTable("anything") ==
+      ConfigLoader.ExclusionRule(Set("23505"), Set.empty))
+    assert(excl.forTable("orders") ==
+      ConfigLoader.ExclusionRule(Set("23505", "23503"), Set("ORDERS_FK")))
+    // absent block -> empty rules (every insert error propagates)
+    assert(ConfigLoader.exclusionsFromJson("{}").forTable("t").isEmpty)
+
+    // e2e through Lifecycle.restore: a constraint-name-only config rule
+    // lets the manifest-driven insert restore skip the planted dup
+    val dir = Files.createTempDirectory("graft_exclrestore").toString
+    val df = Seq((1L, "one"), (2L, "dup")).toDF("id", "v")
+    df.write.mode("overwrite").parquet(s"$dir/excl_r_t")
+    Manifest.write(Manifest.build(Seq(("excl_r_t", df, s"$dir/excl_r_t")),
+      refs = Nil), s"$dir/manifest.json")
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE excl_r_t") catch { case _: Throwable => () }
+      st.execute("CREATE TABLE excl_r_t (id BIGINT, v VARCHAR(20), " +
+        "CONSTRAINT EXCLR_PK PRIMARY KEY (id))")
+      st.execute("INSERT INTO excl_r_t VALUES (2, 'existing')")
+      st.close()
+    } finally conn.close()
+    val cfg = ConfigLoader.exclusionsFromJson(
+      """{"insert_error_exclusions": {
+           "tables": [{"name": "excl_r_t", "constraints": ["EXCLR_PK"]}] }}""")
+    Lifecycle.restore(spark, s"$dir/manifest.json", url,
+      insertMode = true, exclusions = Some(cfg))
+    val back2 = spark.read.jdbc(url, "excl_r_t", new Properties())
+      .as[(Long, String)].collect().toMap
+    assert(back2 == Map(1L -> "one", 2L -> "existing"))
+  }
+
   test("PiiScrub and TextNormalize are config-registrable transformers") {
     val scrub = Registry.build("PiiScrub", Map.empty)
     val out = Seq("mail me@x.org now").toDF("v")
