@@ -365,11 +365,19 @@ object Lifecycle {
             graft.sources.PgRestore.parseRestoreList(
               Files.readString(Paths.get(f)))
         }
+        // --scripts <json>: the reference's restore.scripts block —
+        // per-section before/after hooks (query / query_file / command)
+        val scripts = rest.sliding(2).collectFirst {
+          case Seq("--scripts", f) =>
+            graft.sources.PgRestore.scriptsFromJson(
+              Files.readString(Paths.get(f)))
+        }.getOrElse(Map.empty[String, Seq[graft.sources.PgRestore.Script]])
         graft.sources.PgRestore.restore(archDir, Seq("-d", conninfo),
           dataOnly = rest.contains("--data-only"),
           disableTriggers = rest.contains("--disable-triggers"),
           jobs = jobs, useList = useList,
-          withDeps = rest.contains("--with-deps"))
+          withDeps = rest.contains("--with-deps"),
+          scripts = scripts)
           .foreach(l => println(s"[pg-restore] $l"))
       case "pg-ingest" :: archDir :: outDir :: Nil =>
         // any pg_dump -Fd / reference-produced directory archive ->

@@ -27,6 +27,88 @@ import graft.pipeline.PgToc
   */
 object PgRestore {
 
+  /** One user-defined restore script (reference `pgrestore/script.go:31`):
+    * exactly one of `query` (SQL text), `queryFile` (path to SQL), or
+    * `command` (argv exec'd on the restore host). Scripts attach to a
+    * section (`pre-data` / `data` / `post-data`) and fire `before` or
+    * `after` that section restores — the reference's
+    * `RunScripts(section, when)` hook points (`cmd/restore.go:180-222`,
+    * called at `:381,:446,:556,:578` and the post-data pair). */
+  case class Script(name: String, when: String,
+                    query: Option[String] = None,
+                    queryFile: Option[String] = None,
+                    command: Seq[String] = Nil)
+
+  val ScriptSections: Seq[String] = Seq("pre-data", "data", "post-data")
+
+  /** Parse the reference's `restore.scripts` config block (also accepted
+    * at the top level as `scripts`):
+    * ```json
+    * {"restore": {"scripts": {"pre-data": [
+    *    {"name": "mark", "when": "before", "query": "CREATE TABLE ..."},
+    *    {"name": "seed", "when": "after", "query_file": "/path/x.sql"},
+    *    {"name": "notify", "when": "after", "command": ["touch", "/tmp/f"]}
+    * ]}}}
+    * ``` */
+  def scriptsFromJson(json: String): Map[String, Seq[Script]] = {
+    import org.json4s._
+    implicit val fmt: Formats = DefaultFormats
+    val root = org.json4s.jackson.JsonMethods.parse(json)
+    val block = (root \ "restore" \ "scripts") match {
+      case JNothing => root \ "scripts"
+      case b => b
+    }
+    block match {
+      case JObject(fields) => fields.map { case (section, v) =>
+        require(ScriptSections.contains(section),
+          s"""pg-restore scripts: unknown "section" value: $section""")
+        val ss = v match {
+          case JArray(items) => items.map { s =>
+            val sc = Script(
+              name = (s \ "name").extractOpt[String].getOrElse("unnamed"),
+              when = (s \ "when").extractOpt[String].getOrElse("before"),
+              query = (s \ "query").extractOpt[String].filter(_.nonEmpty),
+              queryFile = (s \ "query_file").extractOpt[String].filter(_.nonEmpty),
+              command = (s \ "command").extractOpt[Seq[String]].getOrElse(Nil))
+            require(Seq("before", "after").contains(sc.when),
+              s"pg-restore scripts: when must be before|after, got ${sc.when}")
+            require(sc.query.nonEmpty || sc.queryFile.nonEmpty || sc.command.nonEmpty,
+              s"pg-restore scripts: ${sc.name}: nothing to execute")
+            sc
+          }
+          case other => throw new IllegalArgumentException(
+            s"pg-restore scripts: section $section must be an array, got $other")
+        }
+        section -> ss
+      }.toMap
+      case JNothing => Map.empty
+      case other => throw new IllegalArgumentException(
+        s"pg-restore scripts: expected an object of sections, got $other")
+    }
+  }
+
+  /** Execute every script registered for (`section`, `when`), in config
+    * order, failing loudly on the first error (the reference aborts the
+    * restore when a script fails). Returns one human line per script. */
+  private def runScripts(psqlArgs: Seq[String],
+                         scripts: Map[String, Seq[Script]],
+                         section: String, when: String): Seq[String] =
+    scripts.getOrElse(section, Nil).filter(_.when == when).map { s =>
+      val (rc, out) = s match {
+        case Script(_, _, Some(q), _, _) => exec(psqlArgs, q)
+        case Script(_, _, _, Some(f), _) =>
+          exec(psqlArgs, java.nio.file.Files.readString(java.nio.file.Paths.get(f)))
+        case Script(_, _, _, _, cmd) =>
+          val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+          p.getOutputStream.close()
+          val o = new String(p.getInputStream.readAllBytes(), "UTF-8")
+          (p.waitFor(), o)
+      }
+      require(rc == 0,
+        s"""pg-restore: cannot apply script "${s.name}" $when $section section: $out""")
+      s"script ${s.name} ($when $section)"
+    }
+
   /** One SQL batch in its own psql session; returns (rc, combined out). */
   private def exec(psqlArgs: Seq[String], sql: String): (Int, String) = {
     val cmd = Seq("/usr/bin/psql", "-X", "-q", "-v", "ON_ERROR_STOP=1") ++
@@ -171,7 +253,8 @@ object PgRestore {
               disableTriggers: Boolean = false,
               jobs: Int = 4,
               useList: Option[Seq[Int]] = None,
-              withDeps: Boolean = false): Seq[String] = {
+              withDeps: Boolean = false,
+              scripts: Map[String, Seq[Script]] = Map.empty): Seq[String] = {
     val fullToc = PgToc.readFile(s"$dir/toc.dat")
     val toc = useList match {
       case None => fullToc
@@ -239,13 +322,17 @@ object PgRestore {
         waves(blocked, doneIds ++ ready.map(_.dumpId), acc :+ ready)
       }
 
-    // 1. schema + pre-data statements, TOC order (unless data-only)
+    // 1. schema + pre-data statements, TOC order (unless data-only) —
+    // user scripts bracket the section (reference cmd/restore.go:381,446)
+    done ++= runScripts(psqlArgs, scripts, "pre-data", "before")
     toc.entries.filter(e => e.section == PgToc.SectionPreData ||
         e.section == PgToc.SectionNone).foreach { e =>
       val d = e.desc.getOrElse("")
       if (!skip(d) && !dataOnly) execDefn(e)
     }
+    done ++= runScripts(psqlArgs, scripts, "pre-data", "after")
     // 2. data: tables in dependency waves through a worker pool
+    done ++= runScripts(psqlArgs, scripts, "data", "before")
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration.Duration
     val ec = ExecutionContext.fromExecutorService(
@@ -259,10 +346,13 @@ object PgRestore {
       e.desc.contains("SEQUENCE SET")).foreach(execDefn)
     if (toc.entries.exists(_.desc.contains("BLOBS")))
       done ++= restoreBlobs(dir, psqlArgs, createOids = dataOnly)
+    done ++= runScripts(psqlArgs, scripts, "data", "after")
     // 4. post-data (constraints, indexes, FKs) + ACLs (unless data-only)
+    done ++= runScripts(psqlArgs, scripts, "post-data", "before")
     if (!dataOnly) {
       toc.entries.filter(_.section == PgToc.SectionPostData).foreach(execDefn)
     }
+    done ++= runScripts(psqlArgs, scripts, "post-data", "after")
     done.result()
   }
 }

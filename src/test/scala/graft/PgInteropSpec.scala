@@ -569,6 +569,56 @@ class PgInteropSpec extends SparkSpec {
     assert(psql("insmode", "SELECT count(*) FROM idt")._2.trim == "2")
   }
 
+  test("restore scripts: per-section before/after hooks run in order; failures abort loudly") {
+    live()
+    import spark.implicits._
+    val arch = s"$base/scripts_arch"
+    PgToc.dumpArchive(Seq("st" -> Seq((1L, "a"), (2L, "b")).toDF("id", "v")),
+      arch, "sc_tgt", includeSchema = true)
+    psql("postgres", "CREATE DATABASE sc_tgt")
+    val touched = s"$base/script_touched"
+    val qf = java.nio.file.Files.createTempFile("script", ".sql")
+    java.nio.file.Files.writeString(qf,
+      "INSERT INTO script_log VALUES ('data-before', (SELECT count(*) FROM script_log));")
+    val scripts = graft.sources.PgRestore.scriptsFromJson(
+      s"""{"restore": {"scripts": {
+        "pre-data": [
+          {"name": "mk-log", "when": "before",
+           "query": "CREATE TABLE script_log(step text, ord bigint)"},
+          {"name": "pre-after", "when": "after",
+           "query": "INSERT INTO script_log VALUES ('pre-after', 0)"}],
+        "data": [
+          {"name": "from-file", "when": "before", "query_file": "$qf"},
+          {"name": "data-after", "when": "after",
+           "query": "INSERT INTO script_log VALUES ('data-after', (SELECT count(*) FROM script_log))"}],
+        "post-data": [
+          {"name": "touch", "when": "after", "command": ["touch", "$touched"]}]
+      }}}""")
+    val lines = graft.sources.PgRestore.restore(arch,
+      Seq("-d", s"host=$sockDir dbname=sc_tgt user=graft"), scripts = scripts)
+    assert(lines.count(_.startsWith("script ")) == 5, lines.mkString("; "))
+    // the archive's own data landed between the hooks
+    assert(psql("sc_tgt", "SELECT count(*) FROM st")._2.trim == "2")
+    // section order preserved: pre-after(0) -> data-before(1) -> data-after(2)
+    assert(psql("sc_tgt",
+      "SELECT step FROM script_log ORDER BY ord")._2.trim.split("\n").toSeq
+      == Seq("pre-after", "data-before", "data-after"))
+    assert(new java.io.File(touched).exists(), "command script must have run")
+    // a failing script aborts the restore loudly, reference message shape
+    psql("postgres", "CREATE DATABASE sc_tgt2")
+    val bad = graft.sources.PgRestore.scriptsFromJson(
+      """{"scripts": {"pre-data": [
+           {"name": "boom", "when": "before", "query": "SELECT 1/0"}]}}""")
+    val ex = intercept[IllegalArgumentException](graft.sources.PgRestore.restore(
+      arch, Seq("-d", s"host=$sockDir dbname=sc_tgt2 user=graft"), scripts = bad))
+    assert(ex.getMessage.contains("cannot apply script \"boom\""))
+    // unknown section / empty script reject at parse time
+    intercept[IllegalArgumentException](graft.sources.PgRestore.scriptsFromJson(
+      """{"scripts": {"mid-data": []}}"""))
+    intercept[IllegalArgumentException](graft.sources.PgRestore.scriptsFromJson(
+      """{"scripts": {"data": [{"name": "empty", "when": "before"}]}}"""))
+  }
+
   test("loadLargeObjects: real pg_dump LO payloads land as (oid, bytes)") {
     live()
     psql("postgres", "CREATE DATABASE losrc")
