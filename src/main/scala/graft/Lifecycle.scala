@@ -49,7 +49,71 @@ object Lifecycle {
   }
 
   /** dump: config -> validate -> subset -> transform -> write + manifest. */
-  def dump(spark: SparkSession, configJson: String, sfDir: String, outDir: String): Manifest = {
+  /** Dump heartbeat (reference `cmd/dump.go:57,753-771` +
+    * `utils/dumpstatus/status.go`): a `heartbeat` file holding
+    * `in-progress`, refreshed every `intervalMs` by a daemon thread,
+    * stamped `done` on success. A dump that dies leaves a STALE
+    * in-progress heartbeat, which [[dumpStatus]] reports as failed once
+    * it is older than 2× the refresh interval — the operational signal
+    * a multi-hour 100 TB dump owes its operator. Returns a
+    * `finish(success)` closure. */
+  private[graft] def startHeartbeat(outDir: String,
+                                    intervalMs: Long = 15000): Boolean => Unit = {
+    Files.createDirectories(Paths.get(outDir))
+    val p = Paths.get(outDir, HeartBeatFileName)
+    def write(s: String): Unit = Files.writeString(p, s)
+    write(HeartBeatInProgress)
+    @volatile var run = true
+    val t = new Thread(() => {
+      try while (run) { Thread.sleep(intervalMs); if (run) write(HeartBeatInProgress) }
+      catch { case _: InterruptedException => () }
+    })
+    t.setDaemon(true); t.start()
+    success => {
+      run = false; t.interrupt()
+      // on failure the last in-progress stamp is left to go stale (the
+      // reference does the same; the status reader applies the timeout)
+      if (success) write(HeartBeatDone)
+    }
+  }
+
+  val HeartBeatFileName = "heartbeat"
+  private val HeartBeatInProgress = "in-progress"
+  private val HeartBeatDone = "done"
+
+  /** Dump status from the heartbeat (`dumpstatus/status.go:29-77`):
+    * `done` / `in progress` / `failed` (empty heartbeat, or in-progress
+    * older than 2× the refresh interval) / `unknown or failed` (no
+    * heartbeat and no manifest; a manifest WITHOUT a heartbeat is a
+    * legacy done dump). */
+  def dumpStatus(dumpDir: String, intervalMs: Long = 15000): String = {
+    val hb = Paths.get(dumpDir, HeartBeatFileName)
+    if (!Files.exists(hb)) {
+      if (Files.exists(Paths.get(dumpDir, "manifest.json"))) "done"
+      else "unknown or failed"
+    } else new String(Files.readAllBytes(hb), "UTF-8").trim match {
+      case "" => "failed"
+      case HeartBeatDone => "done"
+      case HeartBeatInProgress =>
+        val age = System.currentTimeMillis() - Files.getLastModifiedTime(hb).toMillis
+        if (age > 2 * intervalMs) "failed" else "in progress"
+      case _ => "unknown or failed"
+    }
+  }
+
+  /** Run `f` under a dump heartbeat: stamped done on success, left to go
+    * stale (→ failed) on any throw. */
+  private def withHeartbeat[T](outDir: String)(f: => T): T = {
+    val finish = startHeartbeat(outDir)
+    try { val r = f; finish(true); r }
+    catch { case e: Throwable => finish(false); throw e }
+  }
+
+  def dump(spark: SparkSession, configJson: String, sfDir: String, outDir: String): Manifest =
+    withHeartbeat(outDir)(dumpBody(spark, configJson, sfDir, outDir))
+
+  private def dumpBody(spark: SparkSession, configJson: String, sfDir: String,
+                       outDir: String): Manifest = {
     val configs = ConfigLoader.fromJson(configJson)
     // 1. validation gate (validate.go semantics: fatal on errors)
     val warnings = configs.flatMap(c => Planner.validate(Catalog.load(spark, sfDir, c.table), c))
@@ -112,7 +176,7 @@ object Lifecycle {
   def pgDump(spark: SparkSession, configJson: String, conninfo: String,
              outDir: String,
              schemaFromSource: Boolean = true,
-             compress: String = "none"): graft.pipeline.PgToc.Toc = {
+             compress: String = "none"): graft.pipeline.PgToc.Toc = withHeartbeat(outDir) {
     val rawConfigs = ConfigLoader.fromJson(configJson)
     val psqlArgs = Seq("-d", conninfo)
     // Partitioned-table routing (the contract real pg_dump uses): a
@@ -236,7 +300,9 @@ object Lifecycle {
               ignoreSqlStates: Set[String] = Set.empty,
               onConflictDoNothing: Boolean = false,
               overridingSystemValue: Boolean = false,
-              exclusions: Option[ConfigLoader.ErrorExclusions] = None): Seq[String] = {
+              exclusions: Option[ConfigLoader.ErrorExclusions] = None,
+              batchSize: Int = 500,
+              integrity: IntegrityOptions = IntegrityOptions()): Seq[String] = {
     val all = Manifest(Manifest.readEntries(manifestPath))
     val keep = tables.fold(all)(ts => all.filtered(ts))
     keep.restoreBatches.flatten.map { e =>
@@ -256,11 +322,14 @@ object Lifecycle {
             .getOrElse(ConfigLoader.ExclusionRule.empty)
           RestoreSink.insertRows(df, target, e.table,
             ignoreSqlStates ++ rule.errorCodes,
+            batchSize = batchSize,
+            integrity = integrity,
             onConflictDoNothing = onConflictDoNothing,
             overridingSystemValue = overridingSystemValue,
             ignoreConstraints = rule.constraints)
         }
-        else RestoreSink.bulk(df, target, e.table, mode = org.apache.spark.sql.SaveMode.Overwrite)
+        else RestoreSink.bulk(df, target, e.table, batchSize = batchSize,
+          mode = org.apache.spark.sql.SaveMode.Overwrite, integrity = integrity)
       } else df.write.mode("overwrite").parquet(s"$target/${e.table}")
       e.table
     }
@@ -279,11 +348,21 @@ object Lifecycle {
     if (!Files.isDirectory(dir)) Nil
     else {
       import scala.jdk.CollectionConverters._
+      // a dump dir is listed when it has a manifest (done/legacy) OR a
+      // heartbeat (in-progress/failed dumps are exactly what the status
+      // column exists to surface — reference dumpstatus/status.go)
       Files.list(dir).iterator().asScala.toSeq.sorted
-        .filter(p => Files.exists(p.resolve("manifest.json")))
+        .filter(p => Files.exists(p.resolve("manifest.json")) ||
+          Files.exists(p.resolve(HeartBeatFileName)))
         .map { p =>
-          val entries = Manifest.readEntries(p.resolve("manifest.json").toString)
-          s"${p.getFileName} tables=${entries.size} rows=${entries.map(_.rows).sum}"
+          val status = dumpStatus(p.toString)
+          val mf = p.resolve("manifest.json")
+          val counts =
+            if (Files.exists(mf)) {
+              val entries = Manifest.readEntries(mf.toString)
+              s"tables=${entries.size} rows=${entries.map(_.rows).sum}"
+            } else "tables=? rows=?"
+          s"${p.getFileName} $counts status=$status"
         }
     }
   }
@@ -406,13 +485,29 @@ object Lifecycle {
               Files.readString(Paths.get(a.stripPrefix("--config="))))
         }
         val tbls = rest.filterNot(_.startsWith("--")).headOption.map(_.split(",").toSet)
+        // reference restore flags (cmd/restore.go:181-217): --batch-size,
+        // --superuser=<role>, --use-session-replication-role-replica,
+        // --disable-triggers map onto the JDBC sink's IntegrityOptions
+        val batchSize = rest.collectFirst {
+          case a if a.startsWith("--batch-size=") =>
+            a.stripPrefix("--batch-size=").toInt
+        }.getOrElse(500)
+        val integ = IntegrityOptions(
+          sessionReplicationRoleReplica =
+            rest.contains("--use-session-replication-role-replica"),
+          disableTriggers = rest.contains("--disable-triggers"),
+          superUser = rest.collectFirst {
+            case a if a.startsWith("--superuser=") => a.stripPrefix("--superuser=")
+          })
         restore(spark, manifestPath, target, tbls,
           insertMode = inserts || onConflict || overriding,
           ignoreSqlStates =
             if (inserts && !onConflict) Set("23505") else Set.empty,
           onConflictDoNothing = onConflict,
           overridingSystemValue = overriding,
-          exclusions = excl)
+          exclusions = excl,
+          batchSize = batchSize,
+          integrity = integ)
           .foreach(t => println(s"restored $t"))
       case "list-dumps" :: root :: Nil => listDumps(root).foreach(println)
       case "show-dump" :: manifestPath :: Nil => showDump(manifestPath).foreach(println)

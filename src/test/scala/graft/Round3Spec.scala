@@ -226,11 +226,51 @@ class ManifestRound3Spec extends SparkSpec {
       s"$root/d1/manifest.json")
     val listed = Lifecycle.listDumps(root)
     assert(listed.size == 1 && listed.head.startsWith("d1 tables=1 rows=1"))
+    // manifest without heartbeat = legacy done dump (dumpstatus parity)
+    assert(listed.head.endsWith("status=done"))
     val shown = Lifecycle.showDump(s"$root/d1/manifest.json")
     assert(shown.size == 1 && shown.head.contains("t rows=1"))
     assert(Lifecycle.deleteDump(root, "d1"))
     assert(Lifecycle.listDumps(root).isEmpty)
     assert(!Lifecycle.deleteDump(root, "d1"))
+  }
+
+  test("dump heartbeat + status: in-progress refresh, done stamp, stale->failed, legacy cases") {
+    val root = Files.createTempDirectory("graft_hb").toString
+    // live heartbeat: in progress while fresh
+    val d = s"$root/hb1"
+    val finish = Lifecycle.startHeartbeat(d, intervalMs = 50)
+    assert(Lifecycle.dumpStatus(d, intervalMs = 50000) == "in progress")
+    // the daemon REFRESHES the stamp: back-date it and wait one interval
+    val hb = java.nio.file.Paths.get(d, Lifecycle.HeartBeatFileName)
+    Files.setLastModifiedTime(hb,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+    Thread.sleep(300)
+    assert(Lifecycle.dumpStatus(d, intervalMs = 50000) == "in progress",
+      "daemon thread must refresh the in-progress stamp")
+    finish(true)
+    assert(Lifecycle.dumpStatus(d) == "done")
+    // a crashed dump leaves a stale in-progress stamp -> failed
+    val d2 = s"$root/hb2"
+    Lifecycle.startHeartbeat(d2, intervalMs = 60000)(false)
+    Files.setLastModifiedTime(java.nio.file.Paths.get(d2, Lifecycle.HeartBeatFileName),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 300000))
+    assert(Lifecycle.dumpStatus(d2, intervalMs = 60000) == "failed")
+    // empty heartbeat -> failed; nothing at all -> unknown or failed
+    val d3 = s"$root/hb3"
+    Files.createDirectories(java.nio.file.Paths.get(d3))
+    Files.writeString(java.nio.file.Paths.get(d3, Lifecycle.HeartBeatFileName), "")
+    assert(Lifecycle.dumpStatus(d3) == "failed")
+    assert(Lifecycle.dumpStatus(s"$root/nope") == "unknown or failed")
+    // a real dump stamps done end-to-end
+    val d4 = s"$root/hb4"
+    Lifecycle.dump(spark, """{"tables":[{"table":"region"}]}""",
+      "/root/testdata/sf0.001", d4)
+    assert(Lifecycle.dumpStatus(d4) == "done")
+    // in-progress/failed dumps LIST with their status (no manifest yet)
+    val lines = Lifecycle.listDumps(root)
+    assert(lines.exists(l => l.startsWith("hb2 ") && l.endsWith("status=failed")), lines)
+    assert(lines.exists(l => l.startsWith("hb4 ") && l.endsWith("status=done")), lines)
   }
 
   test("list-transformers / show-transformer expose the registry") {
@@ -394,6 +434,36 @@ class RestoreFallbackSpec extends SparkSpec {
     val back2 = spark.read.jdbc(url, "excl_r_t", new Properties())
       .as[(Long, String)].collect().toMap
     assert(back2 == Map(1L -> "one", 2L -> "existing"))
+  }
+
+  test("restore threads batch-size and integrity options through to the JDBC sink") {
+    import graft.pipeline.IntegrityOptions
+    val dir = Files.createTempDirectory("graft_integrestore").toString
+    val df = Seq((1L, "one"), (2L, "two")).toDF("id", "v")
+    df.write.mode("overwrite").parquet(s"$dir/integ_r_t")
+    Manifest.write(Manifest.build(Seq(("integ_r_t", df, s"$dir/integ_r_t")),
+      refs = Nil), s"$dir/manifest.json")
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      for (t <- Seq("integ_r_t", "integ_mark"))
+        try st.execute(s"DROP TABLE $t") catch { case _: Throwable => () }
+      st.execute("CREATE TABLE integ_r_t (id BIGINT PRIMARY KEY, v VARCHAR(20))")
+      st.execute("CREATE TABLE integ_mark (hit INT)")
+      st.close()
+    } finally conn.close()
+    // extraSetup is the dialect-neutral observable (Derby has no
+    // session_replication_role): its marker proves the CLI-surfaced
+    // options reach every restore connection
+    Lifecycle.restore(spark, s"$dir/manifest.json", url,
+      insertMode = true, batchSize = 1,
+      integrity = IntegrityOptions(
+        extraSetup = Seq("INSERT INTO integ_mark VALUES (1)")))
+    val back = spark.read.jdbc(url, "integ_r_t", new Properties())
+      .as[(Long, String)].collect().toMap
+    assert(back == Map(1L -> "one", 2L -> "two"))
+    val marks = spark.read.jdbc(url, "integ_mark", new Properties()).count()
+    assert(marks >= 1, "integrity setup must have run on the sink connections")
   }
 
   test("PiiScrub and TextNormalize are config-registrable transformers") {
