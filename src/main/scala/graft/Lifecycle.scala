@@ -176,7 +176,15 @@ object Lifecycle {
   def pgDump(spark: SparkSession, configJson: String, conninfo: String,
              outDir: String,
              schemaFromSource: Boolean = true,
-             compress: String = "none"): graft.pipeline.PgToc.Toc = withHeartbeat(outDir) {
+             compress: String = "none",
+             sections: String = "all"): graft.pipeline.PgToc.Toc = withHeartbeat(outDir) {
+    // native pg_dump -s / -a (the reference passes them through,
+    // cmd/dump.go flags): schema-only skips every COPY transfer (no data
+    // moves at all — the point of -s on a 100 TB source) and emits the
+    // real schema archive alone; data-only emits TABLE DATA entries with
+    // no DDL, the shape `pg_restore -a` and our dataOnly replay expect.
+    require(Seq("all", "schema-only", "data-only").contains(sections),
+      s"pg-dump: sections must be all|schema-only|data-only, got $sections")
     val rawConfigs = ConfigLoader.fromJson(configJson)
     val psqlArgs = Seq("-d", conninfo)
     // Partitioned-table routing (the contract real pg_dump uses): a
@@ -214,15 +222,17 @@ object Lifecycle {
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val masked = configs.map { cfg =>
-      // subset conds push into the COPY's SELECT: the SOURCE SERVER
-      // filters, so a subset dump moves only the subset's bytes
-      cfg -> Future(graft.sources.PgSource.table(spark, psqlArgs, cfg.table,
-        conds = cfg.subsetConds, slices = cfg.dumpSlices))
-    }.map { case (cfg, fut) =>
-      cfg.table -> Planner.plan(Await.result(fut, Duration.Inf),
-        cfg.copy(subsetConds = Nil))
-    }
+    val masked =
+      if (sections == "schema-only") Nil
+      else configs.map { cfg =>
+        // subset conds push into the COPY's SELECT: the SOURCE SERVER
+        // filters, so a subset dump moves only the subset's bytes
+        cfg -> Future(graft.sources.PgSource.table(spark, psqlArgs, cfg.table,
+          conds = cfg.subsetConds, slices = cfg.dumpSlices))
+      }.map { case (cfg, fut) =>
+        cfg.table -> Planner.plan(Await.result(fut, Duration.Inf),
+          cfg.copy(subsetConds = Nil))
+      }
     val dbName = "\\bdbname=(\\S+)".r.findFirstMatchIn(conninfo)
       .map(_.group(1)).getOrElse("graft")
     // FK edges from the live catalog drive BOTH the TOC dependency ids
@@ -237,7 +247,11 @@ object Lifecycle {
     val ordered = graft.subset.SubsetGraph.restoreOrder(names, edges)
       .flatten.map(n => n -> byName(n))
     val pgDumpBin = new java.io.File("/usr/bin/pg_dump")
-    if (schemaFromSource && pgDumpBin.canExecute) {
+    if (sections == "schema-only")
+      require(pgDumpBin.canExecute && schemaFromSource,
+        "pg-dump --schema-only needs the pg_dump client binary " +
+          "(schema fidelity comes from the real --schema-only archive)")
+    if (schemaFromSource && pgDumpBin.canExecute && sections != "data-only") {
       // full-fidelity path: real schema-only archive of the source,
       // masked data merged in (uncompressed so PgToc parses it plainly)
       val schemaDir = Paths.get(outDir + ".schema")
@@ -261,8 +275,11 @@ object Lifecycle {
       PgToc.dumpArchiveMerged(ordered, outDir, schemaToc,
         deps = deps, sequences = sequences, compress = compress)
     } else
+      // data-only (native -a shape: TABLE DATA, no DDL), or the
+      // no-binary fallback with Spark-DDL schema
       graft.pipeline.PgToc.dumpArchive(ordered, outDir, dbName,
-        includeSchema = true, deps = deps, compress = compress)
+        includeSchema = sections != "data-only", deps = deps,
+        compress = compress)
   }
 
   /** validate --data: warnings + original-vs-transformed diff counts. */
@@ -410,8 +427,14 @@ object Lifecycle {
         val compress = rest.collectFirst {
           case a if a.startsWith("--compress=") => a.stripPrefix("--compress=")
         }.getOrElse("none")
+        // native -s / -a: schema-only moves no data at all; data-only
+        // emits TABLE DATA with no DDL
+        val sections =
+          if (rest.contains("--schema-only")) "schema-only"
+          else if (rest.contains("--data-only")) "data-only"
+          else "all"
         pgDump(spark, Files.readString(Paths.get(cfgPath)), conninfo, outDir,
-          compress = compress)
+          compress = compress, sections = sections)
           .entries.foreach(e => println(s"[pg-dump] ${e.tag.getOrElse("")} " +
             s"${e.desc.getOrElse("")} -> ${e.fileName.getOrElse("(stmt)")}"))
       case "pg-diff" :: connA :: connB :: tablesCsv :: Nil =>

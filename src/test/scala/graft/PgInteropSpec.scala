@@ -569,6 +569,46 @@ class PgInteropSpec extends SparkSpec {
     assert(psql("insmode", "SELECT count(*) FROM idt")._2.trim == "2")
   }
 
+  test("pg-dump --schema-only / --data-only: native -s/-a section shapes") {
+    live()
+    psql("postgres", "CREATE DATABASE secsrc")
+    assert(psql("secsrc",
+      "CREATE TABLE sec_t (id bigint PRIMARY KEY, v text)")._1 == 0)
+    assert(psql("secsrc",
+      "INSERT INTO sec_t SELECT g, 'v' || g FROM generate_series(1, 50) g")._1 == 0)
+    val conninfo = s"host=$sockDir dbname=secsrc user=graft"
+
+    // --schema-only: NO data moves (no TABLE DATA entries, no payload
+    // files); restore stands up the empty table WITH its PK
+    val archS = s"$base/sec_schema"
+    val tocS = graft.Lifecycle.pgDump(spark,
+      """{"tables":[{"table":"sec_t"}]}""", conninfo, archS,
+      sections = "schema-only")
+    assert(!tocS.entries.exists(_.desc.contains("TABLE DATA")))
+    assert(!new java.io.File(archS).listFiles()
+      .exists(f => f.getName.matches("\\d+\\.dat.*")), "no payloads in -s")
+    psql("postgres", "CREATE DATABASE sectgt1")
+    graft.sources.PgRestore.restore(archS,
+      Seq("-d", s"host=$sockDir dbname=sectgt1 user=graft"))
+    assert(psql("sectgt1", "SELECT count(*) FROM sec_t")._2.trim == "0")
+    assert(psql("sectgt1",
+      "SELECT count(*) FROM pg_constraint WHERE conname = 'sec_t_pkey'")._2.trim == "1",
+      "schema-only restore must carry the PK")
+
+    // --data-only: TABLE DATA only, no DDL; replays into the existing
+    // table (pg_restore -a shape)
+    val archD = s"$base/sec_data"
+    val tocD = graft.Lifecycle.pgDump(spark,
+      """{"tables":[{"table":"sec_t"}]}""", conninfo, archD,
+      sections = "data-only")
+    assert(tocD.entries.exists(_.desc.contains("TABLE DATA")))
+    assert(!tocD.entries.exists(e => e.desc.contains("TABLE") &&
+      !e.desc.contains("TABLE DATA")), "no DDL entries in -a")
+    graft.sources.PgRestore.restore(archD,
+      Seq("-d", s"host=$sockDir dbname=sectgt1 user=graft"), dataOnly = true)
+    assert(psql("sectgt1", "SELECT count(*), max(id) FROM sec_t")._2.trim == "50|50")
+  }
+
   test("restore scripts: per-section before/after hooks run in order; failures abort loudly") {
     live()
     import spark.implicits._
