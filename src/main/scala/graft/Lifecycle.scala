@@ -177,7 +177,8 @@ object Lifecycle {
              outDir: String,
              schemaFromSource: Boolean = true,
              compress: String = "none",
-             sections: String = "all"): graft.pipeline.PgToc.Toc = withHeartbeat(outDir) {
+             sections: String = "all",
+             loadViaPartitionRoot: Boolean = false): graft.pipeline.PgToc.Toc = withHeartbeat(outDir) {
     // native pg_dump -s / -a (the reference passes them through,
     // cmd/dump.go flags): schema-only skips every COPY transfer (no data
     // moves at all — the point of -s on a 100 TB source) and emits the
@@ -204,6 +205,12 @@ object Lifecycle {
     // detects 'p' and routes through `COPY (SELECT ...)`.
     val relkinds = graft.sources.PgSource.relkinds(psqlArgs)
     lazy val leavesOf = graft.sources.PgSource.partitionLeaves(psqlArgs)
+    // --load-via-partition-root (native pg_dump flag; reference
+    // entries/table.go RootPt*): each leaf's COPY statement targets the
+    // CONFIG-NAMED partitioned ancestor, so the server re-routes rows
+    // through the partition tree on restore — the shape that survives
+    // changed partition boundaries on the target.
+    val copyRoots = scala.collection.mutable.Map[String, String]()
     val configs = rawConfigs.flatMap { cfg =>
       if (!relkinds.get(cfg.table).contains('p')) Seq(cfg)
       else {
@@ -212,6 +219,7 @@ object Lifecycle {
         val leaves = leavesOf.getOrElse(cfg.table, Nil)
         require(leaves.nonEmpty,
           s"pg-dump: partitioned table ${cfg.table} has no leaf partitions")
+        if (loadViaPartitionRoot) leaves.foreach(l => copyRoots(l) = cfg.table)
         leaves.filterNot(l => rawConfigs.exists(_.table == l))
           .map(l => cfg.copy(table = l, applyForInherited = false))
       }
@@ -273,13 +281,14 @@ object Lifecycle {
       }
       val sequences = graft.sources.PgSource.sequenceValues(psqlArgs)
       PgToc.dumpArchiveMerged(ordered, outDir, schemaToc,
-        deps = deps, sequences = sequences, compress = compress)
+        deps = deps, sequences = sequences, compress = compress,
+        copyTargets = copyRoots.toMap)
     } else
       // data-only (native -a shape: TABLE DATA, no DDL), or the
       // no-binary fallback with Spark-DDL schema
       graft.pipeline.PgToc.dumpArchive(ordered, outDir, dbName,
         includeSchema = sections != "data-only", deps = deps,
-        compress = compress)
+        compress = compress, copyTargets = copyRoots.toMap)
   }
 
   /** validate --data: warnings + original-vs-transformed diff counts. */
@@ -434,7 +443,8 @@ object Lifecycle {
           else if (rest.contains("--data-only")) "data-only"
           else "all"
         pgDump(spark, Files.readString(Paths.get(cfgPath)), conninfo, outDir,
-          compress = compress, sections = sections)
+          compress = compress, sections = sections,
+          loadViaPartitionRoot = rest.contains("--load-via-partition-root"))
           .entries.foreach(e => println(s"[pg-dump] ${e.tag.getOrElse("")} " +
             s"${e.desc.getOrElse("")} -> ${e.fileName.getOrElse("(stmt)")}"))
       case "pg-diff" :: connA :: connB :: tablesCsv :: Nil =>

@@ -378,7 +378,8 @@ object PgToc {
                   sequences: Map[String, Long] = Map.empty,
                   compress: String = "none",
                   largeObjects: Option[org.apache.spark.sql.DataFrame] = None,
-                  loAcls: Map[Long, String] = Map.empty): Toc = {
+                  loAcls: Map[Long, String] = Map.empty,
+                  copyTargets: Map[String, String] = Map.empty): Toc = {
     Files.createDirectories(Paths.get(outDir))
     val algo = graft.sources.Compress.parse(compress)
     val n = tables.size
@@ -428,7 +429,10 @@ object PgToc {
         dumpId = id, hadDumper = 1, oid = id.toLong,
         tag = Some(table), desc = Some("TABLE DATA"),
         section = SectionData,
-        copyStmt = Some(s"COPY ${qi(namespace)}.${qi(table)} " +
+        // --load-via-partition-root: the COPY targets the routing root
+        // so the server re-partitions rows on restore (native pg_dump
+        // semantics; reference entries/table.go RootPt*)
+        copyStmt = Some(s"COPY ${qi(namespace)}.${qi(copyTargets.getOrElse(table, table))} " +
           s"(${df.columns.map(qi).mkString(", ")}) FROM stdin;\n"),
         namespace = Some(namespace), relkind = 'r'.toByte,
         owner = Some(owner),
@@ -508,7 +512,8 @@ object PgToc {
                         namespace: String = "public",
                         compress: String = "none",
                         largeObjects: Option[org.apache.spark.sql.DataFrame] = None,
-                        loAcls: Map[Long, String] = Map.empty): Toc = {
+                        loAcls: Map[Long, String] = Map.empty,
+                        copyTargets: Map[String, String] = Map.empty): Toc = {
     Files.createDirectories(Paths.get(outDir))
     val algo = graft.sources.Compress.parse(compress)
     def qi(n: String) = graft.sources.PgSource.quoteIdent(n)
@@ -538,7 +543,8 @@ object PgToc {
         tableOid = ddl.map(_.oid).getOrElse(0L), oid = id.toLong,
         tag = Some(table), desc = Some("TABLE DATA"),
         section = SectionData,
-        copyStmt = Some(s"COPY ${qi(ns)}.${qi(table)} " +
+        // --load-via-partition-root routing (see dumpArchive)
+        copyStmt = Some(s"COPY ${qi(ns)}.${qi(copyTargets.getOrElse(table, table))} " +
           s"(${df.columns.map(qi).mkString(", ")}) FROM stdin;\n"),
         namespace = Some(ns), relkind = 'r'.toByte,
         owner = ddl.flatMap(_.owner).orElse(Some("graft")),

@@ -474,6 +474,28 @@ class PgInteropSpec extends SparkSpec {
     assert(psql("p2tgt2",
       "SELECT count(*) FROM ev WHERE city <> 'c**'")._2.trim == "0",
       "inherited mask must hold across every leaf of the 2-level tree")
+
+    // --load-via-partition-root (native pg_dump flag): payloads stay
+    // per-leaf but every COPY statement targets the ROOT, so the server
+    // re-routes rows through the partition tree on restore
+    val archR = s"$base/p2_arch_root"
+    val tocR = graft.Lifecycle.pgDump(spark,
+      """{"tables":[{"table":"ev","apply_for_inherited":true}]}""",
+      conninfo, archR, loadViaPartitionRoot = true)
+    val dataStmts = tocR.entries.filter(_.desc.contains("TABLE DATA"))
+      .flatMap(_.copyStmt)
+    assert(dataStmts.size == 3 &&
+      dataStmts.forall(_.startsWith("COPY public.ev (")),
+      s"every COPY must target the root: $dataStmts")
+    psql("postgres", "CREATE DATABASE p2tgt3")
+    graft.sources.PgRestore.restore(archR,
+      Seq("-d", s"host=$sockDir dbname=p2tgt3 user=graft"))
+    for (t <- Seq("ev", "ev_2024", "ev_2024_eu", "ev_2024_us", "ev_2025")) {
+      val a = graft.sources.PgSource.tableFingerprint(Seq("-d", conninfo), t)
+      val b = graft.sources.PgSource.tableFingerprint(
+        Seq("-d", s"host=$sockDir dbname=p2tgt3 user=graft"), t)
+      assert(a == b, s"root-routed $t fingerprints diverge: $a vs $b")
+    }
   }
 
   test("pg-restore --use-list: selective restore; --with-deps pulls the closure") {
