@@ -403,11 +403,104 @@ object Lifecycle {
   def deleteDump(root: String, name: String): Boolean = {
     val dir = Paths.get(root, name)
     if (!Files.isDirectory(dir) || !Files.exists(dir.resolve("manifest.json"))) false
-    else {
-      import scala.jdk.CollectionConverters._
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-      true
+    else { rmTree(dir); true }
+  }
+
+  private def rmTree(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.delete)
+  }
+
+  /** Parse the reference's retention-duration grammar
+    * (`delete_dump.go:332-336`): `1w2d3h4m5s6ms` — any subset, in
+    * order. Unknown units fail loudly. */
+  private[graft] def parseRetainFor(s: String): java.time.Duration = {
+    val pat = "(\\d+)(w|d|h|ms|m|s)".r
+    val known = pat.findAllMatchIn(s).map { m =>
+      val n = m.group(1).toLong
+      m.group(2) match {
+        case "w"  => java.time.Duration.ofDays(7 * n)
+        case "d"  => java.time.Duration.ofDays(n)
+        case "h"  => java.time.Duration.ofHours(n)
+        case "m"  => java.time.Duration.ofMinutes(n)
+        case "s"  => java.time.Duration.ofSeconds(n)
+        case "ms" => java.time.Duration.ofMillis(n)
+      }
+    }.foldLeft(java.time.Duration.ZERO)(_ plus _)
+    require(pat.findAllMatchIn(s).map(_.matched).mkString == s,
+      s"delete --retain-for: cannot parse duration '$s' (use e.g. 1w2d3h4m5s)")
+    known
+  }
+
+  /** Completion time of a dump dir: the manifest's mtime (stamped last
+    * on success), else the heartbeat's (the only trace of a failed
+    * dump), else the directory's own. */
+  private def dumpTime(dir: java.nio.file.Path): java.time.Instant = {
+    val candidates = Seq(dir.resolve("manifest.json"),
+      dir.resolve(HeartBeatFileName), dir)
+    candidates.find(Files.exists(_))
+      .map(p => Files.getLastModifiedTime(p).toInstant)
+      .getOrElse(java.time.Instant.EPOCH)
+  }
+
+  /** Retention-policy deletion over a dump root (reference
+    * `delete_dump.go:68-232`): `retainRecent` keeps the newest N DONE
+    * dumps and deletes the older done ones; `pruneFailed` deletes
+    * failed dumps (+ `pruneUnsafe` extends to unknown-or-failed — only
+    * valid WITH pruneFailed, as in the reference); `beforeDate` /
+    * `retainFor` delete done dumps older than the cutoff. In-progress
+    * dumps are never touched. `dryRun` reports without deleting.
+    * Returns one `deleted <name> (<reason>)` line per dump (prefixed
+    * `would delete` under dryRun). */
+  def deleteDumps(root: String,
+                  retainRecent: Int = -1,
+                  pruneFailed: Boolean = false,
+                  pruneUnsafe: Boolean = false,
+                  beforeDate: Option[java.time.Instant] = None,
+                  retainFor: Option[java.time.Duration] = None,
+                  dryRun: Boolean = false,
+                  now: java.time.Instant = java.time.Instant.now()): Seq[String] = {
+    require(!pruneUnsafe || pruneFailed,
+      "delete: --prune-unsafe works only with --prune-failed")
+    require(retainRecent >= 0 || pruneFailed || beforeDate.nonEmpty || retainFor.nonEmpty,
+      "delete: provide a dump name or one of --retain-recent / " +
+        "--prune-failed / --before-date / --retain-for")
+    val dir = Paths.get(root)
+    if (!Files.isDirectory(dir)) return Nil
+    import scala.jdk.CollectionConverters._
+    val dumps = Files.list(dir).iterator().asScala.toSeq
+      .filter(Files.isDirectory(_))
+      .map(p => (p, dumpStatus(p.toString), dumpTime(p)))
+      .sortBy(_._3)
+    val victims = scala.collection.mutable.LinkedHashMap[java.nio.file.Path, String]()
+    if (pruneFailed)
+      dumps.foreach { case (p, st, _) =>
+        if (st == "failed" || (pruneUnsafe && st == "unknown or failed"))
+          victims.getOrElseUpdate(p, s"status $st")
+      }
+    beforeDate.foreach { cut =>
+      dumps.foreach { case (p, st, t) =>
+        if (st == "done" && t.isBefore(cut))
+          victims.getOrElseUpdate(p, s"older than $cut")
+      }
+    }
+    retainFor.foreach { d =>
+      val cut = now.minus(d)
+      dumps.foreach { case (p, st, t) =>
+        if (st == "done" && t.isBefore(cut))
+          victims.getOrElseUpdate(p, s"older than retain-for window")
+      }
+    }
+    if (retainRecent >= 0) {
+      val done = dumps.filter(_._2 == "done")
+      done.dropRight(retainRecent).foreach { case (p, _, _) =>
+        victims.getOrElseUpdate(p, s"beyond the $retainRecent most recent")
+      }
+    }
+    victims.toSeq.map { case (p, why) =>
+      if (!dryRun) rmTree(p)
+      s"${if (dryRun) "would delete" else "deleted"} ${p.getFileName} ($why)"
     }
   }
 
@@ -531,7 +624,9 @@ object Lifecycle {
           disableTriggers = rest.contains("--disable-triggers"),
           superUser = rest.collectFirst {
             case a if a.startsWith("--superuser=") => a.stripPrefix("--superuser=")
-          })
+          },
+          useSetSessionAuthorization =
+            rest.contains("--use-set-session-authorization"))
         restore(spark, manifestPath, target, tbls,
           insertMode = inserts || onConflict || overriding,
           ignoreSqlStates =
@@ -544,6 +639,22 @@ object Lifecycle {
           .foreach(t => println(s"restored $t"))
       case "list-dumps" :: root :: Nil => listDumps(root).foreach(println)
       case "show-dump" :: manifestPath :: Nil => showDump(manifestPath).foreach(println)
+      case "delete" :: root :: rest if rest.forall(_.startsWith("--")) && rest.nonEmpty =>
+        // retention policies (reference delete_dump.go flags)
+        deleteDumps(root,
+          retainRecent = rest.collectFirst {
+            case a if a.startsWith("--retain-recent=") =>
+              a.stripPrefix("--retain-recent=").toInt }.getOrElse(-1),
+          pruneFailed = rest.contains("--prune-failed"),
+          pruneUnsafe = rest.contains("--prune-unsafe"),
+          beforeDate = rest.collectFirst {
+            case a if a.startsWith("--before-date=") =>
+              java.time.Instant.parse(a.stripPrefix("--before-date=")) },
+          retainFor = rest.collectFirst {
+            case a if a.startsWith("--retain-for=") =>
+              parseRetainFor(a.stripPrefix("--retain-for=")) },
+          dryRun = rest.contains("--dry-run"))
+          .foreach(println)
       case "delete" :: root :: name :: Nil =>
         if (deleteDump(root, name)) println(s"deleted $name")
         else { System.err.println(s"no dump named $name under $root"); sys.exit(1) }

@@ -42,11 +42,20 @@ case class IntegrityOptions(
     disableTriggers: Boolean = false,
     superUser: Option[String] = None,
     extraSetup: Seq[String] = Nil,
-    extraReset: Seq[String] = Nil) {
+    extraReset: Seq[String] = Nil,
+    // native pg_restore --use-set-session-authorization: impersonate via
+    // SET SESSION AUTHORIZATION instead of SET ROLE (the SQL-standard
+    // form; only a role's LOGIN identity can be assumed, but the grant
+    // model differs — some sites allow one and not the other)
+    useSetSessionAuthorization: Boolean = false) {
 
   private def asSuper(stmts: Seq[String]): Seq[String] =
     if (stmts.isEmpty) Nil
-    else superUser.fold(stmts)(su => (s"SET ROLE $su" +: stmts) :+ "RESET ROLE")
+    else superUser.fold(stmts) { su =>
+      if (useSetSessionAuthorization)
+        (s"SET SESSION AUTHORIZATION $su" +: stmts) :+ "RESET SESSION AUTHORIZATION"
+      else (s"SET ROLE $su" +: stmts) :+ "RESET ROLE"
+    }
 
   /** Statements to run on a connection before restoring `table`
     * (`setupTx`, base.go:134-141). */

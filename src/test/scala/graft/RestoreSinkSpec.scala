@@ -91,6 +91,11 @@ class RestoreSinkSpec extends SparkSpec {
       "RESET session_replication_role",
       "RESET ROLE"))
     assert(IntegrityOptions().isNoop && !o.isNoop)
+    // --use-set-session-authorization flips the impersonation form
+    val ssa = o.copy(useSetSessionAuthorization = true)
+    assert(ssa.setupStatements("public.t").head == "SET SESSION AUTHORIZATION postgres")
+    assert(ssa.setupStatements("public.t").last == "RESET SESSION AUTHORIZATION")
+    assert(ssa.resetStatements("public.t").head == "SET SESSION AUTHORIZATION postgres")
   }
 
   test("integrity setup/reset statements execute on the restore connections") {

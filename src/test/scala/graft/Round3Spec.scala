@@ -235,6 +235,61 @@ class ManifestRound3Spec extends SparkSpec {
     assert(!Lifecycle.deleteDump(root, "d1"))
   }
 
+  test("delete retention policies: retain-recent, prune-failed(+unsafe), retain-for, dry-run") {
+    import java.nio.file.{Files => F, Paths => P}
+    import java.nio.file.attribute.FileTime
+    val root = F.createTempDirectory("graft_retain").toString
+    val now = java.time.Instant.now()
+    def mkDone(name: String, ageDays: Long): Unit = {
+      val d = P.get(root, name); F.createDirectories(d)
+      F.writeString(d.resolve("manifest.json"), "[]")
+      F.setLastModifiedTime(d.resolve("manifest.json"),
+        FileTime.from(now.minus(java.time.Duration.ofDays(ageDays))))
+    }
+    def mkFailed(name: String): Unit = {
+      val d = P.get(root, name); F.createDirectories(d)
+      F.writeString(d.resolve(Lifecycle.HeartBeatFileName), "in-progress")
+      F.setLastModifiedTime(d.resolve(Lifecycle.HeartBeatFileName),
+        FileTime.fromMillis(System.currentTimeMillis() - 600000))
+    }
+    def mkUnknown(name: String): Unit = F.createDirectories(P.get(root, name))
+    mkDone("d_old", 30); mkDone("d_mid", 10); mkDone("d_new", 1)
+    mkFailed("d_fail"); mkUnknown("d_unk")
+
+    // pruneUnsafe without pruneFailed rejects (reference fatal)
+    intercept[IllegalArgumentException](
+      Lifecycle.deleteDumps(root, pruneUnsafe = true))
+    // no selector at all rejects
+    intercept[IllegalArgumentException](Lifecycle.deleteDumps(root))
+
+    // dry-run reports, deletes nothing
+    val dry = Lifecycle.deleteDumps(root, retainRecent = 1, dryRun = true, now = now)
+    assert(dry.forall(_.startsWith("would delete")) && dry.size == 2)
+    assert(F.exists(P.get(root, "d_old")))
+
+    // retain-for: done dumps older than the window go; failed untouched
+    val rf = Lifecycle.deleteDumps(root,
+      retainFor = Some(Lifecycle.parseRetainFor("2w")), now = now)
+    assert(rf.size == 1 && rf.head.contains("d_old"), rf)
+    assert(!F.exists(P.get(root, "d_old")) && F.exists(P.get(root, "d_fail")))
+
+    // retain-recent keeps the newest N done dumps
+    val rr = Lifecycle.deleteDumps(root, retainRecent = 1, now = now)
+    assert(rr.size == 1 && rr.head.contains("d_mid"), rr)
+    assert(F.exists(P.get(root, "d_new")))
+
+    // prune-failed alone leaves unknown; +unsafe takes it too
+    val pf = Lifecycle.deleteDumps(root, pruneFailed = true, now = now)
+    assert(pf.size == 1 && pf.head.contains("d_fail"), pf)
+    assert(F.exists(P.get(root, "d_unk")))
+    val pu = Lifecycle.deleteDumps(root, pruneFailed = true, pruneUnsafe = true, now = now)
+    assert(pu.size == 1 && pu.head.contains("d_unk"), pu)
+
+    // duration grammar: composite parses, junk rejects
+    assert(Lifecycle.parseRetainFor("1w2d3h4m5s").toHours == 9 * 24 + 3)
+    intercept[IllegalArgumentException](Lifecycle.parseRetainFor("3 weeks"))
+  }
+
   test("dump heartbeat + status: in-progress refresh, done stamp, stale->failed, legacy cases") {
     val root = Files.createTempDirectory("graft_hb").toString
     // live heartbeat: in progress while fresh
