@@ -582,7 +582,8 @@ object Lifecycle {
           disableTriggers = rest.contains("--disable-triggers"),
           jobs = jobs, useList = useList,
           withDeps = rest.contains("--with-deps"),
-          scripts = scripts)
+          scripts = scripts,
+          restoreInOrder = rest.contains("--restore-in-order"))
           .foreach(l => println(s"[pg-restore] $l"))
       case "pg-ingest" :: archDir :: outDir :: Nil =>
         // any pg_dump -Fd / reference-produced directory archive ->
@@ -637,8 +638,16 @@ object Lifecycle {
           batchSize = batchSize,
           integrity = integ)
           .foreach(t => println(s"restored $t"))
-      case "list-dumps" :: root :: Nil => listDumps(root).foreach(println)
-      case "show-dump" :: manifestPath :: Nil => showDump(manifestPath).foreach(println)
+      case "list-dumps" :: root :: rest =>
+        // --quiet: only dump ids (reference list_dumps.go:69)
+        if (rest.contains("--quiet")) listDumps(root).foreach(l => println(l.split(" ").head))
+        else listDumps(root).foreach(println)
+      case "show-dump" :: manifestPath :: rest =>
+        // --format=json emits the manifest document itself (the
+        // machine-readable form; text stays the default, as native)
+        if (rest.contains("--format=json"))
+          println(Files.readString(Paths.get(manifestPath)))
+        else showDump(manifestPath).foreach(println)
       case "delete" :: root :: rest if rest.forall(_.startsWith("--")) && rest.nonEmpty =>
         // retention policies (reference delete_dump.go flags)
         deleteDumps(root,

@@ -254,7 +254,8 @@ object PgRestore {
               jobs: Int = 4,
               useList: Option[Seq[Int]] = None,
               withDeps: Boolean = false,
-              scripts: Map[String, Seq[Script]] = Map.empty): Seq[String] = {
+              scripts: Map[String, Seq[Script]] = Map.empty,
+              restoreInOrder: Boolean = false): Seq[String] = {
     val fullToc = PgToc.readFile(s"$dir/toc.dat")
     val toc = useList match {
       case None => fullToc
@@ -331,16 +332,25 @@ object PgRestore {
       if (!skip(d) && !dataOnly) execDefn(e)
     }
     done ++= runScripts(psqlArgs, scripts, "pre-data", "after")
-    // 2. data: tables in dependency waves through a worker pool
+    // 2. data: tables in dependency waves through a worker pool — or,
+    // under the native --restore-in-order flag, strictly sequentially in
+    // TOC/list order (deterministic replay; what the reference's flag
+    // disables parallel reordering for)
     done ++= runScripts(psqlArgs, scripts, "data", "before")
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration.Duration
-    val ec = ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newFixedThreadPool(math.max(1, jobs)))
-    try waves(dataEntries, Set.empty, Nil).foreach { wave =>
-      wave.map(e => Future(loadTable(e))(ec)).foreach(Await.result(_, Duration.Inf))
-      wave.foreach(e => done += s"TABLE DATA ${e.tag.getOrElse("?")}")
-    } finally ec.shutdown()
+    if (restoreInOrder)
+      dataEntries.foreach { e =>
+        loadTable(e); done += s"TABLE DATA ${e.tag.getOrElse("?")}"
+      }
+    else {
+      val ec = ExecutionContext.fromExecutorService(
+        java.util.concurrent.Executors.newFixedThreadPool(math.max(1, jobs)))
+      try waves(dataEntries, Set.empty, Nil).foreach { wave =>
+        wave.map(e => Future(loadTable(e))(ec)).foreach(Await.result(_, Duration.Inf))
+        wave.foreach(e => done += s"TABLE DATA ${e.tag.getOrElse("?")}")
+      } finally ec.shutdown()
+    }
     // 3. remaining data-section statements (SEQUENCE SET) + blobs
     toc.entries.filter(e => e.section == PgToc.SectionData &&
       e.desc.contains("SEQUENCE SET")).foreach(execDefn)

@@ -523,11 +523,14 @@ class PgInteropSpec extends SparkSpec {
     assert(psql("ul_tgt", "SELECT count(*) FROM ulchild")._1 != 0,
       "skipped entry must be absent from the target")
     // --with-deps: listing ONLY the child's data pulls its DDL and the
-    // parent chain transitively, in TOC (restore-safe) order
+    // parent chain transitively, in TOC (restore-safe) order —
+    // replayed under --restore-in-order (strict sequential TOC order,
+    // the native flag's deterministic path)
     psql("postgres", "CREATE DATABASE ul_tgt2")
     graft.sources.PgRestore.restore(arch,
       Seq("-d", s"host=$sockDir dbname=ul_tgt2 user=graft"),
-      useList = Some(Seq(ids("ulchild" -> "TABLE DATA"))), withDeps = true)
+      useList = Some(Seq(ids("ulchild" -> "TABLE DATA"))), withDeps = true,
+      restoreInOrder = true)
     assert(psql("ul_tgt2", "SELECT count(*) FROM ulchild")._2.trim == "2")
     assert(psql("ul_tgt2", "SELECT count(*) FROM ulparent")._2.trim == "2")
   }
