@@ -102,11 +102,37 @@ object Lifecycle {
   }
 
   /** Run `f` under a dump heartbeat: stamped done on success, left to go
-    * stale (→ failed) on any throw. */
+    * stale (→ failed) on any throw. Success also records the dump's
+    * `metadata.json` (reference `storage/metadata_json.go`: startedAt /
+    * completedAt / sizes — the subset our storage layout can state
+    * exactly; the manifest/TOC carry the per-entry detail). */
   private def withHeartbeat[T](outDir: String)(f: => T): T = {
+    val startedAt = java.time.Instant.now()
     val finish = startHeartbeat(outDir)
-    try { val r = f; finish(true); r }
-    catch { case e: Throwable => finish(false); throw e }
+    try {
+      val r = f; finish(true)
+      writeDumpMetadata(outDir, startedAt, java.time.Instant.now())
+      r
+    } catch { case e: Throwable => finish(false); throw e }
+  }
+
+  private def writeDumpMetadata(outDir: String, startedAt: java.time.Instant,
+                                completedAt: java.time.Instant): Unit = {
+    import scala.jdk.CollectionConverters._
+    // recursive: covers both dump shapes (parquet table dirs and flat
+    // .dat archive payloads); control files are not payload
+    val control = Set("toc.dat", "manifest.json", "metadata.json", HeartBeatFileName)
+    val all = Files.walk(Paths.get(outDir)).iterator().asScala
+      .filter(Files.isRegularFile(_)).toSeq
+    val payload = all.filterNot(p => control(p.getFileName.toString))
+      .map(Files.size).sum
+    val tocSize = all.filter(_.getFileName.toString == "toc.dat")
+      .map(Files.size).sum
+    val dur = java.time.Duration.between(startedAt, completedAt)
+    Files.writeString(Paths.get(outDir, "metadata.json"),
+      s"""{"startedAt":"$startedAt","completedAt":"$completedAt",""" +
+        s""""durationMs":${dur.toMillis},"compressedSize":$payload,""" +
+        s""""tocFileSize":$tocSize,"files":${all.length}}""")
   }
 
   def dump(spark: SparkSession, configJson: String, sfDir: String, outDir: String): Manifest =
@@ -433,15 +459,23 @@ object Lifecycle {
     known
   }
 
-  /** Completion time of a dump dir: the manifest's mtime (stamped last
-    * on success), else the heartbeat's (the only trace of a failed
-    * dump), else the directory's own. */
+  /** Completion time of a dump dir: the recorded `completedAt` from
+    * metadata.json when present (authoritative — survives file copies
+    * that rewrite mtimes), else the manifest's mtime (stamped last on
+    * success), else the heartbeat's (the only trace of a failed dump),
+    * else the directory's own. */
   private def dumpTime(dir: java.nio.file.Path): java.time.Instant = {
-    val candidates = Seq(dir.resolve("manifest.json"),
-      dir.resolve(HeartBeatFileName), dir)
-    candidates.find(Files.exists(_))
-      .map(p => Files.getLastModifiedTime(p).toInstant)
-      .getOrElse(java.time.Instant.EPOCH)
+    val meta = dir.resolve("metadata.json")
+    val recorded =
+      if (!Files.exists(meta)) None
+      else "\"completedAt\":\"([^\"]+)\"".r
+        .findFirstMatchIn(Files.readString(meta))
+        .flatMap(m => scala.util.Try(java.time.Instant.parse(m.group(1))).toOption)
+    recorded.orElse {
+      Seq(dir.resolve("manifest.json"), dir.resolve(HeartBeatFileName), dir)
+        .find(Files.exists(_))
+        .map(p => Files.getLastModifiedTime(p).toInstant)
+    }.getOrElse(java.time.Instant.EPOCH)
   }
 
   /** Retention-policy deletion over a dump root (reference

@@ -317,11 +317,18 @@ class ManifestRound3Spec extends SparkSpec {
     Files.writeString(java.nio.file.Paths.get(d3, Lifecycle.HeartBeatFileName), "")
     assert(Lifecycle.dumpStatus(d3) == "failed")
     assert(Lifecycle.dumpStatus(s"$root/nope") == "unknown or failed")
-    // a real dump stamps done end-to-end
+    // a real dump stamps done end-to-end AND records metadata.json
+    // (startedAt/completedAt/sizes — storage/metadata_json.go parity)
     val d4 = s"$root/hb4"
     Lifecycle.dump(spark, """{"tables":[{"table":"region"}]}""",
       "/root/testdata/sf0.001", d4)
     assert(Lifecycle.dumpStatus(d4) == "done")
+    val meta = Files.readString(java.nio.file.Paths.get(d4, "metadata.json"))
+    val started = "\"startedAt\":\"([^\"]+)\"".r.findFirstMatchIn(meta).get.group(1)
+    val completed = "\"completedAt\":\"([^\"]+)\"".r.findFirstMatchIn(meta).get.group(1)
+    assert(!java.time.Instant.parse(completed).isBefore(java.time.Instant.parse(started)))
+    val size = "\"compressedSize\":(\\d+)".r.findFirstMatchIn(meta).get.group(1).toLong
+    assert(size > 0, s"payload bytes must be counted: $meta")
     // in-progress/failed dumps LIST with their status (no manifest yet)
     val lines = Lifecycle.listDumps(root)
     assert(lines.exists(l => l.startsWith("hb2 ") && l.endsWith("status=failed")), lines)
