@@ -87,6 +87,20 @@ object Bench {
       (v.sum - v(3) - v(4)) / UserHz
     } catch { case _: Throwable => -1.0 }
 
+  /** Seconds of system-wide IOWAIT since boot. ext_cores is blind to
+    * co-tenant DISK pressure by construction (iowait is excluded from
+    * busy on both sides of the subtraction), and round 12's final local
+    * bench measured queries inflated 30-70% at ext_cores = 0.0 exactly
+    * once — iowait is the matching diagnostic for that blind spot.
+    * Reported per sample; not (yet) a gate. -1 when unreadable. */
+  def sysIoWaitSec(): Double =
+    try {
+      val f = scala.io.Source.fromFile("/proc/stat")
+      val cpu = try f.getLines().next() finally f.close()
+      val v = cpu.trim.split("\\s+").drop(1).map(_.toDouble)
+      v(4) / UserHz
+    } catch { case _: Throwable => -1.0 }
+
   def jvmCpuSec(): Double =
     try java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
@@ -94,16 +108,26 @@ object Bench {
     catch { case _: Throwable => -1.0 }
 
   /** Run `f` and return (result, foreign cores that ran concurrently
-    * with it). -1 = the metric was unreadable (UNKNOWN, not clean). */
-  def withExt[T](f: => T): (T, Double) = {
+    * with it, system iowait cores over the same window). -1 = the
+    * metric was unreadable (UNKNOWN, not clean). */
+  def withExtIo[T](f: => T): (T, Double, Double) = {
     val w0 = System.nanoTime(); val b0 = sysBusySec(); val c0 = jvmCpuSec()
+    val i0 = sysIoWaitSec()
     val r = f
     val wall = (System.nanoTime() - w0) / 1e9
-    val b1 = sysBusySec(); val c1 = jvmCpuSec()
+    val b1 = sysBusySec(); val c1 = jvmCpuSec(); val i1 = sysIoWaitSec()
     val ext =
       if (b0 < 0 || b1 < 0 || c0 < 0 || c1 < 0 || wall <= 0) -1.0
       else math.max(0.0, ((b1 - b0) - (c1 - c0)) / wall)
-    (r, ext)
+    val iow =
+      if (i0 < 0 || i1 < 0 || wall <= 0) -1.0
+      else math.max(0.0, (i1 - i0) / wall)
+    (r, ext, iow)
+  }
+
+  /** Run `f` and return (result, foreign cores). See [[withExtIo]]. */
+  def withExt[T](f: => T): (T, Double) = {
+    val (r, ext, _) = withExtIo(f); (r, ext)
   }
 
   /** Foreign cores over an idle window (self CPU ≈ 0, so this reads
@@ -220,21 +244,23 @@ object Bench {
 
     /** (min, median, max, load1 after the samples, external cores
       * concurrent with the MEDIAN sample, max external cores across the
-      * three samples, resample rounds). */
-    type QStats = (Double, Double, Double, Double, Double, Double, Int)
+      * three samples, iowait cores concurrent with the median sample,
+      * resample rounds). */
+    type QStats = (Double, Double, Double, Double, Double, Double, Double, Int)
 
     def sampleQuery(dir: String, name: String): QStats = {
       // ext accounted PER SAMPLE (round-11 verdict #3: a window-wide
       // average both hides a dirty median sample and can tag a clean
       // median on a dirty min/max). The emitted ext_cores is the ext of
       // the sample that BECOMES the median — the one whose cleanliness
-      // qualifies the recorded number.
-      val samples = Seq.fill(3)(withExt(runOnce(dir, name)))
-        .map { case (dt, ext) => (dt, ext) }.sortBy(_._1)
+      // qualifies the recorded number. iowait rides along as the
+      // disk-pressure diagnostic ext is blind to.
+      val samples = Seq.fill(3)(withExtIo(runOnce(dir, name))).sortBy(_._1)
       val extMed = samples(1)._2
       val extMax = samples.map(_._2).max
+      val iowMed = samples(1)._3
       (samples.head._1, samples(1)._1, samples.last._1, load1(),
-        extMed, extMax, 0)
+        extMed, extMax, iowMed, 0)
     }
 
     /** Three consecutive warm samples per query, plus the 1-min loadavg
@@ -271,7 +297,7 @@ object Bench {
           }
           rounds += 1
           val r = sampleQuery(dir, name)
-          s = (r._1, r._2, r._3, r._4, r._5, r._6, rounds)
+          s = (r._1, r._2, r._3, r._4, r._5, r._6, r._7, rounds)
         }
         name -> s
       }
@@ -279,10 +305,10 @@ object Bench {
     def suspectOf(s: QStats): Boolean = isSuspect(s._5, extGate)
 
     def jsStats(rs: Seq[(String, QStats)]) =
-      rs.map { case (k, s @ (mn, md, mx, ld, ext, extMax, rr)) =>
+      rs.map { case (k, s @ (mn, md, mx, ld, ext, extMax, iow, rr)) =>
         "\"" + k + "\":{\"min\":" + mn + ",\"median\":" + md +
           ",\"max\":" + mx + ",\"load1\":" + ld + ",\"ext_cores\":" + ext +
-          ",\"ext_max\":" + extMax +
+          ",\"ext_max\":" + extMax + ",\"io_wait_cores\":" + iow +
           ",\"resampled\":" + rr + ",\"suspect\":" + suspectOf(s) + "}"
       }.mkString("{", ",", "}")
 
@@ -344,12 +370,12 @@ object Bench {
     // tables are sub-MB, so per-task overhead outweighs parallel-scan
     // gains for most queries — the parallel layout pays off exactly where
     // real data volume exists (lineitem) and everywhere at cluster scale.
-    val medians = single.map { case (k, (_, md, _, _, _, _, _)) => k -> md }
-    val mins = single.map { case (k, (mn, _, _, _, _, _, _)) => k -> mn }
+    val medians = single.map { case (k, s) => k -> s._2 }
+    val mins = single.map { case (k, s) => k -> s._1 }
     val total = medians.map(_._2).sum
     val totalMin = mins.map(_._2).sum
     val extras = stagedTimes.map { st =>
-      val med = st.map { case (k, (_, md, _, _, _, _, _)) => k -> md }
+      val med = st.map { case (k, s) => k -> s._2 }
       s""","total_staged_32file":${med.map(_._2).sum},""" +
         s""""queries_staged_32file":${js(med)},""" +
         s""""queries_staged_32file_stats":${jsStats(st)}""" +
