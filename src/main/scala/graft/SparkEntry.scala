@@ -1969,6 +1969,18 @@ object SparkEntry {
         rd(s, dir, "documents"), "doc_id", "text", topV = 4096).orderBy("doc_id"),
       Some(QualityClassifier.nbQualitySql("documents", "doc_id", "text", topV = 4096) +
         " ORDER BY doc_id")),
+    // Exact classifier evaluation: confusion counts at threshold 0 and
+    // the AUC as an exact integer fraction (doubled Mann–Whitney U with
+    // average ranks for ties) over the NB scorer's own output — no
+    // float ever forms, so the metric is engine- and partition-exact.
+    "q_classifier_eval" -> Q(
+      (s, dir) => QualityClassifier.classifierEval(
+        QualityClassifier.nbQuality(rd(s, dir, "documents"), "doc_id", "text",
+          topV = 4096),
+        "seed_label", "score_nanonats"),
+      Some(QualityClassifier.classifierEvalSql(
+        QualityClassifier.nbQualitySql("documents", "doc_id", "text", topV = 4096),
+        "seed_label", "score_nanonats"))),
 
     // Gopher-style quality filter flags (Rae et al. 2021 heuristics)
     "q_quality_gopher" -> Q(

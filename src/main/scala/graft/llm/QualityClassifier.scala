@@ -179,6 +179,88 @@ object QualityClassifier {
         (acc, t) => acc + coalesce(element_at(wmap, t), lit(0L)))
   }
 
+  /** Exact classifier evaluation over a scored frame: confusion counts
+    * at threshold 0 and the AUC as an exact integer FRACTION —
+    * auc = auc_num / auc_den with
+    * auc_num = 2·Σ(avg ranks of positives) − n₁(n₁+1) and
+    * auc_den = 2·n₁·n₀ (the Mann–Whitney U statistic with average
+    * ranks for ties, doubled so half-ranks stay integral). No float
+    * ever forms, so the result is engine-exact and distribution-exact.
+    *
+    * Scale shape: scores quantize to `quantize`-wide buckets first
+    * (floor division via pmod, identical semantics both engines), so
+    * the rank cumulative — the one global-ordered window — runs over
+    * the BUCKET table, whose size is bounded by the score range /
+    * quantize, not by the corpus. The AUC is then exactly the AUC of
+    * the quantized scorer (deterministic; ties within a bucket use
+    * average ranks). quantize=1 evaluates raw scores. */
+  def classifierEval(scored: DataFrame, labelCol: String, scoreCol: String,
+                     quantize: Long = 1000000L): DataFrame = {
+    require(quantize >= 1, "classifierEval: quantize must be >= 1")
+    val s = col(scoreCol).cast("long")
+    // mathematical floor division: (s - pmod(s, q)) is exactly divisible
+    // by q; `div` keeps it in integer space (a double `/` would lose
+    // exactness past 2^53)
+    val base = scored.select(col(labelCol).cast("long").as("y"),
+      expr(s"(CAST($scoreCol AS BIGINT) - pmod(CAST($scoreCol AS BIGINT), " +
+        s"${quantize}L)) div ${quantize}L").as("b"), s.as("s"))
+    val confusion = base.agg(
+      sum(col("y")).as("n_pos"),
+      (count(lit(1)) - sum(col("y"))).as("n_neg"),
+      sum(when(col("y") === 1 && col("s") >= 0, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("y") === 0 && col("s") >= 0, 1L).otherwise(0L)).as("fp"),
+      sum(when(col("y") === 0 && col("s") < 0, 1L).otherwise(0L)).as("tn"),
+      sum(when(col("y") === 1 && col("s") < 0, 1L).otherwise(0L)).as("fn"))
+    val perBucket = base.groupBy("b").agg(
+      count(lit(1)).as("cnt"), sum("y").as("pos"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("b")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val twoSum = perBucket
+      .withColumn("before", coalesce(sum("cnt").over(w), lit(0L)))
+      .agg(coalesce(sum(col("pos") * (lit(2L) * col("before") + col("cnt") + 1)),
+        lit(0L)).as("two_sum_rank_pos"))
+    // two 1-row frames -> the audit-frame cross join precedent
+    confusion.crossJoin(twoSum).select(
+      col("n_pos"), col("n_neg"), col("tp"), col("fp"), col("tn"), col("fn"),
+      (col("two_sum_rank_pos") - col("n_pos") * (col("n_pos") + 1)).as("auc_num"),
+      (lit(2L) * col("n_pos") * col("n_neg")).as("auc_den"))
+  }
+
+  /** DuckDB rendering of [[classifierEval]]: `scoredSql` is a full
+    * SELECT producing `(labelCol, scoreCol)` rows, inlined as a
+    * subquery (DuckDB accepts CTE-bearing subqueries). */
+  def classifierEvalSql(scoredSql: String, labelCol: String, scoreCol: String,
+                        quantize: Long = 1000000L): String =
+    s"""WITH __e AS (
+          SELECT ${labelCol}::BIGINT AS y,
+                 ((${scoreCol}::BIGINT - ((${scoreCol}::BIGINT % ${quantize}
+                    + ${quantize}) % ${quantize})) // ${quantize})::BIGINT AS b,
+                 ${scoreCol}::BIGINT AS s
+          FROM ($scoredSql)),
+        __conf AS (
+          SELECT sum(y)::BIGINT AS n_pos,
+                 (count(*) - sum(y))::BIGINT AS n_neg,
+                 sum(CASE WHEN y = 1 AND s >= 0 THEN 1 ELSE 0 END)::BIGINT AS tp,
+                 sum(CASE WHEN y = 0 AND s >= 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+                 sum(CASE WHEN y = 0 AND s < 0 THEN 1 ELSE 0 END)::BIGINT AS tn,
+                 sum(CASE WHEN y = 1 AND s < 0 THEN 1 ELSE 0 END)::BIGINT AS fn
+          FROM __e),
+        __pb AS (
+          SELECT b, count(*)::BIGINT AS cnt, sum(y)::BIGINT AS pos
+          FROM __e GROUP BY b),
+        __rk AS (
+          SELECT coalesce(sum(pos * (2 * before + cnt + 1)), 0)::BIGINT
+                   AS two_sum_rank_pos
+          FROM (SELECT cnt, pos,
+                       coalesce(sum(cnt) OVER (ORDER BY b
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                         AS before
+                FROM __pb))
+        SELECT n_pos, n_neg, tp, fp, tn, fn,
+               (two_sum_rank_pos - n_pos * (n_pos + 1))::BIGINT AS auc_num,
+               (2 * n_pos * n_neg)::BIGINT AS auc_den
+        FROM __conf, __rk"""
+
   def nbQualitySql(table: String, idCol: String, textCol: String,
                    topV: Int = 4096): String = {
     val ln = Curation.lnNanoSql _

@@ -141,6 +141,38 @@ class QualityClassifierSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("classifierEval: AUC fraction matches the brute-force pair count, ties averaged") {
+    import spark.implicits._
+    // planted (label, score) set with ties within AND across classes
+    val rows = Seq(
+      (1L, 90L), (1L, 50L), (1L, 50L), (1L, -10L),
+      (0L, 70L), (0L, 50L), (0L, -10L), (0L, -40L), (0L, -40L))
+    val df = rows.toDF("y", "s")
+    // brute force: U = #(pos > neg) + 0.5 #(pos == neg); AUC = U/(n1 n0)
+    val pos = rows.filter(_._1 == 1L).map(_._2)
+    val neg = rows.filter(_._1 == 0L).map(_._2)
+    val wins = (for (p <- pos; n <- neg) yield
+      if (p > n) 2L else if (p == n) 1L else 0L).sum // doubled U
+    val got = QualityClassifier.classifierEval(df, "y", "s", quantize = 1)
+      .collect().head
+    assert(got.getAs[Long]("auc_num") == wins, "doubled-U numerator")
+    assert(got.getAs[Long]("auc_den") == 2L * pos.size * neg.size)
+    assert(got.getAs[Long]("n_pos") == 4 && got.getAs[Long]("n_neg") == 5)
+    // confusion at threshold 0 (score >= 0 predicts positive)
+    assert(got.getAs[Long]("tp") == 3 && got.getAs[Long]("fn") == 1)
+    assert(got.getAs[Long]("fp") == 2 && got.getAs[Long]("tn") == 3)
+    // quantization: bucketing 50/70/90 together changes ties, never the
+    // denominator; negative scores floor-divide toward -inf identically
+    val q100 = QualityClassifier.classifierEval(df, "y", "s", quantize = 100)
+      .collect().head
+    assert(q100.getAs[Long]("auc_den") == 2L * pos.size * neg.size)
+    val bpos = pos.map(v => Math.floorDiv(v, 100L))
+    val bneg = neg.map(v => Math.floorDiv(v, 100L))
+    val bwins = (for (p <- bpos; n <- bneg) yield
+      if (p > n) 2L else if (p == n) 1L else 0L).sum
+    assert(q100.getAs[Long]("auc_num") == bwins, "quantized doubled-U")
+  }
+
   test("nbQuality: partition-count invariant (exact integer arithmetic)") {
     val base = (1L to 60L).map(i =>
       i -> (if (i % 3 == 0) "the of and extra" + i else "w" + i + " x" + i))
