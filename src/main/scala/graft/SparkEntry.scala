@@ -1969,6 +1969,16 @@ object SparkEntry {
         rd(s, dir, "documents"), "doc_id", "text", topV = 4096).orderBy("doc_id"),
       Some(QualityClassifier.nbQualitySql("documents", "doc_id", "text", topV = 4096) +
         " ORDER BY doc_id")),
+    // Calibration-curve inputs: per score-bucket exact (n, n_pos) —
+    // the integers a reliability diagram is drawn from.
+    "q_classifier_calibration" -> Q(
+      (s, dir) => QualityClassifier.classifierCalibration(
+        QualityClassifier.nbQuality(rd(s, dir, "documents"), "doc_id", "text",
+          topV = 4096),
+        "seed_label", "score_nanonats").orderBy("bucket"),
+      Some(QualityClassifier.classifierCalibrationSql(
+        QualityClassifier.nbQualitySql("documents", "doc_id", "text", topV = 4096),
+        "seed_label", "score_nanonats") + " ORDER BY bucket")),
     // Exact classifier evaluation: confusion counts at threshold 0 and
     // the AUC as an exact integer fraction (doubled Mann–Whitney U with
     // average ranks for ties) over the NB scorer's own output — no

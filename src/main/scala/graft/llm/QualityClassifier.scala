@@ -261,6 +261,32 @@ object QualityClassifier {
                (2 * n_pos * n_neg)::BIGINT AS auc_den
         FROM __conf, __rk"""
 
+  /** Reliability-diagram inputs for a scored frame: per score bucket
+    * (floor(score / quantize)), the exact row and positive counts — the
+    * integers a calibration curve (observed rate vs score) is drawn
+    * from, engine-exact by construction. One map-side-combinable
+    * aggregate on the bucket key; no windows, no floats. */
+  def classifierCalibration(scored: DataFrame, labelCol: String,
+                            scoreCol: String,
+                            quantize: Long = 1000000L): DataFrame = {
+    require(quantize >= 1, "classifierCalibration: quantize must be >= 1")
+    scored.select(col(labelCol).cast("long").as("y"),
+      expr(s"(CAST($scoreCol AS BIGINT) - pmod(CAST($scoreCol AS BIGINT), " +
+        s"${quantize}L)) div ${quantize}L").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+  }
+
+  def classifierCalibrationSql(scoredSql: String, labelCol: String,
+                               scoreCol: String,
+                               quantize: Long = 1000000L): String =
+    s"""SELECT ((${scoreCol}::BIGINT - ((${scoreCol}::BIGINT % ${quantize}
+           + ${quantize}) % ${quantize})) // ${quantize})::BIGINT AS bucket,
+          count(*)::BIGINT AS n,
+          sum(${labelCol}::BIGINT)::BIGINT AS n_pos
+        FROM ($scoredSql)
+        GROUP BY 1"""
+
   def nbQualitySql(table: String, idCol: String, textCol: String,
                    topV: Int = 4096): String = {
     val ln = Curation.lnNanoSql _
