@@ -1969,6 +1969,16 @@ object SparkEntry {
         rd(s, dir, "documents"), "doc_id", "text", topV = 4096).orderBy("doc_id"),
       Some(QualityClassifier.nbQualitySql("documents", "doc_id", "text", topV = 4096) +
         " ORDER BY doc_id")),
+    // PR-curve points: cumulative tp/fp at threshold "score >= bucket",
+    // exact integers (precision/recall stay caller-side fractions).
+    "q_classifier_pr_curve" -> Q(
+      (s, dir) => QualityClassifier.classifierPrCurve(
+        QualityClassifier.nbQuality(rd(s, dir, "documents"), "doc_id", "text",
+          topV = 4096),
+        "seed_label", "score_nanonats").orderBy("bucket"),
+      Some(QualityClassifier.classifierPrCurveSql(
+        QualityClassifier.nbQualitySql("documents", "doc_id", "text", topV = 4096),
+        "seed_label", "score_nanonats") + " ORDER BY bucket")),
     // Calibration-curve inputs: per score-bucket exact (n, n_pos) —
     // the integers a reliability diagram is drawn from.
     "q_classifier_calibration" -> Q(

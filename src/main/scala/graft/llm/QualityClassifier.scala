@@ -287,6 +287,56 @@ object QualityClassifier {
         FROM ($scoredSql)
         GROUP BY 1"""
 
+  /** Precision-recall curve points as exact integers: for each score
+    * bucket (floor(score / quantize)), the cumulative true/false
+    * positives when the decision threshold is "score ≥ this bucket" —
+    * precision = cum_tp / (cum_tp + cum_fp) and recall = cum_tp / n_pos
+    * are left as exact integer fractions for the caller. One bounded
+    * window over the bucket table (same scale shape as
+    * [[classifierEval]]); completes the eval family with
+    * [[classifierCalibration]]. */
+  def classifierPrCurve(scored: DataFrame, labelCol: String, scoreCol: String,
+                        quantize: Long = 1000000L): DataFrame = {
+    require(quantize >= 1, "classifierPrCurve: quantize must be >= 1")
+    val base = scored.select(col(labelCol).cast("long").as("y"),
+      expr(s"(CAST($scoreCol AS BIGINT) - pmod(CAST($scoreCol AS BIGINT), " +
+        s"${quantize}L)) div ${quantize}L").as("bucket"))
+    val perBucket = base.groupBy("bucket").agg(
+      count(lit(1)).as("n"), sum("y").as("pos"))
+    // threshold "score >= bucket" accumulates from the TOP score down
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val nPos = base.agg(coalesce(sum("y"), lit(0L))).head().getLong(0)
+    perBucket.select(col("bucket"),
+      sum(col("pos")).over(w).as("cum_tp"),
+      (sum(col("n")).over(w) - sum(col("pos")).over(w)).as("cum_fp"),
+      lit(nPos).as("n_pos"))
+  }
+
+  def classifierPrCurveSql(scoredSql: String, labelCol: String,
+                           scoreCol: String,
+                           quantize: Long = 1000000L): String =
+    s"""WITH __e AS (
+          SELECT ${labelCol}::BIGINT AS y,
+                 ((${scoreCol}::BIGINT - ((${scoreCol}::BIGINT % ${quantize}
+                    + ${quantize}) % ${quantize})) // ${quantize})::BIGINT AS bucket
+          FROM ($scoredSql)),
+        __pb AS (
+          SELECT bucket, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos
+          FROM __e GROUP BY bucket),
+        __np AS (SELECT coalesce(sum(y), 0)::BIGINT AS n_pos FROM __e)
+        SELECT bucket,
+               sum(pos) OVER (ORDER BY bucket DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                 AS cum_tp,
+               (sum(n) OVER (ORDER BY bucket DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - sum(pos) OVER (ORDER BY bucket DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+                 AS cum_fp,
+               (SELECT n_pos FROM __np) AS n_pos
+        FROM __pb"""
+
   def nbQualitySql(table: String, idCol: String, textCol: String,
                    topV: Int = 4096): String = {
     val ln = Curation.lnNanoSql _

@@ -173,6 +173,21 @@ class QualityClassifierSpec extends SparkSpec {
     assert(q100.getAs[Long]("auc_num") == bwins, "quantized doubled-U")
   }
 
+  test("classifierPrCurve: cumulative tp/fp per threshold bucket match a hand fold") {
+    import spark.implicits._
+    val rows = Seq((1L, 250L), (1L, 150L), (0L, 150L), (0L, 50L), (1L, -50L))
+    val got = QualityClassifier.classifierPrCurve(rows.toDF("y", "s"), "y", "s",
+      quantize = 100)
+      .orderBy(org.apache.spark.sql.functions.col("bucket").desc)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // buckets: 2 (250), 1 (150,150), 0 (50), -1 (-50); thresholds from top:
+    assert(got == Seq(
+      (2L, 1L, 0L, 3L),   // score>=200: tp=1 fp=0
+      (1L, 2L, 1L, 3L),   // score>=100: tp=2 fp=1
+      (0L, 2L, 2L, 3L),   // score>=0:   tp=2 fp=2
+      (-1L, 3L, 2L, 3L))) // all:        tp=3 fp=2
+  }
+
   test("nbQuality: partition-count invariant (exact integer arithmetic)") {
     val base = (1L to 60L).map(i =>
       i -> (if (i % 3 == 0) "the of and extra" + i else "w" + i + " x" + i))
