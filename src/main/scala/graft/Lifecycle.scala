@@ -199,6 +199,24 @@ object Lifecycle {
     * defaults, sequences, comments and ACLs, with sequence positions
     * replayed from `pg_sequences`. Without the binary it falls back to
     * CREATE TABLE DDL generated from the Spark schema (bare tables). */
+  /** Guard for [[pgDump]]'s partition expansion: the config-named
+    * partitioned tables must have pairwise-disjoint leaf sets. Naming a
+    * root AND a sub-partitioned descendant in the same config is
+    * ambiguous (two masking plans, two copy roots for the shared
+    * leaves) — fail loudly rather than dump the shared leaves twice. */
+  def assertDisjointPartitionTrees(named: Seq[String],
+                                   leavesOf: Map[String, Seq[String]]): Unit =
+    if (named.size > 1) {
+      val leafSets = named.map(t => t -> leavesOf.getOrElse(t, Nil).toSet)
+      for ((a, sa) <- leafSets; (b, sb) <- leafSets if a < b) {
+        val shared = (sa & sb).toSeq.sorted
+        require(shared.isEmpty,
+          s"pg-dump: partitioned tables $a and $b share leaf partitions " +
+            s"${shared.mkString(", ")} — name only one (the other is " +
+            "inside its partition tree)")
+      }
+    }
+
   def pgDump(spark: SparkSession, configJson: String, conninfo: String,
              outDir: String,
              schemaFromSource: Boolean = true,
@@ -237,6 +255,14 @@ object Lifecycle {
     // through the partition tree on restore — the shape that survives
     // changed partition boundaries on the target.
     val copyRoots = scala.collection.mutable.Map[String, String]()
+    // With intermediates present in partitionLeaves, a config naming BOTH
+    // a root and one of its sub-partitioned descendants would expand
+    // overlapping leaf sets — duplicate TABLE DATA dumps and
+    // last-writer-wins copy roots. Ambiguous by construction; refuse.
+    val namedPartitioned =
+      rawConfigs.map(_.table).filter(t => relkinds.get(t).contains('p'))
+    if (namedPartitioned.size > 1) // guard the lazy catalog walk
+      assertDisjointPartitionTrees(namedPartitioned, leavesOf)
     val configs = rawConfigs.flatMap { cfg =>
       if (!relkinds.get(cfg.table).contains('p')) Seq(cfg)
       else {
@@ -368,8 +394,8 @@ object Lifecycle {
         // per-error exclusion into an EXISTING table); copy mode = bulk
         // batched JDBC overwrite
         if (insertMode) {
-          // per-table effective rule = config global ∪ table-specific
-          // (reference insert_error_exclusions, domains/config.go:115-130)
+          // per-table rule SHADOWS global when one matches
+          // (reference isErrorAllowed, table_insert_format.go:226-247)
           val rule = exclusions.map(_.forTable(e.table))
             .getOrElse(ConfigLoader.ExclusionRule.empty)
           RestoreSink.insertRows(df, target, e.table,
@@ -393,9 +419,11 @@ object Lifecycle {
   // list-transformers / show-transformer over the registry.
   // ---------------------------------------------------------------------
 
-  /** One line per dump directory (a subdir of `root` holding
-    * manifest.json): name, table count, total rows — `list-dumps`. */
-  def listDumps(root: String): Seq[String] = {
+  /** One (name, formatted line) per dump directory (a subdir of `root`
+    * holding manifest.json). The name rides separately so `--quiet` can
+    * print real dump ids — re-parsing the formatted line would truncate
+    * a directory name containing a space at that space. */
+  def listDumpEntries(root: String): Seq[(String, String)] = {
     val dir = Paths.get(root)
     if (!Files.isDirectory(dir)) Nil
     else {
@@ -414,10 +442,15 @@ object Lifecycle {
               val entries = Manifest.readEntries(mf.toString)
               s"tables=${entries.size} rows=${entries.map(_.rows).sum}"
             } else "tables=? rows=?"
-          s"${p.getFileName} $counts status=$status"
+          val name = p.getFileName.toString
+          name -> s"$name $counts status=$status"
         }
     }
   }
+
+  /** One line per dump directory: name, table count, total rows —
+    * `list-dumps`. */
+  def listDumps(root: String): Seq[String] = listDumpEntries(root).map(_._2)
 
   /** Per-entry detail of one dump — `show-dump`. */
   def showDump(manifestPath: String): Seq[String] =
@@ -673,8 +706,9 @@ object Lifecycle {
           integrity = integ)
           .foreach(t => println(s"restored $t"))
       case "list-dumps" :: root :: rest =>
-        // --quiet: only dump ids (reference list_dumps.go:69)
-        if (rest.contains("--quiet")) listDumps(root).foreach(l => println(l.split(" ").head))
+        // --quiet: only dump ids (reference list_dumps.go:69); ids come
+        // from the structured pair, not line re-parsing (space-safe)
+        if (rest.contains("--quiet")) listDumpEntries(root).foreach(e => println(e._1))
         else listDumps(root).foreach(println)
       case "show-dump" :: manifestPath :: rest =>
         // --format=json emits the manifest document itself (the

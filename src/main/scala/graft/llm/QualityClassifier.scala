@@ -306,11 +306,16 @@ object QualityClassifier {
     // threshold "score >= bucket" accumulates from the TOP score down
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val nPos = base.agg(coalesce(sum("y"), lit(0L))).head().getLong(0)
+    // n_pos as a LAZY 1-row aggregate over perBucket crossJoined in (the
+    // classifierEval precedent): embedding it as a literal via .head()
+    // would scan the scored frame eagerly at construction time, and a
+    // second time on top of the perBucket aggregation when the result
+    // runs. Summing the (bounded) bucket table keeps it single-scan.
+    val nPos = perBucket.agg(coalesce(sum("pos"), lit(0L)).as("n_pos"))
     perBucket.select(col("bucket"),
       sum(col("pos")).over(w).as("cum_tp"),
-      (sum(col("n")).over(w) - sum(col("pos")).over(w)).as("cum_fp"),
-      lit(nPos).as("n_pos"))
+      (sum(col("n")).over(w) - sum(col("pos")).over(w)).as("cum_fp"))
+      .crossJoin(nPos)
   }
 
   def classifierPrCurveSql(scoredSql: String, labelCol: String,

@@ -92,12 +92,30 @@ object ConfigLoader {
   }
   object ExclusionRule { val empty: ExclusionRule = ExclusionRule(Set.empty, Set.empty) }
 
+  /** One per-table exclusion entry: the reference's
+    * `TablesDataRestorationErrorExclusions` (`domains/config.go:115-120`)
+    * carries `name`, optional `schema`, and the rule. */
+  case class TableRule(name: String, schema: Option[String],
+                       rule: ExclusionRule)
+
   /** The reference's `insert_error_exclusions` block: a GLOBAL rule plus
-    * per-TABLE rules; a table's effective rule is global ∪ its own. */
+    * per-TABLE rules. A table's effective rule SHADOWS — `isErrorAllowed`
+    * (`table_insert_format.go:226-247`) consults the per-table rule
+    * EXCLUSIVELY when one matched at construction, and falls back to
+    * global only when none did. (A union would be more permissive: a
+    * table with its own rule would silently skip errors the reference
+    * propagates as failures.) The reference matches entries on
+    * (schema, name) against the TOC entry's namespace/tag
+    * (`table_insert_format.go:60-72`); manifest-driven restores here are
+    * schema-less, so a rule that names a schema only matches when the
+    * caller supplies the same one, while a schema-less rule matches by
+    * name alone. */
   case class ErrorExclusions(global: ExclusionRule,
-                             tables: Map[String, ExclusionRule]) {
-    def forTable(table: String): ExclusionRule =
-      global ++ tables.getOrElse(table, ExclusionRule.empty)
+                             tables: Seq[TableRule]) {
+    def forTable(table: String, schema: Option[String] = None): ExclusionRule =
+      tables.find(t => t.name == table &&
+          (t.schema.isEmpty || t.schema == schema))
+        .map(_.rule).getOrElse(global)
   }
 
   /** Parse the `insert_error_exclusions` block of a config document:
@@ -122,9 +140,10 @@ object ConfigLoader {
         val name = (t \ "name").extractOpt[String].getOrElse(
           throw new IllegalArgumentException(
             "config: insert_error_exclusions table entry missing 'name'"))
-        name -> rule(t)
-      }.toMap
-      case _ => Map.empty[String, ExclusionRule]
+        TableRule(name, (t \ "schema").extractOpt[String].filter(_.nonEmpty),
+          rule(t))
+      }
+      case _ => Seq.empty[TableRule]
     }
     ErrorExclusions(rule(block \ "global"), tables)
   }

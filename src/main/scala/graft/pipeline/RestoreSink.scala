@@ -126,13 +126,38 @@ object RestoreSink {
       s"(${cols.map(_ => "?").mkString(", ")})$onConflict"
   }
 
+  /** PostgreSQL's JDBC driver exposes the server's structured
+    * ConstraintName (`PSQLException.getServerErrorMessage.getConstraint`)
+    * — the exact field the reference's `isErrorAllowed` compares
+    * (`table_insert_format.go:236`). The driver isn't on this build's
+    * classpath, so reach it reflectively when the exception is one. */
+  private def structuredConstraint(t: Throwable): Option[String] =
+    if (t.getClass.getName == "org.postgresql.util.PSQLException") {
+      try for {
+        sem <- Option(t.getClass.getMethod("getServerErrorMessage").invoke(t))
+        c <- Option(sem.getClass.getMethod("getConstraint").invoke(sem))
+        s = c.toString if s.nonEmpty
+      } yield s
+      catch { case _: ReflectiveOperationException => None }
+    } else None
+
+  /** Word-boundary fallback for drivers without a structured constraint
+    * field (Derby, MySQL name the violated constraint in the message):
+    * the name must stand alone as an identifier — a raw substring scan
+    * would let a short name like `pk` match unrelated errors and
+    * silently skip rows whose failures should propagate. */
+  private[graft] def mentionsConstraint(msg: String, name: String): Boolean =
+    java.util.regex.Pattern
+      .compile("(?<![A-Za-z0-9_$])" + java.util.regex.Pattern.quote(name) +
+        "(?![A-Za-z0-9_$])")
+      .matcher(msg).find()
+
   /** `ignoreConstraints` is the constraint-NAME half of the reference's
     * `insert_error_exclusions` (`domains/config.go:115-130`: rules list
     * `error_codes` AND `constraints`; `isErrorAllowed` compares the
-    * server error's ConstraintName). Generic JDBC drivers don't expose a
-    * structured constraint field, so the match scans the exception
-    * chain's messages for the name — every mainstream driver (PG, Derby,
-    * MySQL) names the violated constraint there. */
+    * server error's ConstraintName). On PostgreSQL the match uses the
+    * driver's structured field; elsewhere it scans the exception chain's
+    * messages for the name as a whole identifier. */
   def insertRows(df: DataFrame, url: String, table: String,
                  ignoreSqlStates: Set[String] = Set.empty,
                  batchSize: Int = 500,
@@ -168,8 +193,17 @@ object RestoreSink {
             if (ignoreConstraints.isEmpty) return false
             var cur: SQLException = e
             while (cur != null) {
-              val msg = Option(cur.getMessage).getOrElse("")
-              if (ignoreConstraints.exists(msg.contains)) return true
+              structuredConstraint(cur) match {
+                case Some(c) =>
+                  // structured field wins outright: if the server names a
+                  // constraint and it isn't excluded, do NOT fall back to
+                  // message text for this exception
+                  if (ignoreConstraints(c)) return true
+                case None =>
+                  val msg = Option(cur.getMessage).getOrElse("")
+                  if (ignoreConstraints.exists(mentionsConstraint(msg, _)))
+                    return true
+              }
               cur = cur.getNextException
             }
             false

@@ -456,19 +456,69 @@ class RestoreFallbackSpec extends SparkSpec {
       RestoreSink.insertRows(Seq((2L, "dup")).toDF("id", "v"), url, "excl_t",
         ignoreConstraints = Set("OTHER_FK"))
     }
+    // a rule naming a SUBSTRING of the violated constraint must not cover
+    // it either: the fallback match is whole-identifier, not substring —
+    // a short generic name ('PK', 'id') would otherwise skip unrelated
+    // failures (reference compares the structured ConstraintName field)
+    intercept[Exception] {
+      RestoreSink.insertRows(Seq((2L, "dup")).toDF("id", "v"), url, "excl_t",
+        ignoreConstraints = Set("PK"))
+    }
   }
 
-  test("insert_error_exclusions config block: global ∪ per-table rules, restore-path wiring") {
+  test("constraint-name fallback matches whole identifiers only") {
+    assert(RestoreSink.mentionsConstraint(
+      "duplicate key value violates unique constraint \"users_pk\"", "users_pk"))
+    assert(RestoreSink.mentionsConstraint(
+      "The statement was aborted because ... identified by 'EXCL_PK' ...", "EXCL_PK"))
+    // substring of a longer identifier: no match
+    assert(!RestoreSink.mentionsConstraint("constraint \"users_pk\"", "pk"))
+    assert(!RestoreSink.mentionsConstraint("constraint \"users_pk\"", "users"))
+    // regex metacharacters in a (quoted-identifier) name stay literal
+    assert(RestoreSink.mentionsConstraint("violates \"a.b*c\"", "a.b*c"))
+    assert(!RestoreSink.mentionsConstraint("violates \"aXbYc\"", "a.b*c"))
+  }
+
+  test("pg-dump refuses overlapping partition trees (root + sub-partition both named)") {
+    val leavesOf = Map(
+      "measurements" -> Seq("m_2024_01", "m_2024_02", "m_2025_01"),
+      "measurements_2024" -> Seq("m_2024_01", "m_2024_02"),
+      "other_tree" -> Seq("o_1"))
+    // disjoint trees pass
+    Lifecycle.assertDisjointPartitionTrees(
+      Seq("measurements", "other_tree"), leavesOf)
+    Lifecycle.assertDisjointPartitionTrees(Seq("measurements"), leavesOf)
+    // a root plus its sub-partitioned descendant shares leaves: refuse
+    val e = intercept[IllegalArgumentException] {
+      Lifecycle.assertDisjointPartitionTrees(
+        Seq("measurements", "measurements_2024", "other_tree"), leavesOf)
+    }
+    assert(e.getMessage.contains("m_2024_01") &&
+      e.getMessage.contains("name only one"), e.getMessage)
+  }
+
+  test("insert_error_exclusions config block: per-table rule SHADOWS global, restore-path wiring") {
     import graft.pipeline.ConfigLoader
     val excl = ConfigLoader.exclusionsFromJson(
       """{"insert_error_exclusions": {
            "global": {"error_codes": ["23505"]},
            "tables": [{"name": "orders", "error_codes": ["23503"],
-                       "constraints": ["ORDERS_FK"]}] }}""")
+                       "constraints": ["ORDERS_FK"]},
+                      {"name": "scoped", "schema": "audit",
+                       "error_codes": ["23514"]}] }}""")
     assert(excl.forTable("anything") ==
       ConfigLoader.ExclusionRule(Set("23505"), Set.empty))
+    // per-table rule is EXCLUSIVE (isErrorAllowed consults it INSTEAD of
+    // global, table_insert_format.go:226-247): 23505 must NOT leak in
     assert(excl.forTable("orders") ==
-      ConfigLoader.ExclusionRule(Set("23505", "23503"), Set("ORDERS_FK")))
+      ConfigLoader.ExclusionRule(Set("23503"), Set("ORDERS_FK")))
+    // schema-qualified rule only matches when the caller names the schema
+    assert(excl.forTable("scoped") ==
+      ConfigLoader.ExclusionRule(Set("23505"), Set.empty))
+    assert(excl.forTable("scoped", Some("audit")) ==
+      ConfigLoader.ExclusionRule(Set("23514"), Set.empty))
+    assert(excl.forTable("scoped", Some("public")) ==
+      ConfigLoader.ExclusionRule(Set("23505"), Set.empty))
     // absent block -> empty rules (every insert error propagates)
     assert(ConfigLoader.exclusionsFromJson("{}").forTable("t").isEmpty)
 
