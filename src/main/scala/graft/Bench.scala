@@ -91,8 +91,14 @@ object Bench {
     * co-tenant DISK pressure by construction (iowait is excluded from
     * busy on both sides of the subtraction), and round 12's final local
     * bench measured queries inflated 30-70% at ext_cores = 0.0 exactly
-    * once — iowait is the matching diagnostic for that blind spot.
-    * Reported per sample; not (yet) a gate. -1 when unreadable. */
+    * once — iowait is the matching diagnostic for that blind spot, and
+    * since round 13 a GATE with the same per-sample accounting as ext
+    * (SPARK_GRAFT_IOWAIT_GATE; r12 clean-run samples sat ≤ 0.13 cores,
+    * the r12 dirty window read foreign-disk pressure well above it).
+    * iowait can't self-subtract like ext (the kernel counter doesn't
+    * attribute waits to processes), but the timed samples do no disk
+    * writes (noop sink) and read page-cached sub-MB fixtures, so during
+    * a sample the counter reads foreign pressure. -1 when unreadable. */
   def sysIoWaitSec(): Double =
     try {
       val f = scala.io.Source.fromFile("/proc/stat")
@@ -135,6 +141,12 @@ object Bench {
     * minute and still carries the bench's own recent bursts). */
   def extProbe(ms: Long): Double = withExt(Thread.sleep(ms))._2
 
+  /** (foreign cores, iowait cores) over an idle window — the retry
+    * waits must see BOTH pressure kinds clear before resampling. */
+  def extIoProbe(ms: Long): (Double, Double) = {
+    val (_, e, i) = withExtIo(Thread.sleep(ms)); (e, i)
+  }
+
   /** The suspect rule: the MEDIAN sample ran alongside more than `gate`
     * cores of foreign CPU, or the metric was unreadable. The gate is
     * much lower than the loadavg start gate because ext_cores excludes
@@ -143,6 +155,14 @@ object Bench {
     * (round-11 adjudication: 0.6-2.2 foreign cores inflated medians
     * ~7% while the old loadGate=4.0 trip-wire stayed silent). */
   def isSuspect(ext: Double, gate: Double): Boolean = ext > gate || ext < 0
+
+  /** The DISK-pressure suspect rule (round-13): the median sample ran
+    * with more than `gate` cores of system iowait alongside it, or the
+    * counter was unreadable (unknown != clean). Calibration: the r12
+    * clean-run battery's per-sample iowait maxed at 0.13 cores; the one
+    * dirty window (10 queries inflated 30-70% at ext_cores = 0.0) was
+    * foreign DISK load, the kind this rule exists to tag. */
+  def isSuspectIo(iow: Double, gate: Double): Boolean = iow > gate || iow < 0
 
   def main(args: Array[String]): Unit = {
     // Resolve (and validate) the timed set FIRST: a SPARK_GRAFT_ONLY typo
@@ -225,6 +245,13 @@ object Bench {
     // the compact line read gated:true).
     val extGate = sys.env.get("SPARK_GRAFT_EXT_GATE")
       .map(_.toDouble).getOrElse(0.4)
+    // Disk-pressure trip-wire (round-12 verdict #1: ext is structurally
+    // blind to co-tenant I/O — iowait is excluded from busy jiffies on
+    // both sides of the subtraction). Clean r12 samples sat ≤0.13
+    // iowait-cores; 0.3 leaves ambient margin while catching the
+    // 30-70%-inflation windows.
+    val ioGate = sys.env.get("SPARK_GRAFT_IOWAIT_GATE")
+      .map(_.toDouble).getOrElse(0.3)
     var gateWaitSec = 0
     var gateTimedOut = false
     locally {
@@ -287,13 +314,18 @@ object Bench {
       headlineNames.filter(SparkEntry.queries.contains).map { name =>
         var s = sampleQuery(dir, name)
         var rounds = 0
-        while (s._5 > extGate && rounds < 2) {
+        // resample on EITHER pressure kind: foreign CPU (ext) or foreign
+        // disk (iowait) over the median sample
+        while ((s._5 > extGate || s._7 > ioGate) && rounds < 2) {
+          val why =
+            if (s._5 > extGate) f"${s._5}%.2f external cores > gate $extGate%.2f"
+            else f"${s._7}%.2f iowait cores > gate $ioGate%.2f"
           System.err.println(f"[bench] $name median sample ran under " +
-            f"${s._5}%.2f external cores > gate $extGate%.2f — " +
-            f"re-sampling (retry ${rounds + 1}/2)")
+            s"$why — re-sampling (retry ${rounds + 1}/2)")
           var waited = 0
-          while (extProbe(2000) > extGate && waited < 60) {
-            Thread.sleep(13000); waited += 15
+          var p = extIoProbe(2000)
+          while ((p._1 > extGate || p._2 > ioGate) && waited < 60) {
+            Thread.sleep(13000); waited += 15; p = extIoProbe(2000)
           }
           rounds += 1
           val r = sampleQuery(dir, name)
@@ -302,7 +334,8 @@ object Bench {
         name -> s
       }
 
-    def suspectOf(s: QStats): Boolean = isSuspect(s._5, extGate)
+    def suspectOf(s: QStats): Boolean =
+      isSuspect(s._5, extGate) || isSuspectIo(s._7, ioGate)
 
     def jsStats(rs: Seq[(String, QStats)]) =
       rs.map { case (k, s @ (mn, md, mx, ld, ext, extMax, iow, rr)) =>
@@ -388,7 +421,9 @@ object Bench {
     // start-only flag labeled a load1=14.9 run clean; round-11: the
     // loadGate-reused trip-wire labeled a 2.2-foreign-core run clean),
     // so gated=true now MEANS every primary median sample ran with at
-    // most extGate co-tenant cores alongside it and no query failed.
+    // most extGate foreign-CPU cores AND at most ioGate iowait cores
+    // alongside it (round-13: disk pressure was the remaining blind
+    // spot) and no query failed.
     val suspects = single.collect { case (k, s) if suspectOf(s) => k }
     val gatedClean = !gateTimedOut && suspects.isEmpty && failed.isEmpty
     def jsNames(ns: Iterable[String]) =
@@ -405,7 +440,7 @@ object Bench {
     val diag = s"""{"metric":"total","value":$total,"unit":"sec","samples":3,""" +
       s""""total_min":$totalMin,"queries":${js(medians)},""" +
       s""""queries_min":${js(mins)},"query_stats":${jsStats(single)}""" +
-      s""","load_gate":$loadGate,"ext_gate":$extGate""" +
+      s""","load_gate":$loadGate,"ext_gate":$extGate,"io_gate":$ioGate""" +
       s""","load_gate_wait_sec":$gateWaitSec""" +
       s""","load_gate_timed_out":$gateTimedOut""" +
       s""","suspect":${jsNames(suspects)},"failed":${jsNames(failed)}""" +

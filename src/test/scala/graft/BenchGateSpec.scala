@@ -32,6 +32,37 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!Bench.isSuspect(0.39, 0.4))
   }
 
+  test("a foreign dsync-write loop trips the iowait suspect rule at the 0.3-core gate") {
+    // real disk pressure from OUTSIDE this JVM: small O_DSYNC writes
+    // force block I/O the page cache can't absorb (measured 0.5+
+    // iowait-cores on this host). ext_cores is structurally blind to
+    // this — the r12 blind spot this gate closes.
+    val tmp = java.nio.file.Files.createTempFile("graft_iow", ".bin")
+    val dd = new ProcessBuilder("sh", "-c",
+      s"while :; do dd if=/dev/zero of=$tmp bs=256k count=8 " +
+        "oflag=dsync conv=notrunc 2>/dev/null; done").start()
+    try {
+      Thread.sleep(300) // let the writer get going
+      // idle window: the JVM does no I/O, so iowait reads foreign disk
+      val (ext, iow) = Bench.extIoProbe(3000)
+      // a dsync dd burns a little CPU too; the point is the IOWAIT reading
+      assert(iow >= 0.3, s"foreign disk pressure not measured (iow=$iow, ext=$ext)")
+      assert(Bench.isSuspectIo(iow, 0.3),
+        s"iowait suspect rule must trip on $iow iowait cores at gate 0.3")
+    } finally {
+      dd.destroyForcibly(); dd.waitFor()
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
+  }
+
+  test("iowait suspect rule: unreadable is suspect; sub-gate iowait is not") {
+    assert(Bench.isSuspectIo(-1.0, 0.3))
+    assert(Bench.isSuspectIo(0.31, 0.3))
+    assert(!Bench.isSuspectIo(0.0, 0.3))
+    // the r12 clean-run ceiling (0.13) sits comfortably under the gate
+    assert(!Bench.isSuspectIo(0.13, 0.3))
+  }
+
   test("withExt attributes this JVM's own burn to self, not to foreign load") {
     // burn ~2s of CPU in-process: ext must NOT rise with it (the whole
     // point of the instrument — loadavg would have flagged this)
