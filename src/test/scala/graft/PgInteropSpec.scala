@@ -594,6 +594,75 @@ class PgInteropSpec extends SparkSpec {
     assert(psql("insmode", "SELECT count(*) FROM idt")._2.trim == "2")
   }
 
+  test("killed-mid-stream INSERT replay re-runs to fingerprint parity with ON CONFLICT DO NOTHING") {
+    live()
+    // The reference's abort-and-retry story for INSERT-format restores
+    // (`table_insert_format.go:139-145`): a restore that dies mid-flight
+    // leaves a committed prefix (autocommit per statement); the operator
+    // re-runs the SAME restore with --on-conflict-do-nothing and it
+    // converges — duplicates skip server-side, missing rows land. Here
+    // the first run genuinely DIES: psql replaying our generated INSERT
+    // text is SIGKILLed mid-stream.
+    psql("postgres", "CREATE DATABASE partret")
+    psql("partret", "CREATE TABLE pr(k int PRIMARY KEY, v text)")
+    psql("partret", "CREATE TABLE pr_src(k int PRIMARY KEY, v text)")
+    psql("partret",
+      "INSERT INTO pr_src SELECT g, 'v' || g FROM generate_series(1, 200) g")
+    val n = 200
+    def replayScript(onConflict: Boolean, throttle: Boolean): java.nio.file.Path = {
+      // the EXACT statement text RestoreSink prepares, one EXECUTE per
+      // row (the JDBC wire path around it is FaultInjectionSpec/Derby)
+      var i = 0
+      val pgStmt = graft.pipeline.RestoreSink.insertStatement(
+        "pr", Seq("k", "v"), onConflictDoNothing = onConflict).flatMap {
+        case '?' => i += 1; s"$$$i"
+        case c => c.toString
+      }
+      val sb = new StringBuilder(s"PREPARE ins(int, text) AS $pgStmt;\n")
+      (1 to n).foreach { k =>
+        sb.append(s"EXECUTE ins($k, 'v$k');\n")
+        // widen the kill window: ~6ms per row => ~1.2s full replay
+        if (throttle) sb.append("SELECT pg_sleep(0.006);\n")
+      }
+      val f = java.nio.file.Files.createTempFile("partret", ".sql")
+      java.nio.file.Files.writeString(f, sb.toString); f
+    }
+    // run 1: no ON CONFLICT (the pre-crash restore), killed mid-stream
+    val f1 = replayScript(onConflict = false, throttle = true)
+    val p = new ProcessBuilder("/bin/sh", "-c",
+      s"PGHOST=$sockDir PGUSER=graft /usr/bin/psql -X -q -o /dev/null -d partret -f $f1")
+      .redirectErrorStream(true).start()
+    Thread.sleep(600) // mid-stream (~half the rows at the throttle rate)
+    p.destroyForcibly(); p.waitFor()
+    val midCount = psql("partret", "SELECT count(*) FROM pr")._2.trim.toLong
+    assert(midCount < n, s"kill landed after completion ($midCount rows) — raise the throttle")
+    info(s"killed after $midCount/$n rows committed")
+    // run 2: the recovery re-run over ALL rows with ON CONFLICT DO
+    // NOTHING — already-committed rows skip server-side with no error
+    val f2 = replayScript(onConflict = true, throttle = false)
+    val (rc2, out2) = sh(s"PGHOST=$sockDir PGUSER=graft /usr/bin/psql -X -q -o /dev/null " +
+      s"-v ON_ERROR_STOP=1 -d partret -f $f2")
+    assert(rc2 == 0, s"recovery re-run failed: ${out2.takeRight(300)}")
+    // convergence: fingerprint-identical to the source, no duplicates
+    val (nGot, fpGot) = graft.sources.PgSource.tableFingerprint(
+      Seq("-d", s"host=$sockDir user=graft dbname=partret"), "pr")
+    val (nWant, _) = graft.sources.PgSource.tableFingerprint(
+      Seq("-d", s"host=$sockDir user=graft dbname=partret"), "pr_src")
+    assert(nGot == n.toLong && nWant == n.toLong)
+    val sameRows = psql("partret",
+      "SELECT count(*) FROM (SELECT k, v FROM pr EXCEPT SELECT k, v FROM pr_src " +
+        "UNION ALL SELECT k, v FROM pr_src EXCEPT SELECT k, v FROM pr) d")._2.trim
+    assert(sameRows == "0", s"content diverged after recovery: $sameRows rows differ")
+    // and WITHOUT the clause the naive re-run aborts on the first
+    // duplicate under ON_ERROR_STOP (why the flag exists)
+    val f3 = replayScript(onConflict = false, throttle = false)
+    val (rc3, out3) = sh(s"PGHOST=$sockDir PGUSER=graft /usr/bin/psql -X -q -o /dev/null " +
+      s"-v ON_ERROR_STOP=1 -d partret -f $f3")
+    assert(rc3 != 0 && out3.contains("duplicate key"), out3.takeRight(200))
+    java.nio.file.Files.delete(f1); java.nio.file.Files.delete(f2)
+    java.nio.file.Files.delete(f3)
+  }
+
   test("pg-dump --schema-only / --data-only: native -s/-a section shapes") {
     live()
     psql("postgres", "CREATE DATABASE secsrc")
