@@ -644,13 +644,26 @@ object Lifecycle {
             graft.sources.PgRestore.scriptsFromJson(
               Files.readString(Paths.get(f)))
         }.getOrElse(Map.empty[String, Seq[graft.sources.PgRestore.Script]])
+        // -t/-i selection (repeatable, native shape)
+        val selTables = rest.sliding(2).collect {
+          case Seq("--table" | "-t", v) => v }.toSeq
+        val selIndexes = rest.sliding(2).collect {
+          case Seq("--index" | "-i", v) => v }.toSeq
         graft.sources.PgRestore.restore(archDir, Seq("-d", conninfo),
           dataOnly = rest.contains("--data-only"),
           disableTriggers = rest.contains("--disable-triggers"),
           jobs = jobs, useList = useList,
           withDeps = rest.contains("--with-deps"),
           scripts = scripts,
-          restoreInOrder = rest.contains("--restore-in-order"))
+          restoreInOrder = rest.contains("--restore-in-order"),
+          // CLI default matches the native tool: CONTINUE past failed
+          // statements/COPYs (warn + closing summary); -e aborts on the
+          // first error (cmd/restore/restore.go:154)
+          exitOnError = rest.contains("--exit-on-error") || rest.contains("-e"),
+          clean = rest.contains("--clean") || rest.contains("-c"),
+          create = rest.contains("--create") || rest.contains("-C"),
+          tables = selTables, indexes = selIndexes,
+          strictNames = rest.contains("--strict-names"))
           .foreach(l => println(s"[pg-restore] $l"))
       case "pg-ingest" :: archDir :: outDir :: Nil =>
         // any pg_dump -Fd / reference-produced directory archive ->
@@ -757,7 +770,9 @@ object Lifecycle {
         System.err.println(
           "usage: dump <config.json> <sfDir> <outDir> | " +
             "pg-dump <config.json> <conninfo> <outDir> | " +
-            "pg-restore <archiveDir> <conninfo> [--data-only] [--disable-triggers] [--jobs N] | " +
+            "pg-restore <archiveDir> <conninfo> [--data-only] [--disable-triggers] " +
+            "[--jobs N] [-e|--exit-on-error] [-c|--clean] [-C|--create] " +
+            "[-t|--table name]... [-i|--index name]... [--strict-names] | " +
             "pg-ingest <archiveDir> <outDir> | " +
             "pg-diff <conninfoA> <conninfoB> <tables,csv> | " +
             "validate <config.json> <sfDir> | " +

@@ -470,10 +470,21 @@ object PgToc {
     // those archives write the 1.15 header (entry layout is unchanged
     // between 1.14 and 1.15 — the gates in between are header-only)
     val minor = if (algo >= 2) 15 else 14
+    // real pg_dump ALWAYS stores the DATABASE entry (CREATE + DROP
+    // statements; verified against pg_dump 15 toc.dat with and without
+    // -C) — restore-time --create/-C decides whether to execute it
+    val dbId = seqBase + sequences.size +
+      (if (largeObjects.nonEmpty) blobPre.size + 2 else 1)
+    val dbEntry = Entry(
+      dumpId = dbId, hadDumper = 0, oid = dbId.toLong,
+      tag = Some(dbName), desc = Some("DATABASE"), section = SectionPreData,
+      defn = Some(s"CREATE DATABASE ${graft.sources.PgSource.quoteIdent(dbName)};\n"),
+      dropStmt = Some(s"DROP DATABASE ${graft.sources.PgSource.quoteIdent(dbName)};\n"),
+      owner = Some(owner))
     val toc = Toc(Header(1, minor, 0, dbName = Some(dbName),
       remoteVersion = Some("15.0"), dumpVersion = Some("15.0"),
       compression = headerCompression(algo)),
-      schemaEntries ++ blobPre ++ dataEntries ++ seqEntries ++ blobData)
+      dbEntry +: (schemaEntries ++ blobPre ++ dataEntries ++ seqEntries ++ blobData))
     writeFile(toc, s"$outDir/toc.dat")
     toc
   }

@@ -247,7 +247,29 @@ object PgRestore {
     * [[graft.pipeline.Manifest.filtered]] discipline (iterative visited
     * set, cycle-safe) for users who list only the tables they want and
     * expect the DDL those tables need to come along; the native tool
-    * makes the user list everything, so the default matches it. */
+    * makes the user list everything, so the default matches it.
+    *
+    * Native failure/selection flags (reference passthrough surface,
+    * `cmd/restore/restore.go:146-217`; here there is no binary to
+    * delegate to, so each is EXECUTED, not forwarded):
+    *  - `exitOnError` (`-e`): abort on the first failed statement/COPY.
+    *    The API default stays fail-fast (library callers want loud
+    *    breakage); the CLI default matches the native tool — CONTINUE,
+    *    warn per failure, and close with `errors ignored on restore: N`
+    *    (`restorers/table.go:90-102`: a failed table rolls back ITS
+    *    transaction and the wave moves on). Exit-code-worthy archive
+    *    corruption (missing payload file) still always throws.
+    *  - `clean` (`-c`): replay each selected entry's dropStmt in reverse
+    *    TOC order before recreating. A failed drop (object absent, no
+    *    `--if-exists` here) follows the exitOnError rule, like native.
+    *  - `create` (`-C`): execute the archive's DATABASE entry against
+    *    the maintenance database derived from `psqlArgs` (dbname
+    *    swapped to `postgres`), then restore into the target as given.
+    *  - `tables`/`indexes` (`-t`/`-i`): restore only the named
+    *    relations/indexes (DDL + data for tables; nothing else — like
+    *    native, no schemas/blobs come along). `strictNames` makes each
+    *    name that matches nothing an error instead of an empty
+    *    selection. */
   def restore(dir: String, psqlArgs: Seq[String],
               dataOnly: Boolean = false,
               disableTriggers: Boolean = false,
@@ -255,7 +277,13 @@ object PgRestore {
               useList: Option[Seq[Int]] = None,
               withDeps: Boolean = false,
               scripts: Map[String, Seq[Script]] = Map.empty,
-              restoreInOrder: Boolean = false): Seq[String] = {
+              restoreInOrder: Boolean = false,
+              exitOnError: Boolean = true,
+              clean: Boolean = false,
+              create: Boolean = false,
+              tables: Seq[String] = Nil,
+              indexes: Seq[String] = Nil,
+              strictNames: Boolean = false): Seq[String] = {
     val fullToc = PgToc.readFile(s"$dir/toc.dat")
     val toc = useList match {
       case None => fullToc
@@ -282,19 +310,79 @@ object PgRestore {
           }
         fullToc.copy(entries = entries)
     }
+    // -t / -i selection: only the named relations (their DDL + data) and
+    // named indexes replay; everything else — other tables, schemas,
+    // blobs, ACLs — is excluded, exactly like the native flags
+    val relationDescs = Set("TABLE", "TABLE DATA", "VIEW",
+      "MATERIALIZED VIEW", "SEQUENCE", "SEQUENCE SET", "FOREIGN TABLE")
+    val selected =
+      if (tables.isEmpty && indexes.isEmpty) toc
+      else {
+        if (strictNames) {
+          tables.foreach(t => require(
+            toc.entries.exists(e => e.tag.contains(t) && e.desc.exists(relationDescs)),
+            s"""pg-restore: table "$t" not found in archive (--strict-names)"""))
+          indexes.foreach(i => require(
+            toc.entries.exists(e => e.tag.contains(i) && e.desc.contains("INDEX")),
+            s"""pg-restore: index "$i" not found in archive (--strict-names)"""))
+        }
+        toc.copy(entries = toc.entries.filter(e =>
+          (e.desc.exists(relationDescs) && e.tag.exists(tables.contains)) ||
+            (e.desc.contains("INDEX") && e.tag.exists(indexes.contains))))
+      }
     val skip = Set("DATABASE", "ENCODING", "STDSTRINGS", "SEARCHPATH")
     val pre =
       if (disableTriggers) Seq("SET session_replication_role = replica") else Nil
     val done = Seq.newBuilder[String]
 
+    // continue-mode error accounting (native default): each failure
+    // warns and counts; the run closes with the native tool's summary
+    val ignored = new java.util.concurrent.atomic.AtomicInteger(0)
+    def failOrWarn(msg: String): Unit =
+      if (exitOnError) throw new IllegalArgumentException(msg)
+      else {
+        ignored.incrementAndGet()
+        System.err.println(s"[pg-restore] warning: $msg (continuing)")
+      }
+
+    // -C: stand the target database up first, from the archive's own
+    // DATABASE entry, via the maintenance database (native reconnect
+    // dance; `cmd/restore.go:391+` delegates this section the same way)
+    if (create) {
+      val dbEntry = fullToc.entries.find(_.desc.contains("DATABASE")).getOrElse(
+        throw new IllegalArgumentException(
+          "pg-restore: --create needs a DATABASE entry in the archive"))
+      val sql = dbEntry.defn.filter(_.trim.nonEmpty).getOrElse(
+        throw new IllegalArgumentException(
+          "pg-restore: DATABASE entry carries no CREATE DATABASE statement"))
+      val (rc, out) = exec(maintenanceArgs(psqlArgs), sql)
+      require(rc == 0, s"pg-restore: CREATE DATABASE failed: $out")
+      done += s"DATABASE ${dbEntry.tag.getOrElse("?")}"
+    }
+
+    // -c: drop selected objects in reverse TOC order before recreating.
+    // A drop that fails (object absent; no --if-exists emitted here)
+    // follows the exitOnError rule — native counts those as ignored
+    // errors by default too.
+    if (clean && !dataOnly)
+      selected.entries.reverse.foreach { e =>
+        e.dropStmt.map(_.trim).filter(_.nonEmpty).foreach { sql =>
+          val (rc, out) = exec(psqlArgs, sql)
+          if (rc != 0) failOrWarn(
+            s"pg-restore: DROP for ${e.desc.getOrElse("?")} ${e.tag.getOrElse("?")} failed: ${out.trim}")
+        }
+      }
+
     def execDefn(e: PgToc.Entry): Unit = e.defn.filter(_.trim.nonEmpty).foreach { sql =>
       val (rc, out) = exec(psqlArgs, sql)
-      require(rc == 0,
+      if (rc != 0) failOrWarn(
         s"pg-restore: ${e.desc.getOrElse("?")} ${e.tag.getOrElse("?")} failed: $out")
-      done += s"${e.desc.getOrElse("?")} ${e.tag.getOrElse("?")}"
+      else done += s"${e.desc.getOrElse("?")} ${e.tag.getOrElse("?")}"
     }
 
     def loadTable(e: PgToc.Entry): Unit = {
+      // structural archive corruption always throws — a missing payload
+      // is not a per-table data error the server reported
       val base = e.fileName.filter(_.nonEmpty).getOrElse(
         throw new IllegalArgumentException(
           s"pg-restore: TABLE DATA ${e.tag.getOrElse("?")} has no data file"))
@@ -305,12 +393,15 @@ object PgRestore {
         throw new IllegalArgumentException(
           s"pg-restore: TABLE DATA ${e.tag.getOrElse("?")} has no COPY statement"))
       val (rc, out) = copyFrom(psqlArgs, pre, copySql, f)
-      require(rc == 0, s"pg-restore: COPY ${e.tag.getOrElse("?")} failed: $out")
+      // a failed COPY rolled back ITS table's transaction server-side;
+      // without -e the wave moves on (restorers/table.go:90-102)
+      if (rc != 0)
+        failOrWarn(s"pg-restore: COPY ${e.tag.getOrElse("?")} failed: ${out.trim}")
     }
 
     // dependency WAVES inside the data section: a data entry whose deps
     // include another data entry waits for it; independents run together
-    val dataEntries = toc.entries.filter(_.desc.contains("TABLE DATA"))
+    val dataEntries = selected.entries.filter(_.desc.contains("TABLE DATA"))
     val dataIds = dataEntries.map(_.dumpId).toSet
     def waves(remaining: Seq[PgToc.Entry], doneIds: Set[Int],
               acc: Seq[Seq[PgToc.Entry]]): Seq[Seq[PgToc.Entry]] =
@@ -326,7 +417,7 @@ object PgRestore {
     // 1. schema + pre-data statements, TOC order (unless data-only) —
     // user scripts bracket the section (reference cmd/restore.go:381,446)
     done ++= runScripts(psqlArgs, scripts, "pre-data", "before")
-    toc.entries.filter(e => e.section == PgToc.SectionPreData ||
+    selected.entries.filter(e => e.section == PgToc.SectionPreData ||
         e.section == PgToc.SectionNone).foreach { e =>
       val d = e.desc.getOrElse("")
       if (!skip(d) && !dataOnly) execDefn(e)
@@ -352,17 +443,39 @@ object PgRestore {
       } finally ec.shutdown()
     }
     // 3. remaining data-section statements (SEQUENCE SET) + blobs
-    toc.entries.filter(e => e.section == PgToc.SectionData &&
+    selected.entries.filter(e => e.section == PgToc.SectionData &&
       e.desc.contains("SEQUENCE SET")).foreach(execDefn)
-    if (toc.entries.exists(_.desc.contains("BLOBS")))
+    if (selected.entries.exists(_.desc.contains("BLOBS")))
       done ++= restoreBlobs(dir, psqlArgs, createOids = dataOnly)
     done ++= runScripts(psqlArgs, scripts, "data", "after")
     // 4. post-data (constraints, indexes, FKs) + ACLs (unless data-only)
     done ++= runScripts(psqlArgs, scripts, "post-data", "before")
     if (!dataOnly) {
-      toc.entries.filter(_.section == PgToc.SectionPostData).foreach(execDefn)
+      selected.entries.filter(_.section == PgToc.SectionPostData).foreach(execDefn)
     }
     done ++= runScripts(psqlArgs, scripts, "post-data", "after")
+    // native closing summary (pg_restore prints "errors ignored on
+    // restore: N" when it continued past failures)
+    if (ignored.get() > 0) done += s"errors ignored on restore: ${ignored.get()}"
     done.result()
+  }
+
+  /** Derive maintenance-database args from target args for `--create`:
+    * the dbname (conninfo `dbname=` keyword, or the bare value after
+    * `-d`) swaps to `postgres`. Covers the arg shapes this engine
+    * produces; anything else fails loudly rather than connect wrong. */
+  private[graft] def maintenanceArgs(psqlArgs: Seq[String]): Seq[String] = {
+    var swapped = false
+    val out = psqlArgs.zipWithIndex.map { case (a, i) =>
+      if (a.contains("dbname=")) {
+        swapped = true; a.replaceAll("dbname=\\S+", "dbname=postgres")
+      } else if (i > 0 && psqlArgs(i - 1) == "-d" && !a.contains("=")) {
+        swapped = true; "postgres"
+      } else a
+    }
+    require(swapped,
+      "pg-restore: --create needs a dbname in the connection args to swap " +
+        "for the maintenance connection")
+    out
   }
 }

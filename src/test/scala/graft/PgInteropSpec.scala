@@ -594,6 +594,78 @@ class PgInteropSpec extends SparkSpec {
     assert(psql("insmode", "SELECT count(*) FROM idt")._2.trim == "2")
   }
 
+  test("pg-restore native flags: --exit-on-error, --clean, --create, -t, --strict-names") {
+    live()
+    import spark.implicits._
+    // archive with two tables; `bad` carries DUPLICATE keys so a target
+    // that declares a PRIMARY KEY poisons its COPY
+    val good = (1L to 40L).map(i => (i, s"g$i")).toDF("k", "v")
+    val bad = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
+    val arch = s"$base/flags_arch"
+    PgToc.dumpArchive(Seq("good" -> good, "bad" -> bad), arch, "flagtgt",
+      includeSchema = true)
+    val conn = s"host=$sockDir dbname=flagtgt user=graft"
+
+    // --create: the DATABASE entry (stored unconditionally, like real
+    // pg_dump) stands the target up via the maintenance connection
+    assert(psql("flagtgt", "SELECT 1")._1 != 0, "target must not pre-exist")
+    graft.sources.PgRestore.restore(arch, Seq("-d", conn), create = true)
+    assert(psql("flagtgt", "SELECT count(*) FROM good")._2.trim == "40")
+
+    // poison `bad`: re-create it with a PRIMARY KEY the archive's
+    // duplicate rows violate
+    psql("flagtgt", "DROP TABLE bad")
+    psql("flagtgt", "CREATE TABLE bad(k bigint PRIMARY KEY, v text)")
+    psql("flagtgt", "DELETE FROM good") // avoid dup noise on re-COPY
+
+    // WITH -e (exitOnError): first failure aborts the restore
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.PgRestore.restore(arch, Seq("-d", conn),
+        dataOnly = true, exitOnError = true)
+    }
+    assert(e.getMessage.contains("COPY bad failed"), e.getMessage)
+
+    // WITHOUT -e (native default): the failed table's transaction rolls
+    // back, the wave continues, and the run closes with the summary line
+    psql("flagtgt", "DELETE FROM good")
+    val lines = graft.sources.PgRestore.restore(arch, Seq("-d", conn),
+      dataOnly = true, exitOnError = false)
+    assert(lines.exists(_.startsWith("errors ignored on restore:")), lines)
+    assert(psql("flagtgt", "SELECT count(*) FROM good")._2.trim == "40",
+      "continue-mode must still load the healthy table")
+    assert(psql("flagtgt", "SELECT count(*) FROM bad")._2.trim == "0",
+      "the poisoned COPY rolled back — no partial rows")
+
+    // -t selection: only the named table (DDL + data) replays; --clean
+    // drops it first so the replay into a non-empty target succeeds
+    psql("flagtgt", "INSERT INTO good VALUES (999, 'stale')")
+    graft.sources.PgRestore.restore(arch, Seq("-d", conn),
+      clean = true, tables = Seq("good"), exitOnError = true)
+    assert(psql("flagtgt", "SELECT count(*), max(k) FROM good")._2.trim == "40|40",
+      "--clean must have dropped the stale row before re-creating")
+    assert(psql("flagtgt", "SELECT count(*) FROM bad")._2.trim == "0",
+      "-t good must not touch bad")
+
+    // --strict-names: a selection that matches nothing is an error with
+    // it, an empty (no-op) selection without it
+    val s = intercept[IllegalArgumentException] {
+      graft.sources.PgRestore.restore(arch, Seq("-d", conn),
+        tables = Seq("nope"), strictNames = true)
+    }
+    assert(s.getMessage.contains("\"nope\" not found"), s.getMessage)
+    assert(graft.sources.PgRestore.restore(arch, Seq("-d", conn),
+      tables = Seq("nope")).isEmpty, "non-strict unmatched selection is empty")
+
+    // maintenance-args derivation covers both arg shapes
+    assert(graft.sources.PgRestore.maintenanceArgs(
+      Seq("-d", "host=/x dbname=foo user=u")) ==
+      Seq("-d", "host=/x dbname=postgres user=u"))
+    assert(graft.sources.PgRestore.maintenanceArgs(Seq("-d", "foo")) ==
+      Seq("-d", "postgres"))
+    intercept[IllegalArgumentException](
+      graft.sources.PgRestore.maintenanceArgs(Seq("-h", "/x")))
+  }
+
   test("killed-mid-stream INSERT replay re-runs to fingerprint parity with ON CONFLICT DO NOTHING") {
     live()
     // The reference's abort-and-retry story for INSERT-format restores
