@@ -58,10 +58,15 @@ object StreamingMask {
       .schema(binarySchema)
       .load(dir)
       .select("path").as[String]
-      // our own compressed dumps land WITH their `.idx` member sidecar;
-      // a sidecar is metadata, not a COPY payload — decoding one would
-      // inject its header/offset lines as data rows
-      .filter(p => !p.endsWith(".idx"))
+      // only COPY payloads decode: a LIVE archive dir also holds the
+      // binary toc.dat, metadata.json, the heartbeat stamp, and `.idx`
+      // member sidecars — decoding any of those would inject junk rows
+      // (found composing the live pg-dump -> watch-dir flow, r13). The
+      // scaladoc contract is `.dat[.gz/.lz4/.zst]`; enforce exactly it.
+      .filter { p =>
+        val name = new org.apache.hadoop.fs.Path(p).getName
+        name != "toc.dat" && name.matches(""".*\.dat(\.(gz|lz4|zst))?$""")
+      }
       .flatMap { p =>
         graft.sources.CopyText.linesFrom(p, 0L,
           Long.MaxValue, graft.sources.Compress.algoOfFile(p))

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.pipeline.PgToc
+import graft.streaming.StreamingMask
 
 /** LIVE PostgreSQL interop — the strongest archive-compat evidence
   * available: a scratch single-user cluster (initdb + pg_ctl on a unix
@@ -592,6 +593,69 @@ class PgInteropSpec extends SparkSpec {
       overridingSystemValue = true)
     assert(prepared(bothSql, Seq("bigint", "int", "text"), "42, 2, 'again'")._1 == 0)
     assert(psql("insmode", "SELECT count(*) FROM idt")._2.trim == "2")
+  }
+
+  test("composed streaming flow: live PG -> pg-dump zstd watch dir -> copyIngestStream masks -> batch parity") {
+    live()
+    import spark.implicits._
+    import graft.pipeline.{ColumnTransform, Planner, TableConfig}
+    import graft.transformers.Masking
+    // live source
+    psql("postgres", "CREATE DATABASE streamsrc")
+    psql("streamsrc", "CREATE TABLE pii(id int, name text, email text)")
+    psql("streamsrc",
+      "INSERT INTO pii SELECT g, 'user'||g, 'u'||g||'@x.io' FROM generate_series(1, 300) g")
+    val conninfo = s"host=$sockDir user=graft dbname=streamsrc"
+
+    // UNMASKED zstd dump lands in the watch dir — the stream is the
+    // masking stage here (the dump spool -> continuous-ingest shape)
+    val watchDir = s"$base/stream_watch"
+    graft.Lifecycle.pgDump(spark, """{"tables":[{"table":"pii"}]}""",
+      conninfo, watchDir, schemaFromSource = false, compress = "zstd")
+    assert(new java.io.File(watchDir).listFiles().exists(_.getName.endsWith(".dat.zst")))
+
+    val cfg = TableConfig("pii",
+      transforms = Seq(ColumnTransform("name", Masking("name"))))
+    // the stream watches the LIVE archive dir — toc.dat, metadata.json,
+    // the heartbeat stamp and .idx sidecars all sit next to the payload
+    // and must never decode as COPY rows
+    val decoded = StreamingMask.copyIngestStream(spark, watchDir,
+      Seq("id", "name", "email"))
+    val maskedStream = StreamingMask.maskStream(decoded, cfg)
+    val q = maskedStream.writeStream.format("memory")
+      .queryName("pg_stream_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def streamed(): Set[(String, String, String)] =
+        spark.table("pg_stream_out").as[(String, String, String)].collect().toSet
+      // batch twin: same archive payload through the batch loader + the
+      // same masking plan
+      def batchMasked(dir: String): Set[(String, String, String)] =
+        graft.sources.PgArchive.load(spark, dir).collect { case ("pii", df) =>
+          Planner.plan(df, cfg).as[(String, String, String)].collect().toSet
+        }.head
+      val b1 = batchMasked(watchDir)
+      assert(b1.size == 300)
+      assert(streamed() == b1, "stream-masked rows must equal batch-masked rows")
+
+      // continuous: more source rows, a SECOND dump spools in — the new
+      // member lands in the watch dir and only the new rows stream
+      psql("streamsrc",
+        "INSERT INTO pii SELECT g, 'user'||g, 'u'||g||'@x.io' FROM generate_series(301, 380) g")
+      psql("streamsrc", "DELETE FROM pii WHERE id <= 300")
+      val dir2 = s"$base/stream_watch_2"
+      graft.Lifecycle.pgDump(spark, """{"tables":[{"table":"pii"}]}""",
+        conninfo, dir2, schemaFromSource = false, compress = "zstd")
+      val member2 = new java.io.File(dir2).listFiles()
+        .find(_.getName.endsWith(".dat.zst")).get
+      java.nio.file.Files.copy(member2.toPath,
+        java.nio.file.Paths.get(watchDir, "late_spool.dat.zst"))
+      q.processAllAvailable()
+      val b2 = batchMasked(dir2)
+      assert(b2.size == 80)
+      assert(streamed() == b1 ++ b2,
+        "late spool member must stream exactly the second batch's rows")
+    } finally q.stop()
   }
 
   test("pg-restore native flags: --exit-on-error, --clean, --create, -t, --strict-names") {
