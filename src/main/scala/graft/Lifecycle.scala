@@ -663,7 +663,12 @@ object Lifecycle {
           clean = rest.contains("--clean") || rest.contains("-c"),
           create = rest.contains("--create") || rest.contains("-C"),
           tables = selTables, indexes = selIndexes,
-          strictNames = rest.contains("--strict-names"))
+          strictNames = rest.contains("--strict-names"),
+          ifExists = rest.contains("--if-exists"),
+          section = rest.collectFirst {
+            case a if a.startsWith("--section=") => a.stripPrefix("--section=")
+          },
+          noDataForFailedTables = rest.contains("--no-data-for-failed-tables"))
           .foreach(l => println(s"[pg-restore] $l"))
       case "pg-ingest" :: archDir :: outDir :: Nil =>
         // any pg_dump -Fd / reference-produced directory archive ->
@@ -772,7 +777,9 @@ object Lifecycle {
             "pg-dump <config.json> <conninfo> <outDir> | " +
             "pg-restore <archiveDir> <conninfo> [--data-only] [--disable-triggers] " +
             "[--jobs N] [-e|--exit-on-error] [-c|--clean] [-C|--create] " +
-            "[-t|--table name]... [-i|--index name]... [--strict-names] | " +
+            "[-t|--table name]... [-i|--index name]... [--strict-names] " +
+            "[--if-exists] [--section=pre-data|data|post-data] " +
+            "[--no-data-for-failed-tables] | " +
             "pg-ingest <archiveDir> <outDir> | " +
             "pg-diff <conninfoA> <conninfoB> <tables,csv> | " +
             "validate <config.json> <sfDir> | " +

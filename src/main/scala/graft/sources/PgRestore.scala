@@ -283,7 +283,18 @@ object PgRestore {
               create: Boolean = false,
               tables: Seq[String] = Nil,
               indexes: Seq[String] = Nil,
-              strictNames: Boolean = false): Seq[String] = {
+              strictNames: Boolean = false,
+              ifExists: Boolean = false,
+              section: Option[String] = None,
+              noDataForFailedTables: Boolean = false): Seq[String] = {
+    section.foreach(s => require(ScriptSections.contains(s),
+      s"pg-restore: --section must be pre-data|data|post-data, got $s"))
+    // --section=X restores ONE section; dataOnly is the legacy -a alias
+    // for the data section (native pg_restore treats them equivalently
+    // for data; -a additionally implies no DDL anywhere, same thing)
+    val runPre = section.forall(_ == "pre-data") && !dataOnly
+    val runData = section.forall(_ == "data")
+    val runPost = section.forall(_ == "post-data") && !dataOnly
     val fullToc = PgToc.readFile(s"$dir/toc.dat")
     val toc = useList match {
       case None => fullToc
@@ -361,26 +372,44 @@ object PgRestore {
     }
 
     // -c: drop selected objects in reverse TOC order before recreating.
-    // A drop that fails (object absent; no --if-exists emitted here)
-    // follows the exitOnError rule — native counts those as ignored
-    // errors by default too.
-    if (clean && !dataOnly)
-      selected.entries.reverse.foreach { e =>
-        e.dropStmt.map(_.trim).filter(_.nonEmpty).foreach { sql =>
+    // A drop that fails (object absent) follows the exitOnError rule —
+    // native counts those as ignored errors by default too — unless
+    // --if-exists rewrote it to tolerate absence (the native pairing).
+    if (clean && runPre && !dataOnly)
+      selected.entries.reverse
+        // session-level entries (DATABASE, ENCODING, ...) are skipped in
+        // replay, so their drops are skipped too — native -c never drops
+        // the target database unless -C re-creates it via maintenance
+        .filterNot(_.desc.exists(skip)).foreach { e =>
+        e.dropStmt.map(_.trim).filter(_.nonEmpty).foreach { raw =>
+          val sql = if (ifExists) injectIfExists(raw) else raw
           val (rc, out) = exec(psqlArgs, sql)
           if (rc != 0) failOrWarn(
             s"pg-restore: DROP for ${e.desc.getOrElse("?")} ${e.tag.getOrElse("?")} failed: ${out.trim}")
         }
       }
 
+    // --no-data-for-failed-tables: a TABLE whose CREATE failed (already
+    // exists, usually) must not have the archive's data appended on top
+    // of whatever it holds — the native flag's whole point
+    val failedTables = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
     def execDefn(e: PgToc.Entry): Unit = e.defn.filter(_.trim.nonEmpty).foreach { sql =>
       val (rc, out) = exec(psqlArgs, sql)
-      if (rc != 0) failOrWarn(
-        s"pg-restore: ${e.desc.getOrElse("?")} ${e.tag.getOrElse("?")} failed: $out")
+      if (rc != 0) {
+        if (e.desc.contains("TABLE")) e.tag.foreach(failedTables.add)
+        failOrWarn(
+          s"pg-restore: ${e.desc.getOrElse("?")} ${e.tag.getOrElse("?")} failed: $out")
+      }
       else done += s"${e.desc.getOrElse("?")} ${e.tag.getOrElse("?")}"
     }
 
     def loadTable(e: PgToc.Entry): Unit = {
+      if (noDataForFailedTables && e.tag.exists(failedTables.contains)) {
+        System.err.println(s"[pg-restore] table ${e.tag.get} could not be " +
+          "created, will not restore its data (--no-data-for-failed-tables)")
+        return
+      }
       // structural archive corruption always throws — a missing payload
       // is not a per-table data error the server reported
       val base = e.fileName.filter(_.nonEmpty).getOrElse(
@@ -414,51 +443,71 @@ object PgRestore {
         waves(blocked, doneIds ++ ready.map(_.dumpId), acc :+ ready)
       }
 
-    // 1. schema + pre-data statements, TOC order (unless data-only) —
-    // user scripts bracket the section (reference cmd/restore.go:381,446)
-    done ++= runScripts(psqlArgs, scripts, "pre-data", "before")
-    selected.entries.filter(e => e.section == PgToc.SectionPreData ||
-        e.section == PgToc.SectionNone).foreach { e =>
-      val d = e.desc.getOrElse("")
-      if (!skip(d) && !dataOnly) execDefn(e)
+    // 1. schema + pre-data statements, TOC order (unless data-only or
+    // --section scoped it out) — user scripts bracket the sections that
+    // RUN (reference cmd/restore.go:381,446)
+    if (runPre) {
+      done ++= runScripts(psqlArgs, scripts, "pre-data", "before")
+      selected.entries.filter(e => e.section == PgToc.SectionPreData ||
+          e.section == PgToc.SectionNone).foreach { e =>
+        val d = e.desc.getOrElse("")
+        if (!skip(d)) execDefn(e)
+      }
+      done ++= runScripts(psqlArgs, scripts, "pre-data", "after")
     }
-    done ++= runScripts(psqlArgs, scripts, "pre-data", "after")
     // 2. data: tables in dependency waves through a worker pool — or,
     // under the native --restore-in-order flag, strictly sequentially in
     // TOC/list order (deterministic replay; what the reference's flag
     // disables parallel reordering for)
-    done ++= runScripts(psqlArgs, scripts, "data", "before")
-    import scala.concurrent.{Await, Future, ExecutionContext}
-    import scala.concurrent.duration.Duration
-    if (restoreInOrder)
-      dataEntries.foreach { e =>
-        loadTable(e); done += s"TABLE DATA ${e.tag.getOrElse("?")}"
+    if (runData) {
+      done ++= runScripts(psqlArgs, scripts, "data", "before")
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      import scala.concurrent.duration.Duration
+      if (restoreInOrder)
+        dataEntries.foreach { e =>
+          loadTable(e); done += s"TABLE DATA ${e.tag.getOrElse("?")}"
+        }
+      else {
+        val ec = ExecutionContext.fromExecutorService(
+          java.util.concurrent.Executors.newFixedThreadPool(math.max(1, jobs)))
+        try waves(dataEntries, Set.empty, Nil).foreach { wave =>
+          wave.map(e => Future(loadTable(e))(ec)).foreach(Await.result(_, Duration.Inf))
+          wave.foreach(e => done += s"TABLE DATA ${e.tag.getOrElse("?")}")
+        } finally ec.shutdown()
       }
-    else {
-      val ec = ExecutionContext.fromExecutorService(
-        java.util.concurrent.Executors.newFixedThreadPool(math.max(1, jobs)))
-      try waves(dataEntries, Set.empty, Nil).foreach { wave =>
-        wave.map(e => Future(loadTable(e))(ec)).foreach(Await.result(_, Duration.Inf))
-        wave.foreach(e => done += s"TABLE DATA ${e.tag.getOrElse("?")}")
-      } finally ec.shutdown()
+      // remaining data-section statements (SEQUENCE SET) + blobs
+      selected.entries.filter(e => e.section == PgToc.SectionData &&
+        e.desc.contains("SEQUENCE SET")).foreach(execDefn)
+      if (selected.entries.exists(_.desc.contains("BLOBS")))
+        done ++= restoreBlobs(dir, psqlArgs, createOids = dataOnly)
+      done ++= runScripts(psqlArgs, scripts, "data", "after")
     }
-    // 3. remaining data-section statements (SEQUENCE SET) + blobs
-    selected.entries.filter(e => e.section == PgToc.SectionData &&
-      e.desc.contains("SEQUENCE SET")).foreach(execDefn)
-    if (selected.entries.exists(_.desc.contains("BLOBS")))
-      done ++= restoreBlobs(dir, psqlArgs, createOids = dataOnly)
-    done ++= runScripts(psqlArgs, scripts, "data", "after")
-    // 4. post-data (constraints, indexes, FKs) + ACLs (unless data-only)
-    done ++= runScripts(psqlArgs, scripts, "post-data", "before")
-    if (!dataOnly) {
+    // 3. post-data (constraints, indexes, FKs) + ACLs
+    if (runPost) {
+      done ++= runScripts(psqlArgs, scripts, "post-data", "before")
       selected.entries.filter(_.section == PgToc.SectionPostData).foreach(execDefn)
+      done ++= runScripts(psqlArgs, scripts, "post-data", "after")
     }
-    done ++= runScripts(psqlArgs, scripts, "post-data", "after")
     // native closing summary (pg_restore prints "errors ignored on
     // restore: N" when it continued past failures)
     if (ignored.get() > 0) done += s"errors ignored on restore: ${ignored.get()}"
     done.result()
   }
+
+  /** `--if-exists` rewrite: native pg_restore injects IF EXISTS into the
+    * stored drop command textually (pg_backup_archiver.c RestoreArchive's
+    * DROP rewriting) — `DROP <type words> <name>` gains IF EXISTS after
+    * the type words, and `ALTER TABLE ... DROP CONSTRAINT name` after
+    * DROP CONSTRAINT. Statements that already carry it pass through. */
+  private[graft] def injectIfExists(drop: String): String =
+    if (drop.contains("IF EXISTS")) drop
+    else if (drop.contains(" DROP CONSTRAINT "))
+      drop.replaceFirst(" DROP CONSTRAINT ", " DROP CONSTRAINT IF EXISTS ")
+    else
+      // type words = everything between DROP and the identifier; the
+      // identifier starts at the last space-delimited token (possibly
+      // schema-qualified/quoted, never containing an unquoted space)
+      "^DROP ((?:[A-Z]+ )+)".r.replaceFirstIn(drop, "DROP $1IF EXISTS ")
 
   /** Derive maintenance-database args from target args for `--create`:
     * the dbname (conninfo `dbname=` keyword, or the bare value after

@@ -730,6 +730,72 @@ class PgInteropSpec extends SparkSpec {
       graft.sources.PgRestore.maintenanceArgs(Seq("-h", "/x")))
   }
 
+  test("pg-restore: --if-exists, --section, --no-data-for-failed-tables") {
+    live()
+    import spark.implicits._
+    val good = (1L to 10L).map(i => (i, s"g$i")).toDF("k", "v")
+    val arch = s"$base/flags2_arch"
+    PgToc.dumpArchive(Seq("ietab" -> good), arch, "ietgt", includeSchema = true)
+    psql("postgres", "CREATE DATABASE ietgt")
+    val conn = s"host=$sockDir dbname=ietgt user=graft"
+
+    // --clean on an EMPTY database: without --if-exists the drop errors
+    // (counted, continue-mode) — with it the drop is a clean no-op
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.PgRestore.restore(arch, Seq("-d", conn),
+        clean = true, exitOnError = true)
+    }
+    assert(e.getMessage.contains("DROP for"), e.getMessage)
+    val lines = graft.sources.PgRestore.restore(arch, Seq("-d", conn),
+      clean = true, ifExists = true, exitOnError = true)
+    assert(!lines.exists(_.startsWith("errors ignored")), lines)
+    assert(psql("ietgt", "SELECT count(*) FROM ietab")._2.trim == "10")
+    // idempotent now: clean+if-exists replays over the populated target
+    graft.sources.PgRestore.restore(arch, Seq("-d", conn),
+      clean = true, ifExists = true, exitOnError = true)
+    assert(psql("ietgt", "SELECT count(*) FROM ietab")._2.trim == "10")
+
+    // the textual rewrite itself (native pg_backup_archiver shape)
+    assert(graft.sources.PgRestore.injectIfExists("DROP TABLE public.t;\n")
+      == "DROP TABLE IF EXISTS public.t;\n")
+    assert(graft.sources.PgRestore.injectIfExists(
+      "DROP MATERIALIZED VIEW public.mv;\n")
+      == "DROP MATERIALIZED VIEW IF EXISTS public.mv;\n")
+    assert(graft.sources.PgRestore.injectIfExists(
+      "ALTER TABLE t DROP CONSTRAINT c_pk;\n")
+      == "ALTER TABLE t DROP CONSTRAINT IF EXISTS c_pk;\n")
+    assert(graft.sources.PgRestore.injectIfExists(
+      "DROP TABLE IF EXISTS t;\n") == "DROP TABLE IF EXISTS t;\n")
+
+    // --section: pre-data creates the (empty) table, data fills it
+    psql("postgres", "CREATE DATABASE sectgt")
+    val connS = s"host=$sockDir dbname=sectgt user=graft"
+    graft.sources.PgRestore.restore(arch, Seq("-d", connS),
+      section = Some("pre-data"), exitOnError = true)
+    assert(psql("sectgt", "SELECT count(*) FROM ietab")._2.trim == "0",
+      "--section=pre-data must move no data")
+    graft.sources.PgRestore.restore(arch, Seq("-d", connS),
+      section = Some("data"), exitOnError = true)
+    assert(psql("sectgt", "SELECT count(*) FROM ietab")._2.trim == "10")
+    intercept[IllegalArgumentException](graft.sources.PgRestore.restore(
+      arch, Seq("-d", connS), section = Some("nope")))
+
+    // --no-data-for-failed-tables: a table whose CREATE failed (already
+    // exists, holding its OWN rows) must not get archive data appended
+    psql("postgres", "CREATE DATABASE ndftgt")
+    val connN = s"host=$sockDir dbname=ndftgt user=graft"
+    psql("ndftgt", "CREATE TABLE ietab(k bigint, v text)")
+    psql("ndftgt", "INSERT INTO ietab VALUES (99, 'mine')")
+    graft.sources.PgRestore.restore(arch, Seq("-d", connN),
+      exitOnError = false, noDataForFailedTables = true)
+    assert(psql("ndftgt", "SELECT count(*), min(v) FROM ietab")._2.trim == "1|mine",
+      "existing table's rows must stay untouched, archive data skipped")
+    // contrast: without the flag the data DOES land (native default)
+    graft.sources.PgRestore.restore(arch, Seq("-d", connN),
+      exitOnError = false)
+    assert(psql("ndftgt", "SELECT count(*) FROM ietab")._2.trim == "11")
+  }
+
   test("killed-mid-stream INSERT replay re-runs to fingerprint parity with ON CONFLICT DO NOTHING") {
     live()
     // The reference's abort-and-retry story for INSERT-format restores
