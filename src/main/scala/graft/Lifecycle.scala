@@ -632,10 +632,20 @@ object Lifecycle {
         // --use-list <file>: the native -L — restore only (and in the
         // order of) the listed dumpIds; --with-deps adds each listed
         // entry's transitive dependency closure
+        // --list-format text|json|yaml (reference restore.go:67-69):
+        // text = the pg_restore -l shape; json/yaml = a metadata document
+        // whose entries[].dumpId form the list (a manifest.json works)
+        val listFormat = rest.collectFirst {
+          case a if a.startsWith("--list-format=") =>
+            a.stripPrefix("--list-format=")
+        }.getOrElse("text")
         val useList = rest.sliding(2).collectFirst {
           case Seq("--use-list", f) =>
-            graft.sources.PgRestore.parseRestoreList(
-              Files.readString(Paths.get(f)))
+            val text = Files.readString(Paths.get(f))
+            if (listFormat == "text")
+              graft.sources.PgRestore.parseRestoreList(text)
+            else
+              graft.sources.PgRestore.parseStructuredRestoreList(text, listFormat)
         }
         // --scripts <json>: the reference's restore.scripts block —
         // per-section before/after hooks (query / query_file / command)

@@ -494,6 +494,35 @@ object PgRestore {
     done.result()
   }
 
+  /** Structured use-list (`--list-format=json|yaml`, reference
+    * `cmd/restore.go:953-995` parseStructuredList): a metadata document
+    * whose `entries[].dumpId` fields form the restore list in order —
+    * the engine's own manifest.json is exactly this shape, so a dump's
+    * manifest doubles as its restore list. dumpId 0 or missing is a
+    * broken file (the reference's error, same message shape). */
+  def parseStructuredRestoreList(text: String, format: String): Seq[Int] = {
+    val mapper = format match {
+      case "json" => new com.fasterxml.jackson.databind.ObjectMapper()
+      case "yaml" => new com.fasterxml.jackson.databind.ObjectMapper(
+        new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+      case other => throw new IllegalArgumentException(
+        s"pg-restore: --list-format must be text|json|yaml, got $other")
+    }
+    val root = mapper.readTree(text)
+    // the reference's metadata document wraps the list in `entries`; the
+    // engine's own manifest.json IS the bare entry array — accept both
+    val entries = if (root.isArray) root else root.get("entries")
+    require(entries != null && entries.isArray,
+      "pg-restore: structured list file has no entries array")
+    import scala.jdk.CollectionConverters._
+    entries.elements().asScala.zipWithIndex.map { case (e, idx) =>
+      val id = Option(e.get("dumpId")).map(_.asInt(0)).getOrElse(0)
+      require(id != 0,
+        s"broken list file dumpId: must not be 0: entry number $idx")
+      id
+    }.toSeq
+  }
+
   /** `--if-exists` rewrite: native pg_restore injects IF EXISTS into the
     * stored drop command textually (pg_backup_archiver.c RestoreArchive's
     * DROP rewriting) — `DROP <type words> <name>` gains IF EXISTS after

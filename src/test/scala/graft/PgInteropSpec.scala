@@ -730,6 +730,33 @@ class PgInteropSpec extends SparkSpec {
       graft.sources.PgRestore.maintenanceArgs(Seq("-h", "/x")))
   }
 
+  test("structured use-list: --list-format json/yaml parse entries[].dumpId in order") {
+    import graft.sources.PgRestore
+    val json = """{"entries":[{"dumpId":7,"table":"a"},{"dumpId":3,"table":"b"}]}"""
+    assert(PgRestore.parseStructuredRestoreList(json, "json") == Seq(7, 3))
+    val yaml = "entries:\n  - dumpId: 7\n    table: a\n  - dumpId: 3\n    table: b\n"
+    assert(PgRestore.parseStructuredRestoreList(yaml, "yaml") == Seq(7, 3))
+    // dumpId 0 / missing = broken file (reference's error)
+    val broken = intercept[IllegalArgumentException](
+      PgRestore.parseStructuredRestoreList("""{"entries":[{"table":"x"}]}""", "json"))
+    assert(broken.getMessage.contains("must not be 0"), broken.getMessage)
+    intercept[IllegalArgumentException](
+      PgRestore.parseStructuredRestoreList("{}", "json"))
+    intercept[IllegalArgumentException](
+      PgRestore.parseStructuredRestoreList("{}", "toml"))
+    // the engine's own manifest.json IS the structured shape
+    val dir = java.nio.file.Files.createTempDirectory("graft_lf").toString
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("id", "v")
+    df.write.mode("overwrite").parquet(s"$dir/t")
+    graft.pipeline.Manifest.write(
+      graft.pipeline.Manifest.build(Seq(("t", df, s"$dir/t")), refs = Nil),
+      s"$dir/manifest.json")
+    val ids = PgRestore.parseStructuredRestoreList(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/manifest.json")), "json")
+    assert(ids.nonEmpty && ids.forall(_ > 0))
+  }
+
   test("pg-restore: --if-exists, --section, --no-data-for-failed-tables") {
     live()
     import spark.implicits._
