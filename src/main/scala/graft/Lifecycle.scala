@@ -678,7 +678,9 @@ object Lifecycle {
           section = rest.collectFirst {
             case a if a.startsWith("--section=") => a.stripPrefix("--section=")
           },
-          noDataForFailedTables = rest.contains("--no-data-for-failed-tables"))
+          noDataForFailedTables = rest.contains("--no-data-for-failed-tables"),
+          noOwner = rest.contains("--no-owner") || rest.contains("-O"),
+          noPrivileges = rest.contains("--no-privileges") || rest.contains("-X"))
           .foreach(l => println(s"[pg-restore] $l"))
       case "pg-ingest" :: archDir :: outDir :: Nil =>
         // any pg_dump -Fd / reference-produced directory archive ->

@@ -286,7 +286,9 @@ object PgRestore {
               strictNames: Boolean = false,
               ifExists: Boolean = false,
               section: Option[String] = None,
-              noDataForFailedTables: Boolean = false): Seq[String] = {
+              noDataForFailedTables: Boolean = false,
+              noOwner: Boolean = false,
+              noPrivileges: Boolean = false): Seq[String] = {
     section.foreach(s => require(ScriptSections.contains(s),
       s"pg-restore: --section must be pre-data|data|post-data, got $s"))
     // --section=X restores ONE section; dataOnly is the legacy -a alias
@@ -394,14 +396,54 @@ object PgRestore {
     // of whatever it holds — the native flag's whole point
     val failedTables = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-    def execDefn(e: PgToc.Entry): Unit = e.defn.filter(_.trim.nonEmpty).foreach { sql =>
-      val (rc, out) = exec(psqlArgs, sql)
-      if (rc != 0) {
-        if (e.desc.contains("TABLE")) e.tag.foreach(failedTables.add)
-        failOrWarn(
-          s"pg-restore: ${e.desc.getOrElse("?")} ${e.tag.getOrElse("?")} failed: $out")
+    // ownership lives in the TOC's OWNER FIELD (verified against real
+    // pg_dump 15 toc.dat): native pg_restore SYNTHESIZES the
+    // `ALTER <type> <name> OWNER TO <role>` statement from it at restore
+    // time, and -O suppresses exactly that synthesis (the restore then
+    // runs as the connecting user — the flag's point when the dump's
+    // roles don't exist on the target)
+    val ownable = Map("TABLE" -> "TABLE", "SEQUENCE" -> "SEQUENCE",
+      "VIEW" -> "VIEW", "MATERIALIZED VIEW" -> "MATERIALIZED VIEW",
+      "FOREIGN TABLE" -> "FOREIGN TABLE", "SCHEMA" -> "SCHEMA")
+    def applyOwner(e: PgToc.Entry): Unit =
+      if (!noOwner) for {
+        d <- e.desc; kind <- ownable.get(d)
+        o <- e.owner.filter(_.nonEmpty); t <- e.tag.filter(_.nonEmpty)
+      } {
+        val qi = graft.sources.PgSource.quoteIdent _
+        val qn = e.namespace.filter(_.nonEmpty) match {
+          case Some(ns) if d != "SCHEMA" => s"${qi(ns)}.${qi(t)}"
+          case _ => qi(t)
+        }
+        val (rc, out) = exec(psqlArgs, s"ALTER $kind $qn OWNER TO ${qi(o)};")
+        if (rc != 0) failOrWarn(
+          s"pg-restore: ALTER OWNER for $d $t failed: ${out.trim}")
       }
-      else done += s"${e.desc.getOrElse("?")} ${e.tag.getOrElse("?")}"
+
+    def execDefn(e: PgToc.Entry): Unit = {
+      // -X: ACL entries (GRANT/REVOKE/DEFAULT ACL) are skipped whole
+      if (noPrivileges && e.desc.exists(d => d == "ACL" || d == "DEFAULT ACL"))
+        return
+      e.defn.filter(_.trim.nonEmpty).foreach { raw =>
+        // archives that carry explicit ALTER OWNER lines in defn (our
+        // merged shapes never do; belt for foreign producers) follow -O
+        val sql =
+          if (!noOwner) raw
+          else raw.linesIterator
+            .filterNot(_.matches("""ALTER .* OWNER TO .*;\s*"""))
+            .mkString("\n")
+        if (sql.trim.isEmpty) return
+        val (rc, out) = exec(psqlArgs, sql)
+        if (rc != 0) {
+          if (e.desc.contains("TABLE")) e.tag.foreach(failedTables.add)
+          failOrWarn(
+            s"pg-restore: ${e.desc.getOrElse("?")} ${e.tag.getOrElse("?")} failed: $out")
+        }
+        else {
+          done += s"${e.desc.getOrElse("?")} ${e.tag.getOrElse("?")}"
+          applyOwner(e)
+        }
+      }
     }
 
     def loadTable(e: PgToc.Entry): Unit = {

@@ -730,6 +730,44 @@ class PgInteropSpec extends SparkSpec {
       graft.sources.PgRestore.maintenanceArgs(Seq("-h", "/x")))
   }
 
+  test("pg-restore -O/-X: owner statements filtered, ACL entries skipped") {
+    live()
+    // table owned by a role that is GONE at restore time — the
+    // operational case -O exists for
+    psql("postgres", "CREATE ROLE deadrole")
+    psql("postgres", "CREATE DATABASE ownsrc")
+    psql("ownsrc", "CREATE TABLE ot(k int)")
+    psql("ownsrc", "INSERT INTO ot VALUES (1)")
+    psql("ownsrc", "ALTER TABLE ot OWNER TO deadrole")
+    psql("ownsrc", "GRANT SELECT ON ot TO deadrole")
+    val arch = s"$base/own_arch"
+    val (rcD, outD) = asPg(s"PGHOST=$sockDir PGUSER=graft " +
+      s"/usr/bin/pg_dump -Fd -d ownsrc -f $arch")
+    assert(rcD == 0, outD)
+    sh(s"chmod -R a+rX $arch")
+    psql("ownsrc", "REASSIGN OWNED BY deadrole TO graft")
+    psql("ownsrc", "DROP OWNED BY deadrole")
+    psql("postgres", "DROP ROLE deadrole")
+
+    // without -O: the SYNTHESIZED `ALTER TABLE ot OWNER TO deadrole`
+    // (native behavior — ownership is a TOC FIELD, not a defn statement)
+    // hits the missing role; continue-mode counts it, data still lands
+    psql("postgres", "CREATE DATABASE owntgt1")
+    val l1 = graft.sources.PgRestore.restore(arch,
+      Seq("-d", s"host=$sockDir dbname=owntgt1 user=graft"), exitOnError = false)
+    assert(l1.exists(_.startsWith("errors ignored")), l1)
+    assert(psql("owntgt1", "SELECT count(*) FROM ot")._2.trim == "1")
+    // with -O and -X: clean restore, table owned by the connecting user
+    psql("postgres", "CREATE DATABASE owntgt2")
+    val l2 = graft.sources.PgRestore.restore(arch,
+      Seq("-d", s"host=$sockDir dbname=owntgt2 user=graft"),
+      exitOnError = false, noOwner = true, noPrivileges = true)
+    assert(!l2.exists(_.startsWith("errors ignored")), l2)
+    assert(psql("owntgt2", "SELECT count(*) FROM ot")._2.trim == "1")
+    assert(psql("owntgt2",
+      "SELECT tableowner FROM pg_tables WHERE tablename='ot'")._2.trim == "graft")
+  }
+
   test("structured use-list: --list-format json/yaml parse entries[].dumpId in order") {
     import graft.sources.PgRestore
     val json = """{"entries":[{"dumpId":7,"table":"a"},{"dumpId":3,"table":"b"}]}"""
