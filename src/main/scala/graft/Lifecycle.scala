@@ -680,7 +680,14 @@ object Lifecycle {
           },
           noDataForFailedTables = rest.contains("--no-data-for-failed-tables"),
           noOwner = rest.contains("--no-owner") || rest.contains("-O"),
-          noPrivileges = rest.contains("--no-privileges") || rest.contains("-X"))
+          noPrivileges = rest.contains("--no-privileges") || rest.contains("-X"),
+          schemaOnly = rest.contains("--schema-only") || rest.contains("-s"),
+          noBlobs = rest.contains("--no-blobs") || rest.contains("-B"),
+          noComments = rest.contains("--no-comments"),
+          schemas = rest.sliding(2).collect {
+            case Seq("--schema" | "-n", v) => v }.toSeq,
+          excludeSchemas = rest.sliding(2).collect {
+            case Seq("--exclude-schema" | "-N", v) => v }.toSeq)
           .foreach(l => println(s"[pg-restore] $l"))
       case "pg-ingest" :: archDir :: outDir :: Nil =>
         // any pg_dump -Fd / reference-produced directory archive ->
@@ -791,7 +798,10 @@ object Lifecycle {
             "[--jobs N] [-e|--exit-on-error] [-c|--clean] [-C|--create] " +
             "[-t|--table name]... [-i|--index name]... [--strict-names] " +
             "[--if-exists] [--section=pre-data|data|post-data] " +
-            "[--no-data-for-failed-tables] | " +
+            "[--no-data-for-failed-tables] [-O|--no-owner] [-X|--no-privileges] " +
+            "[-s|--schema-only] [-B|--no-blobs] [--no-comments] " +
+            "[-n|--schema ns]... [-N|--exclude-schema ns]... " +
+            "[--list-format=text|json|yaml] | " +
             "pg-ingest <archiveDir> <outDir> | " +
             "pg-diff <conninfoA> <conninfoB> <tables,csv> | " +
             "validate <config.json> <sfDir> | " +

@@ -288,14 +288,21 @@ object PgRestore {
               section: Option[String] = None,
               noDataForFailedTables: Boolean = false,
               noOwner: Boolean = false,
-              noPrivileges: Boolean = false): Seq[String] = {
+              noPrivileges: Boolean = false,
+              schemaOnly: Boolean = false,
+              noBlobs: Boolean = false,
+              noComments: Boolean = false,
+              schemas: Seq[String] = Nil,
+              excludeSchemas: Seq[String] = Nil): Seq[String] = {
     section.foreach(s => require(ScriptSections.contains(s),
       s"pg-restore: --section must be pre-data|data|post-data, got $s"))
+    require(!(schemaOnly && dataOnly),
+      "pg-restore: --schema-only and --data-only are mutually exclusive")
     // --section=X restores ONE section; dataOnly is the legacy -a alias
-    // for the data section (native pg_restore treats them equivalently
-    // for data; -a additionally implies no DDL anywhere, same thing)
+    // for the data section; -s = the pre-data + post-data pair (all DDL,
+    // no data — native pg_restore's own mapping)
     val runPre = section.forall(_ == "pre-data") && !dataOnly
-    val runData = section.forall(_ == "data")
+    val runData = section.forall(_ == "data") && !schemaOnly
     val runPost = section.forall(_ == "post-data") && !dataOnly
     val fullToc = PgToc.readFile(s"$dir/toc.dat")
     val toc = useList match {
@@ -328,7 +335,7 @@ object PgRestore {
     // blobs, ACLs — is excluded, exactly like the native flags
     val relationDescs = Set("TABLE", "TABLE DATA", "VIEW",
       "MATERIALIZED VIEW", "SEQUENCE", "SEQUENCE SET", "FOREIGN TABLE")
-    val selected =
+    val named =
       if (tables.isEmpty && indexes.isEmpty) toc
       else {
         if (strictNames) {
@@ -343,6 +350,19 @@ object PgRestore {
           (e.desc.exists(relationDescs) && e.tag.exists(tables.contains)) ||
             (e.desc.contains("INDEX") && e.tag.exists(indexes.contains))))
       }
+    // -n / -N namespace selection composes on top: keep (or drop) entries
+    // by schema; objects with no namespace (DATABASE, ENCODING, blobs)
+    // ride along under -n, exactly like native. -B drops large-object
+    // entries; --no-comments drops COMMENT entries.
+    if (strictNames) schemas.foreach(n => require(
+      named.entries.exists(_.namespace.contains(n)),
+      s"""pg-restore: schema "$n" not found in archive (--strict-names)"""))
+    val selected = named.copy(entries = named.entries.filter { e =>
+      (schemas.isEmpty || e.namespace.forall(ns => ns.isEmpty || schemas.contains(ns))) &&
+        !e.namespace.exists(excludeSchemas.contains) &&
+        !(noBlobs && e.desc.exists(d => d.startsWith("BLOB") || d == "LARGE OBJECT")) &&
+        !(noComments && e.desc.contains("COMMENT"))
+    })
     val skip = Set("DATABASE", "ENCODING", "STDSTRINGS", "SEARCHPATH")
     val pre =
       if (disableTriggers) Seq("SET session_replication_role = replica") else Nil

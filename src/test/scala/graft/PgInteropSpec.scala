@@ -768,6 +768,69 @@ class PgInteropSpec extends SparkSpec {
       "SELECT tableowner FROM pg_tables WHERE tablename='ot'")._2.trim == "graft")
   }
 
+  test("pg-restore -s/-n/-N/--no-comments: schema-only restore and namespace selection") {
+    live()
+    // two-schema source with a comment, dumped by the real pg_dump
+    psql("postgres", "CREATE DATABASE nssrc")
+    psql("nssrc", "CREATE SCHEMA s1")
+    psql("nssrc", "CREATE SCHEMA s2")
+    psql("nssrc", "CREATE TABLE s1.t1(k int)")
+    psql("nssrc", "CREATE TABLE s2.t2(k int)")
+    psql("nssrc", "INSERT INTO s1.t1 VALUES (1), (2)")
+    psql("nssrc", "INSERT INTO s2.t2 VALUES (3)")
+    psql("nssrc", "COMMENT ON TABLE s1.t1 IS 'hello'")
+    val arch = s"$base/ns_arch"
+    val (rcD, outD) = asPg(s"PGHOST=$sockDir PGUSER=graft " +
+      s"/usr/bin/pg_dump -Fd -d nssrc -f $arch")
+    assert(rcD == 0, outD)
+    sh(s"chmod -R a+rX $arch")
+
+    // -s: all DDL, no data moves
+    psql("postgres", "CREATE DATABASE nstgt1")
+    graft.sources.PgRestore.restore(arch,
+      Seq("-d", s"host=$sockDir dbname=nstgt1 user=graft"),
+      schemaOnly = true, exitOnError = true)
+    assert(psql("nstgt1", "SELECT count(*) FROM s1.t1")._2.trim == "0")
+    assert(psql("nstgt1", "SELECT count(*) FROM s2.t2")._2.trim == "0",
+      "-s must create every table empty")
+    assert(psql("nstgt1",
+      "SELECT obj_description('s1.t1'::regclass)")._2.trim == "hello")
+
+    // -n s1: only schema s1's objects (+ its data); s2 never appears.
+    // --no-comments drops the COMMENT entry too.
+    psql("postgres", "CREATE DATABASE nstgt2")
+    graft.sources.PgRestore.restore(arch,
+      Seq("-d", s"host=$sockDir dbname=nstgt2 user=graft"),
+      schemas = Seq("s1"), noComments = true, exitOnError = true)
+    assert(psql("nstgt2", "SELECT count(*) FROM s1.t1")._2.trim == "2")
+    assert(psql("nstgt2", "SELECT count(*) FROM s2.t2")._1 != 0,
+      "-n s1 must not create s2 objects")
+    assert(psql("nstgt2", "SELECT obj_description('s1.t1'::regclass)")._2.trim
+      == "", "--no-comments must drop the COMMENT entry")
+
+    // -N s2: everything except s2
+    psql("postgres", "CREATE DATABASE nstgt3")
+    graft.sources.PgRestore.restore(arch,
+      Seq("-d", s"host=$sockDir dbname=nstgt3 user=graft"),
+      excludeSchemas = Seq("s2"), exitOnError = true)
+    assert(psql("nstgt3", "SELECT count(*) FROM s1.t1")._2.trim == "2")
+    assert(psql("nstgt3", "SELECT count(*) FROM s2.t2")._1 != 0)
+
+    // --strict-names over -n
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.PgRestore.restore(arch,
+        Seq("-d", s"host=$sockDir dbname=nstgt3 user=graft"),
+        schemas = Seq("nope"), strictNames = true)
+    }
+    assert(e.getMessage.contains("\"nope\" not found"), e.getMessage)
+    // -s and -a are mutually exclusive (native)
+    intercept[IllegalArgumentException] {
+      graft.sources.PgRestore.restore(arch,
+        Seq("-d", s"host=$sockDir dbname=nstgt3 user=graft"),
+        schemaOnly = true, dataOnly = true)
+    }
+  }
+
   test("structured use-list: --list-format json/yaml parse entries[].dumpId in order") {
     import graft.sources.PgRestore
     val json = """{"entries":[{"dumpId":7,"table":"a"},{"dumpId":3,"table":"b"}]}"""
