@@ -687,7 +687,15 @@ object Lifecycle {
           schemas = rest.sliding(2).collect {
             case Seq("--schema" | "-n", v) => v }.toSeq,
           excludeSchemas = rest.sliding(2).collect {
-            case Seq("--exclude-schema" | "-N", v) => v }.toSeq)
+            case Seq("--exclude-schema" | "-N", v) => v }.toSeq,
+          functions = rest.sliding(2).collect {
+            case Seq("--function" | "-P", v) => v }.toSeq,
+          triggers = rest.sliding(2).collect {
+            case Seq("--trigger" | "-T", v) => v }.toSeq,
+          noPublications = rest.contains("--no-publications"),
+          noSubscriptions = rest.contains("--no-subscriptions"),
+          noSecurityLabels = rest.contains("--no-security-labels"),
+          enableRowSecurity = rest.contains("--enable-row-security"))
           .foreach(l => println(s"[pg-restore] $l"))
       case "pg-ingest" :: archDir :: outDir :: Nil =>
         // any pg_dump -Fd / reference-produced directory archive ->
@@ -801,6 +809,8 @@ object Lifecycle {
             "[--no-data-for-failed-tables] [-O|--no-owner] [-X|--no-privileges] " +
             "[-s|--schema-only] [-B|--no-blobs] [--no-comments] " +
             "[-n|--schema ns]... [-N|--exclude-schema ns]... " +
+            "[-P|--function f]... [-T|--trigger t]... [--no-publications] " +
+            "[--no-subscriptions] [--no-security-labels] [--enable-row-security] " +
             "[--list-format=text|json|yaml] | " +
             "pg-ingest <archiveDir> <outDir> | " +
             "pg-diff <conninfoA> <conninfoB> <tables,csv> | " +

@@ -293,7 +293,13 @@ object PgRestore {
               noBlobs: Boolean = false,
               noComments: Boolean = false,
               schemas: Seq[String] = Nil,
-              excludeSchemas: Seq[String] = Nil): Seq[String] = {
+              excludeSchemas: Seq[String] = Nil,
+              functions: Seq[String] = Nil,
+              triggers: Seq[String] = Nil,
+              noPublications: Boolean = false,
+              noSubscriptions: Boolean = false,
+              noSecurityLabels: Boolean = false,
+              enableRowSecurity: Boolean = false): Seq[String] = {
     section.foreach(s => require(ScriptSections.contains(s),
       s"pg-restore: --section must be pre-data|data|post-data, got $s"))
     require(!(schemaOnly && dataOnly),
@@ -335,8 +341,12 @@ object PgRestore {
     // blobs, ACLs — is excluded, exactly like the native flags
     val relationDescs = Set("TABLE", "TABLE DATA", "VIEW",
       "MATERIALIZED VIEW", "SEQUENCE", "SEQUENCE SET", "FOREIGN TABLE")
+    // (flag, matching descs) per named-selection kind; -P matches the
+    // function tag with or without its argument signature
+    def fnMatch(tag: String, want: String): Boolean =
+      tag == want || tag.takeWhile(_ != '(') == want
     val named =
-      if (tables.isEmpty && indexes.isEmpty) toc
+      if (tables.isEmpty && indexes.isEmpty && functions.isEmpty && triggers.isEmpty) toc
       else {
         if (strictNames) {
           tables.foreach(t => require(
@@ -345,10 +355,24 @@ object PgRestore {
           indexes.foreach(i => require(
             toc.entries.exists(e => e.tag.contains(i) && e.desc.contains("INDEX")),
             s"""pg-restore: index "$i" not found in archive (--strict-names)"""))
+          functions.foreach(f => require(
+            toc.entries.exists(e => e.desc.contains("FUNCTION") &&
+              e.tag.exists(fnMatch(_, f))),
+            s"""pg-restore: function "$f" not found in archive (--strict-names)"""))
+          triggers.foreach(t => require(
+            toc.entries.exists(e => e.desc.contains("TRIGGER") && e.tag.exists(
+              tg => tg == t || tg.endsWith(" " + t))),
+            s"""pg-restore: trigger "$t" not found in archive (--strict-names)"""))
         }
         toc.copy(entries = toc.entries.filter(e =>
           (e.desc.exists(relationDescs) && e.tag.exists(tables.contains)) ||
-            (e.desc.contains("INDEX") && e.tag.exists(indexes.contains))))
+            (e.desc.contains("INDEX") && e.tag.exists(indexes.contains)) ||
+            (e.desc.contains("FUNCTION") &&
+              e.tag.exists(tg => functions.exists(fnMatch(tg, _)))) ||
+            // trigger tags are "<table> <trigger>" in pg_dump TOCs —
+            // native -T matches the trigger NAME (the last token)
+            (e.desc.contains("TRIGGER") && e.tag.exists(
+              tg => triggers.exists(t => tg == t || tg.endsWith(" " + t))))))
       }
     // -n / -N namespace selection composes on top: keep (or drop) entries
     // by schema; objects with no namespace (DATABASE, ENCODING, blobs)
@@ -361,11 +385,17 @@ object PgRestore {
       (schemas.isEmpty || e.namespace.forall(ns => ns.isEmpty || schemas.contains(ns))) &&
         !e.namespace.exists(excludeSchemas.contains) &&
         !(noBlobs && e.desc.exists(d => d.startsWith("BLOB") || d == "LARGE OBJECT")) &&
-        !(noComments && e.desc.contains("COMMENT"))
+        !(noComments && e.desc.contains("COMMENT")) &&
+        !(noPublications && e.desc.exists(_.startsWith("PUBLICATION"))) &&
+        !(noSubscriptions && e.desc.contains("SUBSCRIPTION")) &&
+        !(noSecurityLabels && e.desc.contains("SECURITY LABEL"))
     })
     val skip = Set("DATABASE", "ENCODING", "STDSTRINGS", "SEARCHPATH")
     val pre =
-      if (disableTriggers) Seq("SET session_replication_role = replica") else Nil
+      (if (disableTriggers) Seq("SET session_replication_role = replica") else Nil) ++
+        // native --enable-row-security: COPY into RLS tables goes through
+        // the policies of the connecting role instead of failing
+        (if (enableRowSecurity) Seq("SET row_security = on") else Nil)
     val done = Seq.newBuilder[String]
 
     // continue-mode error accounting (native default): each failure

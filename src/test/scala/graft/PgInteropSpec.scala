@@ -768,6 +768,78 @@ class PgInteropSpec extends SparkSpec {
       "SELECT tableowner FROM pg_tables WHERE tablename='ot'")._2.trim == "graft")
   }
 
+  test("pg-restore -P/-T/--no-publications/--enable-row-security") {
+    live()
+    psql("postgres", "CREATE DATABASE featsrc")
+    psql("featsrc", "CREATE TABLE ft(k int, v text)")
+    psql("featsrc", "INSERT INTO ft VALUES (1, 'a')")
+    psql("featsrc",
+      "CREATE FUNCTION bump() RETURNS trigger AS 'BEGIN NEW.v := NEW.v || ''!''; RETURN NEW; END;' LANGUAGE plpgsql")
+    psql("featsrc",
+      "CREATE TRIGGER ft_bump BEFORE INSERT ON ft FOR EACH ROW EXECUTE FUNCTION bump()")
+    assert(psql("featsrc", "CREATE PUBLICATION ftpub FOR TABLE ft")._1 == 0)
+    val arch = s"$base/feat_arch"
+    val (rcD, outD) = asPg(s"PGHOST=$sockDir PGUSER=graft " +
+      s"/usr/bin/pg_dump -Fd -d featsrc -f $arch")
+    assert(rcD == 0, outD)
+    sh(s"chmod -R a+rX $arch")
+
+    // full restore WITHOUT --no-publications carries the publication
+    psql("postgres", "CREATE DATABASE feattgt1")
+    graft.sources.PgRestore.restore(arch,
+      Seq("-d", s"host=$sockDir dbname=feattgt1 user=graft"), exitOnError = true)
+    assert(psql("feattgt1",
+      "SELECT count(*) FROM pg_publication WHERE pubname='ftpub'")._2.trim == "1")
+    assert(psql("feattgt1",
+      "SELECT count(*) FROM pg_trigger WHERE tgname='ft_bump'")._2.trim == "1")
+    // --no-publications drops it; everything else lands
+    psql("postgres", "CREATE DATABASE feattgt2")
+    graft.sources.PgRestore.restore(arch,
+      Seq("-d", s"host=$sockDir dbname=feattgt2 user=graft"),
+      noPublications = true, exitOnError = true)
+    assert(psql("feattgt2",
+      "SELECT count(*) FROM pg_publication WHERE pubname='ftpub'")._2.trim == "0")
+    assert(psql("feattgt2", "SELECT count(*) FROM ft")._2.trim == "1")
+
+    // -P bump / -T ft_bump: ONLY the named function / trigger replays
+    // (onto a target that already holds the table shape they attach to)
+    psql("postgres", "CREATE DATABASE feattgt3")
+    psql("feattgt3", "CREATE TABLE ft(k int, v text)")
+    val selLines = graft.sources.PgRestore.restore(arch,
+      Seq("-d", s"host=$sockDir dbname=feattgt3 user=graft"),
+      functions = Seq("bump"), triggers = Seq("ft_bump"), exitOnError = true)
+    assert(psql("feattgt3",
+      "SELECT count(*) FROM pg_proc WHERE proname='bump'")._2.trim == "1",
+      s"restore replayed: ${selLines.mkString("; ")}")
+    assert(psql("feattgt3",
+      "SELECT count(*) FROM pg_trigger WHERE tgname='ft_bump'")._2.trim == "1")
+    assert(psql("feattgt3", "SELECT count(*) FROM ft")._2.trim == "0",
+      "-P/-T selection must not move table data")
+    // trigger live: the restored function+trigger fire on insert
+    psql("feattgt3", "INSERT INTO ft VALUES (2, 'b')")
+    assert(psql("feattgt3", "SELECT v FROM ft WHERE k=2")._2.trim == "b!")
+    // --strict-names over -P
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.PgRestore.restore(arch,
+        Seq("-d", s"host=$sockDir dbname=feattgt3 user=graft"),
+        functions = Seq("nope"), strictNames = true)
+    }
+    assert(e.getMessage.contains("function \"nope\" not found"), e.getMessage)
+
+    // --enable-row-security: COPY into an RLS-enabled table succeeds
+    // under a permissive policy with row_security=on in the session
+    psql("postgres", "CREATE DATABASE rlstgt")
+    psql("rlstgt", "CREATE TABLE ft(k int, v text)")
+    psql("rlstgt", "ALTER TABLE ft ENABLE ROW LEVEL SECURITY")
+    psql("rlstgt", "ALTER TABLE ft FORCE ROW LEVEL SECURITY")
+    psql("rlstgt", "CREATE POLICY allow_all ON ft FOR ALL USING (true) WITH CHECK (true)")
+    graft.sources.PgRestore.restore(arch,
+      Seq("-d", s"host=$sockDir dbname=rlstgt user=graft"),
+      dataOnly = true, enableRowSecurity = true, exitOnError = false,
+      noDataForFailedTables = false)
+    assert(psql("rlstgt", "SELECT count(*) FROM ft")._2.trim == "1")
+  }
+
   test("pg-restore -s/-n/-N/--no-comments: schema-only restore and namespace selection") {
     live()
     // two-schema source with a comment, dumped by the real pg_dump
