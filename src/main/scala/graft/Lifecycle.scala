@@ -659,6 +659,30 @@ object Lifecycle {
           case Seq("--table" | "-t", v) => v }.toSeq
         val selIndexes = rest.sliding(2).collect {
           case Seq("--index" | "-i", v) => v }.toSeq
+        // native -f: render the archive as a plain SQL script instead of
+        // executing it ('-' = stdout); selection flags apply the same
+        rest.sliding(2).collectFirst { case Seq("--file" | "-f", v) => v }
+          .foreach { target =>
+            val os = if (target == "-") System.out
+              else java.nio.file.Files.newOutputStream(Paths.get(target))
+            val n = try graft.sources.PgRestore.toScript(archDir, os,
+              dataOnly = rest.contains("--data-only"),
+              schemaOnly = rest.contains("--schema-only") || rest.contains("-s"),
+              section = rest.collectFirst {
+                case a if a.startsWith("--section=") => a.stripPrefix("--section=") },
+              clean = rest.contains("--clean") || rest.contains("-c"),
+              ifExists = rest.contains("--if-exists"),
+              create = rest.contains("--create") || rest.contains("-C"),
+              noOwner = rest.contains("--no-owner") || rest.contains("-O"),
+              noPrivileges = rest.contains("--no-privileges") || rest.contains("-X"),
+              singleTransaction = rest.contains("--single-transaction") || rest.contains("-1"),
+              useList = useList, withDeps = rest.contains("--with-deps"),
+              tables = selTables, indexes = selIndexes,
+              strictNames = rest.contains("--strict-names"))
+            finally if (target != "-") os.close()
+            System.err.println(s"[pg-restore] wrote $n entries to $target")
+            spark.stop(); return
+          }
         graft.sources.PgRestore.restore(archDir, Seq("-d", conninfo),
           dataOnly = rest.contains("--data-only"),
           disableTriggers = rest.contains("--disable-triggers"),
@@ -695,7 +719,8 @@ object Lifecycle {
           noPublications = rest.contains("--no-publications"),
           noSubscriptions = rest.contains("--no-subscriptions"),
           noSecurityLabels = rest.contains("--no-security-labels"),
-          enableRowSecurity = rest.contains("--enable-row-security"))
+          enableRowSecurity = rest.contains("--enable-row-security"),
+          singleTransaction = rest.contains("--single-transaction") || rest.contains("-1"))
           .foreach(l => println(s"[pg-restore] $l"))
       case "pg-ingest" :: archDir :: outDir :: Nil =>
         // any pg_dump -Fd / reference-produced directory archive ->
@@ -811,7 +836,8 @@ object Lifecycle {
             "[-n|--schema ns]... [-N|--exclude-schema ns]... " +
             "[-P|--function f]... [-T|--trigger t]... [--no-publications] " +
             "[--no-subscriptions] [--no-security-labels] [--enable-row-security] " +
-            "[--list-format=text|json|yaml] | " +
+            "[--list-format=text|json|yaml] [-f|--file out.sql|-] " +
+            "[-1|--single-transaction] | " +
             "pg-ingest <archiveDir> <outDir> | " +
             "pg-diff <conninfoA> <conninfoB> <tables,csv> | " +
             "validate <config.json> <sfDir> | " +

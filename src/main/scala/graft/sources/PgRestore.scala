@@ -299,11 +299,39 @@ object PgRestore {
               noPublications: Boolean = false,
               noSubscriptions: Boolean = false,
               noSecurityLabels: Boolean = false,
-              enableRowSecurity: Boolean = false): Seq[String] = {
+              enableRowSecurity: Boolean = false,
+              singleTransaction: Boolean = false): Seq[String] = {
     section.foreach(s => require(ScriptSections.contains(s),
       s"pg-restore: --section must be pre-data|data|post-data, got $s"))
     require(!(schemaOnly && dataOnly),
       "pg-restore: --schema-only and --data-only are mutually exclusive")
+    require(!(create && singleTransaction),
+      "pg-restore: --create cannot run inside --single-transaction")
+    if (singleTransaction) {
+      // native -1: everything in ONE session, ONE transaction — implies
+      // exit-on-error (any failure rolls the whole restore back). Render
+      // the script form and replay it through a single psql -1 session.
+      val tmp = java.nio.file.Files.createTempFile("graft_restore_1tx", ".sql")
+      try {
+        val os = java.nio.file.Files.newOutputStream(tmp)
+        val n = try toScript(dir, os, dataOnly, schemaOnly, section, clean,
+          ifExists, create = false, noOwner, noPrivileges,
+          singleTransaction = true, useList, withDeps, tables, indexes,
+          functions, triggers, schemas, excludeSchemas, strictNames,
+          noBlobs, noComments, noPublications, noSubscriptions,
+          noSecurityLabels)
+        finally os.close()
+        val cmd = Seq("/usr/bin/psql", "-X", "-q", "-v", "ON_ERROR_STOP=1") ++
+          psqlArgs ++ Seq("-o", "/dev/null", "-f", tmp.toString)
+        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        p.getOutputStream.close()
+        val outText = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        require(p.waitFor() == 0,
+          s"pg-restore: single-transaction replay failed (rolled back): " +
+            outText.takeRight(400))
+        return Seq(s"single transaction: $n entries applied")
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    }
     // --section=X restores ONE section; dataOnly is the legacy -a alias
     // for the data section; -s = the pre-data + post-data pair (all DDL,
     // no data — native pg_restore's own mapping)
@@ -311,86 +339,10 @@ object PgRestore {
     val runData = section.forall(_ == "data") && !schemaOnly
     val runPost = section.forall(_ == "post-data") && !dataOnly
     val fullToc = PgToc.readFile(s"$dir/toc.dat")
-    val toc = useList match {
-      case None => fullToc
-      case Some(rawIds) =>
-        // duplicate ids in a hand-edited list must not restore twice;
-        // first occurrence keeps its position
-        val ids = rawIds.distinct
-        val byId = fullToc.entries.map(e => e.dumpId -> e).toMap
-        ids.foreach(id => require(byId.contains(id),
-          s"pg-restore: entry from provided list with dump id $id is not found"))
-        val entries =
-          if (!withDeps) ids.map(byId)
-          else {
-            val needed = scala.collection.mutable.Set[Int]()
-            val queue = scala.collection.mutable.Queue[Int](ids: _*)
-            while (queue.nonEmpty) {
-              val id = queue.dequeue()
-              if (needed.add(id))
-                byId.get(id).foreach(_.dependencies.foreach(queue.enqueue))
-            }
-            // closure restores in TOC order (pg_dump's own restore-safe
-            // order); pure-list mode keeps the list's order instead
-            fullToc.entries.filter(e => needed(e.dumpId))
-          }
-        fullToc.copy(entries = entries)
-    }
-    // -t / -i selection: only the named relations (their DDL + data) and
-    // named indexes replay; everything else — other tables, schemas,
-    // blobs, ACLs — is excluded, exactly like the native flags
-    val relationDescs = Set("TABLE", "TABLE DATA", "VIEW",
-      "MATERIALIZED VIEW", "SEQUENCE", "SEQUENCE SET", "FOREIGN TABLE")
-    // (flag, matching descs) per named-selection kind; -P matches the
-    // function tag with or without its argument signature
-    def fnMatch(tag: String, want: String): Boolean =
-      tag == want || tag.takeWhile(_ != '(') == want
-    val named =
-      if (tables.isEmpty && indexes.isEmpty && functions.isEmpty && triggers.isEmpty) toc
-      else {
-        if (strictNames) {
-          tables.foreach(t => require(
-            toc.entries.exists(e => e.tag.contains(t) && e.desc.exists(relationDescs)),
-            s"""pg-restore: table "$t" not found in archive (--strict-names)"""))
-          indexes.foreach(i => require(
-            toc.entries.exists(e => e.tag.contains(i) && e.desc.contains("INDEX")),
-            s"""pg-restore: index "$i" not found in archive (--strict-names)"""))
-          functions.foreach(f => require(
-            toc.entries.exists(e => e.desc.contains("FUNCTION") &&
-              e.tag.exists(fnMatch(_, f))),
-            s"""pg-restore: function "$f" not found in archive (--strict-names)"""))
-          triggers.foreach(t => require(
-            toc.entries.exists(e => e.desc.contains("TRIGGER") && e.tag.exists(
-              tg => tg == t || tg.endsWith(" " + t))),
-            s"""pg-restore: trigger "$t" not found in archive (--strict-names)"""))
-        }
-        toc.copy(entries = toc.entries.filter(e =>
-          (e.desc.exists(relationDescs) && e.tag.exists(tables.contains)) ||
-            (e.desc.contains("INDEX") && e.tag.exists(indexes.contains)) ||
-            (e.desc.contains("FUNCTION") &&
-              e.tag.exists(tg => functions.exists(fnMatch(tg, _)))) ||
-            // trigger tags are "<table> <trigger>" in pg_dump TOCs —
-            // native -T matches the trigger NAME (the last token)
-            (e.desc.contains("TRIGGER") && e.tag.exists(
-              tg => triggers.exists(t => tg == t || tg.endsWith(" " + t))))))
-      }
-    // -n / -N namespace selection composes on top: keep (or drop) entries
-    // by schema; objects with no namespace (DATABASE, ENCODING, blobs)
-    // ride along under -n, exactly like native. -B drops large-object
-    // entries; --no-comments drops COMMENT entries.
-    if (strictNames) schemas.foreach(n => require(
-      named.entries.exists(_.namespace.contains(n)),
-      s"""pg-restore: schema "$n" not found in archive (--strict-names)"""))
-    val selected = named.copy(entries = named.entries.filter { e =>
-      (schemas.isEmpty || e.namespace.forall(ns => ns.isEmpty || schemas.contains(ns))) &&
-        !e.namespace.exists(excludeSchemas.contains) &&
-        !(noBlobs && e.desc.exists(d => d.startsWith("BLOB") || d == "LARGE OBJECT")) &&
-        !(noComments && e.desc.contains("COMMENT")) &&
-        !(noPublications && e.desc.exists(_.startsWith("PUBLICATION"))) &&
-        !(noSubscriptions && e.desc.contains("SUBSCRIPTION")) &&
-        !(noSecurityLabels && e.desc.contains("SECURITY LABEL"))
-    })
-    val skip = Set("DATABASE", "ENCODING", "STDSTRINGS", "SEARCHPATH")
+    val selected = selectEntries(fullToc, useList, withDeps, tables, indexes,
+      functions, triggers, schemas, excludeSchemas, strictNames, noBlobs,
+      noComments, noPublications, noSubscriptions, noSecurityLabels)
+    val skip = SessionDescs
     val pre =
       (if (disableTriggers) Seq("SET session_replication_role = replica") else Nil) ++
         // native --enable-row-security: COPY into RLS tables goes through
@@ -586,6 +538,102 @@ object PgRestore {
     done.result()
   }
 
+  /** Session-level descs: skipped in replay, never dropped by -c. */
+  private val SessionDescs = Set("DATABASE", "ENCODING", "STDSTRINGS", "SEARCHPATH")
+
+  /** The shared selection pipeline behind [[restore]] and [[toScript]]:
+    * -L list filter (+ --with-deps closure), -t/-i/-P/-T named selection,
+    * -n/-N namespace filters, and the --no-* entry drops, with
+    * --strict-names making unmatched names an error. */
+  private def selectEntries(fullToc: PgToc.Toc,
+                            useList: Option[Seq[Int]], withDeps: Boolean,
+                            tables: Seq[String], indexes: Seq[String],
+                            functions: Seq[String], triggers: Seq[String],
+                            schemas: Seq[String], excludeSchemas: Seq[String],
+                            strictNames: Boolean, noBlobs: Boolean,
+                            noComments: Boolean, noPublications: Boolean,
+                            noSubscriptions: Boolean,
+                            noSecurityLabels: Boolean): PgToc.Toc = {
+    val toc = useList match {
+      case None => fullToc
+      case Some(rawIds) =>
+        // duplicate ids in a hand-edited list must not restore twice;
+        // first occurrence keeps its position
+        val ids = rawIds.distinct
+        val byId = fullToc.entries.map(e => e.dumpId -> e).toMap
+        ids.foreach(id => require(byId.contains(id),
+          s"pg-restore: entry from provided list with dump id $id is not found"))
+        val entries =
+          if (!withDeps) ids.map(byId)
+          else {
+            val needed = scala.collection.mutable.Set[Int]()
+            val queue = scala.collection.mutable.Queue[Int](ids: _*)
+            while (queue.nonEmpty) {
+              val id = queue.dequeue()
+              if (needed.add(id))
+                byId.get(id).foreach(_.dependencies.foreach(queue.enqueue))
+            }
+            // closure restores in TOC order (pg_dump's own restore-safe
+            // order); pure-list mode keeps the list's order instead
+            fullToc.entries.filter(e => needed(e.dumpId))
+          }
+        fullToc.copy(entries = entries)
+    }
+    // -t / -i selection: only the named relations (their DDL + data) and
+    // named indexes replay; everything else — other tables, schemas,
+    // blobs, ACLs — is excluded, exactly like the native flags
+    val relationDescs = Set("TABLE", "TABLE DATA", "VIEW",
+      "MATERIALIZED VIEW", "SEQUENCE", "SEQUENCE SET", "FOREIGN TABLE")
+    // -P matches the function tag with or without its argument signature
+    def fnMatch(tag: String, want: String): Boolean =
+      tag == want || tag.takeWhile(_ != '(') == want
+    val named =
+      if (tables.isEmpty && indexes.isEmpty && functions.isEmpty && triggers.isEmpty) toc
+      else {
+        if (strictNames) {
+          tables.foreach(t => require(
+            toc.entries.exists(e => e.tag.contains(t) && e.desc.exists(relationDescs)),
+            s"""pg-restore: table "$t" not found in archive (--strict-names)"""))
+          indexes.foreach(i => require(
+            toc.entries.exists(e => e.tag.contains(i) && e.desc.contains("INDEX")),
+            s"""pg-restore: index "$i" not found in archive (--strict-names)"""))
+          functions.foreach(f => require(
+            toc.entries.exists(e => e.desc.contains("FUNCTION") &&
+              e.tag.exists(fnMatch(_, f))),
+            s"""pg-restore: function "$f" not found in archive (--strict-names)"""))
+          triggers.foreach(t => require(
+            toc.entries.exists(e => e.desc.contains("TRIGGER") && e.tag.exists(
+              tg => tg == t || tg.endsWith(" " + t))),
+            s"""pg-restore: trigger "$t" not found in archive (--strict-names)"""))
+        }
+        toc.copy(entries = toc.entries.filter(e =>
+          (e.desc.exists(relationDescs) && e.tag.exists(tables.contains)) ||
+            (e.desc.contains("INDEX") && e.tag.exists(indexes.contains)) ||
+            (e.desc.contains("FUNCTION") &&
+              e.tag.exists(tg => functions.exists(fnMatch(tg, _)))) ||
+            // trigger tags are "<table> <trigger>" in pg_dump TOCs —
+            // native -T matches the trigger NAME (the last token)
+            (e.desc.contains("TRIGGER") && e.tag.exists(
+              tg => triggers.exists(t => tg == t || tg.endsWith(" " + t))))))
+      }
+    // -n / -N namespace selection composes on top: keep (or drop) entries
+    // by schema; objects with no namespace (DATABASE, ENCODING, blobs)
+    // ride along under -n, exactly like native. -B drops large-object
+    // entries; --no-comments drops COMMENT entries.
+    if (strictNames) schemas.foreach(n => require(
+      named.entries.exists(_.namespace.contains(n)),
+      s"""pg-restore: schema "$n" not found in archive (--strict-names)"""))
+    named.copy(entries = named.entries.filter { e =>
+      (schemas.isEmpty || e.namespace.forall(ns => ns.isEmpty || schemas.contains(ns))) &&
+        !e.namespace.exists(excludeSchemas.contains) &&
+        !(noBlobs && e.desc.exists(d => d.startsWith("BLOB") || d == "LARGE OBJECT")) &&
+        !(noComments && e.desc.contains("COMMENT")) &&
+        !(noPublications && e.desc.exists(_.startsWith("PUBLICATION"))) &&
+        !(noSubscriptions && e.desc.contains("SUBSCRIPTION")) &&
+        !(noSecurityLabels && e.desc.contains("SECURITY LABEL"))
+    })
+  }
+
   /** Structured use-list (`--list-format=json|yaml`, reference
     * `cmd/restore.go:953-995` parseStructuredList): a metadata document
     * whose `entries[].dumpId` fields form the restore list in order —
@@ -613,6 +661,128 @@ object PgRestore {
         s"broken list file dumpId: must not be 0: entry number $idx")
       id
     }.toSeq
+  }
+
+  /** Native `pg_restore -f` (script output): render the archive as ONE
+    * plain-SQL stream — DDL in TOC order, each TABLE DATA as a
+    * `COPY ... FROM stdin;` block with its decompressed payload inlined
+    * (payloads already end with the `\.` terminator), SEQUENCE SET, then
+    * post-data — honoring the same selection flags as [[restore]].
+    * `singleTransaction` wraps the body in BEGIN/COMMIT (incompatible
+    * with `create` — CREATE DATABASE cannot run in a transaction, the
+    * native restriction). Large objects are not representable in plain
+    * SQL here; their entries are skipped with a warning.
+    * Returns the number of entries rendered. */
+  def toScript(dir: String, out: java.io.OutputStream,
+               dataOnly: Boolean = false, schemaOnly: Boolean = false,
+               section: Option[String] = None,
+               clean: Boolean = false, ifExists: Boolean = false,
+               create: Boolean = false,
+               noOwner: Boolean = false, noPrivileges: Boolean = false,
+               singleTransaction: Boolean = false,
+               useList: Option[Seq[Int]] = None, withDeps: Boolean = false,
+               tables: Seq[String] = Nil, indexes: Seq[String] = Nil,
+               functions: Seq[String] = Nil, triggers: Seq[String] = Nil,
+               schemas: Seq[String] = Nil, excludeSchemas: Seq[String] = Nil,
+               strictNames: Boolean = false, noBlobs: Boolean = false,
+               noComments: Boolean = false, noPublications: Boolean = false,
+               noSubscriptions: Boolean = false,
+               noSecurityLabels: Boolean = false): Int = {
+    section.foreach(s => require(ScriptSections.contains(s),
+      s"pg-restore: --section must be pre-data|data|post-data, got $s"))
+    require(!(schemaOnly && dataOnly),
+      "pg-restore: --schema-only and --data-only are mutually exclusive")
+    require(!(create && singleTransaction),
+      "pg-restore: --create cannot run inside --single-transaction " +
+        "(CREATE DATABASE is not transactional)")
+    val runPre = section.forall(_ == "pre-data") && !dataOnly
+    val runData = section.forall(_ == "data") && !schemaOnly
+    val runPost = section.forall(_ == "post-data") && !dataOnly
+    val fullToc = PgToc.readFile(s"$dir/toc.dat")
+    val selected = selectEntries(fullToc, useList, withDeps, tables, indexes,
+      functions, triggers, schemas, excludeSchemas, strictNames, noBlobs,
+      noComments, noPublications, noSubscriptions, noSecurityLabels)
+    val w = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(out, "UTF-8"))
+    var rendered = 0
+    def stmt(sql: String): Unit = {
+      val s = sql.trim
+      if (s.nonEmpty) {
+        w.write(if (s.endsWith(";")) s else s + ";"); w.write("\n")
+        rendered += 1
+      }
+    }
+    w.write(s"-- graft pg-restore script (archive: $dir)\n")
+    if (create) {
+      val dbEntry = fullToc.entries.find(_.desc.contains("DATABASE")).getOrElse(
+        throw new IllegalArgumentException(
+          "pg-restore: --create needs a DATABASE entry in the archive"))
+      dbEntry.defn.filter(_.trim.nonEmpty).foreach(stmt)
+      // the native script reconnects into the new database
+      dbEntry.tag.foreach(t =>
+        w.write(s"\\connect ${PgSource.quoteIdent(t)}\n"))
+    }
+    if (singleTransaction) w.write("BEGIN;\n")
+    val ownable = Map("TABLE" -> "TABLE", "SEQUENCE" -> "SEQUENCE",
+      "VIEW" -> "VIEW", "MATERIALIZED VIEW" -> "MATERIALIZED VIEW",
+      "FOREIGN TABLE" -> "FOREIGN TABLE", "SCHEMA" -> "SCHEMA")
+    def emitDefn(e: PgToc.Entry): Unit = {
+      if (noPrivileges && e.desc.exists(d => d == "ACL" || d == "DEFAULT ACL"))
+        return
+      e.defn.filter(_.trim.nonEmpty).foreach { raw =>
+        val sql =
+          if (!noOwner) raw
+          else raw.linesIterator
+            .filterNot(_.matches("""ALTER .* OWNER TO .*;\s*"""))
+            .mkString("\n")
+        stmt(sql)
+        if (!noOwner) for {
+          d <- e.desc; kind <- ownable.get(d)
+          o <- e.owner.filter(_.nonEmpty); t <- e.tag.filter(_.nonEmpty)
+        } {
+          val qi = PgSource.quoteIdent _
+          val qn = e.namespace.filter(_.nonEmpty) match {
+            case Some(ns) if d != "SCHEMA" => s"${qi(ns)}.${qi(t)}"
+            case _ => qi(t)
+          }
+          stmt(s"ALTER $kind $qn OWNER TO ${qi(o)}")
+        }
+      }
+    }
+    if (clean && runPre && !dataOnly)
+      selected.entries.reverse.filterNot(_.desc.exists(SessionDescs)).foreach {
+        e => e.dropStmt.map(_.trim).filter(_.nonEmpty)
+          .foreach(raw => stmt(if (ifExists) injectIfExists(raw) else raw))
+      }
+    if (runPre)
+      selected.entries.filter(e => e.section == PgToc.SectionPreData ||
+          e.section == PgToc.SectionNone)
+        .filterNot(_.desc.exists(SessionDescs)).foreach(emitDefn)
+    if (runData) {
+      selected.entries.filter(_.desc.contains("TABLE DATA")).foreach { e =>
+        for {
+          copySql <- e.copyStmt.map(_.trim.stripSuffix(";"))
+          base <- e.fileName.filter(_.nonEmpty)
+          f <- Compress.probeFile(dir, base)
+        } {
+          w.write(copySql); w.write(";\n"); w.flush()
+          val in = Compress.input(Compress.algoOfFile(f.getName),
+            new java.io.BufferedInputStream(new java.io.FileInputStream(f)))
+          try in.transferTo(out) finally in.close()
+          rendered += 1
+        }
+      }
+      selected.entries.filter(e => e.section == PgToc.SectionData &&
+        e.desc.contains("SEQUENCE SET")).foreach(emitDefn)
+      if (selected.entries.exists(_.desc.contains("BLOBS")) && !noBlobs)
+        System.err.println("[pg-restore] warning: large objects are not " +
+          "representable in script output — use the direct restore path")
+    }
+    if (runPost)
+      selected.entries.filter(_.section == PgToc.SectionPostData).foreach(emitDefn)
+    if (singleTransaction) w.write("COMMIT;\n")
+    w.flush()
+    rendered
   }
 
   /** `--if-exists` rewrite: native pg_restore injects IF EXISTS into the

@@ -768,6 +768,77 @@ class PgInteropSpec extends SparkSpec {
       "SELECT tableowner FROM pg_tables WHERE tablename='ot'")._2.trim == "graft")
   }
 
+  test("pg-restore -f script output and -1 single-transaction atomicity") {
+    live()
+    import spark.implicits._
+    val good = (1L to 30L).map(i => (i, s"g$i")).toDF("k", "v")
+    val bad = Seq((1L, "a"), (1L, "b")).toDF("k", "v") // dup keys
+    val arch = s"$base/script_arch"
+    PgToc.dumpArchive(Seq("sgood" -> good, "sbad" -> bad), arch, "scripttgt",
+      includeSchema = true)
+
+    // -f: the archive renders as ONE plain SQL script; feeding it through
+    // stock psql reproduces the direct restore exactly
+    val script = java.nio.file.Files.createTempFile("graft_script", ".sql")
+    val os = java.nio.file.Files.newOutputStream(script)
+    val n = try graft.sources.PgRestore.toScript(arch, os) finally os.close()
+    assert(n >= 4, s"expected schema+data entries rendered, got $n")
+    val text = java.nio.file.Files.readString(script)
+    assert(text.contains("CREATE TABLE") && text.contains("COPY ") &&
+      text.contains("FROM stdin;") && text.contains("\\."), text.take(200))
+    psql("postgres", "CREATE DATABASE scr1")
+    val (rcS, outS) = sh(s"PGHOST=$sockDir PGUSER=graft /usr/bin/psql -X -q " +
+      s"-o /dev/null -d scr1 -f $script")
+    assert(rcS == 0, outS.takeRight(300))
+    psql("postgres", "CREATE DATABASE scr2")
+    graft.sources.PgRestore.restore(arch,
+      Seq("-d", s"host=$sockDir dbname=scr2 user=graft"), exitOnError = true)
+    for (t <- Seq("sgood", "sbad")) {
+      val a = graft.sources.PgSource.tableFingerprint(
+        Seq("-d", s"host=$sockDir dbname=scr1 user=graft"), t)
+      val b = graft.sources.PgSource.tableFingerprint(
+        Seq("-d", s"host=$sockDir dbname=scr2 user=graft"), t)
+      assert(a == b, s"script vs direct restore diverge on $t: $a vs $b")
+    }
+    java.nio.file.Files.delete(script)
+
+    // -1: poison sbad on the target (PK the archive's duplicates violate);
+    // the single transaction rolls EVERYTHING back — sgood lands nothing
+    psql("postgres", "CREATE DATABASE scr3")
+    psql("scr3", "CREATE TABLE sgood(k bigint, v text)")
+    psql("scr3", "CREATE TABLE sbad(k bigint PRIMARY KEY, v text)")
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.PgRestore.restore(arch,
+        Seq("-d", s"host=$sockDir dbname=scr3 user=graft"),
+        dataOnly = true, singleTransaction = true)
+    }
+    assert(e.getMessage.contains("rolled back"), e.getMessage)
+    assert(psql("scr3", "SELECT count(*) FROM sgood")._2.trim == "0",
+      "-1 must roll back the healthy table's rows too (atomicity)")
+    // contrast: the default wave restore lands sgood and skips sbad
+    graft.sources.PgRestore.restore(arch,
+      Seq("-d", s"host=$sockDir dbname=scr3 user=graft"),
+      dataOnly = true, exitOnError = false)
+    assert(psql("scr3", "SELECT count(*) FROM sgood")._2.trim == "30")
+    assert(psql("scr3", "SELECT count(*) FROM sbad")._2.trim == "0")
+    // and a CLEAN single-transaction run applies everything atomically
+    psql("scr3", "DELETE FROM sgood")
+    psql("scr3", "DROP TABLE sbad")
+    psql("scr3", "CREATE TABLE sbad(k bigint, v text)")
+    val ok = graft.sources.PgRestore.restore(arch,
+      Seq("-d", s"host=$sockDir dbname=scr3 user=graft"),
+      dataOnly = true, singleTransaction = true)
+    assert(ok.exists(_.startsWith("single transaction:")), ok)
+    assert(psql("scr3", "SELECT count(*) FROM sgood")._2.trim == "30")
+    assert(psql("scr3", "SELECT count(*) FROM sbad")._2.trim == "2")
+    // -C inside -1 is refused (CREATE DATABASE is not transactional)
+    intercept[IllegalArgumentException] {
+      graft.sources.PgRestore.restore(arch,
+        Seq("-d", s"host=$sockDir dbname=scr3 user=graft"),
+        singleTransaction = true, create = true)
+    }
+  }
+
   test("pg-restore -P/-T/--no-publications/--enable-row-security") {
     live()
     psql("postgres", "CREATE DATABASE featsrc")
