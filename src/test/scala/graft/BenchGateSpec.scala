@@ -38,20 +38,37 @@ class BenchGateSpec extends AnyFunSuite {
     // iowait-cores on this host). ext_cores is structurally blind to
     // this — the r12 blind spot this gate closes.
     val tmp = java.nio.file.Files.createTempFile("graft_iow", ".bin")
+    val tmp2 = java.nio.file.Files.createTempFile("graft_iow2", ".bin")
+    // two concurrent writers: headroom over the 0.3 gate on faster disks
     val dd = new ProcessBuilder("sh", "-c",
-      s"while :; do dd if=/dev/zero of=$tmp bs=256k count=8 " +
+      s"(while :; do dd if=/dev/zero of=$tmp bs=256k count=8 " +
+        "oflag=dsync conv=notrunc 2>/dev/null; done) & " +
+        s"while :; do dd if=/dev/zero of=$tmp2 bs=256k count=8 " +
         "oflag=dsync conv=notrunc 2>/dev/null; done").start()
     try {
       Thread.sleep(300) // let the writer get going
-      // idle window: the JVM does no I/O, so iowait reads foreign disk
-      val (ext, iow) = Bench.extIoProbe(3000)
+      // idle window: the JVM does no I/O, so iowait reads foreign disk.
+      // Storage speed varies by host — probe up to 3 windows and require
+      // the max; a host whose disk absorbs dsync without measurable
+      // iowait (battery-backed cache) can't run this proof at all.
+      val probes = (1 to 3).map(_ => Bench.extIoProbe(3000))
+      val iow = probes.map(_._2).max
+      assume(iow > 0.05,
+        s"host generates no measurable iowait under dsync writes ($probes)")
       // a dsync dd burns a little CPU too; the point is the IOWAIT reading
-      assert(iow >= 0.3, s"foreign disk pressure not measured (iow=$iow, ext=$ext)")
+      assert(iow >= 0.3, s"foreign disk pressure not measured ($probes)")
       assert(Bench.isSuspectIo(iow, 0.3),
         s"iowait suspect rule must trip on $iow iowait cores at gate 0.3")
     } finally {
       dd.destroyForcibly(); dd.waitFor()
+      // the backgrounded inner loop survives the shell's SIGKILL; match
+      // the dd invocations specifically (a bare filename pattern would
+      // kill unrelated processes that merely mention it on their cmdline)
+      new ProcessBuilder("sh", "-c",
+        "pkill -f 'dd if=/dev/zero of=/tmp/graft_iow' || true")
+        .start().waitFor()
       java.nio.file.Files.deleteIfExists(tmp)
+      java.nio.file.Files.deleteIfExists(tmp2)
     }
   }
 
