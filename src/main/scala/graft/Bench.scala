@@ -147,6 +147,29 @@ object Bench {
     val (_, e, i) = withExtIo(Thread.sleep(ms)); (e, i)
   }
 
+  private val probeSink = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Host-speed calibration probe: ops/second of a fixed xorshift loop
+    * across `threads` threads. Round 13's controlled A/B showed the SAME
+    * code measuring 1.2 s one session and 2.0+ s another on
+    * gate-clean hosts — shared-infrastructure CPU speed itself moves.
+    * Recording single-thread and all-core probe rates with every bench
+    * lets round-over-round comparisons normalize by what the host could
+    * actually do that day, instead of misreading host drift as a code
+    * regression. The sink defeats dead-code elimination. */
+  def cpuProbe(threads: Int, iters: Long = 100000000L): Double = {
+    def burn(): Long = {
+      var x = 0x9E3779B97F4A7C15L ^ Thread.currentThread().getId
+      var i = 0L
+      while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      x
+    }
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map(_ => new Thread(() => { probeSink.addAndGet(burn()); () }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    threads * iters / ((System.nanoTime() - t0) / 1e9)
+  }
+
   /** The suspect rule: the MEDIAN sample ran alongside more than `gate`
     * cores of foreign CPU, or the metric was unreadable. The gate is
     * much lower than the loadavg start gate because ext_cores excludes
@@ -380,6 +403,12 @@ object Bench {
     run(sfDir)
     staged.foreach { d => smallSplits(); run(d); defaultSplits() }
 
+    // host-speed calibration (after warmup so the probe itself is JITed):
+    // single-thread turbo and all-core throughput in fixed-loop ops/sec
+    cpuProbe(1, 10000000L) // JIT warm, untimed
+    val probeSt = cpuProbe(1)
+    val probeMt = cpuProbe(cpus.toInt)
+
     val loadBefore = loadAvg()
     val single = runMedianOf3(sfDir)
     // loadavg sampled at every phase boundary: a co-tenant spike during the
@@ -441,6 +470,8 @@ object Bench {
       s""""total_min":$totalMin,"queries":${js(medians)},""" +
       s""""queries_min":${js(mins)},"query_stats":${jsStats(single)}""" +
       s""","load_gate":$loadGate,"ext_gate":$extGate,"io_gate":$ioGate""" +
+      f""","cpu_probe_st_mops":${probeSt / 1e6}%.1f""" +
+      f""","cpu_probe_mt_mops":${probeMt / 1e6}%.1f""" +
       s""","load_gate_wait_sec":$gateWaitSec""" +
       s""","load_gate_timed_out":$gateTimedOut""" +
       s""","suspect":${jsNames(suspects)},"failed":${jsNames(failed)}""" +

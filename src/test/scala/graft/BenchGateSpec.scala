@@ -80,6 +80,17 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!Bench.isSuspectIo(0.13, 0.3))
   }
 
+  test("cpu probe returns sane host-speed calibration rates") {
+    Bench.cpuProbe(1, 1000000L) // JIT warm
+    val st = Bench.cpuProbe(1, 20000000L)
+    val mt = Bench.cpuProbe(4, 20000000L)
+    // any functioning host runs the xorshift loop at tens of Mops/s
+    assert(st > 2e7, s"single-thread probe implausibly slow: $st ops/s")
+    // 4 threads must beat 1 (the loop is embarrassingly parallel); allow
+    // co-tenant slack with a 1.5x floor rather than 4x
+    assert(mt > st * 1.5, s"multi-thread probe did not scale: $st -> $mt")
+  }
+
   test("withExt attributes this JVM's own burn to self, not to foreign load") {
     // burn ~2s of CPU in-process: ext must NOT rise with it (the whole
     // point of the instrument — loadavg would have flagged this)
