@@ -583,6 +583,138 @@ object Lifecycle {
       case None => s"$name: unknown transformer"
     }
 
+  /** The `pg-restore` CLI verb, extracted so specs can drive the full
+    * flag surface without owning the Spark session. `-f` renders a
+    * script and returns; otherwise the archive replays directly. Every
+    * selection/rendering flag is parsed ONCE and handed to BOTH paths
+    * — the script the -f path writes reflects the exact selection the
+    * direct restore would apply (native parity: pg_restore -f runs the
+    * same restore, with SQL going to a file instead of a server). */
+  private[graft] def pgRestoreCli(archDir: String, conninfo: String,
+                                  rest: List[String]): Unit = {
+        val jobs = rest.sliding(2).collectFirst {
+          case Seq("--jobs", n) => n.toInt }.getOrElse(4)
+        // --use-list <file>: the native -L — restore only (and in the
+        // order of) the listed dumpIds; --with-deps adds each listed
+        // entry's transitive dependency closure
+        // --list-format text|json|yaml (reference restore.go:67-69):
+        // text = the pg_restore -l shape; json/yaml = a metadata document
+        // whose entries[].dumpId form the list (a manifest.json works)
+        val listFormat = rest.collectFirst {
+          case a if a.startsWith("--list-format=") =>
+            a.stripPrefix("--list-format=")
+        }.getOrElse("text")
+        val useList = rest.sliding(2).collectFirst {
+          case Seq("--use-list", f) =>
+            val text = Files.readString(Paths.get(f))
+            if (listFormat == "text")
+              graft.sources.PgRestore.parseRestoreList(text)
+            else
+              graft.sources.PgRestore.parseStructuredRestoreList(text, listFormat)
+        }
+        // --scripts <json>: the reference's restore.scripts block —
+        // per-section before/after hooks (query / query_file / command)
+        val scripts = rest.sliding(2).collectFirst {
+          case Seq("--scripts", f) =>
+            graft.sources.PgRestore.scriptsFromJson(
+              Files.readString(Paths.get(f)))
+        }.getOrElse(Map.empty[String, Seq[graft.sources.PgRestore.Script]])
+        // every selection/rendering flag is parsed ONCE here and handed
+        // to BOTH execution paths — the -f script path renders with the
+        // exact same selection the direct restore would apply
+        val selTables = rest.sliding(2).collect {
+          case Seq("--table" | "-t", v) => v }.toSeq
+        val selIndexes = rest.sliding(2).collect {
+          case Seq("--index" | "-i", v) => v }.toSeq
+        val selFunctions = rest.sliding(2).collect {
+          case Seq("--function" | "-P", v) => v }.toSeq
+        val selTriggers = rest.sliding(2).collect {
+          case Seq("--trigger" | "-T", v) => v }.toSeq
+        val selSchemas = rest.sliding(2).collect {
+          case Seq("--schema" | "-n", v) => v }.toSeq
+        val selExcludeSchemas = rest.sliding(2).collect {
+          case Seq("--exclude-schema" | "-N", v) => v }.toSeq
+        val optDataOnly = rest.contains("--data-only") || rest.contains("-a")
+        val optSchemaOnly = rest.contains("--schema-only") || rest.contains("-s")
+        val optSection = rest.collectFirst {
+          case a if a.startsWith("--section=") => a.stripPrefix("--section=") }
+        val optClean = rest.contains("--clean") || rest.contains("-c")
+        val optIfExists = rest.contains("--if-exists")
+        val optCreate = rest.contains("--create") || rest.contains("-C")
+        val optNoOwner = rest.contains("--no-owner") || rest.contains("-O")
+        val optNoPrivileges = rest.contains("--no-privileges") || rest.contains("-X")
+        val optSingleTx = rest.contains("--single-transaction") || rest.contains("-1")
+        val optWithDeps = rest.contains("--with-deps")
+        val optStrictNames = rest.contains("--strict-names")
+        val optNoBlobs = rest.contains("--no-blobs") || rest.contains("-B")
+        val optNoComments = rest.contains("--no-comments")
+        val optNoPublications = rest.contains("--no-publications")
+        val optNoSubscriptions = rest.contains("--no-subscriptions")
+        val optNoSecurityLabels = rest.contains("--no-security-labels")
+        // native -f: render the archive as a plain SQL script instead of
+        // executing it ('-' = stdout); selection flags apply the same
+        rest.sliding(2).collectFirst { case Seq("--file" | "-f", v) => v }
+          .foreach { target =>
+            val os = if (target == "-") System.out
+              else java.nio.file.Files.newOutputStream(Paths.get(target))
+            val n = try graft.sources.PgRestore.toScript(archDir, os,
+              dataOnly = optDataOnly,
+              schemaOnly = optSchemaOnly,
+              section = optSection,
+              clean = optClean,
+              ifExists = optIfExists,
+              create = optCreate,
+              noOwner = optNoOwner,
+              noPrivileges = optNoPrivileges,
+              singleTransaction = optSingleTx,
+              useList = useList, withDeps = optWithDeps,
+              tables = selTables, indexes = selIndexes,
+              functions = selFunctions, triggers = selTriggers,
+              schemas = selSchemas, excludeSchemas = selExcludeSchemas,
+              strictNames = optStrictNames,
+              noBlobs = optNoBlobs, noComments = optNoComments,
+              noPublications = optNoPublications,
+              noSubscriptions = optNoSubscriptions,
+              noSecurityLabels = optNoSecurityLabels)
+            finally if (target != "-") os.close()
+            System.err.println(s"[pg-restore] wrote $n entries to $target")
+            return
+          }
+        graft.sources.PgRestore.restore(archDir, Seq("-d", conninfo),
+          dataOnly = optDataOnly,
+          disableTriggers = rest.contains("--disable-triggers"),
+          jobs = jobs, useList = useList,
+          withDeps = optWithDeps,
+          scripts = scripts,
+          restoreInOrder = rest.contains("--restore-in-order"),
+          // CLI default matches the native tool: CONTINUE past failed
+          // statements/COPYs (warn + closing summary); -e aborts on the
+          // first error (cmd/restore/restore.go:154)
+          exitOnError = rest.contains("--exit-on-error") || rest.contains("-e"),
+          clean = optClean,
+          create = optCreate,
+          tables = selTables, indexes = selIndexes,
+          strictNames = optStrictNames,
+          ifExists = optIfExists,
+          section = optSection,
+          noDataForFailedTables = rest.contains("--no-data-for-failed-tables"),
+          noOwner = optNoOwner,
+          noPrivileges = optNoPrivileges,
+          schemaOnly = optSchemaOnly,
+          noBlobs = optNoBlobs,
+          noComments = optNoComments,
+          schemas = selSchemas,
+          excludeSchemas = selExcludeSchemas,
+          functions = selFunctions,
+          triggers = selTriggers,
+          noPublications = optNoPublications,
+          noSubscriptions = optNoSubscriptions,
+          noSecurityLabels = optNoSecurityLabels,
+          enableRowSecurity = rest.contains("--enable-row-security"),
+          singleTransaction = optSingleTx)
+          .foreach(l => println(s"[pg-restore] $l"))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = session()
     args.toList match {
@@ -625,103 +757,7 @@ object Lifecycle {
         // feed back via --use-list for selective restore)
         graft.sources.PgRestore.listLines(archDir).foreach(println)
       case "pg-restore" :: archDir :: conninfo :: rest =>
-        // replay a directory archive (pg_dump -Fd / pg-dump output) into
-        // a live database through psql — no native pg_restore needed
-        val jobs = rest.sliding(2).collectFirst {
-          case Seq("--jobs", n) => n.toInt }.getOrElse(4)
-        // --use-list <file>: the native -L — restore only (and in the
-        // order of) the listed dumpIds; --with-deps adds each listed
-        // entry's transitive dependency closure
-        // --list-format text|json|yaml (reference restore.go:67-69):
-        // text = the pg_restore -l shape; json/yaml = a metadata document
-        // whose entries[].dumpId form the list (a manifest.json works)
-        val listFormat = rest.collectFirst {
-          case a if a.startsWith("--list-format=") =>
-            a.stripPrefix("--list-format=")
-        }.getOrElse("text")
-        val useList = rest.sliding(2).collectFirst {
-          case Seq("--use-list", f) =>
-            val text = Files.readString(Paths.get(f))
-            if (listFormat == "text")
-              graft.sources.PgRestore.parseRestoreList(text)
-            else
-              graft.sources.PgRestore.parseStructuredRestoreList(text, listFormat)
-        }
-        // --scripts <json>: the reference's restore.scripts block —
-        // per-section before/after hooks (query / query_file / command)
-        val scripts = rest.sliding(2).collectFirst {
-          case Seq("--scripts", f) =>
-            graft.sources.PgRestore.scriptsFromJson(
-              Files.readString(Paths.get(f)))
-        }.getOrElse(Map.empty[String, Seq[graft.sources.PgRestore.Script]])
-        // -t/-i selection (repeatable, native shape)
-        val selTables = rest.sliding(2).collect {
-          case Seq("--table" | "-t", v) => v }.toSeq
-        val selIndexes = rest.sliding(2).collect {
-          case Seq("--index" | "-i", v) => v }.toSeq
-        // native -f: render the archive as a plain SQL script instead of
-        // executing it ('-' = stdout); selection flags apply the same
-        rest.sliding(2).collectFirst { case Seq("--file" | "-f", v) => v }
-          .foreach { target =>
-            val os = if (target == "-") System.out
-              else java.nio.file.Files.newOutputStream(Paths.get(target))
-            val n = try graft.sources.PgRestore.toScript(archDir, os,
-              dataOnly = rest.contains("--data-only"),
-              schemaOnly = rest.contains("--schema-only") || rest.contains("-s"),
-              section = rest.collectFirst {
-                case a if a.startsWith("--section=") => a.stripPrefix("--section=") },
-              clean = rest.contains("--clean") || rest.contains("-c"),
-              ifExists = rest.contains("--if-exists"),
-              create = rest.contains("--create") || rest.contains("-C"),
-              noOwner = rest.contains("--no-owner") || rest.contains("-O"),
-              noPrivileges = rest.contains("--no-privileges") || rest.contains("-X"),
-              singleTransaction = rest.contains("--single-transaction") || rest.contains("-1"),
-              useList = useList, withDeps = rest.contains("--with-deps"),
-              tables = selTables, indexes = selIndexes,
-              strictNames = rest.contains("--strict-names"))
-            finally if (target != "-") os.close()
-            System.err.println(s"[pg-restore] wrote $n entries to $target")
-            spark.stop(); return
-          }
-        graft.sources.PgRestore.restore(archDir, Seq("-d", conninfo),
-          dataOnly = rest.contains("--data-only"),
-          disableTriggers = rest.contains("--disable-triggers"),
-          jobs = jobs, useList = useList,
-          withDeps = rest.contains("--with-deps"),
-          scripts = scripts,
-          restoreInOrder = rest.contains("--restore-in-order"),
-          // CLI default matches the native tool: CONTINUE past failed
-          // statements/COPYs (warn + closing summary); -e aborts on the
-          // first error (cmd/restore/restore.go:154)
-          exitOnError = rest.contains("--exit-on-error") || rest.contains("-e"),
-          clean = rest.contains("--clean") || rest.contains("-c"),
-          create = rest.contains("--create") || rest.contains("-C"),
-          tables = selTables, indexes = selIndexes,
-          strictNames = rest.contains("--strict-names"),
-          ifExists = rest.contains("--if-exists"),
-          section = rest.collectFirst {
-            case a if a.startsWith("--section=") => a.stripPrefix("--section=")
-          },
-          noDataForFailedTables = rest.contains("--no-data-for-failed-tables"),
-          noOwner = rest.contains("--no-owner") || rest.contains("-O"),
-          noPrivileges = rest.contains("--no-privileges") || rest.contains("-X"),
-          schemaOnly = rest.contains("--schema-only") || rest.contains("-s"),
-          noBlobs = rest.contains("--no-blobs") || rest.contains("-B"),
-          noComments = rest.contains("--no-comments"),
-          schemas = rest.sliding(2).collect {
-            case Seq("--schema" | "-n", v) => v }.toSeq,
-          excludeSchemas = rest.sliding(2).collect {
-            case Seq("--exclude-schema" | "-N", v) => v }.toSeq,
-          functions = rest.sliding(2).collect {
-            case Seq("--function" | "-P", v) => v }.toSeq,
-          triggers = rest.sliding(2).collect {
-            case Seq("--trigger" | "-T", v) => v }.toSeq,
-          noPublications = rest.contains("--no-publications"),
-          noSubscriptions = rest.contains("--no-subscriptions"),
-          noSecurityLabels = rest.contains("--no-security-labels"),
-          enableRowSecurity = rest.contains("--enable-row-security"),
-          singleTransaction = rest.contains("--single-transaction") || rest.contains("-1"))
-          .foreach(l => println(s"[pg-restore] $l"))
+        pgRestoreCli(archDir, conninfo, rest)
       case "pg-ingest" :: archDir :: outDir :: Nil =>
         // any pg_dump -Fd / reference-produced directory archive ->
         // parquet lake, typed from the archive's own CREATE TABLE DDL

@@ -311,16 +311,36 @@ object PgRestore {
       // native -1: everything in ONE session, ONE transaction — implies
       // exit-on-error (any failure rolls the whole restore back). Render
       // the script form and replay it through a single psql -1 session.
+      // Options that cannot survive the script detour fail loudly or
+      // warn instead of being silently dropped: user script hooks have
+      // no script-form equivalent (reject); --no-data-for-failed-tables
+      // is moot in one transaction (a failed CREATE rolls back the
+      // whole restore before any data loads — warn).
+      require(scripts.isEmpty,
+        "pg-restore: --scripts hooks cannot run under --single-transaction " +
+          "(the restore replays as one SQL script); drop -1 or the scripts")
+      if (noDataForFailedTables)
+        System.err.println("[pg-restore] warning: --no-data-for-failed-tables " +
+          "has no effect with --single-transaction (any failure rolls back " +
+          "the entire restore)")
       val tmp = java.nio.file.Files.createTempFile("graft_restore_1tx", ".sql")
       try {
         val os = java.nio.file.Files.newOutputStream(tmp)
-        val n = try toScript(dir, os, dataOnly, schemaOnly, section, clean,
-          ifExists, create = false, noOwner, noPrivileges,
-          singleTransaction = true, useList, withDeps, tables, indexes,
-          functions, triggers, schemas, excludeSchemas, strictNames,
-          noBlobs, noComments, noPublications, noSubscriptions,
-          noSecurityLabels)
-        finally os.close()
+        val n = try {
+          // session-level integrity controls ride at the top of the
+          // script (SET outside the transaction = session scope), same
+          // effect as the per-COPY `pre` statements on the direct path
+          val sets =
+            (if (disableTriggers) Seq("SET session_replication_role = replica;\n") else Nil) ++
+              (if (enableRowSecurity) Seq("SET row_security = on;\n") else Nil)
+          sets.foreach(s => os.write(s.getBytes("UTF-8")))
+          toScript(dir, os, dataOnly, schemaOnly, section, clean,
+            ifExists, create = false, noOwner, noPrivileges,
+            singleTransaction = true, useList, withDeps, tables, indexes,
+            functions, triggers, schemas, excludeSchemas, strictNames,
+            noBlobs, noComments, noPublications, noSubscriptions,
+            noSecurityLabels)
+        } finally os.close()
         val cmd = Seq("/usr/bin/psql", "-X", "-q", "-v", "ON_ERROR_STOP=1") ++
           psqlArgs ++ Seq("-o", "/dev/null", "-f", tmp.toString)
         val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
@@ -395,8 +415,12 @@ object PgRestore {
 
     // --no-data-for-failed-tables: a TABLE whose CREATE failed (already
     // exists, usually) must not have the archive's data appended on top
-    // of whatever it holds — the native flag's whole point
-    val failedTables = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    // of whatever it holds — the native flag's whole point. Keyed by
+    // (namespace, tag): native tracks the failed ENTRY, so a failed
+    // a.t must not suppress the data load of an unrelated b.t
+    val failedTables = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+    def tableKey(e: PgToc.Entry): Option[(String, String)] =
+      e.tag.map(t => (e.namespace.filter(_.nonEmpty).getOrElse(""), t))
 
     // ownership lives in the TOC's OWNER FIELD (verified against real
     // pg_dump 15 toc.dat): native pg_restore SYNTHESIZES the
@@ -437,7 +461,7 @@ object PgRestore {
         if (sql.trim.isEmpty) return
         val (rc, out) = exec(psqlArgs, sql)
         if (rc != 0) {
-          if (e.desc.contains("TABLE")) e.tag.foreach(failedTables.add)
+          if (e.desc.contains("TABLE")) tableKey(e).foreach(failedTables.add)
           failOrWarn(
             s"pg-restore: ${e.desc.getOrElse("?")} ${e.tag.getOrElse("?")} failed: $out")
         }
@@ -448,11 +472,16 @@ object PgRestore {
       }
     }
 
-    def loadTable(e: PgToc.Entry): Unit = {
-      if (noDataForFailedTables && e.tag.exists(failedTables.contains)) {
+    // returns true iff the table's data actually loaded — the caller
+    // logs `TABLE DATA <tag>` only for successes (native prints the
+    // entry header before failing too, but our returned log doubles as
+    // the success record the CLI prints; a failed load must not read
+    // as restored)
+    def loadTable(e: PgToc.Entry): Boolean = {
+      if (noDataForFailedTables && tableKey(e).exists(failedTables.contains)) {
         System.err.println(s"[pg-restore] table ${e.tag.get} could not be " +
           "created, will not restore its data (--no-data-for-failed-tables)")
-        return
+        return false
       }
       // structural archive corruption always throws — a missing payload
       // is not a per-table data error the server reported
@@ -468,8 +497,10 @@ object PgRestore {
       val (rc, out) = copyFrom(psqlArgs, pre, copySql, f)
       // a failed COPY rolled back ITS table's transaction server-side;
       // without -e the wave moves on (restorers/table.go:90-102)
-      if (rc != 0)
+      if (rc != 0) {
         failOrWarn(s"pg-restore: COPY ${e.tag.getOrElse("?")} failed: ${out.trim}")
+        false
+      } else true
     }
 
     // dependency WAVES inside the data section: a data entry whose deps
@@ -509,14 +540,18 @@ object PgRestore {
       import scala.concurrent.duration.Duration
       if (restoreInOrder)
         dataEntries.foreach { e =>
-          loadTable(e); done += s"TABLE DATA ${e.tag.getOrElse("?")}"
+          if (loadTable(e)) done += s"TABLE DATA ${e.tag.getOrElse("?")}"
         }
       else {
         val ec = ExecutionContext.fromExecutorService(
           java.util.concurrent.Executors.newFixedThreadPool(math.max(1, jobs)))
         try waves(dataEntries, Set.empty, Nil).foreach { wave =>
-          wave.map(e => Future(loadTable(e))(ec)).foreach(Await.result(_, Duration.Inf))
-          wave.foreach(e => done += s"TABLE DATA ${e.tag.getOrElse("?")}")
+          // in continue mode a failed COPY returns false — only tables
+          // that actually loaded are reported as restored
+          val oks = wave.map(e => Future(loadTable(e))(ec))
+            .map(Await.result(_, Duration.Inf))
+          wave.zip(oks).foreach { case (e, ok) =>
+            if (ok) done += s"TABLE DATA ${e.tag.getOrElse("?")}" }
         } finally ec.shutdown()
       }
       // remaining data-section statements (SEQUENCE SET) + blobs
@@ -801,15 +836,36 @@ object PgRestore {
       "^DROP ((?:[A-Z]+ )+)".r.replaceFirstIn(drop, "DROP $1IF EXISTS ")
 
   /** Derive maintenance-database args from target args for `--create`:
-    * the dbname (conninfo `dbname=` keyword, or the bare value after
-    * `-d`) swaps to `postgres`. Covers the arg shapes this engine
-    * produces; anything else fails loudly rather than connect wrong. */
+    * the dbname (conninfo `dbname=` keyword, a `postgres://` URI's path
+    * component, or a bare database name after `-d`) swaps to
+    * `postgres`, keeping host/port/user intact. Anything else fails
+    * loudly rather than connect wrong. */
   private[graft] def maintenanceArgs(psqlArgs: Seq[String]): Seq[String] = {
+    // URI conninfo: rewrite ONLY the path component to /postgres —
+    // wholesale replacement would silently drop host/port and run
+    // CREATE DATABASE against the wrong server
+    def swapUriDb(uri: String): String = {
+      val schemeEnd = uri.indexOf("://") + 3
+      val qIdx = uri.indexOf('?', schemeEnd)
+      val end = if (qIdx >= 0) qIdx else uri.length
+      val slash = uri.indexOf('/', schemeEnd)
+      val head = if (slash >= 0 && slash < end) uri.substring(0, slash)
+                 else uri.substring(0, end)
+      head + "/postgres" + (if (qIdx >= 0) uri.substring(qIdx) else "")
+    }
+    def isUri(v: String): Boolean =
+      v.startsWith("postgres://") || v.startsWith("postgresql://")
+    // a bare database name: no conninfo '=' pairs, no URI scheme, no
+    // path separators — the only shape safe to replace wholesale
+    def isBareDbName(v: String): Boolean =
+      !v.contains("=") && !isUri(v) && !v.contains("/") && !v.contains(":")
     var swapped = false
     val out = psqlArgs.zipWithIndex.map { case (a, i) =>
       if (a.contains("dbname=")) {
         swapped = true; a.replaceAll("dbname=\\S+", "dbname=postgres")
-      } else if (i > 0 && psqlArgs(i - 1) == "-d" && !a.contains("=")) {
+      } else if (i > 0 && psqlArgs(i - 1) == "-d" && isUri(a)) {
+        swapped = true; swapUriDb(a)
+      } else if (i > 0 && psqlArgs(i - 1) == "-d" && isBareDbName(a)) {
         swapped = true; "postgres"
       } else a
     }

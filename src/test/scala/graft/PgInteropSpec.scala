@@ -695,6 +695,11 @@ class PgInteropSpec extends SparkSpec {
     val lines = graft.sources.PgRestore.restore(arch, Seq("-d", conn),
       dataOnly = true, exitOnError = false)
     assert(lines.exists(_.startsWith("errors ignored on restore:")), lines)
+    // the returned log is the SUCCESS record: the healthy table reads
+    // as restored, the failed one must NOT
+    assert(lines.contains("TABLE DATA good"), lines)
+    assert(!lines.contains("TABLE DATA bad"),
+      s"a failed COPY must not be reported as restored: $lines")
     assert(psql("flagtgt", "SELECT count(*) FROM good")._2.trim == "40",
       "continue-mode must still load the healthy table")
     assert(psql("flagtgt", "SELECT count(*) FROM bad")._2.trim == "0",
@@ -720,7 +725,7 @@ class PgInteropSpec extends SparkSpec {
     assert(graft.sources.PgRestore.restore(arch, Seq("-d", conn),
       tables = Seq("nope")).isEmpty, "non-strict unmatched selection is empty")
 
-    // maintenance-args derivation covers both arg shapes
+    // maintenance-args derivation covers all conninfo shapes
     assert(graft.sources.PgRestore.maintenanceArgs(
       Seq("-d", "host=/x dbname=foo user=u")) ==
       Seq("-d", "host=/x dbname=postgres user=u"))
@@ -728,6 +733,21 @@ class PgInteropSpec extends SparkSpec {
       Seq("-d", "postgres"))
     intercept[IllegalArgumentException](
       graft.sources.PgRestore.maintenanceArgs(Seq("-h", "/x")))
+    // URI conninfo: only the PATH component swaps — host/port/user and
+    // query params must survive (a wholesale swap would point CREATE
+    // DATABASE at the local default server)
+    assert(graft.sources.PgRestore.maintenanceArgs(
+      Seq("-d", "postgresql://u:p@db.example:5433/foo?sslmode=disable")) ==
+      Seq("-d", "postgresql://u:p@db.example:5433/postgres?sslmode=disable"))
+    assert(graft.sources.PgRestore.maintenanceArgs(
+      Seq("-d", "postgres://db.example:5433")) ==
+      Seq("-d", "postgres://db.example:5433/postgres"))
+    assert(graft.sources.PgRestore.maintenanceArgs(
+      Seq("-d", "postgresql:///foo")) == Seq("-d", "postgresql:///postgres"))
+    // a path- or port-bearing non-URI value is NOT a bare dbname —
+    // refuse loudly rather than guess
+    intercept[IllegalArgumentException](
+      graft.sources.PgRestore.maintenanceArgs(Seq("-d", "/var/run/pg/db")))
   }
 
   test("pg-restore -O/-X: owner statements filtered, ACL entries skipped") {
@@ -837,6 +857,38 @@ class PgInteropSpec extends SparkSpec {
         Seq("-d", s"host=$sockDir dbname=scr3 user=graft"),
         singleTransaction = true, create = true)
     }
+    // -1 + --disable-triggers: the session SET rides at the top of the
+    // rendered script, so a row-mangling trigger on the target must NOT
+    // fire during the COPY replay (graft is the cluster superuser)
+    psql("scr3", "DELETE FROM sgood")
+    psql("scr3", "DELETE FROM sbad")
+    psql("scr3",
+      "CREATE FUNCTION mangle() RETURNS trigger AS 'BEGIN NEW.v := ''X''; RETURN NEW; END;' LANGUAGE plpgsql")
+    psql("scr3",
+      "CREATE TRIGGER sgood_mangle BEFORE INSERT ON sgood FOR EACH ROW EXECUTE FUNCTION mangle()")
+    graft.sources.PgRestore.restore(arch,
+      Seq("-d", s"host=$sockDir dbname=scr3 user=graft"),
+      dataOnly = true, singleTransaction = true, disableTriggers = true)
+    assert(psql("scr3", "SELECT count(*) FROM sgood WHERE v = 'X'")._2.trim == "0",
+      "--disable-triggers under -1 must suppress the trigger")
+    assert(psql("scr3", "SELECT count(*) FROM sgood")._2.trim == "30")
+    // and WITHOUT the flag the same replay shows the trigger firing —
+    // proving the SET (not luck) is what suppressed it above
+    psql("scr3", "DELETE FROM sgood"); psql("scr3", "DELETE FROM sbad")
+    graft.sources.PgRestore.restore(arch,
+      Seq("-d", s"host=$sockDir dbname=scr3 user=graft"),
+      dataOnly = true, singleTransaction = true)
+    assert(psql("scr3", "SELECT count(*) FROM sgood WHERE v = 'X'")._2.trim == "30")
+    // scripts hooks cannot ride the -1 script detour — rejected loudly,
+    // never silently skipped
+    val sErr = intercept[IllegalArgumentException] {
+      graft.sources.PgRestore.restore(arch,
+        Seq("-d", s"host=$sockDir dbname=scr3 user=graft"),
+        singleTransaction = true,
+        scripts = Map("pre-data" -> Seq(graft.sources.PgRestore.Script(
+          "x", "before", query = Some("SELECT 1")))))
+    }
+    assert(sErr.getMessage.contains("--scripts"), sErr.getMessage)
   }
 
   test("pg-restore -P/-T/--no-publications/--enable-row-security") {
@@ -1065,6 +1117,43 @@ class PgInteropSpec extends SparkSpec {
     graft.sources.PgRestore.restore(arch, Seq("-d", connN),
       exitOnError = false)
     assert(psql("ndftgt", "SELECT count(*) FROM ietab")._2.trim == "11")
+
+    // failed-table tracking is keyed by (namespace, tag) — native tracks
+    // the failed ENTRY, so a failed a.t must NOT suppress the data load
+    // of an unrelated b.t that merely shares the name
+    psql("postgres", "CREATE DATABASE nssrc")
+    psql("nssrc", "CREATE SCHEMA a"); psql("nssrc", "CREATE SCHEMA b")
+    psql("nssrc", "CREATE TABLE a.t(k int)")
+    psql("nssrc", "INSERT INTO a.t VALUES (1),(2)")
+    psql("nssrc", "CREATE TABLE b.t(k int)")
+    psql("nssrc", "INSERT INTO b.t SELECT g FROM generate_series(1,5) g")
+    val nsArch = s"$base/ndf_ns_arch"
+    val (rcNs, outNs) = asPg(s"PGHOST=$sockDir PGUSER=graft " +
+      s"/usr/bin/pg_dump -Fd -d nssrc -f $nsArch")
+    assert(rcNs == 0, outNs)
+    sh(s"chmod -R a+rX $nsArch")
+    psql("postgres", "CREATE DATABASE nstgt")
+    psql("nstgt", "CREATE SCHEMA a")
+    psql("nstgt", "CREATE TABLE a.t(k int)") // poisons a.t's CREATE
+    psql("nstgt", "INSERT INTO a.t VALUES (99)")
+    graft.sources.PgRestore.restore(nsArch,
+      Seq("-d", s"host=$sockDir dbname=nstgt user=graft"),
+      exitOnError = false, noDataForFailedTables = true)
+    assert(psql("nstgt", "SELECT count(*) FROM a.t")._2.trim == "1",
+      "failed a.t keeps its own rows (--no-data-for-failed-tables)")
+    assert(psql("nstgt", "SELECT count(*) FROM b.t")._2.trim == "5",
+      "b.t shares only the NAME with the failed a.t — its data must load")
+
+    // the CLI -f script path forwards the FULL flag set: -n must filter
+    // the rendered script exactly as it filters a direct restore
+    val cliScript = java.nio.file.Files.createTempFile("graft_cli_f", ".sql")
+    Lifecycle.pgRestoreCli(nsArch, "unused-conninfo",
+      List("-n", "b", "-f", cliScript.toString))
+    val cliText = java.nio.file.Files.readString(cliScript)
+    assert(cliText.contains("CREATE TABLE b.t"), cliText.take(400))
+    assert(!cliText.contains("CREATE TABLE a.t"),
+      s"-n b on the -f path must exclude schema a: ${cliText.take(400)}")
+    java.nio.file.Files.delete(cliScript)
   }
 
   test("killed-mid-stream INSERT replay re-runs to fingerprint parity with ON CONFLICT DO NOTHING") {
