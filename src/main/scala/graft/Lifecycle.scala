@@ -651,6 +651,8 @@ object Lifecycle {
         val optNoPublications = rest.contains("--no-publications")
         val optNoSubscriptions = rest.contains("--no-subscriptions")
         val optNoSecurityLabels = rest.contains("--no-security-labels")
+        val optNoTablespaces = rest.contains("--no-tablespaces")
+        val optNoTableAm = rest.contains("--no-table-access-method")
         // native -f: render the archive as a plain SQL script instead of
         // executing it ('-' = stdout); selection flags apply the same
         rest.sliding(2).collectFirst { case Seq("--file" | "-f", v) => v }
@@ -675,7 +677,9 @@ object Lifecycle {
               noBlobs = optNoBlobs, noComments = optNoComments,
               noPublications = optNoPublications,
               noSubscriptions = optNoSubscriptions,
-              noSecurityLabels = optNoSecurityLabels)
+              noSecurityLabels = optNoSecurityLabels,
+              noTablespaces = optNoTablespaces,
+              noTableAccessMethod = optNoTableAm)
             finally if (target != "-") os.close()
             System.err.println(s"[pg-restore] wrote $n entries to $target")
             return
@@ -711,7 +715,10 @@ object Lifecycle {
           noSubscriptions = optNoSubscriptions,
           noSecurityLabels = optNoSecurityLabels,
           enableRowSecurity = rest.contains("--enable-row-security"),
-          singleTransaction = optSingleTx)
+          singleTransaction = optSingleTx,
+          noTablespaces = optNoTablespaces,
+          noTableAccessMethod = optNoTableAm,
+          verbose = rest.contains("--verbose") || rest.contains("-v"))
           .foreach(l => println(s"[pg-restore] $l"))
   }
 
@@ -873,7 +880,8 @@ object Lifecycle {
             "[-P|--function f]... [-T|--trigger t]... [--no-publications] " +
             "[--no-subscriptions] [--no-security-labels] [--enable-row-security] " +
             "[--list-format=text|json|yaml] [-f|--file out.sql|-] " +
-            "[-1|--single-transaction] | " +
+            "[-1|--single-transaction] [--no-tablespaces] " +
+            "[--no-table-access-method] [-v|--verbose] | " +
             "pg-ingest <archiveDir> <outDir> | " +
             "pg-diff <conninfoA> <conninfoB> <tables,csv> | " +
             "validate <config.json> <sfDir> | " +

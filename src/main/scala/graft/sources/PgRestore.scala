@@ -300,7 +300,10 @@ object PgRestore {
               noSubscriptions: Boolean = false,
               noSecurityLabels: Boolean = false,
               enableRowSecurity: Boolean = false,
-              singleTransaction: Boolean = false): Seq[String] = {
+              singleTransaction: Boolean = false,
+              noTablespaces: Boolean = false,
+              noTableAccessMethod: Boolean = false,
+              verbose: Boolean = false): Seq[String] = {
     section.foreach(s => require(ScriptSections.contains(s),
       s"pg-restore: --section must be pre-data|data|post-data, got $s"))
     require(!(schemaOnly && dataOnly),
@@ -339,7 +342,7 @@ object PgRestore {
             singleTransaction = true, useList, withDeps, tables, indexes,
             functions, triggers, schemas, excludeSchemas, strictNames,
             noBlobs, noComments, noPublications, noSubscriptions,
-            noSecurityLabels)
+            noSecurityLabels, noTablespaces, noTableAccessMethod)
         } finally os.close()
         val cmd = Seq("/usr/bin/psql", "-X", "-q", "-v", "ON_ERROR_STOP=1") ++
           psqlArgs ++ Seq("-o", "/dev/null", "-f", tmp.toString)
@@ -453,12 +456,24 @@ object PgRestore {
       e.defn.filter(_.trim.nonEmpty).foreach { raw =>
         // archives that carry explicit ALTER OWNER lines in defn (our
         // merged shapes never do; belt for foreign producers) follow -O
-        val sql =
+        val body =
           if (!noOwner) raw
           else raw.linesIterator
             .filterNot(_.matches("""ALTER .* OWNER TO .*;\s*"""))
             .mkString("\n")
-        if (sql.trim.isEmpty) return
+        if (body.trim.isEmpty) return
+        if (verbose) System.err.println(
+          s"[pg-restore] creating ${e.desc.getOrElse("?")} " +
+            s"${e.namespace.filter(_.nonEmpty).fold("")(_ + ".")}${e.tag.getOrElse("?")}")
+        // tablespace/AM live in TOC FIELDS: native synthesizes the SET
+        // before the object's DDL ( pg_backup_archiver _selectTablespace /
+        // _printTableAccessMethod); --no-tablespaces / the AM twin
+        // suppress exactly that synthesis. Each statement runs in its own
+        // psql session here, so the SET rides the same -c batch. An empty
+        // tablespace string means "database default" — already this
+        // session's state, so only non-empty values need a SET.
+        val sets = tsSets(e, noTablespaces, noTableAccessMethod)
+        val sql = (sets :+ body).mkString("\n")
         val (rc, out) = exec(psqlArgs, sql)
         if (rc != 0) {
           if (e.desc.contains("TABLE")) tableKey(e).foreach(failedTables.add)
@@ -494,6 +509,9 @@ object PgRestore {
       val copySql = e.copyStmt.map(_.trim.stripSuffix(";")).getOrElse(
         throw new IllegalArgumentException(
           s"pg-restore: TABLE DATA ${e.tag.getOrElse("?")} has no COPY statement"))
+      if (verbose) System.err.println(
+        s"[pg-restore] processing data for table " +
+          s"${e.namespace.filter(_.nonEmpty).fold("")(_ + ".")}${e.tag.getOrElse("?")}")
       val (rc, out) = copyFrom(psqlArgs, pre, copySql, f)
       // a failed COPY rolled back ITS table's transaction server-side;
       // without -e the wave moves on (restorers/table.go:90-102)
@@ -575,6 +593,23 @@ object PgRestore {
 
   /** Session-level descs: skipped in replay, never dropped by -c. */
   private val SessionDescs = Set("DATABASE", "ENCODING", "STDSTRINGS", "SEARCHPATH")
+
+  /** Synthesized tablespace / access-method SETs for one entry — native
+    * pg_restore derives these from the TOC FIELDS at restore time
+    * (pg_backup_archiver.c `_selectTablespace` /
+    * `_printTableAccessMethod`); `--no-tablespaces` /
+    * `--no-table-access-method` suppress exactly that synthesis. A NULL
+    * field means "emit no SET"; an empty tablespace means the database
+    * default — already every fresh session's state, so the direct path
+    * (one psql session per statement) skips it. */
+  private def tsSets(e: PgToc.Entry, noTablespaces: Boolean,
+                     noTableAccessMethod: Boolean): Seq[String] =
+    (if (noTablespaces) None
+     else e.tablespace.filter(_.nonEmpty).map(ts =>
+       s"SET default_tablespace = ${PgSource.quoteIdent(ts)};")).toSeq ++
+      (if (noTableAccessMethod) None
+       else e.tableam.filter(_.nonEmpty).map(am =>
+         s"SET default_table_access_method = ${PgSource.quoteIdent(am)};")).toSeq
 
   /** The shared selection pipeline behind [[restore]] and [[toScript]]:
     * -L list filter (+ --with-deps closure), -t/-i/-P/-T named selection,
@@ -722,7 +757,9 @@ object PgRestore {
                strictNames: Boolean = false, noBlobs: Boolean = false,
                noComments: Boolean = false, noPublications: Boolean = false,
                noSubscriptions: Boolean = false,
-               noSecurityLabels: Boolean = false): Int = {
+               noSecurityLabels: Boolean = false,
+               noTablespaces: Boolean = false,
+               noTableAccessMethod: Boolean = false): Int = {
     section.foreach(s => require(ScriptSections.contains(s),
       s"pg-restore: --section must be pre-data|data|post-data, got $s"))
     require(!(schemaOnly && dataOnly),
@@ -761,9 +798,31 @@ object PgRestore {
     val ownable = Map("TABLE" -> "TABLE", "SEQUENCE" -> "SEQUENCE",
       "VIEW" -> "VIEW", "MATERIALIZED VIEW" -> "MATERIALIZED VIEW",
       "FOREIGN TABLE" -> "FOREIGN TABLE", "SCHEMA" -> "SCHEMA")
+    // script form tracks the session's current tablespace/AM like native
+    // (one long session; a SET is emitted only on CHANGE — including the
+    // initial `SET default_tablespace = '';` real pg_dump scripts open
+    // tables with). SET lines don't count as rendered entries.
+    var currTs: String = null
+    var currAm: String = null
+    def emitTsSets(e: PgToc.Entry): Unit = {
+      if (!noTablespaces) e.tablespace.foreach { want =>
+        if (want != currTs) {
+          w.write(if (want.isEmpty) "SET default_tablespace = '';\n"
+                  else s"SET default_tablespace = ${PgSource.quoteIdent(want)};\n")
+          currTs = want
+        }
+      }
+      if (!noTableAccessMethod) e.tableam.filter(_.nonEmpty).foreach { want =>
+        if (want != currAm) {
+          w.write(s"SET default_table_access_method = ${PgSource.quoteIdent(want)};\n")
+          currAm = want
+        }
+      }
+    }
     def emitDefn(e: PgToc.Entry): Unit = {
       if (noPrivileges && e.desc.exists(d => d == "ACL" || d == "DEFAULT ACL"))
         return
+      emitTsSets(e)
       e.defn.filter(_.trim.nonEmpty).foreach { raw =>
         val sql =
           if (!noOwner) raw

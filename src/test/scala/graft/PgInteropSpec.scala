@@ -1156,6 +1156,70 @@ class PgInteropSpec extends SparkSpec {
     java.nio.file.Files.delete(cliScript)
   }
 
+  test("pg-restore --no-tablespaces / --no-table-access-method / --verbose") {
+    live()
+    // a REAL custom tablespace: location dir owned by the server's OS user
+    val tsDir = s"$base/ts1"
+    new java.io.File(tsDir).mkdirs()
+    sh(s"chown -R postgres $tsDir && chmod 700 $tsDir")
+    psql("postgres", s"CREATE TABLESPACE graftts LOCATION '$tsDir'")
+    psql("postgres", "CREATE DATABASE tssrc")
+    psql("tssrc", "CREATE TABLE tst(k int) TABLESPACE graftts")
+    psql("tssrc", "INSERT INTO tst VALUES (1),(2),(3)")
+    val arch = s"$base/ts_arch"
+    val (rcD, outD) = asPg(s"PGHOST=$sockDir PGUSER=graft " +
+      s"/usr/bin/pg_dump -Fd -d tssrc -f $arch")
+    assert(rcD == 0, outD)
+    sh(s"chmod -R a+rX $arch")
+    // the dump's tablespace is GONE on the target side — the operational
+    // case --no-tablespaces exists for
+    psql("tssrc", "DROP TABLE tst")
+    psql("postgres", "DROP TABLESPACE graftts")
+
+    psql("postgres", "CREATE DATABASE tstgt")
+    val conn = s"host=$sockDir dbname=tstgt user=graft"
+    // without the flag: the synthesized SET default_tablespace names the
+    // missing tablespace and the CREATE fails
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.PgRestore.restore(arch, Seq("-d", conn), exitOnError = true)
+    }
+    assert(e.getMessage.contains("graftts"), e.getMessage)
+    // with it: everything lands in the target's default tablespace
+    graft.sources.PgRestore.restore(arch, Seq("-d", conn),
+      exitOnError = true, noTablespaces = true)
+    assert(psql("tstgt", "SELECT count(*) FROM tst")._2.trim == "3")
+
+    // script form: SETs synthesized from the TOC fields, change-tracked;
+    // the flags suppress them (pg_dump 15 stamps tableam on tables)
+    def script(noTs: Boolean, noAm: Boolean): String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      graft.sources.PgRestore.toScript(arch, bos,
+        noTablespaces = noTs, noTableAccessMethod = noAm)
+      bos.toString("UTF-8")
+    }
+    val full = script(noTs = false, noAm = false)
+    assert(full.contains("SET default_tablespace = graftts;"), full.take(800))
+    assert(full.contains("SET default_table_access_method = "), full.take(800))
+    val stripped = script(noTs = true, noAm = true)
+    assert(!stripped.contains("default_tablespace"),
+      "--no-tablespaces must strip the SET")
+    assert(!stripped.contains("default_table_access_method"),
+      "--no-table-access-method must strip the SET")
+
+    // --verbose narrates per-entry progress on stderr
+    psql("postgres", "CREATE DATABASE tstgt2")
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val oldErr = System.err
+    System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+    try graft.sources.PgRestore.restore(arch,
+      Seq("-d", s"host=$sockDir dbname=tstgt2 user=graft"),
+      exitOnError = true, noTablespaces = true, verbose = true)
+    finally System.setErr(oldErr)
+    val narr = errBuf.toString("UTF-8")
+    assert(narr.contains("creating TABLE"), narr.take(400))
+    assert(narr.contains("processing data for table"), narr.take(400))
+  }
+
   test("killed-mid-stream INSERT replay re-runs to fingerprint parity with ON CONFLICT DO NOTHING") {
     live()
     // The reference's abort-and-retry story for INSERT-format restores
