@@ -718,7 +718,12 @@ object Lifecycle {
           singleTransaction = optSingleTx,
           noTablespaces = optNoTablespaces,
           noTableAccessMethod = optNoTableAm,
-          verbose = rest.contains("--verbose") || rest.contains("-v"))
+          verbose = rest.contains("--verbose") || rest.contains("-v"),
+          // opt-in idle watchdog: a psql hung on a lock fails loudly
+          // after N silent seconds instead of hanging the restore
+          watchdogSec = rest.collectFirst {
+            case a if a.startsWith("--watchdog=") =>
+              a.stripPrefix("--watchdog=").toInt }.getOrElse(0))
           .foreach(l => println(s"[pg-restore] $l"))
   }
 
@@ -881,7 +886,7 @@ object Lifecycle {
             "[--no-subscriptions] [--no-security-labels] [--enable-row-security] " +
             "[--list-format=text|json|yaml] [-f|--file out.sql|-] " +
             "[-1|--single-transaction] [--no-tablespaces] " +
-            "[--no-table-access-method] [-v|--verbose] | " +
+            "[--no-table-access-method] [-v|--verbose] [--watchdog=N] | " +
             "pg-ingest <archiveDir> <outDir> | " +
             "pg-diff <conninfoA> <conninfoB> <tables,csv> | " +
             "validate <config.json> <sfDir> | " +

@@ -109,14 +109,66 @@ object PgRestore {
       s"script ${s.name} ($when $section)"
     }
 
+  /** Idle-activity watchdog — the Pipe operator's discipline
+    * (`ops/Pipe.scala:135-155`): arms only when `watchdogSec > 0`; kills
+    * the child after that many seconds with NO bytes moving in either
+    * direction. A slow-but-alive statement keeps stamping activity
+    * through the feeder/reader loops; a psql hung on a lock goes silent
+    * and dies at the timeout instead of hanging the restore forever
+    * (native pg_restore blocks — the watchdog is this engine's opt-in
+    * improvement). Returns the tripped flag. */
+  private def armWatchdog(p: Process,
+                          lastActivity: java.util.concurrent.atomic.AtomicLong,
+                          watchdogSec: Int)
+      : java.util.concurrent.atomic.AtomicBoolean = {
+    val tripped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    if (watchdogSec > 0) {
+      val timeoutNanos = watchdogSec.toLong * 1000000000L
+      val t = new Thread(() => {
+        var watching = true
+        while (watching && p.isAlive) {
+          val idle = System.nanoTime() - lastActivity.get()
+          if (idle >= timeoutNanos) {
+            tripped.set(true); p.destroyForcibly(); watching = false
+          } else watching = !p.waitFor(
+            math.max(50L, (timeoutNanos - idle) / 1000000L),
+            java.util.concurrent.TimeUnit.MILLISECONDS)
+        }
+      }, "graft-pgrestore-watchdog")
+      t.setDaemon(true); t.start()
+    }
+    tripped
+  }
+
+  /** Drain `in` to a string, stamping the activity clock per read. */
+  private def drainStamping(in: java.io.InputStream,
+                            lastActivity: java.util.concurrent.atomic.AtomicLong)
+      : String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) {
+      if (n > 0) { bos.write(buf, 0, n); lastActivity.set(System.nanoTime()) }
+      n = in.read(buf)
+    }
+    bos.toString("UTF-8")
+  }
+
+  private def watchdogSuffix(tripped: java.util.concurrent.atomic.AtomicBoolean,
+                             watchdogSec: Int): String =
+    if (tripped.get()) s" [watchdog: psql idle > ${watchdogSec}s — killed]" else ""
+
   /** One SQL batch in its own psql session; returns (rc, combined out). */
-  private def exec(psqlArgs: Seq[String], sql: String): (Int, String) = {
+  private def exec(psqlArgs: Seq[String], sql: String,
+                   watchdogSec: Int = 0): (Int, String) = {
     val cmd = Seq("/usr/bin/psql", "-X", "-q", "-v", "ON_ERROR_STOP=1") ++
       psqlArgs ++ Seq("-c", sql)
     val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
     p.getOutputStream.close()
-    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-    (p.waitFor(), out)
+    val lastActivity = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+    val tripped = armWatchdog(p, lastActivity, watchdogSec)
+    val out = drainStamping(p.getInputStream, lastActivity)
+    (p.waitFor(), out + watchdogSuffix(tripped, watchdogSec))
   }
 
   /** Run a psql session with `pre` statements (each its own -c) followed
@@ -124,24 +176,37 @@ object PgRestore {
     * suffix — .gz/.lz4/.zst). The payload's own `\.` terminator ends
     * the COPY. */
   private def copyFrom(psqlArgs: Seq[String], pre: Seq[String],
-                       copySql: String, file: java.io.File): (Int, String) = {
+                       copySql: String, file: java.io.File,
+                       watchdogSec: Int = 0): (Int, String) = {
     val cmd = Seq("/usr/bin/psql", "-X", "-q", "-v", "ON_ERROR_STOP=1") ++
       psqlArgs ++ pre.flatMap(s => Seq("-c", s)) ++ Seq("-c", copySql)
     val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val lastActivity = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+    val tripped = armWatchdog(p, lastActivity, watchdogSec)
     val feeder = new Thread(() => {
       val in: java.io.InputStream = Compress.input(
         Compress.algoOfFile(file.getName),
         new java.io.BufferedInputStream(new java.io.FileInputStream(file)))
-      try in.transferTo(p.getOutputStream)
+      try {
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) {
+          if (n > 0) {
+            p.getOutputStream.write(buf, 0, n)
+            lastActivity.set(System.nanoTime())
+          }
+          n = in.read(buf)
+        }
+      }
       catch { case _: java.io.IOException => () } // psql exited early
       finally { try p.getOutputStream.close() catch { case _: Throwable => () }
                 in.close() }
     })
     feeder.setDaemon(true); feeder.start()
-    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    val out = drainStamping(p.getInputStream, lastActivity)
     val rc = p.waitFor()
     feeder.join(10000)
-    (rc, out)
+    (rc, out + watchdogSuffix(tripped, watchdogSec))
   }
 
   /** Large-object data: for each `blobs.toc` line, (re)create the oid
@@ -303,7 +368,8 @@ object PgRestore {
               singleTransaction: Boolean = false,
               noTablespaces: Boolean = false,
               noTableAccessMethod: Boolean = false,
-              verbose: Boolean = false): Seq[String] = {
+              verbose: Boolean = false,
+              watchdogSec: Int = 0): Seq[String] = {
     section.foreach(s => require(ScriptSections.contains(s),
       s"pg-restore: --section must be pre-data|data|post-data, got $s"))
     require(!(schemaOnly && dataOnly),
@@ -410,7 +476,7 @@ object PgRestore {
         .filterNot(_.desc.exists(skip)).foreach { e =>
         e.dropStmt.map(_.trim).filter(_.nonEmpty).foreach { raw =>
           val sql = if (ifExists) injectIfExists(raw) else raw
-          val (rc, out) = exec(psqlArgs, sql)
+          val (rc, out) = exec(psqlArgs, sql, watchdogSec)
           if (rc != 0) failOrWarn(
             s"pg-restore: DROP for ${e.desc.getOrElse("?")} ${e.tag.getOrElse("?")} failed: ${out.trim}")
         }
@@ -474,7 +540,7 @@ object PgRestore {
         // session's state, so only non-empty values need a SET.
         val sets = tsSets(e, noTablespaces, noTableAccessMethod)
         val sql = (sets :+ body).mkString("\n")
-        val (rc, out) = exec(psqlArgs, sql)
+        val (rc, out) = exec(psqlArgs, sql, watchdogSec)
         if (rc != 0) {
           if (e.desc.contains("TABLE")) tableKey(e).foreach(failedTables.add)
           failOrWarn(
@@ -512,7 +578,7 @@ object PgRestore {
       if (verbose) System.err.println(
         s"[pg-restore] processing data for table " +
           s"${e.namespace.filter(_.nonEmpty).fold("")(_ + ".")}${e.tag.getOrElse("?")}")
-      val (rc, out) = copyFrom(psqlArgs, pre, copySql, f)
+      val (rc, out) = copyFrom(psqlArgs, pre, copySql, f, watchdogSec)
       // a failed COPY rolled back ITS table's transaction server-side;
       // without -e the wave moves on (restorers/table.go:90-102)
       if (rc != 0) {

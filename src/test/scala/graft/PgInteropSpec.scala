@@ -1220,6 +1220,85 @@ class PgInteropSpec extends SparkSpec {
     assert(narr.contains("processing data for table"), narr.take(400))
   }
 
+  test("restore wave pool: poisoned-wave semantics, exact error count, idle watchdog") {
+    live()
+    import spark.implicits._
+    // three tables; wchild's TABLE DATA is hand-stamped to depend on
+    // wparent's, putting it in a SECOND wave behind {wparent, waux}
+    val parent = (1L to 20L).map(i => (i, s"p$i")).toDF("k", "v")
+    val child = (1L to 10L).map(i => (i, s"c$i")).toDF("k", "v")
+    val aux = (1L to 5L).map(i => (i, s"a$i")).toDF("k", "v")
+    val arch = s"$base/wave_arch"
+    PgToc.dumpArchive(Seq("wparent" -> parent, "wchild" -> child, "waux" -> aux),
+      arch, "wavetgt", includeSchema = true)
+    val toc0 = PgToc.readFile(s"$arch/toc.dat")
+    val pid = toc0.entries.find(e =>
+      e.desc.contains("TABLE DATA") && e.tag.contains("wparent")).get.dumpId
+    PgToc.writeFile(toc0.copy(entries = toc0.entries.map { e =>
+      if (e.desc.contains("TABLE DATA") && e.tag.contains("wchild"))
+        e.copy(dependencies = e.dependencies :+ pid)
+      else e
+    }), s"$arch/toc.dat")
+
+    psql("postgres", "CREATE DATABASE wavetgt")
+    val conn = s"host=$sockDir dbname=wavetgt user=graft"
+    graft.sources.PgRestore.restore(arch, Seq("-d", conn),
+      schemaOnly = true, exitOnError = true)
+    // poison the PARENT: a PK + a pre-seeded duplicate make its COPY fail
+    psql("wavetgt", "DROP TABLE wparent")
+    psql("wavetgt", "CREATE TABLE wparent(k bigint PRIMARY KEY, v text)")
+    psql("wavetgt", "INSERT INTO wparent VALUES (1, 'dup')")
+
+    // -e: exactly one error surfaces, and the wave BEHIND the failing one
+    // never starts
+    val e1 = intercept[IllegalArgumentException] {
+      graft.sources.PgRestore.restore(arch, Seq("-d", conn),
+        dataOnly = true, exitOnError = true, jobs = 4)
+    }
+    assert(e1.getMessage.contains("COPY wparent failed"), e1.getMessage)
+    assert(psql("wavetgt", "SELECT count(*) FROM wchild")._2.trim == "0",
+      "a wave after the failing one must not start under -e")
+
+    // continue mode: every healthy table lands (including the DEPENDENT
+    // wave — native loads it; the parent's failure is not contagious) and
+    // the closing count is EXACT
+    psql("wavetgt", "DELETE FROM waux"); psql("wavetgt", "DELETE FROM wchild")
+    val lines = graft.sources.PgRestore.restore(arch, Seq("-d", conn),
+      dataOnly = true, exitOnError = false, jobs = 4)
+    assert(lines.contains("TABLE DATA wchild") && lines.contains("TABLE DATA waux"), lines)
+    assert(!lines.contains("TABLE DATA wparent"), lines)
+    assert(lines.last == "errors ignored on restore: 1", lines)
+    assert(psql("wavetgt", "SELECT count(*) FROM wchild")._2.trim == "10")
+    assert(psql("wavetgt", "SELECT count(*) FROM waux")._2.trim == "5")
+
+    // idle watchdog: hold an ACCESS EXCLUSIVE lock so the COPY hangs
+    // silently; the watchdog kills it and the failure is LOUD
+    psql("wavetgt", "DELETE FROM waux")
+    val locker = new ProcessBuilder("/usr/bin/psql", "-X", "-q", "-d",
+      s"host=$sockDir dbname=wavetgt user=graft").start()
+    locker.getOutputStream.write(
+      "BEGIN;\nLOCK TABLE waux IN ACCESS EXCLUSIVE MODE;\n".getBytes("UTF-8"))
+    locker.getOutputStream.flush()
+    val granted = (1 to 50).exists { _ =>
+      val (_, o) = psql("wavetgt",
+        "SELECT count(*) FROM pg_locks l JOIN pg_class c ON c.oid = l.relation " +
+          "WHERE c.relname = 'waux' AND l.mode = 'AccessExclusiveLock' AND l.granted")
+      if (o.trim == "1") true else { Thread.sleep(100); false }
+    }
+    assert(granted, "locker session failed to take the lock")
+    try {
+      val t0 = System.nanoTime()
+      val e2 = intercept[IllegalArgumentException] {
+        graft.sources.PgRestore.restore(arch, Seq("-d", conn),
+          dataOnly = true, exitOnError = true, tables = Seq("waux"),
+          watchdogSec = 2)
+      }
+      assert(e2.getMessage.contains("watchdog"), e2.getMessage)
+      val waited = (System.nanoTime() - t0) / 1e9
+      assert(waited < 30, s"watchdog must fire near its 2s timeout, waited $waited s")
+    } finally locker.destroyForcibly()
+  }
+
   test("killed-mid-stream INSERT replay re-runs to fingerprint parity with ON CONFLICT DO NOTHING") {
     live()
     // The reference's abort-and-retry story for INSERT-format restores
