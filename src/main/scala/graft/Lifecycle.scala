@@ -764,10 +764,39 @@ object Lifecycle {
           ok
         }
         if (results.contains(false)) { spark.stop(); sys.exit(1) }
-      case "pg-restore" :: archDir :: "--list" :: Nil =>
+      case "pg-restore" :: archDir :: "--list" :: rest =>
         // `pg_restore -l` analog: emit the archive's restore list (edit +
-        // feed back via --use-list for selective restore)
-        graft.sources.PgRestore.listLines(archDir).foreach(println)
+        // feed back via --use-list for selective restore). Selection
+        // flags restrict the listing exactly as native -l does.
+        val sel = graft.sources.PgRestore.listSelectedIds(archDir,
+          dataOnly = rest.contains("--data-only") || rest.contains("-a"),
+          schemaOnly = rest.contains("--schema-only") || rest.contains("-s"),
+          section = rest.collectFirst {
+            case a if a.startsWith("--section=") => a.stripPrefix("--section=") },
+          create = rest.contains("--create") || rest.contains("-C"),
+          tables = rest.sliding(2).collect {
+            case Seq("--table" | "-t", v) => v }.toSeq,
+          indexes = rest.sliding(2).collect {
+            case Seq("--index" | "-i", v) => v }.toSeq,
+          functions = rest.sliding(2).collect {
+            case Seq("--function" | "-P", v) => v }.toSeq,
+          triggers = rest.sliding(2).collect {
+            case Seq("--trigger" | "-T", v) => v }.toSeq,
+          schemas = rest.sliding(2).collect {
+            case Seq("--schema" | "-n", v) => v }.toSeq,
+          excludeSchemas = rest.sliding(2).collect {
+            case Seq("--exclude-schema" | "-N", v) => v }.toSeq,
+          strictNames = rest.contains("--strict-names"),
+          noBlobs = rest.contains("--no-blobs") || rest.contains("-B"),
+          noComments = rest.contains("--no-comments"),
+          noPrivileges = rest.contains("--no-privileges") || rest.contains("-X"),
+          noPublications = rest.contains("--no-publications"),
+          noSubscriptions = rest.contains("--no-subscriptions"),
+          noSecurityLabels = rest.contains("--no-security-labels")).toSet
+        graft.sources.PgRestore.listLines(archDir).foreach { l =>
+          val id = "^(\\d+);".r.findFirstMatchIn(l.trim).map(_.group(1).toInt)
+          if (id.forall(sel)) println(l)
+        }
       case "pg-restore" :: archDir :: conninfo :: rest =>
         pgRestoreCli(archDir, conninfo, rest)
       case "pg-ingest" :: archDir :: outDir :: Nil =>

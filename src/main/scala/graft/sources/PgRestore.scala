@@ -430,7 +430,8 @@ object PgRestore {
     val fullToc = PgToc.readFile(s"$dir/toc.dat")
     val selected = selectEntries(fullToc, useList, withDeps, tables, indexes,
       functions, triggers, schemas, excludeSchemas, strictNames, noBlobs,
-      noComments, noPublications, noSubscriptions, noSecurityLabels)
+      noComments, noPublications, noSubscriptions, noSecurityLabels,
+      noPrivileges, create)
     val skip = SessionDescs
     val pre =
       (if (disableTriggers) Seq("SET session_replication_role = replica") else Nil) ++
@@ -689,7 +690,9 @@ object PgRestore {
                             strictNames: Boolean, noBlobs: Boolean,
                             noComments: Boolean, noPublications: Boolean,
                             noSubscriptions: Boolean,
-                            noSecurityLabels: Boolean): PgToc.Toc = {
+                            noSecurityLabels: Boolean,
+                            noPrivileges: Boolean = false,
+                            create: Boolean = false): PgToc.Toc = {
     val toc = useList match {
       case None => fullToc
       case Some(rawIds) =>
@@ -715,59 +718,139 @@ object PgRestore {
           }
         fullToc.copy(entries = entries)
     }
-    // -t / -i selection: only the named relations (their DDL + data) and
-    // named indexes replay; everything else — other tables, schemas,
-    // blobs, ACLs — is excluded, exactly like the native flags
+    // Selection semantics verified ENTRY-BY-ENTRY against real
+    // pg_restore 15 `-l` output (PgInteropSpec differential matrix);
+    // mirrors pg_backup_archiver.c `_tocEntryRequired`:
+    //  - -t/-i/-P/-T ("selTypes" mode): only the four entry classes are
+    //    eligible at all; anything else (SCHEMA, DEFAULT, SEQUENCE OWNED
+    //    BY, BLOBS, ACL-without-parent, ...) drops. Native -P/-T match
+    //    the EXACT tag ("f1(integer)", "t1 tg1"); as a documented
+    //    extension the bare function/trigger name is accepted too.
+    //  - -n drops entries with NO namespace — including the SCHEMA
+    //    entries themselves (native quirk: `pg_restore -n s1` does not
+    //    create s1; the operator pre-creates it) — while -N keeps them.
+    //  - ACL / COMMENT / SECURITY LABEL entries INHERIT: under any
+    //    selectivity option they ride iff their single dependency is a
+    //    selected entry (a table's comment/GRANT follows it under -t).
+    //    Comments/ACLs ON DATABASE react to --create only.
     val relationDescs = Set("TABLE", "TABLE DATA", "VIEW",
       "MATERIALIZED VIEW", "SEQUENCE", "SEQUENCE SET", "FOREIGN TABLE")
-    // -P matches the function tag with or without its argument signature
+    val fnDescs = Set("FUNCTION", "AGGREGATE", "PROCEDURE")
+    val selTypes = tables.nonEmpty || indexes.nonEmpty ||
+      functions.nonEmpty || triggers.nonEmpty
     def fnMatch(tag: String, want: String): Boolean =
-      tag == want || tag.takeWhile(_ != '(') == want
-    val named =
-      if (tables.isEmpty && indexes.isEmpty && functions.isEmpty && triggers.isEmpty) toc
-      else {
-        if (strictNames) {
-          tables.foreach(t => require(
-            toc.entries.exists(e => e.tag.contains(t) && e.desc.exists(relationDescs)),
-            s"""pg-restore: table "$t" not found in archive (--strict-names)"""))
-          indexes.foreach(i => require(
-            toc.entries.exists(e => e.tag.contains(i) && e.desc.contains("INDEX")),
-            s"""pg-restore: index "$i" not found in archive (--strict-names)"""))
-          functions.foreach(f => require(
-            toc.entries.exists(e => e.desc.contains("FUNCTION") &&
-              e.tag.exists(fnMatch(_, f))),
-            s"""pg-restore: function "$f" not found in archive (--strict-names)"""))
-          triggers.foreach(t => require(
-            toc.entries.exists(e => e.desc.contains("TRIGGER") && e.tag.exists(
-              tg => tg == t || tg.endsWith(" " + t))),
-            s"""pg-restore: trigger "$t" not found in archive (--strict-names)"""))
+      tag == want || (!want.contains("(") && tag.takeWhile(_ != '(') == want)
+    def trgMatch(tag: String, want: String): Boolean =
+      tag == want || tag.endsWith(" " + want)
+    if (strictNames) {
+      tables.foreach(t => require(
+        toc.entries.exists(e => e.tag.contains(t) && e.desc.exists(relationDescs)),
+        s"""pg-restore: table "$t" not found in archive (--strict-names)"""))
+      indexes.foreach(i => require(
+        toc.entries.exists(e => e.tag.contains(i) && e.desc.contains("INDEX")),
+        s"""pg-restore: index "$i" not found in archive (--strict-names)"""))
+      functions.foreach(f => require(
+        toc.entries.exists(e => e.desc.exists(fnDescs) && e.tag.exists(fnMatch(_, f))),
+        s"""pg-restore: function "$f" not found in archive (--strict-names)"""))
+      triggers.foreach(t => require(
+        toc.entries.exists(e => e.desc.contains("TRIGGER") &&
+          e.tag.exists(trgMatch(_, t))),
+        s"""pg-restore: trigger "$t" not found in archive (--strict-names)"""))
+      schemas.foreach(n => require(toc.entries.exists(_.namespace.contains(n)),
+        s"""pg-restore: schema "$n" not found in archive (--strict-names)"""))
+    }
+    val byId = toc.entries.map(e => e.dumpId -> e).toMap
+    val memo = scala.collection.mutable.Map[Int, Boolean]()
+    def required(id: Int): Boolean = memo.get(id) match {
+      case Some(v) => v
+      case None =>
+        val v = byId.get(id).exists { e =>
+          val desc = e.desc.getOrElse("")
+          val ns = e.namespace.filter(_.nonEmpty)
+          if (SessionDescs(desc) || desc == "DATABASE PROPERTIES")
+            true // replay skips these; the -l listing hides/gates them
+          else if (noBlobs && (desc.startsWith("BLOB") || desc == "LARGE OBJECT"))
+            false
+          else if (noComments && desc == "COMMENT") false
+          else if (noPublications && desc.startsWith("PUBLICATION")) false
+          else if (noSubscriptions && desc == "SUBSCRIPTION") false
+          else if (noSecurityLabels && desc == "SECURITY LABEL") false
+          else if (noPrivileges && (desc == "ACL" || desc == "DEFAULT ACL")) false
+          else if (desc == "ACL" || desc == "COMMENT" || desc == "SECURITY LABEL") {
+            if (e.tag.exists(_.startsWith("DATABASE "))) create
+            else if (schemas.nonEmpty || excludeSchemas.nonEmpty || selTypes)
+              e.dependencies.size == 1 && required(e.dependencies.head)
+            else true
+          } else {
+            (schemas.isEmpty || ns.exists(schemas.contains)) &&
+              !ns.exists(excludeSchemas.contains) &&
+              (!selTypes ||
+                (if (relationDescs(desc))
+                   tables.nonEmpty && e.tag.exists(tables.contains)
+                 else if (desc == "INDEX")
+                   indexes.nonEmpty && e.tag.exists(indexes.contains)
+                 else if (fnDescs(desc))
+                   functions.nonEmpty &&
+                     e.tag.exists(tg => functions.exists(fnMatch(tg, _)))
+                 else if (desc == "TRIGGER")
+                   triggers.nonEmpty &&
+                     e.tag.exists(tg => triggers.exists(trgMatch(tg, _)))
+                 else false))
+          }
         }
-        toc.copy(entries = toc.entries.filter(e =>
-          (e.desc.exists(relationDescs) && e.tag.exists(tables.contains)) ||
-            (e.desc.contains("INDEX") && e.tag.exists(indexes.contains)) ||
-            (e.desc.contains("FUNCTION") &&
-              e.tag.exists(tg => functions.exists(fnMatch(tg, _)))) ||
-            // trigger tags are "<table> <trigger>" in pg_dump TOCs —
-            // native -T matches the trigger NAME (the last token)
-            (e.desc.contains("TRIGGER") && e.tag.exists(
-              tg => triggers.exists(t => tg == t || tg.endsWith(" " + t))))))
+        memo(id) = v
+        v
+    }
+    toc.copy(entries = toc.entries.filter(e => required(e.dumpId)))
+  }
+
+  /** Native `pg_restore -l <flags>`: the dumpIds the archive would list
+    * (equivalently, restore) under the given selection — PrintTOCSummary
+    * + `_tocEntryRequired` faithfully: the sliding-section rule
+    * (SECTION_NONE entries like ACLs/COMMENTs inherit the current
+    * position's section in file order), the never-listed
+    * ENCODING/STDSTRINGS/SEARCHPATH specials, and the DATABASE entry's
+    * createDB-only rule (listed first, before any section gate).
+    * Verified against the real pg_restore 15 binary over a 24-combo
+    * flag matrix in PgInteropSpec. */
+  def listSelectedIds(dir: String,
+                      dataOnly: Boolean = false, schemaOnly: Boolean = false,
+                      section: Option[String] = None, create: Boolean = false,
+                      useList: Option[Seq[Int]] = None, withDeps: Boolean = false,
+                      tables: Seq[String] = Nil, indexes: Seq[String] = Nil,
+                      functions: Seq[String] = Nil, triggers: Seq[String] = Nil,
+                      schemas: Seq[String] = Nil,
+                      excludeSchemas: Seq[String] = Nil,
+                      strictNames: Boolean = false, noBlobs: Boolean = false,
+                      noComments: Boolean = false, noPrivileges: Boolean = false,
+                      noPublications: Boolean = false,
+                      noSubscriptions: Boolean = false,
+                      noSecurityLabels: Boolean = false): Seq[Int] = {
+    val fullToc = PgToc.readFile(s"$dir/toc.dat")
+    val selected = selectEntries(fullToc, useList, withDeps, tables, indexes,
+      functions, triggers, schemas, excludeSchemas, strictNames, noBlobs,
+      noComments, noPublications, noSubscriptions, noSecurityLabels,
+      noPrivileges, create).entries.map(_.dumpId).toSet
+    val runPre = section.forall(_ == "pre-data") && !dataOnly
+    val runData = section.forall(_ == "data") && !schemaOnly
+    val runPost = section.forall(_ == "post-data") && !dataOnly
+    val hidden = Set("ENCODING", "STDSTRINGS", "SEARCHPATH")
+    var cur = PgToc.SectionPreData
+    fullToc.entries.flatMap { e =>
+      val sec = if (e.section == PgToc.SectionNone) cur
+                else { cur = e.section; cur }
+      val desc = e.desc.getOrElse("")
+      if (hidden(desc)) None
+      else if (desc == "DATABASE" || desc == "DATABASE PROPERTIES")
+        (if (create) Some(e.dumpId) else None)
+      else {
+        val sectionOk =
+          if (sec == PgToc.SectionData) runData
+          else if (sec == PgToc.SectionPostData) runPost
+          else runPre
+        if (sectionOk && selected(e.dumpId)) Some(e.dumpId) else None
       }
-    // -n / -N namespace selection composes on top: keep (or drop) entries
-    // by schema; objects with no namespace (DATABASE, ENCODING, blobs)
-    // ride along under -n, exactly like native. -B drops large-object
-    // entries; --no-comments drops COMMENT entries.
-    if (strictNames) schemas.foreach(n => require(
-      named.entries.exists(_.namespace.contains(n)),
-      s"""pg-restore: schema "$n" not found in archive (--strict-names)"""))
-    named.copy(entries = named.entries.filter { e =>
-      (schemas.isEmpty || e.namespace.forall(ns => ns.isEmpty || schemas.contains(ns))) &&
-        !e.namespace.exists(excludeSchemas.contains) &&
-        !(noBlobs && e.desc.exists(d => d.startsWith("BLOB") || d == "LARGE OBJECT")) &&
-        !(noComments && e.desc.contains("COMMENT")) &&
-        !(noPublications && e.desc.exists(_.startsWith("PUBLICATION"))) &&
-        !(noSubscriptions && e.desc.contains("SUBSCRIPTION")) &&
-        !(noSecurityLabels && e.desc.contains("SECURITY LABEL"))
-    })
+    }
   }
 
   /** Structured use-list (`--list-format=json|yaml`, reference
@@ -839,7 +922,8 @@ object PgRestore {
     val fullToc = PgToc.readFile(s"$dir/toc.dat")
     val selected = selectEntries(fullToc, useList, withDeps, tables, indexes,
       functions, triggers, schemas, excludeSchemas, strictNames, noBlobs,
-      noComments, noPublications, noSubscriptions, noSecurityLabels)
+      noComments, noPublications, noSubscriptions, noSecurityLabels,
+      noPrivileges, create)
     val w = new java.io.BufferedWriter(
       new java.io.OutputStreamWriter(out, "UTF-8"))
     var rendered = 0

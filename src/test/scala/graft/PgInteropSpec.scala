@@ -992,8 +992,12 @@ class PgInteropSpec extends SparkSpec {
       "SELECT obj_description('s1.t1'::regclass)")._2.trim == "hello")
 
     // -n s1: only schema s1's objects (+ its data); s2 never appears.
-    // --no-comments drops the COMMENT entry too.
+    // Native quirk (verified against pg_restore 15): -n does NOT create
+    // the schema itself — its SCHEMA entry has no namespace and is
+    // dropped by the filter — so the operator pre-creates it, exactly
+    // as with the native tool. --no-comments drops the COMMENT entry.
     psql("postgres", "CREATE DATABASE nstgt2")
+    psql("nstgt2", "CREATE SCHEMA s1")
     graft.sources.PgRestore.restore(arch,
       Seq("-d", s"host=$sockDir dbname=nstgt2 user=graft"),
       schemas = Seq("s1"), noComments = true, exitOnError = true)
@@ -1218,6 +1222,109 @@ class PgInteropSpec extends SparkSpec {
     val narr = errBuf.toString("UTF-8")
     assert(narr.contains("creating TABLE"), narr.take(400))
     assert(narr.contains("processing data for table"), narr.take(400))
+  }
+
+  test("differential: selection surface vs native pg_restore -l over a flag matrix") {
+    live()
+    // rich source: two schemas, serial PK, explicit index, view, function,
+    // trigger, comments, a GRANT (ACL entry), a publication
+    psql("postgres", "CREATE DATABASE rich")
+    psql("rich", "CREATE SCHEMA a"); psql("rich", "CREATE SCHEMA b")
+    psql("rich", "CREATE TABLE a.t1(k serial PRIMARY KEY, v text)")
+    psql("rich", "CREATE TABLE a.t2(k int, v text)")
+    psql("rich", "CREATE INDEX idx_t2 ON a.t2(k)")
+    psql("rich", "INSERT INTO a.t1(v) VALUES ('x'),('y')")
+    psql("rich", "INSERT INTO a.t2 VALUES (1,'a')")
+    psql("rich", "CREATE VIEW b.v1 AS SELECT * FROM a.t2")
+    psql("rich",
+      "CREATE FUNCTION b.f1(i integer) RETURNS integer AS 'SELECT i + 1' LANGUAGE sql")
+    psql("rich",
+      "CREATE FUNCTION a.bump() RETURNS trigger AS 'BEGIN NEW.v := NEW.v; RETURN NEW; END;' LANGUAGE plpgsql")
+    psql("rich",
+      "CREATE TRIGGER tg1 BEFORE INSERT ON a.t1 FOR EACH ROW EXECUTE FUNCTION a.bump()")
+    psql("rich", "COMMENT ON TABLE a.t1 IS 'a table'")
+    psql("rich", "COMMENT ON COLUMN a.t1.v IS 'a column'")
+    psql("rich", "GRANT SELECT ON a.t2 TO PUBLIC")
+    psql("rich", "CREATE PUBLICATION richpub FOR TABLE a.t1")
+    val arch = s"$base/rich_arch"
+    val (rcD, outD) = asPg(s"PGHOST=$sockDir PGUSER=graft " +
+      s"/usr/bin/pg_dump -Fd -d rich -f $arch")
+    assert(rcD == 0, outD)
+    sh(s"chmod -R a+rX $arch")
+
+    import graft.sources.PgRestore
+    def nativeIds(flags: String): Seq[Int] = {
+      val (rc, out) = sh(s"/usr/bin/pg_restore -l $flags $arch")
+      assert(rc == 0, s"pg_restore -l $flags: $out")
+      out.linesIterator.flatMap(l =>
+        "^(\\d+);".r.findFirstMatchIn(l.trim).map(_.group(1).toInt)).toSeq
+    }
+    val combos: Seq[(String, () => Seq[Int])] = Seq(
+      "" -> (() => PgRestore.listSelectedIds(arch)),
+      "-a" -> (() => PgRestore.listSelectedIds(arch, dataOnly = true)),
+      "-s" -> (() => PgRestore.listSelectedIds(arch, schemaOnly = true)),
+      "-t t1" -> (() => PgRestore.listSelectedIds(arch, tables = Seq("t1"))),
+      "-t t1 -t t2" -> (() =>
+        PgRestore.listSelectedIds(arch, tables = Seq("t1", "t2"))),
+      "-t nope" -> (() => PgRestore.listSelectedIds(arch, tables = Seq("nope"))),
+      "-n a" -> (() => PgRestore.listSelectedIds(arch, schemas = Seq("a"))),
+      "-n b" -> (() => PgRestore.listSelectedIds(arch, schemas = Seq("b"))),
+      "-N a" -> (() =>
+        PgRestore.listSelectedIds(arch, excludeSchemas = Seq("a"))),
+      "-n a -N b" -> (() => PgRestore.listSelectedIds(arch,
+        schemas = Seq("a"), excludeSchemas = Seq("b"))),
+      "-I idx_t2" -> (() =>
+        PgRestore.listSelectedIds(arch, indexes = Seq("idx_t2"))),
+      "-P 'f1(integer)'" -> (() =>
+        PgRestore.listSelectedIds(arch, functions = Seq("f1(integer)"))),
+      "-T 't1 tg1'" -> (() =>
+        PgRestore.listSelectedIds(arch, triggers = Seq("t1 tg1"))),
+      "--section=pre-data" -> (() =>
+        PgRestore.listSelectedIds(arch, section = Some("pre-data"))),
+      "--section=data" -> (() =>
+        PgRestore.listSelectedIds(arch, section = Some("data"))),
+      "--section=post-data" -> (() =>
+        PgRestore.listSelectedIds(arch, section = Some("post-data"))),
+      "-a -t t1" -> (() =>
+        PgRestore.listSelectedIds(arch, dataOnly = true, tables = Seq("t1"))),
+      "-s -n a" -> (() =>
+        PgRestore.listSelectedIds(arch, schemaOnly = true, schemas = Seq("a"))),
+      "--no-comments" -> (() =>
+        PgRestore.listSelectedIds(arch, noComments = true)),
+      "-t t1 --section=data" -> (() => PgRestore.listSelectedIds(arch,
+        tables = Seq("t1"), section = Some("data"))),
+      "-n a -t t1" -> (() => PgRestore.listSelectedIds(arch,
+        schemas = Seq("a"), tables = Seq("t1"))),
+      "-t v1" -> (() => PgRestore.listSelectedIds(arch, tables = Seq("v1"))),
+      "-t t1_k_seq" -> (() =>
+        PgRestore.listSelectedIds(arch, tables = Seq("t1_k_seq"))),
+      "-C" -> (() => PgRestore.listSelectedIds(arch, create = true)),
+      "-C -a" -> (() =>
+        PgRestore.listSelectedIds(arch, create = true, dataOnly = true)),
+      "-t t2" -> (() => PgRestore.listSelectedIds(arch, tables = Seq("t2"))),
+      "-t t2 --no-privileges" -> (() => PgRestore.listSelectedIds(arch,
+        tables = Seq("t2"), noPrivileges = true)),
+      "--no-privileges" -> (() =>
+        PgRestore.listSelectedIds(arch, noPrivileges = true)),
+      "--no-publications" -> (() =>
+        PgRestore.listSelectedIds(arch, noPublications = true)),
+      "-n a --no-comments -a" -> (() => PgRestore.listSelectedIds(arch,
+        schemas = Seq("a"), noComments = true, dataOnly = true)))
+    val failures = combos.flatMap { case (flags, ours) =>
+      val n = nativeIds(flags)
+      val o = ours()
+      if (n == o) None else Some(s"[$flags] native=$n ours=$o")
+    }
+    assert(failures.isEmpty,
+      s"${failures.size}/${combos.size} combos diverge:\n${failures.mkString("\n")}")
+
+    // strict-names error parity: same miss, same loud shape
+    val (rcN, outN) = sh(s"/usr/bin/pg_restore -l -t nope --strict-names $arch")
+    assert(rcN != 0 && outN.contains("\"nope\" not found"), outN)
+    val e = intercept[IllegalArgumentException] {
+      PgRestore.listSelectedIds(arch, tables = Seq("nope"), strictNames = true)
+    }
+    assert(e.getMessage.contains("\"nope\" not found"), e.getMessage)
   }
 
   test("restore wave pool: poisoned-wave semantics, exact error count, idle watchdog") {
