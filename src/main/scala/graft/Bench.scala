@@ -170,6 +170,23 @@ object Bench {
     threads * iters / ((System.nanoTime() - t0) / 1e9)
   }
 
+  /** Pinned reference point for probe normalization: the round-13
+    * driver-run host measured ~467 single-thread Mops on the xorshift
+    * probe (BENCH_r13 diag). Round-over-round totals compare through
+    * `value_norm`, not raw `value`. */
+  val ProbeRefStMops: Double = 467.0
+
+  /** Express a wall-clock total as what it would read on the REFERENCE
+    * host: `value_norm = value × probe_today / probe_ref`. A slower host
+    * (lower probe) measured inflated wall-clock, so its total scales
+    * DOWN toward the reference; a faster host scales up. The r13 manual
+    * A/B this replaces (same commit rebuilt on a slow day reproduced the
+    * +8.7% "regression" exactly) is now one division. An unreadable
+    * probe (≤ 0) normalizes to the raw value — never hide the metric. */
+  def probeNormalized(total: Double, probeStOpsPerSec: Double): Double =
+    if (probeStOpsPerSec <= 0) total
+    else total * (probeStOpsPerSec / 1e6) / ProbeRefStMops
+
   /** The suspect rule: the MEDIAN sample ran alongside more than `gate`
     * cores of foreign CPU, or the metric was unreadable. The gate is
     * much lower than the loadavg start gate because ext_cores excludes
@@ -472,6 +489,8 @@ object Bench {
       s""","load_gate":$loadGate,"ext_gate":$extGate,"io_gate":$ioGate""" +
       f""","cpu_probe_st_mops":${probeSt / 1e6}%.1f""" +
       f""","cpu_probe_mt_mops":${probeMt / 1e6}%.1f""" +
+      f""","probe_ref_st_mops":$ProbeRefStMops%.1f""" +
+      f""","value_norm":${probeNormalized(total, probeSt)}%.3f""" +
       s""","load_gate_wait_sec":$gateWaitSec""" +
       s""","load_gate_timed_out":$gateTimedOut""" +
       s""","suspect":${jsNames(suspects)},"failed":${jsNames(failed)}""" +
@@ -488,8 +507,15 @@ object Bench {
     def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qCompact = medians.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
+    // the probe + normalized total ride the COMPACT line so round-over-
+    // round comparisons are mechanical: compare value_norm, not value
+    // (value_norm = value × cpu_probe_st_mops / probe_ref_st_mops)
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","samples":3,""" +
       s""""total_min":${ms(totalMin)},"gated":$gatedClean,""" +
+      f""""cpu_probe_st_mops":${probeSt / 1e6}%.1f,""" +
+      f""""cpu_probe_mt_mops":${probeMt / 1e6}%.1f,""" +
+      f""""probe_ref_st_mops":$ProbeRefStMops%.1f,""" +
+      s""""value_norm":${ms(probeNormalized(total, probeSt))},""" +
       s""""suspect":${jsNames(suspects)},"failed":${jsNames(failed)},""" +
       s""""queries":$qCompact,"sf":"$sfDir"$onlyTag,"diag":"$diagPath"}""")
     spark.stop()

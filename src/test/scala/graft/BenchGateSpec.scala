@@ -91,6 +91,23 @@ class BenchGateSpec extends AnyFunSuite {
     assert(mt > st * 1.5, s"multi-thread probe did not scale: $st -> $mt")
   }
 
+  test("probe normalization: value_norm = value × probe_today / probe_ref, ref pinned at r13") {
+    // the reference point is the round-13 driver-run host (BENCH_r13
+    // diag, ~467 single-thread Mops) — changing it silently would break
+    // every round-over-round comparison, so the spec pins it
+    assert(Bench.ProbeRefStMops == 467.0)
+    // a run ON the reference host normalizes to itself
+    assert(math.abs(Bench.probeNormalized(30.0, 467.0e6) - 30.0) < 1e-9)
+    // a HALF-speed host measured doubled wall-clock: its total halves
+    // back to reference terms
+    assert(math.abs(Bench.probeNormalized(30.0, 233.5e6) - 15.0) < 1e-9)
+    // a faster host scales up symmetrically
+    assert(math.abs(Bench.probeNormalized(30.0, 934.0e6) - 60.0) < 1e-9)
+    // an unreadable probe must never hide the raw metric
+    assert(Bench.probeNormalized(30.0, 0.0) == 30.0)
+    assert(Bench.probeNormalized(30.0, -1.0) == 30.0)
+  }
+
   test("withExt attributes this JVM's own burn to self, not to foreign load") {
     // burn ~2s of CPU in-process: ext must NOT rise with it (the whole
     // point of the instrument — loadavg would have flagged this)
