@@ -774,7 +774,17 @@ object SparkEntry {
         maxDist = 3) + " ORDER BY id_a, id_b")),
 
     // Multi-pass blocking: union of suffix and mid-slice blocking keys,
-    // per-pair min-distance dedup
+    // per-pair min-distance dedup. Each pass carries the degenerate-block
+    // cap — the round-14 sf1 rehearsal measured the UNCAPPED form at
+    // 1363 s and 916M output pairs (vs ≤31 s for every other query):
+    // the coarse mid-slice key collapses into 1000+-member mega-blocks
+    // whose pairwise work grows quadratically with skew. Capping per
+    // pass is standard linkage hygiene and the only posture that
+    // survives 100 TB: work is bounded at cap² per block regardless of
+    // corpus skew. Cap 500 keeps every legitimate suffix block at the
+    // rehearsal scales (15 members at sf0.1, 150 at synthesized sf1)
+    // while dropping the mid-slice mega-blocks; the uncapped API
+    // remains for clean-keyed data.
     "q_fuzzy_link_multi" -> Q(
       (s, dir) => {
         val cust = rd(s, dir, "customer")
@@ -787,18 +797,18 @@ object SparkEntry {
               graft.ops.RecordLinkage.suffixBlock(col("p_name"))),
             (upper(substring(col("c_name"), -6, 3)),
               upper(substring(col("p_name"), -6, 3)))),
-          maxDist = 3).orderBy("id_a", "id_b")
+          maxDist = 3, maxBlockSize = Some(500)).orderBy("id_a", "id_b")
       },
       Some {
         val a = "SELECT c_custkey, c_name FROM customer"
         val b = "SELECT c_custkey AS p_key, replace(c_name, '1', 'I') AS p_name FROM customer"
-        val pass1 = graft.ops.RecordLinkage.fuzzyJoinSql(a, "c_custkey", "c_name",
-          graft.ops.RecordLinkage.suffixBlockSql("a.c_name"),
+        val pass1 = graft.ops.RecordLinkage.fuzzyJoinCappedSql(a, "c_custkey", "c_name",
+          graft.ops.RecordLinkage.suffixBlockSql("c_name"),
           b, "p_key", "p_name",
-          graft.ops.RecordLinkage.suffixBlockSql("b.p_name"), 3)
-        val pass2 = graft.ops.RecordLinkage.fuzzyJoinSql(a, "c_custkey", "c_name",
-          "upper(substr(a.c_name, -6, 3))", b, "p_key", "p_name",
-          "upper(substr(b.p_name, -6, 3))", 3)
+          graft.ops.RecordLinkage.suffixBlockSql("p_name"), 3, 500)
+        val pass2 = graft.ops.RecordLinkage.fuzzyJoinCappedSql(a, "c_custkey", "c_name",
+          "upper(substr(c_name, -6, 3))", b, "p_key", "p_name",
+          "upper(substr(p_name, -6, 3))", 3, 500)
         s"""SELECT id_a, id_b, min(dist)::INT AS dist FROM (
               (${pass1}) UNION ALL (${pass2}))
             GROUP BY id_a, id_b ORDER BY id_a, id_b"""

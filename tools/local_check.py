@@ -12,7 +12,10 @@ OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 con = duckdb.connect()
 for f in glob.glob(f"{SF_DIR}/*.parquet"):
     name = os.path.basename(f).replace(".parquet", "")
-    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+    # driver fixtures are single files; ScaleFixture output is a Spark
+    # directory of part files — glob inside it for DuckDB
+    src = f"{f}/*.parquet" if os.path.isdir(f) else f
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 fails, passes, skipped = [], [], []
