@@ -2224,14 +2224,19 @@ object SparkEntry {
     // Morton (Z-order) interleaved layout key — the multi-dimensional
     // file-skipping sort key (see ops/ZOrder.writeZOrdered); pure integer
     // shift/mask ladder, identical in both engines
+    // ORDER BY must be TOTAL (include z): lineitem's (orderkey,
+    // linenumber) is not unique in the fixtures, and the sf1 rehearsal's
+    // multi-file layout exposed the tie-order divergence the single-file
+    // driver fixtures masked (both engines' stable sorts happened to
+    // agree on one file's read order)
     "q_zorder_key" -> Q(
       (s, dir) => rd(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           graft.ops.ZOrder.zValue(col("l_partkey"), col("l_suppkey")).as("z"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy("l_orderkey", "l_linenumber", "z"),
       Some(s"""SELECT l_orderkey, l_linenumber,
           ${graft.ops.ZOrder.zValueSql("l_partkey", "l_suppkey")} AS z
-          FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+          FROM lineitem ORDER BY l_orderkey, l_linenumber, z""")),
 
     // Ordered-funnel match over the event stream (strict-after step
     // semantics; one shuffle on the user key, per-user HOF fold)

@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   * checkable, and the reductions are plain map-side-combinable sums —
   * the cheapest possible 100 TB shape.
   *
-  * Caller contract: |x|*100 and its square-sums must fit BIGINT (holds
-  * to ~1e7-unit measures over ~1e13 rows; larger corpora re-quantize).
+  * Square-sum moments accumulate in DECIMAL(38,0) — exact to 1e38, so
+  * there is no BIGINT ceiling (the round-14 sf1 rehearsal overflowed the
+  * old long sum((x*100)^2) at just 2M rows of 1e5-unit prices: 1.8e19 >
+  * Long.Max; ANSI Spark threw, DuckDB's HUGEINT->BIGINT cast would too).
+  * Linear sums stay BIGINT where they are part of the output contract.
   */
 object Stats {
 
@@ -37,15 +40,19 @@ object Stats {
     // scan (splitting the per-group aggregate into two filtered sides
     // re-computed the scan per side; round-7 PlanAudit finding)
     def side(cond: Column, e: Column) = sum(when(cond, e).otherwise(lit(0L)))
+    // square sums ride exact DECIMAL(38,0): (18,0)x(18,0) products sum
+    // without the long ceiling; linear sums stay BIGINT (output columns)
+    def sideDec(cond: Column, e: Column) = sum(when(cond, e).otherwise(lit(0)))
     val isA = col("g") === ga
     val isB = col("g") === gb
     val m = df.filter(col(groupCol).isin(ga, gb))
-      .select(col(groupCol).as("g"), q.as("v"))
+      .select(col(groupCol).as("g"), q.as("v"),
+        q.cast("decimal(18,0)").as("vd"))
       .agg(
         side(isA, lit(1L)).as("n_a"), side(isA, col("v")).as("s_a"),
-        side(isA, col("v") * col("v")).as("q_a"),
+        sideDec(isA, col("vd") * col("vd")).as("q_a"),
         side(isB, lit(1L)).as("n_b"), side(isB, col("v")).as("s_b"),
-        side(isB, col("v") * col("v")).as("q_b"))
+        sideDec(isB, col("vd") * col("vd")).as("q_b"))
     def mean(s: Column, n: Column) = s.cast("double") / n.cast("double")
     def varOf(q2: Column, s: Column, n: Column) =
       (q2.cast("double") - s.cast("double") * s.cast("double") / n.cast("double")) /
@@ -63,11 +70,14 @@ object Stats {
     def esc(s: String) = s.replace("'", "''")
     def sideSql(g: String, e: String) =
       s"sum(CASE WHEN ${groupCol} = '${esc(g)}' THEN ${e} ELSE 0 END)::BIGINT"
+    def sideDecSql(g: String, e: String) =
+      s"sum(CASE WHEN ${groupCol} = '${esc(g)}' THEN ${e} ELSE 0 END)"
+    val vd = s"($v)::DECIMAL(18,0)"
     s"""WITH m AS (
           SELECT ${sideSql(ga, "1")} AS n_a, ${sideSql(ga, v)} AS s_a,
-                 ${sideSql(ga, s"($v) * ($v)")} AS q_a,
+                 ${sideDecSql(ga, s"($vd) * ($vd)")} AS q_a,
                  ${sideSql(gb, "1")} AS n_b, ${sideSql(gb, v)} AS s_b,
-                 ${sideSql(gb, s"($v) * ($v)")} AS q_b
+                 ${sideDecSql(gb, s"($vd) * ($vd)")} AS q_b
           FROM ${table} WHERE ${groupCol} IN ('${esc(ga)}', '${esc(gb)}')
         )
         SELECT n_a, n_b, s_a, s_b,
@@ -82,8 +92,11 @@ object Stats {
     * from exact integer centi-moments: one aggregate, no window. */
   def pearsonByGroup(df: DataFrame, groupCol: String,
                      xCol: String, yCol: String): DataFrame = {
-    val x = centi(col(xCol))
-    val y = centi(col(yCol))
+    // exact DECIMAL moments: centi-units fit 18 digits, products 36,
+    // the 38-digit sums never hit the BIGINT ceiling the sf1 rehearsal
+    // exposed (2M rows x (1e7 centi)^2 = 1.8e19 > Long.Max)
+    val x = centi(col(xCol)).cast("decimal(18,0)")
+    val y = centi(col(yCol)).cast("decimal(18,0)")
     val m = df.select(col(groupCol).as("grp"), x.as("x"), y.as("y"))
       .groupBy("grp")
       .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
@@ -104,10 +117,11 @@ object Stats {
     val y = centiSql(ySql)
     s"""WITH m AS (
           SELECT ${groupCol} AS grp, count(*)::BIGINT AS n,
-                 sum(${x})::BIGINT AS sx, sum(${y})::BIGINT AS sy,
-                 sum((${x}) * (${y}))::BIGINT AS sxy,
-                 sum((${x}) * (${x}))::BIGINT AS sxx,
-                 sum((${y}) * (${y}))::BIGINT AS syy
+                 sum((${x})::DECIMAL(18,0)) AS sx,
+                 sum((${y})::DECIMAL(18,0)) AS sy,
+                 sum(((${x})::DECIMAL(18,0)) * ((${y})::DECIMAL(18,0))) AS sxy,
+                 sum(((${x})::DECIMAL(18,0)) * ((${x})::DECIMAL(18,0))) AS sxx,
+                 sum(((${y})::DECIMAL(18,0)) * ((${y})::DECIMAL(18,0))) AS syy
           FROM ${table} GROUP BY 1)
         SELECT grp, n,
           floor((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
