@@ -30,8 +30,14 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // per-query wall-clock on stderr: scale rehearsals read these
+        // instead of reconstructing durations from output-dir mtimes
+        System.err.println(f"[verify] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getClass.getName}: ${e.getMessage}")
         e.getStackTrace.take(3).foreach(f => System.err.println(s"[verify]   at $f"))
