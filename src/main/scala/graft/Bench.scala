@@ -176,6 +176,38 @@ object Bench {
     * `value_norm`, not raw `value`. */
   val ProbeRefStMops: Double = 467.0
 
+  /** Pinned all-core probe rate of the same reference host (~10,760 Mops
+    * across 32 threads; BENCH_r13/r14 diags agree within noise). The
+    * mt/st RATIO (~23.0) is the host's parallel capacity — see
+    * [[probeParallelSuspect]]. */
+  val ProbeRefMtMops: Double = 10760.0
+
+  /** Single-thread normalization is BLIND to parallel-capacity loss: a
+    * host whose per-core speed is intact but whose effective core count
+    * is degraded (cgroup quota, noisy siblings saturating the socket)
+    * probes ~reference single-thread — value_norm ≈ value — while the
+    * local[32] battery runs far slower (VERDICT r14 #3). The mt/st probe
+    * ratio measures exactly that capacity; when today's ratio diverges
+    * from the reference host's pinned ratio by more than `tolerance`
+    * (either direction — a beefier host flatters value_norm the same
+    * way), the round's numbers are not comparable through value_norm and
+    * the run is marked suspect. Unreadable probes (≤ 0) are suspect too:
+    * unknown != clean, same rule as the ext/iowait gates. */
+  def probeParallelSuspect(probeStOps: Double, probeMtOps: Double,
+                           threads: Int = 32,
+                           tolerance: Double = 0.25): Boolean =
+    // the pinned ratio is a 32-thread measurement; per-thread efficiency
+    // is NOT constant in thread count (8 threads on a 32-core host scale
+    // ~linearly, 32 hit SMT/turbo limits), so the comparison is only
+    // meaningful at the reference configuration — the driver's cpus=32.
+    // Other thread counts are local smoke runs: no verdict, not clean.
+    if (threads != 32) false
+    else if (probeStOps <= 0 || probeMtOps <= 0) true
+    else {
+      val ref = ProbeRefMtMops / ProbeRefStMops
+      math.abs(probeMtOps / probeStOps - ref) / ref > tolerance
+    }
+
   /** Express a wall-clock total as what it would read on the REFERENCE
     * host: `value_norm = value × probe_today / probe_ref`. A slower host
     * (lower probe) measured inflated wall-clock, so its total scales
@@ -470,7 +502,12 @@ object Bench {
     // most extGate foreign-CPU cores AND at most ioGate iowait cores
     // alongside it (round-13: disk pressure was the remaining blind
     // spot) and no query failed.
-    val suspects = single.collect { case (k, s) if suspectOf(s) => k }
+    // host-capacity divergence rides the same suspect machinery as the
+    // per-query ext/iowait gates: value_norm is only meaningful when the
+    // host's parallel capacity matches the pinned reference ratio
+    val parallelSuspect = probeParallelSuspect(probeSt, probeMt, cpus.toInt)
+    val suspects = single.collect { case (k, s) if suspectOf(s) => k } ++
+      (if (parallelSuspect) Seq("cpu_probe_parallel") else Nil)
     val gatedClean = !gateTimedOut && suspects.isEmpty && failed.isEmpty
     def jsNames(ns: Iterable[String]) =
       ns.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -490,6 +527,9 @@ object Bench {
       f""","cpu_probe_st_mops":${probeSt / 1e6}%.1f""" +
       f""","cpu_probe_mt_mops":${probeMt / 1e6}%.1f""" +
       f""","probe_ref_st_mops":$ProbeRefStMops%.1f""" +
+      f""","probe_mt_st_ratio":${if (probeSt > 0) probeMt / probeSt else -1.0}%.2f""" +
+      f""","probe_ref_mt_st_ratio":${ProbeRefMtMops / ProbeRefStMops}%.2f""" +
+      s""","probe_parallel_suspect":$parallelSuspect""" +
       f""","value_norm":${probeNormalized(total, probeSt)}%.3f""" +
       s""","load_gate_wait_sec":$gateWaitSec""" +
       s""","load_gate_timed_out":$gateTimedOut""" +
@@ -515,6 +555,8 @@ object Bench {
       f""""cpu_probe_st_mops":${probeSt / 1e6}%.1f,""" +
       f""""cpu_probe_mt_mops":${probeMt / 1e6}%.1f,""" +
       f""""probe_ref_st_mops":$ProbeRefStMops%.1f,""" +
+      f""""probe_mt_st_ratio":${if (probeSt > 0) probeMt / probeSt else -1.0}%.2f,""" +
+      s""""probe_parallel_suspect":$parallelSuspect,""" +
       s""""value_norm":${ms(probeNormalized(total, probeSt))},""" +
       s""""suspect":${jsNames(suspects)},"failed":${jsNames(failed)},""" +
       s""""queries":$qCompact,"sf":"$sfDir"$onlyTag,"diag":"$diagPath"}""")

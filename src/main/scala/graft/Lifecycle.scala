@@ -217,12 +217,33 @@ object Lifecycle {
       }
     }
 
+  /** Native pg_dump flags the reference forwards VERBATIM into its
+    * `pg_dump --schema-only` capture (`cmd/greenmask/cmd/dump/dump.go`
+    * flag table → `internal/db/postgres/cmd/dump.go:212-251`). They only
+    * shape the schema-section capture — no masking/restore semantics —
+    * so this engine forwards them the same way. Value-taking flags
+    * accept both `--flag=v` and `--flag v`. */
+  private[graft] val PgDumpPassthroughFlags =
+    Set("--encoding", "--lock-wait-timeout", "--extra-float-digits")
+  private[graft] val PgDumpPassthroughSwitches = Set("--disable-dollar-quoting")
+
+  private[graft] def pgDumpPassthrough(rest: Seq[String]): Seq[String] =
+    rest.flatMap { a =>
+      if (PgDumpPassthroughSwitches(a)) Seq(a)
+      else if (PgDumpPassthroughFlags.exists(f => a.startsWith(f + "="))) Seq(a)
+      else Nil
+    } ++ rest.sliding(2).flatMap {
+      case Seq(f, v) if PgDumpPassthroughFlags(f) => Seq(f, v)
+      case _ => Nil
+    }
+
   def pgDump(spark: SparkSession, configJson: String, conninfo: String,
              outDir: String,
              schemaFromSource: Boolean = true,
              compress: String = "none",
              sections: String = "all",
-             loadViaPartitionRoot: Boolean = false): graft.pipeline.PgToc.Toc = withHeartbeat(outDir) {
+             loadViaPartitionRoot: Boolean = false,
+             passthrough: Seq[String] = Nil): graft.pipeline.PgToc.Toc = withHeartbeat(outDir) {
     // native pg_dump -s / -a (the reference passes them through,
     // cmd/dump.go flags): schema-only skips every COPY transfer (no data
     // moves at all — the point of -s on a 100 TB source) and emits the
@@ -320,8 +341,9 @@ object Lifecycle {
         Files.walk(schemaDir).sorted(java.util.Comparator.reverseOrder())
           .iterator().asScala.foreach(Files.delete)
       }
-      val p = new ProcessBuilder(pgDumpBin.getPath, "-Fd", "--schema-only",
-        "--compress=0", "-d", conninfo, "-f", schemaDir.toString)
+      val p = new ProcessBuilder((Seq(pgDumpBin.getPath, "-Fd",
+        "--schema-only", "--compress=0") ++ passthrough ++
+        Seq("-d", conninfo, "-f", schemaDir.toString)): _*)
         .redirectErrorStream(true).start()
       val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
       require(p.waitFor() == 0, s"pg_dump --schema-only failed:\n$out")
@@ -642,7 +664,10 @@ object Lifecycle {
         val optIfExists = rest.contains("--if-exists")
         val optCreate = rest.contains("--create") || rest.contains("-C")
         val optNoOwner = rest.contains("--no-owner") || rest.contains("-O")
-        val optNoPrivileges = rest.contains("--no-privileges") || rest.contains("-X")
+        // native pg_restore's short flag is -x (alias --no-acl); the
+        // historical -X is kept for scripts that already use it
+        val optNoPrivileges = rest.contains("--no-privileges") ||
+          rest.contains("--no-acl") || rest.contains("-x") || rest.contains("-X")
         val optSingleTx = rest.contains("--single-transaction") || rest.contains("-1")
         val optWithDeps = rest.contains("--with-deps")
         val optStrictNames = rest.contains("--strict-names")
@@ -719,8 +744,11 @@ object Lifecycle {
           noTablespaces = optNoTablespaces,
           noTableAccessMethod = optNoTableAm,
           verbose = rest.contains("--verbose") || rest.contains("-v"),
-          // opt-in idle watchdog: a psql hung on a lock fails loudly
-          // after N silent seconds instead of hanging the restore
+          // opt-in hang guard: statements hung on a lock fail loudly
+          // after N seconds (server-side lock_timeout for DDL + COPY,
+          // byte-idle kill while a COPY feed is mid-stream) instead of
+          // hanging the restore; silent-but-working statements (long
+          // CREATE INDEX, commit tails) are never touched
           watchdogSec = rest.collectFirst {
             case a if a.startsWith("--watchdog=") =>
               a.stripPrefix("--watchdog=").toInt }.getOrElse(0))
@@ -748,7 +776,10 @@ object Lifecycle {
           else "all"
         pgDump(spark, Files.readString(Paths.get(cfgPath)), conninfo, outDir,
           compress = compress, sections = sections,
-          loadViaPartitionRoot = rest.contains("--load-via-partition-root"))
+          loadViaPartitionRoot = rest.contains("--load-via-partition-root"),
+          // --encoding/--lock-wait-timeout/--disable-dollar-quoting/
+          // --extra-float-digits forward verbatim into the schema capture
+          passthrough = pgDumpPassthrough(rest))
           .entries.foreach(e => println(s"[pg-dump] ${e.tag.getOrElse("")} " +
             s"${e.desc.getOrElse("")} -> ${e.fileName.getOrElse("(stmt)")}"))
       case "pg-diff" :: connA :: connB :: tablesCsv :: Nil =>
@@ -789,7 +820,9 @@ object Lifecycle {
           strictNames = rest.contains("--strict-names"),
           noBlobs = rest.contains("--no-blobs") || rest.contains("-B"),
           noComments = rest.contains("--no-comments"),
-          noPrivileges = rest.contains("--no-privileges") || rest.contains("-X"),
+          noPrivileges = rest.contains("--no-privileges") ||
+            rest.contains("--no-acl") || rest.contains("-x") ||
+            rest.contains("-X"),
           noPublications = rest.contains("--no-publications"),
           noSubscriptions = rest.contains("--no-subscriptions"),
           noSecurityLabels = rest.contains("--no-security-labels")).toSet
@@ -903,12 +936,14 @@ object Lifecycle {
       case other =>
         System.err.println(
           "usage: dump <config.json> <sfDir> <outDir> | " +
-            "pg-dump <config.json> <conninfo> <outDir> | " +
+            "pg-dump <config.json> <conninfo> <outDir> [--encoding=E] " +
+            "[--lock-wait-timeout=T] [--disable-dollar-quoting] " +
+            "[--extra-float-digits=N] | " +
             "pg-restore <archiveDir> <conninfo> [--data-only] [--disable-triggers] " +
             "[--jobs N] [-e|--exit-on-error] [-c|--clean] [-C|--create] " +
             "[-t|--table name]... [-i|--index name]... [--strict-names] " +
             "[--if-exists] [--section=pre-data|data|post-data] " +
-            "[--no-data-for-failed-tables] [-O|--no-owner] [-X|--no-privileges] " +
+            "[--no-data-for-failed-tables] [-O|--no-owner] [-x|--no-privileges|--no-acl] " +
             "[-s|--schema-only] [-B|--no-blobs] [--no-comments] " +
             "[-n|--schema ns]... [-N|--exclude-schema ns]... " +
             "[-P|--function f]... [-T|--trigger t]... [--no-publications] " +

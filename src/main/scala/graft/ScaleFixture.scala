@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, ShortType}
 
 /** Deterministic scale-up fixture builder: replicates a driver testdata
   * directory N× with KEY-SHIFTING, preserving referential integrity so
@@ -19,6 +20,25 @@ import org.apache.spark.sql.functions._
   * copies (cross-replica duplicates are REAL work for the dedup family)
   * and each user's event stream replicates under a shifted user_id
   * (N× sessions, not N×-longer sessions).
+  *
+  * NEAR-DUP PERTURBATION (`perturb = true`): verbatim replication only
+  * exercises the EXACT-duplicate path of the dedup family — every
+  * cross-replica pair has Jaccard 1.0, so MinHash/SimHash banding always
+  * fires and its selectivity under realistic edit noise goes untested at
+  * scale. With perturbation on, ODD replicas apply deterministic
+  * hash-seeded token edits to `documents.text` (drops + in-place token
+  * mutations; even replicas stay verbatim), planting near-duplicate
+  * pairs at two edit intensities: replica ≡ 1 (mod 4) is light
+  * (~7% of tokens touched, Jaccard ~0.85 — above typical LSH
+  * thresholds) and replica ≡ 3 (mod 4) is heavy (~18%, Jaccard ~0.6 —
+  * the band-miss regime). Same seed columns (doc_id, replica, position,
+  * xxhash64) ⇒ the same fixture every run; no rand() anywhere.
+  *
+  * Key-shift SAFETY: shifted keys are cast back to the source column's
+  * type; a 32-bit key whose domain shift exceeds Int.MaxValue would wrap
+  * silently under non-ANSI Spark and break the uniqueness/FK-closure
+  * promises, so every (column, replicas) combination is bounds-checked
+  * up front and fails loudly instead (ADVICE r14).
   *
   * Spark-shaped: one scan per table; explode(replica array) multiplies
   * rows map-side with no shuffle; output lands as multi-file parquet so
@@ -47,20 +67,70 @@ object ScaleFixture {
 
   private val FixedDims = Seq("region", "nation")
 
+  /** Largest value the column's storage type can hold (the cast-back
+    * ceiling); non-integral key types never appear in ShiftedKeys. */
+  private def typeCeiling(dt: DataType): Long = dt match {
+    case ByteType => Byte.MaxValue.toLong
+    case ShortType => Short.MaxValue.toLong
+    case IntegerType => Int.MaxValue.toLong
+    case _ => Long.MaxValue
+  }
+
+  /** Deterministic token-level edit noise for planted near-duplicates.
+    * Two passes over the token array, each seeded by
+    * xxhash64(doc_id, replica, position[, salt]) so the SAME document in
+    * the SAME replica always takes the SAME edits:
+    *   1. mutation — every token whose hash ≡ 0 (mod mutMod) is replaced
+    *      in place by its reversal (a "synonym": same position, same
+    *      length class, different shingles);
+    *   2. drop — every token whose salted hash ≡ 0 (mod dropMod) is
+    *      removed.
+    * Light replicas (≡1 mod 4): dropMod 20, mutMod 40 (~7% touched).
+    * Heavy replicas (≡3 mod 4): dropMod 8, mutMod 16 (~18% touched). */
+  private def perturbText(text: Column, docId: Column, rep: Column): Column = {
+    val dropMod = when(pmod(rep, lit(4)) === 1, lit(20L)).otherwise(lit(8L))
+    val mutMod = when(pmod(rep, lit(4)) === 1, lit(40L)).otherwise(lit(16L))
+    val toks = split(text, " ")
+    val mutated = transform(toks, (tok, pos) =>
+      when(pmod(xxhash64(docId, rep, pos), mutMod) === 0, reverse(tok))
+        .otherwise(tok))
+    val kept = filter(mutated, (_, pos) =>
+      pmod(xxhash64(docId, rep, pos, lit(7L)), dropMod) =!= 0)
+    when(pmod(rep, lit(2)) === 1, array_join(kept, " ")).otherwise(text)
+  }
+
   def replicate(spark: SparkSession, src: String, out: String,
-                replicas: Int, files: Int = 32): Unit = {
+                replicas: Int, files: Int = 32,
+                perturb: Boolean = false): Unit = {
     def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     def maxOf(t: String, c: String): Long =
       rd(t).agg(max(col(c).cast("long"))).head.getLong(0)
-    val unit = Map(
-      "custkey" -> pow10Above(maxOf("customer", "c_custkey")),
-      "orderkey" -> pow10Above(maxOf("orders", "o_orderkey")),
-      "partkey" -> pow10Above(maxOf("part", "p_partkey")),
-      "suppkey" -> pow10Above(maxOf("supplier", "s_suppkey")),
-      "eventid" -> pow10Above(maxOf("events", "event_id")),
-      "userid" -> pow10Above(maxOf("events", "user_id")),
-      "docid" -> pow10Above(maxOf("documents", "doc_id")),
-      "vecid" -> pow10Above(maxOf("embeddings", "vec_id")))
+    val srcMax = Map(
+      "custkey" -> maxOf("customer", "c_custkey"),
+      "orderkey" -> maxOf("orders", "o_orderkey"),
+      "partkey" -> maxOf("part", "p_partkey"),
+      "suppkey" -> maxOf("supplier", "s_suppkey"),
+      "eventid" -> maxOf("events", "event_id"),
+      "userid" -> maxOf("events", "user_id"),
+      "docid" -> maxOf("documents", "doc_id"),
+      "vecid" -> maxOf("embeddings", "vec_id"))
+    val unit = srcMax.map { case (d, m) => d -> pow10Above(m) }
+    // fail-loudly bounds check BEFORE writing anything: the largest
+    // shifted key per column must fit the column's own storage type
+    // (BigInt sidesteps Long overflow in the check itself)
+    ShiftedKeys.foreach { case (t, keys) =>
+      val schema = rd(t).schema
+      keys.foreach { case (c, dom) =>
+        val top = BigInt(srcMax(dom)) +
+          BigInt(replicas - 1) * BigInt(unit(dom))
+        val ceiling = BigInt(typeCeiling(schema(c).dataType))
+        require(top <= ceiling,
+          s"[scale-fixture] $t.$c (${schema(c).dataType.simpleString}) " +
+            s"cannot hold replica-shifted keys: max shifted value $top > " +
+            s"type ceiling $ceiling — widen the column or lower replicas " +
+            s"($replicas)")
+      }
+    }
     FixedDims.foreach { t =>
       rd(t).write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
@@ -71,18 +141,27 @@ object ScaleFixture {
       val shifted = keys.foldLeft(rep) { case (d, (c, dom)) =>
         d.withColumn(c, (col(c) + col("__replica").cast("long") *
           lit(unit(dom))).cast(df.schema(c).dataType))
-      }.drop("__replica")
-      shifted.repartition(files).write.mode("overwrite")
+      }
+      val noised =
+        if (perturb && t == "documents")
+          shifted.withColumn("text",
+            perturbText(col("text"), col("doc_id"), col("__replica")))
+        else shifted
+      noised.drop("__replica").repartition(files).write.mode("overwrite")
         .parquet(s"$out/$t.parquet")
       println(s"[scale-fixture] $t ×$replicas -> $out/$t.parquet " +
-        s"(keys: ${keys.map { case (c, d) => s"$c+i*${unit(d)}" }.mkString(", ")})")
+        s"(keys: ${keys.map { case (c, d) => s"$c+i*${unit(d)}" }.mkString(", ")}" +
+        (if (perturb && t == "documents") "; near-dup perturbation on odd replicas"
+         else "") + ")")
     }
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2,
-      "usage: graft.ScaleFixture <srcSfDir> <outDir> [replicas=10]")
-    val replicas = if (args.length > 2) args(2).toInt else 10
+    val (flags, pos) = args.partition(_.startsWith("--"))
+    require(pos.length >= 2,
+      "usage: graft.ScaleFixture <srcSfDir> <outDir> [replicas=10] [--perturb]")
+    val replicas = if (pos.length > 2) pos(2).toInt else 10
+    val perturb = flags.contains("--perturb")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -92,7 +171,7 @@ object ScaleFixture {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    replicate(spark, args(0), args(1), replicas)
+    replicate(spark, pos(0), pos(1), replicas, perturb = perturb)
     spark.stop()
   }
 }

@@ -112,24 +112,30 @@ object PgRestore {
   /** Idle-activity watchdog — the Pipe operator's discipline
     * (`ops/Pipe.scala:135-155`): arms only when `watchdogSec > 0`; kills
     * the child after that many seconds with NO bytes moving in either
-    * direction. A slow-but-alive statement keeps stamping activity
-    * through the feeder/reader loops; a psql hung on a lock goes silent
-    * and dies at the timeout instead of hanging the restore forever
-    * (native pg_restore blocks — the watchdog is this engine's opt-in
-    * improvement). Returns the tripped flag. */
+    * direction, but ONLY while `feeding` is still true. Byte-silence is
+    * evidence of a hang only where bytes are SUPPOSED to move — the COPY
+    * feed; once the payload is fully written the server-side commit tail
+    * is legitimately silent, so the feeder drops the flag and the
+    * watchdog stands down (silent statements are covered by the
+    * server-side `lock_timeout` guard instead — see [[exec]]). Returns
+    * the tripped flag. */
   private def armWatchdog(p: Process,
                           lastActivity: java.util.concurrent.atomic.AtomicLong,
-                          watchdogSec: Int)
+                          watchdogSec: Int,
+                          feeding: java.util.concurrent.atomic.AtomicBoolean)
       : java.util.concurrent.atomic.AtomicBoolean = {
     val tripped = new java.util.concurrent.atomic.AtomicBoolean(false)
     if (watchdogSec > 0) {
       val timeoutNanos = watchdogSec.toLong * 1000000000L
       val t = new Thread(() => {
         var watching = true
-        while (watching && p.isAlive) {
+        while (watching && p.isAlive && feeding.get()) {
           val idle = System.nanoTime() - lastActivity.get()
           if (idle >= timeoutNanos) {
-            tripped.set(true); p.destroyForcibly(); watching = false
+            // re-check the flag at the kill decision: a feed that
+            // completed during the final sleep must not be killed
+            if (feeding.get()) { tripped.set(true); p.destroyForcibly() }
+            watching = false
           } else watching = !p.waitFor(
             math.max(50L, (timeoutNanos - idle) / 1000000L),
             java.util.concurrent.TimeUnit.MILLISECONDS)
@@ -158,17 +164,26 @@ object PgRestore {
                              watchdogSec: Int): String =
     if (tripped.get()) s" [watchdog: psql idle > ${watchdogSec}s — killed]" else ""
 
-  /** One SQL batch in its own psql session; returns (rc, combined out). */
+  /** One SQL batch in its own psql session; returns (rc, combined out).
+    *
+    * `watchdogSec > 0` guards SERVER-SIDE via `SET lock_timeout` rather
+    * than a byte-idle kill: DDL (post-data CREATE INDEX, ADD CONSTRAINT)
+    * is legitimately silent for minutes while working, so client-side
+    * byte-silence is not evidence of a hang here. `lock_timeout` cancels
+    * exactly the hang-on-a-lock case the watchdog exists for, the server
+    * reports it ("canceling statement due to lock timeout"), and a
+    * healthy long build is never touched. */
   private def exec(psqlArgs: Seq[String], sql: String,
                    watchdogSec: Int = 0): (Int, String) = {
+    val guard =
+      if (watchdogSec > 0) Seq("-c", s"SET lock_timeout = '${watchdogSec}s'")
+      else Nil
     val cmd = Seq("/usr/bin/psql", "-X", "-q", "-v", "ON_ERROR_STOP=1") ++
-      psqlArgs ++ Seq("-c", sql)
+      psqlArgs ++ guard ++ Seq("-c", sql)
     val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
     p.getOutputStream.close()
-    val lastActivity = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
-    val tripped = armWatchdog(p, lastActivity, watchdogSec)
-    val out = drainStamping(p.getInputStream, lastActivity)
-    (p.waitFor(), out + watchdogSuffix(tripped, watchdogSec))
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    (p.waitFor(), out)
   }
 
   /** Run a psql session with `pre` statements (each its own -c) followed
@@ -178,11 +193,23 @@ object PgRestore {
   private def copyFrom(psqlArgs: Seq[String], pre: Seq[String],
                        copySql: String, file: java.io.File,
                        watchdogSec: Int = 0): (Int, String) = {
+    // the same lock_timeout guard as exec(): a COPY blocked on a lock it
+    // can never get (ACCESS EXCLUSIVE held elsewhere) errors out
+    // server-side at the deadline even when the whole payload already
+    // fits in the OS pipe buffer (small tables feed to EOF instantly, so
+    // the byte-idle watchdog below has already stood down)
+    val guard =
+      if (watchdogSec > 0) Seq(s"SET lock_timeout = '${watchdogSec}s'")
+      else Nil
     val cmd = Seq("/usr/bin/psql", "-X", "-q", "-v", "ON_ERROR_STOP=1") ++
-      psqlArgs ++ pre.flatMap(s => Seq("-c", s)) ++ Seq("-c", copySql)
+      psqlArgs ++ (guard ++ pre).flatMap(s => Seq("-c", s)) ++ Seq("-c", copySql)
     val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
     val lastActivity = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
-    val tripped = armWatchdog(p, lastActivity, watchdogSec)
+    // byte-idle kill is armed ONLY while the feed is mid-stream — that is
+    // the one window where silence means a stalled pipe; the post-EOF
+    // server-side commit tail is legitimately silent (ADVICE r14)
+    val feeding = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val tripped = armWatchdog(p, lastActivity, watchdogSec, feeding)
     val feeder = new Thread(() => {
       val in: java.io.InputStream = Compress.input(
         Compress.algoOfFile(file.getName),
@@ -199,7 +226,8 @@ object PgRestore {
         }
       }
       catch { case _: java.io.IOException => () } // psql exited early
-      finally { try p.getOutputStream.close() catch { case _: Throwable => () }
+      finally { feeding.set(false)
+                try p.getOutputStream.close() catch { case _: Throwable => () }
                 in.close() }
     })
     feeder.setDaemon(true); feeder.start()
@@ -432,7 +460,6 @@ object PgRestore {
       functions, triggers, schemas, excludeSchemas, strictNames, noBlobs,
       noComments, noPublications, noSubscriptions, noSecurityLabels,
       noPrivileges, create)
-    val skip = SessionDescs
     val pre =
       (if (disableTriggers) Seq("SET session_replication_role = replica") else Nil) ++
         // native --enable-row-security: COPY into RLS tables goes through
@@ -474,7 +501,8 @@ object PgRestore {
         // session-level entries (DATABASE, ENCODING, ...) are skipped in
         // replay, so their drops are skipped too — native -c never drops
         // the target database unless -C re-creates it via maintenance
-        .filterNot(_.desc.exists(skip)).foreach { e =>
+        .filterNot(_.desc.exists(d => replaySkip(d, create = false)))
+        .foreach { e =>
         e.dropStmt.map(_.trim).filter(_.nonEmpty).foreach { raw =>
           val sql = if (ifExists) injectIfExists(raw) else raw
           val (rc, out) = exec(psqlArgs, sql, watchdogSec)
@@ -611,7 +639,7 @@ object PgRestore {
       selected.entries.filter(e => e.section == PgToc.SectionPreData ||
           e.section == PgToc.SectionNone).foreach { e =>
         val d = e.desc.getOrElse("")
-        if (!skip(d)) execDefn(e)
+        if (!replaySkip(d, create)) execDefn(e)
       }
       done ++= runScripts(psqlArgs, scripts, "pre-data", "after")
     }
@@ -660,6 +688,16 @@ object PgRestore {
 
   /** Session-level descs: skipped in replay, never dropped by -c. */
   private val SessionDescs = Set("DATABASE", "ENCODING", "STDSTRINGS", "SEARCHPATH")
+
+  /** Replay-time gate shared by the direct and script paths. DATABASE
+    * PROPERTIES (ALTER DATABASE <source> SET ...) is selected like native
+    * (`_tocEntryRequired` keeps it in the TOC) but REPLAYED only under
+    * --create — native gates it on `ropt->createDB`
+    * (pg_backup_archiver.c), because without -C the statement would
+    * mutate a same-named database that already exists on the target
+    * cluster, or abort a valid restore under -e when it doesn't. */
+  private def replaySkip(desc: String, create: Boolean): Boolean =
+    SessionDescs(desc) || (desc == "DATABASE PROPERTIES" && !create)
 
   /** Synthesized tablespace / access-method SETs for one entry — native
     * pg_restore derives these from the TOC FIELDS at restore time
@@ -994,14 +1032,15 @@ object PgRestore {
       }
     }
     if (clean && runPre && !dataOnly)
-      selected.entries.reverse.filterNot(_.desc.exists(SessionDescs)).foreach {
+      selected.entries.reverse
+        .filterNot(_.desc.exists(d => replaySkip(d, create = false))).foreach {
         e => e.dropStmt.map(_.trim).filter(_.nonEmpty)
           .foreach(raw => stmt(if (ifExists) injectIfExists(raw) else raw))
       }
     if (runPre)
       selected.entries.filter(e => e.section == PgToc.SectionPreData ||
           e.section == PgToc.SectionNone)
-        .filterNot(_.desc.exists(SessionDescs)).foreach(emitDefn)
+        .filterNot(_.desc.exists(d => replaySkip(d, create))).foreach(emitDefn)
     if (runData) {
       selected.entries.filter(_.desc.contains("TABLE DATA")).foreach { e =>
         for {

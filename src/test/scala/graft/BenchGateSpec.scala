@@ -108,6 +108,34 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.probeNormalized(30.0, -1.0) == 30.0)
   }
 
+  test("probe parallel-capacity divergence guard: flags mt/st ratio drift > 25%") {
+    // single-thread normalization is blind to degraded parallel capacity
+    // (cgroup quota, saturated socket): st probes ~reference while the
+    // local[32] battery crawls. The mt/st ratio catches it (VERDICT r14).
+    assert(Bench.ProbeRefMtMops == 10760.0) // pinned with ProbeRefStMops
+    val ref = Bench.ProbeRefMtMops / Bench.ProbeRefStMops // ~23.04
+    // the reference host itself is clean, as is the r14 run (ratio 24.59)
+    assert(!Bench.probeParallelSuspect(467.0e6, 10760.0e6))
+    assert(!Bench.probeParallelSuspect(437.6e6, 10762.2e6))
+    // intact per-core speed but HALF the effective cores: ratio ~11.5,
+    // -50% from reference — exactly the case value_norm can't see
+    assert(Bench.probeParallelSuspect(467.0e6, 5380.0e6))
+    // divergence flags in BOTH directions (a beefier host flatters
+    // value_norm symmetrically)
+    assert(Bench.probeParallelSuspect(467.0e6, 467.0e6 * ref * 1.3))
+    // boundary: ±25% is the tolerance, just inside is clean
+    assert(!Bench.probeParallelSuspect(467.0e6, 467.0e6 * ref * 1.24))
+    assert(!Bench.probeParallelSuspect(467.0e6, 467.0e6 * ref * 0.76))
+    assert(Bench.probeParallelSuspect(467.0e6, 467.0e6 * ref * 0.74))
+    // unreadable probes are suspect: unknown != clean
+    assert(Bench.probeParallelSuspect(0.0, 10760.0e6))
+    assert(Bench.probeParallelSuspect(467.0e6, -1.0))
+    // the pinned ratio is a 32-thread measurement — per-thread efficiency
+    // varies with thread count (8 threads scale ~linearly where 32 hit
+    // SMT limits), so non-reference thread counts get no verdict
+    assert(!Bench.probeParallelSuspect(467.0e6, 3667.0e6, threads = 8))
+  }
+
   test("withExt attributes this JVM's own burn to self, not to foreign load") {
     // burn ~2s of CPU in-process: ext must NOT rise with it (the whole
     // point of the instrument — loadavg would have flagged this)

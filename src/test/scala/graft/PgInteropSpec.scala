@@ -1378,8 +1378,11 @@ class PgInteropSpec extends SparkSpec {
     assert(psql("wavetgt", "SELECT count(*) FROM wchild")._2.trim == "10")
     assert(psql("wavetgt", "SELECT count(*) FROM waux")._2.trim == "5")
 
-    // idle watchdog: hold an ACCESS EXCLUSIVE lock so the COPY hangs
-    // silently; the watchdog kills it and the failure is LOUD
+    // hang guard: hold an ACCESS EXCLUSIVE lock so the COPY hangs
+    // silently; --watchdog's server-side lock_timeout cancels it at the
+    // deadline and the failure is LOUD (the byte-idle kill has already
+    // stood down — this 5-row payload feeds to EOF into the pipe buffer
+    // instantly, which is exactly why lock_timeout carries this case)
     psql("wavetgt", "DELETE FROM waux")
     val locker = new ProcessBuilder("/usr/bin/psql", "-X", "-q", "-d",
       s"host=$sockDir dbname=wavetgt user=graft").start()
@@ -1400,10 +1403,34 @@ class PgInteropSpec extends SparkSpec {
           dataOnly = true, exitOnError = true, tables = Seq("waux"),
           watchdogSec = 2)
       }
-      assert(e2.getMessage.contains("watchdog"), e2.getMessage)
+      assert(e2.getMessage.contains("lock timeout"), e2.getMessage)
       val waited = (System.nanoTime() - t0) / 1e9
-      assert(waited < 30, s"watchdog must fire near its 2s timeout, waited $waited s")
+      assert(waited < 30, s"hang guard must fire near its 2s timeout, waited $waited s")
     } finally locker.destroyForcibly()
+
+    // the false-kill regression (ADVICE r14): a statement that is SILENT
+    // but WORKING for longer than the watchdog window must survive —
+    // byte-silence is not a hang for DDL. A 4s pg_sleep inside a
+    // pre-data defn under --watchdog=2 restores cleanly.
+    psql("postgres", "CREATE DATABASE slowddl")
+    val slowConn = s"host=$sockDir dbname=slowddl user=graft"
+    val slowArch = s"$base/slow_arch"
+    val one = Seq((1L, "x")).toDF("k", "v")
+    PgToc.dumpArchive(Seq("slowt" -> one), slowArch, "slowddl",
+      includeSchema = true)
+    val tocS = PgToc.readFile(s"$slowArch/toc.dat")
+    val maxId = tocS.entries.map(_.dumpId).max
+    val slowEntry = tocS.entries.find(e =>
+      e.desc.contains("TABLE") && e.tag.contains("slowt")).get.copy(
+      dumpId = maxId + 1, desc = Some("FUNCTION"), tag = Some("slow_fn()"),
+      fileName = None, copyStmt = None, dropStmt = None,
+      defn = Some("DO $$ BEGIN PERFORM pg_sleep(4); END $$;"))
+    PgToc.writeFile(tocS.copy(entries = tocS.entries :+ slowEntry),
+      s"$slowArch/toc.dat")
+    val slowLines = graft.sources.PgRestore.restore(slowArch,
+      Seq("-d", slowConn), exitOnError = true, watchdogSec = 2)
+    assert(slowLines.exists(_.contains("slow_fn")), slowLines)
+    assert(psql("slowddl", "SELECT count(*) FROM slowt")._2.trim == "1")
   }
 
   test("killed-mid-stream INSERT replay re-runs to fingerprint parity with ON CONFLICT DO NOTHING") {
@@ -1860,6 +1887,75 @@ class PgInteropSpec extends SparkSpec {
     // Masking("id") keeps a 6-char prefix and stars the rest; the subset
     // cond dropped row 2 on the source server
     assert(got.map(_(1)).toSeq == Seq("DE0212****"), "subset + mask wrong")
+  }
+
+  test("pg-dump passthrough flags reach the real schema capture") {
+    live()
+    psql("postgres", "CREATE DATABASE pt_src")
+    assert(psql("pt_src",
+      "CREATE TABLE public.t(id bigint PRIMARY KEY, v text); " +
+        "INSERT INTO t VALUES (1,'a'); " +
+        // single-quoted body: the psql helper shells out through double
+        // quotes, where $$ would expand; pg_dump re-emits dollar quoting
+        // by default regardless, which is what the flag test needs
+        "CREATE FUNCTION public.f1() RETURNS int LANGUAGE sql AS 'SELECT 42'")._1 == 0)
+    val conn = s"host=$sockDir dbname=pt_src user=graft"
+    val config = """{ "tables": [ { "table": "t", "transforms": [] } ] }"""
+
+    // the CLI parser forwards exactly the four native passthroughs, both
+    // --flag=v and --flag v spellings, and nothing else
+    assert(Lifecycle.pgDumpPassthrough(Seq("--encoding=LATIN1",
+      "--lock-wait-timeout", "500", "--disable-dollar-quoting",
+      "--extra-float-digits=2", "--compress=gzip", "--schema-only")) ==
+      Seq("--encoding=LATIN1", "--disable-dollar-quoting",
+        "--extra-float-digits=2", "--lock-wait-timeout", "500"))
+
+    // --encoding changes the archive's emitted client_encoding (the
+    // first thing a non-UTF8 source operator needs); the default capture
+    // carries the server encoding (SQL_ASCII in this no-locale scratch
+    // cluster) — the flag demonstrably overrode it
+    val tocL = Lifecycle.pgDump(spark, config, conn, s"$base/pt_latin",
+      passthrough = Seq("--encoding=LATIN1", "--extra-float-digits=2"))
+    val encL = tocL.entries.find(_.desc.contains("ENCODING")).flatMap(_.defn).get
+    assert(encL.contains("LATIN1"), encL)
+    val tocU = Lifecycle.pgDump(spark, config, conn, s"$base/pt_utf8")
+    val encU = tocU.entries.find(_.desc.contains("ENCODING")).flatMap(_.defn).get
+    assert(encU.contains("client_encoding") && !encU.contains("LATIN1"), encU)
+
+    // --disable-dollar-quoting: function bodies emit as standard string
+    // literals instead of dollar quoting
+    def fnDefn(toc: graft.pipeline.PgToc.Toc): String = toc.entries.find(e =>
+      e.desc.contains("FUNCTION") && e.tag.exists(_.startsWith("f1"))).flatMap(_.defn).get
+    assert(fnDefn(tocU).contains("$"), fnDefn(tocU))
+    val tocQ = Lifecycle.pgDump(spark, config, conn, s"$base/pt_noq",
+      passthrough = Seq("--disable-dollar-quoting"))
+    assert(!fnDefn(tocQ).contains("$"), fnDefn(tocQ))
+    assert(fnDefn(tocQ).contains("SELECT 42"), fnDefn(tocQ))
+
+    // --lock-wait-timeout: a held ACCESS EXCLUSIVE lock fails the
+    // capture at the deadline instead of blocking the dump forever
+    val locker = new ProcessBuilder("/usr/bin/psql", "-X", "-q", "-d", conn).start()
+    locker.getOutputStream.write(
+      "BEGIN;\nLOCK TABLE public.t IN ACCESS EXCLUSIVE MODE;\n".getBytes("UTF-8"))
+    locker.getOutputStream.flush()
+    val granted = (1 to 50).exists { _ =>
+      val (_, o) = psql("pt_src",
+        "SELECT count(*) FROM pg_locks l JOIN pg_class c ON c.oid = l.relation " +
+          "WHERE c.relname = 't' AND l.mode = 'AccessExclusiveLock' AND l.granted")
+      if (o.trim == "1") true else { Thread.sleep(100); false }
+    }
+    assert(granted, "locker session failed to take the lock")
+    try {
+      val t0 = System.nanoTime()
+      val ex = intercept[IllegalArgumentException] {
+        Lifecycle.pgDump(spark, config, conn, s"$base/pt_locked",
+          sections = "schema-only",
+          passthrough = Seq("--lock-wait-timeout=800"))
+      }
+      assert(ex.getMessage.toLowerCase.contains("lock"), ex.getMessage)
+      assert((System.nanoTime() - t0) / 1e9 < 30,
+        "--lock-wait-timeout must bound the wait")
+    } finally locker.destroyForcibly()
   }
 
   test("pg-dump with dump_slices: sliced ingest feeds the archive, restore is content-identical") {

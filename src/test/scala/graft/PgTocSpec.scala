@@ -174,6 +174,45 @@ class PgTocSpec extends AnyFunSuite {
     }
   }
 
+  test("DATABASE PROPERTIES replays only under --create (native createDB gate)") {
+    import graft.sources.PgRestore
+    // native pg_restore keeps DATABASE PROPERTIES in the TOC but gates
+    // its replay on ropt->createDB (_tocEntryRequired): without -C the
+    // ALTER DATABASE <source> SET ... would mutate a same-named database
+    // already on the target cluster (ADVICE r14, medium)
+    val dir = java.nio.file.Files.createTempDirectory("dbprops").toString
+    val base = fixtureToc(14)
+    val withProps = base.copy(entries =
+      Entry(dumpId = 10, tag = Some("testdb"), desc = Some("DATABASE"),
+        section = PgToc.SectionPreData, owner = Some("graft"),
+        defn = Some("CREATE DATABASE testdb WITH TEMPLATE = template0;\n"),
+        dropStmt = Some("DROP DATABASE testdb;\n")) +:
+      Entry(dumpId = 11, tag = Some("DATABASE PROPERTIES testdb"),
+        desc = Some("DATABASE PROPERTIES"), section = PgToc.SectionPreData,
+        owner = Some("graft"),
+        defn = Some("ALTER DATABASE testdb SET work_mem TO '64MB';\n"),
+        dependencies = Seq(10)) +: base.entries)
+    PgToc.writeFile(withProps, s"$dir/toc.dat")
+    def script(create: Boolean): String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      PgRestore.toScript(dir, bos, create = create)
+      bos.toString("UTF-8")
+    }
+    val plain = script(create = false)
+    assert(!plain.contains("ALTER DATABASE"), plain)
+    assert(!plain.contains("CREATE DATABASE"), plain)
+    val created = script(create = true)
+    assert(created.contains("CREATE DATABASE testdb"), created)
+    assert(created.contains("ALTER DATABASE testdb SET work_mem"), created)
+    // -c must not render a DROP for either session-level entry
+    val cleaned = {
+      val bos = new java.io.ByteArrayOutputStream()
+      PgRestore.toScript(dir, bos, clean = true)
+      bos.toString("UTF-8")
+    }
+    assert(!cleaned.contains("DROP DATABASE"), cleaned)
+  }
+
   test("real pg_restore -l accepts and lists our archive") {
     val pgRestore = new java.io.File("/usr/bin/pg_restore")
     assume(pgRestore.canExecute, "pg_restore binary not present")

@@ -51,4 +51,94 @@ class ScaleFixtureSpec extends SparkSpec {
 
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
+
+  test("overflow guard: a key column too narrow for the shift fails loudly") {
+    // doc_id narrowed to int with a value near Int.MaxValue: unit jumps
+    // to 10^10, so even replica 1 wraps a 32-bit key — the fixture must
+    // refuse up front instead of silently corrupting uniqueness/FKs
+    val src = java.nio.file.Files.createTempDirectory("graft_sf_narrow").toString
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"))
+      spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
+        .write.parquet(s"$src/$t.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("doc_id",
+        (col("doc_id") + lit(2000000000L - 100)).cast("int"))
+      .write.parquet(s"$src/documents.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft_sf_narrow_out").toString
+    val ex = intercept[IllegalArgumentException] {
+      ScaleFixture.replicate(spark, src, out, replicas = 3, files = 2)
+    }
+    assert(ex.getMessage.contains("documents.doc_id"), ex.getMessage)
+    assert(ex.getMessage.contains("type ceiling"), ex.getMessage)
+    // nothing was written — the check runs before any output
+    assert(!new java.io.File(s"$out/documents.parquet").exists())
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(src))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
+
+  test("perturbation: deterministic, planted near-dups at two intensities, LSH recalls them") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sf_pert").toString
+    ScaleFixture.replicate(spark, "/root/testdata/sf0.001", out,
+      replicas = 4, files = 4, perturb = true)
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = src.count()
+    val unit = { var u = 1L
+      val m = src.agg(max("doc_id")).head.getLong(0)
+      while (u <= m) u *= 10; u }
+
+    // pair every replica doc with its source original
+    val paired = docs
+      .withColumn("rep", (col("doc_id") / unit).cast("int"))
+      .withColumn("src_id", pmod(col("doc_id"), lit(unit)))
+      .join(src.select(col("doc_id").as("src_id"), col("text").as("src_text")),
+        "src_id")
+    // even replicas verbatim; odd replicas actually changed
+    assert(paired.filter(col("rep") % 2 === 0 &&
+      col("text") =!= col("src_text")).count() == 0)
+    val changed = paired.filter(col("rep") % 2 === 1 &&
+      col("text") =!= col("src_text")).count()
+    assert(changed >= 2 * n * 9 / 10, s"odd replicas must be perturbed: $changed of ${2 * n}")
+
+    // planted token-set Jaccard sits in the near-dup regime, and the
+    // light replica (1) is measurably closer than the heavy one (3)
+    def meanJac(rep: Int): Double = paired.filter(col("rep") === rep)
+      .select(avg(
+        size(array_intersect(split(col("text"), " "), split(col("src_text"), " ")))
+          .cast("double") /
+        size(array_union(split(col("text"), " "), split(col("src_text"), " ")))))
+      .head.getDouble(0)
+    val (jLight, jHeavy) = (meanJac(1), meanJac(3))
+    assert(jLight > jHeavy, s"light $jLight must beat heavy $jHeavy")
+    assert(jLight > 0.6 && jLight < 0.995, s"light Jaccard $jLight")
+    assert(jHeavy > 0.3 && jHeavy < 0.97, s"heavy Jaccard $jHeavy")
+
+    // MinHash-LSH candidate generation recalls most LIGHT planted pairs:
+    // same one-hop representative as the source doc (the heavy replica is
+    // the deliberate band-miss regime — no floor asserted there)
+    val reps = graft.llm.Dedup.minhashLsh(docs, "doc_id", "text")
+    val srcRep = reps.filter(col("doc_id") < unit)
+      .select(col("doc_id").as("src_id"), col("near_dup_rep").as("src_rep"))
+    val lightRecall = reps
+      .withColumn("rep", (col("doc_id") / unit).cast("int"))
+      .filter(col("rep") === 1)
+      .withColumn("src_id", pmod(col("doc_id"), lit(unit)))
+      .join(srcRep, "src_id")
+      .select(avg(when(col("near_dup_rep") === col("src_rep"), 1.0).otherwise(0.0)))
+      .head.getDouble(0)
+    assert(lightRecall >= 0.5, s"LSH must recall light planted pairs: $lightRecall")
+
+    // same seed ⇒ identical fixture (content-level: the perturbation is
+    // pure hash arithmetic, no rand())
+    val out2 = java.nio.file.Files.createTempDirectory("graft_sf_pert2").toString
+    ScaleFixture.replicate(spark, "/root/testdata/sf0.001", out2,
+      replicas = 4, files = 4, perturb = true)
+    val again = spark.read.parquet(s"$out2/documents.parquet")
+    assert(docs.join(again, Seq("doc_id"))
+      .filter(docs("text") =!= again("text")).count() == 0)
+    assert(again.count() == docs.count())
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out2))
+  }
 }
