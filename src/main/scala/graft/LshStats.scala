@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LSH candidate-volume instrument (VERDICT r14 #1): the dedup family's
+  * 100 TB risk is not correctness — it's banding SELECTIVITY. Candidate
+  * generation is a band-bucket self-join, so its work is
+  * Σ_buckets n·(n−1)/2 per band: linear in corpus size only while bucket
+  * occupancy stays flat. This main measures exactly that, per band, for
+  * the MinHash-LSH (shingleN=3, 4 bands × 2 rows — `Dedup.minhashLsh`'s
+  * defaults) and SimHash (4 × 15-bit bands — `Dedup.simhashHammingPairs`)
+  * paths over a fixture's `documents` table, and prints ONE JSON line.
+  * Run it at sf0.1 / sf1 / sf1-perturbed and compare `total_cand_pairs`
+  * against corpus growth: super-linear growth in any band is the
+  * q_fuzzy_link_multi failure mode and gets the same block-cap
+  * treatment.
+  *
+  * Usage: runMain graft.LshStats <sfDir> [label]
+  */
+object LshStats {
+
+  /** Per-band bucket census for a (doc, band-hash) edge list: bucket
+    * count, the largest bucket, and the exact candidate-pair volume the
+    * band join would produce. */
+  private def bandCensus(edges: DataFrame): Seq[(Int, Long, Long, Long)] =
+    edges.groupBy("band_idx", "band")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("band_idx")
+      .agg(count(lit(1)).as("n_buckets"),
+        max("n").as("max_bucket"),
+        sum(expr("(n * (n - 1)) div 2")).as("cand_pairs"))
+      .orderBy("band_idx")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+
+  def statsJson(spark: SparkSession, sfDir: String, label: String): String = {
+    import graft.llm.TextOps
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val nDocs = docs.count()
+
+    // MinHash-LSH band census (Dedup.minhashLsh's exact banding)
+    val (bands, rowsPerBand) = (4, 2)
+    val nStreams = bands * rowsPerBand
+    val nDigests = (nStreams + 1) / 2
+    val withMh = docs.select(col("doc_id"),
+      TextOps.minhashSignatureFromText(col("text"), 3, nDigests).as("__mh"))
+    val mh = (0 until nStreams).map(i => element_at(col("__mh"), i + 1))
+    val mhEdges = withMh.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        TextOps.bandHashFrom(mh, b * rowsPerBand, rowsPerBand)): _*))
+        .as(Seq("band_idx", "band")))
+      .filter(col("band").isNotNull)
+    val mhCensus = bandCensus(mhEdges)
+
+    // SimHash 4×15-bit band census (simhashHammingPairs's banding)
+    val shEdges = docs
+      .select(col("doc_id"), TextOps.simhash60(col("text")).as("sh"))
+      .select(col("doc_id"), posexplode(array((0 until 4).map(b =>
+        shiftright(col("sh"), b * 15).bitwiseAND(lit((1L << 15) - 1))): _*))
+        .as(Seq("band_idx", "band")))
+    val shCensus = bandCensus(shEdges)
+
+    def js(census: Seq[(Int, Long, Long, Long)]): String =
+      census.map { case (b, nb, mx, cp) =>
+        s"""{"band":$b,"n_buckets":$nb,"max_bucket":$mx,"cand_pairs":$cp}"""
+      }.mkString("[", ",", "]")
+    val mhTotal = mhCensus.map(_._4).sum
+    val shTotal = shCensus.map(_._4).sum
+    s"""{"tool":"lsh_stats","label":"$label","sf":"$sfDir","n_docs":$nDocs,""" +
+      s""""minhash":{"bands":${js(mhCensus)},"total_cand_pairs":$mhTotal},""" +
+      s""""simhash":{"bands":${js(shCensus)},"total_cand_pairs":$shTotal}}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: graft.LshStats <sfDir> [label]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(statsJson(spark, args(0), args.drop(1).headOption.getOrElse("")))
+    spark.stop()
+  }
+}

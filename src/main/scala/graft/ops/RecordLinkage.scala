@@ -104,11 +104,23 @@ object RecordLinkage {
     * when A and C were never directly matched (the MERGE step real
     * linkage users run after [[fuzzyJoinMulti]]). Union-find semantics
     * executed as Spark joins: min-label propagation over the symmetric
-    * edge list until stable, the same fix-point discipline as
-    * `Dedup.minhashLshClusters` (monotone decreasing labels, so
-    * convergence = an exact decimal sum going flat — no labels×next
-    * join; localCheckpoint per round bounds lineage; converges in
-    * O(component diameter) rounds, small for match graphs).
+    * edge list until stable (converges in O(component diameter) rounds,
+    * small for match graphs).
+    *
+    * SEMI-NAIVE rounds (r15, closing the 0.44 soak exponent): a node's
+    * label can only drop when a NEIGHBOR's label dropped in the previous
+    * round, so each round propagates only from the FRONTIER — the ids
+    * improved last round — instead of re-joining the full edge set.
+    * Components that converged simply stop appearing in the frontier and
+    * their edges drop out of every later round's join (the
+    * freeze-converged-components idea, realized as delta iteration
+    * rather than explicit edge bookkeeping — same effect, no mutable
+    * edge set to maintain). Convergence = empty frontier, checked by the
+    * same per-round job that materializes it; localCheckpoint per round
+    * bounds lineage exactly as before. On FixpointSoak's adversarial
+    * shape (4M star nodes + one 24-hop path) the stars converge in ~2
+    * rounds and the remaining ~22 rounds touch only the path's handful
+    * of edges — per-round work tracks the frontier, not the graph.
     *
     * Only (id, rep) longs shuffle — never the record payloads. Records
     * with no match keep themselves as their entity (final left join).
@@ -127,31 +139,44 @@ object RecordLinkage {
     val edges = fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
-    def repSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0)
-    // seed: rep_0(id) = min over {id} ∪ direct neighbors — one aggregate
-    var labels = edges
+    // seed: rep_0(id) = min over {id} ∪ direct neighbors — one aggregate.
+    // Every labeled node starts in the frontier (all labels are "new").
+    // Per-round checkpoints go through checkpointCounted, NOT
+    // Dataset.localCheckpoint: the propagated origin Statistics would
+    // compound multiplicatively round over round (labels rides both
+    // sides of each round's joins) until the driver grinds in BigInteger
+    // arithmetic inside the stats visitor — see the GraftBridge scaladoc
+    // for the live pathology. The exact counted stats also let the
+    // (shrinking) frontier broadcast into both per-round joins.
+    val bridge = org.apache.spark.sql.GraftBridge
+    var (labels, _) = bridge.checkpointCounted(edges
       .groupBy(col("src").as("id"))
-      .agg(min(least(col("src"), col("dst"))).as("rep"))
-      .localCheckpoint(true)
-    var prevSum = repSum(labels)
-    var converged = false
+      .agg(min(least(col("src"), col("dst"))).as("rep")))
+    var frontier = labels
+    var frontierSize = 1L // seed round always propagates
     var iter = 0
-    while (!converged && iter < maxIter) {
-      val viaNb = edges.join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("rep"))
-      val next = labels.unionByName(viaNb)
-        .groupBy("id").agg(min("rep").as("rep"))
-        .localCheckpoint(true)
-      val newSum = repSum(next)
+    while (frontierSize > 0 && iter < maxIter) {
+      // push the frontier's labels one hop; keep only genuine improvements
+      val viaNb = edges.join(frontier.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("rep").as("cand"))
+      val (improved, nImproved) = bridge.checkpointCounted(
+        viaNb.join(labels, "id")
+          .filter(col("cand") < col("rep"))
+          .select(col("id"), col("cand").as("rep")))
+      val (next, _) = bridge.checkpointCounted(
+        labels.join(improved.withColumnRenamed("rep", "better"),
+            Seq("id"), "left_outer")
+          .select(col("id"), coalesce(col("better"), col("rep")).as("rep")))
       graft.plans.Checkpoints.unpersistCheckpoint(labels)
+      if (frontier ne labels) graft.plans.Checkpoints.unpersistCheckpoint(frontier)
       labels = next
-      converged = java.util.Objects.equals(newSum, prevSum)
-      prevSum = newSum
+      frontier = improved
+      frontierSize = nImproved
       iter += 1
     }
-    if (!converged) {
+    if (frontierSize > 0) {
       graft.plans.Checkpoints.unpersistCheckpoint(labels)
+      graft.plans.Checkpoints.unpersistCheckpoint(frontier)
       graft.plans.Checkpoints.unpersistCheckpoint(edges)
       throw new IllegalStateException(
         s"entityClusters: label propagation did not converge after $iter " +

@@ -41,9 +41,16 @@ object StreamingMask {
     * interior empty-string rows survive. One file = one COPY stream is
     * the format's shape, so per-file decode is sequential and the
     * parallelism unit is files-per-trigger, same as the dump side's
-    * bounded members. */
+    * bounded members. `maxFilesPerTrigger` bounds each micro-batch (a
+    * backlog of thousands of dropped payloads streams through in bounded
+    * slices instead of one giant catch-up batch); with a checkpointed
+    * file sink the whole pipeline is exactly-once across crashes — the
+    * offset log pins each batch's file set, uncommitted batches replay in
+    * full on restart, and committed output is never re-emitted (proven by
+    * StreamingSpec's kill-mid-batch case). */
   def copyIngestStream(spark: org.apache.spark.sql.SparkSession, dir: String,
-                       columns: Seq[String]): DataFrame = {
+                       columns: Seq[String],
+                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.types._
     // binaryFile's fixed schema, stated explicitly (streaming sources
@@ -54,8 +61,9 @@ object StreamingMask {
       StructField("modificationTime", TimestampType),
       StructField("length", LongType),
       StructField("content", BinaryType)))
-    val lines = spark.readStream.format("binaryFile")
-      .schema(binarySchema)
+    val reader = spark.readStream.format("binaryFile").schema(binarySchema)
+    val lines = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .load(dir)
       .select("path").as[String]
       // only COPY payloads decode: a LIVE archive dir also holds the

