@@ -16,7 +16,17 @@ import org.apache.spark.sql.functions._
   * q_fuzzy_link_multi failure mode and gets the same block-cap
   * treatment.
   *
-  * Usage: runMain graft.LshStats <sfDir> [label]
+  * With `--planted=<srcSfDir>` (a ScaleFixture --perturb output whose
+  * SOURCE dir is given) it additionally measures PLANTED-PAIR RECALL:
+  * every odd-replica document is a deliberate near-duplicate of its
+  * replica-0 base (light ≡1 mod 4 ≈ Jaccard 0.85, heavy ≡3 mod 4
+  * ≈ 0.6 — ScaleFixture.perturbText), and a pair counts as recalled
+  * when base and copy share at least one band bucket. This is the
+  * banding-selectivity number correctness tests can't give: exact-copy
+  * fixtures recall 1.0 by construction, so only the perturbed fixture
+  * shows where the band/row trade-off actually sits under edit noise.
+  *
+  * Usage: runMain graft.LshStats <sfDir> [label] [--planted=<srcSfDir>]
   */
 object LshStats {
 
@@ -35,7 +45,40 @@ object LshStats {
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSeq
 
-  def statsJson(spark: SparkSession, sfDir: String, label: String): String = {
+  /** Planted near-dup pairs of a perturbed fixture: (base replica-0 id,
+    * odd-replica id, intensity). The replica unit re-derives exactly as
+    * ScaleFixture computed it — next power of 10 above the SOURCE max. */
+  private def plantedPairs(spark: SparkSession, srcDir: String,
+                           fixtureDocs: DataFrame): DataFrame = {
+    val srcMax = spark.read.parquet(s"$srcDir/documents.parquet")
+      .agg(max(col("doc_id").cast("long"))).head.getLong(0)
+    var unit = 1L
+    while (unit <= srcMax) unit *= 10
+    fixtureDocs.select((col("doc_id") / unit).cast("long").as("rep"),
+        pmod(col("doc_id"), lit(unit)).as("base_id"), col("doc_id").as("pert_id"))
+      .filter(pmod(col("rep"), lit(2)) === 1)
+      .withColumn("intensity",
+        when(pmod(col("rep"), lit(4)) === 1, lit("light")).otherwise(lit("heavy")))
+      .select("base_id", "pert_id", "intensity")
+  }
+
+  /** Fraction of planted pairs whose two sides share >= 1 band bucket. */
+  private def recallOf(pairs: DataFrame, edges: DataFrame): Map[String, (Long, Long)] = {
+    val hit = pairs
+      .join(edges.select(col("doc_id").as("base_id"),
+        col("band_idx"), col("band")), Seq("base_id"))
+      .join(edges.select(col("doc_id").as("pert_id"),
+        col("band_idx"), col("band")), Seq("pert_id", "band_idx", "band"), "left_semi")
+      .select("base_id", "pert_id", "intensity").distinct()
+      .groupBy("intensity").agg(count(lit(1)).as("hits"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    pairs.groupBy("intensity").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (hit.getOrElse(r.getString(0), 0L), r.getLong(1)))
+      .toMap
+  }
+
+  def statsJson(spark: SparkSession, sfDir: String, label: String,
+                plantedSrc: Option[String] = None): String = {
     import graft.llm.TextOps
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
@@ -53,6 +96,9 @@ object LshStats {
         TextOps.bandHashFrom(mh, b * rowsPerBand, rowsPerBand)): _*))
         .as(Seq("band_idx", "band")))
       .filter(col("band").isNotNull)
+      // census + (optionally) two recall joins read this — materialize so
+      // the signature pass over the corpus runs once
+      .localCheckpoint(true)
     val mhCensus = bandCensus(mhEdges)
 
     // SimHash 4×15-bit band census (simhashHammingPairs's banding)
@@ -61,6 +107,7 @@ object LshStats {
       .select(col("doc_id"), posexplode(array((0 until 4).map(b =>
         shiftright(col("sh"), b * 15).bitwiseAND(lit((1L << 15) - 1))): _*))
         .as(Seq("band_idx", "band")))
+      .localCheckpoint(true)
     val shCensus = bandCensus(shEdges)
 
     def js(census: Seq[(Int, Long, Long, Long)]): String =
@@ -69,13 +116,29 @@ object LshStats {
       }.mkString("[", ",", "]")
     val mhTotal = mhCensus.map(_._4).sum
     val shTotal = shCensus.map(_._4).sum
+    val planted = plantedSrc.map { src =>
+      val pairs = plantedPairs(spark, src, docs).localCheckpoint(true)
+      def block(recall: Map[String, (Long, Long)]): String =
+        Seq("light", "heavy").map { k =>
+          val (h, n) = recall.getOrElse(k, (0L, 0L))
+          val r = if (n == 0) 0.0 else h.toDouble / n
+          f""""$k":{"pairs":$n,"recalled":$h,"recall":$r%.4f}"""
+        }.mkString("{", ",", "}")
+      s""","planted":{"minhash":${block(recallOf(pairs, mhEdges))},""" +
+        s""""simhash":${block(recallOf(pairs, shEdges))}}"""
+    }.getOrElse("")
     s"""{"tool":"lsh_stats","label":"$label","sf":"$sfDir","n_docs":$nDocs,""" +
       s""""minhash":{"bands":${js(mhCensus)},"total_cand_pairs":$mhTotal},""" +
-      s""""simhash":{"bands":${js(shCensus)},"total_cand_pairs":$shTotal}}"""
+      s""""simhash":{"bands":${js(shCensus)},"total_cand_pairs":$shTotal}$planted}"""
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: graft.LshStats <sfDir> [label]")
+    require(args.nonEmpty,
+      "usage: graft.LshStats <sfDir> [label] [--planted=<srcSfDir>]")
+    val planted = args.collectFirst {
+      case a if a.startsWith("--planted=") => a.stripPrefix("--planted=")
+    }
+    val pos = args.filterNot(_.startsWith("--"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -85,7 +148,7 @@ object LshStats {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    println(statsJson(spark, args(0), args.drop(1).headOption.getOrElse("")))
+    println(statsJson(spark, pos(0), pos.drop(1).headOption.getOrElse(""), planted))
     spark.stop()
   }
 }

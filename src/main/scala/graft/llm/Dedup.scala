@@ -314,40 +314,73 @@ object Dedup {
                           maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3, "simhashHammingPairs: 4 bands cover hamming <= 3")
     // Widen a narrow scan, then materialize the signature ONCE as
-    // (id, sh) — two longs per doc. Without the checkpoint the self-join
-    // below re-derives each side from the raw text, running the simhash
-    // pass over the whole corpus TWICE (broadcast side +
-    // stream side both recompute the scan subtree).
+    // (id, sh) — two longs per doc. Without the checkpoint every consumer
+    // below would re-derive its side from the raw text, running the
+    // simhash pass over the whole corpus once per consumer.
     val sims = graft.plans.Checkpoints.materialize(
       graft.plans.Parallelism
         .widen(df.select(col(idCol).as("id"), col(textCol).as("__text")))
         .select(col("id"), TextOps.simhash60(col("__text")).as("sh")))
-    val banded = sims.select(col("id"), col("sh"),
+    // COLLAPSE IDENTICAL SIGNATURES before the band self-join. A corpus's
+    // duplicate mass lands in same-sh groups, and a band bucket holding g
+    // copies of the same signature does g²/2 of the join work for
+    // information one row carries — the r14 sf1 rehearsal measured the
+    // blowup at 25.4M candidate pairs for 50k docs (10 exact copies each)
+    // vs 245k for the 5k-doc original: quadratic in duplicate
+    // multiplicity, the q_fuzzy_link_multi failure mode. Banding DISTINCT
+    // signatures makes the join's work independent of multiplicity;
+    // same-sh pairs (hamming 0 by definition) and the distinct-pair
+    // expansion below are generated by joins whose size IS the output —
+    // output-bound by construction, no wasted candidates.
+    // no checkpoint here: sims is already a materialized leaf, so the
+    // distinct is one cheap aggregate over a long column and the band
+    // self-join's two sides share it via AQE exchange reuse
+    val sigs = sims.select("sh").distinct()
+    val banded = sigs.select(col("sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band_no"),
           shiftright(col("sh"), b * 15).bitwiseAND(lit(0x7FFFL)).as("band_val"))): _*)).as("band"))
-      .select(col("id"), col("sh"), col("band.band_no"), col("band.band_val"))
+      .select(col("sh"), col("band.band_no"), col("band.band_val"))
     val a = banded.as("a")
     val b = banded.as("b")
-    // A pair can collide in up to 4 bands; instead of a distinct() shuffle
-    // over the duplicated candidates, emit each pair ONLY in its FIRST
-    // matching band — both sides' full simhash rides the join, so "some
-    // earlier band also matches" is a pure projection-time filter. The
-    // pair set is then unique by construction: candidate generation runs
-    // with NO pair exchange at all (the band self-join is the only
-    // shuffle). The popcount bound filters in the same projection.
+    // A signature pair can collide in up to 4 bands; instead of a
+    // distinct() shuffle over the duplicated candidates, emit each pair
+    // ONLY in its FIRST matching band — both sides' full simhash rides
+    // the join, so "some earlier band also matches" is a pure
+    // projection-time filter. The pair set is then unique by
+    // construction: candidate generation runs with NO pair exchange at
+    // all (the band self-join is the only shuffle). The popcount bound
+    // filters in the same projection. Ordering by sh (not id) keeps each
+    // unordered signature pair unique; the id-level orientation is
+    // re-established by least/greatest in the expansion.
     def bandMatch(k: Int): Column =
       shiftright(col("a.sh"), k * 15).bitwiseAND(lit(0x7FFFL)) ===
         shiftright(col("b.sh"), k * 15).bitwiseAND(lit(0x7FFFL))
     val earlierBandMatches = (0 until 4).map(k =>
       col("a.band_no") > k && bandMatch(k)).reduce(_ || _)
-    a.join(b,
+    val sigPairs = a.join(b,
         col("a.band_no") === col("b.band_no") && col("a.band_val") === col("b.band_val") &&
-          col("a.id") < col("b.id"))
+          col("a.sh") < col("b.sh"))
       .filter(!earlierBandMatches)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+      .select(col("a.sh").as("sh_a"), col("b.sh").as("sh_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    // Expansion 1 — same-signature pairs (hamming 0): an equi-join on sh
+    // whose result size equals its output contribution.
+    val within = sims.as("x").join(sims.as("y"),
+        col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(lit(0L)).as("hamming"))
+    // Expansion 2 — cross-signature pairs: every member combination of a
+    // verified distinct pair is a true hamming<=k pair (members share
+    // their group's signature exactly), so this join also only produces
+    // output rows.
+    val cross = sigPairs
+      .join(sims.select(col("sh").as("sh_a"), col("id").as("__ia")), Seq("sh_a"))
+      .join(sims.select(col("sh").as("sh_b"), col("id").as("__ib")), Seq("sh_b"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("hamming"))
+    within.unionByName(cross)
   }
 
   /** Cross-corpus exact decontamination: drop every `train` row whose
@@ -400,11 +433,18 @@ object Dedup {
                              rowsPerBand: Int = 2): DataFrame = {
     val nStreams = bands * rowsPerBand
     val nDigests = (nStreams + 1) / 2
-    // one materialized signature pass feeds band explode AND the per-side
-    // signature join-back
+    // Same exact-duplicate collapse as [[lshCandidatePairs]] (the
+    // signature is a pure function of the text, so identical texts agree
+    // on every stream: sim_est = 1.0 a priori): band-join and estimate
+    // over DISTINCT contents, expand through the groups afterwards.
+    val base = graft.plans.Parallelism
+      .widen(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+    val members = contentGroups(base)
+    // one materialized signature pass (reps only) feeds band explode AND
+    // the per-side signature join-back
     val withSig = graft.plans.Checkpoints.materialize(
-      graft.plans.Parallelism
-        .widen(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      base.join(members.filter(col("rep") === col("id")).select(col("id")),
+          Seq("id"), "left_semi")
         .select(col("id"),
           TextOps.minhashSignatureFromText(col("__text"), shingleN, nDigests).as("__mh")))
     val mh = (0 until nStreams).map(i => element_at(col("__mh"), i + 1))
@@ -420,31 +460,78 @@ object Dedup {
     val matches = (0 until nStreams).map(i =>
       when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1), 1)
         .otherwise(0)).reduce(_ + _)
-    pairIds
+    val scored = pairIds
       .join(sig.toDF("id_a", "sig_a"), "id_a")
       .join(sig.toDF("id_b", "sig_b"), "id_b")
       .select(col("id_a"), col("id_b"),
         (matches.cast("double") / nStreams).as("sim_est"))
+    val withinPairs = sameContentPairs(members,
+      bandsDf.select(col("id").as("rep")).distinct())
+    expandPairs(scored, members, Seq("sim_est"))
+      .unionByName(withinPairs.withColumn("sim_est", lit(1.0)))
   }
 
   /** N-gram Jaccard verification over LSH candidate pairs: the
     * within-bucket verify step (`band join -> pair -> exact jaccard`).
     * Self-join ONLY on the band key — bucket-bounded, not all-pairs. */
-  /** Shared LSH candidate machinery for the pairwise verifiers: band
-    * self-join for the pair set, distinct shingle arrays joined back by
-    * id once. The band explode / pair join / pair-dedup pipeline carries
-    * (id, band) and (id_a, id_b) ONLY — the shingle arrays never enter
-    * these exchanges (round-2 verdict: distinct() over rows holding both
-    * arrays shuffled every shingle set twice). (id, band) is two longs
-    * per band — checkpointed so the a/b self-join sides read the
-    * materialized pairs instead of each re-running the shingle+minhash
-    * pass over the corpus. Output: (id_a, id_b, sh_a, sh_b). */
+  /** Shared LSH candidate machinery for the pairwise verifiers, with
+    * EXACT-DUPLICATE COLLAPSE: identical texts (keyed by sha-256) reduce
+    * to one representative BEFORE the band self-join, so candidate
+    * generation and the expensive per-pair verification (shingle-set
+    * intersections) run over DISTINCT contents only. A corpus's duplicate
+    * mass otherwise multiplies the band buckets — g copies of a text do
+    * g²/2 of the pair work for one verification's worth of information
+    * (the r14 sf1 rehearsal measured exponent 1.3 on the verify family;
+    * collapse makes the verify work independent of duplicate multiplicity
+    * and leaves only the output expansion, which is output-bound by
+    * construction). Identical texts share every band, so the collapsed
+    * candidate/pair set expands to EXACTLY the uncollapsed one:
+    * same-group pairs are candidates iff the group has a non-NULL band
+    * (shingle-less docs never bucket), and a cross-group member combo
+    * shares precisely its representatives' bands.
+    *
+    * The band explode / pair join / pair-dedup pipeline carries
+    * (id, band) and (id_a, id_b) ONLY — shingle arrays never enter these
+    * exchanges (round-2 verdict), and the digest collapse shuffles 32-byte
+    * keys once. Returns: `repPairs` (rep_a, rep_b, sh_a, sh_b) distinct
+    * shingle arrays per verified candidate pair of representatives;
+    * `members` (rep, id) mapping every doc to its content group; and
+    * `withinPairs` (id_a, id_b) — the same-content pairs of banded
+    * groups, whose verifier score is known a priori (identical sets). */
+  private case class CollapsedCandidates(repPairs: DataFrame,
+                                         members: DataFrame,
+                                         withinPairs: DataFrame)
+
+  /** Content groups of a (id, __text) relation: sha-256 keys identical
+    * texts, rep = min(id). Returns the materialized (rep, id) membership
+    * (digests shuffle once; text never does). */
+  private def contentGroups(base: DataFrame): DataFrame = {
+    val keyed = graft.plans.Checkpoints.materialize(
+      base.select(col("id"), sha2(col("__text"), 256).as("__g")))
+    val groups = keyed.groupBy("__g").agg(min("id").as("rep"))
+    graft.plans.Checkpoints.materialize(
+      keyed.join(groups, Seq("__g")).select(col("rep"), col("id")))
+  }
+
+  /** Same-content id pairs restricted to groups whose representative
+    * actually banded (shingle-less docs never pair). */
+  private def sameContentPairs(members: DataFrame, bandedReps: DataFrame): DataFrame = {
+    val m = members.join(bandedReps, Seq("rep"), "left_semi")
+    m.as("x").join(m.as("y"),
+        col("x.rep") === col("y.rep") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+  }
+
   private def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                                 shingleN: Int, bands: Int,
-                                rowsPerBand: Int): DataFrame = {
+                                rowsPerBand: Int): CollapsedCandidates = {
     val nStreams = bands * rowsPerBand
-    val withSh = graft.plans.Parallelism
+    val base = graft.plans.Parallelism
       .widen(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+    val members = contentGroups(base)
+    val repsText = base.join(members.filter(col("rep") === col("id"))
+      .select(col("id")), Seq("id"), "left_semi")
+    val withSh = repsText
       .select(col("id"), TextOps.shingles(col("__text"), shingleN).as("__sh"))
     val withMh = withSh.select(col("id"), col("__sh"),
       TextOps.minhashSignature(col("__sh"), (nStreams + 1) / 2).as("__mh"))
@@ -460,20 +547,48 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val shing = withSh.select(col("id"), array_distinct(col("__sh")).as("sh"))
-    pairIds
+    val repPairs = pairIds
       .join(shing.toDF("id_a", "sh_a"), "id_a")
       .join(shing.toDF("id_b", "sh_b"), "id_b")
+    val withinPairs = sameContentPairs(members,
+      bandsDf.select(col("id").as("rep")).distinct())
+    CollapsedCandidates(repPairs, members, withinPairs)
+  }
+
+  /** Expand representative-level scored pairs to id-level through the
+    * content groups. `swapOnFlip` names column pairs that are ORIENTED
+    * (score of side a vs side b) and must swap when least/greatest flips
+    * the member orientation relative to the representatives'. */
+  private def expandPairs(scored: DataFrame, members: DataFrame,
+                          scoreCols: Seq[String],
+                          swapOnFlip: Map[String, String] = Map.empty): DataFrame = {
+    val keepsOrder = col("__ia") < col("__ib")
+    val outScores = scoreCols.map { c =>
+      swapOnFlip.get(c) match {
+        case Some(other) => when(keepsOrder, col(c)).otherwise(col(other)).as(c)
+        case None => col(c)
+      }
+    }
+    scored.withColumnRenamed("id_a", "__ra").withColumnRenamed("id_b", "__rb")
+      .join(members.toDF("__ra", "__ia"), "__ra")
+      .join(members.toDF("__rb", "__ib"), "__rb")
+      .select(least(col("__ia"), col("__ib")).as("id_a") +:
+        greatest(col("__ia"), col("__ib")).as("id_b") +: outScores: _*)
   }
 
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
                    threshold: Double = 0.5): DataFrame = {
-    val pairs = lshCandidatePairs(df, idCol, textCol, shingleN, bands, rowsPerBand)
+    val c = lshCandidatePairs(df, idCol, textCol, shingleN, bands, rowsPerBand)
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
-    pairs.select(col("id_a"), col("id_b"),
+    val scored = c.repPairs.select(col("id_a"), col("id_b"),
         when(union > 0, inter / union).otherwise(lit(0.0)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // identical texts: jaccard is exactly 1.0 (n/n over a non-empty set)
+    expandPairs(scored, c.members, Seq("jaccard")).unionByName(
+      c.withinPairs.withColumn("jaccard", lit(1.0))
+        .filter(lit(1.0) >= threshold))
   }
 
   /** Containment verification over the same LSH candidates: the
@@ -492,14 +607,23 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
                        threshold: Double = 0.9): DataFrame = {
-    val pairs = lshCandidatePairs(df, idCol, textCol, shingleN, bands, rowsPerBand)
+    val c = lshCandidatePairs(df, idCol, textCol, shingleN, bands, rowsPerBand)
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val na = size(col("sh_a")).cast("double")
     val nb = size(col("sh_b")).cast("double")
-    pairs.select(col("id_a"), col("id_b"),
+    val scored = c.repPairs.select(col("id_a"), col("id_b"),
         when(na > 0, inter / na).otherwise(lit(0.0)).as("cont_a"),
         when(nb > 0, inter / nb).otherwise(lit(0.0)).as("cont_b"))
       .withColumn("subsumed", greatest(col("cont_a"), col("cont_b")) >= threshold)
+    // cont_a/cont_b are ORIENTED by which side is id_a — when expansion's
+    // least/greatest flips a member pair relative to its representatives,
+    // the two containments swap (subsumed is symmetric)
+    expandPairs(scored, c.members, Seq("cont_a", "cont_b", "subsumed"),
+        swapOnFlip = Map("cont_a" -> "cont_b", "cont_b" -> "cont_a"))
+      .unionByName(
+        c.withinPairs.withColumn("cont_a", lit(1.0))
+          .withColumn("cont_b", lit(1.0))
+          .withColumn("subsumed", lit(1.0) >= threshold))
   }
 
   /** DuckDB rendering of [[containmentPairs]]. */

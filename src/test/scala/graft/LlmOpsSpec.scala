@@ -162,12 +162,14 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
     pairs.foreach(p => assert(p._3 <= 3))
     // first-matching-band emission makes pairs unique BY CONSTRUCTION —
-    // no distinct(), so the plan must carry no aggregate at all and the
-    // output no duplicate pair (docs 1/2 collide in all 4 bands)
+    // no pair-level distinct(), so no aggregate keyed on the pair ids may
+    // appear (the signature collapse DOES aggregate, but only over `sh`:
+    // a linear map-side-combinable distinct, never the candidate pairs)
     assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length)
     val plan = Dedup.simhashHammingPairs(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("HashAggregate"), plan)
+    val pairKeyedAgg = "HashAggregate\\(keys=\\[[^\\]]*id_[ab]".r
+    assert(pairKeyedAgg.findFirstIn(plan).isEmpty, plan)
   }
 
   test("LSH cluster loop prunes singleton bands without changing labels") {
@@ -257,6 +259,36 @@ class LlmOpsSpec extends SparkSpec {
     val j = Dedup.jaccardPairs(quoted, "doc_id", "text", threshold = 0.0)
       .as[(Long, Long, Double)].collect().find(r => r._1 == 20L && r._2 == 21L)
     assert(j.exists(_._3 < 0.7), s"jaccard should dilute: $j")
+  }
+
+  test("duplicate collapse expands pairs exactly, flipping containment orientation") {
+    // Content groups: {20, 22} share the SHORT text (strict subset of 21's).
+    // The collapse verifies the (20, 21) representative pair once; the
+    // member combo (21, 22) then EXPANDS with least/greatest orientation —
+    // id_a = 21 is the LONG side there, so cont_a/cont_b must swap relative
+    // to the representative scores. (22, 20) is a same-content pair:
+    // containment 1.0 both ways, jaccard 1.0, no shingle work spent.
+    val short = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val long = short + " nu xi omicron pi rho"
+    val docs3 = Seq((20L, short), (21L, long), (22L, short)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs3, "doc_id", "text", threshold = 0.9)
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(cont.keySet == Set((20L, 21L), (21L, 22L), (20L, 22L)), cont.keySet)
+    val direct = cont((20L, 21L))
+    val flipped = cont((21L, 22L))
+    assert(direct._3 == 1.0 && direct._4 < 0.7, s"direct orientation: $direct")
+    assert(flipped._3 < 0.7 && flipped._4 == 1.0, s"flipped orientation: $flipped")
+    assert(direct._4 == flipped._3, "one verification, two orientations")
+    val within = cont((20L, 22L))
+    assert(within._3 == 1.0 && within._4 == 1.0 && within._5)
+    val jac = Dedup.jaccardPairs(docs3, "doc_id", "text", threshold = 0.0)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(jac.keySet == Set((20L, 21L), (21L, 22L), (20L, 22L)))
+    assert(jac((20L, 22L)) == 1.0 && jac((20L, 21L)) == jac((21L, 22L)))
+    val est = Dedup.minhashSimilarityPairs(docs3, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(est.keySet == jac.keySet && est((20L, 22L)) == 1.0)
   }
 
   test("simhash: identical docs identical hash, near docs close hamming") {

@@ -36,7 +36,11 @@ object PlanCeilings {
     "q_dedup_minhash"       -> (1, 2),
     "q_text_stats"          -> (1, 0),
     "q_knn_brute"           -> (1, 0),
-    "q_simhash_hamming"     -> (1, 0),
+    // r15: +1 exchange = the signature-collapse distinct (map-side
+    // combinable agg over ONE long column) that makes the band self-join
+    // independent of duplicate multiplicity — the r14 sf1 census measured
+    // 25.4M candidate pairs without it vs 245k distinct-signature work
+    "q_simhash_hamming"     -> (1, 1),
     "q_dedup_cluster"       -> (1, 2),
     "q_subset_selffk"       -> (1, 2),
     "q_ivf_topk"            -> (1, 0),

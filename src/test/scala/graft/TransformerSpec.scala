@@ -203,11 +203,13 @@ class TransformerSpec extends SparkSpec {
       .toDF("doc_id", "text")
     Checkpoints.releaseAll() // clean slate
     val before = spark.sparkContext.getRDDStorageInfo.length
-    // three ops that each materialize a shared signature subtree
+    // three ops that materialize shared subtrees: minhashLsh checkpoints
+    // its exploded band edges (1); simhashHammingPairs its signatures (1);
+    // jaccardPairs its content digests + group membership + band edges (3)
     Dedup.minhashLsh(docs, "doc_id", "text").collect()
     Dedup.simhashHammingPairs(docs, "doc_id", "text").collect()
     Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.0).collect()
-    assert(Checkpoints.trackedCount == 3)
+    assert(Checkpoints.trackedCount == 5)
     Checkpoints.releaseAll()
     assert(Checkpoints.trackedCount == 0)
     // unpersist is async; poll briefly for the blocks to drop
