@@ -256,9 +256,32 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val bandMin = edges.join(labels, "id")
         .groupBy("band").agg(min("rep").as("band_rep"))
-      val next = edges.join(bandMin, "band")
+      val propagated = edges.join(bandMin, "band")
         .groupBy("id").agg(min("band_rep").as("rep"))
         .localCheckpoint(true)
+      // POINTER JUMPING from iteration 4 on: band propagation moves a
+      // label ONE hop per round, so a duplicate-cluster chain of depth d
+      // costs d rounds — the sf10 rehearsal (100 key-shifted replicas,
+      // half of them edit-noised) built chains deeper than 20 and hit the
+      // maxIter wall. rep(i) := rep(rep(i)) halves the remaining depth
+      // every round (labels always decrease toward the component min, so
+      // the chase is monotone and safe), turning convergence into
+      // O(log d) like the self-FK path doubling. The first rounds skip
+      // the extra join: shallow graphs (the common case — LSH cluster
+      // diameters are small) converge before it would ever help, and the
+      // per-iteration cost stays one join cheaper there. Every rep is
+      // itself a member id of the active subgraph, so the chase join is
+      // inner and total.
+      val next =
+        if (iter < 4) propagated
+        else {
+          val jumped = propagated.as("x")
+            .join(propagated.as("y"), col("x.rep") === col("y.id"))
+            .select(col("x.id").as("id"), col("y.rep").as("rep"))
+            .localCheckpoint(true)
+          graft.plans.Checkpoints.unpersistCheckpoint(propagated)
+          jumped
+        }
       val newSum = repSum(next)
       // `next` is materialized (eager checkpoint) — the superseded
       // checkpoint's blocks can go, keeping storage bounded across

@@ -172,6 +172,41 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairKeyedAgg.findFirstIn(plan).isEmpty, plan)
   }
 
+  test("pointer-jumped cluster labels equal exact connected components on a chained corpus") {
+    // Sliding-window corpus: doc i shares most tokens with its neighbors,
+    // so the band graph forms long chains — the shape whose diameter made
+    // plain one-hop propagation hit the sf10 maxIter wall. Labels must
+    // equal EXACT union-find components of the band edge list (the ground
+    // truth pointer jumping is not allowed to change).
+    val stream = (1 to 80).map(i => s"tok$i")
+    val chained = (0 until 40).map { i =>
+      ((i + 1).toLong, stream.slice(i, i + 24).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Dedup.minhashLshClusters(chained, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    // reference: exact union-find over the same (doc, band) edges
+    val withMh = chained.select(col("doc_id"),
+      TextOps.minhashSignatureFromText(col("text"), 3, 4).as("m"))
+    val edges = withMh.select(col("doc_id"), explode(array((0 until 4).map(b =>
+        TextOps.bandHashFrom((0 until 8).map(i => element_at(col("m"), i + 1)), b * 2, 2)): _*))
+        .as("band"))
+      .filter(col("band").isNotNull)
+      .as[(Long, String)].collect()
+    val parent = scala.collection.mutable.Map((1L to 40L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    edges.groupBy(_._2).values.foreach { members =>
+      members.map(_._1).reduceLeft { (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        b
+      }
+    }
+    val want = (1L to 40L).map(i => i -> find(i)).toMap
+    assert(got == want, s"labels diverge from exact components: ${got.toSeq.sorted}")
+    // the chain must actually be non-trivial for this to test anything
+    assert(want.values.toSet.size < 40, "fixture degenerated to singletons")
+  }
+
   test("LSH cluster loop prunes singleton bands without changing labels") {
     // all-unique corpus: the active subgraph is empty, every doc is its
     // own rep, and the loop converges immediately
