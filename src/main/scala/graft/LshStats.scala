@@ -78,10 +78,22 @@ object LshStats {
   }
 
   def statsJson(spark: SparkSession, sfDir: String, label: String,
-                plantedSrc: Option[String] = None): String = {
+                plantedSrc: Option[String] = None,
+                collapsed: Boolean = false): String = {
     import graft.llm.TextOps
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
+    // --collapsed: census over DISTINCT contents (rep = min doc_id per
+    // identical text) — the candidate volume the collapse-rewritten
+    // verifiers' band joins actually see, vs the id-level volume of the
+    // default census. The gap between the two runs is the duplicate-mass
+    // work the collapse removed.
+    val docs = if (!collapsed) raw else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))
+      raw.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
     val nDocs = docs.count()
 
     // MinHash-LSH band census (Dedup.minhashLsh's exact banding)
@@ -134,10 +146,11 @@ object LshStats {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: graft.LshStats <sfDir> [label] [--planted=<srcSfDir>]")
+      "usage: graft.LshStats <sfDir> [label] [--planted=<srcSfDir>] [--collapsed]")
     val planted = args.collectFirst {
       case a if a.startsWith("--planted=") => a.stripPrefix("--planted=")
     }
+    val collapsed = args.contains("--collapsed")
     val pos = args.filterNot(_.startsWith("--"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -148,7 +161,8 @@ object LshStats {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    println(statsJson(spark, pos(0), pos.drop(1).headOption.getOrElse(""), planted))
+    println(statsJson(spark, pos(0), pos.drop(1).headOption.getOrElse(""),
+      planted, collapsed))
     spark.stop()
   }
 }
