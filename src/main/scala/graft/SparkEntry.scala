@@ -1892,6 +1892,14 @@ object SparkEntry {
       (s, dir) => Similarity.semDedup(rd(s, dir, "embeddings"), "vec_id", "embedding",
         k = 0, tau = 0.45).orderBy("vec_id"),
       Some(Similarity.semDedupSql(k = 0, tau = 0.45, dim = 64))),
+    // Two-level SemDeDup: hierarchical coarse quantizer — sqrt(k) coarse
+    // cells, per-cell fine seeds as broadcast DATA, HOF argmax. Same keep
+    // rule; assignment cost N*2*sqrt(k) instead of flat N*k (the r15
+    // forward-looking fix for k growing with the corpus)
+    "q_semdedup_2l" -> Q(
+      (s, dir) => Similarity.semDedupTwoLevel(rd(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 0, tau = 0.45).orderBy("vec_id"),
+      Some(Similarity.semDedupTwoLevelSql(k = 0, tau = 0.45, dim = 64))),
     // Prototype selection for data pruning (Sorscher et al. 2022): top-16
     // most-prototypical vectors per adaptive IVF cluster
     "q_prototypes" -> Q(

@@ -27,6 +27,59 @@ class SemDedupSpec extends SparkSpec {
     graft.plans.Checkpoints.releaseAll()
   }
 
+  test("two-level semdedup: keep rule matches a brute-force check of its own clusters") {
+    // real fixture slice — the invariants that must hold REGARDLESS of
+    // how the hierarchical quantizer carved the space: every vector got
+    // a cluster labeled by a seed id; within each cluster the keep rule
+    // is exactly "dropped iff a smaller-id member sits within tau"
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val tau = 0.45
+    val out = Similarity.semDedupTwoLevel(e, "vec_id", "embedding", k = 0, tau = tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    graft.plans.Checkpoints.releaseAll()
+    val n = e.count()
+    assert(out.length == n, "one row per vector")
+    val ids = out.map(_._1).toSet
+    out.foreach { case (_, cluster, _) =>
+      assert(ids.contains(cluster), s"cluster label $cluster must be a member id (the fine seed)")
+    }
+    // brute-force the keep rule inside each emitted cluster
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    out.groupBy(_._2).foreach { case (_, members) =>
+      val sorted = members.sortBy(_._1)
+      sorted.foreach { case (id, _, keep) =>
+        val hasCloseSmaller = sorted.exists { case (oid, _, _) =>
+          oid < id && cos(vecs(oid), vecs(id)) >= tau }
+        assert(keep == !hasCloseSmaller, s"keep rule violated for $id")
+      }
+    }
+    // and the two-level cluster count is in the adaptive-k ballpark:
+    // at most k1*f (the ceil roundings can exceed k by up to k1-1)
+    val k = math.max(8L, n / 64L).toDouble
+    val k1 = math.ceil(math.sqrt(k))
+    val f = math.ceil(k / k1)
+    assert(out.map(_._2).distinct.length <= k1 * f, "at most k1*f fine clusters")
+  }
+
+  test("two-level semdedup is partition-invariant") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val a = Similarity.semDedupTwoLevel(e, "vec_id", "embedding", k = 0, tau = 0.45)
+      .orderBy("vec_id").collect().toSeq
+    graft.plans.Checkpoints.releaseAll()
+    val b = Similarity.semDedupTwoLevel(e.repartition(7), "vec_id", "embedding",
+        k = 0, tau = 0.45)
+      .orderBy("vec_id").collect().toSeq
+    graft.plans.Checkpoints.releaseAll()
+    assert(a == b)
+  }
+
   test("clusterQuality: counts cover the corpus, cohesion beats a planted split") {
     // two tight bundles around orthogonal axes: every member's cosine to
     // its own centroid must be near 1, so mean_cos is high in both
