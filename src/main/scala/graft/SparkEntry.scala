@@ -1546,6 +1546,15 @@ object SparkEntry {
             FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3
             ORDER BY id_a, id_b"""
       }),
+    // Wide 120-bit variant: two independent simhash streams, 8x15-bit
+    // pigeonhole banding covers hamming <= 7 and lifts the 60-bit band
+    // saturation ceiling (COVERAGE r15 note)
+    "q_simhash_hamming_wide" -> Q(
+      (s, dir) => Dedup.simhashHammingPairsWide(rd(s, dir, "documents"), "doc_id",
+        "text", 7)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy("id_a", "id_b"),
+      Some(Dedup.simhashHammingPairsWideSql("documents", "doc_id", "text", 7))),
     "q_dedup_jaccard" -> Q(
       (s, dir) => Dedup.jaccardPairs(rd(s, dir, "documents"), "doc_id", "text",
         threshold = 0.0).orderBy("id_a", "id_b"),

@@ -406,6 +406,93 @@ object Dedup {
     within.unionByName(cross)
   }
 
+  /** WIDE (120-bit) Hamming-k SimHash candidate pairs — the band-space
+    * saturation fix for the 60-bit path: two INDEPENDENT 60-bit simhash
+    * streams (salt tweaks `sim` / `sim#b`) concatenate into a 120-bit
+    * signature banded as 8 × 15 bits, so (a) pigeonhole covers hamming
+    * distance ≤ 7 (vs ≤ 3), and (b) the per-band key space stays 32768
+    * but EIGHT independent bands over 120 bits keep buckets honest past
+    * the ~1M-distinct-contents mark where 60 bits saturate (a doubled
+    * signature halves the per-band collision rate at any corpus size).
+    * Same exact-duplicate collapse and output-bound expansions as
+    * [[simhashHammingPairs]]; the signature pair orders lexicographically
+    * on (sh1, sh2). */
+  def simhashHammingPairsWide(df: DataFrame, idCol: String, textCol: String,
+                              maxHamming: Int = 7): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "simhashHammingPairsWide: 8 bands over 120 bits cover hamming <= 7")
+    val sims = graft.plans.Checkpoints.materialize(
+      graft.plans.Parallelism
+        .widen(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+        .select(col("id"), TextOps.simhash60(col("__text")).as("sh1"),
+          TextOps.simhash60b(col("__text")).as("sh2")))
+    val sigs = sims.select("sh1", "sh2").distinct()
+    def bandOf(sh1: Column, sh2: Column, b: Int): Column =
+      if (b < 4) shiftright(sh1, b * 15).bitwiseAND(lit(0x7FFFL))
+      else shiftright(sh2, (b - 4) * 15).bitwiseAND(lit(0x7FFFL))
+    val banded = sigs.select(col("sh1"), col("sh2"),
+      explode(array((0 until 8).map(b =>
+        struct(lit(b).as("band_no"),
+          bandOf(col("sh1"), col("sh2"), b).as("band_val"))): _*)).as("band"))
+      .select(col("sh1"), col("sh2"), col("band.band_no"), col("band.band_val"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    def bandMatch(k: Int): Column =
+      bandOf(col("a.sh1"), col("a.sh2"), k) === bandOf(col("b.sh1"), col("b.sh2"), k)
+    val earlierBandMatches = (0 until 8).map(k =>
+      col("a.band_no") > k && bandMatch(k)).reduce(_ || _)
+    val sigLess = col("a.sh1") < col("b.sh1") ||
+      (col("a.sh1") === col("b.sh1") && col("a.sh2") < col("b.sh2"))
+    val sigPairs = a.join(b,
+        col("a.band_no") === col("b.band_no") &&
+          col("a.band_val") === col("b.band_val") && sigLess)
+      .filter(!earlierBandMatches)
+      .select(col("a.sh1").as("sh_a1"), col("a.sh2").as("sh_a2"),
+        col("b.sh1").as("sh_b1"), col("b.sh2").as("sh_b2"),
+        (bit_count(col("a.sh1").bitwiseXOR(col("b.sh1"))) +
+          bit_count(col("a.sh2").bitwiseXOR(col("b.sh2")))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    val within = sims.as("x").join(sims.as("y"),
+        col("x.sh1") === col("y.sh1") && col("x.sh2") === col("y.sh2") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(lit(0L)).as("hamming"))
+    val cross = sigPairs
+      .join(sims.select(col("sh1").as("sh_a1"), col("sh2").as("sh_a2"),
+        col("id").as("__ia")), Seq("sh_a1", "sh_a2"))
+      .join(sims.select(col("sh1").as("sh_b1"), col("sh2").as("sh_b2"),
+        col("id").as("__ib")), Seq("sh_b1", "sh_b2"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("hamming"))
+    within.unionByName(cross)
+  }
+
+  /** DuckDB rendering of [[simhashHammingPairsWide]]. */
+  def simhashHammingPairsWideSql(table: String, idCol: String, textCol: String,
+                                 maxHamming: Int = 7): String = {
+    val sh1 = TextOps.simhash60Sql(textCol)
+    val sh2 = TextOps.simhash60bSql(textCol)
+    s"""WITH s AS (
+          SELECT ${idCol} AS id, (${sh1})::BIGINT AS sh1, (${sh2})::BIGINT AS sh2
+          FROM ${table}
+        ), banded AS (
+          SELECT id, sh1, sh2, b.band_no,
+                 CASE WHEN b.band_no < 4 THEN (sh1 >> (b.band_no * 15)) & 32767
+                      ELSE (sh2 >> ((b.band_no - 4) * 15)) & 32767 END AS band_val
+          FROM s CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS band_no) b
+        ), pairs AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                 a.sh1 AS sh_a1, a.sh2 AS sh_a2, b.sh1 AS sh_b1, b.sh2 AS sh_b2
+          FROM banded a JOIN banded b
+            ON a.band_no = b.band_no AND a.band_val = b.band_val AND a.id < b.id
+        )
+        SELECT id_a, id_b,
+               (bit_count(xor(sh_a1, sh_b1)) + bit_count(xor(sh_a2, sh_b2)))::INT AS hamming
+        FROM pairs
+        WHERE bit_count(xor(sh_a1, sh_b1)) + bit_count(xor(sh_a2, sh_b2)) <= ${maxHamming}
+        ORDER BY id_a, id_b"""
+  }
+
   /** Cross-corpus exact decontamination: drop every `train` row whose
     * content (sha256) also appears in `holdout` — dedupe a training corpus
     * against a benchmark/eval set. The holdout digest set is tiny next to

@@ -120,6 +120,20 @@ object TextOps {
   def simhash16(text: Column): Column = simhashN(text, 16)
   def simhash60(text: Column): Column = simhashN(text, 60)
 
+  /** Second INDEPENDENT 60-bit simhash stream (u60b tweak convention:
+    * `sim#b`). Concatenated with [[simhash60]] it forms the 120-bit wide
+    * signature that lifts the band-space saturation ceiling: 8×15-bit
+    * bands give 8×32768 keys and pigeonhole coverage of hamming ≤ 7,
+    * where the single 60-bit stream caps at 4 bands / hamming ≤ 3 and
+    * ~32k buckets per band (saturating past ~1M distinct contents). */
+  def simhash60b(text: Column): Column =
+    coalesce(
+      org.apache.spark.sql.GraftBridge.column(
+        graft.expressions.SimHashBits(
+          org.apache.spark.sql.GraftBridge.expression(tokens(text)),
+          Gen.Salt + "/sim#b|", 60)),
+      lit(0L))
+
   /** HOF-composed simhash (`bits` aggregate passes) — equivalence
     * witness for the native expression, exercised by SimHashExprSpec. */
   def simhashComposed(text: Column, bits: Int): Column = {
@@ -132,8 +146,8 @@ object TextOps {
   }
   def simhash16Composed(text: Column): Column = simhashComposed(text, 16)
 
-  def simhashNSql(text: String, bits: Int): String = {
-    val hs = s"list_transform(${tokensSql(text)}, t -> ${OracleGen.u60("t", "sim")})"
+  def simhashNSql(text: String, bits: Int, tweak: String = "sim"): String = {
+    val hs = s"list_transform(${tokensSql(text)}, t -> ${OracleGen.u60("t", tweak)})"
     (0 until bits).map { i =>
       val votes = s"list_sum(list_transform(${hs}, h -> ((h >> ${i}) & 1) * 2 - 1))"
       s"CASE WHEN ${votes} > 0 THEN ${1L << i} ELSE 0 END"
@@ -141,6 +155,7 @@ object TextOps {
   }
   def simhash16Sql(text: String): String = simhashNSql(text, 16)
   def simhash60Sql(text: String): String = simhashNSql(text, 60)
+  def simhash60bSql(text: String): String = simhashNSql(text, 60, "sim#b")
 
   val Stopwords = Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for", "on", "with")
 

@@ -172,6 +172,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairKeyedAgg.findFirstIn(plan).isEmpty, plan)
   }
 
+  test("wide simhash pairs = ALL hamming<=7 pairs (pigeonhole completeness), brute-forced") {
+    // 8 bands over 120 bits: any pair within hamming 7 shares a band, so
+    // the op's output must EQUAL the brute-force set computed straight
+    // from the signatures — banding is a pure optimization, zero recall
+    // loss inside the covered radius.
+    val stream = (1 to 70).map(i => s"w$i")
+    val corpus = (0 until 30).map { i =>
+      ((i + 1).toLong, stream.slice(i, i + 20).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Dedup.simhashHammingPairsWide(corpus, "doc_id", "text", maxHamming = 7)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val sigs = corpus.select(col("doc_id"), TextOps.simhash60(col("text")).as("s1"),
+        TextOps.simhash60b(col("text")).as("s2"))
+      .as[(Long, Long, Long)].collect()
+    val want = (for {
+      a <- sigs; b <- sigs if a._1 < b._1
+      h = java.lang.Long.bitCount(a._2 ^ b._2) + java.lang.Long.bitCount(a._3 ^ b._3)
+      if h <= 7
+    } yield (a._1, b._1) -> h).toMap
+    assert(got == want, s"wide banding must be complete: got ${got.size}, want ${want.size}")
+    // pairs are unique by construction (first-matching-band emission)
+    val dup = Dedup.simhashHammingPairsWide(corpus, "doc_id", "text")
+      .groupBy("id_a", "id_b").count().filter(col("count") > 1).count()
+    assert(dup == 0)
+    graft.plans.Checkpoints.releaseAll()
+  }
+
   test("pointer-jumped cluster labels equal exact connected components on a chained corpus") {
     // Sliding-window corpus: doc i shares most tokens with its neighbors,
     // so the band graph forms long chains — the shape whose diameter made
