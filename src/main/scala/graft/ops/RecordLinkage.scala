@@ -159,10 +159,30 @@ object RecordLinkage {
       // push the frontier's labels one hop; keep only genuine improvements
       val viaNb = edges.join(frontier.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("rep").as("cand"))
-      val (improved, nImproved) = bridge.checkpointCounted(
+      val (hopImproved, nHop) = bridge.checkpointCounted(
         viaNb.join(labels, "id")
           .filter(col("cand") < col("rep"))
           .select(col("id"), col("cand").as("rep")))
+      // FRONTIER-SCOPED POINTER JUMP (r15): a hop-improved node's new rep
+      // may itself carry an older label than ITS rep's current one —
+      // chasing rep := labels(rep) halves the remaining chain depth along
+      // exactly the active paths (deep chains are where round counts
+      // live; the 24-round soak path is the motivating shape). The chase
+      // is one join bounded by the FRONTIER size, so the semi-naive
+      // "work tracks the frontier" property is preserved — a global
+      // rep(rep) pass would be O(N) per round and give that back.
+      // Monotone-safe: labels(rep) <= rep always, and any label a chase
+      // lands on is the min of ids reachable from the component.
+      val (improved, nImproved) =
+        if (nHop == 0) (hopImproved, 0L)
+        else bridge.checkpointCounted(
+          hopImproved.join(labels.select(col("id").as("rep"),
+              col("rep").as("__chased")), Seq("rep"), "left_outer")
+            .select(col("id"),
+              least(col("rep"), coalesce(col("__chased"), col("rep"))).as("rep")))
+      if (improved ne hopImproved) {
+        graft.plans.Checkpoints.unpersistCheckpoint(hopImproved)
+      }
       val (next, _) = bridge.checkpointCounted(
         labels.join(improved.withColumnRenamed("rep", "better"),
             Seq("id"), "left_outer")
@@ -171,7 +191,7 @@ object RecordLinkage {
       if (frontier ne labels) graft.plans.Checkpoints.unpersistCheckpoint(frontier)
       labels = next
       frontier = improved
-      frontierSize = nImproved
+      frontierSize = math.max(nImproved, nHop)
       iter += 1
     }
     if (frontierSize > 0) {
