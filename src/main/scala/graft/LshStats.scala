@@ -52,8 +52,8 @@ object LshStats {
                            fixtureDocs: DataFrame): DataFrame = {
     val srcMax = spark.read.parquet(s"$srcDir/documents.parquet")
       .agg(max(col("doc_id").cast("long"))).head.getLong(0)
-    var unit = 1L
-    while (unit <= srcMax) unit *= 10
+    // the fixture's own unit rule — shared, so this can't drift
+    val unit = ScaleFixture.pow10Above(srcMax)
     fixtureDocs.select((col("doc_id") / unit).cast("long").as("rep"),
         pmod(col("doc_id"), lit(unit)).as("base_id"), col("doc_id").as("pert_id"))
       .filter(pmod(col("rep"), lit(2)) === 1)
@@ -139,19 +139,21 @@ object LshStats {
       s""","planted":{"minhash":${block(recallOf(pairs, mhEdges))},""" +
         s""""simhash":${block(recallOf(pairs, shEdges))}}"""
     }.getOrElse("")
-    s"""{"tool":"lsh_stats","label":"$label","sf":"$sfDir","n_docs":$nDocs,""" +
+    // user-supplied strings must not break the one-line JSON contract
+    def jsStr(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""{"tool":"lsh_stats","label":"${jsStr(label)}","sf":"${jsStr(sfDir)}","n_docs":$nDocs,""" +
       s""""minhash":{"bands":${js(mhCensus)},"total_cand_pairs":$mhTotal},""" +
       s""""simhash":{"bands":${js(shCensus)},"total_cand_pairs":$shTotal}$planted}"""
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty,
-      "usage: graft.LshStats <sfDir> [label] [--planted=<srcSfDir>] [--collapsed]")
     val planted = args.collectFirst {
       case a if a.startsWith("--planted=") => a.stripPrefix("--planted=")
     }
     val collapsed = args.contains("--collapsed")
     val pos = args.filterNot(_.startsWith("--"))
+    require(pos.nonEmpty,
+      "usage: graft.LshStats <sfDir> [label] [--planted=<srcSfDir>] [--collapsed]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -47,7 +47,10 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, ShortType}
   * COVERAGE "layout, not plan").
   */
 object ScaleFixture {
-  private def pow10Above(n: Long): Long = {
+  /** Replica key-shift unit: next power of 10 above the source-domain
+    * max. Shared (not private) so instruments that re-derive planted
+    * pairs — LshStats --planted — use the SAME rule by construction. */
+  private[graft] def pow10Above(n: Long): Long = {
     var u = 1L
     while (u <= n) u *= 10
     u
@@ -160,6 +163,13 @@ object ScaleFixture {
     val (flags, pos) = args.partition(_.startsWith("--"))
     require(pos.length >= 2,
       "usage: graft.ScaleFixture <srcSfDir> <outDir> [replicas=10] [--perturb]")
+    // fail loudly on unknown/malformed flags: a silently-dropped
+    // "--perturb=true" (or a typo) would build a VERBATIM fixture and the
+    // downstream near-dup rehearsal would measure exact-copy recall 1.0 —
+    // exactly the misleading number the flag exists to avoid
+    val unknown = flags.filterNot(_ == "--perturb")
+    require(unknown.isEmpty,
+      s"unknown flag(s): ${unknown.mkString(", ")} — supported: --perturb")
     val replicas = if (pos.length > 2) pos(2).toInt else 10
     val perturb = flags.contains("--perturb")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -247,8 +247,10 @@ object Similarity {
     *
     * Assignment cost: N×(k1+f) ≈ N×2·sqrt(k) vs flat N×k — 28× fewer
     * cosines at k=3125 (the sf10 fixture) and growing with the corpus;
-    * driver memory stays O(k1·dim) for the coarse literal (the k-vector
-    * fine table never leaves the cluster). The pair phase and keep rule
+    * driver memory stays O(k1·dim) for the coarse literal — the
+    * k-vector fine table joins by `cell` WITHOUT a broadcast hint, so
+    * AQE broadcasts it while small and shuffle-joins it once k·dim
+    * outgrows the threshold. The pair phase and keep rule
     * are [[semDedup]]'s, bounded by the same ~64 cluster size. The
     * clustering is a principled approximation of the flat assignment
     * (a row's fine argmax is scoped to its coarse cell), so this is a
@@ -276,8 +278,14 @@ object Similarity {
       .agg(sort_array(collect_list(struct(col("__r").as("r"),
         col(idCol).as("sid"), col(vecCol).as("svec")))).as("__fine"))
     val sims = transform(col("__fine"), s => pairCosine(col(vecCol), s.getField("svec")))
+    // NO broadcast hint: a forced broadcast would collect the whole
+    // k-vector fine table through the driver (the 8 GB broadcast cap /
+    // driver-OOM cliff at corpus-scale k). AQE broadcasts it whenever it
+    // is actually small — our fixtures — and falls back to a shuffle
+    // join on `cell` when k·dim outgrows the threshold, which is the
+    // behavior the scaling contract needs.
     val assigned = graft.plans.Checkpoints.materialize(
-      cells.join(broadcast(fineArr), "cell")
+      cells.join(fineArr, "cell")
         .withColumn("__sims", sims)
         .withColumn("cluster", element_at(col("__fine"),
           expr("array_position(__sims, array_max(__sims))").cast("int"))

@@ -203,6 +203,9 @@ object RecordLinkage {
           "propagation rounds — raise maxIter")
     }
     graft.plans.FixpointStats.record("entityClusters", iter)
+    // the final (empty) frontier checkpoint is not part of the returned
+    // plan — without this it leaks one persisted RDD per call
+    if (frontier ne labels) graft.plans.Checkpoints.unpersistCheckpoint(frontier)
     val out = records.select(col(idCol).cast("long").as("id"))
       .join(labels, Seq("id"), "left_outer")
       .select(col("id").as(idCol), coalesce(col("rep"), col("id")).as("entity_rep"))

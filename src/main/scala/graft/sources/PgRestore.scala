@@ -172,7 +172,16 @@ object PgRestore {
     * byte-silence is not evidence of a hang here. `lock_timeout` cancels
     * exactly the hang-on-a-lock case the watchdog exists for, the server
     * reports it ("canceling statement due to lock timeout"), and a
-    * healthy long build is never touched. */
+    * healthy long build is never touched.
+    *
+    * Residual hang class, deliberately NOT guarded: failures the server
+    * cannot time out and the client cannot distinguish from work — a
+    * network partition mid-statement, or a commit blocked on an
+    * unreachable synchronous standby. Guarding those client-side would
+    * reintroduce the false-kill of healthy silent DDL this rework
+    * removed; operators who need cover there should set server-side
+    * `statement_timeout` / TCP keepalives on the conninfo (native
+    * pg_restore hangs identically). */
   private def exec(psqlArgs: Seq[String], sql: String,
                    watchdogSec: Int = 0): (Int, String) = {
     val guard =
