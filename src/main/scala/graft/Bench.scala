@@ -59,6 +59,8 @@ object Bench {
     "q_sketch_hll", "q_funnel_steps", "q_curate_pipeline",
     "q_entity_clusters", "q_funnel_steps_capped", "q_fuzzy_link_capped",
     "q_quality_hashlin", "q_quality_nb",
+    // r16: the two r15 scale operators, tracked every round (not A/Bs)
+    "q_semdedup_2l", "q_simhash_hamming_wide",
     // interop throughput: full pg-archive dump->load over the big table
     // (gzip member + binary TOC + COPY codec both directions)
     "q_pg_archive_lineitem")

@@ -122,6 +122,31 @@ object LshStats {
       .localCheckpoint(true)
     val shCensus = bandCensus(shEdges)
 
+    // WIDE 120-bit band censuses, one per wideBandPlan the engine can
+    // route to (simhashHammingPairsWide): 8×15 (radius 7), 6×20
+    // (radius 5), 4×30 (radius 3). The saturation instrument: the r16
+    // sf100 run (2.28M distinct contents) measured 8×15 at 2.9× the
+    // 60-bit volume — more bands over the same 15-bit key space only ADD
+    // candidates — while the radius-3 4×30 plan's 2^30 key space
+    // collapses the volume by orders of magnitude. Comparing these
+    // totals on a decade-up corpus records which plan survives 100 TB.
+    val wideSigs = graft.plans.Checkpoints.materialize(docs
+      .select(col("doc_id"), TextOps.simhash60(col("text")).as("sh1"),
+        TextOps.simhash60b(col("text")).as("sh2")))
+    def wideCensus(nBands: Int): Seq[(Int, Long, Long, Long)] = {
+      val half = nBands / 2
+      val width = 120 / nBands
+      val mask = (1L << width) - 1
+      bandCensus(wideSigs
+        .select(col("doc_id"), posexplode(array((0 until nBands).map(b =>
+          if (b < half) shiftright(col("sh1"), b * width).bitwiseAND(lit(mask))
+          else shiftright(col("sh2"), (b - half) * width).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band_idx", "band"))))
+    }
+    val shwCensus = wideCensus(8)
+    val shw20Census = wideCensus(6)
+    val shw30Census = wideCensus(4)
+
     def js(census: Seq[(Int, Long, Long, Long)]): String =
       census.map { case (b, nb, mx, cp) =>
         s"""{"band":$b,"n_buckets":$nb,"max_bucket":$mx,"cand_pairs":$cp}"""
@@ -141,9 +166,14 @@ object LshStats {
     }.getOrElse("")
     // user-supplied strings must not break the one-line JSON contract
     def jsStr(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    def wideJs(name: String, c: Seq[(Int, Long, Long, Long)]): String =
+      s""""$name":{"bands":${js(c)},"total_cand_pairs":${c.map(_._4).sum}}"""
     s"""{"tool":"lsh_stats","label":"${jsStr(label)}","sf":"${jsStr(sfDir)}","n_docs":$nDocs,""" +
       s""""minhash":{"bands":${js(mhCensus)},"total_cand_pairs":$mhTotal},""" +
-      s""""simhash":{"bands":${js(shCensus)},"total_cand_pairs":$shTotal}$planted}"""
+      s""""simhash":{"bands":${js(shCensus)},"total_cand_pairs":$shTotal},""" +
+      s"""${wideJs("simhash_wide", shwCensus)},""" +
+      s"""${wideJs("simhash_w20", shw20Census)},""" +
+      s"""${wideJs("simhash_w30", shw30Census)}$planted}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -152,6 +182,15 @@ object LshStats {
     }
     val collapsed = args.contains("--collapsed")
     val pos = args.filterNot(_.startsWith("--"))
+    // an unknown flag (a typo like --plant=..., or the space form
+    // '--planted <src>') would otherwise be silently dropped and the
+    // recall block silently missing — fail loud instead (mirrors
+    // ScaleFixture's guard)
+    val badFlags = args.filter(_.startsWith("--"))
+      .filterNot(f => f == "--collapsed" || f.startsWith("--planted="))
+    require(badFlags.isEmpty,
+      s"graft.LshStats: unknown flag(s) ${badFlags.mkString(", ")} — " +
+        "usage: graft.LshStats <sfDir> [label] [--planted=<srcSfDir>] [--collapsed]")
     require(pos.nonEmpty,
       "usage: graft.LshStats <sfDir> [label] [--planted=<srcSfDir>] [--collapsed]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

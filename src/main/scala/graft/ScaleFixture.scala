@@ -102,10 +102,22 @@ object ScaleFixture {
     when(pmod(rep, lit(2)) === 1, array_join(kept, " ")).otherwise(text)
   }
 
+  /** @param tables restrict the build to these tables (default: all).
+    *        A partial fixture CANNOT run the oracle battery (FK targets
+    *        missing) — it exists for single-table instruments like the
+    *        LshStats sf100 saturation probe, where replicating lineitem
+    *        ×1000 alongside 5M documents would be pure waste. */
   def replicate(spark: SparkSession, src: String, out: String,
                 replicas: Int, files: Int = 32,
-                perturb: Boolean = false): Unit = {
+                perturb: Boolean = false,
+                tables: Option[Set[String]] = None): Unit = {
     def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    val wanted: String => Boolean = t => tables.forall(_.contains(t))
+    tables.foreach { ts =>
+      val known = (ShiftedKeys.keySet ++ FixedDims).toSet
+      val bad = ts.diff(known)
+      require(bad.isEmpty, s"[scale-fixture] unknown table(s): ${bad.mkString(", ")}")
+    }
     def maxOf(t: String, c: String): Long =
       rd(t).agg(max(col(c).cast("long"))).head.getLong(0)
     val srcMax = Map(
@@ -121,7 +133,7 @@ object ScaleFixture {
     // fail-loudly bounds check BEFORE writing anything: the largest
     // shifted key per column must fit the column's own storage type
     // (BigInt sidesteps Long overflow in the check itself)
-    ShiftedKeys.foreach { case (t, keys) =>
+    ShiftedKeys.filter(kv => wanted(kv._1)).foreach { case (t, keys) =>
       val schema = rd(t).schema
       keys.foreach { case (c, dom) =>
         val top = BigInt(srcMax(dom)) +
@@ -134,10 +146,10 @@ object ScaleFixture {
             s"($replicas)")
       }
     }
-    FixedDims.foreach { t =>
+    FixedDims.filter(wanted).foreach { t =>
       rd(t).write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
-    ShiftedKeys.foreach { case (t, keys) =>
+    ShiftedKeys.filter(kv => wanted(kv._1)).foreach { case (t, keys) =>
       val df = rd(t)
       val rep = df.withColumn("__replica",
         explode(lit((0 until replicas).toArray)))
@@ -162,16 +174,21 @@ object ScaleFixture {
   def main(args: Array[String]): Unit = {
     val (flags, pos) = args.partition(_.startsWith("--"))
     require(pos.length >= 2,
-      "usage: graft.ScaleFixture <srcSfDir> <outDir> [replicas=10] [--perturb]")
+      "usage: graft.ScaleFixture <srcSfDir> <outDir> [replicas=10] " +
+        "[--perturb] [--tables=t1,t2]")
     // fail loudly on unknown/malformed flags: a silently-dropped
     // "--perturb=true" (or a typo) would build a VERBATIM fixture and the
     // downstream near-dup rehearsal would measure exact-copy recall 1.0 —
     // exactly the misleading number the flag exists to avoid
-    val unknown = flags.filterNot(_ == "--perturb")
+    val unknown = flags.filterNot(f => f == "--perturb" || f.startsWith("--tables="))
     require(unknown.isEmpty,
-      s"unknown flag(s): ${unknown.mkString(", ")} — supported: --perturb")
+      s"unknown flag(s): ${unknown.mkString(", ")} — supported: --perturb, --tables=")
     val replicas = if (pos.length > 2) pos(2).toInt else 10
     val perturb = flags.contains("--perturb")
+    val tables = flags.collectFirst {
+      case f if f.startsWith("--tables=") =>
+        f.stripPrefix("--tables=").split(",").map(_.trim).filter(_.nonEmpty).toSet
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -181,7 +198,7 @@ object ScaleFixture {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    replicate(spark, pos(0), pos(1), replicas, perturb = perturb)
+    replicate(spark, pos(0), pos(1), replicas, perturb = perturb, tables = tables)
     spark.stop()
   }
 }

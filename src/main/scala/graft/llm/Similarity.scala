@@ -277,7 +277,15 @@ object Similarity {
       .groupBy("cell")
       .agg(sort_array(collect_list(struct(col("__r").as("r"),
         col(idCol).as("sid"), col(vecCol).as("svec")))).as("__fine"))
-    val sims = transform(col("__fine"), s => pairCosine(col(vecCol), s.getField("svec")))
+    // nanvl guards the argmax: a zero-norm vector (either the row's or a
+    // fine seed's) makes pairCosine NaN; array_max would return NaN,
+    // array_position would find no equal element and return 0, and
+    // element_at(__fine, 0) would THROW at runtime. -2.0 is below the
+    // cosine range, so degenerate sims lose every argmax and a zero-norm
+    // row deterministically takes its cell's rank-1 fine seed (the flat
+    // path's analog is cluster = -1 via the same NaN propagation).
+    val sims = transform(col("__fine"),
+      s => nanvl(pairCosine(col(vecCol), s.getField("svec")), lit(-2.0)))
     // NO broadcast hint: a forced broadcast would collect the whole
     // k-vector fine table through the driver (the 8 GB broadcast cap /
     // driver-OOM cliff at corpus-scale k). AQE broadcasts it whenever it

@@ -19,6 +19,27 @@ import org.apache.spark.sql.functions._
   */
 object RecordLinkage {
 
+  /** What the degenerate-block cap of one [[fuzzyJoin]] pass dropped on
+    * one side: blocks over the cap and the row mass inside them, plus
+    * the side's totals for a drop-fraction denominator. */
+  final case class CapDrop(droppedBlocks: Long, droppedRows: Long,
+                           totalBlocks: Long, totalRows: Long) {
+    def droppedRowFraction: Double =
+      if (totalRows == 0L) 0.0 else droppedRows.toDouble / totalRows
+  }
+
+  private val capDrops =
+    new java.util.concurrent.ConcurrentHashMap[String, CapDrop]()
+
+  /** Per-side ("a"/"b") drop mass of the LAST capped [[fuzzyJoin]] pass —
+    * the observability hook for the silent-total-drop regime: a cap that
+    * swallows 100% of candidate mass reads as "no duplicates found"
+    * without it. Empty when the last call ran uncapped. */
+  def lastCapDrops: Map[String, CapDrop] = {
+    import scala.jdk.CollectionConverters._
+    capDrops.asScala.toMap
+  }
+
   /** Uppercased first `n` chars — the standard cheap block. */
   def prefixBlock(c: Column, n: Int = 3): Column = upper(substring(c, 1, n))
   def prefixBlockSql(c: String, n: Int = 3): String =
@@ -57,15 +78,38 @@ object RecordLinkage {
                 maxDist: Int, maxBlockSize: Option[Int] = None): DataFrame = {
     require(maxDist >= 0, "fuzzyJoin: maxDist must be >= 0")
     require(maxBlockSize.forall(_ > 0), "fuzzyJoin: maxBlockSize must be positive")
-    def capped(df: DataFrame): DataFrame = maxBlockSize.fold(df) { cap =>
-      val over = df.groupBy("__blk").agg(count(lit(1)).as("__bn"))
-        .filter(col("__bn") > cap).select("__blk")
-      df.join(over, Seq("__blk"), "left_anti")
+    capDrops.clear()
+    // Cap enforcement is LOUD about what it drops (r15 verdict: at a
+    // 100-replica duplication every mid-slice block exceeded the cap and
+    // the operator returned 0 pairs with no signal — on a real pipeline
+    // that reads as "no duplicates found"). The per-side block census is
+    // materialized once and reused: a 1-row aggregate over it yields the
+    // dropped block/row mass (recorded in [[lastCapDrops]], printed on
+    // stderr whenever anything was dropped), and its over-cap filter
+    // feeds the same anti-join as before — no second census scan.
+    def capped(df: DataFrame, side: String): DataFrame = maxBlockSize.fold(df) { cap =>
+      val census = graft.plans.Checkpoints.materialize(
+        df.groupBy("__blk").agg(count(lit(1)).as("__bn")))
+      val stat = census.agg(
+        count(lit(1)), coalesce(sum("__bn"), lit(0L)),
+        count(when(col("__bn") > cap, 1)),
+        coalesce(sum(when(col("__bn") > cap, col("__bn"))), lit(0L))).head()
+      val drop = CapDrop(stat.getLong(2), stat.getLong(3),
+        stat.getLong(0), stat.getLong(1))
+      capDrops.put(side, drop)
+      if (drop.droppedBlocks > 0L)
+        Console.err.println(
+          f"[fuzzyJoin] side=$side cap=$cap dropped ${drop.droppedBlocks} " +
+            f"over-cap block(s) = ${drop.droppedRows} of ${drop.totalRows} rows " +
+            f"(${drop.droppedRowFraction * 100}%.1f%% of candidate row mass) — " +
+            "recall loss by contract; run blockSizeReport to size the cap")
+      df.join(census.filter(col("__bn") > cap).select("__blk"),
+        Seq("__blk"), "left_anti")
     }
     val left = capped(a.select(col(aId).as("id_a"), col(aText).as("text_a"),
-      blockA.as("__blk")))
+      blockA.as("__blk")), "a")
     val right = capped(b.select(col(bId).as("id_b"), col(bText).as("text_b"),
-      blockB.as("__blk")))
+      blockB.as("__blk")), "b")
     left.join(right, "__blk")
       .withColumn("dist", levenshtein(col("text_a"), col("text_b")))
       .filter(col("dist") <= maxDist)
@@ -191,7 +235,10 @@ object RecordLinkage {
       if (frontier ne labels) graft.plans.Checkpoints.unpersistCheckpoint(frontier)
       labels = next
       frontier = improved
-      frontierSize = math.max(nImproved, nHop)
+      // the chase join is row-preserving (left_outer + select over
+      // hopImproved), so nImproved == nHop whenever the chase runs and
+      // 0 exactly when nHop is 0 — nHop IS the frontier size
+      frontierSize = nHop
       iter += 1
     }
     if (frontierSize > 0) {

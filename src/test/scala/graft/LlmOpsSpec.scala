@@ -172,6 +172,65 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairKeyedAgg.findFirstIn(plan).isEmpty, plan)
   }
 
+  test("simhashPairs router: wide path for radius > 3 or saturated corpora") {
+    // decision rule is pure and pinned here; the routed DataFrames must
+    // carry each path's semantics (radius-5 pairs only exist on the wide
+    // path — the 60-bit op REJECTS maxHamming > 3 outright)
+    assert(!Dedup.wideSignatureNeeded(3, 1000L))
+    assert(Dedup.wideSignatureNeeded(4, 1000L), "radius > 3 needs 8 bands")
+    assert(Dedup.wideSignatureNeeded(3, Dedup.WideSignatureCutoff + 1),
+      "past saturation the wide signature must win at any radius")
+    assert(!Dedup.wideSignatureNeeded(3, 0L), "unknown size routes by radius")
+    val stream = (1 to 60).map(i => s"w$i")
+    val corpus = (0 until 20).map { i =>
+      ((i + 1).toLong, stream.slice(i, i + 18).mkString(" "))
+    }.toDF("doc_id", "text")
+    val wide = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 5)
+      .as[(Long, Long, Int)].collect()
+    assert(wide.forall(_._3 <= 5))
+    // brute-force witness on the 120-bit signature: routing really took
+    // the wide path (radius-5 completeness is a wide-only property)
+    val sigs = corpus.select(col("doc_id"), TextOps.simhash60(col("text")).as("s1"),
+        TextOps.simhash60b(col("text")).as("s2"))
+      .as[(Long, Long, Long)].collect()
+    val want = (for {
+      a <- sigs; b <- sigs if a._1 < b._1
+      h = java.lang.Long.bitCount(a._2 ^ b._2) + java.lang.Long.bitCount(a._3 ^ b._3)
+      if h <= 5
+    } yield (a._1, b._1) -> h).toMap
+    assert(wide.map(r => (r._1, r._2) -> r._3).toMap == want)
+    graft.plans.Checkpoints.releaseAll()
+  }
+
+  test("simhash collapse gate: both plan paths equal the brute-force pair set") {
+    // the adaptive gate routes a duplicate-free corpus to direct banding
+    // and a duplicate-heavy one through the signature collapse — both
+    // must produce EXACTLY the brute-force hamming<=3 pair set (the gate
+    // is a plan choice, never a contract change)
+    val stream = (1 to 60).map(i => s"w$i")
+    val clean = (0 until 24).map { i =>
+      ((i + 1).toLong, stream.slice(i, i + 18).mkString(" "))
+    }
+    // duplicate-heavy: 4 exact copies of each text under fresh ids
+    val duped = clean ++ (for {
+      (id, t) <- clean; r <- 1 to 3
+    } yield (id + 100L * r, t))
+    for (corpus <- Seq(clean, duped)) {
+      val df = corpus.toDF("doc_id", "text")
+      val got = Dedup.simhashHammingPairs(df, "doc_id", "text", maxHamming = 3)
+        .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      val sigs = df.select(col("doc_id"), TextOps.simhash60(col("text")).as("s"))
+        .as[(Long, Long)].collect()
+      val want = (for {
+        a <- sigs; b <- sigs if a._1 < b._1
+        h = java.lang.Long.bitCount(a._2 ^ b._2)
+        if h <= 3
+      } yield (a._1, b._1) -> h).toMap
+      assert(got == want, s"gate path diverged: got ${got.size}, want ${want.size}")
+      graft.plans.Checkpoints.releaseAll()
+    }
+  }
+
   test("wide simhash pairs = ALL hamming<=7 pairs (pigeonhole completeness), brute-forced") {
     // 8 bands over 120 bits: any pair within hamming 7 shares a band, so
     // the op's output must EQUAL the brute-force set computed straight
@@ -196,6 +255,18 @@ class LlmOpsSpec extends SparkSpec {
     val dup = Dedup.simhashHammingPairsWide(corpus, "doc_id", "text")
       .groupBy("id_a", "id_b").count().filter(col("count") > 1).count()
     assert(dup == 0)
+    // every band plan the radius ladder selects (2×60, 4×30, 6×20) is
+    // complete within its radius too — the r16 saturation fix must not
+    // cost recall (pigeonhole holds per plan; pinned by brute force)
+    for (h <- Seq(1, 3, 5)) {
+      val gotH = Dedup.simhashHammingPairsWide(corpus, "doc_id", "text", maxHamming = h)
+        .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      val wantH = want.filter { case (_, d) => d <= h }
+      assert(gotH == wantH, s"radius $h (plan ${Dedup.wideBandPlan(h)}): " +
+        s"got ${gotH.size}, want ${wantH.size}")
+    }
+    assert(Dedup.wideBandPlan(3) == (4, 30) && Dedup.wideBandPlan(5) == (6, 20) &&
+      Dedup.wideBandPlan(7) == (8, 15) && Dedup.wideBandPlan(0) == (2, 60))
     graft.plans.Checkpoints.releaseAll()
   }
 

@@ -36,11 +36,17 @@ object PlanCeilings {
     "q_dedup_minhash"       -> (1, 2),
     "q_text_stats"          -> (1, 0),
     "q_knn_brute"           -> (1, 0),
-    // r15: +1 exchange = the signature-collapse distinct (map-side
-    // combinable agg over ONE long column) that makes the band self-join
-    // independent of duplicate multiplicity — the r14 sf1 census measured
-    // 25.4M candidate pairs without it vs 245k distinct-signature work
-    "q_simhash_hamming"     -> (1, 1),
+    // r16: the adaptive collapse gate routes the duplicate-free sf0.001
+    // audit fixture to DIRECT banding — no collapse distinct, so the
+    // audited plan is back to (1,0) (the r15 (1,1) collapsed shape only
+    // materializes when the approx-distinct probe finds duplicate mass,
+    // where its +1 exchange buys ~100x less band-join work)
+    "q_simhash_hamming"     -> (1, 0),
+    // same gate, 8-band/120-bit signature (direct path at sf0.001)
+    "q_simhash_hamming_wide" -> (1, 0),
+    // two-level assignment: cell window (row_number per cell) + fine-list
+    // join by cell; the N·2√k cosine passes hide behind checkpoints
+    "q_semdedup_2l"         -> (1, 2),
     "q_dedup_cluster"       -> (1, 2),
     "q_subset_selffk"       -> (1, 2),
     "q_ivf_topk"            -> (1, 0),

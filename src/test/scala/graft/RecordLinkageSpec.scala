@@ -72,6 +72,35 @@ class RecordLinkageSpec extends SparkSpec {
       b.select(RecordLinkage.suffixBlock(col("t")).as("__blk")), col("__blk"))
       .head()
     assert(top.getString(0) == "XXX" && top.getLong(2) == 8L)
+    // the cap run must have RECORDED what it dropped (loud, not silent):
+    // side a lost the 8-row hot block, side b lost nothing
+    val drops = RecordLinkage.lastCapDrops
+    assert(drops("a") == RecordLinkage.CapDrop(1L, 8L, 4L, 11L), drops)
+    assert(drops("b") == RecordLinkage.CapDrop(0L, 0L, 4L, 4L), drops)
+  }
+
+  test("total-drop regime is reported, never silent (the sf10p shape)") {
+    // EVERY block exceeds the cap on both sides — the operator returns
+    // 0 pairs by contract, and lastCapDrops must say 100% of the row
+    // mass was dropped (r15 verdict: "0 pairs" with no signal reads as
+    // "no duplicates found", which is silently wrong)
+    val a = (1L to 40L).map(i => (i, s"dup${i % 2}")).toDF("id", "t")
+    val b = (101L to 140L).map(i => (i, s"dup${i % 2}")).toDF("id", "t")
+    val out = RecordLinkage.fuzzyJoin(
+      a, "id", "t", RecordLinkage.suffixBlock(col("t")),
+      b, "id", "t", RecordLinkage.suffixBlock(col("t")),
+      maxDist = 2, maxBlockSize = Some(5))
+    assert(out.count() == 0L)
+    val drops = RecordLinkage.lastCapDrops
+    assert(drops("a").droppedRowFraction == 1.0 &&
+      drops("b").droppedRowFraction == 1.0, drops)
+    assert(drops("a") == RecordLinkage.CapDrop(2L, 40L, 2L, 40L), drops)
+    // an uncapped call clears the record — no stale drop stats
+    RecordLinkage.fuzzyJoin(
+      a, "id", "t", RecordLinkage.suffixBlock(col("t")),
+      b, "id", "t", RecordLinkage.suffixBlock(col("t")),
+      maxDist = 2).count()
+    assert(RecordLinkage.lastCapDrops.isEmpty)
   }
 
   test("entityClusters: transitive merge over a chain, singletons kept, dup edges ok") {

@@ -9,6 +9,20 @@ import org.apache.spark.sql.functions._
   * sf0.001 × 3 (the same machinery built the round-14 sf1 set). */
 class ScaleFixtureSpec extends SparkSpec {
 
+  test("CLI guards: unknown flags fail loudly before any Spark work") {
+    // a silently-dropped typo ("--plant=...", "--perturb=true") would
+    // build the wrong fixture / emit stats with the recall block missing
+    val e1 = intercept[IllegalArgumentException](
+      ScaleFixture.main(Array("/nope", "/out", "3", "--perturb=true")))
+    assert(e1.getMessage.contains("unknown flag"))
+    val e2 = intercept[IllegalArgumentException](
+      LshStats.main(Array("/nope", "--plant=/src")))
+    assert(e2.getMessage.contains("unknown flag"))
+    val e3 = intercept[IllegalArgumentException](
+      LshStats.main(Array("/nope", "--planted", "/src")))
+    assert(e3.getMessage.contains("unknown flag"))
+  }
+
   test("replicate: counts scale, keys stay unique, FKs stay closed, dims fixed") {
     val out = java.nio.file.Files.createTempDirectory("graft_scalefix").toString
     ScaleFixture.replicate(spark, "/root/testdata/sf0.001", out,

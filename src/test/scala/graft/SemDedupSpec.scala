@@ -67,6 +67,35 @@ class SemDedupSpec extends SparkSpec {
     assert(out.map(_._2).distinct.length <= k1 * f, "at most k1*f fine clusters")
   }
 
+  test("two-level semdedup: zero-norm vectors get a deterministic cluster, no crash") {
+    // a zero-norm embedding makes pairCosine NaN; unguarded, array_max
+    // returns NaN, array_position finds no equal element (NaN != NaN)
+    // and element_at(__fine, 0) THROWS INVALID_ARRAY_INDEX at runtime.
+    // The nanvl guard must instead assign it deterministically (its
+    // cell's rank-1 fine seed) and never crash — and the result must be
+    // partition-invariant like everything else.
+    val df = Seq(
+      (1L, vec(1, 0, 0, 0)),
+      (2L, vec(0, 1, 0, 0)),
+      (3L, vec(0, 0, 0, 0)), // zero-norm: every cosine against it is NaN
+      (4L, vec(1, 0.1, 0, 0)),
+      (5L, vec(0, 1, 0.1, 0)),
+      (6L, vec(0, 0, 1, 0))
+    ).toDF("vec_id", "embedding")
+    val a = Similarity.semDedupTwoLevel(df, "vec_id", "embedding", k = 4, tau = 0.9)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    graft.plans.Checkpoints.releaseAll()
+    val b = Similarity.semDedupTwoLevel(df.repartition(5), "vec_id", "embedding",
+        k = 4, tau = 0.9)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    graft.plans.Checkpoints.releaseAll()
+    assert(a.length == 6, "one row per vector, zero-norm included")
+    assert(a.toSeq == b.toSeq, "deterministic under repartitioning")
+    // the zero-norm row can never be tau-near anything (NaN >= tau is
+    // false on both engines), so it always survives
+    assert(a.find(_._1 == 3L).exists(_._3), "zero-norm row must keep")
+  }
+
   test("two-level semdedup is partition-invariant") {
     val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
       .select("vec_id", "embedding")

@@ -1,0 +1,207 @@
+#!/usr/bin/env python3
+"""Sampled heavy-query oracle for decade-up fixtures (r16, VERDICT r15
+"what's wrong #2"): at sf10p (500k docs) the pairwise/cluster DuckDB
+oracles exceed 15 minutes, so COVERAGE receipted them with row-count
+math only. This tool turns those receipts into HASH evidence at ~1% of
+oracle cost:
+
+  * pair queries (jaccard / containment / minhash_simest /
+    simhash_hamming / simhash_hamming_wide): a deterministic sample
+    predicate (hash(id) % RATE = 0 — DuckDB-side on BOTH engines'
+    rows, so cross-engine hash stability is irrelevant) restricts the
+    LEFT side of the oracle's band self-join BEFORE the join, cutting
+    its work ~RATE×; the engine's full output parquet is filtered by
+    the same predicate on id_a and compared byte-exactly, exactly like
+    tools/local_check.py.
+
+  * q_dedup_cluster: checked FULL-corpus exact, not sampled — the
+    recursive-closure oracle materializes all-pairs reachability and
+    cannot survive the giant components a perturbed decade-up corpus
+    grows (sf10p: one 457k-member component), but exact connected
+    components are LINEAR with union-find. Band edges are rendered by
+    DuckDB from the oracle SQL's own bnd CTE (no engine code shared),
+    a python union-find labels components by min doc_id, every engine
+    row must match byte-exactly, and a global band-bucket homogeneity
+    probe (a bucket holding two labels = an under-merge) cross-checks.
+
+Usage: tools/sampled_check.py <sfDir> <verifyOutDir> [rate=97]
+The oracle SQL is read from <verifyOutDir>/oracle_sql.json (Verify
+dumps it); the sample predicate is injected by string surgery on the
+known CTE shapes — surgery failures abort loudly rather than passing
+vacuously."""
+import json, sys, glob, os, time
+import duckdb
+
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+flags = [a for a in sys.argv[1:] if a.startswith("--")]
+bad = [f for f in flags if not f.startswith("--only=")]
+assert not bad, f"unknown flag(s) {bad}; supported: --only=q_a,q_b"
+ONLY = None
+for f in flags:
+    ONLY = set(f.split("=", 1)[1].split(","))
+SF_DIR = args[0]
+OUT = args[1]
+RATE = int(args[2]) if len(args) > 2 else 97
+
+con = duckdb.connect()
+for f in glob.glob(f"{SF_DIR}/*.parquet"):
+    name = os.path.basename(f).replace(".parquet", "")
+    src = f"{f}/*.parquet" if os.path.isdir(f) else f
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+
+def samp(col):
+    return f"(hash({col}) % {RATE}) = 0"
+
+# (query, join-pattern to restrict, id column of the left side)
+PAIR_SURGERY = {
+    "q_simhash_hamming": ("FROM banded a JOIN banded b", "banded", "id"),
+    "q_simhash_hamming_wide": ("FROM banded a JOIN banded b", "banded", "id"),
+    "q_dedup_jaccard": ("FROM e a JOIN e b", "e", "id"),
+    "q_dedup_containment": ("FROM e a JOIN e b", "e", "id"),
+    "q_minhash_simest": ("FROM nb a JOIN nb b", "nb", "doc_id"),
+}
+
+def engine_rows(name, where, order):
+    return con.sql(
+        f"SELECT * FROM '{OUT}/{name}/*.parquet' WHERE {where} ORDER BY {order}").df()
+
+def compare(name, eng, ddb, label, results):
+    ec, dc = sorted(eng.columns), sorted(ddb.columns)
+    if ec != dc:
+        results.append((name, "FAIL", f"columns differ: {ec} vs {dc}", len(eng)))
+        return
+    if len(eng) != len(ddb):
+        results.append((name, "FAIL",
+                        f"sampled row counts differ: engine={len(eng)} oracle={len(ddb)}", len(eng)))
+        return
+    e = eng[ec].reset_index(drop=True)
+    d = ddb[dc].reset_index(drop=True)
+    import numpy as np
+    for c in ec:
+        sv, tv = e[c], d[c]
+        if sv.dtype.kind == "f" and tv.dtype.kind == "f":
+            sb = sv.to_numpy(dtype="float64").view("uint64")
+            tb = tv.to_numpy(dtype="float64").view("uint64")
+            eq = (sb == tb) | (sv.isna().to_numpy() & tv.isna().to_numpy())
+            ok = bool(eq.all())
+        else:
+            eq = (sv.astype(object).where(sv.notna(), None) ==
+                  tv.astype(object).where(tv.notna(), None)) | (sv.isna() & tv.isna())
+            ok = bool(eq.all())
+        if not ok:
+            i = int(np.argmax(~np.asarray(eq)))
+            results.append((name, "FAIL",
+                            f"col {c} row {i}: engine={sv.iloc[i]!r} oracle={tv.iloc[i]!r}", len(e)))
+            return
+    results.append((name, "PASS", label, len(e)))
+
+class FlushingResults(list):
+    """print each verdict as it lands — a killed run keeps its progress"""
+    def append(self, item):
+        n, v, msg, rows = item
+        print(f"[sampled] {n:<26} {v:<6} rows={rows:>10}  {msg}", flush=True)
+        super().append(item)
+
+results = FlushingResults()
+
+def wanted(name):
+    return ONLY is None or name in ONLY
+
+for name, (pat, cte, idcol) in PAIR_SURGERY.items():
+    if name not in oracle or not wanted(name):
+        continue
+    if not os.path.isdir(f"{OUT}/{name}"):
+        continue
+    sql = oracle[name]
+    assert pat in sql, f"{name}: oracle shape changed, expected '{pat}' in SQL"
+    restricted = sql.replace(
+        pat, f"FROM (SELECT * FROM {cte} WHERE {samp(idcol)}) a JOIN {cte} b", 1)
+    t0 = time.time()
+    ddb = con.sql(restricted).df()
+    eng = engine_rows(name, samp("id_a"), "id_a, id_b")
+    compare(name, eng, ddb, f"hash-exact on sampled id_a ({time.time()-t0:.0f}s oracle)", results)
+
+# ---- q_dedup_cluster: FULL exact check (not sampled) ----
+# The oracle's recursive closure materializes all-pairs reachability —
+# hopeless on the giant components a perturbed decade-up corpus grows
+# (sf10p: one 457k-member component). Exact connected components are
+# LINEAR with union-find, so this check is full-corpus: DuckDB renders
+# the band edges straight from the oracle SQL's own bnd CTE (engine
+# code shares nothing), python union-find labels components by min
+# doc_id, and every engine row must match byte-exactly. A global
+# band-bucket homogeneity probe (any bucket holding two labels = an
+# under-merge) cross-checks from the other side.
+name = "q_dedup_cluster"
+if name in oracle and wanted(name) and os.path.isdir(f"{OUT}/{name}"):
+    sql = oracle[name]
+    a, b = "bnd AS (", "), reach AS ("
+    assert a in sql and b in sql, "q_dedup_cluster oracle shape changed"
+    bnd_select = sql.split(a, 1)[1].split(b, 1)[0]
+    t0 = time.time()
+    con.sql(f"CREATE TEMP TABLE bnd_all AS {bnd_select}")
+    con.sql(f"CREATE TEMP TABLE eng AS SELECT * FROM '{OUT}/{name}/*.parquet'")
+    n_docs = con.sql("SELECT count(*) FROM documents").fetchone()[0]
+    n_eng = con.sql("SELECT count(*), count(DISTINCT doc_id) FROM eng").fetchone()
+    assert n_eng == (n_docs, n_docs), f"engine output not one row per doc: {n_eng} vs {n_docs}"
+    hetero = con.sql("""
+        SELECT count(*) FROM (
+          SELECT band, count(DISTINCT e.cluster_rep) c
+          FROM bnd_all JOIN eng e USING (doc_id) GROUP BY band) WHERE c > 1
+        """).fetchone()[0]
+    # exact components via union-find over (doc, band) edges
+    edges = con.sql("SELECT doc_id, band FROM bnd_all").fetchnumpy()
+    parent = {}
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # min-id root so the final find IS the engine's label rule
+            if ry < rx:
+                rx, ry = ry, rx
+            parent[ry] = rx
+    first_in_bucket = {}
+    for doc, band in zip(edges["doc_id"].tolist(), edges["band"].tolist()):
+        if doc not in parent:
+            parent[doc] = doc
+        h = first_in_bucket.setdefault(band, doc)
+        if h != doc:
+            union(h, doc)
+    eng = con.sql("SELECT doc_id, cluster_rep FROM eng ORDER BY doc_id").df()
+    bad = 0
+    first_bad = None
+    for doc, rep in zip(eng["doc_id"].tolist(), eng["cluster_rep"].tolist()):
+        want = find(doc) if doc in parent else doc  # bandless docs are singletons
+        if want != rep:
+            bad += 1
+            if first_bad is None:
+                first_bad = (doc, rep, want)
+    if hetero:
+        results.append((name, "FAIL",
+                        f"{hetero} band buckets hold >1 label (under-merge)", n_docs))
+    elif bad:
+        results.append((name, "FAIL",
+                        f"{bad} labels differ from exact union-find; first: doc "
+                        f"{first_bad[0]} engine={first_bad[1]} exact={first_bad[2]}", n_docs))
+    else:
+        results.append((name, "PASS",
+                        f"FULL corpus exact (union-find over oracle band edges) + "
+                        f"bucket homogeneity ({time.time()-t0:.0f}s)", n_docs))
+
+print(f"\nsampled oracle @ rate 1/{RATE} — {SF_DIR}")
+print(f"{'query':<26} {'verdict':<6} {'sampled rows':>12}  detail")
+fails = 0
+for n, v, msg, rows in results:
+    fails += v == "FAIL"
+    print(f"{n:<26} {v:<6} {rows:>12}  {msg}")
+if not results:
+    print("NO QUERIES CHECKED — wrong outDir?")
+    fails = 1
+sys.exit(1 if fails else 0)
