@@ -221,6 +221,43 @@ object Bench {
     if (probeStOpsPerSec <= 0) total
     else total * (probeStOpsPerSec / 1e6) / ProbeRefStMops
 
+  /** All-core analog of [[probeNormalized]]: normalize by the MT probe.
+    * The battery runs local[32], so its wall-clock tracks the host's
+    * PARALLEL throughput, not its single-thread speed — r16's official
+    * read probed st 350 Mops (−25%) but mt 9685 Mops (−10%), and the
+    * st-only value_norm "corrected" a 52.67 s read down to a
+    * still-wrong 39.5 s. Dual-reporting both normalizations bounds the
+    * truth from two directions: when they disagree, the host's
+    * capacity shape differs from the reference and neither number
+    * alone is a verdict. Unreadable probe (≤ 0) → raw value. */
+  def probeNormalizedMt(total: Double, probeMtOpsPerSec: Double): Double =
+    if (probeMtOpsPerSec <= 0) total
+    else total * (probeMtOpsPerSec / 1e6) / ProbeRefMtMops
+
+  /** Render the normalized-total JSON fields for a bench line.
+    *
+    * The r16 lesson (VERDICT r16 #1): the official BENCH_r16.json was a
+    * `gated:false` read, yet it still printed `value_norm:39.511` — a
+    * PLAUSIBLE number that entered the round-over-round record as a
+    * phantom +37% regression. Normalization can correct host SPEED, not
+    * host CONTAMINATION (foreign load, iowait, failed queries), so on a
+    * gated:false line the normalized headline fields are suppressed to
+    * JSON null and the raw computations are demoted to `_ungated`
+    * names: a contaminated read can no longer print a number that a
+    * reader (or a diff script) mistakes for a comparable one. Gated
+    * reads carry both `value_norm` (st probe) and `value_norm_mt` (mt
+    * probe — see [[probeNormalizedMt]]). */
+  def normFields(total: Double, probeStOps: Double, probeMtOps: Double,
+                 gated: Boolean): String = {
+    def ms(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val st = ms(probeNormalized(total, probeStOps))
+    val mt = ms(probeNormalizedMt(total, probeMtOps))
+    if (gated) s""""value_norm":$st,"value_norm_mt":$mt"""
+    else s""""value_norm":null,"value_norm_mt":null""" +
+      s""","value_norm_ungated":$st,"value_norm_mt_ungated":$mt"""
+  }
+
   /** The suspect rule: the MEDIAN sample ran alongside more than `gate`
     * cores of foreign CPU, or the metric was unreadable. The gate is
     * much lower than the loadavg start gate because ext_cores excludes
@@ -532,7 +569,7 @@ object Bench {
       f""","probe_mt_st_ratio":${if (probeSt > 0) probeMt / probeSt else -1.0}%.2f""" +
       f""","probe_ref_mt_st_ratio":${ProbeRefMtMops / ProbeRefStMops}%.2f""" +
       s""","probe_parallel_suspect":$parallelSuspect""" +
-      f""","value_norm":${probeNormalized(total, probeSt)}%.3f""" +
+      s""",${normFields(total, probeSt, probeMt, gatedClean)}""" +
       s""","load_gate_wait_sec":$gateWaitSec""" +
       s""","load_gate_timed_out":$gateTimedOut""" +
       s""","suspect":${jsNames(suspects)},"failed":${jsNames(failed)}""" +
@@ -549,9 +586,11 @@ object Bench {
     def ms(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qCompact = medians.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    // the probe + normalized total ride the COMPACT line so round-over-
-    // round comparisons are mechanical: compare value_norm, not value
-    // (value_norm = value × cpu_probe_st_mops / probe_ref_st_mops)
+    // the probe + normalized totals ride the COMPACT line so round-over-
+    // round comparisons are mechanical: compare value_norm (st probe) and
+    // value_norm_mt (mt probe) TOGETHER, never raw value. On gated:false
+    // reads both print as null (normalization corrects speed, not
+    // contamination — see normFields); take another read instead.
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","samples":3,""" +
       s""""total_min":${ms(totalMin)},"gated":$gatedClean,""" +
       f""""cpu_probe_st_mops":${probeSt / 1e6}%.1f,""" +
@@ -559,7 +598,7 @@ object Bench {
       f""""probe_ref_st_mops":$ProbeRefStMops%.1f,""" +
       f""""probe_mt_st_ratio":${if (probeSt > 0) probeMt / probeSt else -1.0}%.2f,""" +
       s""""probe_parallel_suspect":$parallelSuspect,""" +
-      s""""value_norm":${ms(probeNormalized(total, probeSt))},""" +
+      s"""${normFields(total, probeSt, probeMt, gatedClean)},""" +
       s""""suspect":${jsNames(suspects)},"failed":${jsNames(failed)},""" +
       s""""queries":$qCompact,"sf":"$sfDir"$onlyTag,"diag":"$diagPath"}""")
     spark.stop()

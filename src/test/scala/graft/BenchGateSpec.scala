@@ -152,4 +152,43 @@ class BenchGateSpec extends AnyFunSuite {
     assert(extBusySelf <= ambient + 0.8,
       s"self CPU leaked into ext: ambient=$ambient, during self-burn=$extBusySelf")
   }
+
+  test("mt-probe normalization: value_norm_mt = value × mt_probe / mt_ref") {
+    // reference host normalizes to itself; half parallel capacity halves
+    // the total back to reference terms; unreadable probe → raw value
+    assert(math.abs(Bench.probeNormalizedMt(30.0, 10760.0e6) - 30.0) < 1e-9)
+    assert(math.abs(Bench.probeNormalizedMt(30.0, 5380.0e6) - 15.0) < 1e-9)
+    assert(math.abs(Bench.probeNormalizedMt(30.0, 21520.0e6) - 60.0) < 1e-9)
+    assert(Bench.probeNormalizedMt(30.0, 0.0) == 30.0)
+    assert(Bench.probeNormalizedMt(30.0, -1.0) == 30.0)
+  }
+
+  test("compact-line norm fields: gated reads dual-report, gated:false suppresses to null") {
+    // the r16 official read: st probe 350.3 Mops, mt 9685.2, total 52.67 s,
+    // gated:false — yet it printed value_norm 39.511, which entered the
+    // record as a phantom +37% regression. The ledger rule this pins:
+    // a contaminated read may NEVER print a plausible normalized number.
+    val contaminated = Bench.normFields(52.67, 350.3e6, 9685.2e6, gated = false)
+    assert(contaminated.contains("\"value_norm\":null"),
+      s"gated:false must null the st headline: $contaminated")
+    assert(contaminated.contains("\"value_norm_mt\":null"),
+      s"gated:false must null the mt headline: $contaminated")
+    // the raw computations survive under _ungated names for forensics
+    // (39.508 ≈ the 39.511 the r16 line printed; the diag's Mops fields
+    // are rounded to 0.1 while the live run normalized by the raw rate)
+    assert(contaminated.contains("\"value_norm_ungated\":39.508"))
+    assert(contaminated.contains("\"value_norm_mt_ungated\":47.409"))
+    // a gated-clean read on a slow-PARALLEL host (intact per-core speed,
+    // half the capacity): st normalization reports ~parity while the mt
+    // normalization halves the total — the disagreement is the signal the
+    // st-only ledger could not see (VERDICT r16 #1)
+    val slowParallel = Bench.normFields(60.0, 467.0e6, 5380.0e6, gated = true)
+    assert(slowParallel.contains("\"value_norm\":60.000"))
+    assert(slowParallel.contains("\"value_norm_mt\":30.000"))
+    assert(!slowParallel.contains("ungated"),
+      s"gated reads carry only the headline fields: $slowParallel")
+    // both regimes lead with the same first key, so line diffs align
+    assert(contaminated.startsWith("\"value_norm\":"))
+    assert(slowParallel.startsWith("\"value_norm\":"))
+  }
 }
