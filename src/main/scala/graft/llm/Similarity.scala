@@ -205,8 +205,29 @@ object Similarity {
     val kEff = if (k > 0) k else math.max(8L, df.count() / 64L).toInt
     val cents = ivfCentroids(df, idCol, vecCol, kEff)
     val assigned = graft.plans.Checkpoints.materialize(
-      ivfAssign(df.select(col(idCol), col(vecCol)), vecCol, cents))
+      ivfAssignGuarded(df.select(col(idCol), col(vecCol)), vecCol, cents))
     dropWithinClusters(assigned, idCol, vecCol, tau)
+  }
+
+  /** [[ivfAssign]] with the semDedup family's NaN contract: a zero-norm
+    * vector (row's or centroid's) makes cosine NaN; unguarded, Spark's
+    * NaN-is-greatest ordering sends the row to cluster −1 (all-NaN sims)
+    * or crowns a degenerate centroid, while DuckDB's NaN-first ORDER BY
+    * crowns ci=0 — cross-engine cluster labels diverge on any corpus
+    * holding a zero-norm embedding (r16 ADVICE). nanvl demotes every
+    * degenerate sim to −2.0 (below the cosine range) on BOTH engines, so
+    * zero-norm rows deterministically take the FIRST centroid and
+    * zero-norm centroids lose every argmax — the same first-index
+    * tie-break the fine level already used. Scoped to the semDedup
+    * family: [[ivfAssign]] keeps its raw NaN semantics for callers that
+    * want the "unassignable" −1 signal. */
+  private def ivfAssignGuarded(df: DataFrame, vecCol: String,
+                               centroids: Seq[Array[Double]]): DataFrame = {
+    val sims = array(centroids.map(c =>
+      nanvl(cosineTo(col(vecCol), c.toSeq), lit(-2.0))): _*)
+    df.withColumn("__sims", sims)
+      .withColumn("cluster", expr("array_position(__sims, array_max(__sims))").cast("int") - 1)
+      .drop("__sims")
   }
 
   /** The SemDeDup keep rule over an assigned (id, vec, cluster) relation:
@@ -265,8 +286,13 @@ object Similarity {
     val k1 = math.ceil(math.sqrt(kEff.toDouble)).toInt
     val f = math.ceil(kEff.toDouble / k1).toInt
     val coarse = ivfCentroids(df, idCol, vecCol, k1)
+    // guarded coarse assignment (same −2.0 NaN demotion as the fine
+    // level): without it a zero-norm row lands in engine cell −1 while
+    // the oracle's guarded argmax puts it in cell 0, and the divergent
+    // membership can even displace cell 0's hash-rank fine seeds —
+    // labels diverge corpus-wide, not just on the degenerate row
     val cells = graft.plans.Checkpoints.materialize(
-      ivfAssign(df.select(col(idCol), col(vecCol)), vecCol, coarse)
+      ivfAssignGuarded(df.select(col(idCol), col(vecCol)), vecCol, coarse)
         .withColumnRenamed("cluster", "cell"))
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy("cell")
@@ -306,7 +332,12 @@ object Similarity {
     * seed, same per-cell hash-rank fine seeds, same first-index argmax
     * tie-break at both levels (row_number by sim DESC then rank), same
     * min-id-survives pair rule. k1/f arithmetic mirrors the Scala side
-    * exactly (IEEE sqrt + ceil on both engines). */
+    * exactly (IEEE sqrt + ceil on both engines). The sims1/sims2 CTEs
+    * mirror the engine's nanvl(…, -2.0) NaN guard at BOTH levels via
+    * CASE WHEN isnan (r16 ADVICE): DuckDB sorts NaN first under ORDER BY
+    * sim DESC, so unguarded zero-norm rows/seeds would win argmaxes they
+    * lose on the Spark side, and the divergent cell membership cascades
+    * into the fine-seed choice. */
   def semDedupTwoLevelSql(k: Int, tau: Double, dim: Int): String = {
     val u60 = graft.generators.OracleGen.u60("vec_id", "ivf")
     val simCoarse = pairCosineSql("e.embedding", "c.cvec", dim)
@@ -325,7 +356,10 @@ object Similarity {
           SELECT row_number() OVER (ORDER BY ${u60}, vec_id) - 1 AS ci, embedding AS cvec
           FROM csel
         ), sims1 AS (
-          SELECT e.vec_id, e.embedding, c.ci, ${simCoarse} AS sim FROM embeddings e, cent c
+          SELECT vec_id, embedding, ci,
+                 CASE WHEN isnan(sim0) THEN -2.0 ELSE sim0 END AS sim
+          FROM (SELECT e.vec_id, e.embedding, c.ci, ${simCoarse} AS sim0
+                FROM embeddings e, cent c)
         ), cells AS (
           SELECT vec_id, embedding, ci AS cell FROM (
             SELECT vec_id, embedding, ci, sim,
@@ -337,8 +371,10 @@ object Similarity {
                    row_number() OVER (PARTITION BY cell ORDER BY ${u60}, vec_id) AS r
             FROM cells) WHERE r <= (SELECT f FROM params)
         ), sims2 AS (
-          SELECT a.vec_id, a.embedding, s.sid, s.r, ${simFine} AS sim
-          FROM cells a JOIN seeds s ON a.cell = s.cell
+          SELECT vec_id, embedding, sid, r,
+                 CASE WHEN isnan(sim0) THEN -2.0 ELSE sim0 END AS sim
+          FROM (SELECT a.vec_id, a.embedding, s.sid, s.r, ${simFine} AS sim0
+                FROM cells a JOIN seeds s ON a.cell = s.cell)
         ), assigned AS (
           SELECT vec_id, embedding, sid AS cluster FROM (
             SELECT vec_id, embedding, sid, r, sim,
@@ -471,6 +507,14 @@ object Similarity {
   /** DuckDB rendering of [[semDedup]] — same hash-rank centroid seed,
     * same argmax assignment (first-index tie-break == row_number by sim
     * DESC, ci), same min-id-survives pair rule. */
+  /** DuckDB rendering of [[semDedup]]. The `sims` CTE mirrors the
+    * engine's nanvl(…, -2.0) NaN guard via CASE WHEN isnan — DuckDB
+    * sorts NaN FIRST under ORDER BY sim DESC, so an unguarded zero-norm
+    * row or centroid would win argmaxes it loses on the Spark side
+    * (r16 ADVICE); both engines demote degenerate sims below the cosine
+    * range instead. (No `--` comments inside oracle SQL: the driver
+    * flattens newlines, and a line comment would swallow the rest of
+    * the query.) */
   def semDedupSql(k: Int, tau: Double, dim: Int): String = {
     val u60 = graft.generators.OracleGen.u60("vec_id", "ivf")
     val sim = pairCosineSql("e.embedding", "c.cvec", dim)
@@ -484,7 +528,10 @@ object Similarity {
           SELECT row_number() OVER (ORDER BY ${u60}, vec_id) - 1 AS ci, embedding AS cvec
           FROM csel
         ), sims AS (
-          SELECT e.vec_id, e.embedding, c.ci, ${sim} AS sim FROM embeddings e, cent c
+          SELECT vec_id, embedding, ci,
+                 CASE WHEN isnan(sim0) THEN -2.0 ELSE sim0 END AS sim
+          FROM (SELECT e.vec_id, e.embedding, c.ci, ${sim} AS sim0
+                FROM embeddings e, cent c)
         ), assigned AS (
           SELECT vec_id, embedding, ci FROM (
             SELECT vec_id, embedding, ci,

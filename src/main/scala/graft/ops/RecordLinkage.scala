@@ -28,17 +28,21 @@ object RecordLinkage {
       if (totalRows == 0L) 0.0 else droppedRows.toDouble / totalRows
   }
 
-  private val capDrops =
-    new java.util.concurrent.ConcurrentHashMap[String, CapDrop]()
+  /** Snapshot of the most recent [[fuzzyJoin]] call's complete drop
+    * report. Written as ONE immutable map per call (never cleared then
+    * repopulated), so a concurrent reader always sees a self-consistent
+    * report from a single call — the r16 clear()/put() window could
+    * serve a map mixing sides from two interleaved calls. */
+  @volatile private var lastDrops: Map[String, CapDrop] = Map.empty
 
   /** Per-side ("a"/"b") drop mass of the LAST capped [[fuzzyJoin]] pass —
     * the observability hook for the silent-total-drop regime: a cap that
     * swallows 100% of candidate mass reads as "no duplicates found"
-    * without it. Empty when the last call ran uncapped. */
-  def lastCapDrops: Map[String, CapDrop] = {
-    import scala.jdk.CollectionConverters._
-    capDrops.asScala.toMap
-  }
+    * without it. Empty when the last call ran uncapped. Last-writer-wins
+    * under concurrency (always a complete single-call map, but "last" is
+    * whichever call finished most recently) — concurrent callers should
+    * use [[fuzzyJoinWithReport]], which returns the call's OWN report. */
+  def lastCapDrops: Map[String, CapDrop] = lastDrops
 
   /** Uppercased first `n` chars — the standard cheap block. */
   def prefixBlock(c: Column, n: Int = 3): Column = upper(substring(c, 1, n))
@@ -71,14 +75,36 @@ object RecordLinkage {
     * Dropped blocks trade recall for a hard cost bound — exactly the dial
     * real linkage systems expose; pick the cap so legitimate blocks pass.
     *
+    * STORAGE NOTE (capped calls only): each side's block census is
+    * materialized via `Checkpoints.materialize` and stays referenced by
+    * the RETURNED plan (the anti-join reads it), so its blocks cannot be
+    * released here. They are registered for `Checkpoints.releaseAll()`
+    * — the same contract every shared-leaf operator follows: a
+    * long-lived driver making repeated capped calls must drain the
+    * registry once each result is consumed, or census blocks accumulate
+    * one pair per call.
+    *
     * @param blockA / blockB blocking-key expressions over each side's
     *        text column (same key family on both sides for recall). */
   def fuzzyJoin(a: DataFrame, aId: String, aText: String, blockA: Column,
                 b: DataFrame, bId: String, bText: String, blockB: Column,
-                maxDist: Int, maxBlockSize: Option[Int] = None): DataFrame = {
+                maxDist: Int, maxBlockSize: Option[Int] = None): DataFrame =
+    fuzzyJoinWithReport(a, aId, aText, blockA, b, bId, bText, blockB,
+      maxDist, maxBlockSize)._1
+
+  /** [[fuzzyJoin]] plus the call's OWN per-side drop report — the
+    * concurrency-safe observability path (VERDICT r16 #3): the report is
+    * local to this invocation, so two interleaved capped calls cannot
+    * cross-talk the way the shared [[lastCapDrops]] hook can. The report
+    * is computed eagerly (the census aggregate runs inside this call),
+    * so reading it costs nothing extra. */
+  def fuzzyJoinWithReport(a: DataFrame, aId: String, aText: String, blockA: Column,
+                          b: DataFrame, bId: String, bText: String, blockB: Column,
+                          maxDist: Int, maxBlockSize: Option[Int] = None)
+      : (DataFrame, Map[String, CapDrop]) = {
     require(maxDist >= 0, "fuzzyJoin: maxDist must be >= 0")
     require(maxBlockSize.forall(_ > 0), "fuzzyJoin: maxBlockSize must be positive")
-    capDrops.clear()
+    val report = scala.collection.mutable.Map.empty[String, CapDrop]
     // Cap enforcement is LOUD about what it drops (r15 verdict: at a
     // 100-replica duplication every mid-slice block exceeded the cap and
     // the operator returned 0 pairs with no signal — on a real pipeline
@@ -96,7 +122,7 @@ object RecordLinkage {
         coalesce(sum(when(col("__bn") > cap, col("__bn"))), lit(0L))).head()
       val drop = CapDrop(stat.getLong(2), stat.getLong(3),
         stat.getLong(0), stat.getLong(1))
-      capDrops.put(side, drop)
+      report.put(side, drop)
       if (drop.droppedBlocks > 0L)
         Console.err.println(
           f"[fuzzyJoin] side=$side cap=$cap dropped ${drop.droppedBlocks} " +
@@ -110,10 +136,13 @@ object RecordLinkage {
       blockA.as("__blk")), "a")
     val right = capped(b.select(col(bId).as("id_b"), col(bText).as("text_b"),
       blockB.as("__blk")), "b")
-    left.join(right, "__blk")
+    val out = left.join(right, "__blk")
       .withColumn("dist", levenshtein(col("text_a"), col("text_b")))
       .filter(col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
+    val snapshot = report.toMap
+    lastDrops = snapshot
+    (out, snapshot)
   }
 
   /** Per-block row counts on each side — the diagnostic to run BEFORE

@@ -103,6 +103,44 @@ class RecordLinkageSpec extends SparkSpec {
     assert(RecordLinkage.lastCapDrops.isEmpty)
   }
 
+  test("fuzzyJoinWithReport: two interleaved capped calls keep their own reports") {
+    // VERDICT r16 #3 / ADVICE: the old global registry was cleared at the
+    // start of every call, so two concurrent capped calls could serve a
+    // report mixing sides from different calls. The per-call return value
+    // must be immune: run two calls with DIFFERENT drop shapes on two
+    // threads, repeatedly, and each must come back with exactly its own.
+    val a1 = (1L to 8L).map(i => (i, "hotAAA")).toDF("id", "t") // 8-row hot block
+    val b1 = Seq((101L, "hotAAA"), (102L, "clean1")).toDF("id", "t")
+    val a2 = (1L to 40L).map(i => (i, s"dup${i % 2}")).toDF("id", "t") // total drop
+    val b2 = (101L to 140L).map(i => (i, s"dup${i % 2}")).toDF("id", "t")
+    val expect1a = RecordLinkage.CapDrop(1L, 8L, 1L, 8L)
+    val expect2a = RecordLinkage.CapDrop(2L, 40L, 2L, 40L)
+    def call1() = RecordLinkage.fuzzyJoinWithReport(
+      a1, "id", "t", RecordLinkage.suffixBlock(col("t")),
+      b1, "id", "t", RecordLinkage.suffixBlock(col("t")),
+      maxDist = 2, maxBlockSize = Some(5))._2
+    def call2() = RecordLinkage.fuzzyJoinWithReport(
+      a2, "id", "t", RecordLinkage.suffixBlock(col("t")),
+      b2, "id", "t", RecordLinkage.suffixBlock(col("t")),
+      maxDist = 2, maxBlockSize = Some(5))._2
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    (1 to 3).foreach { _ =>
+      val f1 = Future(call1()); val f2 = Future(call2())
+      val r1 = Await.result(f1, 120.seconds)
+      val r2 = Await.result(f2, 120.seconds)
+      assert(r1("a") == expect1a, s"call 1 report polluted: $r1")
+      assert(r2("a") == expect2a, s"call 2 report polluted: $r2")
+      assert(r1("b").totalRows == 2L && r2("b").totalRows == 40L,
+        s"side-b reports crossed: $r1 / $r2")
+    }
+    // the legacy hook still serves SOME complete single-call map
+    val last = RecordLinkage.lastCapDrops
+    assert(last("a") == expect1a || last("a") == expect2a, last)
+    graft.plans.Checkpoints.releaseAll()
+  }
+
   test("entityClusters: transitive merge over a chain, singletons kept, dup edges ok") {
     import spark.implicits._
     // chain 1-2, 2-3, 3-4 (depth forces >1 propagation round); island 7-8;

@@ -91,9 +91,95 @@ class SemDedupSpec extends SparkSpec {
     graft.plans.Checkpoints.releaseAll()
     assert(a.length == 6, "one row per vector, zero-norm included")
     assert(a.toSeq == b.toSeq, "deterministic under repartitioning")
-    // the zero-norm row can never be tau-near anything (NaN >= tau is
-    // false on both engines), so it always survives
-    assert(a.find(_._1 == 3L).exists(_._3), "zero-norm row must keep")
+    // NaN orders GREATER than every number on both engines, so the drop
+    // predicate treats a zero-norm row as "near" any clustermate — it
+    // survives here only because no smaller-id member shares its cluster
+    // (the zero-norm parity spec covers the dropped regime)
+    val zrow = a.find(_._1 == 3L).get
+    val smallerMates = a.filter(r => r._2 == zrow._2 && r._1 < 3L)
+    assert(zrow._3 == smallerMates.isEmpty,
+      s"zero-norm keep must follow the NaN-near rule: $zrow mates=$smallerMates")
+  }
+
+  test("zero-norm oracle parity: engine matches the guarded mini-oracle, flat and two-level") {
+    // r16 ADVICE: the engine's nanvl(-2.0) guard existed only on the
+    // Spark side; DuckDB sorts NaN FIRST under ORDER BY sim DESC, so a
+    // zero-norm row (all sims NaN) or a zero-norm SEED (NaN against
+    // everyone) won oracle argmaxes it lost on the engine — cluster
+    // labels diverged corpus-wide. Both engines now demote degenerate
+    // sims to -2.0; this spec replays the ORACLE's guarded algorithm
+    // (row_number ORDER BY sim DESC, ci/r — first-index tie-break) in
+    // plain Scala on a corpus where zero-norm vectors appear both as
+    // ROWS and as hash-rank-selected SEEDS, and requires exact equality.
+    val ids = (1L to 12L).toSeq
+    val ranks = ids.toDF("vec_id")
+      .select(col("vec_id"), graft.generators.Gen.u60(col("vec_id"), "ivf").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val order = ids.sortBy(id => (ranks(id), id))
+    // hash-rank-smallest id gets a ZERO-NORM vector: with k=4 (k1=2) it
+    // becomes coarse centroid 0 AND cell 0's rank-1 fine seed — the
+    // degenerate-seed regime; one mid-rank id is a zero-norm plain row
+    val degenerateSeed = order.head
+    val zeroRow = order(6)
+    val axes = Seq(vec(1, 0, 0, 0), vec(0, 1, 0, 0), vec(0, 0, 1, 0),
+      vec(0, 0, 0, 1), vec(1, 0.2, 0, 0), vec(0, 1, 0.2, 0))
+    val vecs: Map[Long, Array[Float]] = ids.map { id =>
+      id -> (if (id == degenerateSeed || id == zeroRow) vec(0, 0, 0, 0)
+             else axes((id % axes.size).toInt))
+    }.toMap
+    val df = ids.map(id => (id, vecs(id))).toDF("vec_id", "embedding")
+    val k = 4; val tau = 0.9
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb)) // NaN when either norm is 0
+    }
+    def guard(x: Double): Double = if (x.isNaN) -2.0 else x
+    def argmaxFirst(sims: Seq[Double]): Int = sims.indexOf(sims.max)
+    // the DROP predicate is deliberately UNGUARDED on both engines, and
+    // both Spark and DuckDB order NaN GREATER than every number — so
+    // `NaN >= tau` is TRUE there (unlike Scala's IEEE false): a zero-norm
+    // row with a smaller-id clustermate is dropped. The mini-oracle must
+    // encode the engines' semantics, not the JVM's.
+    def near(a: Long, b: Long): Boolean = {
+      val c = cos(vecs(a), vecs(b)); c.isNaN || c >= tau
+    }
+    def keepRule(assigned: Map[Long, Long]): Map[Long, Boolean] =
+      assigned.map { case (id, cl) =>
+        id -> !assigned.exists { case (oid, ocl) =>
+          ocl == cl && oid < id && near(oid, id) }
+      }
+    // ---- flat mini-oracle: k hash-rank centroids, guarded argmax
+    val centsF = order.take(k).map(vecs)
+    val flatCell = ids.map(id =>
+      id -> argmaxFirst(centsF.map(c => guard(cos(vecs(id), c)))).toLong).toMap
+    val flatKeep = keepRule(flatCell)
+    val flatEng = Similarity.semDedup(df, "vec_id", "embedding", k = k, tau = tau)
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getBoolean(2))).sortBy(_._1)
+    graft.plans.Checkpoints.releaseAll()
+    assert(flatEng.toSeq == ids.map(id => (id, flatCell(id), flatKeep(id))),
+      s"flat parity broke: engine=${flatEng.toSeq}")
+    // ---- two-level mini-oracle: k1 coarse, per-cell rank-f fine seeds
+    val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+    val f = math.ceil(k.toDouble / k1).toInt
+    val cents1 = order.take(k1).map(vecs)
+    val cell = ids.map(id =>
+      id -> argmaxFirst(cents1.map(c => guard(cos(vecs(id), c))))).toMap
+    val fineSeeds: Map[Int, Seq[Long]] = ids.groupBy(cell)
+      .map { case (c, ms) => c -> ms.sortBy(id => (ranks(id), id)).take(f).toSeq }
+    val cluster = ids.map { id =>
+      val seeds = fineSeeds(cell(id))
+      id -> seeds(argmaxFirst(seeds.map(s => guard(cos(vecs(id), vecs(s))))))
+    }.toMap
+    val twoKeep = keepRule(cluster)
+    val twoEng = Similarity.semDedupTwoLevel(df, "vec_id", "embedding", k = k, tau = tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    graft.plans.Checkpoints.releaseAll()
+    assert(twoEng.toSeq == ids.map(id => (id, cluster(id), twoKeep(id))),
+      s"two-level parity broke: engine=${twoEng.toSeq}")
+    // the stress case actually fired: a zero-norm vector served as seed
+    assert(fineSeeds.values.flatten.toSet.contains(degenerateSeed) ||
+      cents1.exists(_.forall(_ == 0f)), "fixture no longer exercises a degenerate seed")
   }
 
   test("two-level semdedup is partition-invariant") {
