@@ -202,6 +202,54 @@ class LlmOpsSpec extends SparkSpec {
     graft.plans.Checkpoints.releaseAll()
   }
 
+  test("simhashPairs self-sizing: unknown corpus size probes the leaf and routes by measurement") {
+    // r16 verdict #2: expectedDistinctContents = 0 used to route by
+    // radius alone — the one silent scale hazard left (a >1M-distinct
+    // corpus on the default path saturated the 15-bit bands). The router
+    // now measures distinct contents from the materialized signature
+    // leaf; the `cutoff` knob lets this spec pin BOTH routes on one
+    // corpus (49 distinct docs: cutoff 10 must go wide, default must
+    // stay narrow), and the two routes must agree on the pair set
+    // exactly (both are pigeonhole-complete at radius <= 3).
+    val stream = (1 to 90).map(i => s"w$i")
+    val corpus = (0 until 49).map { i =>
+      ((i + 1).toLong, stream.slice(i, i + 18).mkString(" "))
+    }.toDF("doc_id", "text")
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.analyzed.toString
+    // measured 49 > cutoff 10 → wide (the 120-bit second stream's sh2
+    // attribute only exists on wide plans — both its direct and
+    // collapsed variants; narrow plans carry a single sh)
+    val wide = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3, cutoff = 10L)
+    assert(planOf(wide).contains("sh2"), "cutoff 10 must route the 49-doc corpus WIDE")
+    val wideSet = wide.as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    graft.plans.Checkpoints.releaseAll()
+    // measured 49 << default cutoff (2^20) → narrow, probe leaf reused
+    val narrow = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+    assert(!planOf(narrow).contains("sh2"), "default cutoff must keep 49 docs NARROW")
+    val narrowSet = narrow.as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    graft.plans.Checkpoints.releaseAll()
+    // each route is pigeonhole-complete FOR ITS OWN SIGNATURE (radius 3
+    // over 120 bits is a stricter estimator than over 60 — the sets are
+    // not comparable across routes): brute-force both witnesses
+    val sigs = corpus.select(col("doc_id"), TextOps.simhash60(col("text")).as("s1"),
+        TextOps.simhash60b(col("text")).as("s2"))
+      .as[(Long, Long, Long)].collect()
+    def brute(width120: Boolean) = (for {
+      a <- sigs; b <- sigs if a._1 < b._1
+      h = java.lang.Long.bitCount(a._2 ^ b._2) +
+        (if (width120) java.lang.Long.bitCount(a._3 ^ b._3) else 0)
+      if h <= 3
+    } yield (a._1, b._1) -> h).toMap
+    assert(wideSet == brute(width120 = true), "wide route incomplete for the 120-bit signature")
+    assert(narrowSet == brute(width120 = false), "narrow route incomplete for the 60-bit signature")
+    // an explicit size skips the probe and routes by the caller's number
+    val explicitWide = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3,
+      expectedDistinctContents = 49L, cutoff = 10L)
+    assert(planOf(explicitWide).contains("sh2"))
+    graft.plans.Checkpoints.releaseAll()
+  }
+
   test("simhash collapse gate: both plan paths equal the brute-force pair set") {
     // the adaptive gate routes a duplicate-free corpus to direct banding
     // and a duplicate-heavy one through the signature collapse — both
