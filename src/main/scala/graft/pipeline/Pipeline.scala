@@ -199,7 +199,14 @@ object Planner {
       d.withColumn(c, col(c).cast(t))
     }
     val base = cfg.subsetConds.foldLeft(base2)((d, c) => d.filter(expr(c)))
-    val byName = cfg.transforms.map(t => t.column -> t).toMap
+    // record-level transformers (Cmd — an external process is not a
+    // Column) bypass the projection: they are applied to the PLAN after
+    // the scalar select, with `when` gating realized as a split-union
+    // (matching rows transformed, the rest kept untouched — the same
+    // keep-untransformed semantics the projection compiles into a CASE)
+    val (recordTs, scalarTs) = cfg.transforms.partition(
+      _.transformer.isInstanceOf[graft.transformers.RecordTransformer])
+    val byName = scalarTs.map(t => t.column -> t).toMap
     val projected = base.schema.fields.map { f =>
       byName.get(f.name) match {
         case Some(t) =>
@@ -212,7 +219,16 @@ object Planner {
         case None => col(f.name)
       }
     }
-    val out = base.select(projected.toIndexedSeq: _*)
+    val selected = base.select(projected.toIndexedSeq: _*)
+    val out = recordTs.foldLeft(selected) { (d, t) =>
+      val r = t.transformer.asInstanceOf[graft.transformers.RecordTransformer]
+      (cfg.when.toSeq ++ t.when.toSeq).map(expr) match {
+        case Nil => r.transform(d, t.column)
+        case conds =>
+          val gate = coalesce(conds.reduce(_ && _), lit(false))
+          r.transform(d.filter(gate), t.column).unionByName(d.filter(!gate))
+      }
+    }
     cfg.limit.fold(out)(out.limit)
   }
 
@@ -487,6 +503,19 @@ object Registry {
       p(m, "values", "a=b").split(",").map { kv => val Array(k, v) = kv.split("="); k -> v }.toMap,
       m.get("default"), p(m, "fail_not_matched", "false").toBoolean)),
     "Template" -> F(m => TemplateExpr(p(m, "expression", "NULL"))),
+    // TemplateRecord (ref template_record.go): SURVEY §2.7 re-scopes the
+    // whole-record template to N per-column expressions — a config block
+    // lists one TemplateRecord transform per rewritten column, each
+    // expression free to reference ANY column of the row (same dialect
+    // and engine as Template; the name exists so list-transformers
+    // enumerates the full reference inventory and configs port 1:1)
+    "TemplateRecord" -> F(m => TemplateExpr(p(m, "expression", "NULL"))),
+    // Cmd (ref cmd.go): external-command row transformer over ops/Pipe —
+    // record-level (Planner intercepts), command whitespace-split, codec
+    // csv|json|jsonrecord|text as in the reference's wire drivers
+    "Cmd" -> F(m => CmdTransformer(
+      p(m, "command", "cat").split("\\s+").toSeq.filter(_.nonEmpty),
+      p(m, "codec", "csv"), p(m, "timeout_sec", "0").toInt)),
     // per-column templates over generated attributes (ref random_person.go
     // columns param / real_address.go required template); RealAddress has
     // no default — the reference rejects an empty template there

@@ -33,6 +33,45 @@ trait ScalarTransformer {
     else oracle(input)
 }
 
+/** A transformer that rewrites the RECORD rather than one scalar
+  * expression — the escape hatch for semantics a Catalyst `Column`
+  * cannot express (an external process, a multi-column rewrite).
+  * `Planner.plan` intercepts these BEFORE building the single-select
+  * projection and applies `transform` to the table plan instead;
+  * `column` is therefore never invoked (it throws to keep the contract
+  * loud). `when` gating still works: the planner splits the plan on the
+  * predicate, transforms the matching rows, and unions the rest back
+  * untouched — the same keep-untransformed semantics the projection
+  * path compiles into a CASE. */
+trait RecordTransformer extends ScalarTransformer {
+  def transform(df: org.apache.spark.sql.DataFrame, column: String): org.apache.spark.sql.DataFrame
+  final def column(input: Column): Column =
+    throw new UnsupportedOperationException(
+      s"$toString is record-level: apply it through Planner.plan, not as a Column")
+  def oracle(input: String): Option[String] = None
+}
+
+/** `Cmd` — the reference's external-command row transformer
+  * (ref `transformers/cmd.go`, wire formats `json_api.go` /
+  * `text_api.go`), realized over [[graft.ops.Pipe]]: the affected
+  * column's rows stream through `command` (one line per row, csv /
+  * json / jsonrecord / text codec — a script written against the
+  * reference's json driver runs unchanged), and every column comes back
+  * CAST to its original type (the pipe wire format is text, the same
+  * string round-trip contract the reference's drivers have).
+  * `command` is whitespace-split into argv (no shell). */
+case class CmdTransformer(command: Seq[String], codec: String = "csv",
+                          timeoutSec: Int = 0) extends RecordTransformer {
+  override def keepNull: Boolean = false
+  def transform(df: org.apache.spark.sql.DataFrame, column: String): org.apache.spark.sql.DataFrame = {
+    val schema = df.schema
+    val piped = graft.ops.Pipe.through(df, command, codec,
+      graft.ops.PipeOptions(timeoutSec = timeoutSec, affectedColumns = Seq(column)))
+    piped.select(schema.fields.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+  }
+}
+
 /** RandomInt — uniform integer in [min,max], hash engine
   * (ref `transformers/random_int.go:35-76`, limiter `random_int64.go:14-37`). */
 case class RandomInt(min: Long, max: Long, tweak: String = "int") extends ScalarTransformer {
