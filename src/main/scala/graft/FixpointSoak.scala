@@ -106,9 +106,14 @@ object FixpointSoak {
       noop(graft.ops.RecordLinkage.entityClusters(
         spark.read.parquet(dirs._1), "id", spark.read.parquet(dirs._2)))
 
+    // optional 3rd arg: run only the named op ("cyclic_subset" /
+    // "entity_clusters") — A/B runs of one operator shouldn't pay for
+    // the other's ~minute of soak
+    val only = args.drop(2).headOption
     val ops: Seq[(String, String, Long => (String, String), ((String, String)) => Unit)] = Seq(
       ("cyclic_subset", "cyclicSubset", stageCycle _, runCycle _),
       ("entity_clusters", "entityClusters", stageEntity _, runEntity _))
+      .filter(o => only.forall(_ == o._1))
 
     val lines = ops.map { case (op, statKey, stage, run) =>
       val d1 = stage(baseRows); val dN = stage(baseRows * mult)

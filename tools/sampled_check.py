@@ -123,6 +123,121 @@ for name, (pat, cte, idcol) in PAIR_SURGERY.items():
     eng = engine_rows(name, samp("id_a"), "id_a, id_b")
     compare(name, eng, ddb, f"hash-exact on sampled id_a ({time.time()-t0:.0f}s oracle)", results)
 
+# ---- q_fuzzy_link family: sampled left side, cap contract intact ----
+# The capped variants compute their degenerate-block cap with a window
+# count over the FULL side — sampling before the QUALIFY would change
+# block counts and silently change which blocks the cap drops, so the
+# sample predicate is ANDed INTO the QUALIFY (DuckDB evaluates window
+# functions before any QUALIFY filtering: the cap still sees full
+# blocks, then the row sample applies). The uncapped variant samples
+# inside the a-side subquery directly. Engine parquet filters on the
+# same hash(id_a) predicate; the multi variant's GROUP BY (id_a, id_b)
+# commutes with an id_a-only filter.
+FUZZY_SURGERY = {
+    "q_fuzzy_link": [(
+        "FROM (SELECT c_custkey, c_name FROM customer) a JOIN",
+        f"FROM (SELECT c_custkey, c_name FROM customer WHERE {samp('c_custkey')}) a JOIN",
+        1)],
+    "q_fuzzy_link_capped": [(
+        "QUALIFY count(*) OVER (PARTITION BY __blk) <= 100) a JOIN",
+        f"QUALIFY count(*) OVER (PARTITION BY __blk) <= 100 AND ({samp('a_key')})) a JOIN",
+        1)],
+    "q_fuzzy_link_multi": [(
+        "QUALIFY count(*) OVER (PARTITION BY __blk) <= 500) a JOIN",
+        f"QUALIFY count(*) OVER (PARTITION BY __blk) <= 500 AND ({samp('c_custkey')})) a JOIN",
+        2)],
+}
+
+for name, reps in FUZZY_SURGERY.items():
+    if name not in oracle or not wanted(name):
+        continue
+    if not os.path.isdir(f"{OUT}/{name}"):
+        continue
+    sql = oracle[name]
+    for old, new, n_expected in reps:
+        assert sql.count(old) == n_expected, \
+            f"{name}: oracle shape changed, expected {n_expected}x '{old}'"
+        sql = sql.replace(old, new)
+    t0 = time.time()
+    ddb = con.sql(sql).df()
+    eng = engine_rows(name, samp("id_a"), "id_a, id_b")
+    compare(name, eng, ddb, f"hash-exact on sampled id_a ({time.time()-t0:.0f}s oracle)", results)
+
+# ---- q_dedup_spans: global shingle stats, sampled rendering ----
+# Span dedup is a GLOBAL contract (a span drops everywhere but its
+# corpus-first occurrence), so the shingle-digest CTEs (sh0/pos/freq/
+# dup/perdoc) must run over the FULL corpus — that md5 rendering is the
+# irreducible linear cost. What the sample cuts is the FINAL per-doc
+# string reconstruction + comparison: only docs passing the hash
+# predicate are rendered and checked, with the global dup positions
+# intact. Surgery restricts the final FROM d0 join only.
+name = "q_dedup_spans"
+if name in oracle and wanted(name) and os.path.isdir(f"{OUT}/{name}"):
+    sql = oracle[name]
+    pat = "FROM d0 LEFT JOIN perdoc p USING (id)"
+    assert sql.count(pat) == 1, "q_dedup_spans oracle shape changed"
+    restricted = sql.replace(
+        pat, f"FROM (SELECT * FROM d0 WHERE {samp('id')}) d0 LEFT JOIN perdoc p USING (id)", 1)
+    t0 = time.time()
+    ddb = con.sql(restricted).df()
+    eng = engine_rows(name, samp("doc_id"), "doc_id")
+    compare(name, eng, ddb,
+            f"global shingle stats + sampled doc render ({time.time()-t0:.0f}s oracle)", results)
+
+# ---- q_entity_clusters: FULL exact check via union-find (not sampled) ----
+# The oracle's RECURSIVE reach CTE materializes all-pairs reachability —
+# the same quadratic-in-component-size cliff as q_dedup_cluster's
+# closure. Exact components are linear with union-find: DuckDB renders
+# the matched-pair CTE (prs) straight from the oracle SQL, python
+# union-find labels by min id, and EVERY engine row must match.
+name = "q_entity_clusters"
+if name in oracle and wanted(name) and os.path.isdir(f"{OUT}/{name}"):
+    sql = oracle[name]
+    a, b = "WITH RECURSIVE prs AS (", "), edges AS ("
+    assert a in sql and b in sql, "q_entity_clusters oracle shape changed"
+    prs_select = sql.split(a, 1)[1].split(b, 1)[0]
+    t0 = time.time()
+    pairs = con.sql(prs_select).fetchnumpy()
+    parent = {}
+    def find2(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+    def union2(x, y):
+        for v in (x, y):
+            if v not in parent:
+                parent[v] = v
+        rx, ry = find2(x), find2(y)
+        if rx != ry:
+            if ry < rx:
+                rx, ry = ry, rx
+            parent[ry] = rx
+    for ia, ib in zip(pairs["id_a"].tolist(), pairs["id_b"].tolist()):
+        union2(ia, ib)
+    eng = con.sql(
+        f"SELECT rec_id, entity_rep FROM '{OUT}/{name}/*.parquet' ORDER BY rec_id").df()
+    n_rec = len(eng)
+    assert eng["rec_id"].is_unique, "engine output not one row per record"
+    bad = 0
+    first_bad = None
+    for rid, rep in zip(eng["rec_id"].tolist(), eng["entity_rep"].tolist()):
+        want = find2(rid) if rid in parent else rid
+        if want != rep:
+            bad += 1
+            if first_bad is None:
+                first_bad = (rid, rep, want)
+    if bad:
+        results.append((name, "FAIL",
+                        f"{bad} labels differ from exact union-find; first: rec "
+                        f"{first_bad[0]} engine={first_bad[1]} exact={first_bad[2]}", n_rec))
+    else:
+        results.append((name, "PASS",
+                        f"FULL record set exact (union-find over oracle pair CTE, "
+                        f"{len(pairs['id_a'])} pairs, {time.time()-t0:.0f}s)", n_rec))
+
 # ---- q_dedup_cluster: FULL exact check (not sampled) ----
 # The oracle's recursive closure materializes all-pairs reachability —
 # hopeless on the giant components a perturbed decade-up corpus grows
