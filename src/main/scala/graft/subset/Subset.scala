@@ -237,6 +237,24 @@ object SubsetPlanner {
         // support dies). Tables whose frontiers are empty are untouched —
         // quiescent tables cost nothing, matching the semi-naive
         // discipline entityClusters uses.
+        // TOMBSTONE MODE (r17 experiment, VERDICT r16 #4): instead of
+        // localCheckpoint-REWRITING every shrinking table each round
+        // (write volume = table size × shrinking rounds — the remaining
+        // super-linear term at cluster scale), accumulate per-table
+        // dead-PK tombstone sets (checkpointed, delta+cumulative sized)
+        // and evaluate each table as ONE lazy anti-join
+        // base ⟕̸ tombstone — lineage depth stays constant because both
+        // sides are checkpoint leaves, and the only per-round writes are
+        // the (tiny) frontier and the grown tombstone. The fixed point
+        // is unchanged: deletions are monotone, and a view built from
+        // base minus all accumulated deletions equals the rewritten
+        // table by induction. Requires a declared PK on every component
+        // table (the subtraction key); falls back to rewrite mode
+        // otherwise. Toggle: SPARK_GRAFT_SUBSET_TOMBSTONE=0 forces
+        // rewrite mode (the A/B lever FixpointSoak measures).
+        val tombstoneMode =
+          !sys.env.get("SPARK_GRAFT_SUBSET_TOMBSTONE").contains("0") &&
+            comp.forall(t => pks.get(t).exists(_.nonEmpty))
         def runFixPoint(): Unit = {
           import graft.plans.Checkpoints.unpersistCheckpoint
           // round 1 below is a full Jacobi pass, so a zero budget must
@@ -272,15 +290,23 @@ object SubsetPlanner {
               current = current.updated(t, d)
             }
           }
+          // tombstone mode: `current` stays the round-1 base forever;
+          // deletions accumulate in per-table dead-PK sets and every
+          // consumer reads the table through this one lazy anti-join
+          // (two checkpoint leaves — constant lineage depth)
+          var tomb: Map[String, DataFrame] = Map.empty
+          def view(t: String): DataFrame =
+            tomb.get(t).fold(current(t))(k =>
+              current(t).join(k, pks(t), "left_anti"))
           var iter = 1
           var active = removedCount.values.exists(_ > 0)
           while (active && iter < maxIter) {
             val deads = internal.flatMap { e =>
               if (removedCount(e.parentTable) == 0L) None
-              else Some(e -> deadKeys(e, removed(e.parentTable), current(e.parentTable)))
+              else Some(e -> deadKeys(e, removed(e.parentTable), view(e.parentTable)))
             }
             val stepped = deads.groupBy(_._1.childTable).map { case (t, es) =>
-              var d = current(t)
+              var d = view(t)
               val victims = es.map { case (e, dead) =>
                 val (kept, vict) = splitByDeadKeys(d, e, dead)
                 d = kept
@@ -289,19 +315,35 @@ object SubsetPlanner {
               t -> (d, victims.reduce(_ unionByName _))
             }
             // materialize the new frontier FIRST (it reads the old
-            // checkpoints), then the shrunken tables, then release the
-            // superseded round's blocks (VERDICT r3 "What's wrong #2")
+            // checkpoints), then the shrunken tables / grown tombstones,
+            // then release the superseded round's blocks (VERDICT r3
+            // "What's wrong #2")
             val newRemoved = stepped.map { case (t, (_, v)) => t -> v.localCheckpoint(true) }
             val newCounts = newRemoved.map { case (t, v) => t -> v.count() }
-            val changed = stepped.collect { case (t, (d, _)) if newCounts(t) > 0L =>
-              t -> d.localCheckpoint(true)
+            if (tombstoneMode) {
+              // victims came from view(t), so their PKs are disjoint from
+              // the existing tombstone — the union never needs a distinct
+              val grown = newRemoved.collect { case (t, v) if newCounts(t) > 0L =>
+                val add = v.select(pks(t).map(col): _*)
+                t -> tomb.get(t).fold(add)(_ unionByName add).localCheckpoint(true)
+              }
+              removed.values.foreach(unpersistCheckpoint)
+              grown.keys.foreach(t => tomb.get(t).foreach(unpersistCheckpoint))
+              newRemoved.foreach { case (t, v) =>
+                if (newCounts(t) == 0L) unpersistCheckpoint(v)
+              }
+              tomb = tomb ++ grown
+            } else {
+              val changed = stepped.collect { case (t, (d, _)) if newCounts(t) > 0L =>
+                t -> d.localCheckpoint(true)
+              }
+              removed.values.foreach(unpersistCheckpoint)
+              changed.keys.foreach(t => unpersistCheckpoint(current(t)))
+              newRemoved.foreach { case (t, v) =>
+                if (newCounts(t) == 0L) unpersistCheckpoint(v)
+              }
+              current = current ++ changed
             }
-            removed.values.foreach(unpersistCheckpoint)
-            changed.keys.foreach(t => unpersistCheckpoint(current(t)))
-            newRemoved.foreach { case (t, v) =>
-              if (newCounts(t) == 0L) unpersistCheckpoint(v)
-            }
-            current = current ++ changed
             removed = newRemoved.filter { case (t, _) => newCounts(t) > 0L }
             removedCount = removed.map { case (t, v) => t -> newCounts(t) }
               .withDefaultValue(0L)
@@ -316,7 +358,7 @@ object SubsetPlanner {
               s"for component ${comp.mkString(",")} — raise maxIter")
           removed.values.foreach(unpersistCheckpoint)
           graft.plans.FixpointStats.record("cyclicSubset", iter)
-          current.foreach { case (t, d) => surviving(t) = d }
+          comp.foreach(t => surviving(t) = view(t))
         }
 
         selfFk match {
