@@ -246,13 +246,17 @@ object Bench {
     * names: a contaminated read can no longer print a number that a
     * reader (or a diff script) mistakes for a comparable one. Gated
     * reads carry both `value_norm` (st probe) and `value_norm_mt` (mt
-    * probe — see [[probeNormalizedMt]]). */
+    * probe — see [[probeNormalizedMt]]). The mt normalization is only
+    * meaningful at the REFERENCE thread count (the pinned 10760 Mops is
+    * a 32-thread measurement; an 8-thread smoke probes ~1/3 of it and
+    * would "normalize" a sane total to nonsense), so like
+    * [[probeParallelSuspect]] it nulls itself when `threads != 32`. */
   def normFields(total: Double, probeStOps: Double, probeMtOps: Double,
-                 gated: Boolean): String = {
+                 gated: Boolean, threads: Int = 32): String = {
     def ms(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val st = ms(probeNormalized(total, probeStOps))
-    val mt = ms(probeNormalizedMt(total, probeMtOps))
+    val mt = if (threads == 32) ms(probeNormalizedMt(total, probeMtOps)) else "null"
     if (gated) s""""value_norm":$st,"value_norm_mt":$mt"""
     else s""""value_norm":null,"value_norm_mt":null""" +
       s""","value_norm_ungated":$st,"value_norm_mt_ungated":$mt"""
@@ -569,7 +573,7 @@ object Bench {
       f""","probe_mt_st_ratio":${if (probeSt > 0) probeMt / probeSt else -1.0}%.2f""" +
       f""","probe_ref_mt_st_ratio":${ProbeRefMtMops / ProbeRefStMops}%.2f""" +
       s""","probe_parallel_suspect":$parallelSuspect""" +
-      s""",${normFields(total, probeSt, probeMt, gatedClean)}""" +
+      s""",${normFields(total, probeSt, probeMt, gatedClean, cpus.toInt)}""" +
       s""","load_gate_wait_sec":$gateWaitSec""" +
       s""","load_gate_timed_out":$gateTimedOut""" +
       s""","suspect":${jsNames(suspects)},"failed":${jsNames(failed)}""" +
@@ -598,7 +602,7 @@ object Bench {
       f""""probe_ref_st_mops":$ProbeRefStMops%.1f,""" +
       f""""probe_mt_st_ratio":${if (probeSt > 0) probeMt / probeSt else -1.0}%.2f,""" +
       s""""probe_parallel_suspect":$parallelSuspect,""" +
-      s"""${normFields(total, probeSt, probeMt, gatedClean)},""" +
+      s"""${normFields(total, probeSt, probeMt, gatedClean, cpus.toInt)},""" +
       s""""suspect":${jsNames(suspects)},"failed":${jsNames(failed)},""" +
       s""""queries":$qCompact,"sf":"$sfDir"$onlyTag,"diag":"$diagPath"}""")
     spark.stop()

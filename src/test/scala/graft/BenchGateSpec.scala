@@ -190,5 +190,12 @@ class BenchGateSpec extends AnyFunSuite {
     // both regimes lead with the same first key, so line diffs align
     assert(contaminated.startsWith("\"value_norm\":"))
     assert(slowParallel.startsWith("\"value_norm\":"))
+    // the pinned mt rate is a 32-thread measurement: a non-reference
+    // thread count (local smoke runs) must null the mt field rather
+    // than "normalize" by a probe that measured a different machine
+    // shape — same rule as probeParallelSuspect
+    val smoke8 = Bench.normFields(0.5, 467.0e6, 3600.0e6, gated = true, threads = 8)
+    assert(smoke8.contains("\"value_norm_mt\":null"), smoke8)
+    assert(!smoke8.contains("\"value_norm\":null"), s"st field stays live at any thread count: $smoke8")
   }
 }
