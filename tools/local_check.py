@@ -18,7 +18,23 @@ for f in glob.glob(f"{SF_DIR}/*.parquet"):
     con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
-fails, passes, skipped = [], [], []
+
+class Flushing(list):
+    """per-query verdict + wall printed AS IT LANDS (r17: the silent
+    90-minute sf10 run taught us a tail -f must show progress and a
+    killed run must keep its partial evidence)"""
+    def __init__(self, tag):
+        self.tag = tag
+    def append(self, item):
+        name = item if isinstance(item, str) else item[0]
+        detail = "" if isinstance(item, str) else f"  {item[1]}"
+        print(f"[check] {name:<26} {self.tag:<9} {time.time()-T0:7.0f}s total{detail}",
+              flush=True)
+        super().append(item)
+
+import time
+T0 = time.time()
+fails, passes, skipped = Flushing("FAIL"), Flushing("PASS"), Flushing("rows-only")
 for name in sorted(os.listdir(OUT)):
     d = os.path.join(OUT, name)
     if not os.path.isdir(d):

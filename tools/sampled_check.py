@@ -61,6 +61,10 @@ PAIR_SURGERY = {
     "q_dedup_jaccard": ("FROM e a JOIN e b", "e", "id"),
     "q_dedup_containment": ("FROM e a JOIN e b", "e", "id"),
     "q_minhash_simest": ("FROM nb a JOIN nb b", "nb", "doc_id"),
+    # r17: embedding-cosine near-dup — the bk CTE (per-vector LSH bucket
+    # rendering) still runs full on the right side, but the pair-cosine
+    # verify (the dominant cost) is cut RATE× by the left sample
+    "q_embed_neardup": ("FROM bk a JOIN bk b", "bk", "vec_id"),
 }
 
 def engine_rows(name, where, order):
