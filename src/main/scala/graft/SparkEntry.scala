@@ -1588,6 +1588,23 @@ object SparkEntry {
         threshold = 0.5).orderBy("id_a", "id_b"),
       Some(Dedup.containmentPairsSql("documents", "doc_id", "text", threshold = 0.5) +
         " ORDER BY id_a, id_b")),
+    // Bounded-output contracts (r17): the sf10 rehearsal measured the
+    // all-pairs generators at OUTPUT exponent 1.9-2.0 (quadratic in
+    // duplicate multiplicity) — these are the O(N)-output alternatives a
+    // 100 TB pipeline actually lands. Best match: per-doc argmax over
+    // the LSH candidates via map-side-partial min(struct(...)).
+    "q_dedup_best_match" -> Q(
+      (s, dir) => Dedup.bestMatchPairs(rd(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.0).orderBy("id"),
+      Some(Dedup.bestMatchPairsSql("documents", "doc_id", "text", threshold = 0.0) +
+        " ORDER BY id")),
+    // Candidate-volume census: forecast the band join's pair volume,
+    // skew bound, and matched-doc count BEFORE generating any pair —
+    // the pre-flight read that picks between the all-pairs and
+    // best-match contracts. All-integer single row => exact parity.
+    "q_lsh_candidate_census" -> Q(
+      (s, dir) => Dedup.lshCandidateCensus(rd(s, dir, "documents"), "doc_id", "text"),
+      Some(Dedup.lshCandidateCensusSql("documents", "doc_id", "text"))),
 
     // ----- LLM ops: cross-corpus decontamination + similarity estimate +
     // deterministic corpus shuffle -----
@@ -1888,6 +1905,15 @@ object SparkEntry {
             WHERE ${cos} >= 0.8
             ORDER BY id_a, id_b"""
       }),
+    // Bounded-output cosine contract (r17): per-vector best tau-near
+    // neighbor instead of the C(g,2) pair stream (sf10 output exponent
+    // 2.04); cosine doubles compare exactly because the fused
+    // CosinePair kernel mirrors DuckDB's list accumulation order
+    "q_embed_neardup_best" -> Q(
+      (s, dir) => Similarity.cosineBestMatch(rd(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.8, nPlanes = 8, dim = 64).orderBy("id"),
+      Some(Similarity.cosineBestMatchSql("embeddings", "vec_id", "embedding",
+        threshold = 0.8, nPlanes = 8, dim = 64) + " ORDER BY id")),
     // SemDeDup (Abbas et al. 2023): IVF-cluster-scoped pairwise cosine,
     // min-id survivor per near pair — pair join bounded by cluster size
     // tau=0.45 sits in the fixture's near-pair range (the synthetic

@@ -977,4 +977,159 @@ object Dedup {
     s"SELECT ${idCol}, coalesce(md5(${textCol}), '__null__') AS digest, " +
       s"${streams} FROM ${cur} AS __cur"
   }
+
+  /** BOUNDED-OUTPUT near-dup contract (the 100 TB answer to the pair
+    * generators' output growth): each document's single BEST match —
+    * highest Jaccard among its LSH candidates at or above `threshold`,
+    * ties broken by smallest partner id — instead of the full pair
+    * stream. The r17 sf10 rehearsal measured the all-pairs contracts at
+    * output exponent 1.9–2.0 (g copies of a text emit C(g,2) pairs);
+    * this contract caps output at one row per matched document, so the
+    * result stays O(N) at ANY duplicate multiplicity and is what a real
+    * dedup pipeline consumes ("who is my nearest duplicate") without a
+    * pair-stream landing zone.
+    *
+    * Plan shape: the symmetrized candidate stream reduces through
+    * `min(struct(-jaccard, partner))` — a declarative aggregate with
+    * map-side partial merge, so the final exchange carries at most one
+    * row per (partition, id), never the pair volume. Candidate
+    * GENERATION still walks the band buckets (that cost is bounded by
+    * the banding, and the exact-duplicate collapse inside
+    * [[jaccardPairs]] keeps the verify work multiplicity-free); what
+    * this contract removes is the super-linear OUTPUT.
+    *
+    * Output: (id, partner, jaccard) — one row per document with at
+    * least one candidate at or above `threshold`. */
+  def bestMatchPairs(df: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+                     threshold: Double = 0.0): DataFrame = {
+    val pairs = jaccardPairs(df, idCol, textCol, shingleN, rowsPerBand = rowsPerBand,
+      bands = bands, threshold = threshold)
+    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("partner"), col("jaccard"))
+      .unionByName(
+        pairs.select(col("id_b").as("id"), col("id_a").as("partner"), col("jaccard")))
+    // min over (-jaccard, partner): highest score first, then smallest
+    // partner — deterministic on ties (replicated texts score exactly
+    // 1.0 against every copy). Negation round-trips exactly: jaccard is
+    // a non-negative integer-count ratio, so -x is its own inverse.
+    sym.groupBy("id")
+      .agg(min(struct(negate(col("jaccard")).as("nj"), col("partner").as("p"))).as("b"))
+      .select(col("id"), col("b.p").as("partner"), negate(col("b.nj")).as("jaccard"))
+  }
+
+  /** DuckDB rendering of [[bestMatchPairs]] — the full candidate CTE of
+    * the jaccard oracle, symmetrized, then a per-id argmax window.
+    * (No '--' comments: the driver flattens newlines.) */
+  def bestMatchPairsSql(table: String, idCol: String, textCol: String,
+                        shingleN: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+                        threshold: Double = 0.0): String = {
+    val sh = TextOps.shinglesSql(textCol, shingleN)
+    val bandExprs = (0 until bands)
+      .map(b => TextOps.bandHashSql(sh, b * rowsPerBand, rowsPerBand))
+    s"""WITH base AS (
+          SELECT ${idCol} AS id, list_distinct(${sh}) AS sh,
+                 [${bandExprs.mkString(", ")}] AS bands FROM ${table}
+        ), e AS (
+          SELECT id, sh, band FROM (
+            SELECT id, sh, unnest(bands) AS band FROM base)
+          WHERE band IS NOT NULL
+        ), pairs AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+          FROM e a JOIN e b ON a.band = b.band AND a.id < b.id
+        ), scored AS (
+          SELECT id_a, id_b,
+            CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) > 0
+                 THEN len(list_intersect(sh_a, sh_b))::DOUBLE
+                      / len(list_distinct(list_concat(sh_a, sh_b)))::DOUBLE
+                 ELSE 0.0 END AS jaccard
+          FROM pairs
+        ), kept AS (
+          SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= ${threshold}
+        ), sym AS (
+          SELECT id_a AS id, id_b AS partner, jaccard FROM kept
+          UNION ALL
+          SELECT id_b AS id, id_a AS partner, jaccard FROM kept
+        )
+        SELECT id, partner, jaccard FROM sym
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY jaccard DESC, partner) = 1"""
+  }
+
+  /** Candidate-volume CENSUS of the minhash-LSH band plan — "measure,
+    * don't guess" productized at the operator level: before generating
+    * a single pair, forecast what the band self-join will cost and emit.
+    * One row: bucket count, total candidate pairs Σ C(n,2) the band
+    * join would produce BEFORE pair-dedup (the true join volume — a doc
+    * pair sharing two bands is counted in both, exactly as the join
+    * pays it), the largest bucket (the skew/straggler bound), and how
+    * many documents have at least one candidate partner. The r17 sf10
+    * rehearsal's lesson — six pair generators whose output grew at
+    * exponent 1.9–2.0 — becomes a one-scan pre-flight check: run the
+    * census, read `candidate_pairs`, and pick the bounded
+    * [[bestMatchPairs]] contract or a wider band plan BEFORE committing
+    * a cluster to the all-pairs stream.
+    *
+    * Deliberately UNCOLLAPSED: the census measures the corpus as the
+    * band plan sees it, duplicate mass included — a duplicate-heavy
+    * corpus shows its multiplicity in `max_bucket` (g copies of a text
+    * land g rows in every shared bucket), which is precisely the signal
+    * that the collapse and the bounded contracts exist to absorb.
+    * All-integer output => exact oracle parity. */
+  def lshCandidateCensus(df: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int = 3, bands: Int = 4,
+                         rowsPerBand: Int = 2): DataFrame = {
+    val nStreams = bands * rowsPerBand
+    val nDigests = (nStreams + 1) / 2
+    val base = graft.plans.Parallelism
+      .widen(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"),
+        TextOps.minhashSignatureFromText(col("__text"), shingleN, nDigests).as("__mh"))
+    val mh = (0 until nStreams).map(i => element_at(col("__mh"), i + 1))
+    val bandCols = (0 until bands).map(b => TextOps.bandHashFrom(mh, b * rowsPerBand, rowsPerBand))
+    val bandsDf = graft.plans.Checkpoints.materialize(
+      base.select(col("id"), explode_outer(array(bandCols: _*)).as("band"))
+        .filter(col("band").isNotNull))
+    // (band, n) shrinks map-side; every statistic below reads this
+    // bounded table, never the (id, band) stream again
+    val sizes = bandsDf.groupBy("band").agg(count(lit(1)).as("n"))
+    val totals = sizes.agg(
+      count(lit(1)).as("n_buckets"),
+      coalesce(sum(when(col("n") > 1,
+          shiftright(col("n") * (col("n") - 1), 1))), lit(0L))
+        .as("candidate_pairs"),
+      coalesce(max(col("n")), lit(0L)).as("max_bucket"),
+      coalesce(sum(when(col("n") > 1, 1L)), lit(0L)).as("buckets_ge2"))
+    val docs = bandsDf
+      .join(sizes.filter(col("n") > 1).select("band"), Seq("band"), "left_semi")
+      .agg(count_distinct(col("id")).as("docs_with_candidates"))
+    totals.crossJoin(docs)
+  }
+
+  /** DuckDB rendering of [[lshCandidateCensus]]. */
+  def lshCandidateCensusSql(table: String, idCol: String, textCol: String,
+                            shingleN: Int = 3, bands: Int = 4,
+                            rowsPerBand: Int = 2): String = {
+    val sh = TextOps.shinglesSql(textCol, shingleN)
+    val bandExprs = (0 until bands)
+      .map(b => TextOps.bandHashSql(sh, b * rowsPerBand, rowsPerBand))
+    s"""WITH e AS (
+          SELECT id, band FROM (
+            SELECT ${idCol} AS id,
+                   unnest([${bandExprs.mkString(", ")}]) AS band FROM ${table})
+          WHERE band IS NOT NULL
+        ), sizes AS (
+          SELECT band, count(*)::BIGINT AS n FROM e GROUP BY band
+        ), t AS (
+          SELECT count(*)::BIGINT AS n_buckets,
+                 coalesce(sum(CASE WHEN n > 1 THEN (n * (n - 1)) // 2 END), 0)::BIGINT
+                   AS candidate_pairs,
+                 coalesce(max(n), 0)::BIGINT AS max_bucket,
+                 coalesce(sum(CASE WHEN n > 1 THEN 1 END), 0)::BIGINT AS buckets_ge2
+          FROM sizes
+        ), d AS (
+          SELECT count(DISTINCT id)::BIGINT AS docs_with_candidates
+          FROM e WHERE band IN (SELECT band FROM sizes WHERE n > 1)
+        )
+        SELECT n_buckets, candidate_pairs, max_bucket, buckets_ge2,
+               docs_with_candidates FROM t, d"""
+  }
 }

@@ -175,6 +175,64 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** BOUNDED-OUTPUT embedding near-dup contract — the cosine sibling of
+    * [[Dedup.bestMatchPairs]]: each vector's single best tau-near
+    * neighbor (highest cosine among its bucket candidates, ties to the
+    * smallest partner id) instead of the full pair stream. The r17 sf10
+    * rehearsal measured [[cosineNearDupPairs]]'s output at exponent 2.04
+    * (g co-bucketed replicas emit C(g,2) pairs); this contract caps
+    * output at one row per matched vector, reduced through a map-side
+    * partial `min(struct(...))` so the final exchange never carries the
+    * pair volume.
+    *
+    * NaN armor: a zero-norm vector's cosine is NaN, which PASSES the
+    * threshold filter on both engines (Spark and DuckDB both treat
+    * NaN as greatest) but ORDERS differently between them (JVM struct
+    * ordering vs DuckDB ORDER BY DESC put NaN at opposite ends after
+    * negation). Both sides demote post-filter NaN to -2.0 — below the
+    * cosine range, so degenerate candidates deterministically lose
+    * every argmax they share with a real one on BOTH engines.
+    *
+    * Output: (id, partner, cosine) — one row per vector with at least
+    * one candidate at or above `threshold`. */
+  def cosineBestMatch(df: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double = 0.95, nPlanes: Int = 8,
+                      dim: Int = 32): DataFrame = {
+    val pairs = cosineNearDupPairs(df, idCol, vecCol, threshold, nPlanes, dim)
+      .select(col("id_a"), col("id_b"), nanvl(col("cosine"), lit(-2.0)).as("cosine"))
+    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("partner"), col("cosine"))
+      .unionByName(
+        pairs.select(col("id_b").as("id"), col("id_a").as("partner"), col("cosine")))
+    sym.groupBy("id")
+      .agg(min(struct(negate(col("cosine")).as("nc"), col("partner").as("p"))).as("b"))
+      .select(col("id"), col("b.p").as("partner"), negate(col("b.nc")).as("cosine"))
+  }
+
+  /** DuckDB rendering of [[cosineBestMatch]] — the near-dup pair CTE
+    * with the same post-filter NaN demotion, symmetrized, then a per-id
+    * argmax window. (No '--' comments: the driver flattens newlines.) */
+  def cosineBestMatchSql(table: String, idCol: String, vecCol: String,
+                         threshold: Double, nPlanes: Int, dim: Int): String = {
+    val bucket = lshBucketSql(vecCol, hyperplanes(nPlanes, dim))
+    val cos = pairCosineSql(s"a.$vecCol", s"b.$vecCol", dim)
+    s"""WITH bk AS (
+          SELECT ${idCol} AS id, ${vecCol}, ${bucket} AS bucket FROM ${table}
+        ), kept AS (
+          SELECT id_a, id_b,
+                 CASE WHEN isnan(cosine) THEN -2.0 ELSE cosine END AS cosine
+          FROM (
+            SELECT a.id AS id_a, b.id AS id_b, ${cos} AS cosine
+            FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id < b.id)
+          WHERE cosine >= ${threshold}
+        ), sym AS (
+          SELECT id_a AS id, id_b AS partner, cosine FROM kept
+          UNION ALL
+          SELECT id_b AS id, id_a AS partner, cosine FROM kept
+        )
+        SELECT id, partner, cosine FROM sym
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY cosine DESC, partner) = 1"""
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication", arXiv:2303.09540): cluster the embeddings with the

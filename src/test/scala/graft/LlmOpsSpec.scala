@@ -626,4 +626,109 @@ class LlmOpsSpec extends SparkSpec {
     assert(fps(1L).isDefined && fps(1L) == fps(2L)) // identical docs
     assert(fps(5L).isEmpty) // "tiny" shorter than window
   }
+
+  test("best-match contract: per-doc argmax of the pair stream, smallest-partner ties") {
+    // docs 2 and 3 are exact copies, both near-dups of 1: jaccard(1,2) ==
+    // jaccard(1,3) EXACTLY (same shingle sets), so doc 1's best match
+    // must tie-break to partner 2; 2 and 3 pick each other at 1.0
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "the quick brown fox jumps over the lazy cat"),
+      (4L, "completely unrelated text about catalyst plan rewrites"))
+      .toDF("doc_id", "text")
+    // expected = symmetrized argmax over the (already brute-proven)
+    // jaccardPairs output, computed in plain Scala
+    val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = (pairs.map { case (a, b, j) => (a, b, j) } ++
+        pairs.map { case (a, b, j) => (b, a, j) })
+      .groupBy(_._1).map { case (id, cs) =>
+        val best = cs.minBy { case (_, p, j) => (-j, p) }
+        (id, best._2, best._3)
+      }.toSet
+    val got = Dedup.bestMatchPairs(corpus, "doc_id", "text", threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+    val byId = got.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId(1L)._1 == 2L)            // tie vs {2,3} breaks to smaller id
+    assert(byId(2L) == ((3L, 1.0)))      // exact copies pick each other
+    assert(byId(3L) == ((2L, 1.0)))
+    assert(!byId.contains(4L))           // no candidate -> no row
+    // the bounded contract: at most one row per doc regardless of how
+    // many partners the pair stream carries
+    assert(got.size == got.map(_._1).size)
+  }
+
+  test("best-match output stays O(N) under duplicate mass while pairs grow quadratically") {
+    val g = 12
+    val rep = (0 until g).map(i => (100L + i, "a shared replicated payload of many tokens " +
+      "that shingles identically every time")).toDF("doc_id", "text")
+    val pairCount = Dedup.jaccardPairs(rep, "doc_id", "text", threshold = 0.0).count()
+    assert(pairCount == g.toLong * (g - 1) / 2) // the quadratic contract
+    val best = Dedup.bestMatchPairs(rep, "doc_id", "text", threshold = 0.0).collect()
+    assert(best.length == g)                    // the bounded contract
+    assert(best.forall(_.getDouble(2) == 1.0))
+    // every doc's best partner is the smallest OTHER id (ties -> min id)
+    assert(best.forall(r => r.getLong(1) ==
+      (if (r.getLong(0) == 100L) 101L else 100L)))
+  }
+
+  test("lsh candidate census forecasts the band join exactly on a known corpus") {
+    // 3 identical docs + 2 distinct: the identical trio shares all 4
+    // band values (4 buckets of 3), the distinct docs collide with
+    // nothing (seed-42-deterministic fixture)
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "completely unrelated text about catalyst plan rewrites"),
+      (5L, "a second unrelated document mentioning shuffle exchanges"))
+      .toDF("doc_id", "text")
+    val row = Dedup.lshCandidateCensus(corpus, "doc_id", "text").collect().head
+    val (nBuckets, candPairs, maxBucket, ge2, docsWith) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+    assert(candPairs == 4L * 3)  // C(3,2) per band x 4 bands, pre-dedup
+    assert(maxBucket == 3L)
+    assert(ge2 == 4L)
+    assert(docsWith == 3L)
+    assert(nBuckets == 4L + 8L)  // trio's 4 shared + 2 distinct docs x 4
+    // and the census PREDICTS the deduped pair stream's upper bound
+    val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", threshold = 0.0).count()
+    assert(pairs <= candPairs)
+  }
+
+  test("cosine best match: argmax parity with the pair stream, NaN candidates demoted") {
+    val plane = Similarity.hyperplanes(1, 4).head
+    def scaled(f: Double) = plane.map(x => (x * f).toFloat)
+    val perp = Array(plane(1).toFloat, -plane(0).toFloat, 0f, 0f)
+    val vecs = Seq(
+      (1L, scaled(1.0)),
+      (2L, scaled(2.0)),                                     // cosine(1,2) = 1
+      (3L, plane.zip(Seq(0.1, -0.1, 0.1, -0.1)).map { case (x, d) => (x + d).toFloat }),
+      (5L, Array(0f, 0f, 0f, 0f)))                           // zero-norm: NaN cosine
+      .toDF("vec_id", "embedding")
+    // all four share the single positive-margin bucket (zero margin
+    // counts as positive), so the pair stream is full pairwise
+    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
+        threshold = 0.5, nPlanes = 1, dim = 4)
+      .select(col("id_a"), col("id_b"), nanvl(col("cosine"), lit(-2.0)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(_._3 == -2.0), "zero-norm candidate should pass the NaN filter")
+    val expected = (pairs ++ pairs.map { case (a, b, c) => (b, a, c) })
+      .groupBy(_._1).map { case (id, cs) =>
+        val best = cs.minBy { case (_, p, c) => (-c, p) }
+        (id, best._2, best._3)
+      }.toSet
+    val got = Similarity.cosineBestMatch(vecs, "vec_id", "embedding",
+        threshold = 0.5, nPlanes = 1, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+    val byId = got.map(t => t._1 -> ((t._2, t._3))).toMap
+    // the zero-norm vector's candidates are all demoted: its best match
+    // lands at -2.0 with the smallest partner id
+    assert(byId(5L) == ((1L, -2.0)))
+    // real vectors prefer real candidates over demoted NaN ones
+    assert(byId(1L)._1 == 2L && byId(1L)._2 > 0.99)
+  }
 }
