@@ -188,6 +188,46 @@ if name in oracle and wanted(name) and os.path.isdir(f"{OUT}/{name}"):
     compare(name, eng, ddb,
             f"global shingle stats + sampled doc render ({time.time()-t0:.0f}s oracle)", results)
 
+# ---- r17 bounded-output contracts: best-match argmax, sampled id ----
+# The best-match queries partition by the FINAL id, and a sampled id's
+# argmax needs every pair it touches on EITHER side — so the sample
+# predicate rides the pair join as an OR across both sides (the join
+# emits only pairs touching a sampled id; the band/bucket probe itself
+# stays full but emits ~2/RATE of the pair mass into the expensive
+# verify), and the final SELECT adds WHERE samp(id) BEFORE the QUALIFY
+# window, restricting partitions to sampled ids, each complete by
+# construction.
+BESTMATCH_SURGERY = {
+    "q_dedup_best_match": "FROM e a JOIN e b ON a.band = b.band AND a.id < b.id",
+    "q_embed_neardup_best": "FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id < b.id",
+}
+for name, pat in BESTMATCH_SURGERY.items():
+    if name not in oracle or not wanted(name):
+        continue
+    if not os.path.isdir(f"{OUT}/{name}"):
+        continue
+    sql = oracle[name]
+    assert pat in sql, f"{name}: oracle shape changed, expected '{pat}' in SQL"
+    assert sql.count("FROM sym") == 1, f"{name}: oracle shape changed (sym CTE)"
+    restricted = sql.replace(
+        pat, pat + f" AND (({samp('a.id')}) OR ({samp('b.id')}))", 1).replace(
+        "FROM sym", f"FROM sym WHERE {samp('id')}", 1)
+    t0 = time.time()
+    ddb = con.sql(restricted).df()
+    eng = engine_rows(name, samp("id"), "id")
+    compare(name, eng, ddb,
+            f"hash-exact argmax on sampled id ({time.time()-t0:.0f}s oracle)", results)
+
+# ---- q_lsh_candidate_census: FULL exact (single-row aggregate) ----
+# The census collapses to one all-integer row, so the full oracle is
+# affordable at any fixture the sandbox holds — no surgery, byte-exact.
+name = "q_lsh_candidate_census"
+if name in oracle and wanted(name) and os.path.isdir(f"{OUT}/{name}"):
+    t0 = time.time()
+    ddb = con.sql(oracle[name]).df()
+    eng = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'").df()
+    compare(name, eng, ddb, f"FULL exact census ({time.time()-t0:.0f}s oracle)", results)
+
 # ---- q_entity_clusters: FULL exact check via union-find (not sampled) ----
 # The oracle's RECURSIVE reach CTE materializes all-pairs reachability —
 # the same quadratic-in-component-size cliff as q_dedup_cluster's
