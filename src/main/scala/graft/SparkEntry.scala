@@ -1546,6 +1546,14 @@ object SparkEntry {
             FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3
             ORDER BY id_a, id_b"""
       }),
+    // Bounded-output simhash contract (r17): per-doc closest neighbor
+    // by hamming (lower wins, smallest-partner ties) — O(N) output
+    // where the pair contract measured sf10 output exponent 1.72
+    "q_simhash_best_match" -> Q(
+      (s, dir) => Dedup.simhashBestMatch(rd(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy("id"),
+      Some(Dedup.simhashBestMatchSql("documents", "doc_id", "text", 3) +
+        " ORDER BY id")),
     // Wide 120-bit variant: two independent simhash streams, 8x15-bit
     // pigeonhole banding covers hamming <= 7 and lifts the 60-bit band
     // saturation ceiling (COVERAGE r15 note)

@@ -1054,6 +1054,52 @@ object Dedup {
         QUALIFY row_number() OVER (PARTITION BY id ORDER BY jaccard DESC, partner) = 1"""
   }
 
+  /** [[bestMatchPairs]]'s simhash sibling — LOWER is better: each
+    * document's closest simhash neighbor (smallest hamming distance
+    * among its banded candidates at radius `maxHamming`, ties to the
+    * smallest partner id). Same bounded-output contract: one row per
+    * matched document through a map-side-partial `min(struct(...))`,
+    * so output stays O(N) where the pair contract measured sf10 output
+    * exponent 1.72. Integer distances — no negation or NaN armor
+    * needed. Output: (id, partner, hamming). */
+  def simhashBestMatch(df: DataFrame, idCol: String, textCol: String,
+                       maxHamming: Int = 3): DataFrame = {
+    val pairs = simhashHammingPairs(df, idCol, textCol, maxHamming)
+    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("partner"), col("hamming"))
+      .unionByName(
+        pairs.select(col("id_b").as("id"), col("id_a").as("partner"), col("hamming")))
+    sym.groupBy("id")
+      .agg(min(struct(col("hamming").as("h"), col("partner").as("p"))).as("b"))
+      .select(col("id"), col("b.p").as("partner"), col("b.h").cast("int").as("hamming"))
+  }
+
+  /** DuckDB rendering of [[simhashBestMatch]] — the hamming-pair CTE,
+    * symmetrized, then a per-id argMIN window. (No '--' comments: the
+    * driver flattens newlines.) */
+  def simhashBestMatchSql(table: String, idCol: String, textCol: String,
+                          maxHamming: Int = 3): String = {
+    val sh = TextOps.simhash60Sql(textCol)
+    s"""WITH s AS (
+          SELECT ${idCol} AS id, (${sh})::BIGINT AS sh FROM ${table}
+        ), banded AS (
+          SELECT id, sh, b.band_no, (sh >> (b.band_no * 15)) & 32767 AS band_val
+          FROM s CROSS JOIN (SELECT unnest([0,1,2,3]) AS band_no) b
+        ), pairs AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+          FROM banded a JOIN banded b
+            ON a.band_no = b.band_no AND a.band_val = b.band_val AND a.id < b.id
+        ), kept AS (
+          SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::INT AS hamming
+          FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= ${maxHamming}
+        ), sym AS (
+          SELECT id_a AS id, id_b AS partner, hamming FROM kept
+          UNION ALL
+          SELECT id_b AS id, id_a AS partner, hamming FROM kept
+        )
+        SELECT id, partner, hamming FROM sym
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY hamming, partner) = 1"""
+  }
+
   /** Candidate-volume CENSUS of the minhash-LSH band plan — "measure,
     * don't guess" productized at the operator level: before generating
     * a single pair, forecast what the band self-join will cost and emit.

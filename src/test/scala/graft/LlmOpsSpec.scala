@@ -698,6 +698,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs <= candPairs)
   }
 
+  test("simhash best match: per-doc argMIN of the hamming pair stream") {
+    // docs fixture: 1 and 2 identical (hamming 0, mutual best), 3 a near
+    // dup of both (ties across equal hamming break to smaller partner)
+    val pairs = Dedup.simhashHammingPairs(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.nonEmpty)
+    val expected = (pairs ++ pairs.map { case (a, b, h) => (b, a, h) })
+      .groupBy(_._1).map { case (id, cs) =>
+        val best = cs.minBy { case (_, p, h) => (h, p) }
+        (id, best._2, best._3)
+      }.toSet
+    val got = Dedup.simhashBestMatch(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+    val byId = got.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId(1L) == ((2L, 0)) && byId(2L) == ((1L, 0))) // exact copies
+  }
+
   test("cosine best match: argmax parity with the pair stream, NaN candidates demoted") {
     val plane = Similarity.hyperplanes(1, 4).head
     def scaled(f: Double) = plane.map(x => (x * f).toFloat)

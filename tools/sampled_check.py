@@ -200,6 +200,8 @@ if name in oracle and wanted(name) and os.path.isdir(f"{OUT}/{name}"):
 BESTMATCH_SURGERY = {
     "q_dedup_best_match": "FROM e a JOIN e b ON a.band = b.band AND a.id < b.id",
     "q_embed_neardup_best": "FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id < b.id",
+    "q_simhash_best_match":
+        "ON a.band_no = b.band_no AND a.band_val = b.band_val AND a.id < b.id",
 }
 for name, pat in BESTMATCH_SURGERY.items():
     if name not in oracle or not wanted(name):
