@@ -1546,6 +1546,14 @@ object SparkEntry {
             FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3
             ORDER BY id_a, id_b"""
       }),
+    // Band-plan census (r17): the r16 band-width law as one query —
+    // all five routable band plans censused in a single signature pass
+    // (candidate volume, bucket count, straggler bound per plan)
+    "q_simhash_band_census" -> Q(
+      (s, dir) => Dedup.simhashBandPlanCensus(rd(s, dir, "documents"), "doc_id", "text")
+        .orderBy("plan"),
+      Some(Dedup.simhashBandPlanCensusSql("documents", "doc_id", "text") +
+        " ORDER BY plan")),
     // Bounded-output simhash contract (r17): per-doc closest neighbor
     // by hamming (lower wins, smallest-partner ties) — O(N) output
     // where the pair contract measured sf10 output exponent 1.72

@@ -1063,8 +1063,15 @@ object Dedup {
     * exponent 1.72. Integer distances — no negation or NaN armor
     * needed. Output: (id, partner, hamming). */
   def simhashBestMatch(df: DataFrame, idCol: String, textCol: String,
-                       maxHamming: Int = 3): DataFrame = {
-    val pairs = simhashHammingPairs(df, idCol, textCol, maxHamming)
+                       maxHamming: Int = 3,
+                       expectedDistinctContents: Long = 0L,
+                       cutoff: Long = WideSignatureCutoff): DataFrame = {
+    // candidates come through THE router ([[simhashPairs]]): radius > 3
+    // or a saturating distinct-content count takes the wide 120-bit
+    // path with its per-radius band plan; both paths emit the same
+    // (id_a, id_b, hamming) shape the argmin consumes
+    val pairs = simhashPairs(df, idCol, textCol, maxHamming,
+      expectedDistinctContents, cutoff)
     val sym = pairs.select(col("id_a").as("id"), col("id_b").as("partner"), col("hamming"))
       .unionByName(
         pairs.select(col("id_b").as("id"), col("id_a").as("partner"), col("hamming")))
@@ -1161,6 +1168,89 @@ object Dedup {
     t5.unionByName(d5).agg(
       max(col(cols.head)).as(cols.head),
       cols.tail.map(c => max(col(c)).as(c)): _*)
+  }
+
+  /** Band-PLAN census for the simhash family — the r16 band-width law
+    * (COVERAGE: wider band keys, not more bands, keep buckets honest
+    * past ~1M distinct contents) productized as an operator: ONE
+    * signature pass censuses ALL FIVE band plans the engine can route
+    * to (narrow 4×15 over the 60-bit signature; wide 2×60 / 4×30 /
+    * 6×20 / 8×15 over the 120-bit signature), so sizing a 100 TB dedup
+    * run is a single query instead of an sf100 instrument session.
+    * Per plan: covered radius (pigeonhole: bands − 1), bucket count,
+    * Σ C(n,2) candidate pairs the plan's band self-join would probe,
+    * and the largest bucket (the straggler bound). Buckets key on
+    * (band_no, band_val) exactly as the pair joins do. UNCOLLAPSED by
+    * the same doctrine as [[lshCandidateCensus]] — duplicate mass is
+    * signal here, and the collapse's ~g² reduction is what the reading
+    * tells you to go buy. All-integer rows => exact oracle parity. */
+  def simhashBandPlanCensus(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sims = graft.plans.Checkpoints.materialize(
+      graft.plans.Parallelism
+        .widen(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+        .select(col("id"), TextOps.simhash60(col("__text")).as("sh1"),
+          TextOps.simhash60b(col("__text")).as("sh2")))
+    // (plan, sigBits, nBands): the narrow path + every wideBandPlan row
+    val plans = Seq(("narrow_4x15", 60, 4), ("wide_2x60", 120, 2),
+      ("wide_4x30", 120, 4), ("wide_6x20", 120, 6), ("wide_8x15", 120, 8))
+    val keyCols = plans.flatMap { case (name, sigBits, nBands) =>
+      val width = sigBits / nBands
+      val mask = (1L << width) - 1
+      val half = nBands / 2
+      (0 until nBands).map { b =>
+        val v =
+          if (sigBits == 60) shiftright(col("sh1"), b * width).bitwiseAND(lit(mask))
+          else if (b < half) shiftright(col("sh1"), b * width).bitwiseAND(lit(mask))
+          else shiftright(col("sh2"), (b - half) * width).bitwiseAND(lit(mask))
+        struct(lit(name).as("plan"), lit(nBands - 1).as("covers_radius"),
+          lit(b).as("band_no"), v.as("band_val"))
+      }
+    }
+    val e = sims.select(explode(array(keyCols: _*)).as("k"))
+      .select(col("k.plan"), col("k.covers_radius"), col("k.band_no"), col("k.band_val"))
+    val sizes = e.groupBy("plan", "covers_radius", "band_no", "band_val")
+      .agg(count(lit(1)).as("n"))
+    sizes.groupBy("plan", "covers_radius").agg(
+      count(lit(1)).as("n_buckets"),
+      coalesce(sum(when(col("n") > 1,
+          shiftright(col("n") * (col("n") - 1), 1))), lit(0L))
+        .as("candidate_pairs"),
+      coalesce(max(col("n")), lit(0L)).as("max_bucket"))
+  }
+
+  /** DuckDB rendering of [[simhashBandPlanCensus]]. */
+  def simhashBandPlanCensusSql(table: String, idCol: String, textCol: String): String = {
+    val arms = Seq(("narrow_4x15", 60, 4), ("wide_2x60", 120, 2),
+      ("wide_4x30", 120, 4), ("wide_6x20", 120, 6), ("wide_8x15", 120, 8))
+      .map { case (name, sigBits, nBands) =>
+        val width = sigBits / nBands
+        val mask = (1L << width) - 1
+        val half = nBands / 2
+        val vals = (0 until nBands).map { b =>
+          val expr =
+            if (sigBits == 60) s"(sh1 >> ${b * width}) & $mask"
+            else if (b < half) s"(sh1 >> ${b * width}) & $mask"
+            else s"(sh2 >> ${(b - half) * width}) & $mask"
+          s"SELECT '${name}' AS plan, ${nBands - 1} AS covers_radius, " +
+            s"$b AS band_no, $expr AS band_val FROM s"
+        }
+        vals.mkString(" UNION ALL ")
+      }.mkString(" UNION ALL ")
+    s"""WITH s AS (
+          SELECT ${idCol} AS id, (${TextOps.simhash60Sql(textCol)})::BIGINT AS sh1,
+                 (${TextOps.simhash60bSql(textCol)})::BIGINT AS sh2 FROM ${table}
+        ), e AS (
+          ${arms}
+        ), sizes AS (
+          SELECT plan, covers_radius, band_no, band_val, count(*)::BIGINT AS n
+          FROM e GROUP BY 1, 2, 3, 4
+        )
+        SELECT plan, covers_radius,
+               count(*)::BIGINT AS n_buckets,
+               coalesce(sum(CASE WHEN n > 1 THEN (n * (n - 1)) // 2 END), 0)::BIGINT
+                 AS candidate_pairs,
+               coalesce(max(n), 0)::BIGINT AS max_bucket
+        FROM sizes GROUP BY plan, covers_radius"""
   }
 
   /** DuckDB rendering of [[lshCandidateCensus]]. */

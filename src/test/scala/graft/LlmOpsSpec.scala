@@ -714,6 +714,48 @@ class LlmOpsSpec extends SparkSpec {
     assert(got == expected)
     val byId = got.map(t => t._1 -> ((t._2, t._3))).toMap
     assert(byId(1L) == ((2L, 0)) && byId(2L) == ((1L, 0))) // exact copies
+    // radius > 3 routes through the WIDE 120-bit path (the r16 router);
+    // the argmin contract holds against the wide pair stream
+    val widePairs = Dedup.simhashHammingPairsWide(docs, "doc_id", "text", 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val wideExpected = (widePairs ++ widePairs.map { case (a, b, h) => (b, a, h) })
+      .groupBy(_._1).map { case (id, cs) =>
+        val best = cs.minBy { case (_, p, h) => (h, p) }
+        (id, best._2, best._3)
+      }.toSet
+    val wideGot = Dedup.simhashBestMatch(docs, "doc_id", "text", 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(wideGot == wideExpected)
+  }
+
+  test("simhash band-plan census: five plans, one pass, the band-width law visible") {
+    // 3 identical docs share EVERY band of EVERY plan; 2 distinct docs
+    // collide with nothing (deterministic fixture) — so candidate volume
+    // per plan is exactly nBands x C(3,2)
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "completely unrelated text about catalyst plan rewrites"),
+      (5L, "a second unrelated document mentioning shuffle exchanges"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.simhashBandPlanCensus(corpus, "doc_id", "text").collect()
+      .map(r => r.getString(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val bandsOf = Map("narrow_4x15" -> 4, "wide_2x60" -> 2, "wide_4x30" -> 4,
+      "wide_6x20" -> 6, "wide_8x15" -> 8)
+    assert(rows.keySet == bandsOf.keySet)
+    bandsOf.foreach { case (plan, nb) =>
+      val (covers, nBuckets, candPairs, maxBucket) = rows(plan)
+      assert(covers == nb - 1, s"$plan pigeonhole radius")
+      assert(candPairs == nb.toLong * 3, s"$plan: nBands x C(3,2)")
+      assert(maxBucket == 3L, plan)
+      assert(nBuckets == nb.toLong * 3, s"$plan: trio's $nb shared + 2 distinct x $nb")
+    }
+    // THE LAW: at the same covered radius (3), the 30-bit-key plan
+    // probes fewer candidates than the 15-bit-key plan would at its
+    // radius — more bands over the same rows only add volume
+    assert(rows("wide_4x30")._3 < rows("wide_8x15")._3)
   }
 
   test("cosine best match: argmax parity with the pair stream, NaN candidates demoted") {

@@ -220,14 +220,19 @@ for name, pat in BESTMATCH_SURGERY.items():
     compare(name, eng, ddb,
             f"hash-exact argmax on sampled id ({time.time()-t0:.0f}s oracle)", results)
 
-# ---- q_lsh_candidate_census: FULL exact (single-row aggregate) ----
-# The census collapses to one all-integer row, so the full oracle is
-# affordable at any fixture the sandbox holds — no surgery, byte-exact.
-name = "q_lsh_candidate_census"
-if name in oracle and wanted(name) and os.path.isdir(f"{OUT}/{name}"):
+# ---- censuses: FULL exact (bounded-row aggregates) ----
+# Each census collapses to a handful of all-integer rows, so the full
+# oracle is affordable at any fixture the sandbox holds — no surgery.
+for name, order in (("q_lsh_candidate_census", "1"),
+                    ("q_simhash_band_census", "plan")):
+    if name not in oracle or not wanted(name):
+        continue
+    if not os.path.isdir(f"{OUT}/{name}"):
+        continue
     t0 = time.time()
-    ddb = con.sql(oracle[name]).df()
-    eng = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'").df()
+    ddb = con.sql(f"SELECT * FROM ({oracle[name]}) ORDER BY {order}").df()
+    eng = con.sql(
+        f"SELECT * FROM '{OUT}/{name}/*.parquet' ORDER BY {order}").df()
     compare(name, eng, ddb, f"FULL exact census ({time.time()-t0:.0f}s oracle)", results)
 
 # ---- q_entity_clusters: FULL exact check via union-find (not sampled) ----
