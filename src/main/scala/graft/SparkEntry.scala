@@ -773,6 +773,30 @@ object SparkEntry {
         graft.ops.RecordLinkage.suffixBlockSql("b.p_name"),
         maxDist = 3) + " ORDER BY id_a, id_b")),
 
+    // Bounded-output linkage contract (r17): each left record's single
+    // best match (argmin distance, smallest-id ties) — one row per
+    // matched record where the pair contract's output is multiplicity²
+    // (the reason q_fuzzy_link sat out the sf10 rehearsal)
+    "q_fuzzy_link_best" -> Q(
+      (s, dir) => {
+        val cust = rd(s, dir, "customer")
+        val perturbed = cust.select(col("c_custkey").as("p_key"),
+          translate(col("c_name"), "1", "I").as("p_name"))
+        graft.ops.RecordLinkage.fuzzyLinkBest(
+          cust, "c_custkey", "c_name",
+          graft.ops.RecordLinkage.suffixBlock(col("c_name")),
+          perturbed, "p_key", "p_name",
+          graft.ops.RecordLinkage.suffixBlock(col("p_name")),
+          maxDist = 3).orderBy("id_a")
+      },
+      Some(graft.ops.RecordLinkage.fuzzyLinkBestSql(
+        "SELECT c_custkey, c_name FROM customer", "c_custkey", "c_name",
+        graft.ops.RecordLinkage.suffixBlockSql("a.c_name"),
+        "SELECT c_custkey AS p_key, replace(c_name, '1', 'I') AS p_name FROM customer",
+        "p_key", "p_name",
+        graft.ops.RecordLinkage.suffixBlockSql("b.p_name"),
+        maxDist = 3) + " ORDER BY id_a")),
+
     // Multi-pass blocking: union of suffix and mid-slice blocking keys,
     // per-pair min-distance dedup. Each pass carries the degenerate-block
     // cap — the round-14 sf1 rehearsal measured the UNCAPPED form at

@@ -319,6 +319,40 @@ object RecordLinkage {
             ON (${blockASql}) = (${blockBSql}))
         WHERE dist <= ${maxDist}"""
 
+  /** BOUNDED-OUTPUT linkage contract — the record-linkage member of the
+    * r17 best-match family: each LEFT record's single best right-side
+    * match (smallest edit distance within `maxDist`, ties to the
+    * smallest right id) instead of the full match stream. The fuzzy
+    * pair contract's output scales with duplicate multiplicity² (the
+    * reason q_fuzzy_link sat out the sf10 rehearsal); this contract
+    * caps output at one row per matched left record — the "link each
+    * record to its canonical match" shape real MDM pipelines land —
+    * through a map-side-partial `min(struct(dist, id_b))`, so the
+    * final exchange never carries the match volume. The block-size cap
+    * remains the WORK dial (block join cost is unchanged); this is the
+    * OUTPUT dial — at 100 TB you want both.
+    *
+    * Output: (id_a, id_b, dist) — one row per left record with ≥ 1
+    * match within `maxDist`. */
+  def fuzzyLinkBest(a: DataFrame, aId: String, aText: String, blockA: Column,
+                    b: DataFrame, bId: String, bText: String, blockB: Column,
+                    maxDist: Int, maxBlockSize: Option[Int] = None): DataFrame = {
+    val pairs = fuzzyJoin(a, aId, aText, blockA, b, bId, bText, blockB,
+      maxDist, maxBlockSize)
+    pairs.groupBy("id_a")
+      .agg(min(struct(col("dist").as("d"), col("id_b").as("p"))).as("b"))
+      .select(col("id_a"), col("b.p").as("id_b"), col("b.d").as("dist"))
+  }
+
+  /** DuckDB rendering of [[fuzzyLinkBest]] — the pair SQL with a per-id_a
+    * argmin window. (No '--' comments: the driver flattens newlines.) */
+  def fuzzyLinkBestSql(aSql: String, aId: String, aText: String, blockASql: String,
+                       bSql: String, bId: String, bText: String, blockBSql: String,
+                       maxDist: Int): String =
+    s"""SELECT id_a, id_b, dist FROM (
+          ${fuzzyJoinSql(aSql, aId, aText, blockASql, bSql, bId, bText, blockBSql, maxDist)}
+        ) QUALIFY row_number() OVER (PARTITION BY id_a ORDER BY dist, id_b) = 1"""
+
   /** DuckDB rendering of the CAPPED [[fuzzyJoin]]: identical block-size
     * semantics via QUALIFY window counts per side. Block expressions
     * here are over each subquery's BARE columns (no alias prefix). */

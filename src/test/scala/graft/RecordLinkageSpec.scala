@@ -154,6 +154,42 @@ class RecordLinkageSpec extends SparkSpec {
       5L -> 5L, 6L -> 6L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
   }
 
+  test("fuzzyLinkBest: per-left-record argmin, ties to smallest right id, cap composes") {
+    // shared suffix block "ANA": left 1 best-matches right 10 at dist 1
+    //   over several dist-2 candidates; left 5 has a genuine dist TIE
+    //   (13 vs 14, both dist 1) -> smallest id 13 wins; left 3 shares
+    //   the block but nothing within maxDist. Hot block "XXX" (7 lefts)
+    //   exceeds cap=6 -> its lefts vanish under the cap while block ANA
+    //   (4 lefts / 6 rights) stays whole on both sides.
+    val a = (Seq((1L, "diana"), (2L, "liana"), (3L, "qqqana"), (5L, "zzana")) ++
+      (30L to 36L).map(i => (i, ('a' + (i - 30)).toChar + "xxx"))).toDF("id", "t")
+    val b = Seq((10L, "dcana"), (11L, "dzzana"), (12L, "dyyana"),
+      (13L, "zyana"), (14L, "zwana"), (20L, "lizana"), (40L, "dxxx")).toDF("id", "t")
+    def blk(c: org.apache.spark.sql.Column) = RecordLinkage.suffixBlock(c)
+    val pairs = RecordLinkage.fuzzyJoin(a, "id", "t", blk(col("t")),
+        b, "id", "t", blk(col("t")), maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val expected = pairs.groupBy(_._1).map { case (ia, cs) =>
+      val best = cs.minBy { case (_, ib, d) => (d, ib) }
+      (ia, best._2, best._3)
+    }.toSet
+    val got = RecordLinkage.fuzzyLinkBest(a, "id", "t", blk(col("t")),
+        b, "id", "t", blk(col("t")), maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+    assert(got.map(_._1).size == got.size) // one row per left record
+    val byId = got.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId(1L) == ((10L, 1)))  // dist 1 beats every dist-2 candidate
+    assert(byId(5L) == ((11L, 1)))  // dist-1 tie (11/13/14) -> smallest id
+    assert(!byId.contains(3L))      // no match within maxDist -> no row
+    // the cap composes: hot-block lefts drop from the bounded output too
+    val capped = RecordLinkage.fuzzyLinkBest(a, "id", "t", blk(col("t")),
+        b, "id", "t", blk(col("t")), maxDist = 2, maxBlockSize = Some(6))
+      .collect().map(_.getLong(0)).toSet
+    assert((30L to 36L).forall(!capped.contains(_)))
+    assert(capped.contains(1L))
+  }
+
   test("entityClusters: a long path converges (fix-point really iterates)") {
     import spark.implicits._
     // path 1-2-3-...-12: min label must travel the whole chain

@@ -142,6 +142,12 @@ FUZZY_SURGERY = {
         "FROM (SELECT c_custkey, c_name FROM customer) a JOIN",
         f"FROM (SELECT c_custkey, c_name FROM customer WHERE {samp('c_custkey')}) a JOIN",
         1)],
+    # r17 bounded contract: partitions key on id_a = the a side, so the
+    # left sample keeps every sampled partition complete for the argmin
+    "q_fuzzy_link_best": [(
+        "FROM (SELECT c_custkey, c_name FROM customer) a JOIN",
+        f"FROM (SELECT c_custkey, c_name FROM customer WHERE {samp('c_custkey')}) a JOIN",
+        1)],
     "q_fuzzy_link_capped": [(
         "QUALIFY count(*) OVER (PARTITION BY __blk) <= 100) a JOIN",
         f"QUALIFY count(*) OVER (PARTITION BY __blk) <= 100 AND ({samp('a_key')})) a JOIN",
