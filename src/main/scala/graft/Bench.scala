@@ -62,8 +62,9 @@ object Bench {
     // r16: the two r15 scale operators, tracked every round (not A/Bs)
     "q_semdedup_2l", "q_simhash_hamming_wide",
     // r17: the bounded-output contracts a 100 TB dedup run actually
-    // lands (per-doc argmax; one-scan candidate-volume forecast)
-    "q_dedup_best_match", "q_lsh_candidate_census",
+    // lands (per-doc argmax; one-scan candidate-volume forecast; the
+    // linkage argmin whose pair sibling sat out the sf10 rehearsal)
+    "q_dedup_best_match", "q_lsh_candidate_census", "q_fuzzy_link_best",
     // interop throughput: full pg-archive dump->load over the big table
     // (gzip member + binary TOC + COPY codec both directions)
     "q_pg_archive_lineitem")

@@ -136,7 +136,25 @@ object RecordLinkage {
       blockA.as("__blk")), "a")
     val right = capped(b.select(col(bId).as("id_b"), col(bText).as("text_b"),
       blockB.as("__blk")), "b")
-    val out = left.join(right, "__blk")
+    // COMPUTE-DENSE EXCHANGE PIN (r17): the block join costs
+    // O(Σ |block_a|×|block_b|) Levenshtein DP cells but shuffles only
+    // (id, name, key) rows — AQE's byte-based coalescing sees a ~4 MB
+    // exchange and squashed the sf10p join (≈730 G DP cells from a
+    // 1.5M-row side) onto 4 of 32 cores, observed live: 4 tasks pinned
+    // 1,600 s each in the codegen'd join stage. An EXPLICIT partition
+    // count opts this one exchange out of coalescing (user-specified
+    // repartitioning is never coalesced); both sides pin the same
+    // (key, count), so the join consumes them co-partitioned with no
+    // further exchange. At tiny scale the optimizer may still broadcast
+    // one side — the two pinned shuffles then cost ~KBs, the conscious
+    // price (PlanCeilings) for never running the quadratic stage on a
+    // byte-count's worth of cores. Skew stays governed by the block cap:
+    // a block is atomic under ANY partitioning, so no partition count
+    // can split it — the cap is the dial for that axis.
+    val pinned = math.max(a.sparkSession.sparkContext.defaultParallelism,
+      a.sparkSession.sessionState.conf.numShufflePartitions)
+    val out = left.repartition(pinned, col("__blk"))
+      .join(right.repartition(pinned, col("__blk")), "__blk")
       .withColumn("dist", levenshtein(col("text_a"), col("text_b")))
       .filter(col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
