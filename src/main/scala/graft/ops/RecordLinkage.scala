@@ -151,12 +151,24 @@ object RecordLinkage {
     // byte-count's worth of cores. Skew stays governed by the block cap:
     // a block is atomic under ANY partitioning, so no partition count
     // can split it — the cap is the dial for that axis.
+    // SPARK_GRAFT_LINKAGE_PIN=0 forces the unpinned (AQE-coalescable)
+    // join — the A/B lever the r17 measurement used; default is pinned.
+    val pinOn = !sys.env.get("SPARK_GRAFT_LINKAGE_PIN").contains("0")
     val pinned = math.max(a.sparkSession.sparkContext.defaultParallelism,
       a.sparkSession.sessionState.conf.numShufflePartitions)
-    val out = left.repartition(pinned, col("__blk"))
-      .join(right.repartition(pinned, col("__blk")), "__blk")
-      .withColumn("dist", levenshtein(col("text_a"), col("text_b")))
-      .filter(col("dist") <= maxDist)
+    def pin(df: DataFrame): DataFrame =
+      if (pinOn) df.repartition(pinned, col("__blk")) else df
+    // THRESHOLDED Levenshtein (r17): the 3-arg form runs the BANDED DP
+    // (O(len × (2·maxDist+1)) cells instead of len², ~2.5× at maxDist 3
+    // on ~20-char names) and short-circuits in O(1) when the length gap
+    // alone exceeds the bound, returning -1 past the threshold — so the
+    // filter keeps exactly the rows the full-DP + `<= maxDist` form
+    // kept, with identical dist values. This is the hot instruction
+    // stream of the quadratic stage; at sf10p it is ~all the CPU.
+    val out = pin(left)
+      .join(pin(right), "__blk")
+      .withColumn("dist", levenshtein(col("text_a"), col("text_b"), maxDist))
+      .filter(col("dist") >= 0)
       .select("id_a", "id_b", "dist")
     val snapshot = report.toMap
     lastDrops = snapshot

@@ -190,6 +190,33 @@ class RecordLinkageSpec extends SparkSpec {
     assert(capped.contains(1L))
   }
 
+  test("thresholded DP edges: maxDist 0 keeps exact-equal pairs only, dist values match brute") {
+    // the r17 banded-Levenshtein rewrite must keep EXACTLY the rows the
+    // full-DP + filter form kept, with identical dist values — including
+    // the threshold-0 degenerate (equality join) and length-gap
+    // short-circuit rows (|len a - len b| > maxDist)
+    val a = Seq((1L, "abc"), (2L, "abcd"), (3L, "abcdefgh"), (4L, "xbc")).toDF("id", "t")
+    val blk = lit("one") // single block: all pairs compared
+    def got(maxDist: Int) = RecordLinkage.fuzzyJoin(a, "id", "t", blk,
+        a.select(col("id").as("id2"), col("t").as("t2")), "id2", "t2", blk, maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def brute(maxDist: Int) = {
+      val rows = Seq((1L, "abc"), (2L, "abcd"), (3L, "abcdefgh"), (4L, "xbc"))
+      (for ((ia, ta) <- rows; (ib, tb) <- rows) yield {
+        val d = { // textbook full DP
+          val m = Array.tabulate(ta.length + 1, tb.length + 1)((i, j) =>
+            if (i == 0) j else if (j == 0) i else 0)
+          for (i <- 1 to ta.length; j <- 1 to tb.length)
+            m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+              m(i - 1)(j - 1) + (if (ta(i - 1) == tb(j - 1)) 0 else 1))
+          m(ta.length)(tb.length)
+        }
+        (ia, ib, d)
+      }).filter(_._3 <= maxDist).toSet
+    }
+    for (k <- 0 to 5) assert(got(k) == brute(k), s"maxDist=$k")
+  }
+
   test("entityClusters: a long path converges (fix-point really iterates)") {
     import spark.implicits._
     // path 1-2-3-...-12: min label must travel the whole chain
