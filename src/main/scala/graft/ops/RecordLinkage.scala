@@ -136,24 +136,31 @@ object RecordLinkage {
       blockA.as("__blk")), "a")
     val right = capped(b.select(col(bId).as("id_b"), col(bText).as("text_b"),
       blockB.as("__blk")), "b")
-    // COMPUTE-DENSE EXCHANGE PIN (r17): the block join costs
-    // O(Σ |block_a|×|block_b|) Levenshtein DP cells but shuffles only
-    // (id, name, key) rows — AQE's byte-based coalescing sees a ~4 MB
-    // exchange and squashed the sf10p join (≈730 G DP cells from a
-    // 1.5M-row side) onto 4 of 32 cores, observed live: 4 tasks pinned
-    // 1,600 s each in the codegen'd join stage. An EXPLICIT partition
-    // count opts this one exchange out of coalescing (user-specified
-    // repartitioning is never coalesced); both sides pin the same
-    // (key, count), so the join consumes them co-partitioned with no
-    // further exchange. At tiny scale the optimizer may still broadcast
-    // one side — the two pinned shuffles then cost ~KBs, the conscious
-    // price (PlanCeilings) for never running the quadratic stage on a
-    // byte-count's worth of cores. Skew stays governed by the block cap:
-    // a block is atomic under ANY partitioning, so no partition count
-    // can split it — the cap is the dial for that axis.
-    // SPARK_GRAFT_LINKAGE_PIN=0 forces the unpinned (AQE-coalescable)
-    // join — the A/B lever the r17 measurement used; default is pinned.
-    val pinOn = !sys.env.get("SPARK_GRAFT_LINKAGE_PIN").contains("0")
+    // COMPUTE-DENSE EXCHANGE PIN (r17, conditional): the block join
+    // costs O(Σ |block_a|×|block_b|) Levenshtein DP cells but shuffles
+    // only (id, name, key) rows, so its parallelism is at the mercy of
+    // AQE's BYTE-based coalescing. Under the DEFAULT policy
+    // (coalescePartitions.parallelismFirst = true) AQE preserves
+    // parallelism AND may skew-split a heavy partition mid-block — the
+    // r17 sf10p A/B measured the untouched join 16% FASTER than a
+    // forced repartition (464 s vs 554 s, both at 30-32 tasks), so the
+    // default session gets the untouched plan. Under
+    // parallelismFirst = false — the setting Spark's own tuning guide
+    // recommends for production — the same exchange coalesces toward
+    // the 64 MB advisory target (a ~4 MB shuffle → ~1 task carrying
+    // ≈730 G DP cells), so THERE both sides are pinned with an explicit
+    // partition count (user-specified repartitioning is never
+    // coalesced), trading skew-splitting for not running the quadratic
+    // stage on a byte-count's worth of cores. Blocks are atomic under
+    // any partitioning — the cap stays the skew dial either way.
+    // SPARK_GRAFT_LINKAGE_PIN=1/0 forces the pin on/off (the A/B
+    // lever); unset routes by the session's coalescing policy.
+    val pinOn = sys.env.get("SPARK_GRAFT_LINKAGE_PIN") match {
+      case Some(v) => v != "0"
+      case None => !java.lang.Boolean.parseBoolean(
+        a.sparkSession.sessionState.conf.getConfString(
+          "spark.sql.adaptive.coalescePartitions.parallelismFirst", "true"))
+    }
     val pinned = math.max(a.sparkSession.sparkContext.defaultParallelism,
       a.sparkSession.sessionState.conf.numShufflePartitions)
     def pin(df: DataFrame): DataFrame =

@@ -55,9 +55,10 @@ object PlanCeilings {
     "q_dedup_best_match"    -> (1, 3),
     "q_lsh_candidate_census" -> (1, 2),
     // linkage best-match: one scan per side (both sides read customer in
-    // the registered fixture), the two pinned block-join exchanges (see
-    // q_fuzzy_link_capped's r17 note), and the per-id_a argmin groupBy
-    "q_fuzzy_link_best"     -> (2, 3),
+    // the registered fixture) + the per-id_a argmin groupBy's exchange;
+    // the pair join itself is exchange-free at this sf (block keys
+    // broadcast-join, AQE decides; conditional pin dormant — see above)
+    "q_fuzzy_link_best"     -> (2, 1),
     "q_dedup_cluster"       -> (1, 2),
     "q_subset_selffk"       -> (1, 2),
     "q_ivf_topk"            -> (1, 0),
@@ -88,15 +89,13 @@ object PlanCeilings {
     // window-count version needed (2,2) and sorted the hot block
     // through one task. The anti-join carries no broadcast hint (AQE
     // decides at runtime — a forced hint was a driver-OOM cliff when a
-    // small cap makes the over-cap set large).
-    // r17 CONSCIOUS RAISE (2,0)->(2,2): the block join's exchange is now
-    // PINNED to an explicit partition count (one repartition per side) —
-    // AQE's byte-based coalescing squashed the sf10p quadratic
-    // Levenshtein stage (~730 G DP cells from a ~4 MB shuffle) onto
-    // 4 of 32 cores. The two pinned shuffles carry KBs at this sf; the
-    // 100 TB cost of NOT pinning is the whole stage on a byte-count's
-    // worth of cores.
-    "q_fuzzy_link_capped"   -> (2, 2),
+    // small cap makes the over-cap set large). The r17 conditional
+    // exchange pin does NOT fire on this default-policy session
+    // (parallelismFirst=true keeps the compute-dense join parallel and
+    // skew-splittable), so the audited shape is unchanged; under a
+    // parallelismFirst=false session the pin adds one exchange per side
+    // (RecordLinkageSpec pins the routing).
+    "q_fuzzy_link_capped"   -> (2, 0),
     // dump side runs eagerly inside the query fn (COPY spool, not in this
     // plan); the audited LOAD plan scans the archive's .dat.gz text, no
     // parquet and no hash exchange (orderBy is a range partition)

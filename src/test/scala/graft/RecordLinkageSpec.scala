@@ -217,6 +217,31 @@ class RecordLinkageSpec extends SparkSpec {
     for (k <- 0 to 5) assert(got(k) == brute(k), s"maxDist=$k")
   }
 
+  test("exchange pin routes by the session's coalescing policy") {
+    // default policy (parallelismFirst=true): AQE preserves parallelism
+    // on byte-light exchanges, so the join stays UNpinned (no
+    // user-specified repartition in the plan); parallelismFirst=false
+    // (the prod-recommended setting) coalesces toward the 64 MB
+    // advisory target — a compute-dense ~MB shuffle would land on ~1
+    // task — so the pin fires. The lever env is unset in test runs.
+    val a = Seq((1L, "abc"), (2L, "abd")).toDF("id", "t")
+    def repartitions: Int = {
+      val df = RecordLinkage.fuzzyJoin(a, "id", "t", lit("k"),
+        a.select(col("id").as("i2"), col("t").as("t2")), "i2", "t2", lit("k"), 1)
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r
+      }.size
+    }
+    val key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    val orig = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "true")
+      assert(repartitions == 0, "default policy must leave the join untouched")
+      spark.conf.set(key, "false")
+      assert(repartitions == 2, "byte-targeted coalescing must trigger the per-side pin")
+    } finally orig.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("entityClusters: a long path converges (fix-point really iterates)") {
     import spark.implicits._
     // path 1-2-3-...-12: min label must travel the whole chain
