@@ -266,6 +266,54 @@ object Bench {
       s""","value_norm_ungated":$st,"value_norm_mt_ungated":$mt"""
   }
 
+  /** Per-query MOVER report vs a committed baseline (r17, the ledger's
+    * third leg). The round-17 close caught the normalization model's
+    * remaining blind spot IN THE OTHER DIRECTION: a host phase probed
+    * mt 12.5 GMops (+16% vs reference) while the battery ran ~35% slow —
+    * ALU probe speed and Spark throughput (memory/scheduling-bound)
+    * DECOUPLED, so value_norm_mt over-corrected a slow read upward and
+    * neither norm was comparable. The robust cross-round signal is the
+    * per-query SHAPE: a host phase inflates ~every query by a similar
+    * ratio, while a code regression moves few queries against a flat
+    * median. This report makes that check mechanical: against
+    * `BENCH_PERQUERY_BASELINE.json` (flat {"q_x": secs}; a designated
+    * gated-clean read, refreshed at each round close; override path via
+    * SPARK_GRAFT_BENCH_BASELINE) it emits the median per-query ratio
+    * over comparable queries (baseline ≥ 0.2 s) and the queries whose
+    * ratio diverges >25% AND >0.15 s FROM THAT MEDIAN — i.e. movers are
+    * measured relative to the battery's own host shift, so a uniformly
+    * slow host reads as battery_ratio_median ≈ 1.3 with ZERO movers,
+    * and a real regression shows up as a mover on ANY host. Absent
+    * baseline file → empty fields (never a crash). */
+  def moverFields(medians: Seq[(String, Double)], baseline: Map[String, Double]): String = {
+    def ms(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val comparable = medians.collect {
+      case (k, v) if baseline.get(k).exists(_ >= 0.2) => (k, v, v / baseline(k))
+    }
+    if (comparable.isEmpty) return s""""battery_ratio_median":null,"movers":{}"""
+    val sortedRatios = comparable.map(_._3).sorted
+    val med = sortedRatios(sortedRatios.size / 2)
+    val movers = comparable.collect {
+      case (k, v, r) if math.abs(r / med - 1) > 0.25 &&
+        math.abs(v - baseline(k) * med) > 0.15 => (k, r)
+    }
+    s""""battery_ratio_median":${ms(med)},"movers":""" +
+      movers.map { case (k, r) => "\"" + k + "\":" + ms(r) }
+        .mkString("{", ",", "}")
+  }
+
+  /** Flat {"q_x": secs} parse for the baseline file — two-token regex,
+    * no JSON dependency; a malformed file parses to empty (report
+    * degrades to no-baseline rather than failing the bench). */
+  def readBaseline(path: String): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      "\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+
   /** The suspect rule: the MEDIAN sample ran alongside more than `gate`
     * cores of foreign CPU, or the metric was unreadable. The gate is
     * much lower than the loadavg start gate because ext_cores excludes
@@ -567,6 +615,9 @@ object Bench {
     // whitespace or JSON-hostile characters)
     val onlyTag = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_ => s""","only":"${headlineNames.mkString(",")}"""").getOrElse("")
+    val baseline = readBaseline(sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_BASELINE", "BENCH_PERQUERY_BASELINE.json"))
+    val moverJson = moverFields(medians, baseline)
     val diag = s"""{"metric":"total","value":$total,"unit":"sec","samples":3,""" +
       s""""total_min":$totalMin,"queries":${js(medians)},""" +
       s""""queries_min":${js(mins)},"query_stats":${jsStats(single)}""" +
@@ -581,6 +632,7 @@ object Bench {
       s""","load_gate_wait_sec":$gateWaitSec""" +
       s""","load_gate_timed_out":$gateTimedOut""" +
       s""","suspect":${jsNames(suspects)},"failed":${jsNames(failed)}""" +
+      s""",$moverJson""" +
       s""","loadavg_warmup_before":$loadWarm""" +
       s""","loadavg_before":$loadBefore,"loadavg_after":$loadMid""" +
       s""","sf":"$sfDir"$onlyTag$extras}"""
@@ -608,6 +660,7 @@ object Bench {
       s""""probe_parallel_suspect":$parallelSuspect,""" +
       s"""${normFields(total, probeSt, probeMt, gatedClean, cpus.toInt)},""" +
       s""""suspect":${jsNames(suspects)},"failed":${jsNames(failed)},""" +
+      s"""$moverJson,""" +
       s""""queries":$qCompact,"sf":"$sfDir"$onlyTag,"diag":"$diagPath"}""")
     spark.stop()
   }

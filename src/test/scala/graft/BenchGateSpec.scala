@@ -198,4 +198,34 @@ class BenchGateSpec extends AnyFunSuite {
     assert(smoke8.contains("\"value_norm_mt\":null"), smoke8)
     assert(!smoke8.contains("\"value_norm\":null"), s"st field stays live at any thread count: $smoke8")
   }
+
+  test("mover report separates a uniform host shift from an isolated code regression") {
+    val baseline = Map("q_a" -> 1.0, "q_b" -> 2.0, "q_c" -> 0.5, "q_d" -> 1.5,
+      "q_tiny" -> 0.1) // below the 0.2 s comparability floor — ignored
+    // uniformly 1.3x slower host (the r17 close's phase): median ratio
+    // 1.3, ZERO movers — the shape says host, not code
+    val host = Bench.moverFields(
+      baseline.toSeq.map { case (k, v) => k -> v * 1.3 }, baseline)
+    assert(host.contains("\"battery_ratio_median\":1.300"), host)
+    assert(host.contains("\"movers\":{}"), host)
+    // same host shift PLUS one real regression: q_b doubles — the mover
+    // is measured against the battery's own median, so it stands out
+    val regressed = Bench.moverFields(
+      Seq("q_a" -> 1.3, "q_b" -> 4.0, "q_c" -> 0.65, "q_d" -> 1.95), baseline)
+    assert(regressed.contains("\"battery_ratio_median\":1.300"), regressed)
+    assert(regressed.contains("\"q_b\":2.000"), regressed)
+    assert(!regressed.contains("q_a\":"), s"non-movers stay out: $regressed")
+    // sub-threshold ratio wiggle (0.5 -> 0.58, +16%) and a big-RATIO but
+    // small-ABSOLUTE move on a fast query (0.25 -> 0.38, +52% but 0.13 s
+    // — under the 0.15 s floor): neither is a mover
+    val floorBase = baseline + ("q_e" -> 0.25)
+    val wiggle = Bench.moverFields(
+      Seq("q_a" -> 1.0, "q_b" -> 2.0, "q_c" -> 0.58, "q_d" -> 1.5,
+        "q_e" -> 0.38), floorBase)
+    assert(wiggle.contains("\"movers\":{}"), wiggle)
+    // no baseline file -> degrade, never crash
+    assert(Bench.moverFields(Seq("q_a" -> 1.0), Map.empty)
+      .contains("\"battery_ratio_median\":null"))
+    assert(Bench.readBaseline("/nonexistent/path.json").isEmpty)
+  }
 }
