@@ -255,10 +255,12 @@ object Bench {
     * a 32-thread measurement; an 8-thread smoke probes ~1/3 of it and
     * would "normalize" a sane total to nonsense), so like
     * [[probeParallelSuspect]] it nulls itself when `threads != 32`. */
+  /** 3-decimal JSON number rendering, shared by every ledger field. */
+  private def ms(v: Double): String =
+    BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
   def normFields(total: Double, probeStOps: Double, probeMtOps: Double,
                  gated: Boolean, threads: Int = 32): String = {
-    def ms(v: Double): String =
-      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val st = ms(probeNormalized(total, probeStOps))
     val mt = if (threads == 32) ms(probeNormalizedMt(total, probeMtOps)) else "null"
     if (gated) s""""value_norm":$st,"value_norm_mt":$mt"""
@@ -283,17 +285,26 @@ object Bench {
     * ratio diverges >25% AND >0.15 s FROM THAT MEDIAN — i.e. movers are
     * measured relative to the battery's own host shift, so a uniformly
     * slow host reads as battery_ratio_median ≈ 1.3 with ZERO movers,
-    * and a real regression shows up as a mover on ANY host. Absent
-    * baseline file → empty fields (never a crash). */
+    * and a real regression shows up as a mover on ANY host. The
+    * baseline is scale-specific — the caller must gate on the
+    * baseline's `_sf` tag matching the run's fixture (queries scale
+    * with different exponents, so a cross-sf comparison manufactures
+    * movers). FAILED queries must be excluded by the caller (their
+    * throw-time "medians" would read as nonsense speedups and skew the
+    * ratio pool). Absent baseline → empty fields (never a crash). */
   def moverFields(medians: Seq[(String, Double)], baseline: Map[String, Double]): String = {
-    def ms(v: Double): String =
-      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val comparable = medians.collect {
       case (k, v) if baseline.get(k).exists(_ >= 0.2) => (k, v, v / baseline(k))
     }
     if (comparable.isEmpty) return s""""battery_ratio_median":null,"movers":{}"""
     val sortedRatios = comparable.map(_._3).sorted
-    val med = sortedRatios(sortedRatios.size / 2)
+    val n = sortedRatios.size
+    // true even-n median (average of middle two): with sortedRatios(n/2)
+    // a 2-query SPARK_GRAFT_ONLY battery whose slower member regressed
+    // 2x would set med = 2.0, flag the HEALTHY query, and read exactly
+    // backwards
+    val med = if (n % 2 == 1) sortedRatios(n / 2)
+      else (sortedRatios(n / 2 - 1) + sortedRatios(n / 2)) / 2.0
     val movers = comparable.collect {
       case (k, v, r) if math.abs(r / med - 1) > 0.25 &&
         math.abs(v - baseline(k) * med) > 0.15 => (k, r)
@@ -303,16 +314,23 @@ object Bench {
         .mkString("{", ",", "}")
   }
 
-  /** Flat {"q_x": secs} parse for the baseline file — two-token regex,
-    * no JSON dependency; a malformed file parses to empty (report
-    * degrades to no-baseline rather than failing the bench). */
-  def readBaseline(path: String): Map[String, Double] =
+  /** Flat {"_sf": "sf0.1", "q_x": secs} parse for the baseline file —
+    * two-token regexes, no JSON dependency; a malformed or missing file
+    * parses to (None, empty) and the report degrades to no-baseline
+    * rather than failing the bench. Returns (the file's `_sf` fixture
+    * tag, per-query seconds): the caller compares the tag against the
+    * run's own fixture name and disables the report on mismatch —
+    * queries scale with different exponents, so an sf1 run diffed
+    * against an sf0.1 baseline would manufacture "movers" out of
+    * nothing but scale. */
+  def readBaseline(path: String): (Option[String], Map[String, Double]) =
     try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
-      "\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    } catch { case _: Throwable => Map.empty }
+      val sf = "\"_sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+      (sf, "\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+    } catch { case _: Throwable => (None, Map.empty) }
 
   /** The suspect rule: the MEDIAN sample ran alongside more than `gate`
     * cores of foreign CPU, or the metric was unreadable. The gate is
@@ -615,9 +633,25 @@ object Bench {
     // whitespace or JSON-hostile characters)
     val onlyTag = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_ => s""","only":"${headlineNames.mkString(",")}"""").getOrElse("")
-    val baseline = readBaseline(sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_BASELINE", "BENCH_PERQUERY_BASELINE.json"))
-    val moverJson = moverFields(medians, baseline)
+    val baselinePath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_BASELINE", "BENCH_PERQUERY_BASELINE.json")
+    val (baselineSf, baselineQ) = readBaseline(baselinePath)
+    // the baseline is scale-specific; on a different fixture (or a
+    // missing/untagged file) the report is disabled LOUDLY rather than
+    // manufacturing movers out of scale exponents or silently (the
+    // default path is CWD-relative — a wrapper launched elsewhere would
+    // otherwise lose the ledger's third leg with no trace)
+    val sfName = new java.io.File(sfDir).getName
+    val baselineUsable = baselineQ.nonEmpty && baselineSf.contains(sfName)
+    if (!baselineUsable) Console.err.println(
+      s"[bench] mover report disabled: baseline '$baselinePath' " +
+        (if (baselineQ.isEmpty) "missing/unparseable"
+         else s"is for sf '${baselineSf.getOrElse("?")}', run is '$sfName'"))
+    // failed queries' throw-time "medians" are nonsense ratios — keep
+    // them out of the mover pool (they are already reported in `failed`)
+    val moverJson = moverFields(
+      medians.filterNot { case (k, _) => failed.contains(k) },
+      if (baselineUsable) baselineQ else Map.empty)
     val diag = s"""{"metric":"total","value":$total,"unit":"sec","samples":3,""" +
       s""""total_min":$totalMin,"queries":${js(medians)},""" +
       s""""queries_min":${js(mins)},"query_stats":${jsStats(single)}""" +

@@ -223,9 +223,25 @@ class BenchGateSpec extends AnyFunSuite {
       Seq("q_a" -> 1.0, "q_b" -> 2.0, "q_c" -> 0.58, "q_d" -> 1.5,
         "q_e" -> 0.38), floorBase)
     assert(wiggle.contains("\"movers\":{}"), wiggle)
+    // even-n medians are the average of the middle two: a 2-query
+    // SPARK_GRAFT_ONLY battery with one 2x regression previously set
+    // med = the UPPER ratio (2.0), flagged only the healthy query, and
+    // read exactly backwards; the true midpoint (1.5) flags BOTH sides
+    // of the split — ambiguous at n=2, but the regression is never
+    // exonerated
+    val two = Bench.moverFields(Seq("q_a" -> 1.0, "q_b" -> 4.0),
+      Map("q_a" -> 1.0, "q_b" -> 2.0))
+    assert(two.contains("\"battery_ratio_median\":1.500"), two)
+    assert(two.contains("\"q_b\":2.000") && two.contains("\"q_a\":1.000"), two)
     // no baseline file -> degrade, never crash
     assert(Bench.moverFields(Seq("q_a" -> 1.0), Map.empty)
       .contains("\"battery_ratio_median\":null"))
-    assert(Bench.readBaseline("/nonexistent/path.json").isEmpty)
+    val (noSf, noQ) = Bench.readBaseline("/nonexistent/path.json")
+    assert(noSf.isEmpty && noQ.isEmpty)
+    // the committed baseline parses and carries its fixture tag — the
+    // caller disables the report when the tag mismatches the run's sf
+    val (sf, qs) = Bench.readBaseline("BENCH_PERQUERY_BASELINE.json")
+    assert(sf.contains("sf0.1"), s"baseline must carry _sf: $sf")
+    assert(qs.size >= 40 && qs.keys.forall(_.startsWith("q_")), qs.size.toString)
   }
 }

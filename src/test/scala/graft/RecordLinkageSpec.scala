@@ -157,7 +157,8 @@ class RecordLinkageSpec extends SparkSpec {
   test("fuzzyLinkBest: per-left-record argmin, ties to smallest right id, cap composes") {
     // shared suffix block "ANA": left 1 best-matches right 10 at dist 1
     //   over several dist-2 candidates; left 5 has a genuine dist TIE
-    //   (13 vs 14, both dist 1) -> smallest id 13 wins; left 3 shares
+    //   (11/13/14 all at dist 1 — "dzzana" is one insertion from
+    //   "zzana") -> smallest id 11 wins; left 3 shares
     //   the block but nothing within maxDist. Hot block "XXX" (7 lefts)
     //   exceeds cap=6 -> its lefts vanish under the cap while block ANA
     //   (4 lefts / 6 rights) stays whole on both sides.
