@@ -238,6 +238,10 @@ object Bench {
     if (probeMtOpsPerSec <= 0) total
     else total * (probeMtOpsPerSec / 1e6) / ProbeRefMtMops
 
+  /** 3-decimal JSON number rendering, shared by every ledger field. */
+  private def ms(v: Double): String =
+    BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
   /** Render the normalized-total JSON fields for a bench line.
     *
     * The r16 lesson (VERDICT r16 #1): the official BENCH_r16.json was a
@@ -255,10 +259,6 @@ object Bench {
     * a 32-thread measurement; an 8-thread smoke probes ~1/3 of it and
     * would "normalize" a sane total to nonsense), so like
     * [[probeParallelSuspect]] it nulls itself when `threads != 32`. */
-  /** 3-decimal JSON number rendering, shared by every ledger field. */
-  private def ms(v: Double): String =
-    BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-
   def normFields(total: Double, probeStOps: Double, probeMtOps: Double,
                  gated: Boolean, threads: Int = 32): String = {
     val st = ms(probeNormalized(total, probeStOps))
@@ -328,9 +328,12 @@ object Bench {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
       val sf = "\"_sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
-      (sf, "\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+      // optional exponent: an override file holding 1.2E-4 must not
+      // silently parse as 1.2 (r17 ADVICE)
+      (sf, "\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+(?:[eE][+-]?[0-9]+)?)".r
+        .findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap)
-    } catch { case _: Throwable => (None, Map.empty) }
+    } catch { case scala.util.control.NonFatal(_) => (None, Map.empty) }
 
   /** The suspect rule: the MEDIAN sample ran alongside more than `gate`
     * cores of foreign CPU, or the metric was unreadable. The gate is

@@ -1085,6 +1085,15 @@ object Dedup {
     * driver flattens newlines.) */
   def simhashBestMatchSql(table: String, idCol: String, textCol: String,
                           maxHamming: Int = 3): String = {
+    // this rendering is pinned to the narrow 4x15 banding, whose
+    // pigeonhole only guarantees recall for hamming <= 3; past that the
+    // Scala router takes the wide 120-bit path and this SQL would
+    // silently drop pairs (r17 ADVICE) — refuse rather than diverge
+    // (render a wide-plan argmin over [[simhashHammingPairsWideSql]]'s
+    // pair CTE if a caller ever needs radius > 3)
+    require(maxHamming <= 3,
+      s"simhashBestMatchSql: narrow 4x15 banding is only recall-complete for " +
+        s"maxHamming <= 3 (got $maxHamming); use the wide band plan")
     val sh = TextOps.simhash60Sql(textCol)
     s"""WITH s AS (
           SELECT ${idCol} AS id, (${sh})::BIGINT AS sh FROM ${table}

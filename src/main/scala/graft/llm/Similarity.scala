@@ -74,7 +74,15 @@ object Similarity {
   def withLshBuckets(df: DataFrame, idCol: String, vecCol: String,
                      nPlanes: Int = 8, dim: Int = 32): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
-    df.select(col(idCol), col(vecCol), lshBucket(col(vecCol), planes).as("bucket"))
+    // scan-width hygiene (same rationale as Dedup.scala:82): the bucket
+    // assignment is nPlanes x dim multiply-adds PER ROW, and the pair
+    // joins downstream ([[cosineNearDupPairs]]) can BROADCAST one side —
+    // the stream side then inherits the scan's split count straight into
+    // the per-pair cosine stage. A one-file embeddings parquet scans to
+    // few splits; widen() redistributes only then (no-op on any real
+    // multi-split corpus).
+    graft.plans.Parallelism.widen(df.select(col(idCol), col(vecCol)))
+      .select(col(idCol), col(vecCol), lshBucket(col(vecCol), planes).as("bucket"))
   }
 
   /** ANN probe: exact cosine within the query's bucket only. Falls back to
@@ -191,10 +199,14 @@ object Similarity {
     * ordering vs DuckDB ORDER BY DESC put NaN at opposite ends after
     * negation). Both sides demote post-filter NaN to -2.0 — below the
     * cosine range, so degenerate candidates deterministically lose
-    * every argmax they share with a real one on BOTH engines.
+    * every argmax they share with a real one on BOTH engines — and
+    * then DROP any row whose WINNING score is still the -2.0 sentinel
+    * (a vector whose only candidates were zero-norm pairs has no real
+    * match; r17 ADVICE — a consumer filtering best matches must never
+    * see -2.0 as a "match").
     *
     * Output: (id, partner, cosine) — one row per vector with at least
-    * one candidate at or above `threshold`. */
+    * one REAL (non-NaN) candidate at or above `threshold`. */
   def cosineBestMatch(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double = 0.95, nPlanes: Int = 8,
                       dim: Int = 32): DataFrame = {
@@ -206,11 +218,13 @@ object Similarity {
     sym.groupBy("id")
       .agg(min(struct(negate(col("cosine")).as("nc"), col("partner").as("p"))).as("b"))
       .select(col("id"), col("b.p").as("partner"), negate(col("b.nc")).as("cosine"))
+      .filter(col("cosine") > lit(-2.0))
   }
 
   /** DuckDB rendering of [[cosineBestMatch]] — the near-dup pair CTE
     * with the same post-filter NaN demotion, symmetrized, then a per-id
-    * argmax window. (No '--' comments: the driver flattens newlines.) */
+    * argmax window, then the same winner-is-sentinel drop. (No '--'
+    * comments: the driver flattens newlines.) */
   def cosineBestMatchSql(table: String, idCol: String, vecCol: String,
                          threshold: Double, nPlanes: Int, dim: Int): String = {
     val bucket = lshBucketSql(vecCol, hyperplanes(nPlanes, dim))
@@ -229,8 +243,10 @@ object Similarity {
           UNION ALL
           SELECT id_b AS id, id_a AS partner, cosine FROM kept
         )
-        SELECT id, partner, cosine FROM sym
-        QUALIFY row_number() OVER (PARTITION BY id ORDER BY cosine DESC, partner) = 1"""
+        SELECT id, partner, cosine FROM (
+          SELECT id, partner, cosine FROM sym
+          QUALIFY row_number() OVER (PARTITION BY id ORDER BY cosine DESC, partner) = 1)
+        WHERE cosine > -2.0"""
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023,
@@ -283,7 +299,8 @@ object Similarity {
                                centroids: Seq[Array[Double]]): DataFrame = {
     val sims = array(centroids.map(c =>
       nanvl(cosineTo(col(vecCol), c.toSeq), lit(-2.0))): _*)
-    df.withColumn("__sims", sims)
+    // widened for the same k·dim-per-row reason as [[ivfAssign]]
+    graft.plans.Parallelism.widen(df).withColumn("__sims", sims)
       .withColumn("cluster", expr("array_position(__sims, array_max(__sims))").cast("int") - 1)
       .drop("__sims")
   }
@@ -635,10 +652,18 @@ object Similarity {
       .map(_.getSeq[Float](1).map(_.toDouble).toArray).toSeq
   }
 
-  /** Nearest-centroid assignment (argmax cosine over the k centroids). */
+  /** Nearest-centroid assignment (argmax cosine over the k centroids).
+    *
+    * The input is widened first (see [[graft.plans.Parallelism.widen]]):
+    * the argmax costs k x dim multiply-adds per row — with the adaptive
+    * k = N/64 that is the single most compute-dense scan in the semdedup
+    * family — and a one-file embeddings parquet would otherwise serialize
+    * it behind the scan's split count. No-op for non-scan-shaped inputs
+    * (kmeansRefine's loop, checkpointed cells) and for any real
+    * multi-split corpus. */
   def ivfAssign(df: DataFrame, vecCol: String, centroids: Seq[Array[Double]]): DataFrame = {
     val sims = array(centroids.map(c => cosineTo(col(vecCol), c.toSeq)): _*)
-    df.withColumn("__sims", sims)
+    graft.plans.Parallelism.widen(df).withColumn("__sims", sims)
       .withColumn("cluster", expr("array_position(__sims, array_max(__sims))").cast("int") - 1)
       .drop("__sims")
   }

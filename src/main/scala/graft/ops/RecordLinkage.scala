@@ -132,10 +132,22 @@ object RecordLinkage {
       df.join(census.filter(col("__bn") > cap).select("__blk"),
         Seq("__blk"), "left_anti")
     }
-    val left = capped(a.select(col(aId).as("id_a"), col(aText).as("text_a"),
-      blockA.as("__blk")), "a")
-    val right = capped(b.select(col(bId).as("id_b"), col(bText).as("text_b"),
-      blockB.as("__blk")), "b")
+    // SCAN-WIDTH HYGIENE on both row sides (r17 forward note, same
+    // rationale as Dedup.scala:82): the block join below may BROADCAST
+    // one side, and a broadcast plan makes the OTHER side inherit its
+    // scan's split count straight into the quadratic Levenshtein stage —
+    // a one-file fixture parquet would run the O(Σ|a_blk|×|b_blk|) DP on
+    // a handful of tasks. The SMJ path redistributes on __blk anyway, so
+    // widen() only ever pays on the broadcast plan with a narrow scan
+    // (and is a no-op on any real multi-split corpus). Applied BEFORE
+    // the cap's anti-join: widen only inspects scan-shaped plans, so
+    // widening after capped() would never fire.
+    val left = capped(graft.plans.Parallelism.widen(
+      a.select(col(aId).as("id_a"), col(aText).as("text_a"),
+        blockA.as("__blk"))), "a")
+    val right = capped(graft.plans.Parallelism.widen(
+      b.select(col(bId).as("id_b"), col(bText).as("text_b"),
+        blockB.as("__blk"))), "b")
     // COMPUTE-DENSE EXCHANGE PIN (r17, conditional): the block join
     // costs O(Σ |block_a|×|block_b|) Levenshtein DP cells but shuffles
     // only (id, name, key) rows, so its parallelism is at the mercy of

@@ -779,16 +779,18 @@ class LlmOpsSpec extends SparkSpec {
       .groupBy(_._1).map { case (id, cs) =>
         val best = cs.minBy { case (_, p, c) => (-c, p) }
         (id, best._2, best._3)
-      }.toSet
+      }.filter(_._3 > -2.0).toSet
     val got = Similarity.cosineBestMatch(vecs, "vec_id", "embedding",
         threshold = 0.5, nPlanes = 1, dim = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == expected)
     val byId = got.map(t => t._1 -> ((t._2, t._3))).toMap
-    // the zero-norm vector's candidates are all demoted: its best match
-    // lands at -2.0 with the smallest partner id
-    assert(byId(5L) == ((1L, -2.0)))
-    // real vectors prefer real candidates over demoted NaN ones
+    // the zero-norm vector's candidates are ALL demoted, so its winning
+    // score is the -2.0 sentinel and the row is dropped outright (r17
+    // ADVICE: no consumer may mistake -2.0 for a real match)
+    assert(!byId.contains(5L))
+    // real vectors prefer real candidates over demoted NaN ones — and
+    // still surface (a demoted candidate never drags a real vector out)
     assert(byId(1L)._1 == 2L && byId(1L)._2 > 0.99)
   }
 }
