@@ -249,6 +249,85 @@ object Similarity {
         WHERE cosine > -2.0"""
   }
 
+  /** Bucket-volume CENSUS of the hyperplane-LSH plan family — the
+    * pre-flight forecast for [[cosineNearDupPairs]] / [[cosineBestMatch]],
+    * completing the census trio ([[Dedup.lshCandidateCensus]] forecasts
+    * the minhash band join, [[Dedup.simhashBandPlanCensus]] the simhash
+    * plans): BEFORE generating a single pair, measure what each
+    * candidate-plan's bucket join would cost. Per `nPlanes` plan, one
+    * all-integer row: bucket count, Σ C(n,2) candidate pairs the bucket
+    * self-join would probe, the largest bucket (the straggler bound),
+    * and the matched-vector count (vectors sharing a bucket with at
+    * least one other — each vector lives in exactly ONE bucket per
+    * plan, so this is Σ n over buckets with n ≥ 2, no distinct needed).
+    *
+    * ONE scan censuses EVERY plan: [[hyperplanes]] draws planes
+    * sequentially from a fixed seed, so the p-plane set is a PREFIX of
+    * the P-plane set for any p <= P — plan p's bucket is just the low p
+    * bits of the max-plan bucket (`bucket_P & (2^p - 1)`). The scan pays
+    * max(planCounts) x dim multiply-adds per row once; every smaller
+    * plan is a bit-mask. Exchanges after the scan carry only
+    * (n_planes, bucket, count) — nothing vector-sized.
+    *
+    * Read `candidate_pairs` against the corpus size the way the r17
+    * sf10 rehearsal taught: the all-pairs contract grows with bucket
+    * occupancy squared, so a plan whose census reads super-linear is
+    * the signal to add planes (see [[planesFor]]) or take the bounded
+    * [[cosineBestMatch]] contract. */
+  def embedBucketCensus(df: DataFrame, idCol: String, vecCol: String,
+                        planCounts: Seq[Int] = Seq(4, 6, 8, 10, 12),
+                        dim: Int = 32): DataFrame = {
+    require(planCounts.nonEmpty && planCounts.forall(p => p >= 1 && p <= 62),
+      "embedBucketCensus: planCounts must be within [1, 62]")
+    val pMax = planCounts.max
+    val planes = hyperplanes(pMax, dim)
+    val base = graft.plans.Parallelism
+      .widen(df.select(col(idCol), col(vecCol)))
+      .select(lshBucket(col(vecCol), planes).as("__bk"))
+    val arms = planCounts.distinct.sorted.map { p =>
+      struct(lit(p).as("n_planes"),
+        col("__bk").bitwiseAND(lit((1L << p) - 1)).as("bucket"))
+    }
+    val sizes = base.select(explode(array(arms: _*)).as("k"))
+      .select(col("k.n_planes"), col("k.bucket"))
+      .groupBy("n_planes", "bucket")
+      .agg(count(lit(1)).as("n"))
+    sizes.groupBy("n_planes").agg(
+      count(lit(1)).as("n_buckets"),
+      coalesce(sum(when(col("n") > 1,
+          shiftright(col("n") * (col("n") - 1), 1))), lit(0L))
+        .as("candidate_pairs"),
+      coalesce(max(col("n")), lit(0L)).as("max_bucket"),
+      coalesce(sum(when(col("n") > 1, col("n"))), lit(0L))
+        .as("vectors_matched"))
+  }
+
+  /** DuckDB rendering of [[embedBucketCensus]] — same max-plan bucket,
+    * same per-plan bit-mask arms, same integer statistics. */
+  def embedBucketCensusSql(table: String, idCol: String, vecCol: String,
+                           planCounts: Seq[Int], dim: Int): String = {
+    val pMax = planCounts.max
+    val bucket = lshBucketSql(vecCol, hyperplanes(pMax, dim))
+    val armSql = planCounts.distinct.sorted.map { p =>
+      s"SELECT ${p} AS n_planes, bk & ${(1L << p) - 1} AS bucket FROM bk"
+    }.mkString(" UNION ALL ")
+    s"""WITH bk AS (
+          SELECT ${bucket} AS bk FROM ${table}
+        ), e AS (
+          ${armSql}
+        ), sizes AS (
+          SELECT n_planes, bucket, count(*)::BIGINT AS n
+          FROM e GROUP BY 1, 2
+        )
+        SELECT n_planes, count(*)::BIGINT AS n_buckets,
+               coalesce(sum(CASE WHEN n > 1 THEN (n * (n - 1)) // 2 END), 0)::BIGINT
+                 AS candidate_pairs,
+               coalesce(max(n), 0)::BIGINT AS max_bucket,
+               coalesce(sum(CASE WHEN n > 1 THEN n END), 0)::BIGINT
+                 AS vectors_matched
+        FROM sizes GROUP BY n_planes"""
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication", arXiv:2303.09540): cluster the embeddings with the
