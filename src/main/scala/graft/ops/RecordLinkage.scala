@@ -78,11 +78,12 @@ object RecordLinkage {
     * STORAGE NOTE (capped calls only): each side's block census is
     * materialized via `Checkpoints.materialize` and stays referenced by
     * the RETURNED plan (the anti-join reads it), so its blocks cannot be
-    * released here. They are registered for `Checkpoints.releaseAll()`
-    * — the same contract every shared-leaf operator follows: a
-    * long-lived driver making repeated capped calls must drain the
-    * registry once each result is consumed, or census blocks accumulate
-    * one pair per call.
+    * released here. A long-lived driver should use
+    * [[fuzzyJoinReleasable]] and call its per-call `releaseCensus()`
+    * once the result is consumed (VERDICT r17 #5); the censuses are
+    * ALSO registered for the global `Checkpoints.releaseAll()` drain,
+    * so batch drivers (Verify/Bench) keep their existing discipline
+    * and a double release is a harmless no-op.
     *
     * @param blockA / blockB blocking-key expressions over each side's
     *        text column (same key family on both sides for recall). */
@@ -102,9 +103,38 @@ object RecordLinkage {
                           b: DataFrame, bId: String, bText: String, blockB: Column,
                           maxDist: Int, maxBlockSize: Option[Int] = None)
       : (DataFrame, Map[String, CapDrop]) = {
+    val r = fuzzyJoinReleasable(a, aId, aText, blockA, b, bId, bText, blockB,
+      maxDist, maxBlockSize)
+    (r.pairs, r.report)
+  }
+
+  /** One capped-linkage call's full result: the pair stream, the
+    * per-side drop report, and THIS call's census release hook.
+    * `releaseCensus()` unpersists only the block-census checkpoints this
+    * invocation materialized — call it after the pair stream is fully
+    * consumed (the censuses back the over-cap anti-join in the returned
+    * plan and their lineage is truncated, so nothing can recompute them
+    * afterwards). Idempotent, and safe to combine with the global
+    * `Checkpoints.releaseAll()` drain (a second unpersist of the same
+    * blocks is a no-op). Uncapped calls release nothing. */
+  final case class ReleasableLinkage(pairs: DataFrame,
+                                     report: Map[String, CapDrop],
+                                     releaseCensus: () => Unit)
+
+  /** [[fuzzyJoinWithReport]] plus a PER-CALL census release hook
+    * (VERDICT r17 #5): a long-lived driver interleaving capped linkage
+    * calls with unrelated checkpointed work can release each call's own
+    * census blocks on consumption instead of draining the global
+    * registry — `releaseAll()` is a sledgehammer that would also free
+    * checkpoints still backing OTHER live results. */
+  def fuzzyJoinReleasable(a: DataFrame, aId: String, aText: String, blockA: Column,
+                          b: DataFrame, bId: String, bText: String, blockB: Column,
+                          maxDist: Int, maxBlockSize: Option[Int] = None)
+      : ReleasableLinkage = {
     require(maxDist >= 0, "fuzzyJoin: maxDist must be >= 0")
     require(maxBlockSize.forall(_ > 0), "fuzzyJoin: maxBlockSize must be positive")
     val report = scala.collection.mutable.Map.empty[String, CapDrop]
+    val censuses = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // Cap enforcement is LOUD about what it drops (r15 verdict: at a
     // 100-replica duplication every mid-slice block exceeded the cap and
     // the operator returned 0 pairs with no signal — on a real pipeline
@@ -116,6 +146,7 @@ object RecordLinkage {
     def capped(df: DataFrame, side: String): DataFrame = maxBlockSize.fold(df) { cap =>
       val census = graft.plans.Checkpoints.materialize(
         df.groupBy("__blk").agg(count(lit(1)).as("__bn")))
+      censuses += census
       val stat = census.agg(
         count(lit(1)), coalesce(sum("__bn"), lit(0L)),
         count(when(col("__bn") > cap, 1)),
@@ -191,7 +222,8 @@ object RecordLinkage {
       .select("id_a", "id_b", "dist")
     val snapshot = report.toMap
     lastDrops = snapshot
-    (out, snapshot)
+    ReleasableLinkage(out, snapshot,
+      () => censuses.foreach(graft.plans.Checkpoints.unpersistCheckpoint))
   }
 
   /** Per-block row counts on each side — the diagnostic to run BEFORE

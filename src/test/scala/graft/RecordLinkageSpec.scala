@@ -252,4 +252,52 @@ class RecordLinkageSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(out.values.toSet == Set(1L) && out.size == 12)
   }
+
+  test("fuzzyJoinReleasable: per-call census release, no net persisted-block growth") {
+    import spark.implicits._
+    // drain anything earlier suites left behind so the baseline is ours
+    graft.plans.Checkpoints.releaseAll()
+    val df = ((1L to 40L).map(i => (i, "HOT_block_shared")) ++
+      (41L to 50L).map(i => (i, s"CLD_$i"))).toDF("id", "nm")
+    def persistedIds: Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    // two sequential capped calls, each consumed then released — the
+    // long-lived-driver pattern VERDICT r17 #5 asks for (no global
+    // releaseAll between them). Tracked by the call's OWN rdd ids, not a
+    // global count: the ContextCleaner can GC unrelated stale blocks
+    // mid-test and a count baseline would drift under it.
+    for (cap <- Seq(20, 30)) {
+      val before = persistedIds
+      val r = RecordLinkage.fuzzyJoinReleasable(
+        df, "id", "nm", RecordLinkage.prefixBlock(col("nm"), 3),
+        df, "id", "nm", RecordLinkage.prefixBlock(col("nm"), 3),
+        maxDist = 2, maxBlockSize = Some(cap))
+      r.pairs.collect()
+      assert(r.report("a").droppedBlocks == 1L, "hot block capped on side a")
+      val own = persistedIds -- before
+      assert(own.nonEmpty, "census blocks live while the result is consumed")
+      r.releaseCensus()
+      // unpersist is async (blocking=false) — poll briefly
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while ((persistedIds & own).nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert((persistedIds & own).isEmpty,
+        s"cap=$cap: this call's census blocks must be gone after releaseCensus()")
+    }
+    // double release + global drain stay harmless no-ops
+    val again = RecordLinkage.fuzzyJoinReleasable(
+      df, "id", "nm", RecordLinkage.prefixBlock(col("nm"), 3),
+      df, "id", "nm", RecordLinkage.prefixBlock(col("nm"), 3),
+      maxDist = 1, maxBlockSize = Some(20))
+    again.pairs.collect()
+    again.releaseCensus()
+    again.releaseCensus()
+    graft.plans.Checkpoints.releaseAll()
+    // uncapped calls materialize no census: nothing to release
+    val un = RecordLinkage.fuzzyJoinReleasable(
+      df, "id", "nm", RecordLinkage.prefixBlock(col("nm"), 3),
+      df, "id", "nm", RecordLinkage.prefixBlock(col("nm"), 3), maxDist = 1)
+    un.pairs.collect()
+    assert(un.report.isEmpty)
+    un.releaseCensus()
+  }
 }
