@@ -226,6 +226,53 @@ for name, pat in BESTMATCH_SURGERY.items():
     compare(name, eng, ddb,
             f"hash-exact argmax on sampled id ({time.time()-t0:.0f}s oracle)", results)
 
+# ---- ANN top-k family: corpus-restricted exact membership (r18) ----
+# A top-k is a GLOBAL argmax — a bare corpus sample would change the
+# answer. But for any candidate set S that CONTAINS the true top-k,
+# top-k(S) == top-k(corpus); so the scan is restricted to (sampled
+# rows ∪ the engine's claimed members) and the oracle runs otherwise
+# UNCHANGED. If the claim is the true top-k, the restricted oracle
+# reproduces it exactly; if the engine missed a true member and that
+# member lands in the 1/RATE sample, the restricted oracle surfaces it
+# and the row compare fails; a fabricated/extra member loses to true
+# rows the same way. The IVF seed/centroid/probe CTEs stay full-corpus
+# (the hash-rank seed is an ORDER BY ... LIMIT over everything, and it
+# is cheap); only the per-row candidate rendering — the multiprobe
+# bucket expansion that costs ~205 s full at sf10p — is cut RATE×.
+ANN_SURGERY = {
+    # (pattern to restrict, how to wrap it)
+    "q_knn_brute": ("FROM embeddings", "scan"),
+    "q_ann_multiprobe": ("FROM embeddings", "scan"),
+    "q_ivf_topk": ("FROM embeddings e, cent c", "sims"),
+}
+for name, (pat, kind) in ANN_SURGERY.items():
+    if name not in oracle or not wanted(name):
+        continue
+    if not os.path.isdir(f"{OUT}/{name}"):
+        continue
+    sql = oracle[name]
+    assert sql.count(pat) == 1, f"{name}: oracle shape changed, expected 1x '{pat}'"
+    # claimed members as a LITERAL id list: an `IN (subquery)` plans as a
+    # mark join that DuckDB executes above the projected bucket/cosine
+    # expressions — the full per-row rendering runs anyway (measured
+    # 186 s vs 3 s at sf10p). A constant list pushes into the scan.
+    claimed = [r[0] for r in con.sql(
+        f"SELECT vec_id FROM '{OUT}/{name}/*.parquet'").fetchall()]
+    assert claimed, f"{name}: engine output is empty"
+    keep = (f"({samp('vec_id')} OR vec_id IN "
+            f"({','.join(str(i) for i in claimed)}))")
+    if kind == "scan":
+        restricted = sql.replace(pat, f"{pat} WHERE {keep}", 1)
+    else:
+        restricted = sql.replace(
+            pat, f"FROM (SELECT * FROM embeddings WHERE {keep}) e, cent c", 1)
+    t0 = time.time()
+    ddb = con.sql(restricted).df()
+    eng = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet' ORDER BY vec_id").df()
+    compare(name, eng, ddb,
+            f"exact top-k vs sampled∪claimed candidates ({time.time()-t0:.0f}s oracle)",
+            results)
+
 # ---- censuses: FULL exact (bounded-row aggregates) ----
 # Each census collapses to a handful of all-integer rows, so the full
 # oracle is affordable at any fixture the sandbox holds — no surgery.
