@@ -65,6 +65,8 @@ object Bench {
     // lands (per-doc argmax; one-scan candidate-volume forecast; the
     // linkage argmin whose pair sibling sat out the sf10 rehearsal)
     "q_dedup_best_match", "q_lsh_candidate_census", "q_fuzzy_link_best",
+    // r18: the cosine family's pre-flight forecast (census trio member)
+    "q_embed_bucket_census",
     // interop throughput: full pg-archive dump->load over the big table
     // (gzip member + binary TOC + COPY codec both directions)
     "q_pg_archive_lineitem")

@@ -54,6 +54,11 @@ object PlanCeilings {
     // which the hash-exchange counter rightly ignores)
     "q_dedup_best_match"    -> (1, 3),
     "q_lsh_candidate_census" -> (1, 2),
+    // r18 census trio member, measured: one scan (max-plan buckets, the
+    // per-plan arms are bit-masks of it), exchanges = the
+    // (n_planes, bucket) size groupBy + the per-plan final groupBy;
+    // widen()'s round-robin redistribution is not a hash exchange
+    "q_embed_bucket_census" -> (1, 2),
     // linkage best-match: one scan per side (both sides read customer in
     // the registered fixture) + the per-id_a argmin groupBy's exchange;
     // the pair join itself is exchange-free at this sf (block keys
