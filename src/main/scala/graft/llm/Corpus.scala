@@ -190,8 +190,13 @@ object Corpus {
   def sourceOverlapMinhash(df: DataFrame, groupCol: String, textCol: String,
                            nDigests: Int = 16, shingleN: Int = 3): DataFrame = {
     val m = 2 * nDigests
-    val sig = df.select(col(groupCol).as("g"),
-      TextOps.minhashSignatureFromText(col(textCol), shingleN, nDigests).as("sig"))
+    // scan-width hygiene (r18): the 16-digest signature pass is the
+    // corpus-sized cost here and serializes behind a narrow scan — same
+    // rationale as Dedup.minhashLsh's widen; no-op at scale
+    val sig = graft.plans.Parallelism
+      .widen(df.select(col(groupCol), col(textCol)))
+      .select(col(groupCol).as("g"),
+        TextOps.minhashSignatureFromText(col(textCol), shingleN, nDigests).as("sig"))
     val aggs = (0 until m).map(i => min(element_at(col("sig"), i + 1)).as(s"m$i"))
     val mins = sig.groupBy("g").agg(aggs.head, aggs.tail: _*)
     val entries = mins
@@ -249,6 +254,9 @@ object Corpus {
   def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
                              minDocs: Int): DataFrame = {
     require(minDocs >= 2, "removeBoilerplateLines: minDocs must be >= 2")
+    // NOT widened (r18 measured negative, same-host A/B: 1.18 s ->
+    // 1.54 s): line-split + sha256 over a handful of lines per doc is
+    // too light to amortize the redistribution exchange
     val lines = df.select(col(idCol),
       posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
     val common = lines.filter(length(trim(col("line"))) > 0)
@@ -308,6 +316,9 @@ object Corpus {
     * Output: (idCol, n_tokens, sum_freq, min_freq); token-less docs keep
     * n_tokens = 0 with NULL freqs. */
   def unigramStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // NOT widened (r18 measured negative, same-host A/B: 1.01 s ->
+    // 1.50 s) — tokenize-only per-row work; widen() only pays where the
+    // serialized stage is hash-kernel-heavy (see Curation.bigramCrossEntropy)
     val toks = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
       .filter(length(col("token")) > 0)
     val vocab = toks.groupBy("token").agg(count(lit(1)).as("corpus_freq"))

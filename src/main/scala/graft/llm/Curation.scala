@@ -53,6 +53,10 @@ object Curation {
     * keep n_tokens = 0, xent = 0.
     */
   def unigramCrossEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // NOT widened (r18 measured negative, same-host A/B): the tokenize
+    // explode here is cheap next to the md5 kernels that earn widen()
+    // elsewhere — redistributing cost 1.01 s -> 1.50 s at the sf0.1 bench
+    // (the round-robin exchange + extra stage outweigh the parallel gain)
     val toks = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
       .filter(length(col("token")) > 0)
     val vocab = toks.groupBy("token").agg(count(lit(1)).as("freq"))
@@ -105,7 +109,16 @@ object Curation {
     * join + the per-doc aggregate). Output: (idCol, n_bigrams,
     * xent2_nanonats); docs with < 2 tokens score (0, 0). */
   def bigramCrossEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+    // SCAN-WIDTH HYGIENE (r18): the tokenize/shingle/explode passes are
+    // the heavy per-row compute here, and on a narrow scan (one-file
+    // fixture, non-splittable input) they serialize behind a single task
+    // — the r18 profile showed one 2.2 s single-task stage carrying ~70%
+    // of the query. One widen() on the SHARED (id, text) base feeds both
+    // the unigram and bigram streams through the same round-robin
+    // exchange (ReuseExchange), so the redistribution is paid once. At
+    // real scale the scan is already wide and widen() is a no-op.
+    val base = graft.plans.Parallelism.widen(df.select(col(idCol), col(textCol)))
+    val toks = base.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
       .filter(length(col("token")) > 0)
     val fu = toks.groupBy("token").agg(count(lit(1)).as("fu"))
     // the explicit id-notnull filter matches the constraint the final
@@ -113,7 +126,7 @@ object Curation {
     // of the (doc, bigram) aggregate canonicalize identically and
     // ReuseExchange materializes the corpus-scale explode+shuffle ONCE
     // (shuffle files written once, read twice — no caching)
-    val bgs = df.select(col(idCol), explode_outer(TextOps.shingles(col(textCol), 2)).as("bg"))
+    val bgs = base.select(col(idCol), explode_outer(TextOps.shingles(col(textCol), 2)).as("bg"))
       .filter(col(idCol).isNotNull && col("bg").isNotNull)
       .filter(length(split_part(col("bg"), lit(" "), lit(1))) > 0 &&
         length(split_part(col("bg"), lit(" "), lit(2))) > 0)
@@ -200,6 +213,8 @@ object Curation {
                   tweak: String = "dsir"): DataFrame = {
     require(buckets >= 2, "dsirWeights: need >= 2 buckets")
     def lnNanoL(x: Long): Long = math.floor(math.log(x.toDouble) * 1e9 + 0.5).toLong
+    // NOT widened (r18 measured negative, same-host A/B: 0.83 s ->
+    // 1.43 s) — tokenize-only per-row work, see unigramCrossEntropy
     val toks = df
       .select(col(idCol), targetPred.as("is_target"),
         explode(TextOps.tokens(col(textCol))).as("token"))

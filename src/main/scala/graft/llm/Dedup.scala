@@ -1005,9 +1005,19 @@ object Dedup {
                      threshold: Double = 0.0): DataFrame = {
     val pairs = jaccardPairs(df, idCol, textCol, shingleN, rowsPerBand = rowsPerBand,
       bands = bands, threshold = threshold)
-    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("partner"), col("jaccard"))
-      .unionByName(
-        pairs.select(col("id_b").as("id"), col("id_a").as("partner"), col("jaccard")))
+    // Symmetrize by EXPLODING each pair row into its two orientations
+    // rather than unioning the pair stream with a swapped copy of itself:
+    // a self-union is two full computations of the candidate+verify
+    // subtree (the union branches share no exchange, so nothing reuses —
+    // the r18 plan dump showed every shingle/jaccard operator twice),
+    // while the generator duplicates ROWS after the subtree ran once.
+    // Same multiset, half the verify work at any scale (r18: 2.79 s ->
+    // 1.76 s at the sf0.1 bench).
+    val sym = pairs.select(explode(array(
+        struct(col("id_a").as("id"), col("id_b").as("partner"), col("jaccard").as("s")),
+        struct(col("id_b").as("id"), col("id_a").as("partner"), col("jaccard").as("s"))))
+        .as("e"))
+      .select(col("e.id").as("id"), col("e.partner").as("partner"), col("e.s").as("jaccard"))
     // min over (-jaccard, partner): highest score first, then smallest
     // partner — deterministic on ties (replicated texts score exactly
     // 1.0 against every copy). Negation round-trips exactly: jaccard is
@@ -1072,9 +1082,13 @@ object Dedup {
     // (id_a, id_b, hamming) shape the argmin consumes
     val pairs = simhashPairs(df, idCol, textCol, maxHamming,
       expectedDistinctContents, cutoff)
-    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("partner"), col("hamming"))
-      .unionByName(
-        pairs.select(col("id_b").as("id"), col("id_a").as("partner"), col("hamming")))
+    // explode-symmetrization, not self-union: one computation of the
+    // banded pair subtree, two output rows per pair (see bestMatchPairs)
+    val sym = pairs.select(explode(array(
+        struct(col("id_a").as("id"), col("id_b").as("partner"), col("hamming").as("h")),
+        struct(col("id_b").as("id"), col("id_a").as("partner"), col("hamming").as("h"))))
+        .as("e"))
+      .select(col("e.id").as("id"), col("e.partner").as("partner"), col("e.h").as("hamming"))
     sym.groupBy("id")
       .agg(min(struct(col("hamming").as("h"), col("partner").as("p"))).as("b"))
       .select(col("id"), col("b.p").as("partner"), col("b.h").cast("int").as("hamming"))

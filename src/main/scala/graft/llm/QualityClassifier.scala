@@ -93,15 +93,25 @@ object QualityClassifier {
     * the frequency prune that keeps the weight table broadcastable. */
   def nbQuality(df: DataFrame, idCol: String, textCol: String,
                 topV: Int = 4096): DataFrame = {
+    // NOT widened (r18 measured negative, same-host A/B — tokenize-only
+    // per-row work, see Corpus.unigramStats)
     val labeled = df.select(col(idCol), seedLabel(col(textCol)).as("__lab"),
       col(textCol))
     val toks = labeled
       .select(col(idCol), col("__lab"),
         explode(TextOps.tokens(col(textCol))).as("token"))
       .filter(length(col("token")) > 0)
-    val vocab = toks.groupBy("token").agg(
-      sum(when(col("__lab"), 1L).otherwise(0L)).as("c_pos"),
-      count(lit(1)).as("c_all"))
+    // The vocab is Zipf-small next to the corpus (the same bound that
+    // makes the weight table broadcastable), but before r18 it was
+    // COMPUTED TWICE from the corpus token stream: once under the
+    // 1-row normalizer collect below and again under the top-V weights
+    // limit. Materializing the (token, c_pos, c_all) aggregate makes
+    // the second consumer read finished rows — one full tokenize pass
+    // of the corpus removed at any scale, for a vocab-sized checkpoint.
+    val vocab = graft.plans.Checkpoints.materialize(
+      toks.groupBy("token").agg(
+        sum(when(col("__lab"), 1L).otherwise(0L)).as("c_pos"),
+        count(lit(1)).as("c_all")))
     // Global normalizers: one bounded 1-row driver reduction each (the
     // constants fold into literals; no 1-row cross join in the plan).
     val t = vocab.agg(

@@ -74,6 +74,8 @@ object Retrieval {
     val spark = df.sparkSession
     import spark.implicits._
 
+    // NOT widened (r18 measured negative, same-host A/B: 1.25 s ->
+    // 1.79 s) — tokenize-only per-row work, see Corpus.unigramStats
     val base = df.select(col(idCol).as("doc"),
         filter(TextOps.tokens(col(textCol)), t => length(t) > lit(0)).as("ts"))
       .select(col("doc"), size(col("ts")).cast("long").as("dl"), col("ts"))

@@ -212,9 +212,14 @@ object Similarity {
                       dim: Int = 32): DataFrame = {
     val pairs = cosineNearDupPairs(df, idCol, vecCol, threshold, nPlanes, dim)
       .select(col("id_a"), col("id_b"), nanvl(col("cosine"), lit(-2.0)).as("cosine"))
-    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("partner"), col("cosine"))
-      .unionByName(
-        pairs.select(col("id_b").as("id"), col("id_a").as("partner"), col("cosine")))
+    // explode-symmetrization, not self-union: one computation of the
+    // bucket-join + k·dim cosine subtree, two output rows per pair (see
+    // Dedup.bestMatchPairs)
+    val sym = pairs.select(explode(array(
+        struct(col("id_a").as("id"), col("id_b").as("partner"), col("cosine").as("c")),
+        struct(col("id_b").as("id"), col("id_a").as("partner"), col("cosine").as("c"))))
+        .as("e"))
+      .select(col("e.id").as("id"), col("e.partner").as("partner"), col("e.c").as("cosine"))
     sym.groupBy("id")
       .agg(min(struct(negate(col("cosine")).as("nc"), col("partner").as("p"))).as("b"))
       .select(col("id"), col("b.p").as("partner"), negate(col("b.nc")).as("cosine"))
