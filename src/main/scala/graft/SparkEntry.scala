@@ -883,13 +883,16 @@ object SparkEntry {
         def twin(from: String, to: String) = cust.select(
           col("c_custkey").as("p_key"),
           translate(col("c_name"), from, to).as("p_name"))
+        // widenInputs=false: 500-row sides with 1-3-row suffix blocks —
+        // the DP stage is microseconds and the r18 bench measured the
+        // redistribution exchanges costing this query ~2x (0.89 -> 1.82 s)
         def pass(t: org.apache.spark.sql.DataFrame, ns: Int) =
           graft.ops.RecordLinkage.fuzzyJoin(
             cust, "c_custkey", "c_name",
             graft.ops.RecordLinkage.suffixBlock(col("c_name")),
             t, "p_key", "p_name",
             graft.ops.RecordLinkage.suffixBlock(col("p_name")),
-            maxDist = 2)
+            maxDist = 2, widenInputs = false)
             .select((col("id_a") * 3).as("id_a"), (col("id_b") * 3 + ns).as("id_b"))
         val pairs = pass(twin("1", "I"), 1).unionByName(pass(twin("2", "Z"), 2))
           .distinct()

@@ -1011,8 +1011,10 @@ object Dedup {
     // subtree (the union branches share no exchange, so nothing reuses —
     // the r18 plan dump showed every shingle/jaccard operator twice),
     // while the generator duplicates ROWS after the subtree ran once.
-    // Same multiset, half the verify work at any scale (r18: 2.79 s ->
-    // 1.76 s at the sf0.1 bench).
+    // Same multiset. Locally ~neutral (the duplicated subtree is mostly
+    // checkpoint-backed at sf0.1: interleaved A/B mins 2.65 vs 2.46 s);
+    // the real saving is at scale, where the per-pair intersection
+    // verify is the corpus-bound stage and the self-union paid it twice.
     val sym = pairs.select(explode(array(
         struct(col("id_a").as("id"), col("id_b").as("partner"), col("jaccard").as("s")),
         struct(col("id_b").as("id"), col("id_a").as("partner"), col("jaccard").as("s"))))

@@ -81,7 +81,7 @@ object Similarity {
     // the per-pair cosine stage. A one-file embeddings parquet scans to
     // few splits; widen() redistributes only then (no-op on any real
     // multi-split corpus).
-    graft.plans.Parallelism.widen(df.select(col(idCol), col(vecCol)))
+    graft.plans.Parallelism.widenIfAtLeast(df.select(col(idCol), col(vecCol)))
       .select(col(idCol), col(vecCol), lshBucket(col(vecCol), planes).as("bucket"))
   }
 
@@ -384,7 +384,7 @@ object Similarity {
     val sims = array(centroids.map(c =>
       nanvl(cosineTo(col(vecCol), c.toSeq), lit(-2.0))): _*)
     // widened for the same k·dim-per-row reason as [[ivfAssign]]
-    graft.plans.Parallelism.widen(df).withColumn("__sims", sims)
+    graft.plans.Parallelism.widenIfAtLeast(df).withColumn("__sims", sims)
       .withColumn("cluster", expr("array_position(__sims, array_max(__sims))").cast("int") - 1)
       .drop("__sims")
   }
@@ -738,16 +738,21 @@ object Similarity {
 
   /** Nearest-centroid assignment (argmax cosine over the k centroids).
     *
-    * The input is widened first (see [[graft.plans.Parallelism.widen]]):
-    * the argmax costs k x dim multiply-adds per row — with the adaptive
-    * k = N/64 that is the single most compute-dense scan in the semdedup
-    * family — and a one-file embeddings parquet would otherwise serialize
-    * it behind the scan's split count. No-op for non-scan-shaped inputs
+    * The input is widened first (see
+    * [[graft.plans.Parallelism.widenIfAtLeast]]): the argmax costs
+    * k x dim multiply-adds per row — with the adaptive k = N/64 that is
+    * the single most compute-dense scan in the semdedup family — and a
+    * LARGE one-file embeddings parquet would otherwise serialize it
+    * behind the scan's split count. The size floor is what makes the
+    * hygiene free: the per-row work is linear in bytes, so below the
+    * floor the serialized stage is bounded while the redistribution is
+    * pure overhead (r18 measured the unfloored widen costing 2.5x on
+    * the sub-MB bench fixtures). No-op for non-scan-shaped inputs
     * (kmeansRefine's loop, checkpointed cells) and for any real
     * multi-split corpus. */
   def ivfAssign(df: DataFrame, vecCol: String, centroids: Seq[Array[Double]]): DataFrame = {
     val sims = array(centroids.map(c => cosineTo(col(vecCol), c.toSeq)): _*)
-    graft.plans.Parallelism.widen(df).withColumn("__sims", sims)
+    graft.plans.Parallelism.widenIfAtLeast(df).withColumn("__sims", sims)
       .withColumn("cluster", expr("array_position(__sims, array_max(__sims))").cast("int") - 1)
       .drop("__sims")
   }

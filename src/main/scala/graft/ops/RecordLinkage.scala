@@ -89,9 +89,10 @@ object RecordLinkage {
     *        text column (same key family on both sides for recall). */
   def fuzzyJoin(a: DataFrame, aId: String, aText: String, blockA: Column,
                 b: DataFrame, bId: String, bText: String, blockB: Column,
-                maxDist: Int, maxBlockSize: Option[Int] = None): DataFrame =
+                maxDist: Int, maxBlockSize: Option[Int] = None,
+                widenInputs: Boolean = true): DataFrame =
     fuzzyJoinWithReport(a, aId, aText, blockA, b, bId, bText, blockB,
-      maxDist, maxBlockSize)._1
+      maxDist, maxBlockSize, widenInputs)._1
 
   /** [[fuzzyJoin]] plus the call's OWN per-side drop report — the
     * concurrency-safe observability path (VERDICT r16 #3): the report is
@@ -101,10 +102,11 @@ object RecordLinkage {
     * so reading it costs nothing extra. */
   def fuzzyJoinWithReport(a: DataFrame, aId: String, aText: String, blockA: Column,
                           b: DataFrame, bId: String, bText: String, blockB: Column,
-                          maxDist: Int, maxBlockSize: Option[Int] = None)
+                          maxDist: Int, maxBlockSize: Option[Int] = None,
+                          widenInputs: Boolean = true)
       : (DataFrame, Map[String, CapDrop]) = {
     val r = fuzzyJoinReleasable(a, aId, aText, blockA, b, bId, bText, blockB,
-      maxDist, maxBlockSize)
+      maxDist, maxBlockSize, widenInputs)
     (r.pairs, r.report)
   }
 
@@ -129,7 +131,8 @@ object RecordLinkage {
     * checkpoints still backing OTHER live results. */
   def fuzzyJoinReleasable(a: DataFrame, aId: String, aText: String, blockA: Column,
                           b: DataFrame, bId: String, bText: String, blockB: Column,
-                          maxDist: Int, maxBlockSize: Option[Int] = None)
+                          maxDist: Int, maxBlockSize: Option[Int] = None,
+                          widenInputs: Boolean = true)
       : ReleasableLinkage = {
     require(maxDist >= 0, "fuzzyJoin: maxDist must be >= 0")
     require(maxBlockSize.forall(_ > 0), "fuzzyJoin: maxBlockSize must be positive")
@@ -146,14 +149,16 @@ object RecordLinkage {
     def capped(df: DataFrame, side: String): DataFrame = maxBlockSize.fold(df) { cap =>
       val census = graft.plans.Checkpoints.materialize(
         df.groupBy("__blk").agg(count(lit(1)).as("__bn")))
-      censuses += census
+      // the two sides run concurrently (pool below); the per-call
+      // collections are the only shared mutable state
+      censuses.synchronized { censuses += census }
       val stat = census.agg(
         count(lit(1)), coalesce(sum("__bn"), lit(0L)),
         count(when(col("__bn") > cap, 1)),
         coalesce(sum(when(col("__bn") > cap, col("__bn"))), lit(0L))).head()
       val drop = CapDrop(stat.getLong(2), stat.getLong(3),
         stat.getLong(0), stat.getLong(1))
-      report.put(side, drop)
+      report.synchronized { report.put(side, drop) }
       if (drop.droppedBlocks > 0L)
         Console.err.println(
           f"[fuzzyJoin] side=$side cap=$cap dropped ${drop.droppedBlocks} " +
@@ -173,12 +178,36 @@ object RecordLinkage {
     // (and is a no-op on any real multi-split corpus). Applied BEFORE
     // the cap's anti-join: widen only inspects scan-shaped plans, so
     // widening after capped() would never fire.
-    val left = capped(graft.plans.Parallelism.widen(
-      a.select(col(aId).as("id_a"), col(aText).as("text_a"),
-        blockA.as("__blk"))), "a")
-    val right = capped(graft.plans.Parallelism.widen(
-      b.select(col(bId).as("id_b"), col(bText).as("text_b"),
-        blockB.as("__blk"))), "b")
+    // The two sides' census materializations + 1-row stat collects are
+    // INDEPENDENT Spark actions; running them from a 2-thread pool
+    // overlaps their barriers (guide §2.6 — the scheduler happily runs
+    // both, actions were only sequential because this code called them
+    // sequentially). r18 measured q_fuzzy_link_capped 2.59 s -> 2.14 s
+    // min at sf0.1. Uncapped calls build no census and take the plain
+    // sequential path (capped() is then pure plan construction).
+    // `widenInputs = false` is the caller's escape hatch for inputs it
+    // KNOWS are tiny with tiny blocks (a byte floor cannot gate this one:
+    // block-join DP work is super-linear in bytes, so a small side can
+    // still carry unbounded compute — only the caller knows). r18
+    // measured the redistribution costing q_entity_clusters ~2x at the
+    // sf0.1 bench (500-row sides, maxDist 2) while WINNING on the
+    // 15k-row linkage queries (q_fuzzy_link_best 0.74x) — both keep
+    // their measured setting.
+    def side(df: DataFrame, tag: String): DataFrame =
+      capped(if (widenInputs) graft.plans.Parallelism.widen(df) else df, tag)
+    val aSel = a.select(col(aId).as("id_a"), col(aText).as("text_a"),
+      blockA.as("__blk"))
+    val bSel = b.select(col(bId).as("id_b"), col(bText).as("text_b"),
+      blockB.as("__blk"))
+    val (left, right) = if (maxBlockSize.isEmpty) (side(aSel, "a"), side(bSel, "b"))
+    else {
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val fa = Future(side(aSel, "a"))
+      val fb = Future(side(bSel, "b"))
+      (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+    }
     // COMPUTE-DENSE EXCHANGE PIN (r17, conditional): the block join
     // costs O(Σ |block_a|×|block_b|) Levenshtein DP cells but shuffles
     // only (id, name, key) rows, so its parallelism is at the mercy of

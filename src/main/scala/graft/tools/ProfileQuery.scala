@@ -40,6 +40,8 @@ object ProfileQuery {
         jobs.put(j.jobId, (j.time, j.stageIds.size))
         j.stageIds.foreach(s => stageToJob.put(s, j.jobId))
         taskMs.putIfAbsent(j.jobId, new java.util.concurrent.atomic.AtomicLong())
+        val site = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+        println(s"    job ${j.jobId} start: $site")
       }
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val jid = stageToJob.getOrDefault(t.stageId, -1)

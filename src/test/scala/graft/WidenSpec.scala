@@ -62,32 +62,73 @@ class WidenSpec extends SparkSpec {
       (i, Array.tabulate(4)(d => math.sin(i * 13.0 + d * 7.0).toFloat))
     }.toDF("vec_id", "embedding")
 
-  test("ivfAssign widens a one-file scan to the session parallelism; values unchanged") {
+  test("ivfAssign widens a one-file scan ABOVE the size floor; values unchanged") {
     val narrow = oneFile(embFixture, "emb")
     assert(narrow.rdd.getNumPartitions == 1, "fixture must be a genuinely narrow scan")
     val target = spark.sparkContext.defaultParallelism
     val cents = Similarity.ivfCentroids(narrow, "vec_id", "embedding", 4)
-    val assignedNarrow = Similarity.ivfAssign(narrow.select("vec_id", "embedding"), "embedding", cents)
+    // above the floor (forced down to 1 byte): the argmax stage must not
+    // inherit the 1-split scan
+    spark.conf.set("spark.graft.widen.minBytes", "1")
+    val assignedNarrow =
+      try Similarity.ivfAssign(narrow.select("vec_id", "embedding"), "embedding", cents)
+      finally spark.conf.unset("spark.graft.widen.minBytes")
     assert(assignedNarrow.rdd.getNumPartitions >= target,
       "the k-cosine argmax stage must not inherit the 1-split scan")
-    // value identity vs an input that is already wide (widen no-ops there)
+    // below the default floor (r18): a sub-MB input must NOT pay the
+    // redistribution exchange — the serialized stage is bounded (work is
+    // linear in bytes) and the unfloored widen measured 2.2-2.5x on the
+    // bench's sub-MB similarity queries
+    val assignedSmall = Similarity.ivfAssign(narrow.select("vec_id", "embedding"), "embedding", cents)
+    assert(assignedSmall.rdd.getNumPartitions == 1,
+      "below the floor the scan layout must pass through untouched")
+    // value identity across all three shapes (widen no-ops on wide input)
     val wideIn = embFixture.repartition(target)
     val assignedWide = Similarity.ivfAssign(wideIn, "embedding", cents)
     assert(assignedWide.rdd.getNumPartitions >= target)
-    assert(assignedNarrow.select("vec_id", "cluster").collect().map(r => (r.getLong(0), r.getInt(1))).toSet ==
-      assignedWide.select("vec_id", "cluster").collect().map(r => (r.getLong(0), r.getInt(1))).toSet)
+    def vals(df: DataFrame) =
+      df.select("vec_id", "cluster").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(vals(assignedNarrow) == vals(assignedWide))
+    assert(vals(assignedSmall) == vals(assignedWide))
   }
 
-  test("withLshBuckets widens a one-file scan; bucket values unchanged") {
+  test("withLshBuckets widens above the floor, skips below; bucket values unchanged") {
     val narrow = oneFile(embFixture, "emb_lsh")
     val target = spark.sparkContext.defaultParallelism
-    val bNarrow = Similarity.withLshBuckets(narrow, "vec_id", "embedding", nPlanes = 4, dim = 4)
+    spark.conf.set("spark.graft.widen.minBytes", "1")
+    val bNarrow =
+      try Similarity.withLshBuckets(narrow, "vec_id", "embedding", nPlanes = 4, dim = 4)
+      finally spark.conf.unset("spark.graft.widen.minBytes")
     assert(bNarrow.rdd.getNumPartitions >= target,
       "the nPlanes-dot bucket stage must not inherit the 1-split scan")
+    val bSmall = Similarity.withLshBuckets(narrow, "vec_id", "embedding", nPlanes = 4, dim = 4)
+    assert(bSmall.rdd.getNumPartitions == 1,
+      "below the default floor the redistribution must not fire")
     val bWide = Similarity.withLshBuckets(embFixture.repartition(target),
       "vec_id", "embedding", nPlanes = 4, dim = 4)
-    assert(bNarrow.collect().map(r => (r.getLong(0), r.getLong(2))).toSet ==
-      bWide.collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
+    def vals(df: DataFrame) = df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(vals(bNarrow) == vals(bWide))
+    assert(vals(bSmall) == vals(bWide))
+  }
+
+  test("fuzzyJoin widenInputs=false skips the redistribution; pairs unchanged") {
+    val names = (1L to 80L).map(i => (i, s"name_${i % 9}_${"x" * (i % 4).toInt}"))
+      .toDF("id", "nm")
+    val narrowA = oneFile(names, "lkna")
+    val narrowB = oneFile(names.withColumn("nm", concat(col("nm"), lit("y"))), "lknb")
+    val target = spark.sparkContext.defaultParallelism
+    val off = RecordLinkage.fuzzyJoin(
+      narrowA, "id", "nm", RecordLinkage.prefixBlock(col("nm"), 6),
+      narrowB, "id", "nm", RecordLinkage.prefixBlock(col("nm"), 6),
+      maxDist = 2, widenInputs = false)
+    val offRows = off.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(offRows.nonEmpty)
+    assert(roundRobinExchanges(off, target) == 0,
+      "widenInputs=false must add no round-robin redistribution")
+    val on = RecordLinkage.fuzzyJoin(
+      narrowA, "id", "nm", RecordLinkage.prefixBlock(col("nm"), 6),
+      narrowB, "id", "nm", RecordLinkage.prefixBlock(col("nm"), 6), maxDist = 2)
+    assert(on.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet == offRows)
   }
 
   test("semDedup on a one-file scan matches the wide-input run (end-to-end value identity)") {
