@@ -90,7 +90,15 @@ object QualityClassifier {
     * integer nano-nats, prior = ln(docs_pos) - ln(docs_neg), and
     * pred = 1 iff score >= 0. Tokens outside the top-`topV` vocabulary
     * (by total frequency, ties broken by token text) contribute 0 —
-    * the frequency prune that keeps the weight table broadcastable. */
+    * the frequency prune that keeps the weight table broadcastable.
+    *
+    * Storage note (ADVICE r18): the vocab aggregate below is
+    * checkpointed through [[graft.plans.Checkpoints.materialize]] and
+    * registered ONLY in the global registry — a long-lived driver that
+    * calls nbQuality repeatedly must drain it with
+    * `Checkpoints.releaseAll()` once each result is consumed (the bench,
+    * Verify and the soaks already do), or vocab-sized blocks accumulate
+    * per call. */
   def nbQuality(df: DataFrame, idCol: String, textCol: String,
                 topV: Int = 4096): DataFrame = {
     // NOT widened (r18 measured negative, same-host A/B — tokenize-only

@@ -203,10 +203,25 @@ object RecordLinkage {
     else {
       import scala.concurrent.{Await, Future, ExecutionContext}
       import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      val fa = Future(side(aSel, "a"))
-      val fb = Future(side(bSel, "b"))
-      (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+      // Dedicated 2-thread pool per call (ADVICE r18): worker threads are
+      // created by THIS thread's first submits, so Spark's inheritable
+      // job-group/scheduler-pool local properties carry into both actions
+      // (ExecutionContext.global threads may predate the caller and carry
+      // someone else's), and nested capped calls can't starve a shared
+      // pool. Await BOTH futures before rethrowing: if one side fails
+      // while the sibling is mid-action, returning early would leak the
+      // sibling's census checkpoint past the per-call release hook.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try {
+        val fa = Future(side(aSel, "a"))
+        val fb = Future(side(bSel, "b"))
+        Await.ready(fa, Duration.Inf)
+        Await.ready(fb, Duration.Inf)
+        // surface the FIRST side's failure first (deterministic), after
+        // both actions have quiesced
+        (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+      } finally pool.shutdown()
     }
     // COMPUTE-DENSE EXCHANGE PIN (r17, conditional): the block join
     // costs O(Σ |block_a|×|block_b|) Levenshtein DP cells but shuffles

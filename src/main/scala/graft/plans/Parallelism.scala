@@ -55,7 +55,13 @@ object Parallelism {
     * up to a quarter-split of linear work before redistribution pays". */
   def widenIfAtLeast(df: DataFrame, minBytes: Long = 32L << 20): DataFrame = {
     val floor = df.sparkSession.conf
-      .getOption("spark.graft.widen.minBytes").map(_.toLong).getOrElse(minBytes)
+      .getOption("spark.graft.widen.minBytes").map { v =>
+        try v.toLong
+        catch {
+          case e: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.widen.minBytes must be a long byte count, got '$v'", e)
+        }
+      }.getOrElse(minBytes)
     val plan = df.queryExecution.optimizedPlan
     if (!scanShaped(plan) || plan.stats.sizeInBytes < floor) df
     else {

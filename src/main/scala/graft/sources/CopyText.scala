@@ -214,15 +214,35 @@ object CopyText {
     val dir = new java.io.File(tmp)
     try {
       // The encode (escape tables + compression) is CPU-bound: when the
-      // upstream plan has fewer partitions than cores (a one-file scan, a
-      // collapsed aggregate), widen it so the render uses the machine —
-      // measured 5.4 s -> 3.9 s on the 600k-row bench cycle. Row order
-      // inside a COPY payload is not semantic; RoundRobinPartitioning
-      // local-sorts before exchanging (sortBeforeRepartition), so the
-      // rendered bytes stay run-to-run deterministic.
-      val target = df.sparkSession.sparkContext.defaultParallelism
-      val wide = if (df.rdd.getNumPartitions < math.min(target, 16)) {
-        df.repartition(math.min(target, 16))
+      // upstream plan has fewer partitions than the member fan-out (a
+      // one-file scan, a collapsed aggregate), widen it so the render
+      // uses the machine — measured 5.4 s -> 3.9 s on the 600k-row bench
+      // cycle. Row order inside a COPY payload is not semantic, but the
+      // BYTES must be run-to-run deterministic. The r18 shape used
+      // keyless round-robin, whose sortBeforeRepartition pays a full
+      // LOCAL SORT of every row inside the upstream stage — on the
+      // single-row-group bench fixture that is one task carrying
+      // scan + whole-table sort (~0.7 s serialized, the r18 profile's
+      // biggest single-task stage). Deterministic HASH bucketing on a
+      // row-content digest moves the determinism work to the reduce
+      // side instead (guide §2.5: derive synthetic keys
+      // deterministically, never from rand()/round-robin state): the
+      // map side only computes xxhash64 per row, and each of the 16
+      // members sorts its own 1/16th locally, in parallel. Bonus over
+      // round-robin: the member layout is now CANONICAL — bytes
+      // identical across runs AND across core counts (fixed bucket
+      // count, content-derived assignment, total per-member sort),
+      // where round-robin's member count tracked defaultParallelism.
+      // Retry-stable by construction (SPARK-38388 class: the key is a
+      // pure function of row content). Inputs already at or above the
+      // fan-out keep their own layout, as before — at real scale the
+      // encode inherits the upstream width and none of this fires.
+      val buckets = 16
+      val wide = if (df.rdd.getNumPartitions < buckets) {
+        import org.apache.spark.sql.functions.{col, xxhash64}
+        val cols = df.columns.map(c => col(s"`$c`"))
+        df.repartition(buckets, xxhash64(cols: _*))
+          .sortWithinPartitions(cols: _*)
       } else df
       val codec = algo match {
         case Compress.None => None

@@ -31,6 +31,10 @@ object DumpPlans {
     graft.plans.Checkpoints.quietUnpersistWarnings()
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     names.foreach { n =>
+      // a typo'd name must not produce a silently-thinner evidence set
+      // (ADVICE r18): shout it, on stdout, where the round ledger looks
+      if (!SparkEntry.queries.contains(n))
+        println(s"[plans] $n UNKNOWN — not in SparkEntry.queries (typo?)")
       SparkEntry.queries.get(n).foreach { fn =>
         try {
           val df = fn(spark, sfDir)

@@ -16,11 +16,15 @@ import graft.transformers.{HashText, Masking}
   *    (RoundRobinPartitioning local-sorts before exchanging, the scan
   *    order of a fixed file set is stable, and the hash engine is
   *    input-deterministic);
-  *  - across DIFFERENT parallelism the canonicalization boundary is the
-  *    member structure: member count tracks the encode parallelism
+  *  - across DIFFERENT parallelism (r19, strengthened): inputs NARROWER
+  *    than the 16-member fan-out are hash-bucketed on a row-content
+  *    digest and locally sorted per member, so the payload bytes are
+  *    CANONICAL — identical across runs, input layouts and core counts;
+  *  - inputs already at or above the fan-out keep their own layout
   *    (pg_dump's own -Fd shape has the same property — payload bytes
-  *    are not canonical across -j), so bytes legitimately differ, while
-  *    the DECODED ROW MULTISET and every masked value are invariant. */
+  *    are not canonical across -j), so bytes legitimately differ there,
+  *    while the DECODED ROW MULTISET and every masked value are
+  *    invariant. */
 class DumpDeterminismSpec extends SparkSpec {
   import spark.implicits._
 
@@ -50,25 +54,41 @@ class DumpDeterminismSpec extends SparkSpec {
     }
   }
 
-  test("across parallelism: member structure differs (documented boundary), decoded rows and masked values invariant") {
+  test("across parallelism: sub-fan-out inputs canonicalize to identical bytes; wide inputs keep their layout, decoded rows invariant") {
     val dir = Files.createTempDirectory("graft_dumpdet_par").toString
-    val f2 = s"$dir/p2.dat.gz"; val f8 = s"$dir/p8.dat.gz"
+    val f1 = s"$dir/p1.dat.gz"; val f2 = s"$dir/p2.dat.gz"
+    val f8 = s"$dir/p8.dat.gz"; val f17 = s"$dir/p17.dat.gz"
+    graft.sources.CopyText.writeDatFile(masked().coalesce(1), f1,
+      graft.sources.Compress.Gzip)
     graft.sources.CopyText.writeDatFile(masked().repartition(2), f2,
       graft.sources.Compress.Gzip)
     graft.sources.CopyText.writeDatFile(masked().repartition(8), f8,
       graft.sources.Compress.Gzip)
-    // the boundary: member count tracks encode parallelism
+    // above the fan-out: the encode inherits the input layout (the
+    // documented boundary — canonical bytes stop where the input is
+    // already wide)
+    graft.sources.CopyText.writeDatFile(masked().repartition(17), f17,
+      graft.sources.Compress.Gzip)
     def memberCount(f: String): Int =
       Files.readAllLines(Paths.get(f + ".idx")).size - 1
-    assert(memberCount(f2) < memberCount(f8),
-      s"expected fewer members at lower parallelism: ${memberCount(f2)} vs ${memberCount(f8)}")
-    // the invariant: identical decoded row multiset, value for value
+    // r19 contract: any input narrower than the 16-member fan-out is
+    // hash-bucketed on row content + locally sorted, so the payload and
+    // sidecar bytes are identical whatever the input partitioning was
+    assert(sha(f1) == sha(f2) && sha(f2) == sha(f8),
+      "sub-fan-out payload bytes must be canonical across input layouts")
+    assert(sha(f1 + ".idx") == sha(f2 + ".idx") &&
+      sha(f2 + ".idx") == sha(f8 + ".idx"),
+      "sub-fan-out sidecars must be canonical across input layouts")
+    assert(memberCount(f17) == 17,
+      s"wide input must keep its own layout: ${memberCount(f17)} members")
+    // the invariant that survives the boundary: identical decoded row
+    // multiset, value for value
     val cols = masked().columns.toSeq
     def decoded(f: String): Map[Seq[String], Long] =
       graft.sources.CopyText.read(spark, f, cols).collect()
         .map(r => cols.indices.map(i => if (r.isNullAt(i)) null else r.getString(i)))
         .groupBy(identity).view.mapValues(_.length.toLong).toMap
-    assert(decoded(f2) == decoded(f8),
+    assert(decoded(f2) == decoded(f17),
       "decoded row multiset must be invariant across encode parallelism")
   }
 }
