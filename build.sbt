@@ -38,3 +38,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// dev A/B lever: extra -D flags for the forked JVM, e.g.
+//   SPARK_GRAFT_RUN_OPTS="-Dspark.graft.widen.minBytes=9223372036854775807"
+// flips a graft conf without touching code (SparkConf loads spark.*
+// system properties; session SQLConf snapshots them at creation). The
+// driver never sets it — default behavior is byte-identical.
+javaOptions ++= sys.env.get("SPARK_GRAFT_RUN_OPTS")
+  .map(_.trim.split("\\s+").toSeq).getOrElse(Nil)
