@@ -162,8 +162,15 @@ object Dedup {
     val nStreams = bands * rowsPerBand
     val nDigests = (nStreams + 1) / 2
     // ONE native pass from text to the whole signature (MinHashShingle60),
-    // then cheap band hashing
-    val withMh = graft.plans.Parallelism.widen(df.select(col(idCol), col(textCol)))
+    // then cheap band hashing. Byte-FLOORED widen (r19): unlike the
+    // shingle-EXPLODE kernels (dedupSpansAcross, bigram — widen stays
+    // unconditional there, measured positive), the fused signature kernel
+    // collapses each doc to one small array and the downstream stages are
+    // band-sized aggregates, so on a sub-floor input the 32-way
+    // redistribution's per-task overhead exceeds the serialized kernel:
+    // same-window A/B at sf0.1, min 1.283 s (unconditional) -> 0.902 s
+    // (floored). A large narrow scan still widens.
+    val withMh = graft.plans.Parallelism.widenIfAtLeast(df.select(col(idCol), col(textCol)))
       .select(col(idCol),
         TextOps.minhashSignatureFromText(col(textCol), shingleN, nDigests).as("__mh"))
     val mh = (0 until nStreams).map(i => element_at(col("__mh"), i + 1))
@@ -209,8 +216,12 @@ object Dedup {
                          maxIter: Int = 20): DataFrame = {
     val nStreams = bands * rowsPerBand
     val nDigests = (nStreams + 1) / 2
+    // byte-floored like [[minhashLsh]]'s identical leaf (r19): measured
+    // neutral here at sf0.1 (min 1.994 floored vs 1.975 unconditional —
+    // the iteration barriers dominate, see below), floored for the same
+    // work model as its measured family twins
     val withMh = graft.plans.Parallelism
-      .widen(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .widenIfAtLeast(df.select(col(idCol).as("id"), col(textCol).as("__text")))
       .select(col("id"),
         TextOps.minhashSignatureFromText(col("__text"), shingleN, nDigests).as("__mh"))
     val mh = (0 until nStreams).map(i => element_at(col("__mh"), i + 1))
@@ -388,11 +399,20 @@ object Dedup {
     * would re-derive its side from the raw text, running the simhash
     * pass over the whole corpus once per consumer. Shared by the narrow
     * path and the [[simhashPairs]] self-sizing probe (which reuses the
-    * SAME leaf when routing stays narrow — the probe is never wasted). */
+    * SAME leaf when routing stays narrow — the probe is never wasted).
+    *
+    * Byte-floored widen (r19): one simhash60 per row collapses to a
+    * (long, long) leaf — same sub-floor overhead argument as
+    * [[minhashLsh]]; same-window A/B at sf0.1 min 0.984 s
+    * (unconditional) -> 0.910 s (floored), floor-first order too. The
+    * WIDE leaf ([[simhashHammingPairsWide]]) measured the OTHER way
+    * (two signature kernels per row: widen min 0.793/0.817 vs floored
+    * 0.980/1.043 across both orders) and keeps the unconditional
+    * widen. */
   private def narrowSignatureLeaf(df: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.plans.Checkpoints.materialize(
       graft.plans.Parallelism
-        .widen(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+        .widenIfAtLeast(df.select(col(idCol).as("id"), col(textCol).as("__text")))
         .select(col("id"), TextOps.simhash60(col("__text")).as("sh")))
 
   /** 60-bit pair generation over an already-materialized signature leaf.
@@ -1157,8 +1177,16 @@ object Dedup {
                          rowsPerBand: Int = 2): DataFrame = {
     val nStreams = bands * rowsPerBand
     val nDigests = (nStreams + 1) / 2
+    // byte-floored widen (r19, VERDICT r18 #7): the census's consumers
+    // are all band-sized aggregates over the checkpointed (id, band)
+    // stream, so on a sub-floor input the 32-way fan-out's per-task
+    // overhead swamps the serialized signature kernel — same-window A/B
+    // at sf0.1 min 1.197 s (unconditional) -> 0.690 s (floored); the
+    // profile ledger showed the downstream 32-task stages burning
+    // 6-10 s of task-time for <0.1 s of useful aggregate work. A large
+    // narrow scan still widens (the r17 hazard stays closed).
     val base = graft.plans.Parallelism
-      .widen(df.select(col(idCol).as("id"), col(textCol).as("__text")))
+      .widenIfAtLeast(df.select(col(idCol).as("id"), col(textCol).as("__text")))
       .select(col("id"),
         TextOps.minhashSignatureFromText(col("__text"), shingleN, nDigests).as("__mh"))
     val mh = (0 until nStreams).map(i => element_at(col("__mh"), i + 1))
