@@ -51,13 +51,18 @@ object Dedup {
     * copy survives, deterministically), and each document is rewritten
     * from its surviving tokens.
     *
-    * Scale shape: the explode exchange carries (digest, id, position)
-    * only — never token text; the frequency pass is one map-side-
-    * combinable count+min over digests; coverage resolution is per-row
-    * HOFs over the doc's own duplicated-start list (no second pass over
-    * the corpus). Output text is canonical-token (single-space joined)
-    * for changed AND unchanged docs, so the rewrite is whitespace-stable
-    * and oracle-comparable.
+    * Scale shape (r19): ONE shingle pass — the position stream
+    * (digest, id, position; never token text) shuffles once on the
+    * digest and per-digest count/min resolve as unbounded-frame window
+    * functions, so there is no second corpus shingle pass and no
+    * duplicated-digest broadcast (the old freq-aggregate + join-back
+    * shape re-ran the shingle kernel over the corpus for the probe side
+    * and broadcast the dup-digest table — a driver/executor-memory
+    * cliff exactly on the duplicate-heavy corpora this operator
+    * targets). Coverage resolution is per-row HOFs over the doc's own
+    * duplicated-start list. Output text is canonical-token
+    * (single-space joined) for changed AND unchanged docs, so the
+    * rewrite is whitespace-stable and oracle-comparable.
     *
     * Positions pack as id * 2^20 + pos, so docs must stay under 2^20
     * tokens (a 4 MB+ doc should be split upstream anyway) and ids below
@@ -71,11 +76,12 @@ object Dedup {
     * expected count at ~0. The 32-byte exchange key is the price of
     * correctness at scale, mirroring the boilerplate-line pass.
     *
-    * The shingling runs twice (frequency pass + probe pass) by CHOICE:
-    * materializing the corpus-sized position table to avoid the recompute
-    * would cost ~corpus-scale temp storage, while shingling is cheap
-    * codegen'd CPU over data already being scanned — same
-    * recompute-over-materialize call as the line-frequency pass. */
+    * History: through r18 the shingling ran twice (frequency pass +
+    * probe pass) with the dup digests broadcast back — the prior-round
+    * negative was about MATERIALIZING the position table, which the
+    * window shape does not do (it shuffles the stream once, stores
+    * nothing). r19 A/B: window shape 2.33 s vs join shape 2.93 s min at
+    * the sf1 synth fixture (1.26x), equal at sf0.1 (1.24 vs 1.31). */
   def dedupSpansAcross(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 6): DataFrame = {
     require(k >= 2 && k <= 64, "dedupSpansAcross: k in [2,64]")
@@ -91,11 +97,15 @@ object Dedup {
     val pos = base.select(col("id"), posexplode(shingles).as(Seq("__p0", "__h")))
       .select(col("__h"), col("id"), (col("__p0") + 1).as("__j"),
         (col("id") * (1L << 20) + col("__p0") + 1).as("__pk"))
-    val freq = pos.groupBy("__h")
-      .agg(count(lit(1)).as("__c"), min("__pk").as("__mk"))
-      .filter(col("__c") >= 2)
-      .select("__h", "__mk")
-    val dup = pos.join(freq, "__h").filter(col("__pk") =!= col("__mk"))
+    // r19 window variant (A/B vs the freq-aggregate + join-back shape):
+    // one shingle pass, positions shuffled once on __h, per-digest count
+    // and min resolved by unbounded-frame window functions — no second
+    // corpus shingle pass, no join
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy("__h")
+    val dup = pos
+      .withColumn("__c", count(lit(1)).over(wh))
+      .withColumn("__mk", min("__pk").over(wh))
+      .filter(col("__c") >= 2 && col("__pk") =!= col("__mk"))
       .groupBy("id").agg(sort_array(collect_list(col("__j"))).as("__djs"))
     base.join(dup, Seq("id"), "left_outer")
       .select(col("id").as(idCol),
