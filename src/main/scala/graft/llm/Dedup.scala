@@ -861,8 +861,31 @@ object Dedup {
         .filter(col("band").isNotNull))
     val a = bandsDf.as("a")
     val b = bandsDf.as("b")
+    // COMPUTE-DENSE EXCHANGE PIN (r19, same class as RecordLinkage's
+    // block-join pin): the candidate-id exchange carries two longs per
+    // pair, so AQE's byte-based coalescing folds it toward one
+    // partition — and the ENTIRE verify chain (the shingle joins
+    // broadcast at these sizes, so no exchange breaks the stage) then
+    // runs the per-pair intersect/union work on ONE task. Measured at
+    // the sf1 synth fixture: q_dedup_best_match 11.94 s with the
+    // coalesce vs 5.94 s with coalescing disabled — per-pair verify is
+    // compute-dense per shuffled byte, exactly what byte-derived
+    // coalescing cannot see. A user-specified repartition is never
+    // coalesced, so pin the pair stream at the session's parallelism.
+    // The pin sits BELOW the distinct: there it SATISFIES the distinct's
+    // hash(id_a, id_b) requirement and replaces the ENSURE_REQUIREMENTS
+    // exchange outright (same exchange count, now non-coalescable; the
+    // cost is only the lost map-side pre-dedup of band duplicates —
+    // two-long rows). Pinned ABOVE the distinct it is pruned as
+    // redundant (identical partitioning to the aggregate's output) and
+    // the serialization returns. Keys hash without skew (pairs are
+    // near-unique). Measured: sf1 11.94 -> 3.64 s min (3.3x, beats
+    // even coalescing-off's 5.94 s), sf0.1 neutral (2.23 vs 2.28).
+    val pinned = math.max(df.sparkSession.sparkContext.defaultParallelism,
+      df.sparkSession.sessionState.conf.numShufflePartitions)
     val pairIds = a.join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .repartition(pinned, col("id_a"), col("id_b"))
       .distinct()
     val shing = withSh.select(col("id"), array_distinct(col("__sh")).as("sh"))
     val repPairs = pairIds

@@ -51,7 +51,7 @@ object TimeQuery {
       val df = fn(spark, dir)
       df.write.format("noop").mode("overwrite").save()
       println(f"rep$r: ${(System.nanoTime() - t0) / 1e9}%.3f s")
-      if (r == reps) println(df.queryExecution.executedPlan.toString.take(8000))
+      if (r == reps) println(df.queryExecution.executedPlan.toString.take(60000))
       graft.plans.Checkpoints.releaseAll()
     }
     spark.stop()
